@@ -1,0 +1,505 @@
+"""Distributed S2G pipeline on PySpark DataFrames + Arrow-vectorized UDFs.
+
+Two entry points:
+
+- :func:`score_series_grouped` — the production-shaped operator for the
+  north-rule flow: thousands of independent (rolled-up, per-domain) series
+  scored in parallel, one series per task, via
+  ``groupBy(keys).applyInPandas``. Each task runs the shared NumPy core at
+  P=1; Spark parallelism comes from the number of series.
+
+- :func:`run_s2g_distributed` — slice-parallel scoring of ONE large series,
+  replicating the reference's multi-processor dataflow (overlapped slices,
+  TSQR PCA, segment-shuffled KDE, boundary-node handoff, overlap-aware
+  scoring). Bit-identical to ``s2g_oracle(x, params, n_slices=P)``.
+
+Driver synchronization points mirror the reference's master-side steps
+(PCA finalization, node-collection broadcast, graph merge, global score
+min/max: SURVEY.md §3); each collects only KB-sized state, never data rows.
+
+Boundary handling: the reference ships each slice's last projected point to
+its successor (NodeCreationWorkerControl.java:139-209). We instead extend
+every non-first slice by ONE leading raw value, so the successor recomputes
+that point locally — window sums are per-window independent
+(core.moving_sum), making the recomputed point bit-identical and removing a
+sequential cross-partition dependency entirely. The oracle computes the
+padded projection the same way, so parity is by construction.
+
+No per-row Python anywhere: all UDFs are Arrow-batched pandas functions over
+NumPy-vectorized kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from . import core
+from .params import S2GParams
+
+_STAGE1_SCHEMA = (
+    "slice_id long, r_flat array<double>, mean array<double>, n_rows long, "
+    "vmin double, vmax double"
+)
+# kind: 0 = intersection, 1 = slice stats (dist=max_abs of unpadded projection),
+#       2 = last intersection of the slice (segment, dist)
+_INTERSECT_SCHEMA = (
+    "slice_id long, kind int, segment int, dist double, creation_idx long, subseq long"
+)
+_NODES_SCHEMA = "segment int, node_idx int, node_value double"
+_EDGES_SCHEMA = (
+    "slice_id long, slot long, pos int, from_seg int, from_idx int, to_seg int, to_idx int"
+)
+_SCORES_SCHEMA = "slice_id long, score_pos long, raw_score double"
+_FINAL_SCHEMA = "window_idx long, score double"
+
+
+def _series_values(pdf: pd.DataFrame) -> np.ndarray:
+    return pdf.sort_values("pos")["value"].to_numpy(dtype=np.float64)
+
+
+def sliced_series(
+    spark: SparkSession, series_df: DataFrame, n: int, params: S2GParams, n_slices: int
+) -> tuple[DataFrame, list[core.SliceInfo]]:
+    """Tag each (idx, value) row with its owning slice(s).
+
+    Overlapped range partitioning (reference slice distribution,
+    EqualSequenceSliceDistributorFactory.java:43-114) plus one extra leading
+    value per non-first slice (boundary recompute, see module docstring).
+    A row belongs to at most two slices. Implemented as a broadcast range
+    join against the (tiny) slice-bound table so the scan stays a single
+    pass with no driver round-trip of data rows.
+    """
+    slices = core.slice_bounds(n, n_slices, params.m)
+    bounds = spark.createDataFrame(
+        [
+            (s.slice_id, s.start - (1 if s.first_subseq > 0 else 0), s.end, s.start)
+            for s in slices
+        ],
+        "slice_id long, ext_start long, end long, start long",
+    )
+    tagged = series_df.join(
+        F.broadcast(bounds),
+        (series_df["idx"] >= bounds["ext_start"]) & (series_df["idx"] < bounds["end"]),
+        "inner",
+    ).select(
+        "slice_id",
+        (F.col("idx") - F.col("ext_start")).alias("pos"),
+        "value",
+    )
+    return tagged, slices
+
+
+def run_s2g_distributed(
+    spark: SparkSession,
+    series_df: DataFrame,
+    params: S2GParams,
+    n_slices: int,
+    n: Optional[int] = None,
+) -> DataFrame:
+    """Score one large series ``(idx long, value double)`` with P overlapped
+    slices. Returns (window_idx, score), window_idx global and dense.
+    """
+    if n is None:
+        n = series_df.count()
+    tagged, slices = sliced_series(spark, series_df, n, params, n_slices)
+    tagged = tagged.repartition(len(slices), "slice_id").cache()
+    sc = spark.sparkContext
+
+    b_first = sc.broadcast({s.slice_id: s.first_subseq for s in slices})
+    b_params = sc.broadcast(params)
+
+    # ---- stage 1: local PCA (means + centered QR per slice) ----------------
+    # reference: PCACalculatorControl.java:95-99
+    def stage1(pdf: pd.DataFrame) -> pd.DataFrame:
+        p: S2GParams = b_params.value
+        sid = int(pdf["slice_id"].iloc[0])
+        vals = _series_values(pdf)
+        if b_first.value[sid] > 0:
+            vals = vals[1:]  # drop the boundary-recompute extra value
+        r_mat, mean, n_rows, vmin, vmax = core.pca_local(vals, p)
+        return pd.DataFrame(
+            {
+                "slice_id": [sid],
+                "r_flat": [r_mat.ravel().tolist()],
+                "mean": [mean.tolist()],
+                "n_rows": [n_rows],
+                "vmin": [vmin],
+                "vmax": [vmax],
+            }
+        )
+
+    local_rows = tagged.groupBy("slice_id").applyInPandas(stage1, _STAGE1_SCHEMA).collect()
+    local_rows.sort(key=lambda r: r["slice_id"])
+    d = params.d
+    pca = core.finalize_pca(
+        [np.array(r["r_flat"]).reshape(-1, d) for r in local_rows],
+        [np.array(r["mean"]) for r in local_rows],
+        [r["n_rows"] for r in local_rows],
+        min(r["vmin"] for r in local_rows),
+        max(r["vmax"] for r in local_rows),
+        params,
+    )
+    b_pca = sc.broadcast(
+        (pca.principal_components, pca.rotation, pca.column_means, pca.min_record, pca.max_record)
+    )
+
+    # ---- stage 2: projection + intersections --------------------------------
+    # reference: DimensionReductionReceiverControl.java:99-154,
+    #            Calculate.java:204-259, IntersectionWorkFactory.java
+    def stage2(pdf: pd.DataFrame) -> pd.DataFrame:
+        p: S2GParams = b_params.value
+        v, rot, mean, minrec, maxrec = b_pca.value
+        pca_l = core.PCAResult(v, rot, mean, minrec, maxrec)
+        sid = int(pdf["slice_id"].iloc[0])
+        first_subseq = b_first.value[sid]
+        vals = _series_values(pdf)
+        proj, first_padded = core.padded_projection(vals, first_subseq, pca_l, p)
+        unpadded = proj[:, 1:] if first_subseq > 0 else proj
+        maxabs = core.max_abs(unpadded)
+        segs, dists, creation, subseqs = core.intersections_for_projection(
+            proj, first_padded, p
+        )
+        order = np.argsort(creation, kind="stable")
+        segs, dists, creation, subseqs = segs[order], dists[order], creation[order], subseqs[order]
+        n_int = len(segs)
+        frames = [
+            pd.DataFrame(
+                {
+                    "slice_id": np.full(n_int, sid, dtype=np.int64),
+                    "kind": np.zeros(n_int, dtype=np.int32),
+                    "segment": segs.astype(np.int32),
+                    "dist": dists,
+                    "creation_idx": creation,
+                    "subseq": subseqs,
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "slice_id": [sid],
+                    "kind": [1],
+                    "segment": [-1],
+                    "dist": [maxabs],
+                    "creation_idx": [0],
+                    "subseq": [0],
+                }
+            ),
+        ]
+        if n_int > 0:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "slice_id": [sid],
+                        "kind": [2],
+                        "segment": [int(segs[-1])],
+                        "dist": [float(dists[-1])],
+                        "creation_idx": [0],
+                        "subseq": [0],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    inter = tagged.groupBy("slice_id").applyInPandas(stage2, _INTERSECT_SCHEMA).cache()
+
+    # coordinator: global max-abs * 1.2 -> shared density grid
+    # reference: NodeCreationCoordinatorControl.java:27,163
+    max_value = (
+        inter.filter(F.col("kind") == 1).agg(F.max("dist")).collect()[0][0]
+        * core.MAXIMUM_VALUE_SCALE_FACTOR
+    )
+    b_grid = sc.broadcast(core.density_grid(max_value))
+
+    # ---- stage 3: per-segment KDE (shuffle intersections by segment) --------
+    # reference: NodeCreationWorkerControl.java:308-391, DensityEstimatorControl
+    def kde(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["segment"].iloc[0])
+        pdf = pdf.sort_values(["slice_id", "creation_idx"], kind="stable")
+        nodes = core.kde_nodes(pdf["dist"].to_numpy(), b_grid.value)
+        return pd.DataFrame(
+            {
+                "segment": np.full(len(nodes), seg, dtype=np.int32),
+                "node_idx": np.arange(len(nodes), dtype=np.int32),
+                "node_value": nodes,
+            }
+        )
+
+    node_rows = (
+        inter.filter(F.col("kind") == 0)
+        .repartition(params.S, "segment")
+        .groupBy("segment")
+        .applyInPandas(kde, _NODES_SCHEMA)
+        .collect()
+    )
+    nodes_by_segment = [np.empty(0) for _ in range(params.S)]
+    for seg in range(params.S):
+        vals = sorted((r["node_idx"], r["node_value"]) for r in node_rows if r["segment"] == seg)
+        nodes_by_segment[seg] = np.array([v for _, v in vals])
+    b_nodes = sc.broadcast(nodes_by_segment)
+
+    # ---- driver: boundary-node chain (LastNodeMessage equivalent) -----------
+    # reference: EdgeCreationWorkerControl.java:201-254
+    last_int = {
+        r["slice_id"]: (r["segment"], r["dist"])
+        for r in inter.filter(F.col("kind") == 2).collect()
+    }
+    last_node_for: dict[int, Optional[tuple[int, int]]] = {}
+    prev: Optional[tuple[int, int]] = None
+    for s in slices:
+        last_node_for[s.slice_id] = prev
+        li = last_int.get(s.slice_id)
+        if li is not None:
+            seg, dist = int(li[0]), float(li[1])
+            idx = core.match_nodes(np.array([dist]), np.array([seg]), nodes_by_segment)[0]
+            prev = (seg, int(idx))
+        # if a slice produced no intersections the reference deadlocks
+        # (no LastNodeMessage is ever sent); we carry the previous node on.
+    b_lastnode = sc.broadcast(last_node_for)
+    b_ranges = sc.broadcast(
+        {s.slice_id: (s.first_subseq, s.first_subseq + s.n_subsequences(params.m)) for s in slices}
+    )
+
+    # ---- stage 4: edge-creation walk -----------------------------------------
+    # reference: GraphPartitionCreator.java:22-76
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["slice_id"].iloc[0])
+        pdf = pdf.sort_values("creation_idx", kind="stable")
+        segs = pdf["segment"].to_numpy(dtype=np.int64)
+        dists = pdf["dist"].to_numpy()
+        subseqs = pdf["subseq"].to_numpy(dtype=np.int64)
+        node_idx = core.match_nodes(dists, segs, b_nodes.value)
+        local_from, local_to = b_ranges.value[sid]
+        walk_first = local_from - 1 if local_from > 0 else local_from
+        edges, _ = core.edge_walk(
+            segs, node_idx, subseqs, walk_first, local_from, local_to, b_lastnode.value[sid]
+        )
+        n_e = len(edges)
+        arr = (
+            np.array(edges, dtype=np.int64).reshape(n_e, 5)
+            if n_e
+            else np.empty((0, 5), np.int64)
+        )
+        pos = np.zeros(n_e, dtype=np.int32)
+        if n_e:
+            slot_arr = arr[:, 0]
+            change = np.concatenate([[True], slot_arr[1:] != slot_arr[:-1]])
+            grp = np.cumsum(change) - 1
+            starts = np.nonzero(change)[0]
+            pos = (np.arange(n_e) - starts[grp]).astype(np.int32)
+        return pd.DataFrame(
+            {
+                "slice_id": np.full(n_e, sid, dtype=np.int64),
+                "slot": arr[:, 0],
+                "pos": pos,
+                "from_seg": arr[:, 1].astype(np.int32),
+                "from_idx": arr[:, 2].astype(np.int32),
+                "to_seg": arr[:, 3].astype(np.int32),
+                "to_idx": arr[:, 4].astype(np.int32),
+            }
+        )
+
+    edges_df = (
+        inter.filter(F.col("kind") == 0)
+        .groupBy("slice_id")
+        .applyInPandas(walk, _EDGES_SCHEMA)
+        .cache()
+    )
+
+    # ---- graph merge (Catalyst-native partial/final count agg) + degrees -----
+    # reference: Graph.java:25-90, GraphMergerControl.java:72-85
+    merged = (
+        edges_df.groupBy("from_seg", "from_idx", "to_seg", "to_idx")
+        .agg(F.count("*").alias("weight"))
+        .collect()
+    )
+    weights = {
+        (r["from_seg"], r["from_idx"], r["to_seg"], r["to_idx"]): int(r["weight"])
+        for r in merged
+    }
+    degrees = core.node_degrees(weights)
+    b_graph = sc.broadcast((weights, degrees))
+
+    # ---- per-slice slot-list tails (OverlappingEdgeCreationOrderMessage) -----
+    tails = _collect_slot_tails(edges_df, params.ell - 1)
+    b_tails = sc.broadcast(tails)
+    order_ids = sorted(s.slice_id for s in slices)
+    prev_of = {order_ids[i]: (order_ids[i - 1] if i > 0 else None) for i in range(len(order_ids))}
+    b_prev = sc.broadcast(prev_of)
+
+    # ---- stage 5: path scoring ------------------------------------------------
+    # reference: ScoringWorkerControl.java:225-294
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        p: S2GParams = b_params.value
+        w, deg = b_graph.value
+        sid = int(pdf["slice_id"].iloc[0])
+        pdf = pdf.sort_values(["slot", "pos"], kind="stable")
+        slot_lists = _slot_lists_from_frame(pdf)
+        prev_sid = b_prev.value.get(sid)
+        combined = list(slot_lists)
+        if prev_sid is not None:
+            combined = [lst for _, lst in b_tails.value.get(prev_sid, [])] + combined
+        summands = core.slot_summands(combined, w, deg)
+        scores, _, _ = core.path_scores_smart(summands, p.ell)
+        return pd.DataFrame(
+            {
+                "slice_id": np.full(len(scores), sid, dtype=np.int64),
+                "score_pos": np.arange(len(scores), dtype=np.int64),
+                "raw_score": scores,
+            }
+        )
+
+    raw = edges_df.groupBy("slice_id").applyInPandas(score, _SCORES_SCHEMA).cache()
+    mm = raw.agg(F.min("raw_score").alias("mn"), F.max("raw_score").alias("mx")).collect()[0]
+    if mm["mn"] is None:
+        # no slice produced a full ell-window of slots: empty result
+        # (the oracle path yields the same; the reference would stall)
+        return spark.createDataFrame([], _FINAL_SCHEMA)
+    gmin, gmax = float(mm["mn"]), float(mm["mx"])
+
+    # ---- raw-score tails (m-1 overlap) + per-slice output offsets, one pass ---
+    tail_rows = (
+        raw.withColumn(
+            "rk", F.row_number().over(W.partitionBy("slice_id").orderBy(F.col("score_pos").desc()))
+        )
+        .filter(F.col("rk") <= params.m - 1)
+        .orderBy("slice_id", "score_pos")
+        .collect()
+    )
+    tail_scores: dict[int, list[float]] = {}
+    for r in tail_rows:
+        tail_scores.setdefault(r["slice_id"], []).append(float(r["raw_score"]))
+    b_score_tails = sc.broadcast(tail_scores)
+
+    counts = {
+        r["slice_id"]: r["cnt"]
+        for r in raw.groupBy("slice_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    off = 0
+    for sid in order_ids:
+        n_local = counts.get(sid, 0)
+        n_overlap = (params.m - 1) if prev_of[sid] is not None else 0
+        offsets[sid] = off
+        off += max(0, n_overlap + n_local - params.m + 1)
+    b_offsets = sc.broadcast(offsets)
+    b_minmax = sc.broadcast((gmin, gmax))
+
+    # ---- stage 6: normalization + running means --------------------------------
+    # reference: ScoringWorkerControl.java:487-537
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        p: S2GParams = b_params.value
+        g_min, g_max = b_minmax.value
+        sid = int(pdf["slice_id"].iloc[0])
+        pdf = pdf.sort_values("score_pos")
+        local = pdf["raw_score"].to_numpy()
+        prev_sid = b_prev.value.get(sid)
+        if prev_sid is not None:
+            overlap = np.asarray(b_score_tails.value.get(prev_sid, []), dtype=np.float64)
+            scores_in = np.concatenate([overlap, local])
+        else:
+            scores_in = local
+        means = core.running_means_smart(scores_in, g_min, g_max, p.m)
+        base = b_offsets.value[sid]
+        return pd.DataFrame(
+            {"window_idx": base + np.arange(len(means), dtype=np.int64), "score": means}
+        )
+
+    return raw.groupBy("slice_id").applyInPandas(finalize, _FINAL_SCHEMA)
+
+
+def _slot_lists_from_frame(pdf: pd.DataFrame) -> list[list[tuple[int, int, int, int]]]:
+    """Per-slot edge-key lists, slots ascending, creation order inside."""
+    out = []
+    for _, grp in pdf.groupby("slot", sort=True):
+        out.append(
+            list(
+                zip(
+                    grp["from_seg"].astype(int),
+                    grp["from_idx"].astype(int),
+                    grp["to_seg"].astype(int),
+                    grp["to_idx"].astype(int),
+                )
+            )
+        )
+    return out
+
+
+def _collect_slot_tails(edges_df: DataFrame, n_tail: int) -> dict:
+    """Last ``n_tail`` slot lists per slice (KB-sized; collected once for the
+    scoring overlap handoff)."""
+    distinct_slots = (
+        edges_df.select("slice_id", "slot")
+        .distinct()
+        .withColumn(
+            "rk", F.dense_rank().over(W.partitionBy("slice_id").orderBy(F.col("slot").desc()))
+        )
+        .filter(F.col("rk") <= n_tail)
+        .select("slice_id", "slot")
+    )
+    rows = (
+        edges_df.join(distinct_slots, ["slice_id", "slot"])
+        .orderBy("slice_id", "slot", "pos")
+        .collect()
+    )
+    tails: dict[int, list] = {}
+    for r in rows:
+        sid = r["slice_id"]
+        tails.setdefault(sid, [])
+        if not tails[sid] or tails[sid][-1][0] != r["slot"]:
+            tails[sid].append((r["slot"], []))
+        tails[sid][-1][1].append((r["from_seg"], r["from_idx"], r["to_seg"], r["to_idx"]))
+    return tails
+
+
+# ---------------------------------------------------------------------------
+# grouped scoring: many independent series at once (the 100-TB-shaped path)
+# ---------------------------------------------------------------------------
+
+def min_series_length(params: S2GParams) -> int:
+    """Smallest n yielding at least one final score window:
+    slots ~ n-m, raw scores = slots-ell+1, finals = raw-m+1 >= 1."""
+    return 2 * params.m + params.ell
+
+
+def score_series_grouped(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    params: S2GParams,
+) -> DataFrame:
+    """Run the full S2G pipeline per key group (one series per task).
+
+    This is the scale path for the north rule: rolled-up per-domain series
+    are small (10^3-10^6 points) while the number of series is huge, so
+    parallelism comes from ``groupBy(keys)`` and each task runs the shared
+    NumPy core end-to-end — zero cross-task coordination, no shuffle beyond
+    the initial group-by. Output: key columns + (window_idx, score).
+    """
+    from .oracle import s2g_oracle
+
+    key_fields = [f for f in df.schema.fields if f.name in key_cols]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in key_fields]
+        + ["window_idx long", "score double"]
+    )
+    min_len = min_series_length(params)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf.sort_values(order_col)[value_col].to_numpy(dtype=np.float64)
+        if len(x) < min_len:
+            return pd.DataFrame(
+                {**{c: pdf[c].iloc[:0] for c in key_cols}, "window_idx": [], "score": []}
+            )
+        res = s2g_oracle(x, params, n_slices=1)
+        n = len(res.scores)
+        out = {c: np.repeat(pdf[c].iloc[0], n) for c in key_cols}
+        out["window_idx"] = np.arange(n, dtype=np.int64)
+        out["score"] = res.scores
+        return pd.DataFrame(out)
+
+    return df.groupBy(*key_cols).applyInPandas(run, out_schema)
