@@ -1,38 +1,652 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator names from SURVEY.md §2 (plus the training-data
+pipeline operators) to callables ``(spark, sf_dir) -> DataFrame``;
+``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL for every
+SQL-expressible query. Non-SQL-expressible entries (the S2G anomaly
+pipeline, LSH-based ops, heuristic language ID) have no oracle entry and get
+the driver's rows-only check.
+
+Determinism conventions so Spark and DuckDB hash-match:
+- every aggregate/computed column is aliased identically on both sides;
+- float aggregates are ROUNDed (2dp for money sums, 4-6dp for ratios) —
+  both engines sum in different orders, rounding absorbs the last-ulp drift;
+- timestamps are formatted to strings ('yyyy-MM-dd HH:mm:ss'), never
+  compared as native epoch values;
+- rankings order by QUANTIZED scores with an id tiebreak.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from dads_spark.ops import (
+    ann_lsh,
+    knn_bruteforce,
+    language_id,
+    minhash_lsh_pairs,
+    simhash64,
+)
+from dads_spark.rollup import cascade, gap_fill_linear, rollup_from_raw
+from dads_spark.s2g import ROLLUP as S2G_ROLLUP_PARAMS
+from dads_spark.s2g.pipeline import score_series_grouped
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _fmt_bucket(col: str = "bucket_ts"):
+    return F.date_format(F.col(col), _TS_FMT).alias(col)
+
+
+# ---------------------------------------------------------------------------
+# time-series rollup tier queries (north rule core)
+# ---------------------------------------------------------------------------
+
+def q_rollup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.round(F.min("value"), 2).alias("value_min"),
+        F.round(F.max("value"), 2).alias("value_max"),
+    ).select("event_type", _fmt_bucket(), "n_events", "value_sum", "value_min", "value_max")
+
+
+def q_rollup_day_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day tier CASCADED from the hour tier; the oracle aggregates the raw
+    # table directly — equality proves the cascade algebra is exact
+    ev = _t(spark, sf_dir, "events")
+    hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+    day = cascade(hour, ["event_type"], "day")
+    return day.select(
+        "event_type",
+        _fmt_bucket(),
+        F.col("doc_count").alias("n_events"),
+        F.round("value_sum", 2).alias("value_sum"),
+        F.round("value_min", 2).alias("value_min"),
+        F.round("value_max", 2).alias("value_max"),
+    )
+
+
+def q_rollup_week_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+    week = cascade(cascade(hour, ["event_type"], "day"), ["event_type"], "week")
+    return week.select(
+        "event_type",
+        _fmt_bucket(),
+        F.col("doc_count").alias("n_events"),
+        F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
+def q_gapfill_hour_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    filled = gap_fill_linear(hourly, ["event_type"], "bucket_ts", ["v"], 3600)
+    return filled.select(
+        "event_type", _fmt_bucket(), F.round("v", 4).alias("v"), "gap_filled"
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet reads as NTZ; session is UTC
+    new_sess = F.when(
+        us - F.lag(us).over(w) > 1_800_000_000, 1  # 30-minute gap, microseconds
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id", F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+def q_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "rk", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+def q_dayofweek_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dn = F.date_format("ts", "EEEE")
+    days = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday"]
+    aggs = [
+        F.count(F.when(dn == d, 1)).alias(f"n_{d.lower()}") for d in days
+    ]
+    return ev.groupBy("event_type").agg(*aggs)
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (scan/filter/join/agg/window/sort/limit)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", _TS_FMT).alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    nk = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nk), supplier.s_nationkey == nk.n_nationkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))  # local supplier
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    active = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    inactive = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+    return (
+        active.join(inactive, "c_mktsegment", "full_outer")
+        .fillna(0, ["n_active", "n_inactive"])
+    )
+
+
+def q_window_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("dup_count")
+    ).select("rep_id", "dup_count")
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    ttr = F.size(F.array_distinct(toks)) / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round((n_chars - (n_tokens - 1)) / n_tokens, 4).alias("mean_token_len"),
+        F.round(alpha / n_chars, 4).alias("alpha_ratio"),
+        F.round(ttr, 4).alias("type_token_ratio"),
+        F.round(ttr * (alpha / n_chars), 4).alias("quality_score"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(F.sha2(F.col("text").cast("binary"), 256), 1, 16).alias("fingerprint"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select(
+        F.col("doc_id").alias("tid"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    )
+    sizes = toks.groupBy("tid").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.token") == F.col("b.token")) & (F.col("a.tid") < F.col("b.tid")),
+        )
+        .groupBy(F.col("a.tid").alias("id_a"), F.col("b.tid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("tid").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("tid").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.count(F.when(F.col("lang") == "en", 1)) / F.count(F.lit(1)), 4).alias(
+            "en_share"
+        ),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# -- rows-only (no SQL oracle): LSH / simhash / language ID / s2g ------------
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.8).select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash64(docs)
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "pred_lang", F.round("confidence", 4).alias("confidence"))
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+_KNN_QUERIES = [0, 1, 2, 3, 4]
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, _KNN_QUERIES, k=10)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # bucket count must track corpus size: ~2^planes buckets per band; the
+    # test corpora are small, so few planes + more bands keeps recall high
+    return ann_lsh(emb, _KNN_QUERIES, k=10, n_planes=6, n_bands=8)
+
+
+# ---------------------------------------------------------------------------
+# S2G anomaly pipeline over rolled-up event series (flagship, non-SQL)
+# ---------------------------------------------------------------------------
+
+def q_s2g_hourly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    filled = gap_fill_linear(hourly, ["event_type"], "bucket_ts", ["v"], 3600)
+    return score_series_grouped(
+        filled, ["event_type"], "bucket_ts", "v", S2G_ROLLUP_PARAMS
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
+    return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_hour": q_rollup_hour,
+        "rollup_day_cascade": q_rollup_day_cascade,
+        "rollup_week_cascade": q_rollup_week_cascade,
+        "gapfill_hour_linear": q_gapfill_hour_linear,
+        "sessionize": q_sessionize,
+        "topk_per_type": q_topk_per_type,
+        "dayofweek_profile": q_dayofweek_profile,
+        "distinct_users": q_distinct_users,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "semi_anti_customers": q_semi_anti_customers,
+        "window_running_order_total": q_window_running_order_total,
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "text_quality": q_text_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_mix": q_lang_mix,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "language_id": q_language_id,
+        "knn_bruteforce": q_knn_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "s2g_hourly_scores": q_s2g_hourly_scores,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_hour": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum,
+                   round(min(value), 2) AS value_min,
+                   round(max(value), 2) AS value_max
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_day_cascade": """
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum,
+                   round(min(value), 2) AS value_min,
+                   round(max(value), 2) AS value_max
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_week_cascade": """
+            SELECT event_type,
+                   strftime(date_trunc('week', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "gapfill_hour_linear": """
+            WITH b AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events GROUP BY 1, 2),
+            rng AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+            dense AS (
+              SELECT r.event_type, gs.g AS bucket
+              FROM rng r, LATERAL (SELECT unnest(generate_series(r.lo, r.hi, INTERVAL 1 HOUR)) AS g) gs),
+            j AS (
+              SELECT d.event_type, d.bucket, b.v
+              FROM dense d LEFT JOIN b ON b.event_type = d.event_type AND b.bucket = d.bucket),
+            w AS (
+              SELECT event_type, bucket, v,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+              FROM j)
+            SELECT event_type,
+                   strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                         ELSE pv + (nv - pv) * (epoch(bucket) - epoch(pt)) / (epoch(nt) - epoch(pt))
+                         END, 4) AS v,
+                   (v IS NULL) AS gap_filled
+            FROM w
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s AS (
+              SELECT user_id, event_id, value, us,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM g)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   max(us) - min(us) AS duration_us,
+                   round(sum(value), 2) AS value_sum
+            FROM s GROUP BY 1, 2
+        """,
+        "topk_per_type": """
+            SELECT event_type, rk, event_id, round(value, 2) AS value FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+              FROM events) WHERE rk <= 3
+        """,
+        "dayofweek_profile": """
+            SELECT event_type,
+                   count(*) FILTER (WHERE dayname(ts) = 'Monday') AS n_monday,
+                   count(*) FILTER (WHERE dayname(ts) = 'Tuesday') AS n_tuesday,
+                   count(*) FILTER (WHERE dayname(ts) = 'Wednesday') AS n_wednesday,
+                   count(*) FILTER (WHERE dayname(ts) = 'Thursday') AS n_thursday,
+                   count(*) FILTER (WHERE dayname(ts) = 'Friday') AS n_friday,
+                   count(*) FILTER (WHERE dayname(ts) = 'Saturday') AS n_saturday,
+                   count(*) FILTER (WHERE dayname(ts) = 'Sunday') AS n_sunday
+            FROM events GROUP BY 1
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1
+        """,
+        "semi_anti_customers": """
+            SELECT c_mktsegment,
+                   count(CASE WHEN e THEN 1 END) AS n_active,
+                   count(CASE WHEN NOT e THEN 1 END) AS n_inactive
+            FROM (SELECT c_mktsegment,
+                         EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS e
+                  FROM customer c) GROUP BY 1
+        """,
+        "window_running_order_total": """
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER w AS rn,
+                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+            FROM orders WHERE o_custkey <= 50
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS rep_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+              FROM documents)
+            SELECT doc_id, n_tokens,
+                   round((n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 4) AS mean_token_len,
+                   round(alpha / CAST(n_chars AS DOUBLE), 4) AS alpha_ratio,
+                   round(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS type_token_ratio,
+                   round((n_distinct / CAST(n_tokens AS DOUBLE)) * (alpha / CAST(n_chars AS DOUBLE)), 4) AS quality_score
+            FROM t
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, substr(sha256(text), 1, 16) AS fingerprint FROM documents
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id AS tid, unnest(list_distinct(string_split(text, ' '))) AS token
+              FROM documents WHERE doc_id < 100),
+            sizes AS (SELECT tid, count(*) AS sz FROM toks GROUP BY 1),
+            inter AS (
+              SELECT a.tid AS id_a, b.tid AS id_b, count(*) AS n_inter
+              FROM toks a JOIN toks b ON a.token = b.token AND a.tid < b.tid
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT id_a, id_b,
+                     round(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 4) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.tid = id_a
+              JOIN sizes sb ON sb.tid = id_b)
+            WHERE jaccard >= 0.8
+        """,
+        "lang_mix": """
+            SELECT source, count(*) AS n_docs,
+                   round(count(CASE WHEN lang = 'en' THEN 1 END) / CAST(count(*) AS DOUBLE), 4) AS en_share,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY 1
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS query_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) AS cosine
+              FROM q, embeddings e WHERE e.vec_id != q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+        """,
+    }

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Reported metrics map to BASELINE.json: rolled-up points/sec per retention
+tier, discord-detection (S2G) wall time, plus per-query seconds for the
+operator suite. Run scripts/scaling_bench.py for the N-vs-4N (local[8] vs
+local[32]) scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _now() -> float:
+    return time.perf_counter()
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from dads_spark.fixtures import benchmark_series
+    from dads_spark.rollup import cascade, gap_fill_linear, rollup_from_raw
+    from dads_spark.s2g import CANONICAL
+    from dads_spark.s2g.pipeline import run_s2g_distributed
+    from dads_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="dads_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- retention-tier rollup throughput ----------------------------------
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+    n_raw = ev.count()
+    t0 = _now()
+    hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour").cache()
+    n_hour = hour.count()
+    day = cascade(hour, ["event_type"], "day").cache()
+    n_day = day.count()
+    week = cascade(day, ["event_type"], "week")
+    n_week = week.count()
+    tier_sec = _now() - t0
+    timings["rollup_tiers"] = tier_sec
+    extras["rolled_up_points"] = n_hour + n_day + n_week
+    extras["rollup_input_rows_per_sec"] = n_raw / tier_sec
+    extras["rolled_up_points_per_sec"] = (n_hour + n_day + n_week) / tier_sec
+
+    # ---- gap-fill -----------------------------------------------------------
+    t0 = _now()
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    gap_fill_linear(hourly, ["event_type"], "bucket_ts", ["v"], 3600).count()
+    timings["gapfill_hour"] = _now() - t0
+
+    # ---- discord detection (S2G) -------------------------------------------
+    t0 = _now()
+    n_scores = em.q_s2g_hourly_scores(spark, sf_dir).count()
+    timings["s2g_hourly_grouped"] = _now() - t0
+    extras["s2g_hourly_windows"] = n_scores
+
+    import pandas as pd
+
+    x = benchmark_series(200_000)
+    df = spark.createDataFrame(
+        pd.DataFrame({"idx": np.arange(len(x), dtype=np.int64), "value": x}),
+        "idx long, value double",
+    ).cache()
+    df.count()
+    t0 = _now()
+    run_s2g_distributed(spark, df, CANONICAL, n_slices=cpus, n=len(x)).count()
+    dist_sec = _now() - t0
+    timings["s2g_distributed_200k"] = dist_sec
+    extras["s2g_distributed_points_per_sec"] = len(x) / dist_sec
+
+    # ---- operator suite ------------------------------------------------------
+    qs = em.queries()
+    suite = [
+        "rollup_hour",
+        "sessionize",
+        "topk_per_type",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "window_running_order_total",
+        "dedup_exact",
+        "text_quality",
+        "minhash_lsh",
+        "simhash",
+        "knn_bruteforce",
+        "ann_lsh",
+    ]
+    for name in suite:
+        t0 = _now()
+        qs[name](spark, sf_dir).count()
+        timings[name] = _now() - t0
+
+    total = sum(timings.values())
+    spark.stop()
+    return {
+        "metric": "headline_suite_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "cpus": cpus,
+        "extras": {k: round(v, 3) for k, v in extras.items()},
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,4 @@
+"""Gorilla XOR value encoding + delta-of-delta timestamp compression."""
+
+from .gorilla import decode_values, encode_values  # noqa: F401
+from .deltadelta import decode_timestamps, encode_timestamps  # noqa: F401

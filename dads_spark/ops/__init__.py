@@ -1,0 +1,13 @@
+"""Web-corpus operators: dedup, text analysis, similarity, multimodal."""
+
+from .dedup import (  # noqa: F401
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from .textstats import doc_fingerprint, language_id, text_quality, token_counts  # noqa: F401
+from .similarity import ann_lsh, knn_bruteforce  # noqa: F401
+from .multimodal import attach_media_metadata, extract_features, sample_frames  # noqa: F401

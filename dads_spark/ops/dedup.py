@@ -1,0 +1,217 @@
+"""Deduplication operators over document tables.
+
+Scale notes:
+- exact dedup is a hash groupBy (map-side partial agg, one shuffle);
+- MinHash+LSH never forms the n^2 pair space: signatures are banded, bands
+  are hashed to buckets, and only same-bucket pairs are verified — the
+  standard shingle -> minhash -> band -> bucket-join pipeline;
+- all hashing is deterministic NumPy (no Python hash(), no JVM-internal
+  hash), so results are stable across engines and sessions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+_MERSENNE = (1 << 61) - 1
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _fnv1a_tokens(tokens: list[str]) -> np.ndarray:
+    """Deterministic 64-bit FNV-1a per token (vectorized over bytes)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = _FNV_OFFSET
+        for b in t.encode():
+            h = (h ^ np.uint64(b)) * _FNV_PRIME
+        out[i] = h
+    return out
+
+
+def _token_hashes_frame(texts: pd.Series) -> list[np.ndarray]:
+    """Per-doc arrays of distinct token hashes (cached token-level FNV)."""
+    vocab: dict[str, int] = {}
+    doc_tokens = []
+    for t in texts:
+        toks = t.split()
+        ids = []
+        for tok in toks:
+            if tok not in vocab:
+                vocab[tok] = len(vocab)
+            ids.append(vocab[tok])
+        doc_tokens.append(np.unique(np.asarray(ids, dtype=np.int64)))
+    vocab_hash = _fnv1a_tokens(list(vocab))
+    return [vocab_hash[ids] for ids in doc_tokens]
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (text_sha, rep_id, dup_count)."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col).cast("binary"), 256).alias("text_sha"))
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (lowest id) per identical text."""
+    w = W.partitionBy(F.sha2(F.col(text_col).cast("binary"), 256)).orderBy(id_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures over distinct-token sets (whitespace shingles).
+
+    h_i(x) = (a_i * x + b_i) mod (2^61 - 1) over FNV-1a token hashes;
+    signature = per-i minimum. Vectorized: one (tokens x hashes) broadcast
+    product per Arrow batch.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64)
+
+    def sig(it):
+        for pdf in it:
+            hashes = _token_hashes_frame(pdf[text_col])
+            sigs = np.empty((len(pdf), num_hashes), dtype=np.int64)
+            for i, th in enumerate(hashes):
+                if len(th) == 0:
+                    sigs[i] = _MERSENNE
+                    continue
+                x = (th % _MERSENNE).astype(object)  # avoid 128-bit overflow
+                vals = (x[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+                sigs[i] = vals.min(axis=0).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "signature": list(sigs)})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        sig, f"{id_col} long, signature array<long>"
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH, verified by signature
+    similarity: (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    est_jaccard = fraction of agreeing minhash components (unbiased Jaccard
+    estimator). Bucket join replaces the quadratic pair space.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, seed).cache()
+
+    band_cols = [
+        F.hash(
+            F.lit(band),
+            *[F.col("signature")[band * rows_per_band + r] for r in range(rows_per_band)],
+        ).alias("bucket")
+        for band in range(bands)
+    ]
+    buckets = sigs.select(
+        id_col,
+        "signature",
+        F.explode(F.array(*band_cols)).alias("bucket"),
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    cand = (
+        left.join(right, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.signature").alias("sig_a"),
+            F.col("r.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over token FNV hashes: (id, simhash as signed long)."""
+
+    def sh(it):
+        for pdf in it:
+            hashes = _token_hashes_frame(pdf[text_col])
+            out = np.empty(len(pdf), dtype=np.int64)
+            bits = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+            shifts = np.arange(64, dtype=np.uint64)
+            for i, th in enumerate(hashes):
+                if len(th) == 0:
+                    out[i] = 0
+                    continue
+                present = (th[:, None] & bits) != 0
+                votes = present.sum(axis=0) * 2 - len(th)
+                word = np.bitwise_or.reduce((votes > 0).astype(np.uint64) << shifts)
+                out[i] = np.uint64(word).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return docs.select(id_col, text_col).mapInPandas(sh, f"{id_col} long, simhash long")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact distinct-token Jaccard for all pairs sharing >= 1 token.
+
+    Relational formulation (token explode -> equi-join -> counts) so the
+    whole computation stays in Catalyst and is expressible as ANSI SQL for
+    the correctness oracle. Intended for verification / small candidate
+    sets; the scale path is minhash_lsh_pairs.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("tid"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    )
+    sizes = toks.groupBy("tid").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        toks.alias("a")
+        .join(toks.alias("b"), (F.col("a.token") == F.col("b.token")) & (F.col("a.tid") < F.col("b.tid")))
+        .groupBy(F.col("a.tid").alias("id_a"), F.col("b.tid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("tid").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("tid").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

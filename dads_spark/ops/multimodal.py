@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as ``binary`` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages. The actual codec calls are STUBBED
+(this environment ships no image/audio libraries): ``decode_image`` raises
+NotImplementedError unless ``fake=True``, in which case a deterministic
+byte-hash "decode" exercises the full Spark plumbing — schema, batch shape,
+partitioning — which is the part that matters for the engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, payload binary, mime string, width int, height int, n_frames int"
+)
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Derive cheap metadata JVM-side: byte length + magic-byte mime sniff."""
+    magic = F.hex(F.substring(F.col(payload_col), 1, 4))
+    return df.withColumn("n_bytes", F.octet_length(payload_col)).withColumn(
+        "sniffed_mime",
+        F.when(magic.startswith("FFD8"), "image/jpeg")
+        .when(magic.startswith("89504E47"), "image/png")
+        .otherwise("application/octet-stream"),
+    )
+
+
+def _fake_decode(payload: bytes, feat_dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: hash-seeded features."""
+    h = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(h[:8], "big")
+    return np.random.default_rng(seed).normal(size=feat_dim)
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    feat_dim: int = 16,
+    fake: bool = False,
+) -> DataFrame:
+    """Decode + feature-extract each payload -> (id, features array<double>).
+
+    Real decoding requires an image/audio library not present in this
+    environment; pass ``fake=True`` for the deterministic stand-in. The
+    Spark-side contract (arrow batching, schema, per-partition work) is
+    identical either way.
+    """
+
+    def run(it):
+        for pdf in it:
+            feats = []
+            for payload in pdf[payload_col]:
+                if not fake:
+                    raise NotImplementedError(
+                        "real media decode needs PIL/av; run with fake=True"
+                    )
+                feats.append(_fake_decode(bytes(payload), feat_dim))
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} long, features array<double>"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_n: int = 10,
+    fake: bool = False,
+) -> DataFrame:
+    """Frame-sample video payloads -> one row per sampled frame.
+
+    Stub decode; the exploded output shape (id, frame_no, frame binary) is
+    the real contract downstream stages build on.
+    """
+
+    def run(it):
+        for pdf in it:
+            ids, frame_nos, frames = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if not fake:
+                    raise NotImplementedError(
+                        "real frame sampling needs av; run with fake=True"
+                    )
+                payload = bytes(payload)
+                n_frames = max(1, len(payload) // 64)
+                for fno in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    frame_nos.append(fno)
+                    frames.append(payload[fno * 64 : (fno + 1) * 64])
+            yield pd.DataFrame({id_col: ids, "frame_no": frame_nos, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} long, frame_no int, frame binary"
+    )

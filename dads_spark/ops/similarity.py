@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline. The query set is broadcast;
+  scores are computed in one vectorized matmul per Arrow batch; top-k via a
+  window rank. O(n_vectors * n_queries) FLOPs, embarrassingly parallel, no
+  shuffle until the (tiny) per-query top-k aggregation.
+- LSH-bucketed ANN: random-hyperplane signatures, candidates = same-bucket
+  vectors across any of B bands; exact cosine re-rank of candidates. The
+  scale path: bucket join replaces the full cross product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def _cosine_block(mat: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    return mn @ qn.T
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query id.
+
+    Output (query_id, neighbor_id, rank, cosine rounded to 6dp); self-match
+    excluded. Queries are collected once (tiny) and closed over — they reach
+    executors via task broadcast.
+    """
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+
+    def scores(it):
+        for pdf in it:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cos = _cosine_block(mat, q_mat)  # (batch, nq)
+            n, nq = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, n),
+                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), nq),
+                    "cosine": cos.ravel(),
+                }
+            )
+
+    flat = embeddings.select(id_col, vec_col).mapInPandas(
+        scores, "query_id long, neighbor_id long, cosine double"
+    )
+    # rank on the QUANTIZED cosine so the ordering (and the top-k boundary)
+    # is reproducible across engines computing the dot product in different
+    # summation orders (sub-1e-6 differences quantize away)
+    w = W.partitionBy("query_id").orderBy(
+        F.round("cosine", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        flat.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ann_lsh(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 12,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH + exact re-rank.
+
+    Each vector gets B band signatures (sign patterns over n_planes random
+    hyperplanes); query candidates = vectors sharing any band bucket. Exact
+    cosine on candidates only. Recall grows with B; cost stays ~n/2^planes
+    per band per bucket.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_bands, n_planes, dim))
+
+    def signatures(it):
+        for pdf in it:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            rows = {id_col: [], "band": [], "bucket": []}
+            for band in range(n_bands):
+                proj = mat @ planes[band].T > 0
+                bucket = np.packbits(proj, axis=1, bitorder="little")[:, :2]
+                code = bucket[:, 0].astype(np.int64) + (
+                    bucket[:, 1].astype(np.int64) << 8 if bucket.shape[1] > 1 else 0
+                )
+                rows[id_col].extend(pdf[id_col].tolist())
+                rows["band"].extend([band] * len(pdf))
+                rows["bucket"].extend(code.tolist())
+            yield pd.DataFrame(rows)
+
+    sigs = embeddings.select(id_col, vec_col).mapInPandas(
+        signatures, f"{id_col} long, band int, bucket long"
+    )
+    q_sigs = sigs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "band", "bucket"
+    )
+    cand = (
+        sigs.join(F.broadcast(q_sigs), ["band", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    qvecs = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    pairs = cand.join(vecs, "neighbor_id").join(F.broadcast(qvecs), "query_id")
+
+    def rerank(it):
+        for pdf in it:
+            a = np.array(list(pdf["nvec"]), dtype=np.float64)
+            b = np.array(list(pdf["qvec"]), dtype=np.float64)
+            an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-30)
+            bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-30)
+            cos = (an * bn).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine": cos,
+                }
+            )
+
+    scored = pairs.mapInPandas(rerank, "query_id long, neighbor_id long, cosine double")
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,101 @@
+"""Text analysis operators: token counts, quality scoring, language ID,
+document fingerprinting.
+
+Quality/token/fingerprint stay JVM-side (built-in expressions inside
+whole-stage codegen — no Python in the hot path); language ID is a
+vectorized stopword-profile scorer in a pandas UDF (the lists are tiny and
+broadcast implicitly with the closure).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"],
+    "es": ["el", "la", "los", "de", "y", "que", "es", "un", "una", "por"],
+}
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_distinct_tokens, n_chars) — whitespace tokens."""
+    toks = F.split(F.col(text_col), " ")
+    return docs.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score, all JVM-side.
+
+    Features: token count, mean token length, alphabetic-character ratio,
+    type/token ratio. score = ttr * alpha_ratio, rounded — crude but
+    deterministic and oracle-expressible in ANSI SQL.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    return docs.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        F.round((n_chars - (n_tokens - 1)) / n_tokens, 4).alias("mean_token_len"),
+        F.round(alpha_chars / n_chars, 4).alias("alpha_ratio"),
+        F.round(distinct_ratio, 4).alias("type_token_ratio"),
+        F.round(distinct_ratio * (alpha_chars / n_chars), 4).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID: (id, pred_lang, confidence).
+
+    Scores each language by its stopword hit rate over the doc's tokens;
+    argmax wins, 'other' when nothing hits. Vectorized via a term-document
+    membership matrix per Arrow batch.
+    """
+    langs = list(STOPWORDS)
+    stop_sets = [frozenset(STOPWORDS[lang]) for lang in langs]
+
+    def lid(it):
+        for pdf in it:
+            n = len(pdf)
+            scores = np.zeros((n, len(langs)))
+            token_lists = [t.split() for t in pdf[text_col]]
+            for li, sset in enumerate(stop_sets):
+                scores[:, li] = [
+                    sum(tok in sset for tok in toks) / max(1, len(toks))
+                    for toks in token_lists
+                ]
+            best = scores.argmax(axis=1)
+            conf = scores.max(axis=1)
+            pred = np.where(conf > 0, np.array(langs)[best], "other")
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "pred_lang": pred, "confidence": conf}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        lid, f"{id_col} long, pred_lang string, confidence double"
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stable 60-bit content fingerprint: (id, fingerprint long).
+
+    First 15 hex chars of sha256(text) parsed base-16 — JVM-side, collision
+    probability ~2^-60, reproducible in any engine with sha256.
+    """
+    return docs.select(
+        id_col,
+        F.conv(F.substring(F.sha2(F.col(text_col).cast("binary"), 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fingerprint"),
+    )

@@ -1,0 +1,5 @@
+"""Rollup layer: series derivation, retention tiers, gap-fill."""
+
+from .tiers import TIERS, TIER_ORDER, cascade, rollup_from_raw, salted_rollup, write_tier  # noqa: F401
+from .gapfill import TIER_SECONDS, gap_fill_linear  # noqa: F401
+from .series import domain_hourly_series, text_identity_fingerprint, with_domain  # noqa: F401

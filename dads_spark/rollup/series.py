@@ -1,0 +1,56 @@
+"""Per-domain series derivation from the Common-Crawl-style pages table.
+
+north rule / input_hint (BASELINE.json:6,15): the input is an Iceberg table
+``pages(url string, warc_ts timestamp, html binary, text string, lang
+string)``; derived per-domain univariate series are doc counts, text-byte
+volume (octet_length), and language mix, bucketed on ``warc_ts``.
+
+Everything here is plain Catalyst-optimizable DataFrame API: the domain
+extraction and octet_length run inside whole-stage codegen, filters on
+``warc_ts`` reach the scan (partition pruning on days(warc_ts) when the
+table is hidden-partitioned), and ``html`` is never referenced so column
+pruning drops the heavy blob at the reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: metrics derivable per (domain, bucket)
+METRICS = ("doc_count", "text_bytes", "lang_share")
+
+
+def with_domain(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Extract the registrable host from the url (JVM-side parse_url)."""
+    return pages.withColumn("domain", F.parse_url(F.col(url_col), F.lit("HOST")))
+
+
+def domain_hourly_series(pages: DataFrame, lang_of_interest: str = "en") -> DataFrame:
+    """One row per (domain, hour): doc_count, text_bytes, lang_share.
+
+    lang_share = fraction of docs in ``lang_of_interest`` (the language-mix
+    metric; exact via conditional count, one pass, no join).
+    """
+    df = with_domain(pages)
+    return df.groupBy(
+        "domain", F.date_trunc("hour", F.col("warc_ts")).alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+        (
+            F.count(F.when(F.col("lang") == lang_of_interest, 1))
+            / F.count(F.lit(1))
+        ).alias("lang_share"),
+    )
+
+
+def text_identity_fingerprint(pages: DataFrame) -> DataFrame:
+    """sha256 per (url, text) — the byte-identity invariant surface.
+
+    The engine never rewrites ``text``; this fingerprint table is compared
+    before/after any pipeline stage to prove byte-identical extracted text
+    per url (BASELINE.json:16).
+    """
+    return pages.select(
+        "url", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256")
+    )

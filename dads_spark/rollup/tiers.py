@@ -1,0 +1,109 @@
+"""Continuous aggregates at hour/day/week retention tiers.
+
+Spark-first design notes (100 TB scale):
+- every tier is a plain ``groupBy`` + exact-decomposable aggregates
+  (count/sum/min/max), so Catalyst performs map-side partial aggregation and
+  the shuffle carries one row per (key, bucket) — the reduction happens
+  before the wire, not after;
+- higher tiers cascade from the tier below (day from hour, week from day):
+  at 10^12 docs the raw table is touched ONCE, the hour tier is ~5 orders of
+  magnitude smaller, so day/week are nearly free;
+- hot keys (a domain with 40% of rows) are handled by ``salted_rollup``:
+  a two-phase aggregation over (key, bucket, salt) then (key, bucket) —
+  exact for decomposable aggregates, bounds any single reducer's input to
+  1/salt_buckets of the hot key;
+- reads that filter on the bucket column prune partitions when tiers are
+  written ``partitionBy(bucket_date)`` (see write_tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: tier name -> date_trunc unit
+TIERS = {"hour": "hour", "day": "day", "week": "week"}
+#: cascade order
+TIER_ORDER = ["hour", "day", "week"]
+
+_METRICS = ["doc_count", "value_sum", "value_min", "value_max"]
+
+
+def rollup_from_raw(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str | None,
+    tier: str = "hour",
+) -> DataFrame:
+    """Bucket raw rows into a tier: (keys..., bucket_ts, doc_count,
+    value_sum/min/max). ``value_col=None`` aggregates octet counts only."""
+    unit = TIERS[tier]
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
+    val = F.col(value_col) if value_col else F.lit(0.0)
+    return df.groupBy(*key_cols, bucket).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum(val).alias("value_sum"),
+        F.min(val).alias("value_min"),
+        F.max(val).alias("value_max"),
+    )
+
+
+def cascade(tier_df: DataFrame, key_cols: list[str], to_tier: str) -> DataFrame:
+    """Roll a finer tier up to a coarser one (exact: sums of sums, min of
+    mins, max of maxs)."""
+    unit = TIERS[to_tier]
+    bucket = F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts")
+    return tier_df.groupBy(*key_cols, bucket).agg(
+        F.sum("doc_count").alias("doc_count"),
+        F.sum("value_sum").alias("value_sum"),
+        F.min("value_min").alias("value_min"),
+        F.max("value_max").alias("value_max"),
+    )
+
+
+def salted_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str | None,
+    tier: str = "hour",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys.
+
+    Phase 1 groups by (keys, bucket, salt) — the hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 combines the per-salt partials. Both
+    phases are exact for count/sum/min/max. Output equals
+    :func:`rollup_from_raw` row for row.
+    """
+    unit = TIERS[tier]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    val = F.col(value_col) if value_col else F.lit(0.0)
+    phase1 = salted.groupBy(
+        *key_cols, F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts"), "_salt"
+    ).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum(val).alias("value_sum"),
+        F.min(val).alias("value_min"),
+        F.max(val).alias("value_max"),
+    )
+    return phase1.groupBy(*key_cols, "bucket_ts").agg(
+        F.sum("doc_count").alias("doc_count"),
+        F.sum("value_sum").alias("value_sum"),
+        F.min("value_min").alias("value_min"),
+        F.max("value_max").alias("value_max"),
+    )
+
+
+def write_tier(tier_df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist a tier partitioned by bucket date so later reads filtering on
+    time prune files (the parquet/Iceberg hidden-partition analogue)."""
+    (
+        tier_df.withColumn("bucket_date", F.to_date("bucket_ts"))
+        .repartition("bucket_date")
+        .write.mode(mode)
+        .partitionBy("bucket_date")
+        .parquet(path)
+    )

@@ -1,0 +1,43 @@
+"""Replicates the driver's correctness gate locally at sf0.001: every
+queries() entry runs; every oracle_sql() twin must hash-match."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.compare import compare_query, duckdb_conn
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_QUERIES = entry_mod.queries()
+_ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_conn(SF_DIR)
+    yield c
+    c.close()
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(_ORACLES) <= set(_QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_query_matches_oracle(spark, con, name):
+    res = compare_query(spark, con, _QUERIES[name], _ORACLES[name], SF_DIR)
+    assert res["ok"], f"{name}: {res}"
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = _QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0

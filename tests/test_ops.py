@@ -1,0 +1,167 @@
+"""Dedup / text / similarity / multimodal operators vs small oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from dads_spark.ops import (
+    ann_lsh,
+    attach_media_metadata,
+    dedup_exact,
+    doc_fingerprint,
+    exact_duplicates,
+    extract_features,
+    knn_bruteforce,
+    language_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    text_quality,
+    token_counts,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+    (3, "der schnelle braune fuchs springt und ist nicht langsam"),
+    (4, "le renard brun et rapide saute pour que le chien"),
+    (5, "el zorro marron salta y es que por una vez"),
+    (6, "completely different content about spark query engines"),
+    (7, "the of and to a in is that for it"),  # english stopword soup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_duplicates(docs).toPandas()
+    assert len(groups) == 7  # 8 docs, one exact pair
+    assert groups["dup_count"].max() == 2
+    kept = dedup_exact(docs).toPandas()
+    assert len(kept) == 7
+    assert 0 in set(kept["doc_id"]) and 1 not in set(kept["doc_id"])
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).toPandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got  # exact dup: est_jaccard == 1
+    assert (0, 2) in got or (1, 2) in got  # near dup caught
+    assert all(a < b for a, b in got)
+    exact_pair = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert exact_pair["est_jaccard"].iloc[0] == 1.0
+
+
+def test_ngram_jaccard_matches_python_oracle(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.1).toPandas()
+    texts = dict(DOCS)
+    for _, row in pairs.iterrows():
+        a = set(texts[row.id_a].split())
+        b = set(texts[row.id_b].split())
+        want = len(a & b) / len(a | b)
+        assert row.jaccard == pytest.approx(want)
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got and (0, 2) in got
+
+
+def test_simhash_near_dup_hamming(spark, docs):
+    sh = simhash64(docs).toPandas().set_index("doc_id")["simhash"]
+    def ham(a, b):
+        return bin(np.uint64(a) ^ np.uint64(b)).count("1")
+    assert ham(sh[0], sh[1]) == 0  # identical text
+    assert ham(sh[0], sh[2]) <= 12  # near dup: small distance
+    assert ham(sh[0], sh[6]) > ham(sh[0], sh[2])  # unrelated is farther
+
+
+def test_token_counts_and_quality(spark, docs):
+    tc = token_counts(docs).toPandas().set_index("doc_id")
+    assert tc.loc[0, "n_tokens"] == 9
+    assert tc.loc[0, "n_distinct_tokens"] == 8  # 'the' twice
+    q = text_quality(docs).toPandas().set_index("doc_id")
+    assert q.loc[0, "type_token_ratio"] == pytest.approx(8 / 9, abs=1e-4)
+    assert 0 < q.loc[0, "quality_score"] <= 1
+
+
+def test_language_id(spark, docs):
+    lid = language_id(docs).toPandas().set_index("doc_id")["pred_lang"]
+    assert lid[0] == "en"
+    assert lid[3] == "de"
+    assert lid[4] == "fr"
+    assert lid[5] == "es"
+    assert lid[7] == "en"
+
+
+def test_doc_fingerprint_stable_and_distinct(spark, docs):
+    fp = doc_fingerprint(docs).toPandas().set_index("doc_id")["fingerprint"]
+    assert fp[0] == fp[1]  # identical text, identical fingerprint
+    assert fp.nunique() == 7
+    fp2 = doc_fingerprint(docs).toPandas().set_index("doc_id")["fingerprint"]
+    assert (fp == fp2).all()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(4, 16))
+    rows = []
+    for i in range(80):
+        c = i % 4
+        v = centers[c] + rng.normal(0, 0.05, 16)
+        rows.append((i, [float(x) for x in v], c))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+
+
+def test_knn_bruteforce_matches_numpy(spark, embeddings):
+    got = knn_bruteforce(embeddings, [0, 1], k=5).toPandas()
+    pdf = embeddings.toPandas()
+    mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in (0, 1):
+        cos = mn @ mn[q]
+        cos[q] = -np.inf
+        want = np.argsort(-cos, kind="stable")[:5]
+        got_q = got[got.query_id == q].sort_values("rank")["neighbor_id"].to_numpy()
+        assert set(got_q) == set(want)
+        # same cluster dominates
+        labels = pdf.set_index("vec_id")["label"]
+        assert (labels.loc[got_q] == labels.loc[q]).mean() >= 0.8
+
+
+def test_ann_lsh_recall_against_bruteforce(spark, embeddings):
+    exact = knn_bruteforce(embeddings, [0], k=5).toPandas()
+    approx = ann_lsh(embeddings, [0], k=5, n_planes=8, n_bands=6).toPandas()
+    want = set(exact["neighbor_id"])
+    got = set(approx["neighbor_id"])
+    assert len(want & got) >= 3  # >=60% recall on clustered data
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (0, b"\xff\xd8\xff\xe0" + b"x" * 600, "image/jpeg", 0, 0, 0),
+        (1, b"\x89PNG\r\n" + b"y" * 300, "image/png", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, mime string, width int, height int, n_frames int"
+    )
+    meta = attach_media_metadata(df).toPandas().set_index("media_id")
+    assert meta.loc[0, "sniffed_mime"] == "image/jpeg"
+    assert meta.loc[1, "sniffed_mime"] == "image/png"
+    assert meta.loc[0, "n_bytes"] == 604
+
+    feats = extract_features(df, fake=True).toPandas()
+    assert len(feats) == 2 and all(len(f) == 16 for f in feats["features"])
+    feats2 = extract_features(df, fake=True).toPandas()
+    assert np.allclose(
+        np.array(list(feats["features"])), np.array(list(feats2["features"]))
+    )  # deterministic
+
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(df, fake=False).collect()
