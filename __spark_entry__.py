@@ -250,6 +250,111 @@ def q_window_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scan + conjunctive filter + single agg (classic pushdown showcase)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUBE grouping-sets aggregate (subtotals + grand total rows)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_setop_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # set operators: big spenders INTERSECT recent-order customers,
+    # EXCEPT automobile-segment customers
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .filter(F.col("s") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= "2000-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    return big.intersect(recent).exceptAll(auto).select("c_custkey")
+
+
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of (most recent prior event) via a running window — for each
+    # purchase, the timestamp of the user's latest preceding click
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy(us, "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    last_click = F.max(F.when(F.col("event_type") == "click", us)).over(w)
+    return (
+        ev.withColumn("last_click_us", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            us.alias("purchase_us"),
+            "last_click_us",
+            (us - F.col("last_click_us")).alias("gap_us"),
+        )
+    )
+
+
+def q_date_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # string + date function coverage over part/orders
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", F.lower("p_type")).alias("brand_type"),
+        F.when(F.col("p_name").like("%gold%"), 1).otherwise(0).alias("has_gold"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -380,6 +485,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S2G anomaly pipeline over rolled-up event series (flagship, non-SQL)
 # ---------------------------------------------------------------------------
 
+def q_drag_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRAG-style discord ranges (z-normalized Euclidean, candidate+refine)
+    over per-type hourly series. Non-SQL-expressible -> rows-only check."""
+    from dads_spark.s2g.discord import discord_series_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    filled = gap_fill_linear(hourly, ["event_type"], "bucket_ts", ["v"], 3600)
+    return discord_series_grouped(filled, ["event_type"], "bucket_ts", "v", m=24)
+
+
 def q_s2g_hourly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
@@ -409,6 +527,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
+        "q6_revenue_filter": q6_revenue_filter,
+        "q10_returned_customers": q10_returned_customers,
+        "cube_pricing": q_cube_pricing,
+        "setop_segments": q_setop_segments,
+        "asof_last_click": q_asof_last_click,
+        "date_string_functions": q_date_string_functions,
         "semi_anti_customers": q_semi_anti_customers,
         "window_running_order_total": q_window_running_order_total,
         "dedup_exact": q_dedup_exact,
@@ -423,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "ann_lsh": q_ann_lsh,
         "s2g_hourly_scores": q_s2g_hourly_scores,
+        "drag_discords": q_drag_discords,
     }
 
 
@@ -562,6 +687,62 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
             GROUP BY 1
+        """,
+        "q6_revenue_filter": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
+        """,
+        "q10_returned_customers": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem, orders, customer, nation
+            WHERE l_returnflag = 'R'
+              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n_nationkey
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "cube_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "setop_segments": """
+            (SELECT o_custkey AS c_custkey FROM orders
+             GROUP BY 1 HAVING sum(o_totalprice) > 200000
+             INTERSECT
+             SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+            EXCEPT ALL
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        """,
+        "asof_last_click": """
+            SELECT event_id, user_id, purchase_us, last_click_us,
+                   purchase_us - last_click_us AS gap_us
+            FROM (
+              SELECT event_id, user_id, event_type,
+                     epoch_us(ts) AS purchase_us,
+                     max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_us
+              FROM events)
+            WHERE event_type = 'purchase'
+        """,
+        "date_string_functions": """
+            SELECT p_partkey,
+                   upper(substring(p_name, 1, 8)) AS name_prefix,
+                   length(p_name) AS name_len,
+                   concat_ws('-', p_brand, lower(p_type)) AS brand_type,
+                   CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END AS has_gold,
+                   p_size % 7 AS size_mod7
+            FROM part
         """,
         "semi_anti_customers": """
             SELECT c_mktsegment,

@@ -556,6 +556,99 @@ def edge_walk(
     return edges, last
 
 
+def edge_walk_arrays(
+    segs: np.ndarray,
+    node_idx: np.ndarray,
+    subseqs: np.ndarray,
+    first_subseq: int,
+    local_from: int,
+    local_to: int,
+    last_node: Optional[tuple[int, int]],
+):
+    """Vectorized :func:`edge_walk`: returns (slots, fs, fi, ts, ti) arrays
+    in emission order, bit-identical to the loop form.
+
+    Closed form of the walk (subseqs are non-decreasing in creation order):
+    the real edge for intersection k lands on slot subseq[k]; before it,
+    self-loops on node[k-1] fill slots [max(first, subseq[k-1]+1),
+    subseq[k]); after the final intersection one slot is skipped and
+    trailing self-loops fill [max(local_from, last+2), local_to).
+    """
+    n = len(segs)
+    if n == 0:
+        # no intersections: trailing self-loops only (if a node was handed in)
+        nxt = first_subseq + 1
+        lo = max(local_from, nxt)
+        if last_node is None or lo >= local_to:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, e, e, e
+        slots = np.arange(lo, local_to, dtype=np.int64)
+        fs = np.full(len(slots), last_node[0], dtype=np.int64)
+        fi = np.full(len(slots), last_node[1], dtype=np.int64)
+        return slots, fs, fi, fs.copy(), fi.copy()
+
+    segs = np.asarray(segs, dtype=np.int64)
+    node_idx = np.asarray(node_idx, dtype=np.int64)
+    subseqs = np.asarray(subseqs, dtype=np.int64)
+
+    # node BEFORE intersection k (None sentinel -> -1)
+    prev_seg = np.empty(n, dtype=np.int64)
+    prev_idx = np.empty(n, dtype=np.int64)
+    prev_seg[1:], prev_idx[1:] = segs[:-1], node_idx[:-1]
+    has_incoming = last_node is not None
+    prev_seg[0] = last_node[0] if has_incoming else -1
+    prev_idx[0] = last_node[1] if has_incoming else -1
+
+    # self-loop runs before each intersection
+    run_start = np.empty(n, dtype=np.int64)
+    run_start[0] = first_subseq
+    run_start[1:] = subseqs[:-1] + 1
+    run_start = np.maximum(run_start, first_subseq)
+    run_len = np.maximum(0, subseqs - run_start)
+    if not has_incoming:
+        run_len[0] = 0  # null lastNode: skipped slots emit nothing
+    total_self = int(run_len.sum())
+    offs = np.cumsum(run_len) - run_len
+    rep = np.repeat(np.arange(n), run_len)
+    self_slots = np.repeat(run_start, run_len) + (np.arange(total_self) - np.repeat(offs, run_len))
+    self_fs, self_fi = prev_seg[rep], prev_idx[rep]
+
+    # real edges (skip k=0 when there is no incoming node)
+    keep = np.ones(n, dtype=bool)
+    if not has_incoming:
+        keep[0] = False
+    real_slots = subseqs[keep]
+    real_fs, real_fi = prev_seg[keep], prev_idx[keep]
+    real_ts, real_ti = segs[keep], node_idx[keep]
+
+    # trailing self-loops (one slot skipped after the final intersection,
+    # GraphPartitionCreator.java:62)
+    t_lo = max(local_from, int(subseqs[-1]) + 2)
+    t_slots = np.arange(t_lo, local_to, dtype=np.int64)
+    t_fs = np.full(len(t_slots), segs[-1], dtype=np.int64)
+    t_fi = np.full(len(t_slots), node_idx[-1], dtype=np.int64)
+
+    # interleave in emission order: per intersection [self-loops..., edge],
+    # then trailing. Emission order == sort by (slot, kind) where self-loops
+    # at a slot always precede a real edge at the same slot? No: a self-loop
+    # slot is always < its intersection's slot, and slots are globally
+    # non-decreasing in emission order with ties only among real edges at
+    # the same slot (duplicates keep creation order). A stable sort by slot
+    # therefore reproduces emission order exactly.
+    slots = np.concatenate([self_slots, real_slots, t_slots])
+    fs = np.concatenate([self_fs, real_fs, t_fs])
+    fi = np.concatenate([self_fi, real_fi, t_fi])
+    ts = np.concatenate([self_fs, real_ts, t_fs])
+    ti = np.concatenate([self_fi, real_ti, t_fi])
+    # stable sort: self-loops and trailing already ascending; real edges
+    # ascending; merge by slot keeps within-slot original order only if the
+    # concatenation order matches emission for equal slots. Self-loops never
+    # share a slot with a real edge (self slots < their edge's slot, and
+    # > previous edge's slot), so a stable argsort by slot is exact.
+    order = np.argsort(slots, kind="stable")
+    return slots[order], fs[order], fi[order], ts[order], ti[order]
+
+
 def merge_edges(edge_lists: Sequence[Sequence[tuple[int, int, int, int, int]]]):
     """Merged weighted graph + per-slot edge-creation order.
 
@@ -605,6 +698,83 @@ def slot_summands(
         ]
         out.append(np.asarray(vals, dtype=np.float64))
     return out
+
+
+def encode_edge_keys(fs, fi, ts, ti) -> np.ndarray:
+    """Pack an edge key (from_seg, from_idx, to_seg, to_idx) into one int64
+    (each component < 2^15: segments <= S, node indices < 250 grid points)."""
+    return (
+        (np.asarray(fs, dtype=np.int64) << 45)
+        | (np.asarray(fi, dtype=np.int64) << 30)
+        | (np.asarray(ts, dtype=np.int64) << 15)
+        | np.asarray(ti, dtype=np.int64)
+    )
+
+
+def build_graph_lookup(weights: dict, degrees: dict):
+    """Sorted-array lookup tables for vectorized summand computation."""
+    keys = np.array(
+        [((fs << 45) | (fi << 30) | (tseg << 15) | tidx) for (fs, fi, tseg, tidx) in weights],
+        dtype=np.int64,
+    )
+    w = np.array(list(weights.values()), dtype=np.float64)
+    order = np.argsort(keys)
+    node_keys = np.array([(s << 15) | i for (s, i) in degrees], dtype=np.int64)
+    deg = np.array(list(degrees.values()), dtype=np.int64)
+    norder = np.argsort(node_keys)
+    return keys[order], w[order], node_keys[norder], deg[norder]
+
+
+def edge_summands_vectorized(fs, fi, ts, ti, lookup) -> np.ndarray:
+    """summand = weight(edge) * (degree(from) - 1), vectorized.
+
+    Exact-product semantics identical to :func:`slot_summands` (float64
+    multiplication of the same integers is bit-exact regardless of path).
+    """
+    ekeys, w, nkeys, deg = lookup
+    ek = encode_edge_keys(fs, fi, ts, ti)
+    nk = (np.asarray(fs, dtype=np.int64) << 15) | np.asarray(fi, dtype=np.int64)
+    wv = w[np.searchsorted(ekeys, ek)]
+    dv = deg[np.searchsorted(nkeys, nk)]
+    return wv * (dv - 1).astype(np.float64)
+
+
+def path_scores_smart_flat(summands: np.ndarray, slot_starts: np.ndarray, ell: int):
+    """Array form of :func:`path_scores_smart`: ``summands`` is the flat
+    concatenation of per-slot summand values in slot order; ``slot_starts``
+    holds each slot's start offset. Bit-identical to the list form (same
+    values added/dropped in the same sequence)."""
+    n_slots = len(slot_starts)
+    n_scores = n_slots - ell + 1
+    scores = np.empty(max(0, n_scores))
+    min_score = JAVA_DOUBLE_MAX_VALUE
+    max_score = JAVA_DOUBLE_MIN_VALUE
+    if n_scores <= 0:
+        return scores, min_score, max_score
+    bounds = np.append(slot_starts, len(summands)).astype(np.int64)
+    vals = summands.tolist()  # python floats: fast scalar loop, same IEEE ops
+
+    path_sum = 0.0
+    for v in vals[bounds[0] : bounds[ell]]:
+        path_sum += v
+    count = int(bounds[ell] - bounds[0])
+    score = path_sum / count
+    scores[0] = score
+    min_score = min(min_score, score)
+    max_score = max(max_score, score)
+    for start in range(1, n_scores):
+        for v in vals[bounds[start - 1] : bounds[start]]:
+            path_sum -= v
+        for v in vals[bounds[start + ell - 1] : bounds[start + ell]]:
+            path_sum += v
+        count += int(bounds[start + ell] - bounds[start + ell - 1]) - int(
+            bounds[start] - bounds[start - 1]
+        )
+        score = path_sum / count
+        scores[start] = score
+        min_score = min(min_score, score)
+        max_score = max(max_score, score)
+    return scores, min_score, max_score
 
 
 def path_scores_smart(summands_per_slot: list[np.ndarray], ell: int):

@@ -31,8 +31,9 @@ class SliceState:
     creation: np.ndarray = field(default=None)
     subseqs: np.ndarray = field(default=None)
     node_idx: np.ndarray = field(default=None)
-    edges: list = field(default_factory=list)
-    slot_lists: list = field(default_factory=list)  # [(slot, [edge_key...])] sorted
+    edges: tuple = None  # (slots, fs, fi, ts, ti) arrays, emission order
+    summands: np.ndarray = field(default=None)
+    slot_starts: np.ndarray = field(default=None)
     raw_scores: np.ndarray = field(default=None)
 
 
@@ -134,32 +135,56 @@ def s2g_oracle(x: np.ndarray, params: S2GParams, n_slices: int = 1) -> OracleRes
         local_from = s.first_subseq
         local_to = s.first_subseq + s.n_subsequences(params.m)
         walk_first = local_from - 1 if local_from > 0 else local_from
-        st.edges, last_node = core.edge_walk(
+        st.edges = core.edge_walk_arrays(
             st.segs, st.node_idx, st.subseqs, walk_first, local_from, local_to, last_node
         )
+        if len(st.segs):
+            last_node = (int(st.segs[-1]), int(st.node_idx[-1]))
 
-    # --- graph merge + degrees ----------------------------------------------
-    weights, _global_slot_order = core.merge_edges([st.edges for st in states])
+    # --- graph merge + degrees (vectorized unique-count) ----------------------
+    all_keys = np.concatenate(
+        [
+            core.encode_edge_keys(st.edges[1], st.edges[2], st.edges[3], st.edges[4])
+            for st in states
+        ]
+    )
+    uniq, counts = np.unique(all_keys, return_counts=True)
+    weights = {
+        (
+            int(k >> 45),
+            int((k >> 30) & 0x7FFF),
+            int((k >> 15) & 0x7FFF),
+            int(k & 0x7FFF),
+        ): int(c)
+        for k, c in zip(uniq, counts)
+    }
     degrees = core.node_degrees(weights)
-
-    # --- per-worker local slot lists (sorted by slot) ------------------------
-    for st in states:
-        local_slots: dict[int, list] = {}
-        for slot, fs, fi, ts, ti in st.edges:
-            local_slots.setdefault(slot, []).append((fs, fi, ts, ti))
-        st.slot_lists = [local_slots[k] for k in sorted(local_slots)]
 
     # --- path scoring (remote overlap = prev worker's last ell-1 slots) ------
     # reference: ScoringWorkerControl.java:149-167,393-418
+    lookup = core.build_graph_lookup(weights, degrees)
     gmin = core.JAVA_DOUBLE_MAX_VALUE
     gmax = core.JAVA_DOUBLE_MIN_VALUE
     for i, st in enumerate(states):
-        combined = list(st.slot_lists)
+        slots, fs, fi, ts, ti = st.edges
+        summ = core.edge_summands_vectorized(fs, fi, ts, ti, lookup)
+        starts = (
+            np.concatenate([[0], np.nonzero(np.diff(slots))[0] + 1]).astype(np.int64)
+            if len(slots)
+            else np.empty(0, dtype=np.int64)
+        )
+        st.summands, st.slot_starts = summ, starts
         if i > 0:
-            overlap = states[i - 1].slot_lists[-(params.ell - 1):]
-            combined = list(overlap) + combined
-        summands = core.slot_summands(combined, weights, degrees)
-        st.raw_scores, mn, mx = core.path_scores_smart(summands, params.ell)
+            prev = states[i - 1]
+            k = params.ell - 1
+            ps = prev.slot_starts
+            if len(ps):
+                cut = int(ps[-k]) if len(ps) >= k else 0
+                t_summ = prev.summands[cut:]
+                t_starts = (ps[-k:] if len(ps) >= k else ps) - cut
+                starts = np.concatenate([t_starts, starts + len(t_summ)])
+                summ = np.concatenate([t_summ, summ])
+        st.raw_scores, mn, mx = core.path_scores_smart_flat(summ, starts, params.ell)
         gmin = min(gmin, mn)
         gmax = max(gmax, mx)
 

@@ -36,7 +36,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import core
 from .params import S2GParams
@@ -52,9 +52,10 @@ _INTERSECT_SCHEMA = (
 )
 _NODES_SCHEMA = "segment int, node_idx int, node_value double"
 _EDGES_SCHEMA = (
-    "slice_id long, slot long, pos int, from_seg int, from_idx int, to_seg int, to_idx int"
+    "slice_id long, slot long, pos int, from_seg int, from_idx int, to_seg int, to_idx int, "
+    "is_tail boolean"
 )
-_SCORES_SCHEMA = "slice_id long, score_pos long, raw_score double"
+_SCORES_SCHEMA = "slice_id long, score_pos long, raw_score double, is_tail boolean"
 _FINAL_SCHEMA = "window_idx long, score double"
 
 
@@ -206,10 +207,12 @@ def run_s2g_distributed(
 
     inter = tagged.groupBy("slice_id").applyInPandas(stage2, _INTERSECT_SCHEMA).cache()
 
-    # coordinator: global max-abs * 1.2 -> shared density grid
+    # coordinator: global max-abs * 1.2 -> shared density grid; also grab the
+    # per-slice last intersections (boundary-node chain) in the same pass
     # reference: NodeCreationCoordinatorControl.java:27,163
+    stat_rows = inter.filter(F.col("kind") != 0).collect()
     max_value = (
-        inter.filter(F.col("kind") == 1).agg(F.max("dist")).collect()[0][0]
+        max(r["dist"] for r in stat_rows if r["kind"] == 1)
         * core.MAXIMUM_VALUE_SCALE_FACTOR
     )
     b_grid = sc.broadcast(core.density_grid(max_value))
@@ -244,8 +247,7 @@ def run_s2g_distributed(
     # ---- driver: boundary-node chain (LastNodeMessage equivalent) -----------
     # reference: EdgeCreationWorkerControl.java:201-254
     last_int = {
-        r["slice_id"]: (r["segment"], r["dist"])
-        for r in inter.filter(F.col("kind") == 2).collect()
+        r["slice_id"]: (r["segment"], r["dist"]) for r in stat_rows if r["kind"] == 2
     }
     last_node_for: dict[int, Optional[tuple[int, int]]] = {}
     prev: Optional[tuple[int, int]] = None
@@ -274,31 +276,32 @@ def run_s2g_distributed(
         node_idx = core.match_nodes(dists, segs, b_nodes.value)
         local_from, local_to = b_ranges.value[sid]
         walk_first = local_from - 1 if local_from > 0 else local_from
-        edges, _ = core.edge_walk(
+        slot_arr, fs, fi, ts_, ti = core.edge_walk_arrays(
             segs, node_idx, subseqs, walk_first, local_from, local_to, b_lastnode.value[sid]
         )
-        n_e = len(edges)
-        arr = (
-            np.array(edges, dtype=np.int64).reshape(n_e, 5)
-            if n_e
-            else np.empty((0, 5), np.int64)
-        )
+        p: S2GParams = b_params.value
+        n_e = len(slot_arr)
         pos = np.zeros(n_e, dtype=np.int32)
+        is_tail = np.zeros(n_e, dtype=bool)
         if n_e:
-            slot_arr = arr[:, 0]
             change = np.concatenate([[True], slot_arr[1:] != slot_arr[:-1]])
             grp = np.cumsum(change) - 1
             starts = np.nonzero(change)[0]
             pos = (np.arange(n_e) - starts[grp]).astype(np.int32)
+            # mark the last ell-1 distinct slots (scoring-overlap handoff,
+            # reference: OverlappingEdgeCreationOrderMessage)
+            n_slots = grp[-1] + 1
+            is_tail = grp >= n_slots - (p.ell - 1)
         return pd.DataFrame(
             {
                 "slice_id": np.full(n_e, sid, dtype=np.int64),
-                "slot": arr[:, 0],
+                "slot": slot_arr,
                 "pos": pos,
-                "from_seg": arr[:, 1].astype(np.int32),
-                "from_idx": arr[:, 2].astype(np.int32),
-                "to_seg": arr[:, 3].astype(np.int32),
-                "to_idx": arr[:, 4].astype(np.int32),
+                "from_seg": fs.astype(np.int32),
+                "from_idx": fi.astype(np.int32),
+                "to_seg": ts_.astype(np.int32),
+                "to_idx": ti.astype(np.int32),
+                "is_tail": is_tail,
             }
         )
 
@@ -321,63 +324,103 @@ def run_s2g_distributed(
         for r in merged
     }
     degrees = core.node_degrees(weights)
-    b_graph = sc.broadcast((weights, degrees))
+    b_graph = sc.broadcast(core.build_graph_lookup(weights, degrees))
 
     # ---- per-slice slot-list tails (OverlappingEdgeCreationOrderMessage) -----
-    tails = _collect_slot_tails(edges_df, params.ell - 1)
+    # tail rows were flagged inside the walk UDF; this collect is KB-sized
+    tail_rows = (
+        edges_df.filter(F.col("is_tail")).collect()
+    )
+    tail_rows.sort(key=lambda r: (r["slice_id"], r["slot"], r["pos"]))
+    tails: dict[int, list] = {}
+    for r in tail_rows:
+        sid = r["slice_id"]
+        tails.setdefault(sid, [])
+        if not tails[sid] or tails[sid][-1][0] != r["slot"]:
+            tails[sid].append((r["slot"], []))
+        tails[sid][-1][1].append(
+            (r["from_seg"], r["from_idx"], r["to_seg"], r["to_idx"])
+        )
     b_tails = sc.broadcast(tails)
     order_ids = sorted(s.slice_id for s in slices)
     prev_of = {order_ids[i]: (order_ids[i - 1] if i > 0 else None) for i in range(len(order_ids))}
     b_prev = sc.broadcast(prev_of)
 
     # ---- stage 5: path scoring ------------------------------------------------
-    # reference: ScoringWorkerControl.java:225-294
+    # reference: ScoringWorkerControl.java:225-294; summands via vectorized
+    # sorted-key lookup, scoring via the flat-array smart walk
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         p: S2GParams = b_params.value
-        w, deg = b_graph.value
+        lookup = b_graph.value
         sid = int(pdf["slice_id"].iloc[0])
         pdf = pdf.sort_values(["slot", "pos"], kind="stable")
-        slot_lists = _slot_lists_from_frame(pdf)
+        slots = pdf["slot"].to_numpy(dtype=np.int64)
+        summ = core.edge_summands_vectorized(
+            pdf["from_seg"].to_numpy(np.int64),
+            pdf["from_idx"].to_numpy(np.int64),
+            pdf["to_seg"].to_numpy(np.int64),
+            pdf["to_idx"].to_numpy(np.int64),
+            lookup,
+        )
+        starts = (
+            np.concatenate([[0], np.nonzero(np.diff(slots))[0] + 1])
+            if len(slots)
+            else np.empty(0, dtype=np.int64)
+        )
         prev_sid = b_prev.value.get(sid)
-        combined = list(slot_lists)
         if prev_sid is not None:
-            combined = [lst for _, lst in b_tails.value.get(prev_sid, [])] + combined
-        summands = core.slot_summands(combined, w, deg)
-        scores, _, _ = core.path_scores_smart(summands, p.ell)
+            tail_lists = b_tails.value.get(prev_sid, [])
+            flat = [k for _, lst in tail_lists for k in lst]
+            if flat:
+                t_arr = np.array(flat, dtype=np.int64)
+                t_summ = core.edge_summands_vectorized(
+                    t_arr[:, 0], t_arr[:, 1], t_arr[:, 2], t_arr[:, 3], lookup
+                )
+                lens = [len(lst) for _, lst in tail_lists]
+                t_starts = np.cumsum([0] + lens[:-1])
+                summ = np.concatenate([t_summ, summ])
+                starts = np.concatenate([t_starts, starts + len(t_summ)])
+        scores, _, _ = core.path_scores_smart_flat(summ, starts, p.ell)
+        n_s = len(scores)
         return pd.DataFrame(
             {
-                "slice_id": np.full(len(scores), sid, dtype=np.int64),
-                "score_pos": np.arange(len(scores), dtype=np.int64),
+                "slice_id": np.full(n_s, sid, dtype=np.int64),
+                "score_pos": np.arange(n_s, dtype=np.int64),
                 "raw_score": scores,
+                "is_tail": np.arange(n_s) >= n_s - (p.m - 1),
             }
         )
 
     raw = edges_df.groupBy("slice_id").applyInPandas(score, _SCORES_SCHEMA).cache()
-    mm = raw.agg(F.min("raw_score").alias("mn"), F.max("raw_score").alias("mx")).collect()[0]
-    if mm["mn"] is None:
+
+    # one pass: global min/max (exact decomposable agg), per-slice counts,
+    # and the m-1 raw-score tails (flagged in the score UDF, KB-sized)
+    summary = (
+        raw.groupBy("slice_id")
+        .agg(
+            F.min("raw_score").alias("mn"),
+            F.max("raw_score").alias("mx"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("is_tail"), F.struct("score_pos", "raw_score"))
+                )
+            ).alias("tail"),
+        )
+        .collect()
+    )
+    if not summary:
         # no slice produced a full ell-window of slots: empty result
         # (the oracle path yields the same; the reference would stall)
         return spark.createDataFrame([], _FINAL_SCHEMA)
-    gmin, gmax = float(mm["mn"]), float(mm["mx"])
-
-    # ---- raw-score tails (m-1 overlap) + per-slice output offsets, one pass ---
-    tail_rows = (
-        raw.withColumn(
-            "rk", F.row_number().over(W.partitionBy("slice_id").orderBy(F.col("score_pos").desc()))
-        )
-        .filter(F.col("rk") <= params.m - 1)
-        .orderBy("slice_id", "score_pos")
-        .collect()
-    )
-    tail_scores: dict[int, list[float]] = {}
-    for r in tail_rows:
-        tail_scores.setdefault(r["slice_id"], []).append(float(r["raw_score"]))
+    gmin = min(float(r["mn"]) for r in summary)
+    gmax = max(float(r["mx"]) for r in summary)
+    tail_scores = {
+        r["slice_id"]: [float(t["raw_score"]) for t in r["tail"]] for r in summary
+    }
+    counts = {r["slice_id"]: r["cnt"] for r in summary}
     b_score_tails = sc.broadcast(tail_scores)
 
-    counts = {
-        r["slice_id"]: r["cnt"]
-        for r in raw.groupBy("slice_id").agg(F.count("*").alias("cnt")).collect()
-    }
     offsets = {}
     off = 0
     for sid in order_ids:
@@ -428,33 +471,6 @@ def _slot_lists_from_frame(pdf: pd.DataFrame) -> list[list[tuple[int, int, int, 
     return out
 
 
-def _collect_slot_tails(edges_df: DataFrame, n_tail: int) -> dict:
-    """Last ``n_tail`` slot lists per slice (KB-sized; collected once for the
-    scoring overlap handoff)."""
-    distinct_slots = (
-        edges_df.select("slice_id", "slot")
-        .distinct()
-        .withColumn(
-            "rk", F.dense_rank().over(W.partitionBy("slice_id").orderBy(F.col("slot").desc()))
-        )
-        .filter(F.col("rk") <= n_tail)
-        .select("slice_id", "slot")
-    )
-    rows = (
-        edges_df.join(distinct_slots, ["slice_id", "slot"])
-        .orderBy("slice_id", "slot", "pos")
-        .collect()
-    )
-    tails: dict[int, list] = {}
-    for r in rows:
-        sid = r["slice_id"]
-        tails.setdefault(sid, [])
-        if not tails[sid] or tails[sid][-1][0] != r["slot"]:
-            tails[sid].append((r["slot"], []))
-        tails[sid][-1][1].append((r["from_seg"], r["from_idx"], r["to_seg"], r["to_idx"]))
-    return tails
-
-
 # ---------------------------------------------------------------------------
 # grouped scoring: many independent series at once (the 100-TB-shaped path)
 # ---------------------------------------------------------------------------
@@ -503,3 +519,57 @@ def score_series_grouped(
         return pd.DataFrame(out)
 
     return df.groupBy(*key_cols).applyInPandas(run, out_schema)
+
+
+def score_series_partitioned(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    params: S2GParams,
+    assume_partitioned: bool = False,
+) -> DataFrame:
+    """Grouped scoring via ``mapInPandas`` with partition-local grouping.
+
+    At warehouse scale the pages/tier tables are bucketed by domain
+    (Iceberg ``bucket(domain)`` hidden partitioning), so every series is
+    already complete within one partition — pass
+    ``assume_partitioned=True`` and the whole job is ONE embarrassingly
+    parallel stage with zero exchange. By default the input is hash-
+    repartitioned by key first, because a series split across partitions
+    would be silently scored as independent fragments (wrong answers, not
+    an error).
+    """
+    from .oracle import s2g_oracle
+
+    if not assume_partitioned:
+        df = df.repartition(key_col)
+
+    key_field = next(f for f in df.schema.fields if f.name == key_col)
+    out_schema = (
+        f"{key_col} {key_field.dataType.simpleString()}, window_idx long, score double"
+    )
+    min_len = min_series_length(params)
+
+    def run(it):
+        # a partition may stream in several Arrow batches: concatenate per
+        # partition, then score each complete series
+        chunks = list(it)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for key, grp in pdf.groupby(key_col, sort=False):
+            x = grp.sort_values(order_col)[value_col].to_numpy(dtype=np.float64)
+            if len(x) < min_len:
+                continue
+            res = s2g_oracle(x, params, n_slices=1)
+            n = len(res.scores)
+            yield pd.DataFrame(
+                {
+                    key_col: np.repeat(key, n),
+                    "window_idx": np.arange(n, dtype=np.int64),
+                    "score": res.scores,
+                }
+            )
+
+    return df.select(key_col, order_col, value_col).mapInPandas(run, out_schema)

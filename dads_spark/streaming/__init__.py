@@ -1,0 +1,9 @@
+"""Structured Streaming variants of the rollup operators.
+
+The reference is a batch system (no watermarks/event-time state —
+SURVEY.md §2.2), so streaming is an extension, not a parity requirement:
+the same hour-tier aggregation expressed as an incremental streaming query
+for pipelines that tail a landing zone instead of re-scanning it.
+"""
+
+from .windowed import streaming_hourly_rollup, run_stream_once  # noqa: F401
