@@ -29,7 +29,7 @@ from dads_spark.ops import (
     minhash_lsh_pairs,
     simhash64,
 )
-from dads_spark.rollup import cascade, gap_fill_linear, rollup_from_raw
+from dads_spark.rollup import bucket_expr, cascade, gap_fill_linear, rollup_from_raw
 from dads_spark.s2g import ROLLUP as S2G_ROLLUP_PARAMS
 from dads_spark.s2g.pipeline import score_series_grouped
 
@@ -51,7 +51,7 @@ def _fmt_bucket(col: str = "bucket_ts"):
 def q_rollup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+        "event_type", bucket_expr("ts", "hour")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("value_sum"),
@@ -91,7 +91,7 @@ def q_rollup_week_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gapfill_hour_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+        "event_type", bucket_expr("ts", "hour")
     ).agg(F.count(F.lit(1)).cast("double").alias("v"))
     filled = gap_fill_linear(hourly, ["event_type"], "bucket_ts", ["v"], 3600)
     return filled.select(
@@ -492,7 +492,7 @@ def q_drag_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+        "event_type", bucket_expr("ts", "hour")
     ).agg(F.count(F.lit(1)).cast("double").alias("v"))
     filled = gap_fill_linear(hourly, ["event_type"], "bucket_ts", ["v"], 3600)
     return discord_series_grouped(filled, ["event_type"], "bucket_ts", "v", m=24)
@@ -501,7 +501,7 @@ def q_drag_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_s2g_hourly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+        "event_type", bucket_expr("ts", "hour")
     ).agg(F.count(F.lit(1)).cast("double").alias("v"))
     filled = gap_fill_linear(hourly, ["event_type"], "bucket_ts", ["v"], 3600)
     return score_series_grouped(

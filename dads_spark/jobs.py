@@ -1,0 +1,138 @@
+"""The north-rule pipeline, end to end, as one resumable job.
+
+pages(url, warc_ts, html, text, lang)
+  -> per-domain hourly series (doc_count, text_bytes, lang_share)   [tier: hour]
+  -> day and week continuous aggregates (cascaded)                  [tiers]
+  -> linear-interpolation gap-fill per (domain)
+  -> Gorilla/delta-of-delta compressed tier blobs per domain
+  -> sequential-anomaly scoring per domain series (S2G) + DRAG discord ranges
+
+Every tier stage commits a checkpoint manifest (per-partition row counts +
+input fingerprint); a rerun resumes from the last committed tier. The text
+column is never touched (byte-identity invariant, verifiable with
+rollup.text_identity_fingerprint).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .checkpoint import CheckpointManager, fingerprint
+from .compress import encode_timestamps, encode_values
+from .rollup import bucket_expr, cascade, gap_fill_linear
+from .rollup.series import domain_hourly_series
+from .s2g import ROLLUP as S2G_ROLLUP_PARAMS, S2GParams
+from .s2g.discord import discord_series_grouped
+from .s2g.pipeline import score_series_grouped
+
+
+def compress_tier_blobs(
+    tier_df: DataFrame, key_cols: list[str], bucket_col: str, value_col: str
+) -> DataFrame:
+    """Per-key Gorilla/delta-of-delta blobs: (keys..., n_points, ts_blob,
+    value_blob, raw_bytes, blob_bytes). Vectorized bit packing per series."""
+    key_fields = [f for f in tier_df.schema.fields if f.name in key_cols]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in key_fields]
+        + ["n_points long", "ts_blob binary, value_blob binary",
+           "raw_bytes long", "blob_bytes long"]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col)
+        ts = pdf[bucket_col].astype("datetime64[ns]").astype("int64").to_numpy() // 10**9
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        ts_blob = encode_timestamps(ts)
+        v_blob = encode_values(vals)
+        out = {c: [pdf[c].iloc[0]] for c in key_cols}
+        out["n_points"] = [len(vals)]
+        out["ts_blob"] = [ts_blob]
+        out["value_blob"] = [v_blob]
+        out["raw_bytes"] = [len(vals) * 16]
+        out["blob_bytes"] = [len(ts_blob) + len(v_blob)]
+        return pd.DataFrame(out)
+
+    return tier_df.groupBy(*key_cols).applyInPandas(pack, out_schema)
+
+
+class PagesRollupJob:
+    """Resumable pages -> tiers -> gap-fill -> anomaly job."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        ckpt_root: str,
+        s2g_params: S2GParams = S2G_ROLLUP_PARAMS,
+        discord_m: int = 24,
+    ):
+        self.spark = spark
+        self.ckpt = CheckpointManager(spark, ckpt_root)
+        self.s2g_params = s2g_params
+        self.discord_m = discord_m
+        self.ran_stages: list[str] = []
+        self.skipped_stages: list[str] = []
+
+    def _stage(self, name: str, fp: str, build):
+        if self.ckpt.is_committed(name, fp):
+            self.skipped_stages.append(name)
+            return self.ckpt.load(name)
+        out = self.ckpt.commit(name, build(), fp)
+        self.ran_stages.append(name)
+        return out
+
+    def run(self, pages: DataFrame, input_desc: dict) -> dict[str, DataFrame]:
+        fp = fingerprint({**input_desc, "params": str(self.s2g_params)})
+        out: dict[str, DataFrame] = {}
+
+        out["hour"] = self._stage("tier_hour", fp, lambda: domain_hourly_series(pages))
+
+        hour_metric = out["hour"].select(
+            "domain",
+            "bucket_ts",
+            F.col("doc_count").alias("doc_count"),
+            F.col("text_bytes").alias("value_sum"),
+            F.col("text_bytes").alias("value_min"),
+            F.col("text_bytes").alias("value_max"),
+        )
+        out["day"] = self._stage(
+            "tier_day", fp, lambda: cascade(hour_metric, ["domain"], "day")
+        )
+        out["week"] = self._stage(
+            "tier_week", fp, lambda: cascade(out["day"], ["domain"], "week")
+        )
+
+        filled = gap_fill_linear(
+            out["hour"].select(
+                "domain", "bucket_ts", F.col("doc_count").cast("double").alias("v")
+            ),
+            ["domain"],
+            "bucket_ts",
+            ["v"],
+            3600,
+        )
+        out["gapfilled"] = self._stage("gapfill_hour", fp, lambda: filled)
+
+        out["compressed"] = self._stage(
+            "compress_hour",
+            fp,
+            lambda: compress_tier_blobs(out["gapfilled"], ["domain"], "bucket_ts", "v"),
+        )
+
+        out["s2g_scores"] = self._stage(
+            "s2g_scores",
+            fp,
+            lambda: score_series_grouped(
+                out["gapfilled"], ["domain"], "bucket_ts", "v", self.s2g_params
+            ),
+        )
+        out["discord_ranges"] = self._stage(
+            "discord_ranges",
+            fp,
+            lambda: discord_series_grouped(
+                out["gapfilled"], ["domain"], "bucket_ts", "v", m=self.discord_m
+            ),
+        )
+        return out

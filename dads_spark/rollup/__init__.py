@@ -1,5 +1,13 @@
 """Rollup layer: series derivation, retention tiers, gap-fill."""
 
-from .tiers import TIERS, TIER_ORDER, cascade, rollup_from_raw, salted_rollup, write_tier  # noqa: F401
+from .tiers import (  # noqa: F401
+    TIERS,
+    TIER_ORDER,
+    bucket_expr,
+    cascade,
+    rollup_from_raw,
+    salted_rollup,
+    write_tier,
+)
 from .gapfill import TIER_SECONDS, gap_fill_linear  # noqa: F401
 from .series import domain_hourly_series, text_identity_fingerprint, with_domain  # noqa: F401

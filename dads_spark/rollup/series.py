@@ -31,10 +31,10 @@ def domain_hourly_series(pages: DataFrame, lang_of_interest: str = "en") -> Data
     lang_share = fraction of docs in ``lang_of_interest`` (the language-mix
     metric; exact via conditional count, one pass, no join).
     """
+    from .tiers import bucket_expr
+
     df = with_domain(pages)
-    return df.groupBy(
-        "domain", F.date_trunc("hour", F.col("warc_ts")).alias("bucket_ts")
-    ).agg(
+    return df.groupBy("domain", bucket_expr("warc_ts", "hour")).agg(
         F.count(F.lit(1)).alias("doc_count"),
         F.sum(F.octet_length("text")).alias("text_bytes"),
         (

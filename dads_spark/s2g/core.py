@@ -177,8 +177,15 @@ def rodrigues_rotation(reference_vector: np.ndarray, unit_vector: np.ndarray) ->
     reference: Calculate.java:135-163 — R = I + K + K @ (K * (1-dot)/|v|^2)
     with K the cross-product matrix of v = v1 x v2 (unnormalized).
     """
-    v1 = reference_vector * (1.0 / math.sqrt(float(np.sum(reference_vector * reference_vector))))
-    v2 = unit_vector * (1.0 / math.sqrt(float(np.sum(unit_vector * unit_vector))))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # a zero reference vector (constant series) divides by zero; Java
+        # yields Infinity/NaN here rather than throwing — replicate
+        v1 = reference_vector * (
+            np.float64(1.0) / np.sqrt(np.float64(np.sum(reference_vector * reference_vector)))
+        )
+        v2 = unit_vector * (
+            np.float64(1.0) / np.sqrt(np.float64(np.sum(unit_vector * unit_vector)))
+        )
     cross = np.array(
         [
             v1[1] * v2[2] - v1[2] * v2[1],
@@ -186,7 +193,7 @@ def rodrigues_rotation(reference_vector: np.ndarray, unit_vector: np.ndarray) ->
             v1[0] * v2[1] - v1[1] * v2[0],
         ]
     )
-    cross_len_sq = float(np.sum(cross * cross))
+    cross_len_sq = np.float64(np.sum(cross * cross))
     dot = v1[0] * v2[0] + v1[1] * v2[1] + v1[2] * v2[2]
     k = np.array(
         [
@@ -195,7 +202,12 @@ def rodrigues_rotation(reference_vector: np.ndarray, unit_vector: np.ndarray) ->
             [-cross[1], cross[0], 0.0],
         ]
     )
-    return np.eye(3) + k + k @ (k * ((1.0 - dot) / cross_len_sq))
+    # degenerate (reference vector parallel to the unit vector): Java divides
+    # by zero and propagates Infinity/NaN rather than throwing — replicate
+    # (callers scoring many heterogeneous series skip non-finite results)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = (np.float64(1.0) - dot) / cross_len_sq
+        return np.eye(3) + k + k @ (k * scale)
 
 
 @dataclass(frozen=True)

@@ -513,6 +513,12 @@ def score_series_grouped(
             )
         res = s2g_oracle(x, params, n_slices=1)
         n = len(res.scores)
+        if n == 0 or not np.isfinite(res.scores).all():
+            # degenerate series (constant values -> singular rotation):
+            # the reference propagates NaN; we emit nothing for the key
+            return pd.DataFrame(
+                {**{c: pdf[c].iloc[:0] for c in key_cols}, "window_idx": [], "score": []}
+            )
         out = {c: np.repeat(pdf[c].iloc[0], n) for c in key_cols}
         out["window_idx"] = np.arange(n, dtype=np.int64)
         out["score"] = res.scores
@@ -564,6 +570,8 @@ def score_series_partitioned(
                 continue
             res = s2g_oracle(x, params, n_slices=1)
             n = len(res.scores)
+            if n == 0 or not np.isfinite(res.scores).all():
+                continue  # degenerate series, see score_series_grouped
             yield pd.DataFrame(
                 {
                     key_col: np.repeat(key, n),

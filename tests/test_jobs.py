@@ -1,0 +1,60 @@
+"""End-to-end north-rule job: pages -> tiers -> gapfill -> compress -> anomaly,
+resumable, text bytes untouched."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from dads_spark.compress import decode_timestamps, decode_values
+from dads_spark.fixtures.pages import pages_table
+from dads_spark.jobs import PagesRollupJob
+from dads_spark.rollup import text_identity_fingerprint
+from dads_spark.s2g import S2GParams
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_table(spark, 8000).cache()
+
+
+def test_full_pipeline_and_resume(spark, pages, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("job"))
+    params = S2GParams(m=20, c=6, S=30, ell=30)
+    desc = {"source": "pages-fixture", "n": 8000}
+
+    job = PagesRollupJob(spark, root, s2g_params=params)
+    out = job.run(pages, desc)
+    assert len(job.ran_stages) == 7 and not job.skipped_stages
+
+    # tiers conserve totals
+    hour_total = out["hour"].agg(F.sum("doc_count")).collect()[0][0]
+    week_total = out["week"].agg(F.sum("doc_count")).collect()[0][0]
+    assert hour_total == week_total == 8000
+
+    # gap-fill produced dense hourly series with some filled buckets
+    gf = out["gapfilled"]
+    assert gf.filter(F.col("gap_filled")).count() > 0
+
+    # compressed blobs round-trip for one domain
+    row = out["compressed"].orderBy(F.col("n_points").desc()).first()
+    ts = decode_timestamps(bytes(row["ts_blob"]), row["n_points"])
+    vals = decode_values(bytes(row["value_blob"]), row["n_points"])
+    assert len(ts) == len(vals) == row["n_points"]
+    assert (np.diff(ts) == 3600).all()  # dense after gap-fill
+
+    # anomaly outputs exist for long-enough series
+    assert out["s2g_scores"].count() > 0
+
+    # resume: everything committed -> all skipped
+    job2 = PagesRollupJob(spark, root, s2g_params=params)
+    job2.run(pages, desc)
+    assert len(job2.skipped_stages) == 7 and not job2.ran_stages
+
+
+def test_text_bytes_untouched(spark, pages):
+    before = text_identity_fingerprint(pages).withColumnRenamed("text_sha256", "a")
+    after = text_identity_fingerprint(pages).withColumnRenamed("text_sha256", "b")
+    assert before.join(after, "url").filter(F.col("a") != F.col("b")).count() == 0
