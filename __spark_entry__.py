@@ -355,6 +355,253 @@ def q_date_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-sided dimension join (nation joined twice under different roles) +
+    # year bucketing — the classic shipping-volume-between-nations shape
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+    )
+    # exact integer-cent arithmetic: price/discount are 2dp decimals, so
+    # price_cents * (100 - disc_cents) is an exact long — float summation
+    # order can't produce a last-cent flip between engines (observed at
+    # sf0.01 with naive round(sum(double), 2) on 1.4M-unit groups)
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        # no round(): the e4-unit sum is an exact integer, and int/10000.0 is
+        # the same IEEE double in every engine (round() would reintroduce
+        # engine-specific HALF_UP-vs-HALF_EVEN behavior at half-cent sums)
+        (F.sum(rev_e4) / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conditional-aggregate share over a broadcast fact-dimension join
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-03-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_share"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # large-volume orders: aggregate subquery feeding a join (TPC-H Q18 shape)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", _TS_FMT).alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # disjunctive multi-attribute predicate blocks over a fact-dim join
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    blk = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(5, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 35)
+        )
+    )
+    return j.filter(blk).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scalar aggregate subquery + anti join (TPC-H Q22 shape): customers with
+    # above-average balance who never ordered
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # statistical aggregate coverage: correlation, covariance, stddev, variance
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_pop_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_samp_qp"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("stddev_disc"),
+        F.round(F.var_pop("l_tax"), 6).alias("varpop_tax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact interpolated percentiles (sort-based) per group
+    ev = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25, 0.5, 0.75))")
+    return ev.groupBy("event_type").agg(
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p75"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+def q_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # range join: for each purchase, clicks by the same user in the strictly
+    # preceding hour (equi key + band predicate -> sort-merge join + filter)
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        us.alias("p_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), us.alias("c_us")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_us") >= F.col("p_us") - 3_600_000_000)
+        & (F.col("c_us") < F.col("p_us")),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "p_user").agg(
+        F.count("c_us").alias("n_clicks_1h"),
+        F.max("c_us").alias("last_click_us"),
+    )
+
+
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON path extraction from the string props column
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type", (k % 10).alias("k_mod10")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("k_sum"),
+    )
+
+
+def q_pivot_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot: per-source language mix as wide counts
+    docs = _t(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    piv = docs.groupBy("source").pivot("lang", langs).count().fillna(0, langs)
+    return piv.select(
+        "source", *[F.col(l).alias(f"n_{l}") for l in langs]
+    )
+
+
+def q_unpivot_tier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unpivot (wide -> long) of the hour-tier metric columns
+    ev = _t(spark, sf_dir, "events")
+    hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+    wide = hour.select(
+        "event_type",
+        _fmt_bucket(),
+        F.round("value_sum", 2).alias("value_sum"),
+        F.round("value_min", 2).alias("value_min"),
+        F.round("value_max", 2).alias("value_max"),
+    )
+    return wide.unpivot(
+        ["event_type", "bucket_ts"],
+        ["value_sum", "value_min", "value_max"],
+        "metric",
+        "v",
+    )
+
+
+def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-width histogram buckets of the value distribution per type
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 5.0).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_gorilla_roundtrip_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour tier -> delta-of-delta + Gorilla encode -> decode -> points.
+    The oracle is the UNCOMPRESSED rollup: hash equality proves the codecs
+    are lossless under distributed execution."""
+    from dads_spark.compress import compressed_tier_roundtrip
+
+    ev = _t(spark, sf_dir, "events")
+    hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+    rt = compressed_tier_roundtrip(hour, ["event_type"])
+    return rt.select(
+        "event_type", _fmt_bucket(), F.round("value_sum", 2).alias("value_sum")
+    )
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -474,6 +721,38 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, _KNN_QUERIES, k=10)
 
 
+def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-duplicate pairs: norms precomputed per vector
+    # BEFORE the pair join (n rows, not n^2), dot product via zip_with +
+    # aggregate (JVM-side, no Python)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select(
+        F.col("vec_id").alias("vid"),
+        v.alias("v"),
+        F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("norm"),
+    )
+    a = e.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = e.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        pairs.withColumn(
+            "cosine", F.round(dot / (F.col("na") * F.col("nb")), 6)
+        )
+        .filter(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     # bucket count must track corpus size: ~2^planes buckets per band; the
@@ -529,6 +808,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": q5_region_revenue,
         "q6_revenue_filter": q6_revenue_filter,
         "q10_returned_customers": q10_returned_customers,
+        "q7_nation_trade": q7_nation_trade,
+        "q14_promo_share": q14_promo_share,
+        "q18_big_orders": q18_big_orders,
+        "q19_disjunctive_pred": q19_disjunctive_pred,
+        "q22_idle_balance": q22_idle_balance,
+        "stats_aggregates": q_stats_aggregates,
+        "percentiles_value": q_percentiles_value,
+        "range_join_clicks": q_range_join_clicks,
+        "json_extract_props": q_json_extract_props,
+        "pivot_lang_share": q_pivot_lang_share,
+        "unpivot_tier_metrics": q_unpivot_tier_metrics,
+        "histogram_value": q_histogram_value,
+        "gorilla_roundtrip_hour": q_gorilla_roundtrip_hour,
+        "neardup_cosine": q_neardup_cosine,
         "cube_pricing": q_cube_pricing,
         "setop_segments": q_setop_segments,
         "asof_last_click": q_asof_last_click,
@@ -706,6 +999,148 @@ def oracle_sql() -> dict[str, str]:
               AND c_nationkey = n_nationkey
             GROUP BY 1, 2, 3
             ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q7_nation_trade": """
+            SELECT supp_nation, cust_nation, l_year,
+                   sum(volume_e4) / 10000.0 AS revenue,
+                   count(*) AS n_rows
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume_e4
+              FROM lineitem, orders, customer, supplier, nation n1, nation n2
+              WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND l_suppkey = s_suppkey
+                AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+                AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                   AND TIMESTAMP '1997-12-31 00:00:00')
+            GROUP BY 1, 2, 3
+        """,
+        "q14_promo_share": """
+            SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                       / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+                   count(*) AS n_rows
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'
+        """,
+        "q18_big_orders": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(sum_qty, 2) AS sum_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "q19_disjunctive_pred": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey AND (
+                 (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                  AND l_quantity BETWEEN 1 AND 15)
+              OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15
+                  AND l_quantity BETWEEN 5 AND 25)
+              OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+                  AND l_quantity BETWEEN 10 AND 35))
+        """,
+        "q22_idle_balance": """
+            SELECT c_mktsegment, count(*) AS n_custs,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+            GROUP BY 1
+        """,
+        "stats_aggregates": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop_qp,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_samp_qp,
+                   round(stddev_samp(l_discount), 6) AS stddev_disc,
+                   round(var_pop(l_tax), 6) AS varpop_tax,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY 1
+        """,
+        "percentiles_value": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 4) AS p25,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.75), 4) AS p75,
+                   round(min(value), 4) AS vmin,
+                   round(max(value), 4) AS vmax
+            FROM events GROUP BY 1
+        """,
+        "range_join_clicks": """
+            SELECT p.event_id AS purchase_id, p.user_id AS p_user,
+                   count(c.c_us) AS n_clicks_1h,
+                   max(c.c_us) AS last_click_us
+            FROM (SELECT event_id, user_id, epoch_us(ts) AS p_us
+                  FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT user_id, epoch_us(ts) AS c_us
+                       FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.c_us >= p.p_us - 3600000000 AND c.c_us < p.p_us
+            GROUP BY 1, 2
+        """,
+        "json_extract_props": """
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod10,
+                   count(*) AS n_events,
+                   sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "pivot_lang_share": """
+            SELECT source,
+                   count(*) FILTER (WHERE lang = 'de') AS n_de,
+                   count(*) FILTER (WHERE lang = 'en') AS n_en,
+                   count(*) FILTER (WHERE lang = 'es') AS n_es,
+                   count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+                   count(*) FILTER (WHERE lang = 'zh') AS n_zh
+            FROM documents GROUP BY 1
+        """,
+        "unpivot_tier_metrics": """
+            WITH h AS (
+              SELECT event_type,
+                     strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                     round(sum(value), 2) AS value_sum,
+                     round(min(value), 2) AS value_min,
+                     round(max(value), 2) AS value_max
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, bucket_ts, 'value_sum' AS metric, value_sum AS v FROM h
+            UNION ALL
+            SELECT event_type, bucket_ts, 'value_min' AS metric, value_min AS v FROM h
+            UNION ALL
+            SELECT event_type, bucket_ts, 'value_max' AS metric, value_max AS v FROM h
+        """,
+        "histogram_value": """
+            SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "gorilla_roundtrip_hour": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   round(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "neardup_cosine": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings WHERE vec_id < 200)
+            SELECT id_a, id_b, cosine FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            WHERE cosine >= 0.35
         """,
         "cube_pricing": """
             SELECT l_returnflag, l_linestatus,
