@@ -1132,6 +1132,32 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS value_sum
             FROM events GROUP BY 1, 2
         """,
+        "language_id": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','for','it')))
+                  / CAST(greatest(1, len(toks)) AS DOUBLE) AS s_en,
+                len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu')))
+                  / CAST(greatest(1, len(toks)) AS DOUBLE) AS s_de,
+                len(list_filter(toks, x -> x IN ('le','la','les','et','de','un','une','est','pour','que')))
+                  / CAST(greatest(1, len(toks)) AS DOUBLE) AS s_fr,
+                len(list_filter(toks, x -> x IN ('el','la','los','de','y','que','es','un','una','por')))
+                  / CAST(greatest(1, len(toks)) AS DOUBLE) AS s_es
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'other'
+                        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                        WHEN s_fr >= s_es THEN 'fr'
+                        ELSE 'es' END AS pred_lang,
+                   round(greatest(s_en, s_de, s_fr, s_es), 4) AS confidence
+            FROM s
+        """,
         "neardup_cosine": """
             WITH e AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -95,7 +95,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_region_revenue",
+        "q7_nation_trade",
+        "q18_big_orders",
         "window_running_order_total",
+        "range_join_clicks",
+        "gorilla_roundtrip_hour",
+        "neardup_cosine",
         "dedup_exact",
         "text_quality",
         "minhash_lsh",
