@@ -602,6 +602,32 @@ def q_gorilla_roundtrip_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_rollup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming hour rollup over a bounded backlog; the oracle is
+    the BATCH rollup SQL — hash equality proves streaming/batch equivalence
+    (readStream -> watermark -> windowed agg -> memory sink)."""
+    import hashlib as _hl
+
+    from dads_spark.streaming import run_stream_once
+
+    ev = _t(spark, sf_dir, "events")
+    # readStream needs a directory source; stage the table once per sf_dir
+    src = f"/tmp/dads_stream_src_{_hl.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    ev.write.mode("overwrite").parquet(src)
+    res = run_stream_once(
+        spark, src, ev.schema, ["event_type"], "ts", "value",
+        query_name="q_stream_rollup",
+    )
+    return res.select(
+        "event_type",
+        _fmt_bucket(),
+        F.col("doc_count").alias("n_events"),
+        F.round("value_sum", 2).alias("value_sum"),
+        F.round("value_min", 2).alias("value_min"),
+        F.round("value_max", 2).alias("value_max"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -821,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_tier_metrics": q_unpivot_tier_metrics,
         "histogram_value": q_histogram_value,
         "gorilla_roundtrip_hour": q_gorilla_roundtrip_hour,
+        "streaming_rollup_hour": q_streaming_rollup_hour,
         "neardup_cosine": q_neardup_cosine,
         "cube_pricing": q_cube_pricing,
         "setop_segments": q_setop_segments,
@@ -1130,6 +1157,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
                    round(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "streaming_rollup_hour": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum,
+                   round(min(value), 2) AS value_min,
+                   round(max(value), 2) AS value_max
             FROM events GROUP BY 1, 2
         """,
         "language_id": """
