@@ -730,6 +730,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs)
 
 
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Manku-style pigeonhole banding over the 64-bit simhash; rows-only
+    # (the simhash bit votes are not ANSI-SQL-expressible)
+    from dads_spark.ops import simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=3)
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return language_id(docs).select("doc_id", "pred_lang", F.round("confidence", 4).alias("confidence"))
@@ -863,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix": q_lang_mix,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "language_id": q_language_id,
         "knn_bruteforce": q_knn_bruteforce,
         "ann_lsh": q_ann_lsh,

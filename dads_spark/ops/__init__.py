@@ -7,6 +7,7 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_near_pairs,
 )
 from .textstats import doc_fingerprint, language_id, text_quality, token_counts  # noqa: F401
 from .similarity import ann_lsh, knn_bruteforce  # noqa: F401

@@ -186,6 +186,60 @@ def simhash64(
     return docs.select(id_col, text_col).mapInPandas(sh, f"{id_col} long, simhash long")
 
 
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale shape (Manku et al., WWW 2007 pigeonhole scheme): split the 64-bit
+    hash into ``max_hamming + 1`` bands — any pair within the distance budget
+    must agree EXACTLY on at least one band, so candidates come from
+    equi-joins on (band_idx, band_bits), never the n^2 pair space. Verification
+    is a JVM-side popcount on the XOR.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sh = simhash64(docs, text_col, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("band_bits"),
+        )
+        for i in range(n_bands)
+    ]
+    bands = sh.select(
+        id_col, "simhash", F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "simhash", "b.band_idx", "b.band_bits")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_bits") == F.col("r.band_bits"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

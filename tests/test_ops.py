@@ -81,6 +81,26 @@ def test_simhash_near_dup_hamming(spark, docs):
     assert ham(sh[0], sh[6]) > ham(sh[0], sh[2])  # unrelated is farther
 
 
+def test_simhash_near_pairs_pigeonhole(spark, docs):
+    from dads_spark.ops import simhash_near_pairs
+
+    pairs = simhash_near_pairs(docs, max_hamming=12).toPandas()
+    got = {(a, b): h for a, b, h in zip(pairs.id_a, pairs.id_b, pairs.hamming)}
+    assert got.get((0, 1)) == 0  # exact dup -> identical simhash
+    assert (0, 2) in got  # near dup within the hamming budget
+    assert all(a < b for a, b in got)
+    assert all(h <= 12 for h in got.values())
+    # verify against brute force: the banding must not miss any pair
+    sh = simhash64(docs).toPandas().set_index("doc_id")["simhash"]
+    brute = {
+        (a, b)
+        for a in sh.index
+        for b in sh.index
+        if a < b and bin(np.uint64(sh[a]) ^ np.uint64(sh[b])).count("1") <= 12
+    }
+    assert set(got) == brute
+
+
 def test_token_counts_and_quality(spark, docs):
     tc = token_counts(docs).toPandas().set_index("doc_id")
     assert tc.loc[0, "n_tokens"] == 9
