@@ -788,6 +788,16 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse-quantizer ANN (rows-only: seeded k-means is not SQL);
+    # at warehouse scale the cell id becomes a bucket column so a probe
+    # reads n_probe/n_cells of the data via partition pruning
+    from dads_spark.ops import ann_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivf(emb, _KNN_QUERIES, k=10, n_cells=16, n_probe=6)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     # bucket count must track corpus size: ~2^planes buckets per band; the
@@ -876,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "knn_bruteforce": q_knn_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "s2g_hourly_scores": q_s2g_hourly_scores,
         "drag_discords": q_drag_discords,
     }

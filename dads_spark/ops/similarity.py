@@ -74,6 +74,114 @@ def knn_bruteforce(
     )
 
 
+def _exact_rerank(pairs: DataFrame, k: int) -> DataFrame:
+    """Exact cosine over (query_id, neighbor_id, nvec, qvec) candidate rows,
+    then per-query top-k with a deterministic id tiebreak."""
+
+    def rerank(it):
+        for pdf in it:
+            a = np.array(list(pdf["nvec"]), dtype=np.float64)
+            b = np.array(list(pdf["qvec"]), dtype=np.float64)
+            an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-30)
+            bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-30)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine": (an * bn).sum(axis=1),
+                }
+            )
+
+    scored = pairs.mapInPandas(rerank, "query_id long, neighbor_id long, cosine double")
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ann_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse k-means quantizer,
+    candidates = vectors whose cell is among each query's n_probe nearest
+    cells, exact cosine re-rank.
+
+    The quantizer is trained on a deterministic sample (sorted-id limit,
+    seeded spherical Lloyd iterations) on the driver — centroids are tiny
+    and broadcast; the partition-local work is one matmul per Arrow batch.
+    At warehouse scale the cell id becomes a partition/bucket column so a
+    probe only reads n_probe/n_cells of the data (partition pruning); recall
+    rises with n_probe, cost falls with n_cells.
+    """
+    rng = np.random.default_rng(seed)
+    sample = (
+        embeddings.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    )
+    X = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    cent = X[rng.choice(len(X), size=n_cells, replace=False)]
+    for _ in range(kmeans_iters):  # spherical k-means (cosine geometry)
+        assign = (X @ cent.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-30)
+
+    def assign_cells(it):
+        for pdf in it:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": (mat @ cent.T).argmax(axis=1)}
+            )
+
+    cells = embeddings.select(id_col, vec_col).mapInPandas(
+        assign_cells, f"{id_col} long, cell int"
+    )
+
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-30)
+        for c in np.argsort(-(cent @ qv))[:n_probe]:
+            probe_rows.append((int(r[id_col]), int(c)))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    qvecs = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    return _exact_rerank(
+        cand.join(vecs, "neighbor_id").join(F.broadcast(qvecs), "query_id"), k
+    )
+
+
 def ann_lsh(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -128,27 +236,6 @@ def ann_lsh(
     qvecs = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    pairs = cand.join(vecs, "neighbor_id").join(F.broadcast(qvecs), "query_id")
-
-    def rerank(it):
-        for pdf in it:
-            a = np.array(list(pdf["nvec"]), dtype=np.float64)
-            b = np.array(list(pdf["qvec"]), dtype=np.float64)
-            an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-30)
-            bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-30)
-            cos = (an * bn).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "cosine": cos,
-                }
-            )
-
-    scored = pairs.mapInPandas(rerank, "query_id long, neighbor_id long, cosine double")
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    return _exact_rerank(
+        cand.join(vecs, "neighbor_id").join(F.broadcast(qvecs), "query_id"), k
     )

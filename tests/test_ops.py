@@ -163,6 +163,19 @@ def test_ann_lsh_recall_against_bruteforce(spark, embeddings):
     assert len(want & got) >= 3  # >=60% recall on clustered data
 
 
+def test_ann_ivf_recall_against_bruteforce(spark, embeddings):
+    from dads_spark.ops import ann_ivf
+
+    exact = knn_bruteforce(embeddings, [0], k=5).toPandas()
+    approx = ann_ivf(embeddings, [0], k=5, n_cells=8, n_probe=4).toPandas()
+    want = set(exact["neighbor_id"])
+    got = set(approx["neighbor_id"])
+    assert len(want & got) >= 3  # >=60% recall at half the cells probed
+    # probing every cell makes IVF exhaustive -> exact agreement
+    full = ann_ivf(embeddings, [0], k=5, n_cells=8, n_probe=8).toPandas()
+    assert list(full["neighbor_id"]) == list(exact["neighbor_id"])
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         (0, b"\xff\xd8\xff\xe0" + b"x" * 600, "image/jpeg", 0, 0, 0),
