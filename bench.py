@@ -105,8 +105,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "text_quality",
         "minhash_lsh",
         "simhash",
+        "simhash_near_pairs",
+        "language_id",
         "knn_bruteforce",
         "ann_lsh",
+        "ann_ivf",
+        "streaming_rollup_hour",
     ]
     for name in suite:
         t0 = _now()
