@@ -233,6 +233,9 @@ def run_s2g_distributed(
 
     node_rows = (
         inter.filter(F.col("kind") == 0)
+        # prune before the segment shuffle: the KDE needs only these four
+        # columns (slice_id/creation_idx fix the bit-exact summation order)
+        .select("slice_id", "segment", "dist", "creation_idx")
         .repartition(params.S, "segment")
         .groupBy("segment")
         .applyInPandas(kde, _NODES_SCHEMA)
@@ -307,6 +310,7 @@ def run_s2g_distributed(
 
     edges_df = (
         inter.filter(F.col("kind") == 0)
+        .drop("kind")  # prune the constant column from the walk shuffle
         .groupBy("slice_id")
         .applyInPandas(walk, _EDGES_SCHEMA)
         .cache()
