@@ -739,6 +739,46 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, max_hamming=3)
 
 
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational SimHash with an md5 token hash — fully oracle-checkable:
+    tokens x 64 bit positions exploded to rows, per-bit majority vote,
+    word reassembled as (hi, lo) 32-bit halves. Both engines evaluate the
+    same bit arithmetic on the same md5 hex, so the 64-bit fingerprint
+    hash-matches exactly (the production ``simhash`` op uses the faster
+    vectorized FNV kernel; this query pins the semantics cross-engine)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    )
+    tb = toks.select(
+        "doc_id",
+        F.md5("token").alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+    )
+    bit = F.expr(
+        "((instr('0123456789abcdef', substr(h, CAST(b / 4 AS INT) + 1, 1)) - 1)"
+        " >> CAST(b % 4 AS INT)) & 1"
+    )
+    votes = tb.select("doc_id", "b", bit.alias("bit")).groupBy("doc_id", "b").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN vote > 0 AND b >= 32"
+                " THEN shiftleft(CAST(1 AS BIGINT), CAST(b - 32 AS INT)) ELSE 0 END"
+            )
+        ).alias("simhash_hi"),
+        F.sum(
+            F.expr(
+                "CASE WHEN vote > 0 AND b < 32"
+                " THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE 0 END"
+            )
+        ).alias("simhash_lo"),
+    )
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return language_id(docs).select("doc_id", "pred_lang", F.round("confidence", 4).alias("confidence"))
@@ -883,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "simhash_md5": q_simhash_md5,
         "language_id": q_language_id,
         "knn_bruteforce": q_knn_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -1188,6 +1229,28 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 2) AS value_min,
                    round(max(value), 2) AS value_max
             FROM events GROUP BY 1, 2
+        """,
+        "simhash_md5": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+              FROM documents WHERE doc_id < 300),
+            tb AS (
+              SELECT doc_id, md5(token) AS h, b
+              FROM toks, (SELECT unnest(range(64)) AS b)),
+            bits AS (
+              SELECT doc_id, b,
+                     ((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+                       >> CAST(b % 4 AS INT)) & 1 AS bit
+              FROM tb),
+            votes AS (
+              SELECT doc_id, b, sum(bit * 2 - 1) AS vote
+              FROM bits GROUP BY 1, 2)
+            SELECT doc_id,
+                   sum(CASE WHEN vote > 0 AND b >= 32
+                       THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END) AS simhash_hi,
+                   sum(CASE WHEN vote > 0 AND b < 32
+                       THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash_lo
+            FROM votes GROUP BY 1
         """,
         "language_id": """
             WITH t AS (
