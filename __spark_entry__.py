@@ -779,6 +779,47 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import numpy as _np
+
+# shared literal constants for the relational MinHash oracle pair: the SAME
+# numbers are inlined into the Spark expressions and the DuckDB SQL
+_MH_P = (1 << 31) - 1
+_MH_K = 16
+_mh_rng = _np.random.default_rng(7)
+_MH_A = [int(v) for v in _mh_rng.integers(1, _MH_P, _MH_K)]
+_MH_B = [int(v) for v in _mh_rng.integers(0, _MH_P, _MH_K)]
+# 28-bit token hash from the first 7 md5 nibbles (keeps a*x+b under 2^59)
+_MH_X = " + ".join(
+    f"(({{fn}}('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {1 << (4 * i)})"
+    for i in range(7)
+)
+
+
+def q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational MinHash signatures with md5 token hashing — the oracle
+    twin evaluates the identical (a*x + b) mod p permutation family in
+    DuckDB, pinning MinHash semantics cross-engine. Output: one row per
+    (doc, permutation): (doc_id, k, mh). The production ``minhash_lsh`` op
+    keeps the vectorized FNV kernel + banded LSH."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    )
+    x = F.expr(f"CAST({_MH_X.format(fn='instr')} AS BIGINT)")
+    a_arr = "array(" + ", ".join(str(v) + "L" for v in _MH_A) + ")"
+    b_arr = "array(" + ", ".join(str(v) + "L" for v in _MH_B) + ")"
+    tk = toks.select(
+        "doc_id", F.md5("token").alias("h")
+    ).withColumn("x", x).select(
+        "doc_id", "x", F.explode(F.sequence(F.lit(0), F.lit(_MH_K - 1))).alias("k")
+    )
+    perm = F.expr(
+        f"(element_at({a_arr}, k + 1) * x + element_at({b_arr}, k + 1)) % {_MH_P}"
+    )
+    return tk.groupBy("doc_id", "k").agg(F.min(perm).alias("mh"))
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return language_id(docs).select("doc_id", "pred_lang", F.round("confidence", 4).alias("confidence"))
@@ -924,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash_md5": q_simhash_md5,
+        "minhash_md5": q_minhash_md5,
         "language_id": q_language_id,
         "knn_bruteforce": q_knn_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -1251,6 +1293,19 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN vote > 0 AND b < 32
                        THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash_lo
             FROM votes GROUP BY 1
+        """,
+        "minhash_md5": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+              FROM documents WHERE doc_id < 300),
+            tx AS (
+              SELECT doc_id, CAST({_MH_X.format(fn='strpos')} AS BIGINT) AS x
+              FROM (SELECT doc_id, md5(token) AS h FROM toks)),
+            tk AS (SELECT doc_id, x, k FROM tx, (SELECT unnest(range({_MH_K})) AS k))
+            SELECT doc_id, k,
+                   min((([{', '.join(map(str, _MH_A))}])[k + 1] * x
+                        + ([{', '.join(map(str, _MH_B))}])[k + 1]) % {_MH_P}) AS mh
+            FROM tk GROUP BY 1, 2
         """,
         "language_id": """
             WITH t AS (
