@@ -4,8 +4,12 @@
 pipeline operators) to callables ``(spark, sf_dir) -> DataFrame``;
 ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL for every
 SQL-expressible query. Non-SQL-expressible entries (the S2G anomaly
-pipeline, LSH-based ops, heuristic language ID) have no oracle entry and get
-the driver's rows-only check.
+pipeline, DRAG discords, and the LSH/IVF candidate-generation ops, whose
+seeded hash/centroid families are not ANSI SQL) have no oracle entry and
+get the driver's rows-only check — each carries behavioral pytest coverage
+instead (recall vs exact, pigeonhole no-miss, full-probe == exact), and the
+``simhash_md5`` / ``minhash_md5`` twins pin the sketch semantics themselves
+under the oracle hash.
 
 Determinism conventions so Spark and DuckDB hash-match:
 - every aggregate/computed column is aliased identically on both sides;
