@@ -754,38 +754,53 @@ def edge_summands_vectorized(fs, fi, ts, ti, lookup) -> np.ndarray:
 def path_scores_smart_flat(summands: np.ndarray, slot_starts: np.ndarray, ell: int):
     """Array form of :func:`path_scores_smart`: ``summands`` is the flat
     concatenation of per-slot summand values in slot order; ``slot_starts``
-    holds each slot's start offset. Bit-identical to the list form (same
-    values added/dropped in the same sequence)."""
+    holds each slot's start offset.
+
+    Bit-identical to the scalar loop: the smart accumulator is a strict
+    left fold (add the initial window's values in order; per step subtract
+    the leaving slot's values then add the entering slot's), and
+    ``np.add.accumulate`` performs exactly that sequential recurrence —
+    unlike ``np.sum``, it never reassociates. The signed operand stream is
+    built with index arithmetic (sign flip by ``* -1.0`` is exact), so
+    every intermediate path_sum equals the scalar version's to the last ulp.
+    """
     n_slots = len(slot_starts)
     n_scores = n_slots - ell + 1
-    scores = np.empty(max(0, n_scores))
     min_score = JAVA_DOUBLE_MAX_VALUE
     max_score = JAVA_DOUBLE_MIN_VALUE
     if n_scores <= 0:
-        return scores, min_score, max_score
+        return np.empty(0), min_score, max_score
+    summands = np.ascontiguousarray(summands, dtype=np.float64)
     bounds = np.append(slot_starts, len(summands)).astype(np.int64)
-    vals = summands.tolist()  # python floats: fast scalar loop, same IEEE ops
+    counts = np.diff(bounds)
+    head_len = int(bounds[ell] - bounds[0])
 
-    path_sum = 0.0
-    for v in vals[bounds[0] : bounds[ell]]:
-        path_sum += v
-    count = int(bounds[ell] - bounds[0])
-    score = path_sum / count
-    scores[0] = score
-    min_score = min(min_score, score)
-    max_score = max(max_score, score)
-    for start in range(1, n_scores):
-        for v in vals[bounds[start - 1] : bounds[start]]:
-            path_sum -= v
-        for v in vals[bounds[start + ell - 1] : bounds[start + ell]]:
-            path_sum += v
-        count += int(bounds[start + ell] - bounds[start + ell - 1]) - int(
-            bounds[start] - bounds[start - 1]
-        )
-        score = path_sum / count
-        scores[start] = score
-        min_score = min(min_score, score)
-        max_score = max(max_score, score)
+    k = np.arange(1, n_scores)
+    # per step: the leaving slot's values (negated) then the entering slot's
+    slot_ids = np.empty(2 * len(k), dtype=np.int64)
+    slot_ids[0::2] = k - 1
+    slot_ids[1::2] = k + ell - 1
+    signs = np.empty(2 * len(k))
+    signs[0::2] = -1.0
+    signs[1::2] = 1.0
+    lens = counts[slot_ids]
+    cl = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    pos_in_chunk = np.arange(int(cl[-1]), dtype=np.int64) - np.repeat(cl[:-1], lens)
+    elem_idx = np.repeat(bounds[slot_ids], lens) + pos_in_chunk
+    stream = np.concatenate(
+        [summands[bounds[0] : bounds[ell]], summands[elem_idx] * np.repeat(signs, lens)]
+    )
+    acc = np.add.accumulate(stream)
+
+    chk = np.empty(n_scores, dtype=np.int64)
+    chk[0] = head_len
+    chk[1:] = head_len + cl[2 * k]
+    win_counts = np.empty(n_scores, dtype=np.int64)
+    win_counts[0] = head_len
+    win_counts[1:] = head_len + np.cumsum(counts[k + ell - 1] - counts[k - 1])
+    scores = acc[chk - 1] / win_counts
+    min_score = min(min_score, float(scores.min()))
+    max_score = max(max_score, float(scores.max()))
     return scores, min_score, max_score
 
 
@@ -846,15 +861,18 @@ def running_means_smart(
     norm_factor = (max_score - min_score) * m
     norm = (-raw_scores_with_overlap - min_score) / norm_factor
     n_means = len(norm) - m + 1
-    out = np.empty(max(0, n_means))
     if n_means <= 0:
-        return out
-    rm = 0.0
-    for i in range(m):
-        rm += norm[i]
-    out[0] = rm
-    for k in range(1, n_means):
-        rm -= norm[k - 1]
-        rm += norm[k + m - 1]
-        out[k] = rm
-    return out
+        return np.empty(0)
+    # same strict-left-fold vectorization as path_scores_smart_flat: the
+    # incremental window is (add m values) then per step (-leaving,
+    # +entering); np.add.accumulate replays those IEEE adds in order
+    k = np.arange(1, n_means)
+    stream = np.empty(m + 2 * (n_means - 1))
+    stream[:m] = norm[:m]
+    stream[m::2] = -norm[k - 1]
+    stream[m + 1 :: 2] = norm[k + m - 1]
+    acc = np.add.accumulate(stream)
+    chk = np.empty(n_means, dtype=np.int64)
+    chk[0] = m
+    chk[1:] = m + 2 * k
+    return acc[chk - 1]
