@@ -836,6 +836,41 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_QUERIES = [0, 1, 2, 3, 4]
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-label embedding centroid: posexplode -> (label, dim) mean — the
+    # vector-aggregation shape every training pipeline needs; at scale this
+    # is one shuffle of (label, dim) partial sums, never whole vectors
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return dims.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 5).alias("centroid_v"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+def q_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lead/lag window coverage: per-user event-to-event value delta
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 4).alias("delta_next"),
+    )
+
+
+def q_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GROUP BY ROLLUP (hierarchical subtotals), complementing cube_pricing
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return knn_bruteforce(emb, _KNN_QUERIES, k=10)
@@ -972,6 +1007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_md5": q_minhash_md5,
         "language_id": q_language_id,
         "knn_bruteforce": q_knn_bruteforce,
+        "label_centroids": q_label_centroids,
+        "lag_value_delta": q_lag_value_delta,
+        "rollup_grouping_sets": q_rollup_grouping_sets,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "s2g_hourly_scores": q_s2g_hourly_scores,
@@ -1452,6 +1490,26 @@ def oracle_sql() -> dict[str, str]:
                    round(count(CASE WHEN lang = 'en' THEN 1 END) / CAST(count(*) AS DOUBLE), 4) AS en_share,
                    count(DISTINCT lang) AS n_langs
             FROM documents GROUP BY 1
+        """,
+        "label_centroids": """
+            SELECT label, CAST(p AS INT) AS dim,
+                   round(avg(CAST(embedding[p + 1] AS DOUBLE)), 5) AS centroid_v,
+                   count(*) AS n_vecs
+            FROM embeddings, (SELECT unnest(range(64)) AS p)
+            GROUP BY 1, 2
+        """,
+        "lag_value_delta": """
+            SELECT user_id, event_id,
+                   round(value - lag(value) OVER w, 4) AS delta_prev,
+                   round(lead(value) OVER w - value, 4) AS delta_next
+            FROM events WHERE user_id <= 100
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rollup_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "knn_bruteforce": """
             WITH q AS (
