@@ -6,3 +6,4 @@ from .binary import (  # noqa: F401
     write_binary_series,
     write_scores_text,
 )
+from .tools import convert_text_to_binary, replicate_series, score_diff  # noqa: F401

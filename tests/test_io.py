@@ -47,3 +47,32 @@ def test_scores_text_sink(spark, tmp_path):
     files = glob.glob(out + "/part-*")
     lines = open(files[0]).read().splitlines()
     assert lines == ["0.25", "0.5", "0.75"]  # window order, one decimal per line
+
+
+def test_offline_toolkit(tmp_path):
+    import numpy as np
+
+    from dads_spark.io import (
+        convert_text_to_binary,
+        read_binary_series,
+        replicate_series,
+        score_diff,
+    )
+
+    txt = tmp_path / "series.txt"
+    txt.write_text("1.5\n-2.25\n0.0\n3.125\n")
+    binp = str(tmp_path / "series.bin")
+    assert convert_text_to_binary(str(txt), binp) == 4
+    assert (read_binary_series(binp) == [1.5, -2.25, 0.0, 3.125]).all()
+
+    big = str(tmp_path / "big.bin")
+    assert replicate_series(binp, big, 11) == 11
+    vals = read_binary_series(big)
+    assert (vals[:4] == [1.5, -2.25, 0.0, 3.125]).all() and vals[4] == 1.5
+
+    a, b = tmp_path / "a.txt", tmp_path / "b.txt"
+    a.write_text("1.0\n2.0\n3.0\n")
+    b.write_text("1.0\n2.5\n3.0\n")
+    d = score_diff(str(a), str(b))
+    assert d["count"] == 3 and d["max_diff"] == 0.5 and d["n_exact"] == 2
+    assert np.isclose(d["avg_diff"], 0.5 / 3)
