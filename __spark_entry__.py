@@ -92,6 +92,24 @@ def q_rollup_week_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_hour_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (the hot-key skew path). The oracle is
+    the PLAIN hour rollup SQL — hash equality proves the salted plan is
+    exact, not approximate."""
+    from dads_spark.rollup import salted_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    tier = salted_rollup(ev, ["event_type"], "ts", "value", "hour", salt_buckets=8)
+    return tier.select(
+        "event_type",
+        _fmt_bucket(),
+        F.col("doc_count").alias("n_events"),
+        F.round("value_sum", 2).alias("value_sum"),
+        F.round("value_min", 2).alias("value_min"),
+        F.round("value_max", 2).alias("value_max"),
+    )
+
+
 def q_gapfill_hour_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
@@ -963,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
         "rollup_week_cascade": q_rollup_week_cascade,
+        "rollup_hour_salted": q_rollup_hour_salted,
         "gapfill_hour_linear": q_gapfill_hour_linear,
         "sessionize": q_sessionize,
         "topk_per_type": q_topk_per_type,
@@ -1042,6 +1061,15 @@ def oracle_sql() -> dict[str, str]:
                    strftime(date_trunc('week', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
                    count(*) AS n_events,
                    round(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_hour_salted": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum,
+                   round(min(value), 2) AS value_min,
+                   round(max(value), 2) AS value_max
             FROM events GROUP BY 1, 2
         """,
         "gapfill_hour_linear": """
