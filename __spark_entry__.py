@@ -39,8 +39,28 @@ from dads_spark.s2g.pipeline import score_series_grouped
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
+_shipped_sessions: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship dads_spark to Python workers for sessions the harness created
+    itself (without ``dads_spark.session.get_spark``): pandas-UDF closures
+    unpickle ``dads_spark`` modules on the workers, which otherwise relies
+    on the driver's cwd being the repo root."""
+    key = id(spark)
+    if key in _shipped_sessions:
+        return
+    _shipped_sessions.add(key)
+    try:
+        from dads_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added, or read-only tmp — worker imports fall back to cwd
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
