@@ -184,3 +184,68 @@ def test_node_degrees_counts_distinct_edges():
     assert deg[(0, 0)] == 2  # one out, one in — weights ignored
     assert deg[(1, 0)] == 2
     assert deg[(2, 2)] == 2  # self-loop counts twice (Calculate.java:497-504)
+
+
+def test_vectorized_accumulators_bit_identical_to_scalar_fold():
+    """The np.add.accumulate vectorization of the smart windows must replay
+    the scalar left fold's IEEE op sequence exactly — assert `==`, not
+    allclose, over randomized slot structures."""
+
+    def scalar_flat(summands, slot_starts, ell):
+        n_scores = len(slot_starts) - ell + 1
+        scores = np.empty(max(0, n_scores))
+        mn, mx = core.JAVA_DOUBLE_MAX_VALUE, core.JAVA_DOUBLE_MIN_VALUE
+        bounds = np.append(slot_starts, len(summands)).astype(np.int64)
+        vals = summands.tolist()
+        ps = 0.0
+        for v in vals[bounds[0] : bounds[ell]]:
+            ps += v
+        count = int(bounds[ell] - bounds[0])
+        s = ps / count
+        scores[0] = s
+        mn, mx = min(mn, s), max(mx, s)
+        for st in range(1, n_scores):
+            for v in vals[bounds[st - 1] : bounds[st]]:
+                ps -= v
+            for v in vals[bounds[st + ell - 1] : bounds[st + ell]]:
+                ps += v
+            count += int(bounds[st + ell] - bounds[st + ell - 1]) - int(
+                bounds[st] - bounds[st - 1]
+            )
+            s = ps / count
+            scores[st] = s
+            mn, mx = min(mn, s), max(mx, s)
+        return scores, mn, mx
+
+    def scalar_rm(raw, gmin, gmax, m):
+        mn, mx = gmax * -1.0, gmin * -1.0
+        norm = (-raw - mn) / ((mx - mn) * m)
+        n = len(norm) - m + 1
+        out = np.empty(max(0, n))
+        rm = 0.0
+        for i in range(m):
+            rm += norm[i]
+        out[0] = rm
+        for k in range(1, n):
+            rm -= norm[k - 1]
+            rm += norm[k + m - 1]
+            out[k] = rm
+        return out
+
+    for trial in range(25):
+        n_slots = int(RNG.integers(5, 200))
+        ell = int(RNG.integers(2, min(15, n_slots)))
+        lens = RNG.integers(1, 6, n_slots)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        summ = RNG.normal(scale=100, size=int(lens.sum())) * RNG.integers(
+            1, 50, int(lens.sum())
+        )
+        a_s, a_mn, a_mx = core.path_scores_smart_flat(summ, starts, ell)
+        b_s, b_mn, b_mx = scalar_flat(summ, starts, ell)
+        assert (a_s == b_s).all() and a_mn == b_mn and a_mx == b_mx, trial
+
+        raw = RNG.normal(size=int(RNG.integers(12, 300)))
+        m = int(RNG.integers(2, 9))
+        got = core.running_means_smart(raw, raw.min(), raw.max(), m)
+        want = scalar_rm(raw, raw.min(), raw.max(), m)
+        assert (got == want).all(), trial
