@@ -141,6 +141,45 @@ def q_gapfill_hour_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_copy(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Stage the events table once per (sf_dir, format) under /tmp and read
+    it back through that source — proves the non-parquet readers feed the
+    same rollup the oracle checks."""
+    import hashlib as _hl
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    path = f"/tmp/dads_src_{fmt}_{_hl.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    import os as _os
+
+    if not _os.path.exists(f"{path}/_SUCCESS"):
+        ev.write.mode("overwrite").format(fmt).option("header", True).save(path)
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", True).schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+    return reader.load(path)
+
+
+def q_csv_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CSV source coverage: same hour tier, read through the csv reader with
+    # an explicit schema (header on, timestamps round-tripped as text)
+    ev = _staged_copy(spark, sf_dir, "csv")
+    return ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    ).select("event_type", _fmt_bucket(), "n_events", "value_sum")
+
+
+def q_orc_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORC source coverage: columnar alternative to parquet, same rollup
+    ev = _staged_copy(spark, sf_dir, "orc")
+    return ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    ).select("event_type", _fmt_bucket(), "n_events", "value_sum")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1002,6 +1041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_day_cascade": q_rollup_day_cascade,
         "rollup_week_cascade": q_rollup_week_cascade,
         "rollup_hour_salted": q_rollup_hour_salted,
+        "csv_source_rollup": q_csv_source_rollup,
+        "orc_source_rollup": q_orc_source_rollup,
         "gapfill_hour_linear": q_gapfill_hour_linear,
         "sessionize": q_sessionize,
         "topk_per_type": q_topk_per_type,
@@ -1090,6 +1131,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS value_sum,
                    round(min(value), 2) AS value_min,
                    round(max(value), 2) AS value_max
+            FROM events GROUP BY 1, 2
+        """,
+        "csv_source_rollup": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "orc_source_rollup": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum
             FROM events GROUP BY 1, 2
         """,
         "gapfill_hour_linear": """
