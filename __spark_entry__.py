@@ -154,10 +154,12 @@ def _staged_copy(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     if not _os.path.exists(f"{path}/_SUCCESS"):
         ev.write.mode("overwrite").format(fmt).option("header", True).save(path)
     reader = spark.read.format(fmt)
-    if fmt == "csv":
-        reader = reader.option("header", True).schema(
+    if fmt in ("csv", "json"):  # text formats need the schema declared
+        reader = reader.schema(
             "event_id long, ts timestamp, event_type string, value double"
         )
+        if fmt == "csv":
+            reader = reader.option("header", True)
     return reader.load(path)
 
 
@@ -174,6 +176,15 @@ def q_csv_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orc_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ORC source coverage: columnar alternative to parquet, same rollup
     ev = _staged_copy(spark, sf_dir, "orc")
+    return ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    ).select("event_type", _fmt_bucket(), "n_events", "value_sum")
+
+
+def q_json_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON-lines source coverage with an explicit schema
+    ev = _staged_copy(spark, sf_dir, "json")
     return ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("value_sum"),
@@ -1043,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hour_salted": q_rollup_hour_salted,
         "csv_source_rollup": q_csv_source_rollup,
         "orc_source_rollup": q_orc_source_rollup,
+        "json_source_rollup": q_json_source_rollup,
         "gapfill_hour_linear": q_gapfill_hour_linear,
         "sessionize": q_sessionize,
         "topk_per_type": q_topk_per_type,
@@ -1141,6 +1153,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "orc_source_rollup": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "json_source_rollup": """
             SELECT event_type,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
                    count(*) AS n_events,
