@@ -742,6 +742,23 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer pattern: letter runs, digit runs, punctuation runs
+#: (no lookaheads — identical semantics under Java regex and RE2)
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # regex pre-tokenization (the BPE-style split LLM pipelines apply before
+    # merges): counts per doc + distinct token types
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_types"),
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -820,6 +837,16 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return simhash64(docs)
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rabin-Karp rolling hash + winnowing (rows-only: the uint64-wraparound
+    # rolling hash is not ANSI SQL; determinism + copy-detection guarantees
+    # are pytest-covered)
+    from dads_spark.ops import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return winnow_fingerprints(docs)
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_order_total": q_window_running_order_total,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
+        "token_counts_bpe": q_token_counts_bpe,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1097,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash_md5": q_simhash_md5,
         "minhash_md5": q_minhash_md5,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "language_id": q_language_id,
         "knn_bruteforce": q_knn_bruteforce,
         "label_centroids": q_label_centroids,
@@ -1570,6 +1599,12 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(text, ' ')) AS n_tokens,
                    len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
                    length(text) AS n_chars
+            FROM documents
+        """,
+        "token_counts_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS n_bpe_tokens,
+                   len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))) AS n_bpe_types
             FROM documents
         """,
         "text_quality": """

@@ -9,6 +9,12 @@ from .dedup import (  # noqa: F401
     simhash64,
     simhash_near_pairs,
 )
-from .textstats import doc_fingerprint, language_id, text_quality, token_counts  # noqa: F401
+from .textstats import (  # noqa: F401
+    doc_fingerprint,
+    language_id,
+    text_quality,
+    token_counts,
+    winnow_fingerprints,
+)
 from .similarity import ann_ivf, ann_lsh, knn_bruteforce  # noqa: F401
 from .multimodal import attach_media_metadata, extract_features, sample_frames  # noqa: F401

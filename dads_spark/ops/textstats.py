@@ -87,6 +87,58 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003): Rabin-Karp rolling hash over k-grams of the text bytes, then the
+    minimum hash of every w-window of consecutive k-gram hashes (rightmost
+    minimum, the paper's robust-winnowing tie rule), distinct per doc.
+
+    Output: one row per (doc, fingerprint) — the standard near-copy
+    detection index. Fully vectorized: the rolling hash is computed for a
+    whole document with two cumulative products over uint64 (mod 2^64),
+    window minima via a strided sliding view.
+    """
+    base = np.uint64(1_000_003)
+
+    def run(it):
+        for pdf in it:
+            ids, fps = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.uint64)
+                n = len(b) - k + 1
+                if n < 1:
+                    continue
+                # h[i] = sum_{j<k} b[i+j] * base^(k-1-j)  (mod 2^64, natural
+                # uint64 wraparound) — vectorized via powers + sliding sum
+                pw = np.empty(k, dtype=np.uint64)
+                pw[0] = 1
+                for j in range(1, k):
+                    pw[j] = pw[j - 1] * base
+                win = np.lib.stride_tricks.sliding_window_view(b, k)
+                h = (win * pw[::-1][None, :]).sum(axis=1, dtype=np.uint64)
+                if len(h) < w:
+                    sel = np.array([int(h.argmin())])
+                else:
+                    hw = np.lib.stride_tricks.sliding_window_view(h, w)
+                    # rightmost minimum per window (robust winnowing)
+                    rev_arg = w - 1 - np.argmin(hw[:, ::-1], axis=1)
+                    sel = np.unique(rev_arg + np.arange(len(hw)))
+                chosen = np.unique(h[sel]).astype(np.int64)
+                ids.extend([did] * len(chosen))
+                fps.extend(chosen.tolist())
+            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, fingerprint long"
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stable 60-bit content fingerprint: (id, fingerprint long).
 

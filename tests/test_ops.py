@@ -198,3 +198,24 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         extract_features(df, fake=False).collect()
+
+
+def test_winnow_fingerprints_detect_shared_content(spark):
+    from dads_spark.ops import winnow_fingerprints
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "prefix words then the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely unrelated text about columnar query engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=8, w=4).toPandas()
+    by_doc = {d: set(g["fingerprint"]) for d, g in fp.groupby("doc_id")}
+    # winnowing guarantee: any shared substring of length >= k + w - 1 leaves
+    # at least one shared fingerprint; docs 0/1 share a long suffix
+    assert by_doc[0] & by_doc[1]
+    # overlap with the unrelated doc must be far smaller than the copy pair
+    assert len(by_doc[0] & by_doc[1]) > 3 * len(by_doc[0] & by_doc[2])
+    # deterministic across runs
+    fp2 = winnow_fingerprints(df, k=8, w=4).toPandas()
+    assert set(map(tuple, fp.values.tolist())) == set(map(tuple, fp2.values.tolist()))
