@@ -1236,9 +1236,11 @@ def oracle_sql() -> dict[str, str]:
                        THEN 1 ELSE 0 END AS new_sess
               FROM events),
             s AS (
+              -- CAST: DuckDB sum() over INTEGER returns HUGEINT (int128);
+              -- Spark's window sum is BIGINT — cast so both engines emit int64
               SELECT user_id, event_id, value, us,
-                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
               FROM g)
             SELECT user_id, session_id, count(*) AS n_events,
                    max(us) - min(us) AS duration_us,
@@ -1419,7 +1421,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod10,
                    count(*) AS n_events,
-                   sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_sum
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
             FROM events GROUP BY 1, 2
         """,
         "pivot_lang_share": """
@@ -1481,10 +1483,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, b, sum(bit * 2 - 1) AS vote
               FROM bits GROUP BY 1, 2)
             SELECT doc_id,
-                   sum(CASE WHEN vote > 0 AND b >= 32
-                       THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END) AS simhash_hi,
-                   sum(CASE WHEN vote > 0 AND b < 32
-                       THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash_lo
+                   CAST(sum(CASE WHEN vote > 0 AND b >= 32
+                       THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END) AS BIGINT) AS simhash_hi,
+                   CAST(sum(CASE WHEN vote > 0 AND b < 32
+                       THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash_lo
             FROM votes GROUP BY 1
         """,
         "minhash_md5": f"""
