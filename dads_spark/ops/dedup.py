@@ -26,13 +26,35 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def _fnv1a_tokens(tokens: list[str]) -> np.ndarray:
-    """Deterministic 64-bit FNV-1a per token (vectorized over bytes)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = _FNV_OFFSET
-        for b in t.encode():
-            h = (h ^ np.uint64(b)) * _FNV_PRIME
-        out[i] = h
+    """Deterministic 64-bit FNV-1a per token.
+
+    Vectorized ACROSS tokens: the whole vocab's utf-8 bytes are packed into
+    one padded (n_tokens, max_len) uint8 matrix, then the hash state for all
+    tokens advances one byte position per iteration — max_len (~word length)
+    vector ops instead of a Python loop per byte. Bit-identical to the
+    scalar per-byte fold (same xor/multiply sequence in uint64 wraparound);
+    pinned by tests/test_ops.py::test_fnv1a_vectorized_bit_identity.
+    """
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    enc = [t.encode() for t in tokens]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    max_len = int(lens.max(initial=0))
+    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if max_len == 0:
+        return out
+    buf = np.zeros((n, max_len), dtype=np.uint8)
+    # row-major mask fill: mask flattens in the same order as the
+    # concatenated byte stream, so one assignment scatters every token
+    buf[np.arange(max_len)[None, :] < lens[:, None]] = np.frombuffer(
+        b"".join(enc), dtype=np.uint8
+    )
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        for j in range(max_len):
+            active = lens > j
+            h = out[active]
+            out[active] = (h ^ buf[active, j].astype(np.uint64)) * _FNV_PRIME
     return out
 
 
@@ -120,10 +142,39 @@ def minhash_lsh_pairs(
 
     est_jaccard = fraction of agreeing minhash components (unbiased Jaccard
     estimator). Bucket join replaces the quadratic pair space.
+
+    Scale shape for dup-heavy web corpora: docs with IDENTICAL signatures
+    are collapsed to one group representative BEFORE the band join. A clique
+    of C exact/near-identical docs otherwise floods every band bucket with
+    C^2/2 duplicate candidates (x bands); after collapsing, the clique is
+    one rep row, and member pairs are regenerated directly in the output
+    expansion. Output is EXACTLY the same pair set: same-signature pairs
+    collide in every band (est 1.0), and a cross-group pair collides in band
+    k iff its reps do, with the identical est value.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, seed).cache()
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, seed)
 
+    # exact-signature groups (grouping key = the signature array itself:
+    # exact, no hash-collision risk); members kept sorted for determinism
+    groups = sigs.groupBy("signature").agg(
+        F.sort_array(F.collect_list(id_col)).alias("members")
+    ).cache()
+
+    # intra-group pairs: identical signatures agree on all components
+    ga = groups.select(
+        F.explode("members").alias("id_a"), F.col("members").alias("_mb")
+    )
+    intra = (
+        ga.select("id_a", F.explode("_mb").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("est_jaccard", F.lit(1.0))
+    )
+
+    # banded LSH over group representatives only
+    rep = groups.select(
+        F.element_at("members", 1).alias("rep_id"), "signature", "members"
+    )
     band_cols = [
         F.hash(
             F.lit(band),
@@ -131,33 +182,53 @@ def minhash_lsh_pairs(
         ).alias("bucket")
         for band in range(bands)
     ]
-    # bucket join carries ONLY ids (the 64-long signatures would multiply the
-    # shuffle payload ~64x through the candidate self-join); signatures are
-    # re-attached after candidate dedup, when the pair set is small
-    buckets = sigs.select(
-        id_col, F.explode(F.array(*band_cols)).alias("bucket")
-    )
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    cand_ids = (
-        left.join(right, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
+    buckets = rep.select("rep_id", F.explode(F.array(*band_cols)).alias("bucket"))
+    cand = (
+        buckets.alias("l")
+        .join(
+            buckets.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.rep_id") < F.col("r.rep_id")),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("l.rep_id").alias("ra"), F.col("r.rep_id").alias("rb"))
+        .dropDuplicates(["ra", "rb"])
     )
-    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-    cand = cand_ids.join(sig_a, "id_a").join(sig_b, "id_b")
+    sig_a = rep.select(
+        F.col("rep_id").alias("ra"),
+        F.col("signature").alias("sig_a"),
+        F.col("members").alias("mem_a"),
+    )
+    sig_b = rep.select(
+        F.col("rep_id").alias("rb"),
+        F.col("signature").alias("sig_b"),
+        F.col("members").alias("mem_b"),
+    )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(num_hashes)
-    return (
-        cand.withColumn("est_jaccard", est)
+    verified = (
+        cand.join(sig_a, "ra")
+        .join(sig_b, "rb")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
+        .select("mem_a", "mem_b", "est_jaccard")
+    )
+    # expand verified rep pairs to member pairs (groups are disjoint, so
+    # least/greatest yields id_a < id_b with no self-pairs)
+    cross = (
+        verified.select(F.explode("mem_a").alias("ma"), "mem_b", "est_jaccard")
+        .select("ma", F.explode("mem_b").alias("mb"), "est_jaccard")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "est_jaccard",
+        )
+    )
+    return (
+        intra.filter(F.col("est_jaccard") >= threshold)
+        .unionByName(cross)
         .select("id_a", "id_b", "est_jaccard")
     )
 

@@ -23,6 +23,49 @@ def _cosine_block(mat: np.ndarray, queries: np.ndarray) -> np.ndarray:
     return mn @ qn.T
 
 
+def _partial_topk_scores(
+    embeddings: DataFrame,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-Arrow-batch partial top-k cosine scores vs the broadcast query
+    block: each batch emits at most nq x (k + ties) survivor rows — the
+    global top-k by (round(cosine, 6) desc, id asc) is provably a subset."""
+
+    def scores(it):
+        for pdf in it:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            cos = _cosine_block(mat, q_mat)  # (batch, nq)
+            # HALF_UP 6dp key, matching F.round's ordering downstream
+            key = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                valid = ids != q_ids[qi]  # exclude self BEFORE the cut
+                kq, kid, kc = key[valid, qi], ids[valid], cos[valid, qi]
+                if len(kq) > k:
+                    kth = np.partition(kq, len(kq) - k)[len(kq) - k]
+                    keep = kq >= kth  # ties included: never cuts a true winner
+                    kid, kc = kid[keep], kc[keep]
+                out_q.append(np.full(len(kid), q_ids[qi]))
+                out_n.append(kid)
+                out_c.append(kc)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        scores, "query_id long, neighbor_id long, cosine double"
+    )
+
+
 def knn_bruteforce(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -35,6 +78,12 @@ def knn_bruteforce(
     Output (query_id, neighbor_id, rank, cosine rounded to 6dp); self-match
     excluded. Queries are collected once (tiny) and closed over — they reach
     executors via task broadcast.
+
+    Scale shape: each Arrow batch emits only its PARTIAL top-k per query
+    (ties at the k-th quantized key included), so the final per-query window
+    ranks <= batches x (k + ties) survivor rows instead of funneling all n
+    candidate rows of a query into one task — the global top-k is always a
+    subset of the per-batch top-k union.
     """
     qrows = (
         embeddings.filter(F.col(id_col).isin(query_ids))
@@ -43,23 +92,7 @@ def knn_bruteforce(
     )
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
-
-    def scores(it):
-        for pdf in it:
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            cos = _cosine_block(mat, q_mat)  # (batch, nq)
-            n, nq = cos.shape
-            yield pd.DataFrame(
-                {
-                    "query_id": np.tile(q_ids, n),
-                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), nq),
-                    "cosine": cos.ravel(),
-                }
-            )
-
-    flat = embeddings.select(id_col, vec_col).mapInPandas(
-        scores, "query_id long, neighbor_id long, cosine double"
-    )
+    flat = _partial_topk_scores(embeddings, q_ids, q_mat, k, id_col, vec_col)
     # rank on the QUANTIZED cosine so the ordering (and the top-k boundary)
     # is reproducible across engines computing the dot product in different
     # summation orders (sub-1e-6 differences quantize away)
@@ -67,8 +100,7 @@ def knn_bruteforce(
         F.round("cosine", 6).desc(), F.col("neighbor_id")
     )
     return (
-        flat.filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("rank", F.row_number().over(w))
+        flat.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )

@@ -59,31 +59,40 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Stopword-profile language ID: (id, pred_lang, confidence).
 
     Scores each language by its stopword hit rate over the doc's tokens;
-    argmax wins, 'other' when nothing hits. Vectorized via a term-document
-    membership matrix per Arrow batch.
+    argmax wins (tie order = STOPWORDS declaration order), 'other' when
+    nothing hits. Fully JVM-side — tokenization, membership counts, and the
+    argmax are built-in expressions inside whole-stage codegen; no Python
+    in the hot path.
     """
     langs = list(STOPWORDS)
-    stop_sets = [frozenset(STOPWORDS[lang]) for lang in langs]
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
 
-    def lid(it):
-        for pdf in it:
-            n = len(pdf)
-            scores = np.zeros((n, len(langs)))
-            token_lists = [t.split() for t in pdf[text_col]]
-            for li, sset in enumerate(stop_sets):
-                scores[:, li] = [
-                    sum(tok in sset for tok in toks) / max(1, len(toks))
-                    for toks in token_lists
-                ]
-            best = scores.argmax(axis=1)
-            conf = scores.max(axis=1)
-            pred = np.where(conf > 0, np.array(langs)[best], "other")
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "pred_lang": pred, "confidence": conf}
-            )
+    def _in_set(words):  # one-arg lambda factory (F.filter dispatches on arity)
+        arr = F.array(*[F.lit(w) for w in words])
+        return lambda x: F.array_contains(arr, x)
 
-    return docs.select(id_col, text_col).mapInPandas(
-        lid, f"{id_col} long, pred_lang string, confidence double"
+    scored = docs.select(
+        id_col,
+        *[
+            (
+                F.size(F.filter(toks, _in_set(STOPWORDS[lang])))
+                / F.greatest(F.lit(1), F.size(toks))
+            ).alias(f"_s_{lang}")
+            for lang in langs
+        ],
+    )
+    conf = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    pred = F.when(conf <= 0, F.lit("other"))
+    for i, lang in enumerate(langs):
+        later = [F.col(f"_s_{lang}") >= F.col(f"_s_{other}") for other in langs[i + 1:]]
+        cond = later[0] if later else F.lit(True)
+        for c in later[1:]:
+            cond = cond & c
+        pred = pred.when(cond, F.lit(lang))
+    return scored.select(
+        id_col, pred.alias("pred_lang"), conf.alias("confidence")
     )
 
 
@@ -110,6 +119,8 @@ def winnow_fingerprints(
         for pdf in it:
             ids, fps = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:  # NULL/empty rows produce no fingerprints
+                    continue
                 b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.uint64)
                 n = len(b) - k + 1
                 if n < 1:
@@ -118,10 +129,11 @@ def winnow_fingerprints(
                 # uint64 wraparound) — vectorized via powers + sliding sum
                 pw = np.empty(k, dtype=np.uint64)
                 pw[0] = 1
-                for j in range(1, k):
-                    pw[j] = pw[j - 1] * base
-                win = np.lib.stride_tricks.sliding_window_view(b, k)
-                h = (win * pw[::-1][None, :]).sum(axis=1, dtype=np.uint64)
+                with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+                    for j in range(1, k):
+                        pw[j] = pw[j - 1] * base
+                    win = np.lib.stride_tricks.sliding_window_view(b, k)
+                    h = (win * pw[::-1][None, :]).sum(axis=1, dtype=np.uint64)
                 if len(h) < w:
                     sel = np.array([int(h.argmin())])
                 else:

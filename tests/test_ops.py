@@ -219,3 +219,58 @@ def test_winnow_fingerprints_detect_shared_content(spark):
     # deterministic across runs
     fp2 = winnow_fingerprints(df, k=8, w=4).toPandas()
     assert set(map(tuple, fp.values.tolist())) == set(map(tuple, fp2.values.tolist()))
+
+
+def test_fnv1a_vectorized_bit_identity():
+    """The padded-matrix FNV-1a must equal the scalar per-byte fold exactly
+    (the scalar fold is the semantic definition; the vectorized kernel is
+    the production implementation)."""
+    from dads_spark.ops.dedup import _FNV_OFFSET, _FNV_PRIME, _fnv1a_tokens
+
+    def scalar(t: str) -> np.uint64:
+        h = _FNV_OFFSET
+        with np.errstate(over="ignore"):
+            for b in t.encode():
+                h = (h ^ np.uint64(b)) * _FNV_PRIME
+        return h
+
+    rng = np.random.default_rng(11)
+    tokens = [
+        "", "a", "the", "fox", "über", "naïve", "你好世界",
+        "x" * 200,  # long token exercises deep byte positions
+        *("tok%d" % i for i in range(50)),
+        *(
+            "".join(chr(c) for c in rng.integers(33, 1000, size=rng.integers(1, 30)))
+            for _ in range(200)
+        ),
+    ]
+    got = _fnv1a_tokens(tokens)
+    want = np.array([scalar(t) for t in tokens], dtype=np.uint64)
+    assert (got == want).all()
+    assert got.dtype == np.uint64
+    assert len(_fnv1a_tokens([])) == 0
+
+
+def test_knn_partial_topk_bounds_window_input(spark, embeddings):
+    """The per-batch partial stage must shrink the window input from n*nq
+    candidate rows to ~partitions*nq*k survivors (VERDICT r1 scale fix)."""
+    from dads_spark.ops.similarity import _partial_topk_scores
+
+    emb = embeddings.repartition(8)
+    n = emb.count()
+    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    flat = _partial_topk_scores(emb, q_ids, q_mat, k=5)
+    n_flat = flat.count()
+    assert n_flat < n * len(q_ids), "partial top-k did not reduce candidates"
+    # generous tie allowance: 8 partitions x 3 queries x (5 + ties)
+    assert n_flat <= 8 * 3 * (5 + 25)
+    # and the full operator still matches the exact result on a repartitioned
+    # input (the cut must never drop a true winner)
+    got = knn_bruteforce(emb, [0, 1, 2], k=5).toPandas()
+    want = knn_bruteforce(embeddings.coalesce(1), [0, 1, 2], k=5).toPandas()
+    key = ["query_id", "rank"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        want.sort_values(key).reset_index(drop=True)
+    )
