@@ -163,32 +163,31 @@ def _staged_copy(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     return reader.load(path)
 
 
-def q_csv_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # CSV source coverage: same hour tier, read through the csv reader with
-    # an explicit schema (header on, timestamps round-tripped as text)
-    ev = _staged_copy(spark, sf_dir, "csv")
-    return ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("value_sum"),
-    ).select("event_type", _fmt_bucket(), "n_events", "value_sum")
-
-
-def q_orc_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ORC source coverage: columnar alternative to parquet, same rollup
-    ev = _staged_copy(spark, sf_dir, "orc")
-    return ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("value_sum"),
-    ).select("event_type", _fmt_bucket(), "n_events", "value_sum")
-
-
-def q_json_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # JSON-lines source coverage with an explicit schema
-    ev = _staged_copy(spark, sf_dir, "json")
-    return ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("value_sum"),
-    ).select("event_type", _fmt_bucket(), "n_events", "value_sum")
+def q_multi_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """csv + ORC + json-lines source coverage in ONE gated entry (folded
+    from three near-identical r1 queries per VERDICT #2 so the time-boxed
+    driver gate covers every registered query): each format's staged copy
+    of the events table feeds the same hour rollup, tagged by ``fmt`` —
+    hash equality proves all three readers produce identical tiers.
+    csv/json read through explicit schemas (header on for csv)."""
+    parts = []
+    for fmt in ("csv", "orc", "json"):
+        ev = _staged_copy(spark, sf_dir, fmt)
+        parts.append(
+            ev.groupBy("event_type", bucket_expr("ts", "hour"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("value_sum"),
+            )
+            .select(
+                F.lit(fmt).alias("fmt"),
+                "event_type",
+                _fmt_bucket(),
+                "n_events",
+                "value_sum",
+            )
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1074,16 +1073,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order IS the driver gate's execution order, and round 1
+    showed the gate stops after a fixed budget (exactly the first 50
+    entries). Ordering policy: (1) the flagship S2G/DRAG pipeline and every
+    query that got NO correctness row in round 1 come first; (2) the three
+    round-1 hash-fails (now fixed) next; (3) the r1 driver-green balance;
+    (4) the cheapest, twice-stable document-suite entries and the rows-only
+    sketch ops last — if truncation recurs, only queries with prior green
+    rows (or weaker rows-only checks anyway) fall off the end."""
     return {
+        # -- (1) flagship + r1-unchecked ------------------------------------
+        "s2g_hourly_scores": q_s2g_hourly_scores,
+        "drag_discords": q_drag_discords,
+        "language_id": q_language_id,
+        "knn_bruteforce": q_knn_bruteforce,
+        "label_centroids": q_label_centroids,
+        "lag_value_delta": q_lag_value_delta,
+        "rollup_grouping_sets": q_rollup_grouping_sets,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        # -- (2) r1 hash-fails, root-caused + fixed (HUGEINT casts) ---------
+        "sessionize": q_sessionize,
+        "json_extract_props": q_json_extract_props,
+        "simhash_md5": q_simhash_md5,
+        # -- (3) r1 driver-green --------------------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
         "rollup_week_cascade": q_rollup_week_cascade,
         "rollup_hour_salted": q_rollup_hour_salted,
-        "csv_source_rollup": q_csv_source_rollup,
-        "orc_source_rollup": q_orc_source_rollup,
-        "json_source_rollup": q_json_source_rollup,
+        "multi_source_rollup": q_multi_source_rollup,
         "gapfill_hour_linear": q_gapfill_hour_linear,
-        "sessionize": q_sessionize,
         "topk_per_type": q_topk_per_type,
         "dayofweek_profile": q_dayofweek_profile,
         "distinct_users": q_distinct_users,
@@ -1100,7 +1120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_aggregates": q_stats_aggregates,
         "percentiles_value": q_percentiles_value,
         "range_join_clicks": q_range_join_clicks,
-        "json_extract_props": q_json_extract_props,
         "pivot_lang_share": q_pivot_lang_share,
         "unpivot_tier_metrics": q_unpivot_tier_metrics,
         "histogram_value": q_histogram_value,
@@ -1113,28 +1132,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_string_functions": q_date_string_functions,
         "semi_anti_customers": q_semi_anti_customers,
         "window_running_order_total": q_window_running_order_total,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_md5": q_minhash_md5,
+        # -- (4) cheapest twice-stable + rows-only tail ---------------------
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "token_counts_bpe": q_token_counts_bpe,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
-        "ngram_jaccard": q_ngram_jaccard,
         "lang_mix": q_lang_mix,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
-        "simhash_md5": q_simhash_md5,
-        "minhash_md5": q_minhash_md5,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "language_id": q_language_id,
-        "knn_bruteforce": q_knn_bruteforce,
-        "label_centroids": q_label_centroids,
-        "lag_value_delta": q_lag_value_delta,
-        "rollup_grouping_sets": q_rollup_grouping_sets,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "s2g_hourly_scores": q_s2g_hourly_scores,
-        "drag_discords": q_drag_discords,
     }
 
 
@@ -1174,26 +1183,16 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 2) AS value_max
             FROM events GROUP BY 1, 2
         """,
-        "csv_source_rollup": """
-            SELECT event_type,
-                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
-                   count(*) AS n_events,
-                   round(sum(value), 2) AS value_sum
-            FROM events GROUP BY 1, 2
-        """,
-        "orc_source_rollup": """
-            SELECT event_type,
-                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
-                   count(*) AS n_events,
-                   round(sum(value), 2) AS value_sum
-            FROM events GROUP BY 1, 2
-        """,
-        "json_source_rollup": """
-            SELECT event_type,
-                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
-                   count(*) AS n_events,
-                   round(sum(value), 2) AS value_sum
-            FROM events GROUP BY 1, 2
+        "multi_source_rollup": """
+            WITH h AS (
+              SELECT event_type,
+                     strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                     count(*) AS n_events,
+                     round(sum(value), 2) AS value_sum
+              FROM events GROUP BY 1, 2)
+            SELECT 'csv' AS fmt, * FROM h
+            UNION ALL SELECT 'orc' AS fmt, * FROM h
+            UNION ALL SELECT 'json' AS fmt, * FROM h
         """,
         "gapfill_hour_linear": """
             WITH b AS (

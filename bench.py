@@ -27,7 +27,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     import __spark_entry__ as em
     from dads_spark.fixtures import benchmark_series
-    from dads_spark.rollup import cascade, gap_fill_linear, rollup_from_raw
+    from dads_spark.rollup import bucket_expr, cascade, gap_fill_linear, rollup_from_raw
     from dads_spark.s2g import CANONICAL
     from dads_spark.s2g.pipeline import run_s2g_distributed
     from dads_spark.session import get_spark
@@ -59,9 +59,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     extras["rolled_up_points_per_sec"] = (n_hour + n_day + n_week) / tier_sec
 
     # ---- gap-fill -----------------------------------------------------------
+    # bucket_expr, NOT date_trunc: java.time serializes under 32 threads
+    # (measured, BASELINE.md) — this lane must time gap-fill, not lock churn
     t0 = _now()
     hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+        "event_type", bucket_expr("ts", "hour")
     ).agg(F.count(F.lit(1)).cast("double").alias("v"))
     gap_fill_linear(hourly, ["event_type"], "bucket_ts", ["v"], 3600).count()
     timings["gapfill_hour"] = _now() - t0

@@ -33,6 +33,11 @@ def with_domain(pages: DataFrame, url_col: str = "url") -> DataFrame:
     host = F.substring_index(
         F.substring_index(F.col(url_col), "/", 3), "/", -1
     )
+    # no-path urls put query/fragment in the "host" slot
+    # ('https://ex.com?q=1' / 'https://ex.com#frag') — strip them first so
+    # one real domain never splits across rollup keys
+    host = F.substring_index(host, "?", 1)
+    host = F.substring_index(host, "#", 1)
     host = F.substring_index(host, "@", -1)  # strip userinfo if present
     host = F.substring_index(host, ":", 1)  # strip port
     return pages.withColumn("domain", host)

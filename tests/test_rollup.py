@@ -119,3 +119,25 @@ def test_text_byte_identity_invariant(spark, pages):
     diff = before.join(after, "url").filter(F.col("sha_before") != F.col("sha_after"))
     assert before.count() == 5000
     assert diff.count() == 0
+
+
+def test_with_domain_url_shapes(spark):
+    """Host extraction must agree with parse_url HOST semantics on every
+    url shape — including no-path urls carrying a query/fragment (ADVICE
+    r1: 'https://ex.com?q=1' must not leak '?q=1' into the domain key)."""
+    from dads_spark.rollup import with_domain
+
+    urls = [
+        ("https://ex.com/path/page", "ex.com"),
+        ("https://ex.com", "ex.com"),
+        ("https://ex.com?q=1", "ex.com"),
+        ("https://ex.com#frag", "ex.com"),
+        ("https://ex.com:8080/x", "ex.com"),
+        ("https://user@ex.com/x", "ex.com"),
+        ("https://user@ex.com:8080?q=1#f", "ex.com"),
+        ("http://sub.ex.co.uk/a?b#c", "sub.ex.co.uk"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    got = {r["url"]: r["domain"] for r in with_domain(df).collect()}
+    for u, want in urls:
+        assert got[u] == want, f"{u} -> {got[u]}, want {want}"
