@@ -81,10 +81,13 @@ class TieredRollupJob:
     """
 
     def __init__(self, spark: SparkSession, ckpt_root: str, key_cols: list[str]):
+        from ..metrics import StageMetricsCollector
+
         self.ckpt = CheckpointManager(spark, ckpt_root)
         self.key_cols = key_cols
         self.ran_stages: list[str] = []
         self.skipped_stages: list[str] = []
+        self.metrics = StageMetricsCollector(spark)
 
     def run(self, raw: DataFrame, ts_col: str, value_col: str | None, input_desc: dict):
         from ..rollup.tiers import cascade, rollup_from_raw
@@ -102,7 +105,10 @@ class TieredRollupJob:
                     df = rollup_from_raw(raw, self.key_cols, ts_col, value_col, "hour")
                 else:
                     df = cascade(outputs[prev_tier], self.key_cols, tier)
-                outputs[tier] = self.ckpt.commit(stage, df, fp)
+                with self.metrics.stage(stage):
+                    outputs[tier] = self.ckpt.commit(stage, df, fp)
                 self.ran_stages.append(stage)
             prev_tier = tier
+        if self.ran_stages:  # pure-resume reruns keep the prior metrics table
+            self.metrics.write(self.ckpt.root)
         return outputs

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .checkpoint import CheckpointManager, fingerprint
 from .compress import encode_timestamps, encode_values
+from .metrics import StageMetricsCollector
 from .rollup import bucket_expr, cascade, gap_fill_linear
 from .rollup.series import domain_hourly_series
 from .s2g import ROLLUP as S2G_ROLLUP_PARAMS, S2GParams
@@ -74,12 +75,16 @@ class PagesRollupJob:
         self.discord_m = discord_m
         self.ran_stages: list[str] = []
         self.skipped_stages: list[str] = []
+        # statistics-protocol counterpart: one duration/bytes row per
+        # executed stage, persisted next to the manifests after run()
+        self.metrics = StageMetricsCollector(spark)
 
     def _stage(self, name: str, fp: str, build):
         if self.ckpt.is_committed(name, fp):
             self.skipped_stages.append(name)
             return self.ckpt.load(name)
-        out = self.ckpt.commit(name, build(), fp)
+        with self.metrics.stage(name):
+            out = self.ckpt.commit(name, build(), fp)
         self.ran_stages.append(name)
         return out
 
@@ -135,4 +140,6 @@ class PagesRollupJob:
                 out["gapfilled"], ["domain"], "bucket_ts", "v", m=self.discord_m
             ),
         )
+        if self.ran_stages:  # pure-resume reruns keep the prior metrics table
+            self.metrics.write(self.ckpt.root)
         return out

@@ -69,6 +69,13 @@ def main() -> None:
         "ran_stages": job.ran_stages,
         "skipped_stages": job.skipped_stages,
         "row_counts": counts,
+        "stage_metrics": [
+            {
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in row.items()
+            }
+            for row in job.metrics.rows()
+        ],
     }
     print("JOB_SUMMARY " + json.dumps(summary))
     spark.stop()
