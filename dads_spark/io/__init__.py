@@ -6,4 +6,14 @@ from .binary import (  # noqa: F401
     write_binary_series,
     write_scores_text,
 )
-from .tools import convert_text_to_binary, replicate_series, score_diff  # noqa: F401
+from .tools import (  # noqa: F401
+    convert_text_to_binary,
+    extract_statistics,
+    matrix_diff,
+    metrics_report,
+    node_diff,
+    replicate_series,
+    score_diff,
+    write_matrix,
+    write_nodes,
+)

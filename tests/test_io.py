@@ -76,3 +76,70 @@ def test_offline_toolkit(tmp_path):
     d = score_diff(str(a), str(b))
     assert d["count"] == 3 and d["max_diff"] == 0.5 and d["n_exact"] == 2
     assert np.isclose(d["avg_diff"], 0.5 / 3)
+
+
+def test_node_diff_roundtrip(tmp_path):
+    """write_nodes emits the reference's node-dump format; node_diff
+    reproduces node_diff.py's key-matched comparison on real pipeline
+    node collections."""
+    from dads_spark.fixtures import benchmark_series
+    from dads_spark.io import node_diff, write_nodes
+    from dads_spark.s2g import S2GParams, s2g_oracle
+
+    params = S2GParams(m=20, c=6, S=30, ell=30)
+    x = benchmark_series(2000, seed=5)
+    nodes = {
+        seg: arr
+        for seg, arr in enumerate(s2g_oracle(x, params).nodes_by_segment)
+        if len(arr)
+    }
+    pa, pb = tmp_path / "a.txt", tmp_path / "b.txt"
+    n = write_nodes(nodes, str(pa))
+    assert n > 0
+    # identical dumps -> zero diff
+    write_nodes(nodes, str(pb))
+    d = node_diff(str(pa), str(pb))
+    assert d["count"] == n and d["max_diff"] == 0.0 and d["n_key_mismatch"] == 0
+    # perturbed distances -> nonzero max/avg, keys still aligned
+    pert = {s: np.asarray(v) + 1e-3 for s, v in nodes.items()}
+    write_nodes(pert, str(pb))
+    d = node_diff(str(pa), str(pb))
+    assert d["count"] == n and np.isclose(d["max_diff"], 1e-3)
+    assert np.isclose(d["avg_diff"], 1e-3)
+
+
+def test_matrix_diff(tmp_path):
+    from dads_spark.io import matrix_diff, write_matrix
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(5, 4))
+    pa, pb = tmp_path / "ma.txt", tmp_path / "mb.txt"
+    write_matrix(m, str(pa))
+    write_matrix(m, str(pb))
+    d = matrix_diff(str(pa), str(pb))
+    assert d["count"] == 20 and d["max_diff"] == 0.0
+    m2 = m.copy(); m2[2, 1] += 0.25
+    write_matrix(m2, str(pb))
+    d = matrix_diff(str(pa), str(pb))
+    assert np.isclose(d["max_diff"], 0.25) and np.isclose(d["avg_diff"], 0.25 / 20)
+    write_matrix(m, str(pb), header="other")
+    assert "header_mismatch" in matrix_diff(str(pa), str(pb))
+
+
+def test_statistics_extract_and_report(spark, tmp_path):
+    from dads_spark.io import extract_statistics, metrics_report
+    from dads_spark.metrics import StageMetricsCollector
+
+    mc = StageMetricsCollector(spark)
+    with mc.stage("agg"):
+        spark.range(0, 200_000).selectExpr("id % 5 k").groupBy("k").count().collect()
+    with mc.stage("scan"):
+        spark.range(0, 1_000).collect()
+    csv = tmp_path / "stages.csv"
+    summary = extract_statistics(mc.rows(), out_csv=str(csv))
+    assert summary["n_stages"] == 2 and summary["stages"] == ["agg", "scan"]
+    assert summary["total_wall_sec"] > 0
+    lines = csv.read_text().strip().split("\n")
+    assert len(lines) == 3 and lines[0].startswith("stage,wall_sec")
+    rep = metrics_report(mc.rows(), n_cores=4)
+    assert "agg" in rep and "scan" in rep and "util=" in rep and "#" in rep
