@@ -1040,6 +1040,73 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# retention / downsample / smoothing (north-rule named features)
+# ---------------------------------------------------------------------------
+
+def q_retention_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tier retention enforcement against the hour tier's watermark
+    (hour kept 7 days, day 30 days, week forever); output = one summary row
+    per tier. The oracle applies the same horizon arithmetic in SQL — hash
+    equality proves the enforcement predicate (inclusive bound, shared
+    watermark, epoch math) is exact."""
+    from dads_spark.rollup import enforce_policy
+
+    ev = _t(spark, sf_dir, "events")
+    hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+    day = cascade(hour, ["event_type"], "day")
+    week = cascade(day, ["event_type"], "week")
+    kept = enforce_policy(
+        {"hour": hour, "day": day, "week": week},
+        {"hour": 7 * 86_400, "day": 30 * 86_400, "week": None},
+    )
+    parts = []
+    for tier in ("hour", "day", "week"):
+        parts.append(
+            kept[tier].agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_count").alias("doc_total"),
+                F.date_format(F.min("bucket_ts"), _TS_FMT).alias("min_bucket"),
+                F.date_format(F.max("bucket_ts"), _TS_FMT).alias("max_bucket"),
+            ).select(F.lit(tier).alias("tier"), "*")
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LTTB shape-preserving downsample of each type's hourly series to 100
+    # points (rows-only: the walk is a sequential recurrence, not ANSI SQL;
+    # parity with the local kernel is pytest-covered)
+    from dads_spark.rollup import lttb_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    return lttb_downsample(hourly, ["event_type"], "bucket_ts", "v", 100).select(
+        "event_type", _fmt_bucket(), "v"
+    )
+
+
+def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EWMA smoothing + absolute residuals per hourly series (rows-only:
+    # infinite-window EWMA recurrence; pandas-parity pytest-covered)
+    from dads_spark.rollup import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    sm = ewma_smooth(hourly, ["event_type"], "bucket_ts", "v", alpha=0.3)
+    return sm.select(
+        "event_type",
+        _fmt_bucket(),
+        "v",
+        F.round("ewma", 6).alias("ewma"),
+        F.round("abs_resid", 6).alias("abs_resid"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S2G anomaly pipeline over rolled-up event series (flagship, non-SQL)
 # ---------------------------------------------------------------------------
 
@@ -1097,6 +1164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "json_extract_props": q_json_extract_props,
         "simhash_md5": q_simhash_md5,
+        # -- new this round (retention/downsample/smoothing) ----------------
+        "retention_enforce": q_retention_enforce,
+        "lttb_downsample": q_lttb_downsample,
+        "ewma_anomaly": q_ewma_anomaly,
         # -- (3) r1 driver-green --------------------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -1500,6 +1571,31 @@ def oracle_sql() -> dict[str, str]:
                    min((([{', '.join(map(str, _MH_A))}])[k + 1] * x
                         + ([{', '.join(map(str, _MH_B))}])[k + 1]) % {_MH_P}) AS mh
             FROM tk GROUP BY 1, 2
+        """,
+        "retention_enforce": """
+            WITH h AS (
+              SELECT event_type, date_trunc('hour', ts) AS b,
+                     count(*) AS n FROM events GROUP BY 1, 2),
+            d AS (SELECT event_type, date_trunc('day', b) AS b,
+                         CAST(sum(n) AS BIGINT) AS n FROM h GROUP BY 1, 2),
+            w AS (SELECT event_type, date_trunc('week', b) AS b,
+                         CAST(sum(n) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+            wm AS (SELECT max(b) AS wm FROM h)
+            SELECT 'hour' AS tier, count(*) AS n_rows,
+                   CAST(sum(n) AS BIGINT) AS doc_total,
+                   strftime(min(b), '%Y-%m-%d %H:%M:%S') AS min_bucket,
+                   strftime(max(b), '%Y-%m-%d %H:%M:%S') AS max_bucket
+            FROM h, wm WHERE epoch(b) >= epoch(wm) - 7 * 86400
+            UNION ALL
+            SELECT 'day', count(*), CAST(sum(n) AS BIGINT),
+                   strftime(min(b), '%Y-%m-%d %H:%M:%S'),
+                   strftime(max(b), '%Y-%m-%d %H:%M:%S')
+            FROM d, wm WHERE epoch(b) >= epoch(wm) - 30 * 86400
+            UNION ALL
+            SELECT 'week', count(*), CAST(sum(n) AS BIGINT),
+                   strftime(min(b), '%Y-%m-%d %H:%M:%S'),
+                   strftime(max(b), '%Y-%m-%d %H:%M:%S')
+            FROM w
         """,
         "language_id": """
             WITH t AS (

@@ -1,0 +1,130 @@
+"""Series downsampling + smoothing over rolled-up tiers.
+
+north rule (BASELINE.json): "rollup + DOWNSAMPLE + retention engine". Two
+operators beyond the tier cascade (which is the aggregate downsample):
+
+- :func:`lttb_downsample` — Largest-Triangle-Three-Buckets (Steinarsson,
+  2013): the standard shape-preserving downsample to a fixed point budget;
+  keeps the visually/analytically dominant points (peaks, troughs) that a
+  plain bucket mean flattens.
+- :func:`ewma_smooth` — exponentially weighted moving average + residuals,
+  the usual pre-stage for threshold-based anomaly flagging on noisy
+  per-domain series.
+
+Both are per-series sequential recurrences, so they run as one vectorized
+NumPy/pandas kernel per series inside ``groupBy().applyInPandas`` — the
+same zero-coordination many-series shape as the grouped S2G scorer: at
+10^12 docs there are millions of (domain) series, each small after rollup,
+and Spark schedules one task per series group with no cross-task traffic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def lttb_indices(t: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
+    """Indices LTTB keeps for a series (t ascending), length ``n_out``.
+
+    Algorithm (Steinarsson 2013, public thesis): always keep first and
+    last; split the interior into n_out-2 buckets; walking left to right,
+    keep from each bucket the point forming the largest triangle with the
+    previously kept point and the NEXT bucket's centroid.
+    """
+    n = len(v)
+    if n_out >= n or n <= 2:
+        return np.arange(n)
+    if n_out < 3:
+        return np.array([0, n - 1])
+    # interior bucket edges over [1, n-1), n_out-2 buckets
+    edges = (1 + (n - 2) * np.arange(n_out - 1) / (n_out - 2)).astype(np.int64)
+    edges[-1] = n - 1
+    t = np.asarray(t, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    keep = np.empty(n_out, dtype=np.int64)
+    keep[0] = 0
+    a = 0
+    for k in range(n_out - 2):
+        lo, hi = edges[k], edges[k + 1]
+        if k + 2 <= n_out - 2:
+            nlo, nhi = edges[k + 1], edges[k + 2]
+        else:  # last interior bucket -> "next" is the final point
+            nlo, nhi = n - 1, n
+        avg_t = t[nlo:nhi].mean()
+        avg_v = v[nlo:nhi].mean()
+        # triangle area vs previous kept point and next centroid (x2)
+        area = np.abs(
+            (t[a] - avg_t) * (v[lo:hi] - v[a]) - (t[a] - t[lo:hi]) * (avg_v - v[a])
+        )
+        a = lo + int(area.argmax())
+        keep[k + 1] = a
+    keep[-1] = n - 1
+    return keep
+
+
+def lttb_downsample(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    n_out: int,
+) -> DataFrame:
+    """Per-series LTTB to ``n_out`` points: (keys..., bucket, value) rows,
+    order-stable (sorted by bucket inside each series)."""
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {fields[c]}" for c in key_cols]
+        + [f"{bucket_col} {fields[bucket_col]}", f"{value_col} double"]
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col).reset_index(drop=True)
+        t = pdf[bucket_col].astype("datetime64[ns]").astype("int64").to_numpy()
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        idx = lttb_indices(t, v, n_out)
+        out = pdf.iloc[idx][[*key_cols, bucket_col]].copy()
+        out[value_col] = v[idx]
+        return out
+
+    return df.select(*key_cols, bucket_col, value_col).groupBy(
+        *key_cols
+    ).applyInPandas(pick, out_schema)
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-series EWMA (pandas ``ewm(alpha, adjust=True)`` semantics) +
+    absolute residual: (keys..., bucket, value, ewma, abs_resid). The
+    residual column is the input for threshold anomaly flags."""
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {fields[c]}" for c in key_cols]
+        + [
+            f"{bucket_col} {fields[bucket_col]}",
+            f"{value_col} double",
+            "ewma double",
+            "abs_resid double",
+        ]
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col).reset_index(drop=True)
+        v = pdf[value_col].astype(np.float64)
+        ew = v.ewm(alpha=alpha, adjust=True).mean()
+        out = pdf[[*key_cols, bucket_col]].copy()
+        out[value_col] = v
+        out["ewma"] = ew
+        out["abs_resid"] = (v - ew).abs()
+        return out
+
+    return df.select(*key_cols, bucket_col, value_col).groupBy(
+        *key_cols
+    ).applyInPandas(smooth, out_schema)

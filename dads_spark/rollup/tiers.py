@@ -89,8 +89,17 @@ def salted_rollup(
     phases are exact for count/sum/min/max. Output equals
     :func:`rollup_from_raw` row for row.
     """
+    # salt = f(keys, map partition): deterministic under recomputation (no
+    # monotonically_increasing_id), and constant per (key, input partition)
+    # so map-side partial aggregation still collapses each partition's rows
+    # before the shuffle — the hot key then spreads over however many input
+    # partitions carry it, capped at salt_buckets reducers
     salted = df.withColumn(
-        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "_salt",
+        F.pmod(
+            F.hash(*[F.col(c) for c in key_cols], F.spark_partition_id()),
+            F.lit(salt_buckets),
+        ),
     )
     val = F.col(value_col) if value_col else F.lit(0.0)
     phase1 = salted.groupBy(
