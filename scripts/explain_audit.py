@@ -151,6 +151,36 @@ def main() -> None:
         "\n".join(p6.splitlines()[:10]),
     ))
 
+    # --- A7: language_id stays JVM-side (r2 rewrite) ------------------------
+    p7 = plan_of(em.queries()["language_id"](spark, sf_dir))
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert py_op not in p7, f"language_id plan contains Python stage {py_op}"
+    sections.append((
+        "A7 language_id fully JVM-side",
+        "PASS — no Python evaluation operator in the plan: tokenization, "
+        "stopword counts, and the argmax run inside codegen expressions",
+        "\n".join(p7.splitlines()[2:10]),
+    ))
+
+    # --- A8: retention enforcement adds no shuffle --------------------------
+    from dads_spark.rollup import enforce_retention
+
+    tier_read = spark.read.parquet(tier_path)
+    p8 = plan_of(enforce_retention(tier_read, 7 * 86_400))
+    body8 = p8[p8.index("== Physical Plan =="):]
+    # the watermark arrives via a broadcast (scalar) join; the tier itself
+    # must not be hash-repartitioned to apply the horizon predicate
+    n_hash_ex = body8.count("Exchange hashpartitioning")
+    assert n_hash_ex <= 1, p8  # only the watermark's own 1-row aggregation
+    assert "Broadcast" in body8, "watermark not broadcast"
+    sections.append((
+        "A8 retention enforcement shuffle profile",
+        "PASS — the horizon filter applies scan-side against a broadcast "
+        "1-row watermark; the tier is never hash-repartitioned "
+        f"({n_hash_ex} hash exchange = the watermark aggregation itself)",
+        "\n".join(l for l in body8.splitlines() if "Exchange" in l or "Broadcast" in l or "Filter" in l)[:800],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
