@@ -105,6 +105,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "neardup_cosine",
         "dedup_exact",
         "text_quality",
+        "retention_enforce",
+        "lttb_downsample",
+        "ewma_anomaly",
         "minhash_lsh",
         "simhash",
         "simhash_near_pairs",

@@ -270,10 +270,30 @@ def simhash_near_pairs(
     must agree EXACTLY on at least one band, so candidates come from
     equi-joins on (band_idx, band_bits), never the n^2 pair space. Verification
     is a JVM-side popcount on the XOR.
+
+    As in :func:`minhash_lsh_pairs`, docs with IDENTICAL simhash collapse to
+    one group representative before the band join (a C-doc dup clique
+    otherwise floods every band with C^2/2 duplicate candidates); identical
+    hashes are distance 0 and share all band bits, so the expanded pair set
+    is exactly the naive one.
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
     sh = simhash64(docs, text_col, id_col)
+    groups = sh.groupBy("simhash").agg(
+        F.sort_array(F.collect_list(id_col)).alias("members")
+    ).cache()
+
+    intra = (
+        groups.select(F.explode("members").alias("id_a"), F.col("members").alias("_mb"))
+        .select("id_a", F.explode("_mb").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.lit(0))
+    )
+
+    rep = groups.select(
+        F.element_at("members", 1).alias("rep_id"), "simhash", "members"
+    )
     band_cols = [
         F.struct(
             F.lit(i).alias("band_idx"),
@@ -283,9 +303,9 @@ def simhash_near_pairs(
         )
         for i in range(n_bands)
     ]
-    bands = sh.select(
-        id_col, "simhash", F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, "simhash", "b.band_idx", "b.band_bits")
+    bands = rep.select(
+        "rep_id", "simhash", "members", F.explode(F.array(*band_cols)).alias("b")
+    ).select("rep_id", "simhash", "members", "b.band_idx", "b.band_bits")
     left = bands.alias("l")
     right = bands.alias("r")
     cand = (
@@ -293,22 +313,32 @@ def simhash_near_pairs(
             right,
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_bits") == F.col("r.band_bits"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            & (F.col("l.rep_id") < F.col("r.rep_id")),
         )
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.rep_id").alias("ra"),
+            F.col("r.rep_id").alias("rb"),
             F.col("l.simhash").alias("sh_a"),
             F.col("r.simhash").alias("sh_b"),
+            F.col("l.members").alias("mem_a"),
+            F.col("r.members").alias("mem_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["ra", "rb"])
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    verified = cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
     )
+    cross = (
+        verified.select(F.explode("mem_a").alias("ma"), "mem_b", "hamming")
+        .select("ma", F.explode("mem_b").alias("mb"), "hamming")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(cross).select("id_a", "id_b", "hamming")
 
 
 def ngram_jaccard_pairs(
