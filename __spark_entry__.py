@@ -1043,6 +1043,42 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # retention / downsample / smoothing (north-rule named features)
 # ---------------------------------------------------------------------------
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful Structured-Streaming sessionization
+    (``applyInPandasWithState``, event-time timeout) over a bounded backlog
+    of the events table; a far-future sentinel row advances the watermark
+    so every real session closes and is emitted. The oracle is the BATCH
+    sessionize SQL — hash equality proves the incremental state machine
+    computes the same sessions as the window-sum formulation."""
+    import hashlib as _hl
+    import os as _os
+
+    from dads_spark.streaming import run_sessionize_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    src = f"/tmp/dads_sess_src_{_hl.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    marker = f"{src}/_SENTINEL_DONE"  # staging is two writes; marker makes it atomic
+    if not _os.path.exists(marker):
+        ev.write.mode("overwrite").parquet(src)
+        sentinel = ev.limit(1).select(
+            F.lit(1 << 40).alias("event_id"),
+            F.lit(1_000_000_000).alias("user_id"),
+            (F.col("ts").cast("timestamp") + F.expr("INTERVAL 3650 DAYS")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        sentinel.write.mode("append").parquet(src)
+        open(marker, "w").close()
+    qname = f"q_sess_{_hl.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    out = run_sessionize_stream(spark, src, ev.schema, query_name=qname)
+    return out.filter(F.col("user_id") < 1_000_000_000).select(
+        "user_id",
+        "session_id",
+        "n_events",
+        "duration_us",
+        F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
 def q_retention_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tier retention enforcement against the hour tier's watermark
     (hour kept 7 days, day 30 days, week forever); output = one summary row
@@ -1164,10 +1200,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "json_extract_props": q_json_extract_props,
         "simhash_md5": q_simhash_md5,
-        # -- new this round (retention/downsample/smoothing) ----------------
+        # -- new this round (retention/downsample/smoothing/streaming) ------
         "retention_enforce": q_retention_enforce,
         "lttb_downsample": q_lttb_downsample,
         "ewma_anomaly": q_ewma_anomaly,
+        "streaming_sessionize": q_streaming_sessionize,
         # -- (3) r1 driver-green --------------------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -1219,7 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "rollup_hour": """
             SELECT event_type,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
@@ -1783,3 +1820,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
         """,
     }
+    # the stateful streaming sessionizer emits exactly the batch sessions;
+    # its oracle IS the batch sessionize SQL
+    d["streaming_sessionize"] = d["sessionize"]
+    return d

@@ -7,3 +7,7 @@ for pipelines that tail a landing zone instead of re-scanning it.
 """
 
 from .windowed import streaming_hourly_rollup, run_stream_once  # noqa: F401
+from .stateful import (  # noqa: F401
+    run_sessionize_stream,
+    streaming_sessionize,
+)

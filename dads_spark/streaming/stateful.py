@@ -1,0 +1,130 @@
+"""Custom stateful streaming operator: per-user sessionization with
+``applyInPandasWithState``.
+
+The batch engine sessionizes with a window-sum over gap markers
+(``__spark_entry__.q_sessionize``); the streaming twin assembles the same
+sessions incrementally: per-user state carries the OPEN session (ordinal,
+start, last-event time, count, value sum); events with a gap >
+``gap_us`` close the previous session; the watermark closes trailing
+sessions via event-time timeout. Emitted rows are complete sessions only —
+identical (user_id, session_id, n_events, duration_us, value_sum) tuples
+to the batch result once every session has closed (pytest-verified by
+driving a bounded backlog plus a watermark-advancing sentinel).
+
+State is one tiny tuple per ACTIVE user — the 100 TB shape: state size
+tracks concurrently-open sessions, not history, and the watermark bounds
+how long an idle user occupies the store.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: emitted rows: exactly the batch sessionize shape
+SESSION_SCHEMA = (
+    "user_id long, session_id long, n_events long, duration_us long, "
+    "value_sum double"
+)
+#: per-user open-session state
+STATE_SCHEMA = "next_sid long, start_us long, last_us long, n long, vsum double"
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap_us: int = 1_800_000_000,
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming per-user sessionizer; emits one row per CLOSED session."""
+    from pyspark.sql import functions as F
+
+    ev = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .select(
+            user_col,
+            ts_col,
+            F.unix_micros(F.col(ts_col)).alias("_us"),
+            F.col(value_col).alias("_v"),
+            F.col("event_id").alias("_eid"),
+        )
+    )
+
+    def assemble(key, pdfs, state: GroupState):
+        (user,) = key
+        if state.hasTimedOut:
+            next_sid, start_us, last_us, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_id": [next_sid],
+                    "n_events": [n],
+                    "duration_us": [last_us - start_us],
+                    "value_sum": [vsum],
+                }
+            )
+            return
+        pdf = pd.concat(list(pdfs)).sort_values(["_us", "_eid"])
+        if state.exists:
+            next_sid, start_us, last_us, n, vsum = state.get
+        else:
+            next_sid, start_us, last_us, n, vsum = 0, None, None, 0, 0.0
+        out = []
+        for us, v in zip(pdf["_us"], pdf["_v"]):
+            us, v = int(us), float(v)
+            if last_us is not None and us - last_us > gap_us:
+                out.append((user, next_sid, n, last_us - start_us, vsum))
+                next_sid += 1
+                start_us, n, vsum = us, 0, 0.0
+            if start_us is None:
+                start_us = us
+            last_us = us
+            n += 1
+            vsum += v
+        state.update((next_sid, start_us, last_us, n, vsum))
+        # close the open session once the watermark passes its gap horizon
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "session_id", "n_events", "duration_us", "value_sum"
+                ],
+            )
+
+    return ev.groupBy(user_col).applyInPandasWithState(
+        assemble,
+        SESSION_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_sessionize_stream(
+    spark,
+    source_path: str,
+    schema,
+    gap_us: int = 1_800_000_000,
+    watermark: str = "1 hour",
+    query_name: str = "sessionize_stream",
+) -> DataFrame:
+    """Drive a bounded backlog through the stateful sessionizer (memory
+    sink, append mode) and return every emitted session row."""
+    stream = spark.readStream.schema(schema).format("parquet").load(source_path)
+    sess = streaming_sessionize(stream, gap_us=gap_us, watermark=watermark)
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -86,3 +86,74 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     assert len(eight) == 1
     assert eight["doc_count"].iloc[0] == 2
     assert eight["value_sum"].iloc[0] == 3.0
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer == batch window-sum sessionizer
+    once every session is closed (a far-future sentinel row advances the
+    watermark so event-time timeouts flush all real sessions)."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as em
+    from dads_spark.streaming import run_sessionize_stream
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    base = pd.Timestamp("2024-03-01")
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            # mostly small gaps with occasional >30min jumps -> real sessions
+            "ts": base
+            + pd.to_timedelta(
+                np.sort(rng.integers(0, 5 * 86_400, n)), unit="s"
+            ),
+            "event_type": "click",
+            "value": rng.uniform(0, 10, n).round(3),
+            "props": "{}",
+        }
+    )
+    src = str(tmp_path / "backlog")
+    events_df = spark.createDataFrame(pdf)
+    events_df.coalesce(1).write.mode("overwrite").parquet(src)
+    # sentinel: one far-future row for a user id outside the real range;
+    # its event time drags the watermark past every real session's horizon
+    sent = pdf.iloc[:1].copy()
+    sent["event_id"] = n
+    sent["user_id"] = 10_000
+    sent["ts"] = base + pd.Timedelta(days=30)
+    spark.createDataFrame(sent).coalesce(1).write.mode("append").parquet(src)
+
+    got = (
+        run_sessionize_stream(spark, src, events_df.schema, query_name="t_sess")
+        .filter("user_id < 10000")
+        .toPandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+
+    # batch oracle: the same sessionization over the same parquet (sentinel
+    # excluded), via the driver-gated batch query
+    sf_like = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf_like, exist_ok=True)
+    spark.read.parquet(src).filter("user_id < 10000").write.mode(
+        "overwrite"
+    ).parquet(f"{sf_like}/events.parquet")
+    want = (
+        em.q_sessionize(spark, sf_like)
+        .toPandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 60
+    assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+    assert (got["session_id"].to_numpy() == want["session_id"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert (got["duration_us"].to_numpy() == want["duration_us"].to_numpy()).all()
+    assert np.allclose(
+        got["value_sum"].to_numpy(), want["value_sum"].to_numpy(), atol=0.01
+    )
