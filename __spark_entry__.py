@@ -898,6 +898,7 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 import numpy as _np
+import pandas as pd  # module-level: pandas_udf type hints must resolve here
 
 # shared literal constants for the relational MinHash oracle pair: the SAME
 # numbers are inlined into the Spark expressions and the DuckDB SQL
@@ -1037,6 +1038,42 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket count must track corpus size: ~2^planes buckets per band; the
     # test corpora are small, so few planes + more bands keeps recall high
     return ann_lsh(emb, _KNN_QUERIES, k=10, n_planes=6, n_bands=8)
+
+
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HyperLogLog++ distinct count, quantile
+    sketch) side by side with their exact counterparts. Rows-only in the
+    driver gate (sketch values are engine-specific by construction); the
+    accuracy contract |approx-exact|/exact <= 5*rsd is pytest-asserted
+    (tests/test_entry_compare.py::test_approx_aggregates_error_bounds)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 4).alias("approx_p50"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate surface: a grouped-agg pandas UDAF (Arrow
+    batch -> scalar per group) computing exp(mean(log1p(|value|))) per
+    event type; the oracle evaluates the same closed form in SQL — hash
+    equality pins the UDAF path end to end."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log1p(np.abs(v.to_numpy())).mean()))
+
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg();
+    # the row count comes from a broadcast-joined plain aggregation
+    ev = _t(spark, sf_dir, "events")
+    gm = ev.groupBy("event_type").agg(F.round(geomean("value"), 6).alias("geomean_1p"))
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return gm.join(F.broadcast(counts), "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -1205,6 +1242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample": q_lttb_downsample,
         "ewma_anomaly": q_ewma_anomaly,
         "streaming_sessionize": q_streaming_sessionize,
+        "approx_aggregates": q_approx_aggregates,
+        "udaf_geomean": q_udaf_geomean,
         # -- (3) r1 driver-green --------------------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -1608,6 +1647,12 @@ def oracle_sql() -> dict[str, str]:
                    min((([{', '.join(map(str, _MH_A))}])[k + 1] * x
                         + ([{', '.join(map(str, _MH_B))}])[k + 1]) % {_MH_P}) AS mh
             FROM tk GROUP BY 1, 2
+        """,
+        "udaf_geomean": """
+            SELECT event_type,
+                   round(exp(avg(ln(1 + abs(value)))), 6) AS geomean_1p,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
         """,
         "retention_enforce": """
             WITH h AS (

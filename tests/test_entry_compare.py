@@ -41,3 +41,14 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_approx_aggregates_error_bounds(spark):
+    """HLL++ distinct counts within 5*rsd of exact; quantile sketch median
+    within 1% of the exact interpolated median."""
+    pdf = entry_mod.q_approx_aggregates(spark, SF_DIR).toPandas()
+    assert len(pdf) >= 3
+    rel = (pdf["approx_users"] - pdf["exact_users"]).abs() / pdf["exact_users"]
+    assert (rel <= 0.05).all(), pdf
+    p50_rel = (pdf["approx_p50"] - pdf["exact_p50"]).abs() / pdf["exact_p50"].abs()
+    assert (p50_rel <= 0.01).all(), pdf
