@@ -54,7 +54,7 @@ PAGES_PER_PART = 100_000  # rows per partition -> 102.4M pages
 PAGES_PATH = "/tmp/dads_bench_pages.parquet"  # written once, read per level
 
 _PRELUDE = r"""
-import json, sys, time
+import json, os, sys, time
 import numpy as np, pandas as pd
 
 cpus = int(sys.argv[1])
@@ -70,7 +70,17 @@ N_SERIES, SERIES_LEN, BIG_N, BIG_SLICES, PAGES_PARTS, PAGES_PER_PART = (
     {n_series}, {series_len}, {big_n}, {big_slices}, {pages_parts}, {pages_per_part})
 PAGES_PATH = {pages_path!r}
 
-spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 32))
+# SCALING_BENCH_MODE=cluster: cpus//4 SEPARATE executor JVMs x 4 cores each
+# (Spark's local-cluster test master) — a truer N-vs-4N-EXECUTORS emulation
+# than thread counts: per-executor heaps/GC/arrow streams are independent,
+# exactly as on a real cluster of machines.
+if os.environ.get("SCALING_BENCH_MODE") == "cluster":
+    master = f"local-cluster[{{cpus // 4}},4,6144]"
+    extra = {{"spark.executor.memory": "5g", "spark.driver.memory": "8g"}}
+else:
+    master = f"local[{{cpus}}]"
+    extra = {{}}
+spark = get_spark(master=master, shuffle_partitions=max(cpus, 32), extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 out = {{"cpus": cpus}}
 """
