@@ -143,3 +143,43 @@ def test_statistics_extract_and_report(spark, tmp_path):
     assert len(lines) == 3 and lines[0].startswith("stage,wall_sec")
     rep = metrics_report(mc.rows(), n_cores=4)
     assert "agg" in rep and "scan" in rep and "util=" in rep and "#" in rep
+
+
+def test_run_dads_cli_matches_oracle(tmp_path):
+    """The reference-shaped CLI (binary in -> score text out) produces
+    exactly the oracle's scores, including the accepted-but-ignored
+    compatibility flags."""
+    import subprocess
+    import sys
+
+    from dads_spark.fixtures import benchmark_series
+    from dads_spark.io import write_binary_series
+    from dads_spark.s2g import S2GParams, s2g_oracle
+
+    x = benchmark_series(3000, seed=2)
+    seq = str(tmp_path / "seq.bin")
+    out = str(tmp_path / "scores_out")
+    write_binary_series(seq, x)
+    p = subprocess.run(
+        [
+            sys.executable, "scripts/run_dads.py",
+            "--sequence", seq,
+            "--sub-sequence-length", "20", "--convolution-size", "6",
+            "--intersection-segments", "30", "--query-length", "30",
+            "--output", out, "--threads", "2", "--slices", "3",
+            "--distribution", "HETEROGENEOUS",  # warns, falls back
+            "--no-smart-scoring", "--min-slaves", "2",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "DADS_RUN" in p.stdout
+    got = []
+    import glob
+
+    for f in sorted(glob.glob(f"{out}/part-*")):
+        with open(f) as fh:
+            got.extend(float(line) for line in fh if line.strip())
+    want = s2g_oracle(x, S2GParams(m=20, c=6, S=30, ell=30), n_slices=3).scores
+    assert len(got) == len(want)
+    assert (np.asarray(got) == want).all()  # bit-exact through the text sink
