@@ -1040,6 +1040,38 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(emb, _KNN_QUERIES, k=10, n_planes=6, n_bands=8)
 
 
+def q_window_frames_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ranking-function + RANGE-frame coverage: dense_rank / percent_rank /
+    # ntile over order value, plus a RANGE BETWEEN frame keyed on the
+    # order date (peers with equal dates aggregate together)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 30)
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wd = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.sum("o_totalprice").over(wd), 2).alias("range_running_total"),
+    )
+
+
+def q_array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered array aggregation: per customer, the sorted list of order
+    # keys + its size (collect_list is unordered in Spark, so both engines
+    # sort the assembled array — the deterministic formulation)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    return orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HyperLogLog++ distinct count, quantile
     sketch) side by side with their exact counterparts. Rows-only in the
@@ -1244,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "approx_aggregates": q_approx_aggregates,
         "udaf_geomean": q_udaf_geomean,
+        "window_frames_ranking": q_window_frames_ranking,
+        "array_agg_ordered": q_array_agg_ordered,
         # -- (3) r1 driver-green --------------------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -1647,6 +1681,24 @@ def oracle_sql() -> dict[str, str]:
                    min((([{', '.join(map(str, _MH_A))}])[k + 1] * x
                         + ([{', '.join(map(str, _MH_B))}])[k + 1]) % {_MH_P}) AS mh
             FROM tk GROUP BY 1, 2
+        """,
+        "window_frames_ranking": """
+            SELECT o_custkey, o_orderkey,
+                   dense_rank() OVER w AS price_dense_rank,
+                   round(percent_rank() OVER w, 6) AS price_pct_rank,
+                   ntile(4) OVER w AS price_quartile,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                     AS range_running_total
+            FROM orders WHERE o_custkey <= 30
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        """,
+        "array_agg_ordered": """
+            SELECT o_custkey,
+                   list_sort(list(o_orderkey)) AS order_keys,
+                   count(*) AS n_orders
+            FROM orders WHERE o_custkey <= 100 GROUP BY 1
         """,
         "udaf_geomean": """
             SELECT event_type,
