@@ -101,12 +101,41 @@ def run_s2g_distributed(
     params: S2GParams,
     n_slices: int,
     n: Optional[int] = None,
+    small_series_threshold: int = 300_000,
 ) -> DataFrame:
     """Score one large series ``(idx long, value double)`` with P overlapped
     slices. Returns (window_idx, score), window_idx global and dense.
+
+    Adaptive small-input path (broadcast-join analogue): below
+    ``small_series_threshold`` points the 6-stage distributed dataflow is
+    pure coordination overhead (~8 s for a 200k series that computes in
+    ~0.6 s), so the series is collected (a few MB) and scored in-process by
+    ``s2g_oracle`` AT THE SAME ``n_slices`` — the oracle replays the exact
+    multi-slice dataflow, so the scores are bit-identical to the
+    distributed plan by the engine's core tested invariant
+    (tests/test_s2g_spark.py: distributed == oracle at equal slicing).
+    Pass ``small_series_threshold=0`` to force the distributed plan.
     """
     if n is None:
         n = series_df.count()
+    if n <= small_series_threshold:
+        from .oracle import s2g_oracle
+
+        x = (
+            series_df.orderBy("idx")
+            .toPandas()["value"]
+            .to_numpy(dtype=np.float64)
+        )
+        scores = s2g_oracle(x, params, n_slices=n_slices).scores
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "window_idx": np.arange(len(scores), dtype=np.int64),
+                    "score": scores,
+                }
+            ),
+            _FINAL_SCHEMA,
+        )
     tagged, slices = sliced_series(spark, series_df, n, params, n_slices)
     tagged = tagged.repartition(len(slices), "slice_id").cache()
     sc = spark.sparkContext

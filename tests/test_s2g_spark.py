@@ -23,7 +23,12 @@ def test_distributed_bit_parity(spark, series):
     )
     for p in (1, 4):
         out = (
-            run_s2g_distributed(spark, df, PARAMS, n_slices=p, n=len(series))
+            # threshold=0: force the DISTRIBUTED plan (the adaptive
+            # small-input path would trivially compare oracle to oracle)
+            run_s2g_distributed(
+                spark, df, PARAMS, n_slices=p, n=len(series),
+                small_series_threshold=0,
+            )
             .orderBy("window_idx")
             .toPandas()
         )
@@ -33,6 +38,23 @@ def test_distributed_bit_parity(spark, series):
         assert (out["score"].to_numpy() == ora.scores).all(), (
             f"spark vs oracle not bit-identical at P={p}"
         )
+
+
+def test_small_series_adaptive_path_identical(spark, series):
+    """The adaptive small-input path must return exactly the distributed
+    plan's rows (same schema, same bits)."""
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(series)], "idx long, value double"
+    )
+    fast = run_s2g_distributed(
+        spark, df, PARAMS, n_slices=4, n=len(series)
+    ).orderBy("window_idx").toPandas()
+    dist = run_s2g_distributed(
+        spark, df, PARAMS, n_slices=4, n=len(series), small_series_threshold=0
+    ).orderBy("window_idx").toPandas()
+    assert list(fast.columns) == list(dist.columns)
+    assert (fast["window_idx"].to_numpy() == dist["window_idx"].to_numpy()).all()
+    assert (fast["score"].to_numpy() == dist["score"].to_numpy()).all()
 
 
 def test_grouped_scorer_matches_oracle(spark):
