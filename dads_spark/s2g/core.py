@@ -83,6 +83,42 @@ def slice_bounds(n: int, n_slices: int, m: int) -> list[SliceInfo]:
     return out
 
 
+def slice_bounds_weighted(n: int, weights: list[float], m: int) -> list[SliceInfo]:
+    """Memory-proportional (heterogeneous) slice distribution.
+
+    reference: HeterogeneousSequenceSliceDistributionFactory.java:57-98 —
+    processors sorted by maximum memory ASCENDING; each gets
+    ``ceil(n * mem_share) + overlap`` values except the LAST, which takes
+    the exact remainder; start/firstSubSequenceIndex advance by
+    ``max(1, size - overlap)``. ``weights`` are the per-processor memory
+    budgets (any proportional unit); slices shorter than m are dropped
+    (no full subsequence), matching :func:`slice_bounds`.
+    """
+    overlap = m - 1
+    ws = sorted(float(w) for w in weights)
+    if not ws or min(ws) <= 0:
+        raise ValueError("weights must be positive")
+    total = sum(ws)
+    out: list[SliceInfo] = []
+    start = 0
+    first_subseq = 0
+    for i, w in enumerate(ws):
+        if start >= n:
+            break
+        if i == len(ws) - 1:
+            slice_length = n - start
+        else:
+            slice_length = math.ceil(n * w / total) + overlap
+        end = min(n, start + slice_length)
+        size = end - start
+        if size >= m:
+            out.append(SliceInfo(len(out), start, end, first_subseq))
+        advance = max(1, size - overlap)
+        start += advance
+        first_subseq += advance
+    return out
+
+
 # ---------------------------------------------------------------------------
 # embedding (reference: ImprovedSequenceMatrixSink.java:50-68,
 #            SequenceMatrix.java:30-46,101-109)

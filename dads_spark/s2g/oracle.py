@@ -69,10 +69,19 @@ class OracleResult:
         return ranges
 
 
-def s2g_oracle(x: np.ndarray, params: S2GParams, n_slices: int = 1) -> OracleResult:
+def s2g_oracle(
+    x: np.ndarray,
+    params: S2GParams,
+    n_slices: int = 1,
+    slices: list | None = None,
+) -> OracleResult:
+    """``slices`` overrides the equal plan (e.g. a
+    ``core.slice_bounds_weighted`` heterogeneous plan); semantics are
+    identical — only the per-slice summation boundaries move."""
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
-    slices = core.slice_bounds(n, n_slices, params.m)
+    if slices is None:
+        slices = core.slice_bounds(n, n_slices, params.m)
     if not slices:
         raise ValueError("series shorter than one sub-sequence")
 

@@ -64,7 +64,12 @@ def _series_values(pdf: pd.DataFrame) -> np.ndarray:
 
 
 def sliced_series(
-    spark: SparkSession, series_df: DataFrame, n: int, params: S2GParams, n_slices: int
+    spark: SparkSession,
+    series_df: DataFrame,
+    n: int,
+    params: S2GParams,
+    n_slices: int,
+    slices: Optional[list] = None,
 ) -> tuple[DataFrame, list[core.SliceInfo]]:
     """Tag each (idx, value) row with its owning slice(s).
 
@@ -75,7 +80,8 @@ def sliced_series(
     join against the (tiny) slice-bound table so the scan stays a single
     pass with no driver round-trip of data rows.
     """
-    slices = core.slice_bounds(n, n_slices, params.m)
+    if slices is None:
+        slices = core.slice_bounds(n, n_slices, params.m)
     bounds = spark.createDataFrame(
         [
             (s.slice_id, s.start - (1 if s.first_subseq > 0 else 0), s.end, s.start)
@@ -102,6 +108,7 @@ def run_s2g_distributed(
     n_slices: int,
     n: Optional[int] = None,
     small_series_threshold: int = 300_000,
+    slices: Optional[list] = None,
 ) -> DataFrame:
     """Score one large series ``(idx long, value double)`` with P overlapped
     slices. Returns (window_idx, score), window_idx global and dense.
@@ -126,7 +133,7 @@ def run_s2g_distributed(
             .toPandas()["value"]
             .to_numpy(dtype=np.float64)
         )
-        scores = s2g_oracle(x, params, n_slices=n_slices).scores
+        scores = s2g_oracle(x, params, n_slices=n_slices, slices=slices).scores
         return spark.createDataFrame(
             pd.DataFrame(
                 {
@@ -136,7 +143,7 @@ def run_s2g_distributed(
             ),
             _FINAL_SCHEMA,
         )
-    tagged, slices = sliced_series(spark, series_df, n, params, n_slices)
+    tagged, slices = sliced_series(spark, series_df, n, params, n_slices, slices)
     tagged = tagged.repartition(len(slices), "slice_id").cache()
     sc = spark.sparkContext
 

@@ -19,11 +19,16 @@ command shape against the Spark engine:
 Flag mapping:
 - ``--threads N``       -> ``local[N]`` (or set --master for a cluster)
 - ``--slices P``        -> slice count of the distributed pipeline (the
-  reference's processor count; output is bit-identical at any P)
-- ``--distribution``    -> HOMOGENEOUS supported; HETEROGENEOUS
-  (memory-proportional slicing) falls back to HOMOGENEOUS with a warning —
-  Spark has no per-executor memory-size slicing and the output does not
-  depend on slice sizing (documented skip, SURVEY.md §2.1)
+  reference's processor count). As in the reference, scores are
+  bit-identical to the dataflow at the SAME slicing; different slicings
+  move per-slice summation boundaries and differ in the last ulp.
+- ``--distribution``    -> HOMOGENEOUS = equal slices;
+  HETEROGENEOUS = memory-proportional slices
+  (HeterogeneousSequenceSliceDistributionFactory.java:57-98 semantics) —
+  pass the per-processor memory budgets via ``--memories 4096,8192,...``
+  (the reference reads them from cluster registration; Spark executors are
+  uniform, so the budgets are explicit here). Without --memories,
+  HETEROGENEOUS falls back to equal slices with a warning.
 - ``--no-sequence-matrix`` / ``--no-smart-scoring`` are accepted for CLI
   compatibility and ignored: this engine always uses the virtual (Hankel)
   matrix and incremental scoring, which produce identical results to the
@@ -57,15 +62,19 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--master", default=None, help="override spark master")
     ap.add_argument("--distribution", default="HOMOGENEOUS",
                     choices=["HOMOGENEOUS", "HETEROGENEOUS"])
+    ap.add_argument("--memories", default=None,
+                    help="comma-separated per-processor memory budgets for "
+                         "HETEROGENEOUS (e.g. 4096,8192,8192)")
     ap.add_argument("--min-slaves", type=int, default=None)
     ap.add_argument("--work-load-factor", type=float, default=None)
     ap.add_argument("--no-sequence-matrix", action="store_true")
     ap.add_argument("--no-smart-scoring", action="store_true")
     args = ap.parse_args(argv)
 
-    if args.distribution == "HETEROGENEOUS":
-        print("warning: HETEROGENEOUS slicing has no Spark analog; using "
-              "HOMOGENEOUS (results are slicing-invariant)", file=sys.stderr)
+    if args.distribution == "HETEROGENEOUS" and not args.memories:
+        print("warning: HETEROGENEOUS without --memories; using equal "
+              "slices (results differ only in last-ulp summation order, "
+              "as between any two slicings in the reference)", file=sys.stderr)
     for flag, name in ((args.min_slaves, "--min-slaves"),
                        (args.work_load_factor, "--work-load-factor")):
         if flag is not None:
@@ -89,7 +98,16 @@ def main(argv: list[str] | None = None) -> None:
     t0 = time.perf_counter()
     series = binary_series_df(spark, args.sequence)
     n = series.count()
-    scores = run_s2g_distributed(spark, series, params, n_slices=n_slices, n=n)
+    slices = None
+    if args.distribution == "HETEROGENEOUS" and args.memories:
+        from dads_spark.s2g.core import slice_bounds_weighted
+
+        weights = [float(w) for w in args.memories.split(",")]
+        slices = slice_bounds_weighted(n, weights, params.m)
+        n_slices = len(slices)
+    scores = run_s2g_distributed(
+        spark, series, params, n_slices=n_slices, n=n, slices=slices
+    )
     write_scores_text(scores, args.output)
     wall = time.perf_counter() - t0
     n_scores = spark.read.text(args.output).count()

@@ -79,3 +79,46 @@ def test_grouped_scorer_skips_short_series(spark):
     )
     out = score_series_grouped(df, ["domain"], "t", "value", PARAMS).toPandas()
     assert len(out) == 0
+
+
+def test_heterogeneous_slice_plan_semantics():
+    """slice_bounds_weighted replicates the reference's heterogeneous
+    factory: weights sorted ascending, ceil(n*share)+overlap per slice,
+    exact remainder for the last, advance = max(1, size-overlap)."""
+    from dads_spark.s2g.core import slice_bounds_weighted
+
+    n, m = 1000, 20  # overlap 19
+    plan = slice_bounds_weighted(n, [2.0, 1.0, 1.0], m)  # sorted -> 1,1,2
+    assert [s.slice_id for s in plan] == [0, 1, 2]
+    # shares 0.25, 0.25, 0.5: lengths ceil(250)+19, ceil(250)+19, remainder
+    assert (plan[0].start, plan[0].end) == (0, 269)
+    assert plan[1].start == 0 + (269 - 19)
+    assert plan[1].end == 250 + 269
+    assert plan[2].end == n  # exact remainder
+    assert plan[1].first_subseq == 250
+    assert plan[2].first_subseq == 500
+    # total coverage: every subsequence owned exactly once
+    total_subseq = sum(s.n_subsequences(m) for s in plan)
+    assert total_subseq == n - m + 1
+
+
+def test_distributed_heterogeneous_bit_parity(spark, series):
+    """The distributed plan under a memory-proportional slice plan is
+    bit-identical to the oracle replaying the SAME plan."""
+    from dads_spark.s2g.core import slice_bounds_weighted
+
+    plan = slice_bounds_weighted(len(series), [1.0, 2.0, 4.0], PARAMS.m)
+    assert len(plan) == 3 and len({s.end - s.start for s in plan}) > 1
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(series)], "idx long, value double"
+    )
+    out = (
+        run_s2g_distributed(
+            spark, df, PARAMS, n_slices=len(plan), n=len(series),
+            small_series_threshold=0, slices=plan,
+        )
+        .orderBy("window_idx")
+        .toPandas()
+    )
+    ora = s2g_oracle(series, PARAMS, slices=plan)
+    assert (out["score"].to_numpy() == ora.scores).all()
