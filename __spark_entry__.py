@@ -1040,6 +1040,36 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(emb, _KNN_QUERIES, k=10, n_planes=6, n_bands=8)
 
 
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing, gate-visible: payloads are
+    synthesized deterministically from the documents table (text bytes with
+    a magic prefix by doc_id so every mime branch fires), then the JVM
+    metadata sniffer AND the pandas frame-sampling stage both run; the
+    oracle recomputes byte lengths, mime branches, and the sampled-frame
+    count arithmetic in SQL. Codec decode itself stays stubbed (no media
+    libs in env) — this pins everything around it."""
+    from dads_spark.ops import attach_media_metadata, sample_frames
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    jpeg = F.lit(bytes.fromhex("FFD8FFE0"))
+    png = F.lit(bytes.fromhex("89504E47"))
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(jpeg, F.col("text").cast("binary")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(png, F.col("text").cast("binary")))
+        .otherwise(F.col("text").cast("binary"))
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    meta = attach_media_metadata(media).select("media_id", "n_bytes", "sniffed_mime")
+    frames = (
+        sample_frames(media, every_n=10, fake=True)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled_frames"))
+    )
+    return meta.join(frames, "media_id").select(
+        F.col("media_id").alias("doc_id"), "n_bytes", "sniffed_mime", "n_sampled_frames"
+    )
+
+
 def q_window_frames_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranking-function + RANGE-frame coverage: dense_rank / percent_rank /
     # ntile over order value, plus a RANGE BETWEEN frame keyed on the
@@ -1278,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_geomean": q_udaf_geomean,
         "window_frames_ranking": q_window_frames_ranking,
         "array_agg_ordered": q_array_agg_ordered,
+        "multimodal_metadata": q_multimodal_metadata,
         # -- (3) r1 driver-green --------------------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -1681,6 +1712,20 @@ def oracle_sql() -> dict[str, str]:
                    min((([{', '.join(map(str, _MH_A))}])[k + 1] * x
                         + ([{', '.join(map(str, _MH_B))}])[k + 1]) % {_MH_P}) AS mh
             FROM tk GROUP BY 1, 2
+        """,
+        "multimodal_metadata": """
+            WITH p AS (
+              SELECT doc_id,
+                     octet_length(CAST(text AS BLOB))
+                       + CASE WHEN doc_id % 3 IN (0, 1) THEN 4 ELSE 0 END AS n_bytes,
+                     CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+                          WHEN doc_id % 3 = 1 THEN 'image/png'
+                          ELSE 'application/octet-stream' END AS sniffed_mime
+              FROM documents WHERE doc_id < 400)
+            SELECT doc_id, n_bytes, sniffed_mime,
+                   CAST((greatest(1, n_bytes // 64) + 9) // 10 AS BIGINT)
+                     AS n_sampled_frames
+            FROM p
         """,
         "window_frames_ranking": """
             SELECT o_custkey, o_orderkey,
