@@ -1040,6 +1040,62 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(emb, _KNN_QUERIES, k=10, n_planes=6, n_bands=8)
 
 
+_BM25_TERMS = ["the", "data", "with"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed query-term set, fully relational
+    (explode -> tf/df/dl aggregates -> joined closed-form score): the
+    retrieval-scoring shape every text pipeline needs, one shuffle per
+    aggregate, no Python. idf = ln((N-df+0.5)/(df+0.5)+1) (the
+    non-negative Robertson/Sparck-Jones variant), k1=1.2, b=0.75."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            idf
+            * (F.col("tf") * (_BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    ranked = scored.groupBy("doc_id").agg(
+        F.round(F.sum("s"), 4).alias("bm25"), F.count(F.lit(1)).alias("n_terms_hit")
+    )
+    return (
+        ranked.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("bm25").desc(), "doc_id")),
+        )
+        .select("rank", "doc_id", "bm25", "n_terms_hit")
+    )
+
+
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing, gate-visible: payloads are
     synthesized deterministically from the documents table (text bytes with
@@ -1309,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frames_ranking": q_window_frames_ranking,
         "array_agg_ordered": q_array_agg_ordered,
         "multimodal_metadata": q_multimodal_metadata,
+        "bm25_rank": q_bm25_rank,
         # -- (3) r1 driver-green --------------------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -1712,6 +1769,30 @@ def oracle_sql() -> dict[str, str]:
                    min((([{', '.join(map(str, _MH_A))}])[k + 1] * x
                         + ([{', '.join(map(str, _MH_B))}])[k + 1]) % {_MH_P}) AS mh
             FROM tk GROUP BY 1, 2
+        """,
+        "bm25_rank": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE doc_id < 300),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ({', '.join(repr(t) for t in _BM25_TERMS)})
+              GROUP BY 1, 2),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id,
+                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * ({_BM25_K1} + 1))
+                       / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl)) AS s
+              FROM tf JOIN dft USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats),
+            ranked AS (
+              SELECT doc_id, round(sum(s), 4) AS bm25, count(*) AS n_terms_hit
+              FROM scored GROUP BY 1)
+            SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank,
+                   doc_id, bm25, n_terms_hit
+            FROM ranked ORDER BY bm25 DESC, doc_id LIMIT 50
         """,
         "multimodal_metadata": """
             WITH p AS (
