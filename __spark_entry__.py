@@ -1198,6 +1198,43 @@ def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # retention / downsample / smoothing (north-rule named features)
 # ---------------------------------------------------------------------------
 
+def q_tier_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate incremental refresh: the events table is split
+    80/20 by event_id; the hour tier built from the 80% is refreshed with
+    the 20% delta WITHOUT rescanning it. The oracle is the FULL-table hour
+    rollup SQL — hash equality proves incremental == from-scratch."""
+    from dads_spark.rollup import incremental_refresh
+
+    ev = _t(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 5 != 0)
+    new = ev.filter(F.col("event_id") % 5 == 0)
+    existing = rollup_from_raw(old, ["event_type"], "ts", "value", "hour")
+    refreshed = incremental_refresh(existing, new, ["event_type"], "ts", "value", "hour")
+    return refreshed.select(
+        "event_type",
+        _fmt_bucket(),
+        F.col("doc_count").alias("n_events"),
+        F.round("value_sum", 2).alias("value_sum"),
+        F.round("value_min", 2).alias("value_min"),
+        F.round("value_max", 2).alias("value_max"),
+    )
+
+
+def q_gapfill_hour_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LOCF gap-fill twin of gapfill_hour_linear (last observation carried
+    # forward), oracle via last_value IGNORE NULLS
+    from dads_spark.rollup import gap_fill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", bucket_expr("ts", "hour")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    filled = gap_fill_locf(hourly, ["event_type"], "bucket_ts", ["v"], 3600)
+    return filled.select(
+        "event_type", _fmt_bucket(), F.round("v", 4).alias("v"), "gap_filled"
+    )
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful Structured-Streaming sessionization
     (``applyInPandasWithState``, event-time timeout) over a bounded backlog
@@ -1232,6 +1269,62 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_us",
         F.round("value_sum", 2).alias("value_sum"),
     )
+
+
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream INNER join: the purchases stream joined to
+    the clicks stream on user + event-time range (click strictly within the
+    hour before the purchase). Both sides carry watermarks so Spark bounds
+    the join state; inner matches emit eagerly, so a bounded backlog yields
+    exactly the batch join — the oracle is the equivalent batch range-join
+    SQL."""
+    import hashlib as _hl
+    import os as _os
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    src = f"/tmp/dads_ssj_src_{_hl.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    if not _os.path.exists(f"{src}/_SUCCESS"):
+        ev.write.mode("overwrite").parquet(src)
+    schema = ev.schema
+    purchases = (
+        spark.readStream.schema(schema).format("parquet").load(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        spark.readStream.schema(schema).format("parquet").load(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"
+        ),
+    )
+    qname = f"q_ssj_{_hl.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    q = (
+        joined.select("purchase_id", "click_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT purchase_id, click_id FROM {qname}")
 
 
 def q_retention_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1366,6 +1459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_agg_ordered": q_array_agg_ordered,
         "multimodal_metadata": q_multimodal_metadata,
         "bm25_rank": q_bm25_rank,
+        "tier_incremental_refresh": q_tier_incremental_refresh,
+        "gapfill_hour_locf": q_gapfill_hour_locf,
+        "streaming_stream_join": q_streaming_stream_join,
         # -- (3) r1 driver-green --------------------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -1493,6 +1589,47 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN v IS NOT NULL THEN v
                          ELSE pv + (nv - pv) * (epoch(bucket) - epoch(pt)) / (epoch(nt) - epoch(pt))
                          END, 4) AS v,
+                   (v IS NULL) AS gap_filled
+            FROM w
+        """,
+        "streaming_stream_join": """
+            SELECT p.event_id AS purchase_id, c.event_id AS click_id
+            FROM events p
+            JOIN events c
+              ON c.user_id = p.user_id
+             AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+             AND epoch_us(c.ts) < epoch_us(p.ts)
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        """,
+        "tier_incremental_refresh": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum,
+                   round(min(value), 2) AS value_min,
+                   round(max(value), 2) AS value_max
+            FROM events GROUP BY 1, 2
+        """,
+        "gapfill_hour_locf": """
+            WITH b AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events GROUP BY 1, 2),
+            rng AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+            dense AS (
+              SELECT r.event_type, gs.g AS bucket
+              FROM rng r, LATERAL (SELECT unnest(generate_series(r.lo, r.hi, INTERVAL 1 HOUR)) AS g) gs),
+            j AS (
+              SELECT d.event_type, d.bucket, b.v
+              FROM dense d LEFT JOIN b ON b.event_type = d.event_type AND b.bucket = d.bucket),
+            w AS (
+              SELECT event_type, bucket, v,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv
+              FROM j)
+            SELECT event_type,
+                   strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   round(pv, 4) AS v,
                    (v IS NULL) AS gap_filled
             FROM w
         """,

@@ -5,11 +5,13 @@ from .tiers import (  # noqa: F401
     TIER_ORDER,
     bucket_expr,
     cascade,
+    incremental_refresh,
+    merge_tier,
     rollup_from_raw,
     salted_rollup,
     write_tier,
 )
-from .gapfill import TIER_SECONDS, gap_fill_linear  # noqa: F401
+from .gapfill import TIER_SECONDS, gap_fill_linear, gap_fill_locf  # noqa: F401
 from .series import domain_hourly_series, text_identity_fingerprint, with_domain  # noqa: F401
 from .retention import DEFAULT_POLICY, enforce_policy, enforce_retention  # noqa: F401
 from .downsample import ewma_smooth, lttb_downsample, lttb_indices  # noqa: F401

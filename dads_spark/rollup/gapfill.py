@@ -52,3 +52,42 @@ def gap_fill_linear(
         return pd.DataFrame(out)
 
     return df.groupBy(*key_cols).applyInPandas(fill, out_schema)
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_cols: list[str],
+    step_seconds: int,
+) -> DataFrame:
+    """LOCF (last-observation-carried-forward) gap-fill — the other
+    standard continuous-aggregate fill besides linear interpolation:
+    missing buckets repeat the most recent observed value. Same dense
+    reindex + ``applyInPandas`` shape as :func:`gap_fill_linear`; fully
+    ANSI-SQL-expressible (last_value IGNORE NULLS), so it carries an exact
+    oracle."""
+    key_fields = [f for f in df.schema.fields if f.name in key_cols]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in key_fields]
+        + [f"{bucket_col} timestamp"]
+        + [f"{c} double" for c in value_cols]
+        + ["gap_filled boolean"]
+    )
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col)
+        ts = pdf[bucket_col].astype("datetime64[ns]").astype("int64").to_numpy() // 10**9
+        lo, hi = ts[0], ts[-1]
+        dense = np.arange(lo, hi + 1, step_seconds)
+        # index of the latest observation at-or-before each dense bucket
+        prev = np.searchsorted(ts, dense, side="right") - 1
+        present = np.isin(dense, ts)
+        out = {c: np.repeat(pdf[c].iloc[0], len(dense)) for c in key_cols}
+        out[bucket_col] = pd.to_datetime(dense, unit="s")
+        for c in value_cols:
+            out[c] = pdf[c].to_numpy(dtype=np.float64)[prev]
+        out["gap_filled"] = ~present
+        return pd.DataFrame(out)
+
+    return df.groupBy(*key_cols).applyInPandas(fill, out_schema)

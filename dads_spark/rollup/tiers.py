@@ -118,6 +118,47 @@ def salted_rollup(
     )
 
 
+def merge_tier(existing: DataFrame, delta: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Combine two partial tiers into one, exactly (the MERGE half of
+    continuous-aggregate refresh): decomposable aggregates recombine as
+    sum-of-sums / sum-of-counts / min-of-mins / max-of-maxs per
+    (keys, bucket). Rows for buckets present in only one side pass through
+    unchanged."""
+    return (
+        existing.unionByName(delta)
+        .groupBy(*key_cols, "bucket_ts")
+        .agg(
+            F.sum("doc_count").alias("doc_count"),
+            F.sum("value_sum").alias("value_sum"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+        )
+    )
+
+
+def incremental_refresh(
+    existing_tier: DataFrame,
+    new_raw: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str | None,
+    tier: str = "hour",
+) -> DataFrame:
+    """Continuous-aggregate incremental refresh: fold NEW raw rows into an
+    existing tier WITHOUT rescanning old data.
+
+    The delta tier is aggregated from ``new_raw`` alone, then merged
+    bucket-wise (:func:`merge_tier`). Exact for the decomposable aggregate
+    set — ``incremental_refresh(tier(old), new) == tier(old ∪ new)`` row
+    for row (oracle-proven by the ``tier_incremental_refresh`` gate
+    query). At 100 TB this is the only affordable refresh: a day's crawl
+    touches a day's buckets, and the merge shuffles one row per
+    (key, touched bucket), never the history.
+    """
+    delta = rollup_from_raw(new_raw, key_cols, ts_col, value_col, tier)
+    return merge_tier(existing_tier, delta, key_cols)
+
+
 def write_tier(tier_df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Persist a tier partitioned by bucket date so later reads filtering on
     time prune files (the parquet/Iceberg hidden-partition analogue)."""
