@@ -249,3 +249,60 @@ def test_vectorized_accumulators_bit_identical_to_scalar_fold():
         got = core.running_means_smart(raw, raw.min(), raw.max(), m)
         want = scalar_rm(raw, raw.min(), raw.max(), m)
         assert (got == want).all(), trial
+
+
+# --- property tests: slice plans (hypothesis) -------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=30, max_value=5000),
+    n_slices=st.integers(min_value=1, max_value=16),
+    m=st.integers(min_value=2, max_value=30),
+)
+def test_equal_slice_plan_partitions_subsequences(n, n_slices, m):
+    """Every subsequence is owned by exactly one slice; ranges overlap by
+    exactly m-1; first_subseq indexes are dense."""
+    from dads_spark.s2g.core import slice_bounds
+
+    plan = slice_bounds(n, n_slices, m)
+    if n < m:
+        assert plan == []
+        return
+    assert plan[0].start == 0
+    assert plan[-1].end == n
+    total = sum(s.n_subsequences(m) for s in plan)
+    assert total == n - m + 1
+    for a, b in zip(plan, plan[1:]):
+        assert b.start == a.end - (m - 1)  # exact overlap
+        assert b.first_subseq == a.first_subseq + a.n_subsequences(m)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=50, max_value=5000),
+    weights=st.lists(
+        st.floats(min_value=0.1, max_value=100, allow_nan=False),
+        min_size=1, max_size=8,
+    ),
+    m=st.integers(min_value=2, max_value=25),
+)
+def test_weighted_slice_plan_partitions_subsequences(n, weights, m):
+    """The heterogeneous plan preserves the same invariants: full coverage,
+    exact m-1 overlap, dense subsequence ownership, sizes proportional-ish
+    to the sorted weights."""
+    from dads_spark.s2g.core import slice_bounds_weighted
+
+    plan = slice_bounds_weighted(n, weights, m)
+    if n < m:
+        assert plan == []
+        return
+    assert plan[0].start == 0
+    assert plan[-1].end == n
+    assert sum(s.n_subsequences(m) for s in plan) == n - m + 1
+    for a, b in zip(plan, plan[1:]):
+        assert b.start == a.end - (m - 1)
+        assert b.first_subseq == a.first_subseq + a.n_subsequences(m)
