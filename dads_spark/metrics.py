@@ -136,9 +136,27 @@ class StageMetricsCollector:
         )
 
     def write(self, ckpt_root: str) -> str:
-        """Persist the metrics table next to the checkpoint manifests."""
+        """Persist the metrics table next to the checkpoint manifests.
+
+        Merges with any existing table: stages recomputed this run replace
+        their prior rows; rows for stages this (resumed) run skipped are
+        kept — after a partial resume the table still describes the whole
+        pipeline."""
         import os
 
         path = os.path.join(ckpt_root, "_metrics")
-        self.to_df().coalesce(1).write.mode("overwrite").parquet(path)
+        new_df = self.to_df()
+        out = new_df
+        try:
+            prior = self.spark.read.parquet(path)
+            fresh = {r["stage"] for r in self._rows}
+            kept = prior.filter(~prior["stage"].isin(list(fresh)))
+            out = kept.unionByName(new_df)
+        except Exception:
+            pass  # first run: nothing to merge
+        pdf = out.toPandas()  # tiny; staged via driver so the overwrite
+        # never reads the files it is replacing
+        self.spark.createDataFrame(pdf, new_df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
         return path

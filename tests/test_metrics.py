@@ -57,3 +57,43 @@ def test_job_persists_metrics_next_to_manifests(spark, tmp_path):
     assert job2.metrics.rows() == []
     again = {r["stage"] for r in spark.read.parquet(f"{root}/_metrics").collect()}
     assert again == set(rows)
+
+
+def test_mid_pipeline_resume_recomputes_only_missing_stage(spark, tmp_path):
+    """Kill/resume contract at stage granularity: wiping ONE committed
+    stage's manifest makes the rerun recompute exactly that stage, reusing
+    every other commit."""
+    import shutil
+
+    from dads_spark.fixtures.pages import pages_table
+    from dads_spark.jobs import PagesRollupJob
+    from dads_spark.s2g import S2GParams
+
+    params = S2GParams(m=20, c=6, S=30, ell=30)
+    root = str(tmp_path / "ckpt")
+    pages = pages_table(spark, 1500)
+    desc = {"source": "synth", "n": 1500}
+    job = PagesRollupJob(spark, root, s2g_params=params)
+    out1 = job.run(pages, desc)
+    day1 = out1["day"].toPandas().sort_values(["domain", "bucket_ts"])
+
+    # simulate a crash that lost the day tier's commit
+    shutil.rmtree(f"{root}/_manifest/stage=tier_day")
+    job2 = PagesRollupJob(spark, root, s2g_params=params)
+    out2 = job2.run(pages, desc)
+    assert job2.ran_stages == ["tier_day"]
+    assert set(job2.skipped_stages) == {
+        "tier_hour", "tier_week", "gapfill_hour", "compress_hour",
+        "s2g_scores", "discord_ranges",
+    }
+    day2 = out2["day"].toPandas().sort_values(["domain", "bucket_ts"])
+    assert day1.reset_index(drop=True).equals(day2.reset_index(drop=True))
+    # the recomputed stage got a fresh metrics row AND the persisted table
+    # still describes the whole pipeline (merge, not overwrite)
+    assert [r["stage"] for r in job2.metrics.rows()] == ["tier_day"]
+    persisted = spark.read.parquet(f"{root}/_metrics").toPandas()
+    assert set(persisted["stage"]) == {
+        "tier_hour", "tier_day", "tier_week", "gapfill_hour",
+        "compress_hour", "s2g_scores", "discord_ranges",
+    }
+    assert len(persisted) == 7
