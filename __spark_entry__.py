@@ -775,6 +775,28 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # extended quality features (brief: length/PUNCT/STOPWORD ratios):
+    # punctuation share, uppercase share, english-stopword token share —
+    # all codegen expressions, no Python
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+    upper = F.length(F.regexp_replace(F.col("text"), "[^A-Z]", ""))
+    sw = F.array(*[F.lit(w) for w in
+                   ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it")])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(upper / n_chars, 4).alias("upper_ratio"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1462,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_incremental_refresh": q_tier_incremental_refresh,
         "gapfill_hour_locf": q_gapfill_hour_locf,
         "streaming_stream_join": q_streaming_stream_join,
+        "text_quality_ext": q_text_quality_ext,
         # -- (3) r1 driver-green --------------------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -2115,6 +2138,18 @@ def oracle_sql() -> dict[str, str]:
                    round(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS type_token_ratio,
                    round((n_distinct / CAST(n_tokens AS DOUBLE)) * (alpha / CAST(n_chars AS DOUBLE)), 4) AS quality_score
             FROM t
+        """,
+        "text_quality_ext": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                         / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                         / CAST(length(text) AS DOUBLE), 4) AS upper_ratio,
+                   round(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','and','of','to','a','in','is','that','for','it')))
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stopword_ratio
+            FROM documents
         """,
         "doc_fingerprint": """
             SELECT doc_id, substr(sha256(text), 1, 16) AS fingerprint FROM documents

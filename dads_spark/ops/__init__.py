@@ -17,4 +17,9 @@ from .textstats import (  # noqa: F401
     winnow_fingerprints,
 )
 from .similarity import ann_ivf, ann_lsh, knn_bruteforce  # noqa: F401
-from .multimodal import attach_media_metadata, extract_features, sample_frames  # noqa: F401
+from .multimodal import (  # noqa: F401
+    attach_media_metadata,
+    extract_features,
+    resize_media,
+    sample_frames,
+)

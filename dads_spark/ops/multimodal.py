@@ -104,3 +104,54 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(
         run, f"{id_col} long, frame_no int, frame binary"
     )
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize image payloads -> (id, resized binary, out_w, out_h).
+
+    Real resizing needs an image library (absent here): ``fake=True``
+    exercises the full plumbing with a deterministic stand-in whose output
+    length is ``target_w * target_h`` bytes (one fake luma byte per pixel,
+    sampled from the payload by position hash) — schema, Arrow batching,
+    and size accounting behave exactly as a real resize stage.
+    """
+
+    def run(it):
+        for pdf in it:
+            ids, blobs = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if not fake:
+                    raise NotImplementedError(
+                        "real image resize needs PIL; run with fake=True"
+                    )
+                src = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(src) == 0:
+                    src = np.zeros(1, dtype=np.uint8)
+                # nearest-neighbour sample over the byte stream: cheap,
+                # deterministic, output size = target pixel count
+                idx = (
+                    np.arange(target_w * target_h, dtype=np.int64)
+                    * len(src)
+                    // (target_w * target_h)
+                )
+                ids.append(mid)
+                blobs.append(src[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "resized": blobs,
+                    "out_w": np.full(len(ids), target_w, dtype=np.int32),
+                    "out_h": np.full(len(ids), target_h, dtype=np.int32),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} long, resized binary, out_w int, out_h int"
+    )

@@ -274,3 +274,17 @@ def test_knn_partial_topk_bounds_window_input(spark, embeddings):
     assert got.sort_values(key).reset_index(drop=True).equals(
         want.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_resize_media_plumbing(spark):
+    from dads_spark.ops import resize_media
+
+    rows = [(0, bytearray(b"\xff\xd8" + bytes(range(250)))), (1, bytearray(b""))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = resize_media(df, 8, 6, fake=True).toPandas().set_index("media_id")
+    assert (out["out_w"] == 8).all() and (out["out_h"] == 6).all()
+    assert all(len(b) == 48 for b in out["resized"])  # one byte per pixel
+    out2 = resize_media(df, 8, 6, fake=True).toPandas().set_index("media_id")
+    assert bytes(out.loc[0, "resized"]) == bytes(out2.loc[0, "resized"])  # deterministic
+    with pytest.raises(Exception, match="NotImplementedError|real image resize"):
+        resize_media(df, 8, 6, fake=False).collect()
