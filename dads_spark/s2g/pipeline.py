@@ -621,3 +621,61 @@ def score_series_partitioned(
             )
 
     return df.select(key_col, order_col, value_col).mapInPandas(run, out_schema)
+
+
+def score_series_balanced(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    params: S2GParams,
+    n_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Grouped scoring with LPT (longest-processing-time-first) task
+    balancing for skewed series lengths.
+
+    Hash grouping gives every series a random task slot, so with few waves
+    per core the heaviest series sets the stage's makespan (measured: at 32
+    cores / 8 waves a 5x per-series cost spread costs ~1/3 of the ideal
+    speedup — BASELINE.md, W2 decomposition). This variant first collects
+    the per-key ROW COUNTS (one tiny aggregate — K rows for K series),
+    greedily assigns series to ``n_partitions`` bins largest-first onto the
+    currently lightest bin (classic LPT, guaranteed within 4/3 of optimal
+    makespan), range-repartitions on the bin id, and scores partition-
+    locally — same zero-coordination execution as
+    :func:`score_series_partitioned`, same scores, balanced stages.
+
+    Length is the weight proxy (at warehouse scale cost scales with series
+    length; content-dependent variance remains, but LPT on length removes
+    the dominant imbalance for variable-length per-domain series).
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism
+    sizes = df.groupBy(key_col).count().collect()  # K rows, tiny
+    # greedy LPT: heaviest first onto the lightest bin
+    import heapq
+
+    bins = [(0, pid) for pid in range(n_partitions)]
+    heapq.heapify(bins)
+    assign: dict = {}
+    for row in sorted(sizes, key=lambda r: -r["count"]):
+        load, pid = heapq.heappop(bins)
+        assign[row[key_col]] = pid
+        heapq.heappush(bins, (load + row["count"], pid))
+    key_type = next(
+        f.dataType.simpleString() for f in df.schema.fields if f.name == key_col
+    )
+    assign_df = spark.createDataFrame(
+        list(assign.items()), f"{key_col} {key_type}, _pid int"
+    )
+    balanced = (
+        df.join(F.broadcast(assign_df), key_col)  # JVM-side pid lookup
+        .repartitionByRange(n_partitions, "_pid")
+        .drop("_pid")
+    )
+    return score_series_partitioned(
+        balanced, key_col, order_col, value_col, params, assume_partitioned=True
+    )
