@@ -108,6 +108,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "retention_enforce",
         "lttb_downsample",
         "ewma_anomaly",
+        "tier_incremental_refresh",
+        "bm25_rank",
+        "streaming_stream_join",
         "minhash_lsh",
         "simhash",
         "simhash_near_pairs",
