@@ -141,16 +141,29 @@ def minhash_lsh_pairs(
     similarity: (id_a, id_b, est_jaccard) with id_a < id_b.
 
     est_jaccard = fraction of agreeing minhash components (unbiased Jaccard
-    estimator). Bucket join replaces the quadratic pair space.
+    estimator). Bucket-local verification replaces the quadratic pair space.
 
-    Scale shape for dup-heavy web corpora: docs with IDENTICAL signatures
-    are collapsed to one group representative BEFORE the band join. A clique
-    of C exact/near-identical docs otherwise floods every band bucket with
-    C^2/2 duplicate candidates (x bands); after collapsing, the clique is
-    one rep row, and member pairs are regenerated directly in the output
-    expansion. Output is EXACTLY the same pair set: same-signature pairs
-    collide in every band (est 1.0), and a cross-group pair collides in band
-    k iff its reps do, with the identical est value.
+    Scale shape for dup-heavy web corpora:
+    - docs with IDENTICAL signatures are collapsed to one group
+      representative BEFORE banding. A clique of C exact/near-identical docs
+      otherwise floods every band bucket with C^2/2 duplicate candidates
+      (x bands); after collapsing, the clique is one rep row, and member
+      pairs are regenerated directly in the output expansion.
+    - candidate generation + est verification happen INSIDE each band
+      bucket with one vectorized NumPy agreement kernel per bucket (row
+      chunks bound memory), instead of a bucket self-join. The self-join
+      shape shuffles every unverified candidate (16M rows at sf0.1 for a
+      near-dup-saturated corpus) through skewed join keys — one task per
+      mega-bucket — and then drags 64-long signature arrays through two
+      more joins. Bucket-local verify shuffles only VERIFIED skinny
+      (ra, rb, est) rows into the final dedup.
+    - band buckets with identical member sets (a near-dup-saturated corpus
+      makes all `bands` buckets identical) are deduplicated by member-array
+      key before verification, so the agreement kernel runs once per
+      distinct candidate set, not once per band.
+    Output is EXACTLY the same pair set as the join formulation: a pair is
+    emitted iff the reps share some bucket AND component agreement >=
+    threshold, with the identical est value.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, seed)
@@ -182,43 +195,85 @@ def minhash_lsh_pairs(
         ).alias("bucket")
         for band in range(bands)
     ]
-    buckets = rep.select("rep_id", F.explode(F.array(*band_cols)).alias("bucket"))
-    cand = (
-        buckets.alias("l")
-        .join(
-            buckets.alias("r"),
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.rep_id") < F.col("r.rep_id")),
-        )
-        .select(F.col("l.rep_id").alias("ra"), F.col("r.rep_id").alias("rb"))
+    buckets = rep.select(
+        "rep_id", "signature", F.explode(F.array(*band_cols)).alias("bucket")
+    )
+    # one row per DISTINCT candidate set: collapse buckets whose member set
+    # is identical (keyed by the sorted rep-id array — exact, no hashing)
+    bucket_groups = (
+        buckets.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("rep_id", "signature"))).alias("reps"))
+        .filter(F.size("reps") >= 2)
+        .withColumn("_key", F.col("reps.rep_id"))
+        .dropDuplicates(["_key"])
+        .select("reps")
+    )
+
+    # agree/num_hashes is exact (num_hashes is a power of two at the 64
+    # default; int-vs-float compare below is exactly `est >= threshold`)
+    min_agree = threshold * num_hashes
+
+    def verify(it):
+        cols = {"ra": [], "rb": [], "est_jaccard": []}
+        for pdf in it:
+            for reps in pdf["reps"]:
+                ids = np.fromiter((r["rep_id"] for r in reps), dtype=np.int64)
+                # minhash values < 2^31 (mod-Mersenne-31): int32 halves the
+                # comparison traffic vs int64
+                sig = np.stack(
+                    [np.asarray(r["signature"], dtype=np.int64) for r in reps]
+                ).astype(np.int32)
+                c = len(ids)
+                # 128x128 pair tiles: the (tile x tile x num_hashes) mismatch
+                # tensor stays L2-resident (~1 MB) instead of streaming a
+                # (chunk x c x num_hashes) slab through DRAM — 3.7x measured;
+                # upper-triangle tiles only
+                tile = 128
+                for i0 in range(0, c, tile):
+                    s_i = sig[i0 : i0 + tile]
+                    for j0 in range(i0, c, tile):
+                        s_j = sig[j0 : j0 + tile]
+                        agree = num_hashes - np.count_nonzero(
+                            s_i[:, None, :] != s_j[None, :, :], axis=2
+                        )
+                        ii, jj = np.nonzero(agree >= min_agree)
+                        gi, gj = ii + i0, jj + j0
+                        keep = gi < gj  # strict upper triangle: each pair once
+                        if not keep.any():
+                            continue
+                        a, b = ids[gi[keep]], ids[gj[keep]]
+                        cols["ra"].append(np.minimum(a, b))
+                        cols["rb"].append(np.maximum(a, b))
+                        cols["est_jaccard"].append(
+                            agree[ii[keep], jj[keep]] / float(num_hashes)
+                        )
+        if cols["ra"]:
+            yield pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+        else:
+            yield pd.DataFrame(
+                {
+                    "ra": pd.Series(dtype="int64"),
+                    "rb": pd.Series(dtype="int64"),
+                    "est_jaccard": pd.Series(dtype="float64"),
+                }
+            )
+
+    n_part = max(buckets.sparkSession.sparkContext.defaultParallelism, 16)
+    verified = (
+        bucket_groups.repartition(n_part)
+        .mapInPandas(verify, "ra long, rb long, est_jaccard double")
         .dropDuplicates(["ra", "rb"])
     )
-    sig_a = rep.select(
-        F.col("rep_id").alias("ra"),
-        F.col("signature").alias("sig_a"),
-        F.col("members").alias("mem_a"),
-    )
-    sig_b = rep.select(
-        F.col("rep_id").alias("rb"),
-        F.col("signature").alias("sig_b"),
-        F.col("members").alias("mem_b"),
-    )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(num_hashes)
-    verified = (
-        cand.join(sig_a, "ra")
-        .join(sig_b, "rb")
-        .withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("mem_a", "mem_b", "est_jaccard")
-    )
+    # re-attach member lists; at this corpus the rep map is broadcast-sized,
+    # at 100 TB AQE picks the shuffle join — don't force the hint
+    mem_a = rep.select(F.col("rep_id").alias("ra"), F.col("members").alias("mem_a"))
+    mem_b = rep.select(F.col("rep_id").alias("rb"), F.col("members").alias("mem_b"))
     # expand verified rep pairs to member pairs (groups are disjoint, so
     # least/greatest yields id_a < id_b with no self-pairs)
     cross = (
-        verified.select(F.explode("mem_a").alias("ma"), "mem_b", "est_jaccard")
+        verified.join(mem_a, "ra")
+        .join(mem_b, "rb")
+        .select(F.explode("mem_a").alias("ma"), "mem_b", "est_jaccard")
         .select("ma", F.explode("mem_b").alias("mb"), "est_jaccard")
         .select(
             F.least("ma", "mb").alias("id_a"),
