@@ -580,6 +580,282 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2 shape: correlated scalar-max subquery over a part-supplier
+    # relation inside a region. The testdata ships no partsupp table, so the
+    # part-supplier relation is derived as DISTINCT (l_partkey, l_suppkey)
+    # and "min supplycost" becomes "max s_acctbal" among the part's
+    # EUROPE suppliers — same correlated-extremum plan shape.
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") == 15)
+    )
+    nk = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    eu = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nk), supp.s_nationkey == nk.n_nationkey)
+    )
+    best = F.max("s_acctbal").over(W.partitionBy("p_partkey"))
+    return (
+        eu.withColumn("_best", best)
+        .filter(F.col("s_acctbal") == F.col("_best"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 shape: EXISTS correlated subquery -> left-semi join. The
+    # testdata has no commit/receipt dates; the exists-predicate is
+    # "some lineitem of the order was returned" (l_returnflag = 'R').
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8: national market share = revenue from NATION_5 suppliers /
+    # all revenue, per order year, for PROMO parts sold to AMERICA customers
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cnat = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    snat = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cnat), cust.c_nationkey == cnat.n_nationkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(snat), supp.s_nationkey == F.col("s_nkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q9 shape: profit per (supplier nation, order year). No partsupp
+    # table -> supply cost proxied as 0.8 * p_retailprice * l_quantity.
+    # The profit terms cancel, so a double sum can land ON a .xx5 rounding
+    # boundary and drift across engines (observed: one group off by 0.01).
+    # All inputs are exact 2dp/integral values — decimal arithmetic makes
+    # the sum exact and the 2dp rounding deterministic in both engines.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    ep = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rp = F.col("p_retailprice").cast("decimal(8,2)")
+    qty = F.col("l_quantity").cast("decimal(6,0)")
+    profit = ep * (F.lit(1).cast("decimal(3,2)") - disc) - F.lit("0.8").cast(
+        "decimal(2,1)"
+    ) * rp * qty
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+
+
+def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 shape: group aggregate filtered by a scalar subquery of the
+    # global aggregate (HAVING value > fraction * total). Value = lineitem
+    # revenue of parts shipped by NATION_3 suppliers (no partsupp table).
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_li = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    )
+    per_part = nat_li.groupBy("l_partkey").agg(F.round(F.sum(rev), 2).alias("value"))
+    total = per_part.agg(F.sum("value").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("_total") * 0.005)
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+    )
+
+
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shape: CASE-conditional counts after a fact join. No
+    # l_shipmode column -> classify by l_linestatus instead.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13: customer order-count distribution via left outer join +
+    # double aggregation (customers with zero orders must appear at c_count 0)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q15: per-supplier revenue view + scalar-max subquery equality.
+    # Revenue is rounded to 2dp in BOTH engines before the max comparison so
+    # float summation order cannot flip the argmax.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    best = rev.agg(F.max("total_revenue").alias("_best"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("_best"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape: distinct-supplier counts per part attribute group,
+    # excluding a NOT-IN supplier sublist (anti join). Part-supplier relation
+    # from lineitem (no partsupp table); excluded suppliers = negative balance.
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 14, 19, 23)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17: correlated per-part average-quantity subquery. l_quantity
+    # is integral, so sum and count are exact doubles and avg is
+    # bit-identical across engines — the 0.2*avg comparison cannot drift.
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = F.avg("l_quantity").over(W.partitionBy("p_partkey"))
+    return (
+        j.withColumn("_avg", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q20 shape: nested semi-joins — suppliers in NATION_7 who shipped
+    # 'red %' parts with 1996 volume above a threshold
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red %"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape: EXISTS + NOT-EXISTS double correlation. Adapted to the
+    # available columns: suppliers in NATION_2 whose lineitem was returned
+    # ('R') in a finalized multi-supplier order where NO other supplier's
+    # item was returned. The per-order distinct-supplier counts express the
+    # two correlated subqueries; the DuckDB oracle keeps the genuine
+    # EXISTS/NOT EXISTS formulation, so hash equality proves the rewrite.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        l1.join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # statistical aggregate coverage: correlation, covariance, stddev, variance
     li = _t(spark, sf_dir, "lineitem")
@@ -1485,6 +1761,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_hour_locf": q_gapfill_hour_locf,
         "streaming_stream_join": q_streaming_stream_join,
         "text_quality_ext": q_text_quality_ext,
+        # -- new r2 session 2: TPC-H coverage completed (shapes adapted to
+        # the reduced schema; see each function's docstring) ----------------
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_value": q11_important_value,
+        "q12_priority_class": q12_priority_class,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q20_part_promotion": q20_part_promotion,
+        "q21_waiting_supplier": q21_waiting_supplier,
         # -- (3) r1 driver-green --------------------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -1812,6 +2102,164 @@ def oracle_sql() -> dict[str, str]:
                                WHERE c_acctbal > 0)
               AND NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey)
+            GROUP BY 1
+        """,
+        "q2_min_cost_supplier": """
+            SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part p ON ps.l_partkey = p.p_partkey
+            JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE' AND p.p_type = 'LARGE' AND p.p_size = 15
+              AND s.s_acctbal = (
+                  SELECT max(s2.s_acctbal)
+                  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps2
+                  JOIN supplier s2 ON ps2.l_suppkey = s2.s_suppkey
+                  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                  WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY 1
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(round(sum(
+                       CAST(l_extendedprice AS DECIMAL(14,2))
+                           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                       - CAST(0.8 AS DECIMAL(2,1))
+                           * CAST(p_retailprice AS DECIMAL(8,2))
+                           * CAST(l_quantity AS DECIMAL(6,0))), 2) AS DOUBLE)
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2
+        """,
+        "q11_important_value": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'
+                GROUP BY 1)
+            SELECT l_partkey AS p_partkey, value
+            FROM per_part
+            WHERE value > (SELECT sum(value) FROM per_part) * 0.005
+        """,
+        "q12_priority_class": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                  FROM customer c
+                  LEFT OUTER JOIN orders o
+                    ON c.c_custkey = o.o_custkey
+                   AND o.o_orderpriority <> '5-LOW'
+                  GROUP BY 1)
+            GROUP BY 1
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY 1)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        "q16_supplier_part_count": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON ps.l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 14, 19, 23)
+              AND ps.l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = 'Brand#3'
+              AND l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity)
+                                        FROM lineitem l2
+                                        WHERE l2.l_partkey = p.p_partkey)
+        """,
+        "q20_part_promotion": """
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+              AND s_suppkey IN (
+                  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE p_name LIKE 'red %'
+                    AND l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l_shipdate < TIMESTAMP '1997-01-01'
+                  GROUP BY l_partkey, l_suppkey
+                  HAVING sum(l_quantity) > 100)
+        """,
+        "q21_waiting_supplier": """
+            SELECT s_name, count(*) AS numwait
+            FROM (SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+                  FROM lineitem l1
+                  JOIN orders ON l1.l_orderkey = o_orderkey
+                  WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+                    AND EXISTS (SELECT 1 FROM lineitem l2
+                                WHERE l2.l_orderkey = l1.l_orderkey
+                                  AND l2.l_suppkey <> l1.l_suppkey)
+                    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                    WHERE l3.l_orderkey = l1.l_orderkey
+                                      AND l3.l_suppkey <> l1.l_suppkey
+                                      AND l3.l_returnflag = 'R')) w
+            JOIN supplier ON w.l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_2'
             GROUP BY 1
         """,
         "stats_aggregates": """
