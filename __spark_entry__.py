@@ -580,6 +580,55 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PromQL-style counter increase per hour with reset detection
+    from dads_spark.rollup import counter_rate
+
+    ev = _t(spark, sf_dir, "events")
+    return counter_rate(
+        ev, ["event_type"], "ts", "value", "hour", order_cols=["event_id"]
+    ).select("event_type", _fmt_bucket(), "increase", "n_resets")
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trapezoidal time-weighted hourly average (irregular sampling)
+    from dads_spark.rollup import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(ev, ["event_type"], "ts", "value", "hour").select(
+        "event_type", _fmt_bucket(), "twa", "n_points"
+    )
+
+
+def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hour-of-day seasonal-profile outliers (3-sigma residuals)
+    from dads_spark.rollup import seasonal_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_outliers(ev, ["event_type"], "ts", "value", 3.0)
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # median/MAD robust outliers; exact medians interpolate identically in
+    # Spark and DuckDB, so set membership is bit-deterministic
+    from dads_spark.rollup import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outliers(ev, ["event_type"], "ts", "value", 5.0)
+
+
+def q_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PAA frames + SAX alphabet-4 symbols per series
+    from dads_spark.rollup import paa_sax
+
+    ev = _t(spark, sf_dir, "events")
+    # quantize=100: events.value is an exact-2dp metric, so frame/series
+    # means run on exact integer sums (bit-deterministic across engines)
+    return paa_sax(
+        ev, ["event_type"], "ts", "value", 16, order_cols=["event_id"], quantize=100
+    )
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q2 shape: correlated scalar-max subquery over a part-supplier
     # relation inside a region. The testdata ships no partsupp table, so the
@@ -1761,6 +1810,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_hour_locf": q_gapfill_hour_locf,
         "streaming_stream_join": q_streaming_stream_join,
         "text_quality_ext": q_text_quality_ext,
+        # -- new r2 session 2: time-series analytics -------------------------
+        "counter_rate": q_counter_rate,
+        "time_weighted_avg": q_time_weighted_avg,
+        "seasonal_outliers": q_seasonal_outliers,
+        "mad_outliers": q_mad_outliers,
+        "paa_sax": q_paa_sax,
         # -- new r2 session 2: TPC-H coverage completed (shapes adapted to
         # the reduced schema; see each function's docstring) ----------------
         "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -2103,6 +2158,99 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey)
             GROUP BY 1
+        """,
+        "counter_rate": """
+            WITH d AS (
+                SELECT event_type, ts, value,
+                       lag(value) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS prev
+                FROM events)
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS bucket_ts,
+                   round(sum(CASE WHEN prev IS NULL THEN NULL
+                                  WHEN value - prev < 0 THEN value
+                                  ELSE value - prev END), 4) AS increase,
+                   CAST(sum(CASE WHEN prev IS NOT NULL AND value - prev < 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+            FROM d GROUP BY 1, 2
+        """,
+        "time_weighted_avg": """
+            WITH b AS (
+                SELECT event_type, value, epoch_us(ts) AS us,
+                       date_trunc('hour', ts) AS bt
+                FROM events),
+            s AS (
+                SELECT event_type, bt, value, us,
+                       lead(value) OVER (PARTITION BY event_type, bt
+                                         ORDER BY us) AS nv,
+                       lead(us) OVER (PARTITION BY event_type, bt
+                                      ORDER BY us) AS nus
+                FROM b)
+            SELECT event_type,
+                   strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   round(CASE WHEN sum(CAST(nus - us AS DOUBLE)) > 0
+                              THEN sum((value + nv) / 2.0
+                                       * CAST(nus - us AS DOUBLE))
+                                   / sum(CAST(nus - us AS DOUBLE))
+                              ELSE min(value) END, 4) AS twa,
+                   count(*) AS n_points
+            FROM s GROUP BY 1, 2
+        """,
+        "seasonal_outliers": """
+            WITH prof AS (
+                SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+                       avg(value) AS m, stddev_pop(value) AS s
+                FROM events GROUP BY 1, 2)
+            SELECT e.event_type,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   p.hod, round(e.value, 4) AS value,
+                   round((e.value - p.m) / p.s, 2) AS z_score
+            FROM events e
+            JOIN prof p ON e.event_type = p.event_type
+                       AND CAST(hour(e.ts) AS INTEGER) = p.hod
+            WHERE p.s > 0 AND abs(e.value - p.m) > 3.0 * p.s
+        """,
+        "mad_outliers": """
+            WITH med AS (
+                SELECT event_type, median(value) AS med
+                FROM events GROUP BY 1),
+            mad AS (
+                SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+                FROM events e JOIN med m USING (event_type) GROUP BY 1)
+            SELECT e.event_type,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   round(e.value, 4) AS value,
+                   round(m.med, 4) AS series_median,
+                   round(abs(e.value - m.med) / d.mad, 2) AS mad_score
+            FROM events e
+            JOIN med m USING (event_type)
+            JOIN mad d USING (event_type)
+            WHERE d.mad > 0 AND abs(e.value - m.med) > 5.0 * d.mad
+        """,
+        "paa_sax": """
+            WITH framed AS (
+                SELECT event_type, value,
+                       CAST(round(value * 100) AS BIGINT) AS iv,
+                       (row_number() OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id) - 1) // 16
+                           AS frame
+                FROM events),
+            stats AS (
+                SELECT event_type,
+                       CAST(sum(iv) AS DOUBLE) / (100.0 * count(*)) AS m,
+                       stddev_pop(value) AS s
+                FROM framed GROUP BY 1),
+            paa AS (
+                SELECT event_type, frame,
+                       CAST(sum(iv) AS DOUBLE) / (100.0 * count(*)) AS p
+                FROM framed GROUP BY 1, 2)
+            SELECT p.event_type, p.frame, p.p AS paa,
+                   CASE WHEN (p.p - s.m) / s.s < -0.6745 THEN 'a'
+                        WHEN (p.p - s.m) / s.s < 0.0 THEN 'b'
+                        WHEN (p.p - s.m) / s.s < 0.6745 THEN 'c'
+                        ELSE 'd' END AS symbol
+            FROM paa p JOIN stats s USING (event_type)
         """,
         "q2_min_cost_supplier": """
             SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type

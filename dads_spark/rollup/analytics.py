@@ -1,0 +1,251 @@
+"""Time-series analytics over rolled-up or raw series: counter rates,
+time-weighted averages, seasonal/MAD outlier detection, PAA/SAX
+symbolization.
+
+All operators here are pure DataFrame expressions (window functions +
+decomposable aggregates) — no Python in the hot path — so Catalyst keeps
+them inside whole-stage codegen and every groupBy shuffles one row per
+(series, bucket). Each has a DuckDB oracle twin in ``__spark_entry__.py``.
+
+Scale notes:
+- window functions partition by the series key: one shuffle, then
+  per-partition sorted evaluation — the same shape at 5 series or 50M.
+- two-pass operators (MAD) join per-key aggregates back to the fact rows;
+  the aggregate side is one row per key and broadcast-eligible, so the
+  fact side never reshuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .tiers import bucket_expr
+
+
+def counter_rate(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tier: str = "hour",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Monotonic-counter increase per bucket with reset detection
+    (PromQL ``increase``-style).
+
+    Per series ordered by time: delta = value - lag(value); a negative
+    delta means the counter reset, so the increase since the reset is the
+    raw value itself. The first point of a series contributes nothing.
+    ``order_cols`` appends tie-break columns after the timestamp so the lag
+    is total-ordered even on colliding timestamps.
+    Output: (keys..., bucket_ts, increase, n_resets).
+    """
+    w = W.partitionBy(*key_cols).orderBy(ts_col, *(order_cols or []))
+    prev = F.lag(value_col).over(w)
+    delta = F.col(value_col) - prev
+    inc = F.when(prev.isNull(), None).otherwise(
+        F.when(delta < 0, F.col(value_col)).otherwise(delta)
+    )
+    reset = F.when(prev.isNotNull() & (delta < 0), 1).otherwise(0)
+    return (
+        df.withColumn("_inc", inc)
+        .withColumn("_reset", reset)
+        .groupBy(*key_cols, bucket_expr(ts_col, tier))
+        .agg(
+            F.round(F.sum("_inc"), 4).alias("increase"),
+            F.sum("_reset").alias("n_resets"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tier: str = "hour",
+) -> DataFrame:
+    """Trapezoidal time-weighted average per (series, bucket).
+
+    Each segment between consecutive points of a series INSIDE one bucket
+    weighs the segment's mean value by its duration; a bucket with a single
+    point reports that value. Irregular sampling stops biasing the average
+    toward burst periods — the point of time-weighting on event-sampled
+    web series. Output: (keys..., bucket_ts, twa, n_points).
+    """
+    b = df.select(
+        *key_cols, F.col(value_col).alias("_v"), bucket_expr(ts_col, tier),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    )
+    w = W.partitionBy(*key_cols, "bucket_ts").orderBy("_us")
+    nxt_v = F.lead("_v").over(w)
+    nxt_us = F.lead("_us").over(w)
+    seg_dur = (nxt_us - F.col("_us")).cast("double")
+    seg_area = (F.col("_v") + nxt_v) / 2.0 * seg_dur
+    return (
+        b.withColumn("_dur", seg_dur)
+        .withColumn("_area", seg_area)
+        .groupBy(*key_cols, "bucket_ts")
+        .agg(
+            F.round(
+                F.when(
+                    F.sum("_dur") > 0, F.sum("_area") / F.sum("_dur")
+                ).otherwise(F.min("_v")),  # single-point bucket (det. in
+                # both engines, unlike first())
+                4,
+            ).alias("twa"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+def seasonal_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Hour-of-day seasonal-profile outliers.
+
+    Builds the per-(series, hour-of-day) mean/stddev profile and flags rows
+    whose residual exceeds ``n_sigma`` population deviations. The profile
+    side is one row per (key, hod) — broadcast-eligible — so the fact scan
+    is never reshuffled. Output: one row per outlier with its residual.
+    """
+    hod = F.hour(F.col(ts_col).cast("timestamp")).alias("hod")
+    prof = (
+        df.groupBy(*key_cols, hod)
+        .agg(
+            F.avg(value_col).alias("_mean"),
+            F.stddev_pop(value_col).alias("_std"),
+        )
+    )
+    fact = df.select(
+        *key_cols, ts_col, F.col(value_col).alias("_v"),
+        F.hour(F.col(ts_col).cast("timestamp")).alias("hod"),
+    )
+    joined = fact.join(F.broadcast(prof), [*key_cols, "hod"])
+    resid = F.col("_v") - F.col("_mean")
+    return (
+        joined.filter(
+            (F.col("_std") > 0) & (F.abs(resid) > n_sigma * F.col("_std"))
+        )
+        .select(
+            *key_cols,
+            F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.col("hod"),
+            F.round("_v", 4).alias("value"),
+            F.round(resid / F.col("_std"), 2).alias("z_score"),
+        )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: float = 5.0,
+) -> DataFrame:
+    """Median/MAD robust outliers per series.
+
+    Two exact-median passes (value median, then median absolute deviation)
+    joined back to the facts; rows with |v - median| > k * MAD are flagged.
+    Medians are interpolated identically by Spark's ``median`` and DuckDB's
+    ``median`` (midpoint of the two central values), so the oracle
+    hash-matches. MAD is the estimator of choice under the heavy-tailed
+    value distributions of web-traffic series — stddev-based z-scores let
+    a single spike mask every other anomaly.
+    """
+    med = df.groupBy(*key_cols).agg(F.median(value_col).alias("_med"))
+    with_med = df.join(F.broadcast(med), key_cols)
+    mad = (
+        with_med.groupBy(*key_cols)
+        .agg(
+            F.median(F.abs(F.col(value_col) - F.col("_med"))).alias("_mad")
+        )
+    )
+    j = with_med.join(F.broadcast(mad), key_cols)
+    dev = F.abs(F.col(value_col) - F.col("_med"))
+    return (
+        j.filter((F.col("_mad") > 0) & (dev > k * F.col("_mad")))
+        .select(
+            *key_cols,
+            F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.round(value_col, 4).alias("value"),
+            F.round("_med", 4).alias("series_median"),
+            F.round(dev / F.col("_mad"), 2).alias("mad_score"),
+        )
+    )
+
+
+#: SAX breakpoints for alphabet size 4 under the standard normal:
+#: P(X < -0.6745) = P(-0.6745 < X < 0) = ... = 0.25 per symbol
+_SAX4 = (-0.6745, 0.0, 0.6745)
+
+
+def paa_sax(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    frame_size: int = 16,
+    order_cols: list[str] | None = None,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Piecewise Aggregate Approximation + SAX symbolization per series.
+
+    Points are frame-grouped in time order (``frame = row_number div
+    frame_size``), each frame reduced to its mean (PAA), then z-normalized
+    against the SERIES mean/stddev and binned at the standard-normal
+    quartile breakpoints into symbols a-d (SAX, alphabet 4). The symbol
+    string is the classic index for similarity search / motif mining over
+    rolled-up series at a fraction of the storage.
+
+    ``quantize``: when the values are fixed-point decimals (e.g. 100 for
+    2dp money/metric values), frame and series means are computed as exact
+    integer sums divided once — bit-identical regardless of partitioning or
+    engine summation order — and the paa is emitted UNROUNDED: the IEEE
+    division of two exact integers is itself bit-deterministic, while any
+    fixed-decimal rounding of it can land ON a half boundary (observed:
+    70718/1600 = 44.19875, which Java BigDecimal rounds from the shortest
+    decimal repr to ...88 and DuckDB rounds from the binary double to
+    ...87). Without ``quantize`` the mean is a float ``avg`` rounded 4dp.
+    Output: (keys..., frame, paa, symbol).
+    """
+    w = W.partitionBy(*key_cols).orderBy(ts_col, *(order_cols or []))
+    framed = df.select(
+        *key_cols, F.col(value_col).alias("_v"),
+        ((F.row_number().over(w) - 1) / frame_size).cast("long").alias("frame"),
+    )
+    if quantize:
+        iv = F.round(F.col("_v") * quantize).cast("long")
+        framed = framed.withColumn("_iv", iv)
+        exact_mean = F.sum("_iv") / (float(quantize) * F.count(F.lit(1)))
+        stats = framed.groupBy(*key_cols).agg(
+            exact_mean.alias("_mean"), F.stddev_pop("_v").alias("_std")
+        )
+        paa = framed.groupBy(*key_cols, "frame").agg(exact_mean.alias("_paa"))
+    else:
+        stats = framed.groupBy(*key_cols).agg(
+            F.avg("_v").alias("_mean"), F.stddev_pop("_v").alias("_std")
+        )
+        paa = framed.groupBy(*key_cols, "frame").agg(F.avg("_v").alias("_paa"))
+    z = (F.col("_paa") - F.col("_mean")) / F.col("_std")
+    symbol = (
+        F.when(z < _SAX4[0], "a")
+        .when(z < _SAX4[1], "b")
+        .when(z < _SAX4[2], "c")
+        .otherwise("d")
+    )
+    paa_out = F.col("_paa") if quantize else F.round("_paa", 4)
+    return (
+        paa.join(F.broadcast(stats), key_cols)
+        .select(
+            *key_cols,
+            "frame",
+            paa_out.alias("paa"),
+            symbol.alias("symbol"),
+        )
+    )

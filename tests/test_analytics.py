@@ -1,0 +1,141 @@
+"""Unit tests for rollup.analytics: hand-computed expectations on tiny
+constructed series (the DuckDB oracle gate in test_entry_compare covers the
+cross-engine hashes; these pin the semantics themselves)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from dads_spark.rollup import (
+    counter_rate,
+    mad_outliers,
+    paa_sax,
+    seasonal_outliers,
+    time_weighted_avg,
+)
+
+
+def _series(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v", "id"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf)
+
+
+def test_counter_rate_reset_semantics(spark):
+    # counter 10 -> 25 -> 3 (reset) -> 9 within one hour: increase =
+    # (25-10) + 3 + (9-3) = 24, one reset; first point contributes nothing
+    df = _series(
+        spark,
+        [
+            ("a", "2024-01-01 00:00:00", 10.0, 1),
+            ("a", "2024-01-01 00:10:00", 25.0, 2),
+            ("a", "2024-01-01 00:20:00", 3.0, 3),
+            ("a", "2024-01-01 00:30:00", 9.0, 4),
+        ],
+    )
+    out = counter_rate(df, ["k"], "ts", "v", "hour", order_cols=["id"]).toPandas()
+    assert len(out) == 1
+    assert out.increase.iloc[0] == pytest.approx(24.0)
+    assert out.n_resets.iloc[0] == 1
+
+
+def test_counter_rate_crosses_buckets(spark):
+    # the lag spans the bucket boundary: the 01:00 point's delta (7) lands
+    # in the 01:00 bucket (increase since the PREVIOUS sample, wherever it was)
+    df = _series(
+        spark,
+        [
+            ("a", "2024-01-01 00:50:00", 10.0, 1),
+            ("a", "2024-01-01 01:05:00", 17.0, 2),
+        ],
+    )
+    out = (
+        counter_rate(df, ["k"], "ts", "v", "hour", order_cols=["id"])
+        .toPandas()
+        .sort_values("bucket_ts")
+        .reset_index(drop=True)
+    )
+    assert pd.isna(out.increase.iloc[0])  # only the first point: no delta
+    assert out.increase.iloc[1] == pytest.approx(7.0)
+
+
+def test_time_weighted_avg_trapezoid(spark):
+    # segments: 0->10min at (0+6)/2=3, 10->30min at (6+12)/2=9
+    # twa = (3*600 + 9*1200) / 1800 = 7.0; point count 3
+    df = _series(
+        spark,
+        [
+            ("a", "2024-01-01 00:00:00", 0.0, 1),
+            ("a", "2024-01-01 00:10:00", 6.0, 2),
+            ("a", "2024-01-01 00:30:00", 12.0, 3),
+        ],
+    )
+    out = time_weighted_avg(df, ["k"], "ts", "v", "hour").toPandas()
+    assert len(out) == 1
+    assert out.twa.iloc[0] == pytest.approx(7.0)
+    assert out.n_points.iloc[0] == 3
+
+
+def test_time_weighted_avg_single_point_bucket(spark):
+    df = _series(spark, [("a", "2024-01-01 00:00:00", 42.0, 1)])
+    out = time_weighted_avg(df, ["k"], "ts", "v", "hour").toPandas()
+    assert out.twa.iloc[0] == pytest.approx(42.0)
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    rows = [("a", f"2024-01-01 00:{i:02d}:00", 10.0 + (i % 3), i) for i in range(20)]
+    rows.append(("a", "2024-01-01 00:21:00", 500.0, 99))
+    out = mad_outliers(_series(spark, rows), ["k"], "ts", "v", 5.0).toPandas()
+    assert len(out) == 1
+    assert out.value.iloc[0] == 500.0
+    assert out.mad_score.iloc[0] > 100
+
+
+def test_seasonal_outliers_hour_profile(spark):
+    # hour-0 profile is tight around 10; one 100.0 spike breaks 3 sigma.
+    # hour-1 rows keep their own profile and stay quiet.
+    rows = [("a", f"2024-01-{d:02d} 00:00:00", 10.0 + 0.1 * (d % 5), d) for d in range(1, 21)]
+    rows += [("a", f"2024-01-{d:02d} 01:00:00", 50.0 + (d % 7), 100 + d) for d in range(1, 21)]
+    rows.append(("a", "2024-01-25 00:00:00", 100.0, 999))
+    out = seasonal_outliers(_series(spark, rows), ["k"], "ts", "v", 3.0).toPandas()
+    assert len(out) == 1
+    assert out.hod.iloc[0] == 0
+    assert out.value.iloc[0] == 100.0
+    assert out.z_score.iloc[0] > 3
+
+
+def test_paa_sax_frames_and_symbols(spark):
+    # 8 points, frame_size 4: frame 0 mean 10, frame 1 mean 30.
+    # series mean 20, stddev_pop 10.0498...; z = ±0.995 -> symbols 'a','d'
+    rows = [("a", f"2024-01-01 00:0{i}:00", v, i) for i, v in enumerate([10.0] * 4 + [30.0] * 4)]
+    out = (
+        paa_sax(_series(spark, rows), ["k"], "ts", "v", 4, order_cols=["id"])
+        .toPandas()
+        .sort_values("frame")
+        .reset_index(drop=True)
+    )
+    assert out.frame.tolist() == [0, 1]
+    assert out.paa.tolist() == pytest.approx([10.0, 30.0])
+    assert out.symbol.tolist() == ["a", "d"]
+
+
+def test_paa_sax_quantized_matches_plain(spark):
+    # quantize=10 on 1dp values: same paa (up to 4dp rounding) and symbols
+    rows = [
+        ("a", f"2024-01-01 00:{i:02d}:00", round(10.0 + 0.7 * i, 1), i)
+        for i in range(32)
+    ]
+    df = _series(spark, rows)
+    plain = (
+        paa_sax(df, ["k"], "ts", "v", 8, order_cols=["id"])
+        .toPandas().sort_values("frame").reset_index(drop=True)
+    )
+    quant = (
+        paa_sax(df, ["k"], "ts", "v", 8, order_cols=["id"], quantize=10)
+        .toPandas().sort_values("frame").reset_index(drop=True)
+    )
+    assert quant.paa.tolist() == pytest.approx(plain.paa.tolist(), abs=1e-4)
+    assert quant.symbol.tolist() == plain.symbol.tolist()
