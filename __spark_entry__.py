@@ -629,6 +629,20 @@ def q_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_matrix_profile_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # STOMP matrix-profile discords over the hourly event series — the exact
+    # nearest-neighbor counterpart to the S2G/DRAG graph scoring. Rows-only:
+    # the O(n^2) z-normalized NN profile is not ANSI SQL; kernel parity vs
+    # brute force is pinned in tests/test_matrixprofile.py.
+    from dads_spark.rollup import discords_grouped, rollup_from_raw
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour").select(
+        "event_type", "bucket_ts", F.col("value_sum").alias("v")
+    )
+    return discords_grouped(hourly, ["event_type"], "bucket_ts", "v", m=24, k=3)
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q2 shape: correlated scalar-max subquery over a part-supplier
     # relation inside a region. The testdata ships no partsupp table, so the
@@ -1816,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_outliers": q_seasonal_outliers,
         "mad_outliers": q_mad_outliers,
         "paa_sax": q_paa_sax,
+        "matrix_profile_discord": q_matrix_profile_discord,
         # -- new r2 session 2: TPC-H coverage completed (shapes adapted to
         # the reduced schema; see each function's docstring) ----------------
         "q2_min_cost_supplier": q2_min_cost_supplier,
