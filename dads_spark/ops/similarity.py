@@ -155,6 +155,14 @@ def ann_ivf(
     At warehouse scale the cell id becomes a partition/bucket column so a
     probe only reads n_probe/n_cells of the data (partition pruning); recall
     rises with n_probe, cost falls with n_cells.
+
+    Execution shape: ONE scan of the embeddings does cell assignment,
+    probe masking, exact cosine against the broadcast query matrix, and
+    per-batch top-k — the first formulation shuffled every candidate row
+    WITH its full embedding through two joins and then Python-scored the
+    whole candidate set (~40% of all vectors per query at these
+    parameters); only <= partitions x queries x k skinny rows reach the
+    final ranking window here.
     """
     rng = np.random.default_rng(seed)
     sample = (
@@ -171,46 +179,62 @@ def ann_ivf(
                 m = members.sum(axis=0)
                 cent[c] = m / max(np.linalg.norm(m), 1e-30)
 
-    def assign_cells(it):
-        for pdf in it:
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "cell": (mat @ cent.T).argmax(axis=1)}
-            )
-
-    cells = embeddings.select(id_col, vec_col).mapInPandas(
-        assign_cells, f"{id_col} long, cell int"
-    )
-
     qrows = (
         embeddings.filter(F.col(id_col).isin(query_ids))
         .select(id_col, vec_col)
         .collect()
     )
-    probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r[vec_col], dtype=np.float64)
-        qv = qv / max(np.linalg.norm(qv), 1e-30)
-        for c in np.argsort(-(cent @ qv))[:n_probe]:
-            probe_rows.append((int(r[id_col]), int(c)))
-    spark = embeddings.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    qids = np.array([int(r[id_col]) for r in qrows], dtype=np.int64)
+    qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+    # probe_mask[c, q] = cell c is among query q's n_probe nearest cells
+    probe_mask = np.zeros((n_cells, len(qids)), dtype=bool)
+    for qi in range(len(qids)):
+        for c in np.argsort(-(cent @ qmat[qi]))[:n_probe]:
+            probe_mask[int(c), qi] = True
 
-    cand = (
-        cells.join(F.broadcast(probes), "cell")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", F.col(id_col).alias("neighbor_id"))
-        .distinct()
+    def score(it):
+        out = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            cells = (mat @ cent.T).argmax(axis=1)
+            cos = mat @ qmat.T  # batch x queries
+            allowed = probe_mask[cells]  # batch x queries
+            allowed &= ids[:, None] != qids[None, :]  # no self-match
+            cos = np.where(allowed, cos, -np.inf)
+            for qi in range(len(qids)):
+                col = cos[:, qi]
+                # per-batch partial top-k under the FINAL comparator
+                # (rounded cosine desc, id asc) so no global winner is lost
+                order = np.lexsort((ids, -np.round(col, 6)))[:k]
+                keep = order[np.isfinite(col[order])]
+                if len(keep):
+                    out["query_id"].append(np.full(len(keep), qids[qi]))
+                    out["neighbor_id"].append(ids[keep])
+                    out["cosine"].append(col[keep])
+        if out["query_id"]:
+            yield pd.DataFrame({c: np.concatenate(v) for c, v in out.items()})
+        else:
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
     )
-    vecs = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    w = W.partitionBy("query_id").orderBy(
+        F.round("cosine", 6).desc(), F.col("neighbor_id")
     )
-    qvecs = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    return _exact_rerank(
-        cand.join(vecs, "neighbor_id").join(F.broadcast(qvecs), "query_id"), k
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
 
 
