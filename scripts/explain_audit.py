@@ -187,6 +187,12 @@ def main() -> None:
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         od = spark.read.parquet(f"{sf_dir}/orders.parquet")
         for name, d, key in (("audit_li_b", li, "l_orderkey"), ("audit_od_b", od, "o_orderkey")):
+            # DROP alone leaves the warehouse dir if a previous run died
+            # between drop and write; clear both
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            import shutil
+
+            shutil.rmtree(os.path.join(REPO, "spark-warehouse", name), ignore_errors=True)
             d.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(name)
         a, b = spark.table("audit_li_b"), spark.table("audit_od_b")
         j = a.join(b, a.l_orderkey == b.o_orderkey).groupBy("o_orderpriority").count()
@@ -205,6 +211,48 @@ def main() -> None:
         ))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+
+    # --- A10: analytics window/agg ops stay JVM-side, bounded shuffles -----
+    for qname in ("counter_rate", "time_weighted_avg", "paa_sax"):
+        p10 = plan_of(em.queries()[qname](spark, sf_dir))
+        for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+            assert py_op not in p10, f"{qname} plan contains {py_op}"
+        n_ex = p10.count("Exchange hashpartitioning")
+        assert n_ex <= 3, f"{qname}: {n_ex} hash exchanges"
+        sections.append((
+            f"A10 {qname}: codegen window + agg",
+            f"PASS — no Python operator; {n_ex} hash exchange(s) "
+            "(series window + final agg; same count at any scale)",
+            "\n".join(l for l in p10.splitlines() if "Exchange" in l or "Window" in l or "HashAggregate" in l)[:600],
+        ))
+
+    # --- A11: outlier detectors broadcast their per-key profiles -----------
+    for qname in ("seasonal_outliers", "mad_outliers"):
+        p11 = plan_of(em.queries()[qname](spark, sf_dir))
+        assert "BroadcastHashJoin" in p11, f"{qname}: profile join not broadcast"
+        sections.append((
+            f"A11 {qname}: profile joins broadcast",
+            "PASS — the one-row-per-key profile side broadcasts; the fact "
+            "scan is never hash-repartitioned to meet it",
+            "\n".join(l for l in p11.splitlines() if "Join" in l or "Exchange" in l)[:600],
+        ))
+
+    # --- A12: single-scan IVF ANN ------------------------------------------
+    p12 = plan_of(em.queries()["ann_ivf"](spark, sf_dir))
+    # formatted plans name each node once in the tree ("MapInPandas (2)")
+    # and once in the detail list; count tree nodes only
+    assert len(re.findall(r"MapInPandas \(\d+\)", p12)) == 1, (
+        "ann_ivf should be ONE Python scan"
+    )
+    assert "Join" not in p12, "ann_ivf rewrite must not join vectors"
+    sections.append((
+        "A12 ann_ivf single-scan shape",
+        "PASS — exactly one MapInPandas over the embeddings scan and zero "
+        "joins: candidates score against the broadcast query matrix in the "
+        "same pass that assigns cells; only partitions x queries x k rows "
+        "reach the ranking window",
+        "\n".join(p12.splitlines()[2:12]),
+    ))
 
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
