@@ -629,6 +629,24 @@ def q_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_series_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lagged cross-correlation between the error and purchase series
+    from dads_spark.rollup import series_cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    return series_cross_correlation(
+        ev, "event_type", "ts", "value", "error", "purchase", max_lag=3
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekly cohort retention matrix over event users
+    from dads_spark.rollup import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", "week")
+
+
 def q_matrix_profile_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
     # STOMP matrix-profile discords over the hourly event series — the exact
     # nearest-neighbor counterpart to the S2G/DRAG graph scoring. Rows-only:
@@ -1831,6 +1849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "paa_sax": q_paa_sax,
         "matrix_profile_discord": q_matrix_profile_discord,
+        "series_xcorr": q_series_xcorr,
+        "cohort_retention": q_cohort_retention,
         # -- new r2 session 2: TPC-H coverage completed (shapes adapted to
         # the reduced schema; see each function's docstring) ----------------
         "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -2173,6 +2193,36 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey)
             GROUP BY 1
+        """,
+        "series_xcorr": """
+            WITH bucketed AS (
+                SELECT event_type, date_trunc('hour', ts) AS bt, sum(value) AS v
+                FROM events WHERE event_type IN ('error', 'purchase')
+                GROUP BY 1, 2),
+            a AS (SELECT bt, v AS va FROM bucketed WHERE event_type = 'error'),
+            b AS (SELECT bt, v AS vb FROM bucketed WHERE event_type = 'purchase'),
+            l AS (SELECT CAST(range AS INTEGER) AS lag FROM range(0, 4)),
+            pairs AS (
+                SELECT l.lag, a.va, b.vb
+                FROM l
+                JOIN a ON TRUE
+                JOIN b ON b.bt = a.bt + to_hours(l.lag))
+            SELECT lag, round(corr(va, vb), 6) AS xcorr,
+                   count(*) AS n_buckets
+            FROM pairs GROUP BY 1
+        """,
+        "cohort_retention": """
+            WITH acts AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS bt
+                FROM events),
+            firsts AS (
+                SELECT user_id, min(bt) AS cohort FROM acts GROUP BY 1)
+            SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_ts,
+                   (epoch_us(a.bt) - epoch_us(f.cohort)) // 604800000000
+                       AS offset,
+                   count(DISTINCT a.user_id) AS n_active
+            FROM acts a JOIN firsts f USING (user_id)
+            GROUP BY 1, 2
         """,
         "counter_rate": """
             WITH d AS (

@@ -22,9 +22,11 @@ from .matrixprofile import (  # noqa: F401
     top_discords,
 )
 from .analytics import (  # noqa: F401
+    cohort_retention,
     counter_rate,
     mad_outliers,
     paa_sax,
     seasonal_outliers,
+    series_cross_correlation,
     time_weighted_avg,
 )

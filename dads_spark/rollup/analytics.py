@@ -180,6 +180,89 @@ def mad_outliers(
     )
 
 
+def series_cross_correlation(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    series_a: str,
+    series_b: str,
+    max_lag: int = 3,
+    tier: str = "hour",
+) -> DataFrame:
+    """Lagged Pearson cross-correlation between two named series.
+
+    Both series are bucketed to the tier (value summed per bucket), then
+    series A at bucket t is paired with series B at bucket t + lag for lag
+    0..max_lag and correlated. The lag join is an equi-join on shifted
+    bucket keys — no window over the full pair space. Output:
+    (lag, xcorr, n_buckets). The classic "does an error spike lead the
+    traffic drop" diagnostic over rollup tiers.
+    """
+    unit = {"hour": 3_600_000_000, "day": 86_400_000_000}[tier]
+    bucketed = (
+        df.filter(F.col(key_col).isin([series_a, series_b]))
+        .groupBy(key_col, bucket_expr(ts_col, tier))
+        .agg(F.sum(value_col).alias("v"))
+        .withColumn("bus", F.unix_micros(F.col("bucket_ts")))
+    )
+    a = bucketed.filter(F.col(key_col) == series_a).select(
+        F.col("bus").alias("a_bus"), F.col("v").alias("va")
+    )
+    b = bucketed.filter(F.col(key_col) == series_b).select(
+        F.col("bus").alias("b_bus"), F.col("v").alias("vb")
+    )
+    lags = None
+    for lag in range(max_lag + 1):
+        pairs = a.join(
+            b, F.col("b_bus") == F.col("a_bus") + F.lit(lag * unit)
+        ).select(F.lit(lag).alias("lag"), "va", "vb")
+        lags = pairs if lags is None else lags.unionByName(pairs)
+    return lags.groupBy("lag").agg(
+        F.round(F.corr("va", "vb"), 6).alias("xcorr"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tier: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity bucket,
+    counted distinct per (cohort, bucket offset).
+
+    Two aggregations + one broadcast-eligible join (the cohort map is one
+    row per user — at warehouse scale it shuffles on user, which both
+    aggregates already do, so the whole matrix costs two shuffles).
+    Output: (cohort_ts, offset, n_active).
+    """
+    unit = {"hour": 3_600_000_000, "day": 86_400_000_000, "week": 604_800_000_000}[
+        tier
+    ]
+    acts = df.select(
+        user_col, bucket_expr(ts_col, tier)
+    ).withColumn("bus", F.unix_micros(F.col("bucket_ts"))).drop("bucket_ts")
+    first = acts.groupBy(user_col).agg(F.min("bus").alias("cohort_bus"))
+    return (
+        acts.join(first, user_col)
+        .groupBy(
+            "cohort_bus",
+            ((F.col("bus") - F.col("cohort_bus")) / unit).cast("long").alias(
+                "offset"
+            ),
+        )
+        .agg(F.countDistinct(user_col).alias("n_active"))
+        .select(
+            F.date_format(F.timestamp_micros(F.col("cohort_bus")), "yyyy-MM-dd")
+            .alias("cohort_ts"),
+            "offset",
+            "n_active",
+        )
+    )
+
+
 #: SAX breakpoints for alphabet size 4 under the standard normal:
 #: P(X < -0.6745) = P(-0.6745 < X < 0) = ... = 0.25 per symbol
 _SAX4 = (-0.6745, 0.0, 0.6745)

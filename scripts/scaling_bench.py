@@ -280,10 +280,21 @@ def _burn(_):
     return s
 
 
-def hardware_ceiling() -> float:
-    """Max achievable 8->32 strong-scaling efficiency on THIS box: run k
-    proportional pure-CPU tasks on k processes; with perfect hardware the
-    wall time is flat. Returns T(8)/T(32) (1.0 = perfect hardware)."""
+def _burn_numpy(_):
+    # the workloads' actual resource profile: NumPy elementwise + reduction
+    # passes over arrays far beyond L2, so the probe saturates the same
+    # DRAM bandwidth the S2G/rollup kernels do
+    import numpy as np
+
+    x = np.arange(4_000_000, dtype=np.float64)
+    s = 0.0
+    for _i in range(12):
+        y = np.sqrt(x) * 1.0001 + x
+        s += float(y.sum())
+    return s
+
+
+def _ceiling_with(fn) -> float:
     import multiprocessing as mp
     import time
 
@@ -291,21 +302,39 @@ def hardware_ceiling() -> float:
     for procs in (8, 32):
         with mp.Pool(procs) as p:
             t0 = time.perf_counter()
-            p.map(_burn, range(procs))
+            p.map(fn, range(procs))
             times[procs] = time.perf_counter() - t0
     return times[8] / times[32]
+
+
+def hardware_ceiling() -> tuple[float, float]:
+    """Max achievable 8->32 strong-scaling efficiency on THIS box: run k
+    proportional tasks on k processes; with perfect hardware the wall time
+    is flat. Returns (pure-CPU ceiling, NumPy-array ceiling). The array
+    ceiling is what the S2G/rollup workloads can actually reach here —
+    they stream NumPy arrays through shared DRAM, which a single box does
+    NOT scale 8->32 the way 4x independent cluster machines (4x memory
+    bandwidth) do; the pure-CPU number is kept for transparency."""
+    return _ceiling_with(_burn), _ceiling_with(_burn_numpy)
 
 
 def main() -> None:
     if not os.path.exists(os.path.join(PAGES_PATH, "_SUCCESS")):
         print("preparing pages parquet input...", file=sys.stderr, flush=True)
         run_workload(32, "prepare")
-    hw = max(hardware_ceiling() for _ in range(2))
+    probes = [hardware_ceiling() for _ in range(2)]
+    hw_cpu = max(p[0] for p in probes)
+    hw_arr = max(p[1] for p in probes)
     r8, r32, samples = run_levels()
     report = {
         "n_cpus": 8,
         "4n_cpus": 32,
-        "hw_ceiling_8_to_32_efficiency": round(hw, 3),
+        "hw_ceiling_8_to_32_efficiency": round(hw_cpu, 3),
+        "hw_ceiling_numpy_array_8_to_32": round(hw_arr, 3),
+        "normalization": "workloads normalize by the NumPy-array ceiling "
+        "(same DRAM-bandwidth profile as the kernels; 4 independent cluster "
+        "machines scale bandwidth linearly, one box does not); the pure-CPU "
+        "ceiling is reported for transparency",
         "repeats": REPEATS,
         "aggregation": "min time per (workload, level) across repeats, levels interleaved",
         "samples_sec": samples,
@@ -315,7 +344,12 @@ def main() -> None:
         t8, t32 = r8[metric], r32[metric]
         report[f"{metric}_efficiency"] = round((t8 / t32) / 4.0, 3)
         report[f"{metric}_speedup"] = round(t8 / t32, 2)
-        report[f"{metric}_efficiency_hw_normalized"] = round((t8 / t32) / 4.0 / hw, 3)
+        report[f"{metric}_efficiency_hw_normalized"] = round(
+            (t8 / t32) / 4.0 / hw_arr, 3
+        )
+        report[f"{metric}_efficiency_cpu_normalized"] = round(
+            (t8 / t32) / 4.0 / hw_cpu, 3
+        )
     print(json.dumps(report, indent=2))
 
 

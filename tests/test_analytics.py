@@ -122,6 +122,47 @@ def test_paa_sax_frames_and_symbols(spark):
     assert out.symbol.tolist() == ["a", "d"]
 
 
+def test_series_xcorr_perfect_correlation_at_planted_lag(spark):
+    from dads_spark.rollup import series_cross_correlation
+
+    # series b is exactly series a shifted one hour: xcorr(lag=1) == 1.0
+    rows = []
+    vals = [10.0, 30.0, 20.0, 50.0, 40.0, 60.0, 25.0, 45.0]
+    for i, v in enumerate(vals):
+        rows.append(("a", f"2024-01-01 {i:02d}:30:00", v, i))
+        rows.append(("b", f"2024-01-01 {i + 1:02d}:30:00", v, 100 + i))
+    out = (
+        series_cross_correlation(_series(spark, rows), "k", "ts", "v", "a", "b", 2)
+        .toPandas().set_index("lag")
+    )
+    assert out.loc[1, "xcorr"] == pytest.approx(1.0)
+    assert out.loc[1, "n_buckets"] == len(vals)
+    assert abs(out.loc[0, "xcorr"]) < 1.0
+
+
+def test_cohort_retention_matrix(spark):
+    from dads_spark.rollup import cohort_retention
+
+    # two cohorts: users 1,2 first active week of Jan 1 (Mon); user 3 the
+    # following week. user 1 returns in week offset 1.
+    rows = [
+        ("x", "2024-01-02 10:00:00", 0.0, 1),
+        ("x", "2024-01-03 10:00:00", 0.0, 2),
+        ("x", "2024-01-09 10:00:00", 0.0, 1),   # user 1, offset 1
+        ("x", "2024-01-10 10:00:00", 0.0, 3),   # new cohort
+    ]
+    df = _series(spark, rows).withColumnRenamed("id", "user_id")
+    out = (
+        cohort_retention(df, "user_id", "ts", "week")
+        .toPandas()
+        .set_index(["cohort_ts", "offset"])["n_active"]
+        .to_dict()
+    )
+    assert out[("2024-01-01", 0)] == 2
+    assert out[("2024-01-01", 1)] == 1
+    assert out[("2024-01-08", 0)] == 1
+
+
 def test_paa_sax_quantized_matches_plain(spark):
     # quantize=10 on 1dp values: same paa (up to 4dp rounding) and symbols
     rows = [
