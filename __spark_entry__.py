@@ -629,6 +629,36 @@ def q_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc distinctive terms (tf desc, doc_freq asc) — integer-ranked
+    from dads_spark.ops import top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_terms(docs, "doc_id", "text", 3)
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 5 docs per language by smallest md5(doc_id): reproducible anywhere
+    from dads_spark.ops import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, ["lang"], "doc_id", 5).select(
+        "lang", "doc_id", "n_chars"
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic 25% test split by md5 nibble; counts per (lang, split)
+    from dads_spark.ops import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", test_nibbles=4)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_series_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lagged cross-correlation between the error and purchase series
     from dads_spark.rollup import series_cross_correlation
@@ -1851,6 +1881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile_discord": q_matrix_profile_discord,
         "series_xcorr": q_series_xcorr,
         "cohort_retention": q_cohort_retention,
+        "top_terms": q_top_terms,
+        "deterministic_sample": q_deterministic_sample,
+        "hash_split": q_hash_split,
         # -- new r2 session 2: TPC-H coverage completed (shapes adapted to
         # the reduced schema; see each function's docstring) ----------------
         "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -2193,6 +2226,43 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey)
             GROUP BY 1
+        """,
+        "top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY 1, 2),
+            dfreq AS (
+                SELECT term, count(DISTINCT doc_id) AS doc_freq
+                FROM tf GROUP BY 1),
+            ranked AS (
+                SELECT tf.doc_id, tf.term, tf.tf, d.doc_freq,
+                       row_number() OVER (PARTITION BY tf.doc_id
+                                          ORDER BY tf.tf DESC, d.doc_freq ASC,
+                                                   tf.term ASC) AS rank
+                FROM tf JOIN dfreq d USING (term))
+            SELECT doc_id, term, tf, doc_freq, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "deterministic_sample": """
+            SELECT lang, doc_id, n_chars
+            FROM (SELECT lang, doc_id, n_chars,
+                         row_number() OVER (
+                             PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                             AS rn
+                  FROM documents)
+            WHERE rn <= 5
+        """,
+        "hash_split": """
+            SELECT lang,
+                   CASE WHEN md5(CAST(doc_id AS VARCHAR))
+                             < '40000000000000000000000000000000'
+                        THEN 'test' ELSE 'train' END AS split,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1, 2
         """,
         "series_xcorr": """
             WITH bucketed AS (

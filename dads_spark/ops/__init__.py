@@ -14,8 +14,10 @@ from .textstats import (  # noqa: F401
     language_id,
     text_quality,
     token_counts,
+    top_terms,
     winnow_fingerprints,
 )
+from .sampling import deterministic_sample, hash_split  # noqa: F401
 from .similarity import ann_ivf, ann_lsh, knn_bruteforce  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_media_metadata,

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
@@ -162,4 +162,37 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.conv(F.substring(F.sha2(F.col(text_col).cast("binary"), 256), 1, 15), 16, 10)
         .cast("long")
         .alias("fingerprint"),
+    )
+
+
+def top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Most distinctive terms per document: per-doc term frequency ranked
+    by (tf desc, corpus doc-frequency asc, term asc), top k.
+
+    The classic tf-idf ordering without the idf float: for equal tf a
+    rarer term (lower doc_freq) ranks higher. Staying in integers keeps
+    the ranking bit-deterministic across engines (ln() differs in the last
+    ulp between libm implementations, which can flip ranks at ties).
+    Output: (doc_id, term, tf, doc_freq, rank). The corpus doc-frequency
+    side is one row per distinct term — broadcast-eligible, so the tf side
+    never reshuffles for the join.
+    """
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("doc_freq"))
+    w = W.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "rank")
     )

@@ -1,0 +1,49 @@
+"""Deterministic sampling / split / top-terms semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from dads_spark.ops import deterministic_sample, hash_split, top_terms
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"k{i % 3}", f"text {i}") for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_sample_stable_under_repartition(spark, docs):
+    a = deterministic_sample(docs, ["lang"], "doc_id", 7).toPandas()
+    b = deterministic_sample(docs.repartition(13), ["lang"], "doc_id", 7).toPandas()
+    key = lambda p: sorted(map(tuple, p[["lang", "doc_id"]].to_numpy()))
+    assert key(a) == key(b)
+    assert a.groupby("lang").size().tolist() == [7, 7, 7]
+
+
+def test_hash_split_fraction_and_stability(spark, docs):
+    out = hash_split(docs, "doc_id", test_nibbles=4).toPandas()
+    frac = (out["split"] == "test").mean()
+    assert 0.15 <= frac <= 0.35  # 25% expected, 400 ids
+    again = hash_split(docs.repartition(5), "doc_id", test_nibbles=4).toPandas()
+    assert (
+        out.sort_values("doc_id")["split"].tolist()
+        == again.sort_values("doc_id")["split"].tolist()
+    )
+
+
+def test_top_terms_prefers_rare_term_at_equal_tf(spark):
+    # every doc contains 'common common'; doc 0 also has 'rare rare':
+    # for doc 0 both terms have tf 2 but 'rare' has doc_freq 1 -> rank 1
+    rows = [
+        (0, "common common rare rare"),
+        (1, "common common other"),
+        (2, "common common other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = top_terms(df, "doc_id", "text", 2).toPandas()
+    d0 = out[out.doc_id == 0].sort_values("rank")
+    assert d0.term.tolist() == ["rare", "common"]
+    assert d0.tf.tolist() == [2, 2]
+    assert d0.doc_freq.tolist() == [1, 3]
