@@ -629,6 +629,31 @@ def q_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_holt_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Holt linear forecast residual outliers over hourly event series.
+    # Rows-only: the level/trend recursion is not ANSI SQL; semantics are
+    # pinned by exact-on-linear + planted-spike tests (test_forecast.py).
+    from dads_spark.rollup import holt_residuals_grouped, rollup_from_raw
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour").select(
+        "event_type", "bucket_ts", F.col("value_sum").alias("v")
+    )
+    return holt_residuals_grouped(hourly, ["event_type"], "bucket_ts", "v", n_sigma=4.0)
+
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUSUM mean-shift changepoints per hourly series (rows-only; planted
+    # shift / stationary-quiet behavior pinned in test_forecast.py)
+    from dads_spark.rollup import cusum_grouped, rollup_from_raw
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour").select(
+        "event_type", "bucket_ts", F.col("value_sum").alias("v")
+    )
+    return cusum_grouped(hourly, ["event_type"], "bucket_ts", "v", k=0.75, h=6.0)
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc distinctive terms (tf desc, doc_freq asc) — integer-ranked
     from dads_spark.ops import top_terms
@@ -1884,6 +1909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "deterministic_sample": q_deterministic_sample,
         "hash_split": q_hash_split,
+        "holt_residual_outliers": q_holt_residual_outliers,
+        "cusum_changepoints": q_cusum_changepoints,
         # -- new r2 session 2: TPC-H coverage completed (shapes adapted to
         # the reduced schema; see each function's docstring) ----------------
         "q2_min_cost_supplier": q2_min_cost_supplier,

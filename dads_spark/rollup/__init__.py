@@ -15,6 +15,12 @@ from .gapfill import TIER_SECONDS, gap_fill_linear, gap_fill_locf  # noqa: F401
 from .series import domain_hourly_series, text_identity_fingerprint, with_domain  # noqa: F401
 from .retention import DEFAULT_POLICY, enforce_policy, enforce_retention  # noqa: F401
 from .downsample import ewma_smooth, lttb_downsample, lttb_indices  # noqa: F401
+from .forecast import (  # noqa: F401
+    cusum_changepoints,
+    cusum_grouped,
+    holt_forecast,
+    holt_residuals_grouped,
+)
 from .matrixprofile import (  # noqa: F401
     discords_grouped,
     matrix_profile,

@@ -1,0 +1,147 @@
+"""Forecast-based anomaly kernels: Holt linear smoothing and CUSUM
+changepoint detection per series.
+
+Both recursions are inherently sequential (state_t depends on state_{t-1})
+so they run as one NumPy/Python loop per series inside
+``groupBy().applyInPandas`` — the grouped-kernel shape shared with the S2G
+scorer and the matrix profile: a post-rollup series is thousands of
+points (one task), millions of series parallelize across tasks. Rows-only
+operators (the recursions are not ANSI SQL); semantics are pinned by sharp
+property tests (exact-linear series -> zero residuals; planted mean shift
+-> alarm within steps of the shift, none before).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def holt_forecast(
+    x: np.ndarray, alpha: float = 0.3, beta: float = 0.1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Holt's linear (double exponential) smoothing.
+
+    level_0 = x_0, trend_0 = x_1 - x_0; for t >= 1:
+      forecast_t = level_{t-1} + trend_{t-1}
+      level_t    = alpha x_t + (1-alpha) forecast_t
+      trend_t    = beta (level_t - level_{t-1}) + (1-beta) trend_{t-1}
+    Returns (forecast, residual) arrays; index 0 has no forecast (nan).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    f = np.full(n, np.nan)
+    if n < 2:
+        return f, np.full(n, np.nan)
+    level, trend = x[0], x[1] - x[0]
+    for t in range(1, n):
+        f[t] = level + trend
+        new_level = alpha * x[t] + (1 - alpha) * f[t]
+        trend = beta * (new_level - level) + (1 - beta) * trend
+        level = new_level
+    return f, x - f
+
+
+def cusum_changepoints(
+    x: np.ndarray, k: float = 0.5, h: float = 5.0, baseline: int | None = None
+) -> list[tuple[int, str]]:
+    """Two-sided standardized CUSUM: alarms where the cumulated
+    standardized drift exceeds h (in sigmas), reset after each alarm.
+
+    s+_t = max(0, s+_{t-1} + z_t - k),  s-_t = max(0, s-_{t-1} - z_t - k)
+    with z standardized by the IN-CONTROL mean/sigma estimated from the
+    first ``baseline`` points (default max(30, n/4)). Standardizing by
+    GLOBAL stats breaks on the very signals CUSUM exists for: a mean
+    shift drags the global mean between regimes, making the pre-shift
+    segment a permanent -2sigma drift that alarms everywhere.
+    Returns [(index, 'up'|'down')].
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n < 3:
+        return []
+    b = min(n, max(30, n // 4)) if baseline is None else min(n, baseline)
+    mu, sd = x[:b].mean(), x[:b].std()
+    if sd == 0:
+        return []
+    z = (x - mu) / sd
+    sp = sn = 0.0
+    alarms: list[tuple[int, str]] = []
+    for t in range(len(z)):
+        sp = max(0.0, sp + z[t] - k)
+        sn = max(0.0, sn - z[t] - k)
+        if sp > h:
+            alarms.append((t, "up"))
+            sp = sn = 0.0
+        elif sn > h:
+            alarms.append((t, "down"))
+            sp = sn = 0.0
+    return alarms
+
+
+def holt_residuals_grouped(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Per-series Holt forecast residual outliers:
+    (keys..., idx, value, forecast, residual) for |residual| >
+    n_sigma * residual sigma of the series."""
+    out_schema = ", ".join(
+        [f"{c} string" for c in key_cols]
+        + ["idx long", "value double", "forecast double", "residual double"]
+    )
+
+    def f(keys, pdf):
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        fc, resid = holt_forecast(x, alpha, beta)
+        ok = np.isfinite(resid)
+        sd = resid[ok].std() if ok.any() else 0.0
+        sel = ok & (np.abs(resid) > n_sigma * sd) if sd > 0 else np.zeros(len(x), bool)
+        return pd.DataFrame(
+            {
+                **{c: v for c, v in zip(key_cols, keys)},
+                "idx": np.nonzero(sel)[0].astype(np.int64),
+                "value": x[sel],
+                "forecast": fc[sel],
+                "residual": resid[sel],
+            }
+        )
+
+    return df.groupBy(*key_cols).applyInPandas(f, out_schema)
+
+
+def cusum_grouped(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Per-series CUSUM changepoints: (keys..., idx, direction)."""
+    out_schema = ", ".join(
+        [f"{c} string" for c in key_cols] + ["idx long", "direction string"]
+    )
+
+    def f(keys, pdf):
+        pdf = pdf.sort_values(order_col)
+        alarms = cusum_changepoints(
+            pdf[value_col].to_numpy(dtype=np.float64), k, h
+        )
+        return pd.DataFrame(
+            {
+                **{c: v for c, v in zip(key_cols, keys)},
+                "idx": np.array([a[0] for a in alarms], dtype=np.int64),
+                "direction": [a[1] for a in alarms],
+            }
+        )
+
+    return df.groupBy(*key_cols).applyInPandas(f, out_schema)

@@ -1,0 +1,67 @@
+"""Holt smoothing + CUSUM property tests (sharp, implementation-free)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dads_spark.rollup.forecast import (
+    cusum_changepoints,
+    cusum_grouped,
+    holt_forecast,
+    holt_residuals_grouped,
+)
+
+
+def test_holt_exact_on_linear_series():
+    # on x_t = a + b*t the init (level=x0, trend=b) is already exact, so
+    # every forecast equals the truth and every residual is exactly 0
+    x = 3.0 + 0.7 * np.arange(50)
+    f, resid = holt_forecast(x, alpha=0.3, beta=0.1)
+    assert np.isnan(f[0])
+    assert resid[1:] == pytest.approx(np.zeros(49), abs=1e-9)
+
+
+def test_holt_flags_level_shift(spark):
+    rng = np.random.default_rng(5)
+    x = 10 + 0.05 * np.arange(300) + rng.normal(0, 0.2, 300)
+    x[200] += 25.0  # one-point spike
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": "s", "t": np.arange(300), "v": x})
+    )
+    out = holt_residuals_grouped(df, ["k"], "t", "v", n_sigma=5.0).toPandas()
+    assert 200 in set(out["idx"])
+    assert (out["idx"] - 200).abs().min() == 0
+
+
+def test_cusum_detects_planted_shift():
+    rng = np.random.default_rng(9)
+    x = np.concatenate([rng.normal(0, 1, 150), rng.normal(4, 1, 150)])
+    alarms = cusum_changepoints(x, k=0.5, h=5.0)
+    assert alarms, "no alarm raised"
+    first_idx, direction = alarms[0]
+    assert direction == "up"
+    assert 150 <= first_idx <= 165  # fires within ~15 steps of the shift
+    assert all(i >= 150 for i, _ in alarms[:1])
+
+
+def test_cusum_quiet_on_stationary_noise():
+    # k=0.75 leaves slack for the baseline-window estimation error of
+    # mu/sigma (a small bias otherwise accumulates over hundreds of steps)
+    for seed in (21, 22, 23, 24):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(5, 1, 400)
+        assert cusum_changepoints(x, k=0.75, h=8.0) == []
+
+
+def test_cusum_grouped_matches_kernel(spark):
+    rng = np.random.default_rng(3)
+    x = np.concatenate([rng.normal(0, 1, 100), rng.normal(-3, 1, 100)])
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": "s", "t": np.arange(200), "v": x})
+    )
+    got = cusum_grouped(df, ["k"], "t", "v").toPandas()
+    want = cusum_changepoints(x)
+    assert list(zip(got["idx"], got["direction"])) == want
+    assert (got["direction"] == "down").any()
