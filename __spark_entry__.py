@@ -629,6 +629,30 @@ def q_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicatesWithinWatermark over a backlog holding every
+    event TWICE; the oracle is the hourly count over the single-copy batch
+    table — hash equality proves the stream dropped exactly the re-delivered
+    rows (the at-least-once ingestion dedup shape)."""
+    import hashlib as _hl
+    import os as _os
+
+    from dads_spark.streaming import run_dedup_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    src = f"/tmp/dads_dedup_src_{_hl.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    if not _os.path.exists(f"{src}/_marker2"):
+        ev.write.mode("overwrite").parquet(src)
+        ev.write.mode("append").parquet(src)  # every row delivered twice
+        open(f"{src}/_marker2", "w").write("staged\n")
+    qname = "q_stream_dedup_" + _hl.sha1(sf_dir.encode()).hexdigest()[:8]
+    deduped = run_dedup_stream(spark, src, ev.schema, "event_id", "ts", query_name=qname)
+    return deduped.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select("event_type", _fmt_bucket(), "n_events", "n_users")
+
+
 def q_holt_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Holt linear forecast residual outliers over hourly event series.
     # Rows-only: the level/trend recursion is not ANSI SQL; semantics are
@@ -1911,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "holt_residual_outliers": q_holt_residual_outliers,
         "cusum_changepoints": q_cusum_changepoints,
+        "streaming_dedup": q_streaming_dedup,
         # -- new r2 session 2: TPC-H coverage completed (shapes adapted to
         # the reduced schema; see each function's docstring) ----------------
         "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -2253,6 +2278,14 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey)
             GROUP BY 1
+        """,
+        "streaming_dedup": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS bucket_ts,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
         """,
         "top_terms": """
             WITH toks AS (

@@ -6,7 +6,11 @@ the same hour-tier aggregation expressed as an incremental streaming query
 for pipelines that tail a landing zone instead of re-scanning it.
 """
 
-from .windowed import streaming_hourly_rollup, run_stream_once  # noqa: F401
+from .windowed import (  # noqa: F401
+    run_dedup_stream,
+    run_stream_once,
+    streaming_hourly_rollup,
+)
 from .stateful import (  # noqa: F401
     run_sessionize_stream,
     streaming_sessionize,

@@ -59,3 +59,40 @@ def run_stream_once(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    id_col: str,
+    ts_col: str,
+    watermark: str = "2 hours",
+    query_name: str = "dedup_stream",
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` on the id
+    over a bounded backlog (state for an id is held only within the
+    watermark horizon — the production shape for at-least-once ingestion,
+    where re-delivered rows arrive close to the original).
+
+    Returns the deduplicated rows from the memory sink; feeding a source
+    containing every row TWICE and hash-matching an oracle over the
+    single-copy batch table proves the semantics.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(source_path)
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
