@@ -629,6 +629,16 @@ def q_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable centroid quantile sketch (partial per partition -> per-key
+    # merge). Rows-only: the sketch is approximate by design; rank-error
+    # <= 2% and partitioning-invariance are pinned in test_sketch.py.
+    from dads_spark.ops import quantile_digest
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_digest(ev, ["event_type"], "value", [0.1, 0.5, 0.9, 0.99])
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicatesWithinWatermark over a backlog holding every
     event TWICE; the oracle is the hourly count over the single-copy batch
@@ -1936,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_residual_outliers": q_holt_residual_outliers,
         "cusum_changepoints": q_cusum_changepoints,
         "streaming_dedup": q_streaming_dedup,
+        "quantile_digest": q_quantile_digest,
         # -- new r2 session 2: TPC-H coverage completed (shapes adapted to
         # the reduced schema; see each function's docstring) ----------------
         "q2_min_cost_supplier": q2_min_cost_supplier,

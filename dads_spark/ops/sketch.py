@@ -1,0 +1,108 @@
+"""Mergeable quantile digest: the two-phase sketch shape for 100 TB aggs.
+
+A t-digest-style centroid sketch built with the partial -> merge contract
+every warehouse-scale approximate aggregate needs: each partition reduces
+its values to ``compression`` weighted centroids (one mapInPandas pass, no
+sort shuffle of raw values), the per-key merge re-clusters the concatenated
+centroids (at most partitions x compression rows per key cross the wire —
+independent of row count), and quantiles interpolate the merged cumulative
+weights. Associative and order-insensitive by construction, so the result
+is reproducible under any partitioning.
+
+Complements ``approx_aggregates`` (Spark's built-in approx_percentile):
+this one exposes the sketch itself as data (centroids are rows), which is
+what a tiered rollup stores so day/week quantiles merge from hour sketches
+WITHOUT re-reading raw data — the continuous-aggregate story applied to
+percentiles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def _cluster(values: np.ndarray, weights: np.ndarray, c: int) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce sorted (values, weights) to <= c equal-weight clusters
+    (weighted means). Input MUST be sorted by value."""
+    total = weights.sum()
+    if len(values) <= c:
+        return values, weights
+    bounds = np.linspace(0, total, c + 1)
+    cum = np.cumsum(weights)
+    idx = np.searchsorted(cum - 1e-12, bounds[1:-1], side="left")
+    starts = np.concatenate(([0], idx))
+    ends = np.concatenate((idx, [len(values)]))
+    means, wts = [], []
+    for s, e in zip(starts, ends):
+        if e <= s:
+            continue
+        w = weights[s:e]
+        means.append(np.average(values[s:e], weights=w))
+        wts.append(w.sum())
+    return np.asarray(means), np.asarray(wts)
+
+
+def quantile_digest(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    probs: list[float],
+    compression: int = 256,
+) -> DataFrame:
+    """Approximate per-key quantiles via mergeable centroid sketches.
+
+    Rank error is bounded by ~1/compression per merge level (two levels
+    here); the property test asserts the realized rank of each reported
+    quantile. Output: (keys..., prob, value).
+    """
+    probs = sorted(float(p) for p in probs)
+
+    partial_schema = ", ".join(
+        [f"{k} string" for k in key_cols]
+        + ["centroids array<double>", "weights array<double>"]
+    )
+
+    def partial(it):
+        rows = {k: [] for k in key_cols} | {"centroids": [], "weights": []}
+        for pdf in it:
+            for keys, grp in pdf.groupby(key_cols, sort=False):
+                if not isinstance(keys, tuple):
+                    keys = (keys,)
+                v = np.sort(grp[value_col].to_numpy(dtype=np.float64))
+                means, wts = _cluster(v, np.ones(len(v)), compression)
+                for k, kv in zip(key_cols, keys):
+                    rows[k].append(kv)
+                rows["centroids"].append(means.tolist())
+                rows["weights"].append(wts.tolist())
+        yield pd.DataFrame(rows)
+
+    partials = df.select(*key_cols, value_col).mapInPandas(partial, partial_schema)
+
+    out_schema = ", ".join(
+        [f"{k} string" for k in key_cols] + ["prob double", "value double"]
+    )
+
+    def merge(keys, pdf):
+        v = np.concatenate([np.asarray(c, dtype=np.float64) for c in pdf["centroids"]])
+        w = np.concatenate([np.asarray(c, dtype=np.float64) for c in pdf["weights"]])
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        if len(v) > 4 * compression:
+            # bound merge-state for very wide inputs; one extra level costs
+            # one more 1/compression of rank error
+            v, w = _cluster(v, w, 4 * compression)
+        cum = np.cumsum(w) - w / 2.0  # centroid midpoints
+        total = w.sum()
+        qs = np.interp([p * total for p in probs], cum, v)
+        return pd.DataFrame(
+            {
+                **{k: kv for k, kv in zip(key_cols, keys)},
+                "prob": np.asarray(probs, dtype=np.float64),
+                "value": qs,
+            }
+        )
+
+    return partials.groupBy(*key_cols).applyInPandas(merge, out_schema)
