@@ -18,7 +18,12 @@ from .textstats import (  # noqa: F401
     winnow_fingerprints,
 )
 from .sampling import deterministic_sample, hash_split  # noqa: F401
-from .sketch import quantile_digest  # noqa: F401
+from .sketch import (  # noqa: F401
+    digest,
+    digest_quantiles,
+    merge_digests,
+    quantile_digest,
+)
 from .similarity import ann_ivf, ann_lsh, knn_bruteforce  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_media_metadata,

@@ -10,10 +10,12 @@ weights. Associative and order-insensitive by construction, so the result
 is reproducible under any partitioning.
 
 Complements ``approx_aggregates`` (Spark's built-in approx_percentile):
-this one exposes the sketch itself as data (centroids are rows), which is
-what a tiered rollup stores so day/week quantiles merge from hour sketches
-WITHOUT re-reading raw data — the continuous-aggregate story applied to
-percentiles.
+this one exposes the sketch itself as DATA — ``digest`` emits one
+(centroids, weights) row per key that a tier table can persist, and
+``merge_digests`` re-keys those rows so day/week quantiles merge from the
+stored hour sketches WITHOUT re-reading raw data: the continuous-aggregate
+cascade applied to percentiles (exact-decomposable aggs cascade for free;
+quantiles need a mergeable sketch, and this is it).
 """
 
 from __future__ import annotations
@@ -45,25 +47,33 @@ def _cluster(values: np.ndarray, weights: np.ndarray, c: int) -> tuple[np.ndarra
     return np.asarray(means), np.asarray(wts)
 
 
-def quantile_digest(
-    df: DataFrame,
-    key_cols: list[str],
-    value_col: str,
-    probs: list[float],
-    compression: int = 256,
-) -> DataFrame:
-    """Approximate per-key quantiles via mergeable centroid sketches.
-
-    Rank error is bounded by ~1/compression per merge level (two levels
-    here); the property test asserts the realized rank of each reported
-    quantile. Output: (keys..., prob, value).
-    """
-    probs = sorted(float(p) for p in probs)
-
-    partial_schema = ", ".join(
+def _sketch_schema(key_cols: list[str]) -> str:
+    return ", ".join(
         [f"{k} string" for k in key_cols]
         + ["centroids array<double>", "weights array<double>"]
     )
+
+
+def _merge_rows_to_sketch(pdf: pd.DataFrame, compression: int) -> tuple[np.ndarray, np.ndarray]:
+    v = np.concatenate([np.asarray(c, dtype=np.float64) for c in pdf["centroids"]])
+    w = np.concatenate([np.asarray(c, dtype=np.float64) for c in pdf["weights"]])
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    if len(v) > 4 * compression:
+        # bound merge-state for very wide inputs; one extra level costs one
+        # more 1/compression of rank error
+        v, w = _cluster(v, w, 4 * compression)
+    return v, w
+
+
+def digest(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    compression: int = 256,
+) -> DataFrame:
+    """Build one persisted-form sketch row per key:
+    (keys..., centroids array<double>, weights array<double>)."""
 
     def partial(it):
         rows = {k: [] for k in key_cols} | {"centroids": [], "weights": []}
@@ -79,21 +89,58 @@ def quantile_digest(
                 rows["weights"].append(wts.tolist())
         yield pd.DataFrame(rows)
 
-    partials = df.select(*key_cols, value_col).mapInPandas(partial, partial_schema)
+    partials = df.select(*key_cols, value_col).mapInPandas(
+        partial, _sketch_schema(key_cols)
+    )
 
+    def merge(keys, pdf):
+        v, w = _merge_rows_to_sketch(pdf, compression)
+        return pd.DataFrame(
+            {
+                **{k: [kv] for k, kv in zip(key_cols, keys)},
+                "centroids": [v.tolist()],
+                "weights": [w.tolist()],
+            }
+        )
+
+    return partials.groupBy(*key_cols).applyInPandas(merge, _sketch_schema(key_cols))
+
+
+def merge_digests(
+    sketches: DataFrame,
+    key_cols: list[str],
+    compression: int = 256,
+) -> DataFrame:
+    """Re-key stored sketch rows to a coarser grouping (e.g. drop the hour
+    column to cascade hour sketches into day sketches). Input rows need
+    (centroids, weights) plus at least ``key_cols``."""
+
+    def merge(keys, pdf):
+        v, w = _merge_rows_to_sketch(pdf, compression)
+        return pd.DataFrame(
+            {
+                **{k: [kv] for k, kv in zip(key_cols, keys)},
+                "centroids": [v.tolist()],
+                "weights": [w.tolist()],
+            }
+        )
+
+    return sketches.groupBy(*key_cols).applyInPandas(merge, _sketch_schema(key_cols))
+
+
+def digest_quantiles(
+    sketches: DataFrame,
+    key_cols: list[str],
+    probs: list[float],
+) -> DataFrame:
+    """Interpolate quantiles from sketch rows: (keys..., prob, value)."""
+    probs = sorted(float(p) for p in probs)
     out_schema = ", ".join(
         [f"{k} string" for k in key_cols] + ["prob double", "value double"]
     )
 
-    def merge(keys, pdf):
-        v = np.concatenate([np.asarray(c, dtype=np.float64) for c in pdf["centroids"]])
-        w = np.concatenate([np.asarray(c, dtype=np.float64) for c in pdf["weights"]])
-        order = np.argsort(v, kind="stable")
-        v, w = v[order], w[order]
-        if len(v) > 4 * compression:
-            # bound merge-state for very wide inputs; one extra level costs
-            # one more 1/compression of rank error
-            v, w = _cluster(v, w, 4 * compression)
+    def quant(keys, pdf):
+        v, w = _merge_rows_to_sketch(pdf, 1 << 30)
         cum = np.cumsum(w) - w / 2.0  # centroid midpoints
         total = w.sum()
         qs = np.interp([p * total for p in probs], cum, v)
@@ -105,4 +152,23 @@ def quantile_digest(
             }
         )
 
-    return partials.groupBy(*key_cols).applyInPandas(merge, out_schema)
+    return sketches.groupBy(*key_cols).applyInPandas(quant, out_schema)
+
+
+def quantile_digest(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    probs: list[float],
+    compression: int = 256,
+) -> DataFrame:
+    """Approximate per-key quantiles via mergeable centroid sketches
+    (digest -> digest_quantiles in one call).
+
+    Rank error is bounded by ~1/compression per merge level; the property
+    test asserts the realized rank of each reported quantile.
+    Output: (keys..., prob, value).
+    """
+    return digest_quantiles(
+        digest(df, key_cols, value_col, compression), key_cols, probs
+    )

@@ -55,3 +55,34 @@ def test_exact_when_under_compression(spark):
     df = spark.createDataFrame(pdf).coalesce(1)
     out = quantile_digest(df, ["k"], "v", [0.5], compression=256).toPandas()
     assert out["value"].iloc[0] == pytest.approx(49.5, abs=0.5)
+
+
+def test_hour_to_day_cascade_from_stored_sketches(spark):
+    # quantiles of a day merged FROM the stored hour sketches track the
+    # exact day quantiles — without re-reading raw data
+    from pyspark.sql import functions as F
+
+    from dads_spark.ops.sketch import digest, digest_quantiles, merge_digests
+
+    rng = np.random.default_rng(31)
+    hours = [f"2024-01-01 {h:02d}" for h in range(24)]
+    pdf = pd.DataFrame(
+        {
+            "day": "2024-01-01",
+            "hour": np.repeat(hours, 2000),
+            # hour-dependent location: merging must weigh hours correctly
+            "v": np.concatenate(
+                [rng.normal(10 + h, 3, 2000) for h in range(24)]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    hour_sketches = digest(df, ["day", "hour"], "v", compression=128)
+    day_q = digest_quantiles(
+        merge_digests(hour_sketches.drop("hour"), ["day"], 128), ["day"], [0.5, 0.9]
+    ).toPandas()
+    v = np.sort(pdf["v"].to_numpy())
+    for p in (0.5, 0.9):
+        approx = day_q[day_q.prob == p]["value"].iloc[0]
+        realized = np.searchsorted(v, approx) / len(v)
+        assert abs(realized - p) <= 0.02, (p, realized)
