@@ -629,6 +629,26 @@ def q_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the statistics-protocol counterpart as a queryable table: run the
+    # hour->day cascade under the collector, one metrics row per pipeline
+    # stage (durations/tasks/bytes from the AppStatusStore). Rows-only:
+    # timings are runtime-dependent by nature; schema + one-row-per-stage
+    # are the stable contract (also asserted in tests/test_metrics.py).
+    from dads_spark.metrics import StageMetricsCollector
+    from dads_spark.rollup import cascade, rollup_from_raw
+
+    ev = _t(spark, sf_dir, "events")
+    mc = StageMetricsCollector(spark)
+    with mc.stage("tier_hour"):
+        hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour").cache()
+        hour.count()
+    with mc.stage("tier_day"):
+        cascade(hour, ["event_type"], "day").count()
+    hour.unpersist()
+    return mc.to_df().select("stage", "n_jobs", "n_tasks", "input_bytes")
+
+
 def q_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mergeable centroid quantile sketch (partial per partition -> per-key
     # merge). Rows-only: the sketch is approximate by design; rank-error
@@ -1947,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": q_cusum_changepoints,
         "streaming_dedup": q_streaming_dedup,
         "quantile_digest": q_quantile_digest,
+        "stage_metrics": q_stage_metrics,
         # -- new r2 session 2: TPC-H coverage completed (shapes adapted to
         # the reduced schema; see each function's docstring) ----------------
         "q2_min_cost_supplier": q2_min_cost_supplier,
