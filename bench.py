@@ -128,6 +128,16 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "q9_product_profit",
         "q13_customer_distribution",
         "q21_waiting_supplier",
+        # r2 session 2: analytics / forecast / sampling / sketch / streaming
+        "series_xcorr",
+        "cohort_retention",
+        "top_terms",
+        "deterministic_sample",
+        "hash_split",
+        "holt_residual_outliers",
+        "cusum_changepoints",
+        "quantile_digest",
+        "streaming_dedup",
     ]
     for name in suite:
         t0 = _now()
