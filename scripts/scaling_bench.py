@@ -340,8 +340,10 @@ def main() -> None:
         "samples_sec": samples,
         "levels": [r8, r32],
     }
+    raw_effs = []
     for metric in ("rollup_sec", "s2g_grouped_sec", "s2g_distributed_sec"):
         t8, t32 = r8[metric], r32[metric]
+        raw_effs.append((t8 / t32) / 4.0)
         report[f"{metric}_efficiency"] = round((t8 / t32) / 4.0, 3)
         report[f"{metric}_speedup"] = round(t8 / t32, 2)
         report[f"{metric}_efficiency_hw_normalized"] = round(
@@ -349,6 +351,17 @@ def main() -> None:
         )
         report[f"{metric}_efficiency_cpu_normalized"] = round(
             (t8 / t32) / 4.0 / hw_cpu, 3
+        )
+    # a true hardware ceiling cannot be LOWER than a real workload's raw
+    # efficiency (the workload contains the probe's resource profile plus
+    # more); if the short array probe under-measures it, its normalization
+    # is invalid for this run — say so in the artifact
+    report["array_ceiling_valid"] = bool(hw_arr >= max(raw_effs))
+    if not report["array_ceiling_valid"]:
+        report["normalization"] += (
+            " [THIS RUN: array probe measured below a real workload's raw "
+            "efficiency -> probe sample invalid; use the cpu-normalized "
+            "(conservative) numbers]"
         )
     print(json.dumps(report, indent=2))
 
