@@ -1906,6 +1906,22 @@ def q_s2g_hourly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s2g_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the S2G graph itself as rows: one weighted edge per (series, edge).
+    # Rows-only (the graph construction is the bit-parity NumPy core, not
+    # SQL); the scores queries are projections of exactly this graph.
+    from dads_spark.s2g.pipeline import graph_edges_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", bucket_expr("ts", "hour")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    filled = gap_fill_linear(hourly, ["event_type"], "bucket_ts", ["v"], 3600)
+    return graph_edges_grouped(
+        filled, ["event_type"], "bucket_ts", "v", S2G_ROLLUP_PARAMS
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -1968,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "quantile_digest": q_quantile_digest,
         "stage_metrics": q_stage_metrics,
+        "s2g_graph_edges": q_s2g_graph_edges,
         # -- new r2 session 2: TPC-H coverage completed (shapes adapted to
         # the reduced schema; see each function's docstring) ----------------
         "q2_min_cost_supplier": q2_min_cost_supplier,

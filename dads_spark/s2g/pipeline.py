@@ -567,6 +567,60 @@ def score_series_grouped(
     return df.groupBy(*key_cols).applyInPandas(run, out_schema)
 
 
+def graph_edges_grouped(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    params: S2GParams,
+) -> DataFrame:
+    """Expose the S2G graph itself per series: one row per weighted edge
+    (keys..., from_seg, from_idx, to_seg, to_idx, weight).
+
+    The normalized scores are a projection of this graph (degree-1 path
+    sums); emitting the edge list makes the pipeline's central artifact
+    queryable/joinable — the reference only ever logs it (Graph.java) —
+    while reusing the bit-parity core untouched. Same distribution shape
+    as ``score_series_grouped``: one series per task, no shuffle beyond
+    the group-by.
+    """
+    from .oracle import s2g_oracle
+
+    key_fields = [f for f in df.schema.fields if f.name in key_cols]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in key_fields]
+        + ["from_seg int", "from_idx int", "to_seg int", "to_idx int", "weight long"]
+    )
+    min_len = min_series_length(params)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                **{c: pdf[c].iloc[:0] for c in key_cols},
+                "from_seg": pd.Series(dtype="int32"),
+                "from_idx": pd.Series(dtype="int32"),
+                "to_seg": pd.Series(dtype="int32"),
+                "to_idx": pd.Series(dtype="int32"),
+                "weight": pd.Series(dtype="int64"),
+            }
+        )
+        x = pdf.sort_values(order_col)[value_col].to_numpy(dtype=np.float64)
+        if len(x) < min_len:
+            return empty
+        res = s2g_oracle(x, params, n_slices=1)
+        if not res.edge_weights:
+            return empty
+        keys = np.array(list(res.edge_weights.keys()), dtype=np.int32)
+        w = np.fromiter(res.edge_weights.values(), dtype=np.int64, count=len(keys))
+        out = {c: np.repeat(pdf[c].iloc[0], len(keys)) for c in key_cols}
+        out["from_seg"], out["from_idx"] = keys[:, 0], keys[:, 1]
+        out["to_seg"], out["to_idx"] = keys[:, 2], keys[:, 3]
+        out["weight"] = w
+        return pd.DataFrame(out)
+
+    return df.groupBy(*key_cols).applyInPandas(run, out_schema)
+
+
 def score_series_partitioned(
     df: DataFrame,
     key_col: str,

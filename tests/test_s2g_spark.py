@@ -172,3 +172,26 @@ def test_balanced_scorer_matches_grouped_and_balances(spark):
     assert max(loads.values()) <= opt_floor * (4 / 3)
     # and the heavy series must NOT share a bin with the mid-size ones
     assert max(loads.values()) == max(lengths.values())
+
+
+def test_graph_edges_grouped_matches_oracle(spark):
+    """The exposed per-series edge list equals the oracle's merged graph."""
+    import numpy as np
+    import pandas as pd
+
+    from dads_spark.s2g import CANONICAL
+    from dads_spark.s2g.oracle import s2g_oracle
+    from dads_spark.s2g.pipeline import graph_edges_grouped
+    from dads_spark.fixtures import benchmark_series
+
+    x = benchmark_series(1200)
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": "s", "t": np.arange(len(x)), "v": x})
+    )
+    got = graph_edges_grouped(df, ["k"], "t", "v", CANONICAL).toPandas()
+    want = s2g_oracle(np.asarray(x), CANONICAL, n_slices=1).edge_weights
+    got_map = {
+        (r.from_seg, r.from_idx, r.to_seg, r.to_idx): r.weight
+        for r in got.itertuples()
+    }
+    assert got_map == {k: int(v) for k, v in want.items()}
