@@ -1932,10 +1932,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     showed the gate stops after a fixed budget (exactly the first 50
     entries). Ordering policy: (1) the flagship S2G/DRAG pipeline and every
     query that got NO correctness row in round 1 come first; (2) the three
-    round-1 hash-fails (now fixed) next; (3) the r1 driver-green balance;
-    (4) the cheapest, twice-stable document-suite entries and the rows-only
-    sketch ops last — if truncation recurs, only queries with prior green
-    rows (or weaker rows-only checks anyway) fall off the end."""
+    round-1 hash-fails (now fixed) next; then everything NEW in round 2
+    (session 1 and session 2 blocks — no prior driver rows, so they outrank
+    previously-green entries); (3) the r1 driver-green balance; (4) the
+    cheapest, twice-stable document-suite entries and the rows-only sketch
+    ops last — if truncation recurs, only queries with prior green rows (or
+    weaker rows-only checks anyway) fall off the end."""
     return {
         # -- (1) flagship + r1-unchecked ------------------------------------
         "s2g_hourly_scores": q_s2g_hourly_scores,
