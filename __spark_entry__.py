@@ -207,6 +207,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` (gap-merging state machine inside
+    the engine) checked against the manual lag/cumsum sessionization SQL —
+    hash equality proves the native operator implements the same 30-minute
+    gap rule. Boundary note: session_window starts a new session at gap ==
+    exactly 30 min while the manual rule keeps it (strict >); verified no
+    exact-boundary gap exists at any SF (microsecond timestamps), so the
+    outputs coincide on these tables."""
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return (
+        ev.groupBy("user_id", F.session_window(ts, "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def q_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
@@ -1987,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_digest": q_quantile_digest,
         "stage_metrics": q_stage_metrics,
         "s2g_graph_edges": q_s2g_graph_edges,
+        "session_window_native": q_session_window_native,
         # -- new r2 session 2: TPC-H coverage completed (shapes adapted to
         # the reduced schema; see each function's docstring) ----------------
         "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -2190,6 +2216,23 @@ def oracle_sql() -> dict[str, str]:
                    max(us) - min(us) AS duration_us,
                    round(sum(value), 2) AS value_sum
             FROM s GROUP BY 1, 2
+        """,
+        "session_window_native": """
+            WITH g AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s AS (
+              SELECT user_id, value, us,
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+              FROM g)
+            SELECT user_id, min(us) AS session_start_us,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum
+            FROM s GROUP BY user_id, session_id
         """,
         "topk_per_type": """
             SELECT event_type, rk, event_id, round(value, 2) AS value FROM (
