@@ -136,9 +136,16 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket_members: int = 4096,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH, verified by signature
     similarity: (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    ``max_bucket_members`` caps how many (rep_id, signature) structs a
+    single verification row may hold: band buckets above the cap (hot
+    shingle sets in web corpora) are split into rank-ordered chunks and
+    verified as chunk-pair blocks — identical output, bounded executor
+    memory (never near Spark's 2 GB single-array ceiling).
 
     est_jaccard = fraction of agreeing minhash components (unbiased Jaccard
     estimator). Bucket-local verification replaces the quadratic pair space.
@@ -198,55 +205,114 @@ def minhash_lsh_pairs(
     buckets = rep.select(
         "rep_id", "signature", F.explode(F.array(*band_cols)).alias("bucket")
     )
-    # one row per DISTINCT candidate set: collapse buckets whose member set
-    # is identical (keyed by the sorted rep-id array — exact, no hashing)
-    bucket_groups = (
-        buckets.groupBy("bucket")
+    # bucket member counts (window over the same hash partitioning the
+    # grouping below reuses — one shuffle, not two). Buckets larger than
+    # max_bucket_members cannot be materialized as ONE collect_list row
+    # (executor memory / 2 GB array ceiling at web-corpus hot buckets), so
+    # they take the chunked path: members split into rank-ordered chunks of
+    # <= max_bucket_members, candidate space covered by all (chunk_i <=
+    # chunk_j) block pairs — every pair of a hot bucket is still verified,
+    # but no row ever holds more than 2 x max_bucket_members signatures.
+    w_b = W.partitionBy("bucket")
+    sized = buckets.withColumn("_n", F.count(F.lit(1)).over(w_b))
+
+    # --- small buckets: one row per DISTINCT candidate set (collapse
+    # buckets whose member set is identical, keyed by the sorted rep-id
+    # array — exact, no hashing)
+    small_groups = (
+        sized.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_members))
+        .groupBy("bucket")
         .agg(F.sort_array(F.collect_list(F.struct("rep_id", "signature"))).alias("reps"))
-        .filter(F.size("reps") >= 2)
         .withColumn("_key", F.col("reps.rep_id"))
         .dropDuplicates(["_key"])
-        .select("reps")
+        .select(
+            F.col("reps").alias("reps_a"),
+            F.col("reps").alias("reps_b"),
+            F.lit(True).alias("diag"),
+        )
     )
 
-    # agree/num_hashes is exact (num_hashes is a power of two at the 64
-    # default; int-vs-float compare below is exactly `est >= threshold`)
-    min_agree = threshold * num_hashes
+    # --- oversized buckets: dedupe identical member sets ACROSS bands by a
+    # members-only key (8 bytes/member — bounded far above the struct row),
+    # then chunk by rep_id rank and emit upper-triangular chunk-block pairs
+    big = sized.filter(F.col("_n") > max_bucket_members)
+    keep_buckets = (
+        big.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("rep_id")).alias("_key"))
+        .dropDuplicates(["_key"])
+        .select("bucket")
+    )
+    w_rank = W.partitionBy("bucket").orderBy("rep_id")
+    big_chunks = (
+        big.join(keep_buckets, "bucket")
+        .withColumn(
+            "_chunk",
+            ((F.row_number().over(w_rank) - F.lit(1)) / F.lit(max_bucket_members))
+            .cast("int"),
+        )
+        .groupBy("bucket", "_chunk")
+        .agg(F.sort_array(F.collect_list(F.struct("rep_id", "signature"))).alias("reps"))
+    )
+    big_blocks = (
+        big_chunks.alias("x")
+        .join(big_chunks.alias("y"), "bucket")
+        .filter(F.col("x._chunk") <= F.col("y._chunk"))
+        .select(
+            F.col("x.reps").alias("reps_a"),
+            F.col("y.reps").alias("reps_b"),
+            (F.col("x._chunk") == F.col("y._chunk")).alias("diag"),
+        )
+    )
+    blocks = small_groups.unionByName(big_blocks)
 
     def verify(it):
         cols = {"ra": [], "rb": [], "est_jaccard": []}
+
+        def unpack(reps):
+            ids = np.fromiter((r["rep_id"] for r in reps), dtype=np.int64)
+            # minhash values < 2^31 (mod-Mersenne-31): int32 halves the
+            # comparison traffic vs int64
+            sig = np.stack(
+                [np.asarray(r["signature"], dtype=np.int64) for r in reps]
+            ).astype(np.int32)
+            return ids, sig
+
         for pdf in it:
-            for reps in pdf["reps"]:
-                ids = np.fromiter((r["rep_id"] for r in reps), dtype=np.int64)
-                # minhash values < 2^31 (mod-Mersenne-31): int32 halves the
-                # comparison traffic vs int64
-                sig = np.stack(
-                    [np.asarray(r["signature"], dtype=np.int64) for r in reps]
-                ).astype(np.int32)
-                c = len(ids)
+            for reps_a, reps_b, diag in zip(pdf["reps_a"], pdf["reps_b"], pdf["diag"]):
+                ids_a, sig_a = unpack(reps_a)
+                if diag:
+                    ids_b, sig_b = ids_a, sig_a
+                else:
+                    ids_b, sig_b = unpack(reps_b)
                 # 128x128 pair tiles: the (tile x tile x num_hashes) mismatch
                 # tensor stays L2-resident (~1 MB) instead of streaming a
                 # (chunk x c x num_hashes) slab through DRAM — 3.7x measured;
-                # upper-triangle tiles only
+                # upper-triangle tiles only on diagonal blocks
                 tile = 128
-                for i0 in range(0, c, tile):
-                    s_i = sig[i0 : i0 + tile]
-                    for j0 in range(i0, c, tile):
-                        s_j = sig[j0 : j0 + tile]
+                for i0 in range(0, len(ids_a), tile):
+                    s_i = sig_a[i0 : i0 + tile]
+                    for j0 in range(i0 if diag else 0, len(ids_b), tile):
+                        s_j = sig_b[j0 : j0 + tile]
                         agree = num_hashes - np.count_nonzero(
                             s_i[:, None, :] != s_j[None, :, :], axis=2
                         )
-                        ii, jj = np.nonzero(agree >= min_agree)
-                        gi, gj = ii + i0, jj + j0
-                        keep = gi < gj  # strict upper triangle: each pair once
+                        # filter in float on est >= threshold — the SAME
+                        # expression the join formulation used (an integer
+                        # `agree >= threshold*num_hashes` shortcut is only
+                        # exactly equivalent for power-of-two num_hashes)
+                        est = agree / float(num_hashes)
+                        ii, jj = np.nonzero(est >= threshold)
+                        if diag:
+                            keep = ii + i0 < jj + j0  # strict upper triangle
+                        else:
+                            keep = np.ones(len(ii), dtype=bool)
                         if not keep.any():
                             continue
-                        a, b = ids[gi[keep]], ids[gj[keep]]
+                        a = ids_a[ii[keep] + i0]
+                        b = ids_b[jj[keep] + j0]
                         cols["ra"].append(np.minimum(a, b))
                         cols["rb"].append(np.maximum(a, b))
-                        cols["est_jaccard"].append(
-                            agree[ii[keep], jj[keep]] / float(num_hashes)
-                        )
+                        cols["est_jaccard"].append(est[ii[keep], jj[keep]])
         if cols["ra"]:
             yield pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
         else:
@@ -260,7 +326,7 @@ def minhash_lsh_pairs(
 
     n_part = max(buckets.sparkSession.sparkContext.defaultParallelism, 16)
     verified = (
-        bucket_groups.repartition(n_part)
+        blocks.repartition(n_part)
         .mapInPandas(verify, "ra long, rb long, est_jaccard double")
         .dropDuplicates(["ra", "rb"])
     )

@@ -46,12 +46,20 @@ def hash_split(
 
     A row is ``test`` iff the first hex nibble of md5(id) is below
     ``test_nibbles`` — i.e. a test fraction of ``test_nibbles``/16 (1 ->
-    6.25%, 4 -> 25%). Hex-prefix comparison keeps the predicate a plain
+    6.25%, 4 -> 25%). Valid domain is 1..15: at 16 the hex threshold
+    would grow to two digits ('10' + 31 zeros) and the lexicographic
+    compare against a 32-char digest silently inverts the split, so the
+    bound is enforced. Hex-prefix comparison keeps the predicate a plain
     string compare (identical lexicographic semantics in every engine) —
     no float thresholds, no parsing. Membership is a pure function of the
     id: stable across runs, joins, and resharding, which is what keeps
     eval sets leak-free as the corpus grows.
     """
+    if not 1 <= test_nibbles <= 15:
+        raise ValueError(
+            f"test_nibbles must be in 1..15 (got {test_nibbles}): the "
+            "threshold is a single hex digit prefix over a 32-char md5"
+        )
     h = F.md5(F.col(id_col).cast("string"))
     threshold = format(test_nibbles, "x") + "0" * 31
     return df.withColumn(

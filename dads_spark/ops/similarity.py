@@ -149,8 +149,9 @@ def ann_ivf(
     candidates = vectors whose cell is among each query's n_probe nearest
     cells, exact cosine re-rank.
 
-    The quantizer is trained on a deterministic sample (sorted-id limit,
-    seeded spherical Lloyd iterations) on the driver — centroids are tiny
+    The quantizer is trained on a deterministic sample (hash-stratum
+    filter + ordered limit, seeded spherical Lloyd iterations) on the
+    driver — centroids are tiny
     and broadcast; the partition-local work is one matmul per Arrow batch.
     At warehouse scale the cell id becomes a partition/bucket column so a
     probe only reads n_probe/n_cells of the data (partition pruning); recall
@@ -165,9 +166,17 @@ def ann_ivf(
     final ranking window here.
     """
     rng = np.random.default_rng(seed)
-    sample = (
-        embeddings.orderBy(id_col).limit(sample_size).select(vec_col).collect()
-    )
+    # deterministic hash-sample for quantizer training: pre-filter to a
+    # ~1/64 hash stratum so the ordered limit (per-partition top-k +
+    # driver merge) scans a sliver of the table instead of feeding ALL n
+    # ids through a top-k at 10^9-vector scale; falls back to the
+    # unfiltered ordered limit only when the stratum is too thin to train
+    # (tiny tables). Both paths are pure functions of the ids.
+    base = embeddings.select(id_col, vec_col)
+    stratum = base.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)) == 0)
+    sample = stratum.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    if len(sample) < max(n_cells * 4, 64):
+        sample = base.orderBy(id_col).limit(sample_size).select(vec_col).collect()
     X = np.array([r[vec_col] for r in sample], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
     cent = X[rng.choice(len(X), size=n_cells, replace=False)]
@@ -206,10 +215,21 @@ def ann_ivf(
             cos = np.where(allowed, cos, -np.inf)
             for qi in range(len(qids)):
                 col = cos[:, qi]
-                # per-batch partial top-k under the FINAL comparator
-                # (rounded cosine desc, id asc) so no global winner is lost
-                order = np.lexsort((ids, -np.round(col, 6)))[:k]
-                keep = order[np.isfinite(col[order])]
+                # per-batch partial cut on the HALF_UP 6dp key — the same
+                # quantization F.round applies in the final window (NumPy's
+                # np.round is half-to-even, which can disagree at rounding-
+                # tie boundaries) — and ties at the k-th key are kept, so
+                # the global top-k is provably a subset of the survivors
+                finite = np.isfinite(col)
+                key = np.where(
+                    finite, np.sign(col) * np.floor(np.abs(col) * 1e6 + 0.5), -np.inf
+                )
+                fkey = key[finite]
+                if len(fkey) > k:
+                    kth = np.partition(fkey, len(fkey) - k)[len(fkey) - k]
+                    keep = np.nonzero(key >= kth)[0]
+                else:
+                    keep = np.nonzero(finite)[0]
                 if len(keep):
                     out["query_id"].append(np.full(len(keep), qids[qi]))
                     out["neighbor_id"].append(ids[keep])

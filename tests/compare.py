@@ -100,6 +100,21 @@ def frame_hash(pdf: pd.DataFrame) -> str:
     return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()[:16]
 
 
+def _reject_list_columns(kinds: dict[str, str], side: str) -> None:
+    """The DRIVER's canonicalizer pandas-sorts result columns and throws
+    ``TypeError: unhashable type: 'list'`` on array-typed cells (the r2
+    ``array_agg_ordered`` lesson, mirroring the r1 HUGEINT one). Fail here,
+    locally, with the fix spelled out."""
+    bad = [c for c, k in kinds.items() if k == "list"]
+    if bad:
+        raise TypeError(
+            f"{side} result has array-typed column(s) {bad}: the driver "
+            "canonicalizer cannot hash lists — stringify the array, e.g. "
+            "Spark array_join(sort_array(...), ',') vs DuckDB "
+            "array_to_string(list_sort(...), ',')"
+        )
+
+
 def compare_query(spark, con, query_fn, sql: str, sf_dir: str) -> dict:
     sdf = query_fn(spark, sf_dir)
     try:
@@ -107,6 +122,8 @@ def compare_query(spark, con, query_fn, sql: str, sf_dir: str) -> dict:
     except Exception:  # pre-Arrow fallback: schema strictness degrades only
         spark_tbl = pa.Table.from_pandas(sdf.toPandas())
     duck_tbl = con.execute(sql).arrow()
+    _reject_list_columns(_kinds(spark_tbl.schema), "Spark")
+    _reject_list_columns(_kinds(duck_tbl.schema), "oracle")
     spark_pdf = spark_tbl.to_pandas()
     duck_pdf = duck_tbl.to_pandas()
     spark_kinds = _kinds(spark_tbl.schema)

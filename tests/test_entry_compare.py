@@ -38,6 +38,28 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.schema.fields) > 0
 
 
+def test_gate_rejects_array_columns(spark, con):
+    """The driver's canonicalizer cannot hash list cells (the r2
+    ``array_agg_ordered`` red row); the local gate must fail an
+    array-emitting query loudly BEFORE the driver does."""
+
+    def listy(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .groupBy("o_custkey")
+            .agg(F.collect_list("o_orderkey").alias("ks"))
+        )
+
+    with pytest.raises(TypeError, match="stringify"):
+        compare_query(
+            spark, con, listy,
+            "SELECT o_custkey, list(o_orderkey) AS ks FROM orders GROUP BY 1",
+            SF_DIR,
+        )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0

@@ -60,6 +60,33 @@ def test_minhash_lsh_finds_near_dup(spark, docs):
     assert exact_pair["est_jaccard"].iloc[0] == 1.0
 
 
+def test_minhash_lsh_bucket_cap_equivalence(spark):
+    """Hot-bucket chunking (max_bucket_members) must not change the pair
+    set: 40 distinct-signature near-dups land in shared band buckets far
+    above a tiny cap, forcing the chunk-block path; the output must equal
+    the single-row bucket path's. num_hashes deliberately NOT a power of
+    two so the est>=threshold float compare is exercised."""
+    base = [f"tok{i}" for i in range(30)]
+    rows = []
+    for d in range(40):
+        toks = list(base)
+        toks[d % 30] = f"uniq{d}"
+        rows.append((d, " ".join(toks)))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    kw = dict(num_hashes=60, bands=15, threshold=0.5)
+    uncapped = minhash_lsh_pairs(corpus, **kw).toPandas()
+    capped = minhash_lsh_pairs(corpus, max_bucket_members=4, **kw).toPandas()
+
+    def key(pdf):
+        return {
+            (int(a), int(b), float(e))
+            for a, b, e in zip(pdf.id_a, pdf.id_b, pdf.est_jaccard)
+        }
+
+    assert len(uncapped) > 100  # the clique actually produced pairs
+    assert key(capped) == key(uncapped)
+
+
 def test_ngram_jaccard_matches_python_oracle(spark, docs):
     pairs = ngram_jaccard_pairs(docs, threshold=0.1).toPandas()
     texts = dict(DOCS)

@@ -33,6 +33,15 @@ def test_hash_split_fraction_and_stability(spark, docs):
     )
 
 
+def test_hash_split_rejects_out_of_domain_nibbles(spark, docs):
+    # 16 would make the hex threshold two digits ('10' + 31 zeros) and the
+    # lexicographic compare would classify almost everything as test/train
+    # wrongly — the domain is enforced instead
+    for bad in (0, 16, -1):
+        with pytest.raises(ValueError, match="test_nibbles"):
+            hash_split(docs, "doc_id", test_nibbles=bad)
+
+
 def test_top_terms_prefers_rare_term_at_equal_tf(spark):
     # every doc contains 'common common'; doc 0 also has 'rare rare':
     # for doc 0 both terms have tf 2 but 'rare' has doc_freq 1 -> rank 1
