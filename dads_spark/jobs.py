@@ -23,8 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .checkpoint import CheckpointManager, fingerprint
 from .compress import encode_timestamps, encode_values
 from .metrics import StageMetricsCollector
+from .ops.sketch import digest, digest_quantiles, merge_digests
 from .rollup import bucket_expr, cascade, gap_fill_linear
-from .rollup.series import domain_hourly_series
+from .rollup.series import domain_hourly_series, with_domain
 from .s2g import ROLLUP as S2G_ROLLUP_PARAMS, S2GParams
 from .s2g.discord import discord_series_grouped
 from .s2g.pipeline import score_series_grouped
@@ -107,6 +108,35 @@ class PagesRollupJob:
         )
         out["week"] = self._stage(
             "tier_week", fp, lambda: cascade(out["day"], ["domain"], "week")
+        )
+
+        # Quantile cascade: exact-decomposable aggs (count/sum/min/max)
+        # cascade through the tiers for free; per-page SIZE percentiles need
+        # the mergeable sketch. Hour-level digests of octet_length(text) per
+        # (domain, hour) persist beside the hour tier, and the day stage
+        # merges the STORED hour sketches — at most `compression` centroids
+        # per (domain, hour) cross the wire, raw pages are never re-read.
+        def build_hour_sketch():
+            base = with_domain(pages).select(
+                "domain",
+                bucket_expr("warc_ts", "hour").cast("string").alias("bucket_hour"),
+                F.octet_length("text").cast("double").alias("text_len"),
+            )
+            return digest(base, ["domain", "bucket_hour"], "text_len")
+
+        out["sketch_hour"] = self._stage("sketch_hour", fp, build_hour_sketch)
+
+        def build_day_sketch():
+            rekeyed = out["sketch_hour"].withColumn(
+                "bucket_day", bucket_expr("bucket_hour", "day").cast("string")
+            )
+            return merge_digests(rekeyed, ["domain", "bucket_day"])
+
+        out["sketch_day"] = self._stage("sketch_day", fp, build_day_sketch)
+        # derived view, not a stage: quantile interpolation over the stored
+        # day sketches is a cheap projection
+        out["day_quantiles"] = digest_quantiles(
+            out["sketch_day"], ["domain", "bucket_day"], [0.5, 0.9]
         )
 
         filled = gap_fill_linear(

@@ -9,6 +9,7 @@ for pipelines that tail a landing zone instead of re-scanning it.
 from .windowed import (  # noqa: F401
     run_dedup_stream,
     run_stream_once,
+    sized_state_partitions,
     streaming_hourly_rollup,
 )
 from .stateful import (  # noqa: F401

@@ -114,17 +114,21 @@ def run_sessionize_stream(
     gap_us: int = 1_800_000_000,
     watermark: str = "1 hour",
     query_name: str = "sessionize_stream",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drive a bounded backlog through the stateful sessionizer (memory
     sink, append mode) and return every emitted session row."""
+    from .windowed import sized_state_partitions
+
     stream = spark.readStream.schema(schema).format("parquet").load(source_path)
     sess = streaming_sessionize(stream, gap_us=gap_us, watermark=watermark)
-    q = (
-        sess.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with sized_state_partitions(spark, state_partitions):
+        q = (
+            sess.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")

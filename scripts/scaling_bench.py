@@ -46,6 +46,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 N_SERIES = 256          # grouped-S2G series count (task count, both levels)
 SERIES_LEN = 60_000     # points per series
+# Efficiency-optimal granularity for the SAME 15.36M total points: 512
+# shorter series -> 24 task waves at 32 cores, so the data-dependent
+# per-series cost skew (p90/mean ~ 4x) amortizes instead of letting the
+# heavy tail set the makespan at 8 waves. Granularity is the deployment
+# knob (BASELINE.md, W2 decomposition): 256x60k maximizes per-point
+# throughput, 512x30k maximizes strong-scaling efficiency; the artifact
+# reports BOTH so the tradeoff is committed evidence, not prose.
+N_SERIES_EFF = 512
+SERIES_LEN_EFF = 30_000
 BIG_N = 8_000_000       # distributed-S2G series length (large enough that
                         # per-slice NumPy work dwarfs the driver syncs)
 BIG_SLICES = 64         # fixed slice count at both levels
@@ -68,6 +77,7 @@ from pyspark.sql import functions as F
 
 N_SERIES, SERIES_LEN, BIG_N, BIG_SLICES, PAGES_PARTS, PAGES_PER_PART = (
     {n_series}, {series_len}, {big_n}, {big_slices}, {pages_parts}, {pages_per_part})
+N_SERIES_EFF, SERIES_LEN_EFF = {n_series_eff}, {series_len_eff}
 PAGES_PATH = {pages_path!r}
 
 # SCALING_BENCH_MODE=cluster: cpus//4 SEPARATE executor JVMs x 4 cores each
@@ -205,7 +215,20 @@ spark.stop()
 print("RESULT" + json.dumps(out))
 """
 
-WORKLOADS = {"rollup": _W_ROLLUP, "grouped": _W_GROUPED, "dist": _W_DIST}
+# the efficiency-granularity W2 variant: identical code over 512x30k (same
+# 15.36M total points), separate output keys
+_W_GROUPED_EFF = (
+    _W_GROUPED.replace("N_SERIES", "N_SERIES_EFF")
+    .replace("SERIES_LEN", "SERIES_LEN_EFF")
+    .replace("s2g_grouped_", "s2g_grouped_eff_")
+)
+
+WORKLOADS = {
+    "rollup": _W_ROLLUP,
+    "grouped": _W_GROUPED,
+    "grouped_eff": _W_GROUPED_EFF,
+    "dist": _W_DIST,
+}
 
 
 def run_workload(cpus: int, workload: str) -> dict:
@@ -214,6 +237,8 @@ def run_workload(cpus: int, workload: str) -> dict:
         _PRELUDE.format(
             repo=REPO,
             n_series=N_SERIES,
+            n_series_eff=N_SERIES_EFF,
+            series_len_eff=SERIES_LEN_EFF,
             series_len=SERIES_LEN,
             big_n=BIG_N,
             big_slices=BIG_SLICES,
@@ -239,6 +264,12 @@ def run_workload(cpus: int, workload: str) -> dict:
 
 
 REPEATS = int(os.environ.get("SCALING_BENCH_REPEATS", "3"))
+
+# SCALING_BENCH_WORKLOADS=dist (comma-list) re-runs a subset — used when one
+# lane's samples were contaminated and only that lane needs a clean window
+_sel = os.environ.get("SCALING_BENCH_WORKLOADS")
+if _sel:
+    WORKLOADS = {k: v for k, v in WORKLOADS.items() if k in _sel.split(",")}
 
 
 def run_levels(repeats: int = REPEATS) -> tuple[dict, dict, dict]:
@@ -341,7 +372,12 @@ def main() -> None:
         "levels": [r8, r32],
     }
     raw_effs = []
-    for metric in ("rollup_sec", "s2g_grouped_sec", "s2g_distributed_sec"):
+    for metric in (
+        "rollup_sec",
+        "s2g_grouped_sec",
+        "s2g_grouped_eff_sec",
+        "s2g_distributed_sec",
+    ):
         t8, t32 = r8[metric], r32[metric]
         raw_effs.append((t8 / t32) / 4.0)
         report[f"{metric}_efficiency"] = round((t8 / t32) / 4.0, 3)

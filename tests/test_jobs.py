@@ -27,7 +27,7 @@ def test_full_pipeline_and_resume(spark, pages, tmp_path_factory):
 
     job = PagesRollupJob(spark, root, s2g_params=params)
     out = job.run(pages, desc)
-    assert len(job.ran_stages) == 7 and not job.skipped_stages
+    assert len(job.ran_stages) == 9 and not job.skipped_stages
 
     # tiers conserve totals
     hour_total = out["hour"].agg(F.sum("doc_count")).collect()[0][0]
@@ -48,10 +48,46 @@ def test_full_pipeline_and_resume(spark, pages, tmp_path_factory):
     # anomaly outputs exist for long-enough series
     assert out["s2g_scores"].count() > 0
 
+    # digest cascade: day p50/p90 derived from the MERGED hour sketches
+    # (out["sketch_day"] reads only the persisted sketch_hour stage) must
+    # sit within the sketch's 2% rank-error bound of the exact day
+    # quantiles computed from raw text lengths
+    from dads_spark.rollup import bucket_expr
+    from dads_spark.rollup.series import with_domain
+
+    raw = (
+        with_domain(pages)
+        .select(
+            "domain",
+            bucket_expr("warc_ts", "day").cast("string").alias("bucket_day"),
+            F.octet_length("text").cast("double").alias("text_len"),
+        )
+        .toPandas()
+    )
+    got = out["day_quantiles"].toPandas()
+    assert len(got) > 0
+    checked = 0
+    for (dom, day), grp in raw.groupby(["domain", "bucket_day"]):
+        vals = np.sort(grp["text_len"].to_numpy())
+        sub = got[(got.domain == dom) & (got.bucket_day == day)]
+        if sub.empty:
+            continue
+        for _, r in sub.iterrows():
+            # rank error: where the sketch value falls in the exact CDF.
+            # Duplicated values occupy a rank INTERVAL [lo, hi]; the error
+            # is the distance from the target prob to that interval.
+            n = max(len(vals), 1)
+            lo = np.searchsorted(vals, r["value"], side="left") / n
+            hi = np.searchsorted(vals, r["value"], side="right") / n
+            err = max(lo - r["prob"], r["prob"] - hi, 0.0)
+            assert err <= 0.02 + 1.0 / n, (dom, day, r["prob"], lo, hi)
+            checked += 1
+    assert checked > 0
+
     # resume: everything committed -> all skipped
     job2 = PagesRollupJob(spark, root, s2g_params=params)
     job2.run(pages, desc)
-    assert len(job2.skipped_stages) == 7 and not job2.ran_stages
+    assert len(job2.skipped_stages) == 9 and not job2.ran_stages
 
 
 def test_text_bytes_untouched(spark, pages):

@@ -83,8 +83,8 @@ def test_mid_pipeline_resume_recomputes_only_missing_stage(spark, tmp_path):
     out2 = job2.run(pages, desc)
     assert job2.ran_stages == ["tier_day"]
     assert set(job2.skipped_stages) == {
-        "tier_hour", "tier_week", "gapfill_hour", "compress_hour",
-        "s2g_scores", "discord_ranges",
+        "tier_hour", "tier_week", "sketch_hour", "sketch_day",
+        "gapfill_hour", "compress_hour", "s2g_scores", "discord_ranges",
     }
     day2 = out2["day"].toPandas().sort_values(["domain", "bucket_ts"])
     assert day1.reset_index(drop=True).equals(day2.reset_index(drop=True))
@@ -93,7 +93,7 @@ def test_mid_pipeline_resume_recomputes_only_missing_stage(spark, tmp_path):
     assert [r["stage"] for r in job2.metrics.rows()] == ["tier_day"]
     persisted = spark.read.parquet(f"{root}/_metrics").toPandas()
     assert set(persisted["stage"]) == {
-        "tier_hour", "tier_day", "tier_week", "gapfill_hour",
-        "compress_hour", "s2g_scores", "discord_ranges",
+        "tier_hour", "tier_day", "tier_week", "sketch_hour", "sketch_day",
+        "gapfill_hour", "compress_hour", "s2g_scores", "discord_ranges",
     }
-    assert len(persisted) == 7
+    assert len(persisted) == 9
