@@ -143,6 +143,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "cusum_changepoints",
         "quantile_digest",
         "streaming_dedup",
+        # r3: webtext cleanup + interval/window ops
+        "heavy_hitters",
+        "hopping_rollup",
+        "interval_merge",
+        "url_canonicalize",
+        "boilerplate_lines",
     ]
     for name in suite:
         t0 = _now()

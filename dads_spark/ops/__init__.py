@@ -18,6 +18,13 @@ from .textstats import (  # noqa: F401
     winnow_fingerprints,
 )
 from .sampling import deterministic_sample, hash_split  # noqa: F401
+from .heavyhitters import heavy_hitters  # noqa: F401
+from .boilerplate import boilerplate_lines, remove_boilerplate  # noqa: F401
+from .urltools import (  # noqa: F401
+    canonicalize_urls,
+    parse_urls,
+    registrable_domain,
+)
 from .sketch import (  # noqa: F401
     digest,
     digest_quantiles,

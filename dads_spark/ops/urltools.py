@@ -1,0 +1,122 @@
+"""URL parsing and canonicalization for web-corpus pipelines.
+
+Everything here is pure JVM expression work (``parse_url``, regexes,
+higher-order array functions) — whole-stage-codegen friendly, no Python in
+the hot path, so it composes with scans at full width and survives a 100x
+scale-up as a map-only stage (zero shuffles).
+
+Canonicalization rules (the usual crawl-dedup prep):
+- scheme + host lowercased, default ports (:80 http, :443 https) stripped,
+  a leading ``www.`` label stripped;
+- path keeps case (paths are case-sensitive), a single trailing slash is
+  dropped (except the bare root), fragment dropped;
+- query parsed into k=v pairs, TRACKING_PARAMS (utm_*, fbclid, gclid, ...)
+  removed, the rest sorted by key then re-joined — so two crawls of the
+  same page with shuffled/tracking-polluted queries canonicalize equal.
+
+``registrable_domain`` approximates the public-suffix list with the
+well-known two-level country suffixes (co.uk, com.au, ...): exact PSL
+parity needs the full Mozilla list, which is data, not code — callers on a
+cluster should broadcast-join the real list; the embedded set keeps the
+operator dependency-free and is explicitly a subset.
+
+Reference analog: none (DADS is a pure time-series engine); this is part
+of the training-data-pipeline suite (URL-keyed dedup and per-site rollups
+over web text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: query parameters that identify a click, not a page
+TRACKING_PARAMS = (
+    "utm_source utm_medium utm_campaign utm_term utm_content "
+    "gclid fbclid msclkid mc_eid igshid ref_src"
+).split()
+
+#: common second-level public suffixes (subset; see module docstring)
+TWO_LEVEL_SUFFIXES = (
+    "co.uk org.uk ac.uk gov.uk co.jp or.jp ne.jp com.au net.au org.au "
+    "co.nz com.br com.cn com.mx co.in co.kr com.sg com.tr com.ar co.za"
+).split()
+
+
+def _canon_query(query: Column) -> Column:
+    """Strip tracking params, sort the rest by key, re-join with '&'."""
+    pairs = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.split(p, "=").getItem(0).isin(*TRACKING_PARAMS),
+    )
+    return F.array_join(F.array_sort(pairs), "&")
+
+
+def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Decompose ``url_col`` into host / path / query / protocol columns
+    (NULL-safe: a malformed URL yields NULL parts, rows are kept)."""
+    u = F.col(url_col)
+    # AUTHORITY (userinfo@host:port) rather than HOST: Java's URI.getHost
+    # drops the port, which canonicalization needs to see to strip only
+    # the DEFAULT ones
+    authority = F.regexp_replace(
+        F.lower(F.try_parse_url(u, F.lit("AUTHORITY"))), r"^[^@]*@", ""
+    )
+    return df.withColumns(
+        {
+            "protocol": F.lower(F.try_parse_url(u, F.lit("PROTOCOL"))),
+            "host": authority,
+            "path": F.try_parse_url(u, F.lit("PATH")),
+            "query": F.try_parse_url(u, F.lit("QUERY")),
+        }
+    )
+
+
+def registrable_domain(host: Column) -> Column:
+    """Best-effort eTLD+1: last 3 labels when the last 2 form a known
+    two-level suffix, else last 2 labels. Hosts with one label (or IPs —
+    not detected) pass through unchanged."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
+    return (
+        F.when(n <= 1, host)
+        .when(
+            (n >= 3) & last2.isin(*TWO_LEVEL_SUFFIXES),
+            F.array_join(F.slice(labels, n - 2, 3), "."),
+        )
+        .otherwise(F.when(n >= 2, last2).otherwise(host))
+    )
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add ``canonical_url``, ``host``, ``site`` (registrable domain) —
+    the dedup/rollup keys for a crawl. See module docstring for rules."""
+    parsed = parse_urls(df, url_col)
+    host = F.regexp_replace(
+        F.regexp_replace(F.col("host"), r"^www\.", ""), r":(80|443)$", ""
+    )
+    path = F.coalesce(F.col("path"), F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path) > 1) & path.endswith("/"),
+            F.expr("substring(path, 1, length(path) - 1)"),
+        ).otherwise(path)
+    )
+    query = _canon_query(F.coalesce(F.col("query"), F.lit("")))
+    return (
+        parsed.withColumn("site", registrable_domain(host))
+        .withColumn(
+            "canonical_url",
+            F.concat(
+                F.coalesce(F.col("protocol"), F.lit("https")),
+                F.lit("://"),
+                host,
+                path,
+                F.when(query == "", F.lit("")).otherwise(
+                    F.concat(F.lit("?"), query)
+                ),
+            ),
+        )
+        .withColumn("host", host)
+    )

@@ -254,6 +254,61 @@ def main() -> None:
         "\n".join(p12.splitlines()[2:12]),
     ))
 
+    # --- A13: heavy hitters — broadcast verify, no vocabulary shuffle ------
+    p13 = plan_of(em.queries()["heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p13 and "LeftSemi" in p13, (
+        "candidate verify join not a broadcast semi-join"
+    )
+    assert len(re.findall(r"Scan parquet", p13)) <= 2, p13  # documents once
+    sections.append((
+        "A13 heavy_hitters: bounded-shuffle exact heavy hitters",
+        "PASS — the Misra-Gries candidate phase ships only the top "
+        "k+2 = O(1/threshold) merged rows to the driver (one source pass); "
+        "the returned verify query scans the source once more and "
+        "semi-joins it against the BROADCAST candidate relation — the "
+        "vocabulary-wide groupBy of the naive plan never happens",
+        "\n".join(l for l in p13.splitlines() if "Join" in l or "Exchange" in l or "Scan parquet" in l)[:700],
+    ))
+
+    # --- A14: URL canonicalization is a pure map stage ---------------------
+    p14 = plan_of(em.queries()["url_canonicalize"](spark, sf_dir))
+    assert "Exchange" not in p14, "url_canonicalize must not shuffle"
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py_op not in p14, f"url_canonicalize plan contains {py_op}"
+    assert "WholeStageCodegen" in p14
+    sections.append((
+        "A14 url_canonicalize: zero-shuffle codegen map stage",
+        "PASS — parse + strip + param-sort + eTLD+1 compile to one "
+        "WholeStageCodegen span over the scan: no Exchange, no Python; "
+        "composes with any downstream dedup at scan width",
+        "\n".join(p14.splitlines()[2:8]),
+    ))
+
+    # --- A15: boilerplate removal — corpus never reshuffled for the join ---
+    p15 = plan_of(
+        em.queries()["boilerplate_lines"](spark, sf_dir)
+    )
+    n_ex15 = p15.count("Exchange hashpartitioning")
+    assert n_ex15 <= 1, f"boilerplate_lines: {n_ex15} hash exchanges"
+    from dads_spark.ops import remove_boilerplate
+
+    docs13 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p15b = plan_of(
+        remove_boilerplate(docs13, "doc_id", "text", "source", min_docs=3)
+    )
+    assert "BroadcastHashJoin" in p15b or "BroadcastNestedLoopJoin" in p15b, (
+        "boilerplate filter join not broadcast"
+    )
+    sections.append((
+        "A15 boilerplate: one count shuffle, broadcast anti-join filter",
+        f"PASS — line-frequency count is {n_ex15} partial-agg exchange; the "
+        "removal path anti-joins the exploded corpus against the BROADCAST "
+        "boilerplate set (small by construction: lines shared by >=min_docs "
+        "docs), so the corpus itself is never hash-repartitioned to be "
+        "filtered",
+        "\n".join(l for l in p15b.splitlines() if "Join" in l or "Exchange" in l)[:600],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"

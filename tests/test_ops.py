@@ -315,3 +315,63 @@ def test_resize_media_plumbing(spark):
     assert bytes(out.loc[0, "resized"]) == bytes(out2.loc[0, "resized"])  # deterministic
     with pytest.raises(Exception, match="NotImplementedError|real image resize"):
         resize_media(df, 8, 6, fake=False).collect()
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    from dads_spark.ops import heavy_hitters
+
+    # zipf-ish: item i appears ~ 2000/(i+1) times, 200 distinct items ->
+    # far more than k=ceil(2/0.02)=100 counters, so MG compression engages
+    rng = np.random.default_rng(7)
+    items = np.repeat(
+        [f"w{i:03d}" for i in range(200)],
+        (2000 / (np.arange(200) + 1)).astype(int) + 1,
+    )
+    rng.shuffle(items)
+    df = spark.createDataFrame(pd.DataFrame({"tok": items})).repartition(8)
+
+    got = heavy_hitters(df, "tok", 0.02).toPandas().sort_values("item")
+    vc = pd.Series(items).value_counts()
+    import math
+
+    min_count = math.ceil(0.02 * len(items))
+    want = vc[vc >= min_count]
+    assert list(got["item"]) == sorted(want.index)
+    assert dict(zip(got["item"], got["cnt"])) == {
+        k: int(v) for k, v in want.items()
+    }
+
+
+def test_heavy_hitters_edges(spark):
+    from dads_spark.ops import heavy_hitters
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"tok": ["a"] * 50 + ["b"] * 30 + ["c"] * 20})
+    )
+    # all three clear a 10% bar; only 'a' clears 40%
+    assert heavy_hitters(df, "tok", 0.1).count() == 3
+    top = heavy_hitters(df, "tok", 0.4).toPandas()
+    assert list(top["item"]) == ["a"] and int(top["cnt"].iloc[0]) == 50
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "tok", 1.5)
+
+
+def test_heavy_hitters_plan_two_scans(spark, tmp_path_factory):
+    """The candidate phase consumes the source once (collected inside the
+    operator call); the returned verify query scans it exactly once more,
+    semi-joining against the BROADCAST candidate relation — the vocabulary
+    never shuffles."""
+    from dads_spark.ops import heavy_hitters
+
+    path = str(tmp_path_factory.mktemp("hh") / "toks.parquet")
+    pd.DataFrame({"tok": ["x"] * 40 + ["y"] * 10 + [f"z{i}" for i in range(50)]}).pipe(
+        lambda p: spark.createDataFrame(p).write.mode("overwrite").parquet(path)
+    )
+    df = spark.read.parquet(path)
+    out = heavy_hitters(df, "tok", 0.2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, f"verify pass must scan the source once\n{plan}"
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    got = out.toPandas()
+    assert set(got["item"]) == {"x"} and int(got["cnt"].iloc[0]) == 40
