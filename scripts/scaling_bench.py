@@ -378,6 +378,8 @@ def main() -> None:
         "s2g_grouped_eff_sec",
         "s2g_distributed_sec",
     ):
+        if metric not in r8:  # SCALING_BENCH_WORKLOADS subset run
+            continue
         t8, t32 = r8[metric], r32[metric]
         raw_effs.append((t8 / t32) / 4.0)
         report[f"{metric}_efficiency"] = round((t8 / t32) / 4.0, 3)
