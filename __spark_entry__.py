@@ -889,6 +889,81 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plant deterministic PII per doc, then mask it with the codegen
+    # regexp cascade; the oracle applies the byte-identical cascade in
+    # DuckDB (common Java-regex/RE2 subset), pinning the masked text via
+    # md5 and the per-class counts on the same cascade stages
+    from dads_spark.ops import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref 123456789"),
+        ).alias("text"),
+    )
+    red = redact_pii(planted).select(
+        "doc_id", F.md5("text").alias("redacted_md5")
+    )
+    return red.join(pii_counts(planted), "doc_id").select(
+        "doc_id", "redacted_md5", "n_email", "n_ip", "n_num"
+    )
+
+
+def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trailing-24h p90 of the hourly sum per series (monitoring staple);
+    # exact sort-based percentile over an event-time RANGE frame
+    from dads_spark.rollup import rolling_quantile, rollup_from_raw
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour").select(
+        "event_type", "bucket_ts", F.col("value_sum").alias("v")
+    )
+    return rolling_quantile(
+        hourly, ["event_type"], "bucket_ts", "v", q=0.9, window_buckets=24
+    ).select("event_type", _fmt_bucket(), "rolling_q", "n_in_window")
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup pairs (distinct-token Jaccard >= 0.95) -> transitive closure
+    # via iterative min-label propagation -> (doc, cluster rep). The oracle
+    # recomputes the closure with a recursive CTE; unrounded IEEE division
+    # on both sides keeps the pair set bit-identical.
+    from dads_spark.ops import connected_components, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.95)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style duplicate-bigram quality signals, all-JVM n-gram build
+    from dads_spark.ops import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id", n=2)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-size 25% per-language sample by smallest md5(doc_id); 0.25 is
+    # binary-exact so ceil(n*f) agrees bit-for-bit across engines
+    from dads_spark.ops import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, ["lang"], "doc_id", 0.25).select(
+        "lang", "doc_id", "n_chars"
+    )
+
+
 def q_series_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lagged cross-correlation between the error and purchase series
     from dads_spark.rollup import series_cross_correlation
@@ -2291,6 +2366,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_merge": q_interval_merge,
         "url_canonicalize": q_url_canonicalize,
         "boilerplate_lines": q_boilerplate_lines,
+        "redact_pii": q_redact_pii,
+        "rolling_quantile": q_rolling_quantile,
+        "dup_clusters": q_dup_clusters,
+        "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
         "q12_priority_class": q12_priority_class,
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
@@ -2337,11 +2417,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_string_functions": q_date_string_functions,
         "semi_anti_customers": q_semi_anti_customers,
         "window_running_order_total": q_window_running_order_total,
+        # ---- position 50 ends here ----------------------------------------
+        # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint displaced
+        # past 50 by the four r3 additions above — all r1-green and cheap,
+        # lowest-risk to defer; ngram_jaccard's semantics are additionally
+        # re-pinned inside the new dup_clusters entry, which embeds it)
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_md5": q_minhash_md5,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
-        # ---- position 50 ends here ----------------------------------------
         # -- (4) r2-green (freshest evidence) -------------------------------
         "sessionize": q_sessionize,
         "json_extract_props": q_json_extract_props,
@@ -2860,6 +2944,103 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'test' ELSE 'train' END AS split,
                    count(*) AS n_docs
             FROM documents GROUP BY 1, 2
+        """,
+        "redact_pii": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com from 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7 ref 123456789' AS text
+                FROM documents),
+            r1 AS (SELECT doc_id, text,
+                          regexp_replace(text,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g') AS t1
+                   FROM planted),
+            r2 AS (SELECT *, regexp_replace(t1,
+                              '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b',
+                              '<IP>', 'g') AS t2
+                   FROM r1),
+            r3 AS (SELECT *, regexp_replace(t2, '\\b\\d{7,}\\b', '<NUM>', 'g')
+                          AS t3
+                   FROM r2)
+            SELECT doc_id, md5(t3) AS redacted_md5,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(t1,
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ip,
+                   len(regexp_extract_all(t2, '\\b\\d{7,}\\b')) AS n_num
+            FROM r3
+        """,
+        "rolling_quantile": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                       sum(value) AS v
+                FROM events GROUP BY 1, 2)
+            SELECT event_type,
+                   strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   round(quantile_cont(v, 0.9) OVER w, 4) AS rolling_q,
+                   count(*) OVER w AS n_in_window
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                         RANGE BETWEEN INTERVAL 23 HOURS PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id AS tid,
+                       unnest(list_distinct(string_split(text, ' '))) AS token
+                FROM documents),
+            sizes AS (SELECT tid, count(*) AS sz FROM toks GROUP BY 1),
+            inter AS (
+                SELECT a.tid AS id_a, b.tid AS id_b, count(*) AS n
+                FROM toks a
+                JOIN toks b ON a.token = b.token AND a.tid < b.tid
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.tid = id_a
+                JOIN sizes sb ON sb.tid = id_b
+                WHERE n / CAST(sa.sz + sb.sz - n AS DOUBLE) >= 0.95),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id)
+            SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            grams AS (
+                SELECT doc_id, t[i] || ' ' || t[i + 1] AS ngram
+                FROM toks, LATERAL (
+                    SELECT unnest(range(1, len(t))) AS i) r
+                WHERE len(t) >= 2),
+            cnt AS (
+                SELECT doc_id, ngram, count(*) AS c
+                FROM grams GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_ngrams,
+                   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                       / sum(c) AS dup_ngram_frac,
+                   CAST(max(c) AS DOUBLE) / sum(c) AS top_ngram_frac
+            FROM cnt GROUP BY 1
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id, n_chars
+            FROM (SELECT lang, doc_id, n_chars,
+                         row_number() OVER (
+                             PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                             AS rn,
+                         count(*) OVER (PARTITION BY lang) AS n
+                  FROM documents)
+            WHERE rn <= CEIL(n * 0.25)
         """,
         "series_xcorr": """
             WITH bucketed AS (

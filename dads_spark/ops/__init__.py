@@ -9,16 +9,26 @@ from .dedup import (  # noqa: F401
     simhash64,
     simhash_near_pairs,
 )
+from .components import (  # noqa: F401
+    connected_components,
+    dedup_by_cluster,
+)
 from .textstats import (  # noqa: F401
     doc_fingerprint,
     language_id,
+    repetition_stats,
     text_quality,
     token_counts,
     top_terms,
     winnow_fingerprints,
 )
-from .sampling import deterministic_sample, hash_split  # noqa: F401
+from .sampling import (  # noqa: F401
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+)
 from .heavyhitters import heavy_hitters  # noqa: F401
+from .redact import pii_counts, redact_pii  # noqa: F401
 from .boilerplate import boilerplate_lines, remove_boilerplate  # noqa: F401
 from .urltools import (  # noqa: F401
     canonicalize_urls,

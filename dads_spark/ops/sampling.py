@@ -65,3 +65,33 @@ def hash_split(
     return df.withColumn(
         split_col, F.when(h < threshold, "test").otherwise("train")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    fraction: float,
+) -> DataFrame:
+    """Exact-size stratified sample: ceil(fraction * n_s) rows per stratum,
+    chosen as the smallest md5(id) — deterministic, repartition-stable,
+    engine-portable (unlike ``sampleBy``, which is seeded-RNG approximate
+    and yields binomially-varying stratum sizes).
+
+    One shuffle (the per-stratum window); the stratum count rides the same
+    partitioning via a window aggregate, so no second pass or join. The
+    window sort is per-stratum, bounded by stratum size — the usual skew
+    caveats of any per-key ranking apply, nothing global.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0,1], got {fraction}")
+    h = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy(*strata_cols)
+    rn = F.row_number().over(w.orderBy(h, id_col))
+    take = F.ceil(F.count(F.lit(1)).over(w) * F.lit(fraction))
+    return (
+        df.withColumn("_rn", rn)
+        .withColumn("_take", take)
+        .filter(F.col("_rn") <= F.col("_take"))
+        .drop("_rn", "_take")
+    )

@@ -196,3 +196,58 @@ def top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "doc_freq", "rank")
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition quality signals, entirely JVM-side.
+
+    Per document: ``n_ngrams`` (token n-gram occurrences), ``dup_ngram_frac``
+    (fraction of occurrences whose n-gram appears more than once in the
+    doc), ``top_ngram_frac`` (share of the single most frequent n-gram).
+    Heavily repetitive machine-generated text scores high on both; the
+    usual filter drops docs above a dup-fraction cut.
+
+    Shape: the n-gram list is built with array higher-order functions
+    (``transform`` over a ``sequence``) inside codegen — no Python, no
+    self-join; then one explode + two hash aggregations keyed by doc,
+    which AQE coalesces and which scale linearly in corpus size. The
+    n-gram space never aggregates globally (contrast heavy_hitters): all
+    keys are (doc, ngram), so skew is bounded by document length.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        docs.select(F.col(id_col), F.explode(grams).alias("ngram"))
+        .groupBy(id_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_ngrams"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                "_dup"
+            ),
+            F.max("cnt").alias("_top"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            # exact IEEE long/long division — engine-portable, unlike
+            # round() whose tie semantics differ across engines (the
+            # paa_sax lesson)
+            (F.col("_dup") / F.col("n_ngrams")).alias("dup_ngram_frac"),
+            (F.col("_top") / F.col("n_ngrams")).alias("top_ngram_frac"),
+        )
+    )

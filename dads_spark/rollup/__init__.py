@@ -33,6 +33,7 @@ from .analytics import (  # noqa: F401
     counter_rate,
     mad_outliers,
     paa_sax,
+    rolling_quantile,
     seasonal_outliers,
     series_cross_correlation,
     time_weighted_avg,

@@ -332,3 +332,43 @@ def paa_sax(
             symbol.alias("symbol"),
         )
     )
+
+
+def rolling_quantile(
+    series: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+    q: float = 0.5,
+    window_buckets: int = 24,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Exact interpolated quantile over a trailing event-time window per
+    series (the monitoring staple: "p90 over the last 24 h").
+
+    RANGE frame over epoch seconds — event-time bounded, so gaps in the
+    series shrink the effective window instead of silently widening it the
+    way a ROWS frame would. Exact sort-based percentile, not a sketch:
+    the frame holds at most ``window_buckets`` rolled-up points per series,
+    so per-frame cost is bounded by the tier granularity no matter how
+    large the raw corpus was — the rollup already did the heavy
+    aggregation. For quantiles over RAW points at scale, use the mergeable
+    digest cascade (ops/sketch.py) instead.
+
+    One shuffle on the series key; window evaluation is per-partition
+    sorted streaming, all JVM.
+    """
+    span = (window_buckets - 1) * bucket_seconds
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-span, 0)
+    )
+    return series.select(
+        *key_cols,
+        ts_col,
+        F.round(
+            F.expr(f"percentile({value_col}, {q!r})").over(w), 4
+        ).alias("rolling_q"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )

@@ -180,3 +180,45 @@ def test_paa_sax_quantized_matches_plain(spark):
     )
     assert quant.paa.tolist() == pytest.approx(plain.paa.tolist(), abs=1e-4)
     assert quant.symbol.tolist() == plain.symbol.tolist()
+
+
+def test_rolling_quantile_trailing_window(spark):
+    from dads_spark.rollup import rolling_quantile
+
+    # hourly points 0..5 with values 10,20,30,40,50,60; 3-bucket trailing
+    # median: [10], [10,20], [10,20,30], [20,30,40], ...
+    rows = [
+        ("a", f"2024-01-01 0{h}:00:00", float((h + 1) * 10)) for h in range(6)
+    ]
+    pdf = pd.DataFrame(rows, columns=["k", "bucket_ts", "v"])
+    pdf["bucket_ts"] = pd.to_datetime(pdf["bucket_ts"])
+    df = spark.createDataFrame(pdf)
+    out = (
+        rolling_quantile(df, ["k"], "bucket_ts", "v", q=0.5, window_buckets=3)
+        .toPandas()
+        .sort_values("bucket_ts")
+    )
+    assert out["rolling_q"].tolist() == [10.0, 15.0, 20.0, 30.0, 40.0, 50.0]
+    assert out["n_in_window"].tolist() == [1, 2, 3, 3, 3, 3]
+
+
+def test_rolling_quantile_gap_shrinks_window(spark):
+    from dads_spark.rollup import rolling_quantile
+
+    # a 5-hour gap: the trailing 3-bucket RANGE frame must NOT reach back
+    # across it (event-time bounded, unlike a ROWS frame)
+    rows = [
+        ("a", "2024-01-01 00:00:00", 100.0),
+        ("a", "2024-01-01 01:00:00", 200.0),
+        ("a", "2024-01-01 07:00:00", 6.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["k", "bucket_ts", "v"])
+    pdf["bucket_ts"] = pd.to_datetime(pdf["bucket_ts"])
+    df = spark.createDataFrame(pdf)
+    out = (
+        rolling_quantile(df, ["k"], "bucket_ts", "v", q=0.5, window_buckets=3)
+        .toPandas()
+        .sort_values("bucket_ts")
+    )
+    assert out["rolling_q"].tolist() == [100.0, 150.0, 6.0]
+    assert out["n_in_window"].tolist() == [1, 2, 1]

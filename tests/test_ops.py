@@ -375,3 +375,39 @@ def test_heavy_hitters_plan_two_scans(spark, tmp_path_factory):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     got = out.toPandas()
     assert set(got["item"]) == {"x"} and int(got["cnt"].iloc[0]) == 40
+
+
+def test_repetition_stats_known_counts(spark):
+    # "a b a b a": bigrams [a b, b a, a b, b a] -> 4 grams, all duplicated
+    # (dup_frac 1.0), top "a b" x2 -> top_frac 0.5
+    # "x y z": bigrams [x y, y z] -> 2 grams, none duplicated, top_frac 0.5
+    # "solo": 1 token -> no bigrams -> NO output row (matches oracle SQL)
+    from dads_spark.ops import repetition_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "x y z"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    out = (
+        repetition_stats(df, "text", "doc_id", n=2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.index.tolist() == [0, 1]
+    assert out.loc[0, "n_ngrams"] == 4
+    assert out.loc[0, "dup_ngram_frac"] == 1.0
+    assert out.loc[0, "top_ngram_frac"] == 0.5
+    assert out.loc[1, "n_ngrams"] == 2
+    assert out.loc[1, "dup_ngram_frac"] == 0.0
+    assert out.loc[1, "top_ngram_frac"] == 0.5
+
+
+def test_repetition_stats_no_python_stage(spark):
+    # the n-gram build must stay in JVM expressions: no BatchEvalPython /
+    # ArrowEvalPython operator may appear in the plan
+    from dads_spark.ops import repetition_stats
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = repetition_stats(df, "text", "doc_id", n=2)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan

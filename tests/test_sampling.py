@@ -5,7 +5,12 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
-from dads_spark.ops import deterministic_sample, hash_split, top_terms
+from dads_spark.ops import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+    top_terms,
+)
 
 
 @pytest.fixture(scope="module")
@@ -40,6 +45,28 @@ def test_hash_split_rejects_out_of_domain_nibbles(spark, docs):
     for bad in (0, 16, -1):
         with pytest.raises(ValueError, match="test_nibbles"):
             hash_split(docs, "doc_id", test_nibbles=bad)
+
+
+def test_stratified_sample_exact_sizes_and_stability(spark, docs):
+    # strata are 134/133/133 docs; ceil(n*0.25) -> 34/34/34 exactly
+    out = stratified_sample(docs, ["lang"], "doc_id", 0.25).toPandas()
+    import math
+
+    sizes = out.groupby("lang").size().to_dict()
+    truth = {"k0": 134, "k1": 133, "k2": 133}
+    assert sizes == {k: math.ceil(v * 0.25) for k, v in truth.items()}
+    again = stratified_sample(
+        docs.repartition(11), ["lang"], "doc_id", 0.25
+    ).toPandas()
+    key = lambda p: sorted(map(tuple, p[["lang", "doc_id"]].to_numpy()))
+    assert key(out) == key(again)
+
+
+def test_stratified_sample_fraction_one_is_identity(spark, docs):
+    out = stratified_sample(docs, ["lang"], "doc_id", 1.0)
+    assert out.count() == 400
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, ["lang"], "doc_id", 0.0)
 
 
 def test_top_terms_prefers_rare_term_at_equal_tf(spark):
