@@ -2339,6 +2339,78 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_lines(framed, "doc_id", "text", "source", min_docs=3)
 
 
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic synthetic crawl html: each doc's page carries two
+    # absolute hrefs derived from doc_id; extract_links (JVM regex) ->
+    # domain_edges (parse_url HOST, self-loop drop, distinct) -> 3-round
+    # PageRank with dangling-mass redistribution (the .org hosts never
+    # appear as sources, so the dangling term is genuinely exercised)
+    from dads_spark.ops import domain_edges, extract_links, pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example.com")).alias("src_domain"),
+        F.concat(
+            F.lit('<p><a href="https://h'),
+            ((F.col("doc_id") * 31 + 7) % 97).cast("string"),
+            F.lit('.example.com/x">l</a> <a href=\'http://h'),
+            ((F.col("doc_id") * 5 + 3) % 11).cast("string"),
+            F.lit(".org/y'>m</a></p>"),
+        ).alias("html"),
+    )
+    # src_domain rides through the explode (`keep`) — edge construction
+    # never joins back onto the corpus
+    links = extract_links(pages, "html", "doc_id", keep=("src_domain",))
+    edges = domain_edges(links, "src_domain", "link_url")
+    return pagerank(edges, iterations=3, damping=0.85).select(
+        "node", F.round("pr", 6).alias("pr")
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GPT-3-style eval decontamination at toy n=3: hash-split documents
+    # 25% test / 75% train (md5 nibble, the engine-portable split), then
+    # flag every train doc sharing any token 3-gram with the test side
+    from dads_spark.ops import contamination_report, hash_split
+
+    docs = hash_split(_t(spark, sf_dir, "documents"), "doc_id", test_nibbles=4)
+    return contamination_report(docs, "split", "text", "doc_id", n=3)
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc unigram Shannon entropy (perplexity proxy); 6-dp rounded for
+    # cross-engine float-summation-order stability
+    from dads_spark.ops import token_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_entropy(docs, "text", "doc_id").select(
+        "doc_id", "n_tokens", "distinct_tokens",
+        F.round("entropy", 6).alias("entropy"),
+    )
+
+
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OOV fraction per doc against the corpus's own top-64 unigram vocab
+    # (deterministic count-desc/word-asc ranking)
+    from dads_spark.ops import vocab_oov
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_oov(docs, 64, "text", "doc_id").select(
+        "doc_id", "n_tokens", F.round("oov_frac", 6).alias("oov_frac")
+    )
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-event-type ACF at lags 1..3 over the hourly tier — one window
+    # pass builds all lags, one agg computes all corrs
+    from dads_spark.rollup import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    return autocorrelation(ev, "event_type", "ts", "value", max_lag=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -2379,6 +2451,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_promotion": q20_part_promotion,
         "q21_waiting_supplier": q21_waiting_supplier,
         "multi_source_rollup": q_multi_source_rollup,
+        # -- (1b) new this session, no driver row yet -----------------------
+        "link_pagerank": q_link_pagerank,
+        "decontaminate": q_decontaminate,
+        "token_entropy": q_token_entropy,
+        "vocab_oov": q_vocab_oov,
+        "autocorrelation": q_autocorrelation,
         # -- (2) implementation changed this round --------------------------
         "streaming_stream_join": q_streaming_stream_join,
         "ann_ivf": q_ann_ivf,
@@ -2406,6 +2484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_balance": q22_idle_balance,
         "stats_aggregates": q_stats_aggregates,
         "percentiles_value": q_percentiles_value,
+        # ---- position 50 ends here ----------------------------------------
+        # (the five session-2 r3 additions above displace range_join_clicks
+        # .. window_running_order_total past 50 — all r1-green and cheap,
+        # lowest-risk to defer under the same rotation policy)
         "range_join_clicks": q_range_join_clicks,
         "pivot_lang_share": q_pivot_lang_share,
         "unpivot_tier_metrics": q_unpivot_tier_metrics,
@@ -2417,10 +2499,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_string_functions": q_date_string_functions,
         "semi_anti_customers": q_semi_anti_customers,
         "window_running_order_total": q_window_running_order_total,
-        # ---- position 50 ends here ----------------------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint displaced
-        # past 50 by the four r3 additions above — all r1-green and cheap,
-        # lowest-risk to defer; ngram_jaccard's semantics are additionally
+        # past 50 by the four r3 session-1 additions — all r1-green and
+        # cheap, lowest-risk to defer; ngram_jaccard's semantics are also
         # re-pinned inside the new dup_clusters entry, which embeds it)
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_md5": q_minhash_md5,
@@ -2487,6 +2568,144 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "link_pagerank": """
+            WITH pages AS (
+                SELECT doc_id,
+                       'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com'
+                           AS src_domain,
+                       '<p><a href="https://h'
+                       || CAST((doc_id * 31 + 7) % 97 AS VARCHAR)
+                       || '.example.com/x">l</a> <a href=''http://h'
+                       || CAST((doc_id * 5 + 3) % 11 AS VARCHAR)
+                       || '.org/y''>m</a></p>' AS html
+                FROM documents),
+            l0 AS (
+                SELECT src_domain,
+                       unnest(regexp_extract_all(
+                           html,
+                           'href=["'']((?:https?)://[^"''\\s>]+)["'']', 1))
+                           AS link_url
+                FROM pages),
+            edges AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src_domain AS src,
+                           lower(regexp_extract(
+                               link_url, '^https?://([^/]+)', 1)) AS dst
+                    FROM l0)
+                WHERE dst IS NOT NULL AND dst <> '' AND dst <> src),
+            nodes AS (
+                SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            outdeg AS (
+                SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+                FROM edges GROUP BY 1),
+            pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),
+            d1 AS (SELECT COALESCE(sum(p.pr), 0) AS dm FROM pr0 p
+                   LEFT JOIN outdeg o ON o.src = p.node WHERE o.src IS NULL),
+            m1 AS (SELECT e.dst AS node, sum(p.pr / o.outdeg) AS in_mass
+                   FROM edges e JOIN outdeg o ON o.src = e.src
+                   JOIN pr0 p ON p.node = e.src GROUP BY 1),
+            pr1 AS (SELECT n.node,
+                           0.15 / nn.n
+                           + 0.85 * (COALESCE(m.in_mass, 0) + d1.dm / nn.n)
+                               AS pr
+                    FROM nodes n CROSS JOIN nn CROSS JOIN d1
+                    LEFT JOIN m1 m ON m.node = n.node),
+            d2 AS (SELECT COALESCE(sum(p.pr), 0) AS dm FROM pr1 p
+                   LEFT JOIN outdeg o ON o.src = p.node WHERE o.src IS NULL),
+            m2 AS (SELECT e.dst AS node, sum(p.pr / o.outdeg) AS in_mass
+                   FROM edges e JOIN outdeg o ON o.src = e.src
+                   JOIN pr1 p ON p.node = e.src GROUP BY 1),
+            pr2 AS (SELECT n.node,
+                           0.15 / nn.n
+                           + 0.85 * (COALESCE(m.in_mass, 0) + d2.dm / nn.n)
+                               AS pr
+                    FROM nodes n CROSS JOIN nn CROSS JOIN d2
+                    LEFT JOIN m2 m ON m.node = n.node),
+            d3 AS (SELECT COALESCE(sum(p.pr), 0) AS dm FROM pr2 p
+                   LEFT JOIN outdeg o ON o.src = p.node WHERE o.src IS NULL),
+            m3 AS (SELECT e.dst AS node, sum(p.pr / o.outdeg) AS in_mass
+                   FROM edges e JOIN outdeg o ON o.src = e.src
+                   JOIN pr2 p ON p.node = e.src GROUP BY 1),
+            pr3 AS (SELECT n.node,
+                           0.15 / nn.n
+                           + 0.85 * (COALESCE(m.in_mass, 0) + d3.dm / nn.n)
+                               AS pr
+                    FROM nodes n CROSS JOIN nn CROSS JOIN d3
+                    LEFT JOIN m3 m ON m.node = n.node)
+            SELECT node, round(pr, 6) AS pr FROM pr3
+        """,
+        "decontaminate": """
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN md5(CAST(doc_id AS VARCHAR))
+                                 < '40000000000000000000000000000000'
+                            THEN 'test' ELSE 'train' END AS split,
+                       string_split(text, ' ') AS w
+                FROM documents),
+            i AS (SELECT doc_id, split, w,
+                         unnest(range(1, greatest(len(w) - 1, 1))) AS i
+                  FROM s),
+            g AS (SELECT DISTINCT doc_id, split,
+                         array_to_string(w[i:i + 2], ' ') AS gram
+                  FROM i),
+            t AS (SELECT DISTINCT gram FROM g WHERE split = 'test')
+            SELECT g.doc_id, count(*) AS n_hit_grams
+            FROM g JOIN t USING (gram)
+            WHERE g.split = 'train'
+            GROUP BY 1
+        """,
+        "token_entropy": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+            c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS distinct_tokens,
+                   round(ln(CAST(sum(c) AS DOUBLE))
+                         - sum(c * ln(c)) / sum(c), 6) AS entropy
+            FROM c GROUP BY 1
+        """,
+        "vocab_oov": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+            pw AS (SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY 1, 2),
+            v AS (
+                SELECT w FROM (
+                    SELECT w, sum(cnt) AS tot FROM pw GROUP BY 1)
+                QUALIFY row_number() OVER (ORDER BY tot DESC, w ASC) <= 64)
+            SELECT p.doc_id,
+                   CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(CASE WHEN v.w IS NULL THEN p.cnt
+                                       ELSE 0 END) AS DOUBLE)
+                         / sum(p.cnt), 6) AS oov_frac
+            FROM pw p LEFT JOIN v ON v.w = p.w
+            GROUP BY 1
+        """,
+        "autocorrelation": """
+            WITH b AS (
+                SELECT event_type, date_trunc('hour', ts) AS bt,
+                       sum(value) AS v
+                FROM events GROUP BY 1, 2),
+            l AS (SELECT event_type, v,
+                         lag(v, 1) OVER w AS l1,
+                         lag(v, 2) OVER w AS l2,
+                         lag(v, 3) OVER w AS l3
+                  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bt)),
+            a AS (SELECT event_type, count(*) AS n_buckets,
+                         round(corr(v, l1), 6) AS a1,
+                         round(corr(v, l2), 6) AS a2,
+                         round(corr(v, l3), 6) AS a3
+                  FROM l GROUP BY 1)
+            SELECT event_type, n_buckets, 1 AS lag, a1 AS acf FROM a
+            UNION ALL
+            SELECT event_type, n_buckets, 2, a2 FROM a
+            UNION ALL
+            SELECT event_type, n_buckets, 3, a3 FROM a
+        """,
         "heavy_hitters": """
             WITH toks AS (
                 SELECT unnest(string_split(text, ' ')) AS item

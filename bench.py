@@ -96,7 +96,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # ---- operator suite ------------------------------------------------------
     qs = em.queries()
     suite = [
-        "rollup_hour",
+        # rollup_hour dropped r3s2: the rollup_tiers lane times the same
+        # hour rollup as its first stage
         "sessionize",
         "topk_per_type",
         "q1_pricing_summary",
@@ -131,8 +132,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "paa_sax",
         "matrix_profile_discord",
         "q9_product_profit",
-        "q13_customer_distribution",
-        "q21_waiting_supplier",
+        # q13/q21 dropped r3s2: TPC-H shape coverage in bench stays with
+        # q1/q3/q5/q7/q9/q18; the correctness gate still runs all 22
         # r2 session 2: analytics / forecast / sampling / sketch / streaming
         "series_xcorr",
         "cohort_retention",
@@ -149,6 +150,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "interval_merge",
         "url_canonicalize",
         "boilerplate_lines",
+        # r3 session 2: link graph + eval decontamination
+        "link_pagerank",
+        "decontaminate",
     ]
     for name in suite:
         t0 = _now()

@@ -19,9 +19,17 @@ from .textstats import (  # noqa: F401
     repetition_stats,
     text_quality,
     token_counts,
+    token_entropy,
     top_terms,
+    vocab_oov,
     winnow_fingerprints,
 )
+from .linkgraph import (  # noqa: F401
+    domain_edges,
+    extract_links,
+    pagerank,
+)
+from .contamination import contamination_report  # noqa: F401
 from .sampling import (  # noqa: F401
     deterministic_sample,
     hash_split,

@@ -205,24 +205,26 @@ def minhash_lsh_pairs(
     buckets = rep.select(
         "rep_id", "signature", F.explode(F.array(*band_cols)).alias("bucket")
     )
-    # bucket member counts (window over the same hash partitioning the
-    # grouping below reuses — one shuffle, not two). Buckets larger than
-    # max_bucket_members cannot be materialized as ONE collect_list row
-    # (executor memory / 2 GB array ceiling at web-corpus hot buckets), so
-    # they take the chunked path: members split into rank-ordered chunks of
-    # <= max_bucket_members, candidate space covered by all (chunk_i <=
-    # chunk_j) block pairs — every pair of a hot bucket is still verified,
-    # but no row ever holds more than 2 x max_bucket_members signatures.
-    w_b = W.partitionBy("bucket")
-    sized = buckets.withColumn("_n", F.count(F.lit(1)).over(w_b))
+    # Buckets larger than max_bucket_members cannot be materialized as ONE
+    # collect_list row (executor memory / 2 GB array ceiling at web-corpus
+    # hot buckets). Hot buckets are FOUND first with a skinny count — the
+    # shuffle carries (bucket, 1) after map-side partial agg, never a
+    # signature — and by definition there are few of them, so the hot set
+    # broadcasts.
+    counts = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+    hot = counts.filter(F.col("_n") > max_bucket_members).select("bucket")
 
-    # --- small buckets: one row per DISTINCT candidate set (collapse
-    # buckets whose member set is identical, keyed by the sorted rep-id
-    # array — exact, no hashing)
-    small_groups = (
-        sized.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_members))
+    # --- cold path (the overwhelmingly common case): broadcast ANTI-join
+    # against the hot set gates the direct aggregation, which is the same
+    # single fat shuffle as ever; buckets whose member set is identical
+    # across bands (a near-dup-saturated corpus makes all `bands` buckets
+    # identical) collapse via the sorted rep-id array key — exact, no
+    # hashing — so the agreement kernel runs once per distinct set.
+    cold_groups = (
+        buckets.join(F.broadcast(hot), "bucket", "left_anti")
         .groupBy("bucket")
         .agg(F.sort_array(F.collect_list(F.struct("rep_id", "signature"))).alias("reps"))
+        .filter(F.size("reps") >= 2)
         .withColumn("_key", F.col("reps.rep_id"))
         .dropDuplicates(["_key"])
         .select(
@@ -232,19 +234,24 @@ def minhash_lsh_pairs(
         )
     )
 
-    # --- oversized buckets: dedupe identical member sets ACROSS bands by a
-    # members-only key (8 bytes/member — bounded far above the struct row),
-    # then chunk by rep_id rank and emit upper-triangular chunk-block pairs
-    big = sized.filter(F.col("_n") > max_bucket_members)
-    keep_buckets = (
-        big.groupBy("bucket")
+    # --- hot path: only the capped buckets (broadcast semi-join) pay for
+    # chunking — members split by rep-id rank into chunks of
+    # <= max_bucket_members, identical member sets deduped on the
+    # ids-only key first, candidate space covered by upper-triangular
+    # (chunk_i <= chunk_j) block pairs: every pair of a hot bucket is
+    # still verified, but no row ever holds more than 2 x
+    # max_bucket_members signatures. Empty in the common case — AQE
+    # collapses the whole subplan to nothing at runtime.
+    hot_rows = buckets.join(F.broadcast(hot), "bucket")
+    hot_keep = (
+        hot_rows.groupBy("bucket")
         .agg(F.sort_array(F.collect_list("rep_id")).alias("_key"))
         .dropDuplicates(["_key"])
         .select("bucket")
     )
     w_rank = W.partitionBy("bucket").orderBy("rep_id")
-    big_chunks = (
-        big.join(keep_buckets, "bucket")
+    hot_chunks = (
+        hot_rows.join(hot_keep, "bucket")
         .withColumn(
             "_chunk",
             ((F.row_number().over(w_rank) - F.lit(1)) / F.lit(max_bucket_members))
@@ -253,9 +260,9 @@ def minhash_lsh_pairs(
         .groupBy("bucket", "_chunk")
         .agg(F.sort_array(F.collect_list(F.struct("rep_id", "signature"))).alias("reps"))
     )
-    big_blocks = (
-        big_chunks.alias("x")
-        .join(big_chunks.alias("y"), "bucket")
+    hot_blocks = (
+        hot_chunks.alias("x")
+        .join(hot_chunks.alias("y"), "bucket")
         .filter(F.col("x._chunk") <= F.col("y._chunk"))
         .select(
             F.col("x.reps").alias("reps_a"),
@@ -263,7 +270,7 @@ def minhash_lsh_pairs(
             (F.col("x._chunk") == F.col("y._chunk")).alias("diag"),
         )
     )
-    blocks = small_groups.unionByName(big_blocks)
+    blocks = cold_groups.unionByName(hot_blocks)
 
     def verify(it):
         cols = {"ra": [], "rb": [], "est_jaccard": []}

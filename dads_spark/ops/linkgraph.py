@@ -1,0 +1,164 @@
+"""Hyperlink extraction and domain-graph analytics for web corpora.
+
+A crawl's link structure is a first-class training-data signal: in-link
+counts feed quality weighting (pages nobody links to are
+disproportionately spam), and PageRank-style centrality is the classic
+crawl-prioritization / corpus-weighting score. Both reduce to operations
+over a (src_domain, dst_domain) edge table that is tiny relative to the
+corpus (domains ~ 1e8 even when pages ~ 1e12), so the expensive step is
+the one pass over the pages that EMITS edges; everything after runs on
+the small graph.
+
+- ``extract_links``: pure JVM regex over the html/text column
+  (``regexp_extract_all``) — codegen map stage, composes with the scan,
+  zero shuffles, scales with corpus bytes.
+- ``domain_edges``: dedup to distinct (src, dst) — one shuffle keyed by
+  the edge, output bounded by |domains|^2 in theory, |observed links| in
+  practice.
+- ``pagerank``: iterative power method on the edge table. Each round is
+  one join edges⋈ranks on src (broadcast-able when the rank vector of
+  |domains| rows fits, which at domain granularity it usually does) plus
+  one groupBy dst — both keyed shuffles on the small graph, never on the
+  corpus. Lineage is cut per round with ``localCheckpoint`` (same
+  rationale as ops/components.py: iterative plans otherwise re-derive
+  round k from round 0). Dangling mass (nodes with no out-edges) is
+  redistributed uniformly each round — the standard stochastic-matrix
+  fix — via one scalar aggregate per round.
+
+Reference analog: none (DADS is a pure time-series engine); this is part
+of the training-data-pipeline suite over web text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: href attribute values in single or double quotes; absolute http(s) only
+HREF_PATTERN = r'href=["\'](https?://[^"\'\s>]+)["\']'
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """One row per (id, *keep, link_url) for every absolute href in
+    ``html_col``.
+
+    ``regexp_extract_all`` + ``explode`` — all JVM expression work; the
+    only data movement is the explode's row expansion inside the same
+    stage. ``keep`` carries extra columns (e.g. the page's own domain)
+    through the explode so downstream edge construction needs no join
+    back onto the corpus. Relative links are out of scope (they need the
+    page's own URL to resolve; compose with ops/urltools for that).
+    """
+    links = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(HREF_PATTERN), F.lit(1)
+    )
+    return df.select(
+        F.col(id_col), *keep, F.explode(links).alias("link_url")
+    )
+
+
+def domain_edges(
+    links: DataFrame,
+    src_col: str = "src_domain",
+    url_col: str = "link_url",
+) -> DataFrame:
+    """Distinct (src, dst) domain edges from extracted link URLs.
+
+    ``parse_url(..., 'HOST')`` is JVM-side; the distinct is one shuffle
+    keyed by the edge pair. Self-loops are dropped (a site linking to
+    itself carries no cross-site signal).
+    """
+    dst = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    return (
+        links.select(
+            F.col(src_col).alias("src"), dst.alias("dst")
+        )
+        .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, pr) after ``iterations`` synchronous power-method rounds.
+
+    pr_{k+1}(v) = (1-d)/N + d * (sum_{u->v} pr_k(u)/outdeg(u) + D_k/N)
+
+    where D_k is the total rank mass on dangling nodes (outdeg 0) at
+    round k. Uniform init pr_0 = 1/N. Deterministic up to float summation
+    order — callers comparing across engines should round (see the
+    ``link_pagerank`` gate entry, 6 dp).
+
+    Scale shape: ``ranks`` has |nodes| rows (domains, not pages) — the
+    join below broadcasts it when small enough and AQE handles it
+    otherwise; the per-round shuffles are keyed on node ids of the SMALL
+    graph. The dangling-node set is static and computed once; each
+    round's dangling MASS stays inside the plan as a broadcast 1-row
+    aggregate (cross join), so a round costs exactly one Spark job (the
+    eager ``localCheckpoint`` that also cuts lineage) with zero driver
+    round-trips — the iteration never synchronizes on the driver.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    # size the iteration's parallelism to the GRAPH, not the corpus: the
+    # rollup that produced `edges` ran wide, but |nodes| is orders of
+    # magnitude smaller — at 108 domains one task beats 32, at 1e8 domains
+    # this yields ~1000 partitions. Narrow coalesce, no extra shuffle.
+    part = max(1, n_nodes // 100_000)
+    nodes = nodes.coalesce(part)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # per-edge share denominator, joined once (outdeg is static)
+    e_w = (
+        e.join(outdeg, "src")
+        .select("src", "dst", "outdeg")
+        .repartition(part, "src")
+        .localCheckpoint(eager=True)
+    )
+    # static dangling-node set: appears as dst but never as src
+    dang_nodes = (
+        nodes.join(outdeg, nodes.node == outdeg.src, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        dang_mass = ranks.join(F.broadcast(dang_nodes), "node").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
+        )
+        contrib = (
+            e_w.join(ranks, e_w.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang_mass))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_mass"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -251,3 +251,101 @@ def repetition_stats(
             (F.col("_top") / F.col("n_ngrams")).alias("top_ngram_frac"),
         )
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc unigram Shannon entropy (nats) — a cheap perplexity proxy.
+
+    Low entropy flags repetitive/templated text (the same signal family
+    as repetition_stats, at token granularity); near-log(n_tokens)
+    entropy means every token distinct. Columns: id, ``n_tokens``,
+    ``distinct_tokens``, ``entropy`` = -sum(p_w * ln p_w) over the doc's
+    own unigram distribution.
+
+    Shape: explode + two hash aggs keyed by doc — keys bounded by doc
+    length, never a global vocabulary aggregate, so skew is bounded and
+    the plan is the same linear two-shuffle cascade as repetition_stats.
+    ln() summation order is engine-dependent in the last bits; gate
+    queries round (6 dp).
+    """
+    per_word = (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+        )
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.sum(F.col("cnt") * F.log(F.col("cnt"))).alias("_clogc"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "distinct_tokens",
+            # -sum(c/n * ln(c/n)) = ln(n) - sum(c*ln c)/n  (exact algebra,
+            # one log per distinct word instead of a division per row)
+            (
+                F.log(F.col("n_tokens"))
+                - F.col("_clogc") / F.col("n_tokens")
+            ).alias("entropy"),
+        )
+    )
+
+
+def vocab_oov(
+    docs: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary token fraction per doc against the corpus's own
+    top-``vocab_size`` unigram vocabulary.
+
+    The tokenizer-coverage question every training pipeline asks: with a
+    V-word vocab, what share of each document's tokens fall outside it?
+    Vocabulary ranking is deterministic and engine-portable: by (count
+    DESC, word ASC) — ties broken lexically, never by partition order.
+
+    Shape: one global word count (explode + hash agg; partial aggregation
+    makes the shuffle carry one row per (partition, word)), a top-V cut,
+    then a broadcast LEFT join of the V-row vocab onto the per-(doc,word)
+    counts — the corpus-side never reshuffles for the vocab lookup. V is
+    small by definition (1e4..1e5), far under broadcast thresholds.
+    """
+    per_word = (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+        )
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        per_word.groupBy("w")
+        .agg(F.sum("cnt").alias("tot"))
+        .orderBy(F.col("tot").desc(), F.col("w").asc())
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        per_word.join(F.broadcast(vocab), "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0)
+            ).alias("_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_oov") / F.col("n_tokens")).alias("oov_frac"),
+        )
+    )

@@ -29,6 +29,7 @@ from .matrixprofile import (  # noqa: F401
     top_discords,
 )
 from .analytics import (  # noqa: F401
+    autocorrelation,
     cohort_retention,
     counter_rate,
     mad_outliers,

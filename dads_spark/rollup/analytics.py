@@ -372,3 +372,56 @@ def rolling_quantile(
         ).alias("rolling_q"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 3,
+    tier: str = "hour",
+) -> DataFrame:
+    """Per-series autocorrelation function over rollup-tier buckets.
+
+    Each series (one per ``key_col`` value) is bucketed to the tier
+    (value summed per bucket), then ACF(k) = corr(v_t, v_{t-k}) for
+    k = 1..max_lag — the standard seasonality/persistence diagnostic
+    (a 24-lag peak on hourly tiers = daily cycle) and the input to
+    AR-order selection.
+
+    Shape: ONE window pass per series builds all lag columns (window
+    partitioned by series key, ordered by bucket — the same single
+    shuffle the rollup already did), then one hash agg computes every
+    corr simultaneously; ``stack`` unpivots K columns to K rows at the
+    end. Contrast the xcorr operator's per-lag join: here lags live
+    within one series, so lag() over the ordered window is strictly
+    cheaper — max_lag extra columns, zero extra shuffles. Missing
+    buckets make corr see the *sequence* neighbors, not calendar
+    neighbors; run gap-fill upstream when calendar lags matter.
+    ``corr`` ignores the k NULL warmup pairs in both engines, and as a
+    scale-invariant ratio it is sample/population-agnostic; gate
+    queries round (6 dp).
+    """
+    bucketed = df.groupBy(key_col, bucket_expr(ts_col, tier)).agg(
+        F.sum(value_col).alias("v")
+    )
+    w = W.partitionBy(key_col).orderBy("bucket_ts")
+    lagged = bucketed.select(
+        key_col,
+        "v",
+        *[F.lag("v", k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+    agged = lagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        *[
+            F.round(F.corr("v", f"_l{k}"), 6).alias(f"_acf{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stack_args = ", ".join(f"{k}, _acf{k}" for k in range(1, max_lag + 1))
+    return agged.select(
+        key_col,
+        "n_buckets",
+        F.expr(f"stack({max_lag}, {stack_args}) AS (lag, acf)"),
+    )

@@ -1,0 +1,208 @@
+"""Unit tests for the link-graph (extract/edges/pagerank) and
+train/test contamination operators, plus the new text/TS analytics
+(token_entropy, vocab_oov, autocorrelation) against closed forms."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from dads_spark.ops import (
+    contamination_report,
+    domain_edges,
+    extract_links,
+    pagerank,
+    token_entropy,
+    vocab_oov,
+)
+from dads_spark.rollup import autocorrelation
+
+
+# ---------------------------------------------------------------- linkgraph
+
+def test_extract_links_regex(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '<a href="https://a.com/x">l</a> <a href=\'http://b.org/y\'>m</a>'),
+            (2, '<a href="/relative/path">rel</a>'),  # relative: ignored
+            (3, "no links at all"),
+            (4, '<a href="https://c.net/p?q=1">z</a> trailing'),
+        ],
+        "doc_id long, html string",
+    )
+    got = sorted(
+        (r.doc_id, r.link_url)
+        for r in extract_links(df, "html", "doc_id").collect()
+    )
+    assert got == [
+        (1, "http://b.org/y"),
+        (1, "https://a.com/x"),
+        (4, "https://c.net/p?q=1"),
+    ]
+
+
+def test_domain_edges_drops_self_loops_and_dedups(spark):
+    links = spark.createDataFrame(
+        [
+            ("a.com", "https://B.org/x"),   # host lowercased
+            ("a.com", "https://b.org/y"),   # same edge -> dedup
+            ("a.com", "https://a.com/self"),  # self loop -> dropped
+            ("b.org", "https://a.com/z"),
+        ],
+        "src_domain string, link_url string",
+    )
+    got = sorted(
+        (r.src, r.dst) for r in domain_edges(links).collect()
+    )
+    assert got == [("a.com", "b.org"), ("b.org", "a.com")]
+
+
+def _numpy_pagerank(edges, iters, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in edges:
+        out[idx[u]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = pr[out == 0].sum()
+        nxt += d * dangling / n
+        for u, v in edges:
+            nxt[idx[v]] += d * pr[idx[u]] / out[idx[u]]
+        pr = nxt
+    return dict(zip(nodes, pr))
+
+
+def test_pagerank_matches_numpy_with_dangling(spark):
+    # c and d are dangling (no out-edges) — the redistribution term matters
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("e", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.pr for r in pagerank(df, iterations=4).collect()}
+    want = _numpy_pagerank(edges, 4)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
+    # rank mass is conserved under dangling redistribution
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_sink_gains_rank(spark):
+    # everything points at 'hub' -> hub must out-rank every spoke
+    df = spark.createDataFrame(
+        [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")],
+        "src string, dst string",
+    )
+    got = {r.node: r.pr for r in pagerank(df, iterations=5).collect()}
+    assert got["hub"] > max(v for k, v in got.items() if k != "hub")
+
+
+# ------------------------------------------------------------ contamination
+
+def test_contamination_planted_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "test"),
+            (2, "a quick brown fox runs away", "train"),   # shares 2 grams
+            (3, "totally different words here now", "train"),  # clean
+            (4, "xx yy", "train"),                          # < n tokens
+        ],
+        "doc_id long, text string, split string",
+    )
+    got = {
+        r.doc_id: r.n_hit_grams
+        for r in contamination_report(docs, "split", n=3).collect()
+    }
+    # doc 2 shares 'quick brown fox' and 'brown fox jumps'? no — doc2 has
+    # 'quick brown fox' and 'brown fox runs': exactly ONE test 3-gram hits
+    assert got == {2: 1}
+
+
+def test_contamination_counts_distinct_grams_once(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r", "test"),
+            (2, "p q r p q r p q r", "train"),  # gram repeats in-doc
+        ],
+        "doc_id long, text string, split string",
+    )
+    got = {
+        r.doc_id: r.n_hit_grams
+        for r in contamination_report(docs, "split", n=3).collect()
+    }
+    assert got == {2: 1}  # 'p q r' counted once despite 3 occurrences
+
+
+# ------------------------------------------------------- entropy / oov / acf
+
+def test_token_entropy_closed_form(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "u v w x")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in token_entropy(docs).collect()}
+    # doc1: p = (2/3, 1/3) -> H = ln3 - (2 ln2)/3
+    assert got[1].n_tokens == 3 and got[1].distinct_tokens == 2
+    assert got[1].entropy == pytest.approx(
+        math.log(3) - 2 * math.log(2) / 3, abs=1e-12
+    )
+    # doc2: uniform over 4 -> H = ln 4
+    assert got[2].entropy == pytest.approx(math.log(4), abs=1e-12)
+
+
+def test_vocab_oov_ranking_and_ties(spark):
+    # counts: b=3, a=2, c=2, z=1; V=2 -> vocab {b, a} (tie a-vs-c broken
+    # lexically: a < c)
+    docs = spark.createDataFrame(
+        [(1, "b b a c"), (2, "b a c z")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in vocab_oov(docs, 2).collect()}
+    assert got[1].oov_frac == pytest.approx(0.25)  # c of 4
+    assert got[2].oov_frac == pytest.approx(0.5)   # c, z of 4
+
+
+def test_autocorrelation_linear_ramp(spark):
+    import pandas as pd
+
+    # one event per hour, value = t -> hourly sums form a linear ramp, and
+    # corr(linear, lagged linear) == 1 exactly at every lag
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["a"] * 48,
+            "ts": pd.date_range("2024-01-01", periods=48, freq="h"),
+            "value": np.arange(48, dtype=float),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.lag: r
+        for r in autocorrelation(df, "event_type", "ts", "value", 3).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for k in got:
+        assert got[k].acf == pytest.approx(1.0, abs=1e-9)
+        assert got[k].n_buckets == 48
+
+
+def test_autocorrelation_alternating_series(spark):
+    import pandas as pd
+
+    # +1/-1 alternation: ACF(1) = -1, ACF(2) = +1
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["a"] * 40,
+            "ts": pd.date_range("2024-01-01", periods=40, freq="h"),
+            "value": [1.0, -1.0] * 20,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.lag: r.acf
+        for r in autocorrelation(df, "event_type", "ts", "value", 2).collect()
+    }
+    assert got[1] == pytest.approx(-1.0, abs=1e-9)
+    assert got[2] == pytest.approx(1.0, abs=1e-9)
