@@ -15,6 +15,7 @@ from .components import (  # noqa: F401
 )
 from .textstats import (  # noqa: F401
     doc_fingerprint,
+    inverted_index,
     language_id,
     repetition_stats,
     text_quality,

@@ -349,3 +349,43 @@ def vocab_oov(
             (F.col("_oov") / F.col("n_tokens")).alias("oov_frac"),
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Posting lists: one row per term with document frequency, total
+    term frequency, and the sorted posting list of doc ids.
+
+    The IR-side dual of the document-major layout — what BM25 / boolean
+    retrieval reads. Shape: explode + per-(doc,term) agg (bounded keys,
+    like the other textstats), then one term-keyed agg building the
+    posting array; ``min_df`` prunes the hapax tail (the overwhelming
+    majority of terms) before any array materializes. The posting list
+    is emitted as a ','-joined STRING — deterministic, engine-portable,
+    and driver-hashable; at real scale store the array column
+    partitioned/bucketed by term instead (one line to change) — a
+    posting list for a stopword-grade term would otherwise hit row
+    limits, which is also why stopword filtering upstream is standard.
+    """
+    per_doc = (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+        )
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("tf").alias("total_tf"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col(id_col))), ","
+            ).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= min_df)
+    )

@@ -35,6 +35,7 @@ from .analytics import (  # noqa: F401
     mad_outliers,
     paa_sax,
     rolling_quantile,
+    seasonal_decompose,
     seasonal_outliers,
     series_cross_correlation,
     time_weighted_avg,

@@ -425,3 +425,55 @@ def autocorrelation(
         "n_buckets",
         F.expr(f"stack({max_lag}, {stack_args}) AS (lag, acf)"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tier: str = "hour",
+    ma_halfwidth: int = 12,
+) -> DataFrame:
+    """Classic additive decomposition per series on a rollup tier:
+    value = trend + seasonal + residual.
+
+    trend = centered moving average (± ``ma_halfwidth`` buckets, odd
+    window, partial at the edges in both engines identically); seasonal =
+    the hour-of-day mean of the detrended series (the periodic profile);
+    residual = what anomaly detectors should look at — seasonal_outliers
+    flags deviations from the raw profile, this isolates them after
+    removing trend drift, so a slow traffic ramp doesn't mask a daily-
+    cycle violation.
+
+    Shape: ONE shuffle (the tier rollup's own groupBy); trend and
+    seasonal are both window aggregates over partitions of the same
+    series key — the hour-of-day window repartitions by (key, hod), a
+    second keyed exchange of tier-sized (not raw-sized) data. No joins,
+    no Python. Cross-engine float caveat: window sums accumulate in
+    different orders (segment trees vs running frames) — gate queries
+    round (6 dp).
+    """
+    bucketed = df.groupBy(key_col, bucket_expr(ts_col, tier)).agg(
+        F.sum(value_col).alias("v")
+    )
+    w_ma = (
+        W.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(-ma_halfwidth, ma_halfwidth)
+    )
+    hod = F.hour("bucket_ts")
+    det = F.col("v") - F.col("trend")
+    with_trend = bucketed.withColumn("trend", F.avg("v").over(w_ma))
+    w_season = W.partitionBy(key_col, hod)
+    return (
+        with_trend.withColumn("seasonal", F.avg(det).over(w_season))
+        .select(
+            key_col,
+            "bucket_ts",
+            "v",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(det - F.col("seasonal"), 6).alias("residual"),
+        )
+    )

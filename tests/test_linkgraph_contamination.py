@@ -118,8 +118,8 @@ def test_contamination_planted_overlap(spark):
         r.doc_id: r.n_hit_grams
         for r in contamination_report(docs, "split", n=3).collect()
     }
-    # doc 2 shares 'quick brown fox' and 'brown fox jumps'? no — doc2 has
-    # 'quick brown fox' and 'brown fox runs': exactly ONE test 3-gram hits
+    # doc 2's grams include 'quick brown fox' (hit) and 'brown fox runs'
+    # (no hit — test doc has 'brown fox jumps'): exactly one overlap
     assert got == {2: 1}
 
 
@@ -206,3 +206,60 @@ def test_autocorrelation_alternating_series(spark):
     }
     assert got[1] == pytest.approx(-1.0, abs=1e-9)
     assert got[2] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_seasonal_decompose_constant_series(spark):
+    import pandas as pd
+
+    from dads_spark.rollup import seasonal_decompose
+
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["a"] * 60,
+            "ts": pd.date_range("2024-01-01", periods=60, freq="h"),
+            "value": [5.0] * 60,
+        }
+    )
+    out = seasonal_decompose(
+        spark.createDataFrame(pdf), "event_type", "ts", "value"
+    ).toPandas()
+    # constant series: trend == v, seasonal == 0, residual == 0 exactly
+    assert (out["trend"] == 5.0).all()
+    assert (out["seasonal"] == 0.0).all()
+    assert (out["residual"] == 0.0).all()
+
+
+def test_seasonal_decompose_additivity(spark):
+    import pandas as pd
+
+    from dads_spark.rollup import seasonal_decompose
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["a"] * 96,
+            "ts": pd.date_range("2024-01-01", periods=96, freq="h"),
+            "value": rng.normal(10, 3, 96),
+        }
+    )
+    out = seasonal_decompose(
+        spark.createDataFrame(pdf), "event_type", "ts", "value"
+    ).toPandas()
+    recon = out["trend"] + out["seasonal"] + out["residual"]
+    assert np.allclose(recon, out["v"], atol=3e-6)  # 6-dp rounding only
+
+
+def test_inverted_index_postings(spark):
+    from dads_spark.ops import inverted_index
+
+    docs = spark.createDataFrame(
+        [(3, "x y x"), (1, "x z"), (2, "y w")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.term: r for r in inverted_index(docs, min_df=2).collect()
+    }
+    assert set(got) == {"x", "y"}  # z, w are hapax -> pruned
+    assert got["x"].doc_freq == 2 and got["x"].total_tf == 3
+    assert got["x"].postings == "1,3"  # sorted doc ids
+    assert got["y"].postings == "2,3"
