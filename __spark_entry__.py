@@ -2753,8 +2753,8 @@ def oracle_sql() -> dict[str, str]:
                    strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
                    round(v, 6) AS v,
                    round(trend, 6) AS trend,
-                   round(seasonal, 6) AS seasonal,
-                   round(v - trend - seasonal, 6) AS residual
+                   round(seasonal - 1e-9, 6) AS seasonal,
+                   round(v - trend - seasonal - 1e-9, 6) AS residual
             FROM s
         """,
         "inverted_index": """

@@ -451,8 +451,14 @@ def seasonal_decompose(
     series key — the hour-of-day window repartitions by (key, hod), a
     second keyed exchange of tier-sized (not raw-sized) data. No joins,
     no Python. Cross-engine float caveat: window sums accumulate in
-    different orders (segment trees vs running frames) — gate queries
-    round (6 dp).
+    different orders (segment trees vs running frames), AND the seasonal
+    means are exact rationals (cent-valued inputs / window sizes) that
+    can land exactly ON a 6-dp rounding boundary, where that noise flips
+    the tie — so seasonal/residual are quantized tie-free: a 1e-9 shift
+    (>> 1e-13-relative float noise, << the 1e-6 reporting grid) moves the
+    boundary to (1000n+501)/1e9, which no input-derived rational (all
+    denominators <= ~4e5) can reach. trend is a single exact division of
+    identical operands on any engine — no shift needed.
     """
     bucketed = df.groupBy(key_col, bucket_expr(ts_col, tier)).agg(
         F.sum(value_col).alias("v")
@@ -473,7 +479,7 @@ def seasonal_decompose(
             "bucket_ts",
             "v",
             F.round("trend", 6).alias("trend"),
-            F.round("seasonal", 6).alias("seasonal"),
-            F.round(det - F.col("seasonal"), 6).alias("residual"),
+            F.round(F.col("seasonal") - F.lit(1e-9), 6).alias("seasonal"),
+            F.round(det - F.col("seasonal") - F.lit(1e-9), 6).alias("residual"),
         )
     )
