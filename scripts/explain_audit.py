@@ -213,7 +213,13 @@ def main() -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
 
     # --- A10: analytics window/agg ops stay JVM-side, bounded shuffles -----
-    for qname in ("counter_rate", "time_weighted_avg", "paa_sax"):
+    for qname in (
+        "counter_rate",
+        "time_weighted_avg",
+        "paa_sax",
+        "autocorrelation",
+        "seasonal_decompose",
+    ):
         p10 = plan_of(em.queries()[qname](spark, sf_dir))
         for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
             assert py_op not in p10, f"{qname} plan contains {py_op}"
