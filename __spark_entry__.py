@@ -1549,12 +1549,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Rabin-Karp rolling hash + winnowing (rows-only: the uint64-wraparound
-    # rolling hash is not ANSI SQL; determinism + copy-detection guarantees
-    # are pytest-covered)
+    # Rabin-Karp rolling hash + winnowing. Driver-hash-gated (r3) against a
+    # staged all-scalar Horner-rolling-hash recomputation (different
+    # construction, identical values by mod-2^64 ring arithmetic) — the
+    # exact fingerprint sets are pinned, not just the row count.
     from dads_spark.ops import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    _stage_winnow_oracle(sf_dir)
     return winnow_fingerprints(docs)
 
 
@@ -2072,22 +2074,27 @@ def q_retention_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LTTB shape-preserving downsample of each type's hourly series to 100
-    # points (rows-only: the walk is a sequential recurrence, not ANSI SQL;
-    # parity with the local kernel is pytest-covered)
+    # points. Driver-hash-gated (r3) against the scalar textbook walk in
+    # dads_spark/oracles.py staged to parquet: the kept values are exact
+    # input counts, so the hash pins which points the walk selects.
     from dads_spark.rollup import lttb_downsample
 
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
         F.count(F.lit(1)).cast("double").alias("v")
     )
+    _stage_lttb_oracle(sf_dir)
     return lttb_downsample(hourly, ["event_type"], "bucket_ts", "v", 100).select(
         "event_type", _fmt_bucket(), "v"
     )
 
 
 def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # EWMA smoothing + absolute residuals per hourly series (rows-only:
-    # infinite-window EWMA recurrence; pandas-parity pytest-covered)
+    # EWMA smoothing + absolute residuals per hourly series. Driver-hash-
+    # gated (r3) against a staged local recomputation on the bit-identical
+    # count series; micro-unit quantization (not F.round) on both sides so
+    # no cross-engine rounding rule is involved. Kernel-level independence
+    # (explicit weighted-sum formula) is pinned in test_downsample_retention.
     from dads_spark.rollup import ewma_smooth
 
     ev = _t(spark, sf_dir, "events")
@@ -2095,12 +2102,11 @@ def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("v")
     )
     sm = ewma_smooth(hourly, ["event_type"], "bucket_ts", "v", alpha=0.3)
-    return sm.select(
-        "event_type",
-        _fmt_bucket(),
-        "v",
-        F.round("ewma", 6).alias("ewma"),
-        F.round("abs_resid", 6).alias("abs_resid"),
+    _stage_ewma_oracle(sf_dir)
+    return _q6_cols(
+        sm.select("event_type", _fmt_bucket(), "v", "ewma", "abs_resid"),
+        ["event_type", "bucket_ts", "v"],
+        {"ewma": "ewma_q6", "abs_resid": "resid_q6"},
     )
 
 
@@ -2108,9 +2114,38 @@ def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S2G anomaly pipeline over rolled-up event series (flagship, non-SQL)
 # ---------------------------------------------------------------------------
 
+def _stage_drag_oracle(sf_dir: str, m: int = 24) -> str:
+    import numpy as _np2
+
+    from dads_spark.oracles import drag_oracle, hourly_counts_gapfilled, q6
+
+    ets, ss, es, pq_ = [], [], [], []
+    for et, x in hourly_counts_gapfilled(sf_dir).items():
+        for s, e, peak in drag_oracle(x, m):
+            ets.append(et)
+            ss.append(s)
+            es.append(e)
+            pq_.append(int(q6(_np2.array([peak]))[0]))
+    import pyarrow as _pa
+
+    return _write_dump(
+        "drag_oracle",
+        {
+            "event_type": _pa.array(ets, type=_pa.string()),
+            "range_start": _pa.array(ss, type=_pa.int64()),
+            "range_end": _pa.array(es, type=_pa.int64()),
+            "peak_q6": _pa.array(pq_, type=_pa.int64()),
+        },
+    )
+
+
 def q_drag_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DRAG-style discord ranges (z-normalized Euclidean, candidate+refine)
-    over per-type hourly series. Non-SQL-expressible -> rows-only check."""
+    """DRAG-style discord ranges (z-normalized Euclidean, candidate+refine,
+    range merging) over per-type gap-filled hourly series. Driver-hash-gated
+    (r3) against a brute-force z-normalization oracle that shares no
+    arithmetic with the production MASS/FFT profiles — the detected ranges
+    AND peak NN distances are pinned, closing the north star's 'matching
+    detected discord ranges' clause with a hard signal."""
     from dads_spark.s2g.discord import discord_series_grouped
 
     ev = _t(spark, sf_dir, "events")
@@ -2118,7 +2153,13 @@ def q_drag_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", bucket_expr("ts", "hour")
     ).agg(F.count(F.lit(1)).cast("double").alias("v"))
     filled = gap_fill_linear(hourly, ["event_type"], "bucket_ts", ["v"], 3600)
-    return discord_series_grouped(filled, ["event_type"], "bucket_ts", "v", m=24)
+    out = discord_series_grouped(
+        filled, ["event_type"], "bucket_ts", "v", m=24, decision_quantum=1e-6
+    )
+    _stage_drag_oracle(sf_dir)
+    return _q6_cols(
+        out, ["event_type", "range_start", "range_end"], {"peak_nn_dist": "peak_q6"}
+    )
 
 
 def q_s2g_hourly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2132,12 +2173,18 @@ def q_s2g_hourly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _s2g_dump_path() -> str:
+def _dump_path(name: str) -> str:
+    """Fixed path for a staged-oracle parquet dump (rewritten on every call
+    of the owning query so it can never serve a stale sf)."""
     import os as _os
 
     root = _os.environ.get("DADS_STAGE_DIR", "/root/repo/.stage_cache")
     _os.makedirs(root, exist_ok=True)
-    return f"{root}/s2g_oracle_scores.parquet"
+    return f"{root}/{name}.parquet"
+
+
+def _s2g_dump_path() -> str:
+    return _dump_path("s2g_oracle_scores")
 
 
 def _stage_s2g_oracle_dump(sf_dir: str) -> str:
@@ -2222,6 +2269,252 @@ def q_s2g_score_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _stage_s2g_oracle_dump(sf_dir)
     return scores.mapInPandas(quant, "event_type string, window_idx long, q6 long")
+
+
+# ---------------------------------------------------------------------------
+# staged independent-oracle dumps for the sequential-recurrence operators
+# (LTTB / EWMA / Holt / CUSUM / matrix profile / winnowing) — the same
+# technique as _stage_s2g_oracle_dump: the query entry recomputes its
+# expected output with the Spark-free textbook kernels in
+# dads_spark/oracles.py and stages it to parquet for the oracle SQL to
+# read, upgrading each lane from rows-only to driver-hash-green. All six
+# twins run on hourly COUNT series (or integer fingerprints), so the
+# distributed and local assemblies are bit-identical under any
+# partitioning and a local sf gate pass is a driver gate guarantee.
+# ---------------------------------------------------------------------------
+
+def _write_dump(name: str, cols: dict) -> str:
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    path = _dump_path(name)
+    _pq.write_table(_pa.table(cols), path)
+    return path
+
+
+def _stage_lttb_oracle(sf_dir: str, n_out: int = 100) -> str:
+    import numpy as _np2
+
+    from dads_spark.oracles import fmt_bucket_sec, hourly_counts, lttb_oracle_indices
+
+    ets, bs, vs = [], [], []
+    for et, (b, v) in hourly_counts(sf_dir).items():
+        # the Spark kernel sees t as datetime64[ns] -> int64 nanoseconds ->
+        # float64; replicate the exact conversion chain (sec*1e9 overflows
+        # float64's integer range, so the int64->float64 rounding must match)
+        t = (b * 10**9).astype(_np2.float64)
+        idx = lttb_oracle_indices(t, v, n_out)
+        ets.extend([et] * len(idx))
+        bs.extend(fmt_bucket_sec(b[idx]))
+        vs.extend(v[idx].tolist())
+    return _write_dump(
+        "lttb_oracle",
+        {"event_type": ets, "bucket_ts": bs, "v": _np2.array(vs, dtype=_np2.float64)},
+    )
+
+
+def _stage_ewma_oracle(sf_dir: str, alpha: float = 0.3) -> str:
+    import numpy as _np2
+
+    from dads_spark.oracles import ewma_oracle, fmt_bucket_sec, hourly_counts, q6
+
+    ets, bs, vs, eq, rq = [], [], [], [], []
+    for et, (b, v) in hourly_counts(sf_dir).items():
+        ew = ewma_oracle(v, alpha)
+        resid = _np2.abs(v - ew)
+        ets.extend([et] * len(b))
+        bs.extend(fmt_bucket_sec(b))
+        vs.extend(v.tolist())
+        eq.extend(q6(ew).tolist())
+        rq.extend(q6(resid).tolist())
+    return _write_dump(
+        "ewma_oracle",
+        {
+            "event_type": ets,
+            "bucket_ts": bs,
+            "v": _np2.array(vs, dtype=_np2.float64),
+            "ewma_q6": _np2.array(eq, dtype=_np2.int64),
+            "resid_q6": _np2.array(rq, dtype=_np2.int64),
+        },
+    )
+
+
+def _stage_holt_oracle(
+    sf_dir: str, alpha: float = 0.3, beta: float = 0.1, n_sigma: float = 4.0
+) -> str:
+    import numpy as _np2
+
+    from dads_spark.oracles import holt_outliers_oracle, hourly_counts, q6
+
+    ets, idxs, vals, fq, rq = [], [], [], [], []
+    for et, (_, v) in hourly_counts(sf_dir).items():
+        idx, val, fc, resid = holt_outliers_oracle(v, alpha, beta, n_sigma)
+        ets.extend([et] * len(idx))
+        idxs.extend(idx.tolist())
+        vals.extend(val.tolist())
+        fq.extend(q6(fc).tolist())
+        rq.extend(q6(resid).tolist())
+    return _write_dump(
+        "holt_oracle",
+        {
+            "event_type": ets,
+            "idx": _np2.array(idxs, dtype=_np2.int64),
+            "value": _np2.array(vals, dtype=_np2.float64),
+            "fc_q6": _np2.array(fq, dtype=_np2.int64),
+            "resid_q6": _np2.array(rq, dtype=_np2.int64),
+        },
+    )
+
+
+def _stage_cusum_oracle(sf_dir: str, k: float = 0.5, h: float = 4.0) -> str:
+    # k/h chosen so the synthetic count series actually alarm at every test
+    # sf (15 alarms at sf0.001, 34 at sf0.01) — a zero-row pin is hollow
+    import pyarrow as _pa
+
+    from dads_spark.oracles import cusum_oracle, hourly_counts
+
+    ets, idxs, dirs = [], [], []
+    for et, (_, v) in hourly_counts(sf_dir).items():
+        for i, d in cusum_oracle(v, k, h):
+            ets.append(et)
+            idxs.append(i)
+            dirs.append(d)
+    return _write_dump(
+        "cusum_oracle",
+        {
+            "event_type": _pa.array(ets, type=_pa.string()),
+            "idx": _pa.array(idxs, type=_pa.int64()),
+            "direction": _pa.array(dirs, type=_pa.string()),
+        },
+    )
+
+
+def _stage_mp_oracle(sf_dir: str, m: int = 24, k: int = 3) -> str:
+    import numpy as _np2
+
+    from dads_spark.oracles import (
+        brute_matrix_profile,
+        hourly_counts,
+        q6,
+        top_discords_oracle,
+    )
+
+    ets, rks, idxs, mq = [], [], [], []
+    for et, (_, v) in hourly_counts(sf_dir).items():
+        mp = brute_matrix_profile(v, m)
+        picks = top_discords_oracle(mp, m, k) if len(mp) else []
+        for r, i in enumerate(picks, start=1):
+            ets.append(et)
+            rks.append(r)
+            idxs.append(i)
+            mq.append(int(q6(_np2.array([mp[i]]))[0]))
+    return _write_dump(
+        "mp_oracle",
+        {
+            "event_type": ets,
+            "rank": _np2.array(rks, dtype=_np2.int64),
+            "idx": _np2.array(idxs, dtype=_np2.int64),
+            "mp_q6": _np2.array(mq, dtype=_np2.int64),
+        },
+    )
+
+
+def _stage_winnow_oracle(sf_dir: str, max_doc_id: int = 200) -> str:
+    import numpy as _np2
+    import pyarrow.parquet as _pq
+
+    from dads_spark.oracles import winnow_oracle
+
+    docs = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    docs = docs[docs["doc_id"] < max_doc_id]
+    ids, fps = [], []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        for fp in winnow_oracle(text if isinstance(text, str) else ""):
+            ids.append(int(did))
+            fps.append(fp)
+    return _write_dump(
+        "winnow_oracle",
+        {
+            "doc_id": _np2.array(ids, dtype=_np2.int64),
+            "fingerprint": _np2.array(fps, dtype=_np2.int64),
+        },
+    )
+
+
+def _q6_cols(df: DataFrame, keep: list[str], quant: dict[str, str]) -> DataFrame:
+    """Quantize the named double columns to integer micro-units with the
+    same NumPy expression the staged oracles use (floor(x*1e6+0.5)), inside
+    one mapInPandas — both sides quantize bit-identical doubles, so no
+    cross-engine rounding rule is involved."""
+    import numpy as _np2
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = ", ".join(
+        [f"{c} {fields[c]}" for c in keep] + [f"{o} long" for o in quant.values()]
+    )
+
+    def f(it):
+        for pdf in it:
+            out = pdf[keep].copy()
+            for src, dst in quant.items():
+                out[dst] = _np2.floor(
+                    pdf[src].to_numpy(dtype=_np2.float64) * 1e6 + 0.5
+                ).astype(_np2.int64)
+            yield out
+
+    return df.mapInPandas(f, schema)
+
+
+def q_holt_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt residual outliers over hourly COUNT series, driver-hash-gated
+    against the scalar textbook recurrence in dads_spark/oracles.py (staged
+    to parquet; counts make both sides' inputs bit-identical under any
+    partitioning). Pins the value_sum twin ``holt_residual_outliers``'s
+    kernel semantics numerically, not just by row count."""
+    from dads_spark.rollup import holt_residuals_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    out = holt_residuals_grouped(hourly, ["event_type"], "bucket_ts", "v", n_sigma=4.0)
+    _stage_holt_oracle(sf_dir)
+    return _q6_cols(
+        out,
+        ["event_type", "idx", "value"],
+        {"forecast": "fc_q6", "residual": "resid_q6"},
+    )
+
+
+def q_cusum_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoints over hourly COUNT series, driver-hash-gated
+    against the scalar oracle (exact integer/string output — the alarm
+    decisions themselves are pinned)."""
+    from dads_spark.rollup import cusum_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    _stage_cusum_oracle(sf_dir)
+    return cusum_grouped(hourly, ["event_type"], "bucket_ts", "v", k=0.5, h=4.0)
+
+
+def q_matrix_profile_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 STOMP discords per hourly count series, driver-hash-gated
+    against a brute-force O(n^2) z-normalized scan that shares no
+    arithmetic with the STOMP recurrence (profile values agree to 1e-6)."""
+    from dads_spark.rollup import discords_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    out = discords_grouped(hourly, ["event_type"], "bucket_ts", "v", m=24, k=3)
+    _stage_mp_oracle(sf_dir)
+    return _q6_cols(out, ["event_type", "rank", "idx"], {"mp": "mp_q6"})
 
 
 def q_s2g_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2485,6 +2778,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorrelation": q_autocorrelation,
         "seasonal_decompose": q_seasonal_decompose,
         "inverted_index": q_inverted_index,
+        # -- (1c) session-3: staged-oracle twins, first driver hash row ------
+        "lttb_downsample": q_lttb_downsample,
+        "ewma_anomaly": q_ewma_anomaly,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "holt_pinned": q_holt_pinned,
+        "cusum_pinned": q_cusum_pinned,
+        "matrix_profile_pinned": q_matrix_profile_pinned,
+        "drag_discords": q_drag_discords,
         # -- (2) implementation changed this round --------------------------
         "streaming_stream_join": q_streaming_stream_join,
         "ann_ivf": q_ann_ivf,
@@ -2572,12 +2873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_value": q11_important_value,
         # -- rows-only S2G/sketch/forecast ops (weaker checks anyway) -------
         "s2g_hourly_scores": q_s2g_hourly_scores,
-        "drag_discords": q_drag_discords,
         "s2g_graph_edges": q_s2g_graph_edges,
-        "winnow_fingerprints": q_winnow_fingerprints,
         "ann_lsh": q_ann_lsh,
-        "lttb_downsample": q_lttb_downsample,
-        "ewma_anomaly": q_ewma_anomaly,
         "approx_aggregates": q_approx_aggregates,
         "matrix_profile_discord": q_matrix_profile_discord,
         "holt_residual_outliers": q_holt_residual_outliers,
@@ -4013,5 +4310,38 @@ def oracle_sql() -> dict[str, str]:
     d["s2g_score_profile"] = f"""
         SELECT event_type, window_idx, q6
         FROM read_parquet('{_s2g_dump_path()}')
+    """
+    # session-3 staged twins: each query entry recomputes its expected
+    # output with the Spark-free scalar kernels in dads_spark/oracles.py
+    # and stages it BEFORE returning its DataFrame (the driver runs the
+    # Spark side first), so these value hashes pin the sequential-
+    # recurrence operators' numbers end-to-end.
+    d["lttb_downsample"] = f"""
+        SELECT event_type, bucket_ts, v
+        FROM read_parquet('{_dump_path("lttb_oracle")}')
+    """
+    d["ewma_anomaly"] = f"""
+        SELECT event_type, bucket_ts, v, ewma_q6, resid_q6
+        FROM read_parquet('{_dump_path("ewma_oracle")}')
+    """
+    d["holt_pinned"] = f"""
+        SELECT event_type, idx, value, fc_q6, resid_q6
+        FROM read_parquet('{_dump_path("holt_oracle")}')
+    """
+    d["cusum_pinned"] = f"""
+        SELECT event_type, idx, direction
+        FROM read_parquet('{_dump_path("cusum_oracle")}')
+    """
+    d["matrix_profile_pinned"] = f"""
+        SELECT event_type, rank, idx, mp_q6
+        FROM read_parquet('{_dump_path("mp_oracle")}')
+    """
+    d["winnow_fingerprints"] = f"""
+        SELECT doc_id, fingerprint
+        FROM read_parquet('{_dump_path("winnow_oracle")}')
+    """
+    d["drag_discords"] = f"""
+        SELECT event_type, range_start, range_end, peak_q6
+        FROM read_parquet('{_dump_path("drag_oracle")}')
     """
     return d

@@ -156,6 +156,7 @@ def discord_series_grouped(
     value_col: str,
     m: int,
     r_quantile: float = 0.995,
+    decision_quantum: float | None = None,
 ) -> DataFrame:
     """Per-key DRAG discord ranges over rolled-up series.
 
@@ -163,6 +164,14 @@ def discord_series_grouped(
     of a sampled matrix profile (every k-th window), which keeps the operator
     parameter-light across heterogeneous domains. Output: key columns +
     (range_start, range_end, peak_nn_dist).
+
+    ``decision_quantum`` (e.g. 1e-6): snap r to the nearest half-grid
+    boundary, making the ``nn >= r`` decision equal to comparing
+    grid-quantized values — tie-free across independent distance
+    implementations (MASS/FFT vs direct z-norm agree to ~1e-12 at discord
+    magnitudes, far inside a 1e-6 grid cell). Needed because the calibrated
+    r can saturate EXACTLY at the flat-window ceiling sqrt(2m) on short or
+    heavily gap-filled series, where a raw >= flips on ulps.
     """
     key_fields = [f for f in df.schema.fields if f.name in key_cols]
     out_schema = ", ".join(
@@ -186,6 +195,9 @@ def discord_series_grouped(
         step = max(1, n_win // 200)  # ~200 sampled profiles for calibration
         sample = matrix_profile_self_sampled(x, m, step)
         r = float(np.quantile(sample[np.isfinite(sample)], r_quantile))
+        if decision_quantum is not None:
+            # nn >= r' with r' on the half-grid <=> floor-quantized nn >= r
+            r = (np.floor(r / decision_quantum + 0.5) - 0.5) * decision_quantum
         found = drag_discords(x, m, r)
         if not found:
             return empty
