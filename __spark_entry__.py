@@ -1536,15 +1536,96 @@ def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- rows-only (no SQL oracle): LSH / simhash / language ID / s2g ------------
 
+_ORACLE_MAX_DOCS = 2000  # staged dedup oracles are O(n^2): gate scales only
+
+
+def _docs_for_oracle(sf_dir: str):
+    """(ids, texts) if the documents table is gate-sized, else None — the
+    driver gates at sf0.01 (500 docs); bench runs at sf0.1 (5000 docs) where
+    the all-pairs staging would pollute lane timings and nothing reads the
+    dump (bench times queries, the gate compares oracles)."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if t.num_rows > _ORACLE_MAX_DOCS:
+        return None
+    pdf = t.to_pandas()
+    return pdf["doc_id"].tolist(), [
+        x if isinstance(x, str) else "" for x in pdf["text"]
+    ]
+
+
+def _stage_minhash_oracle(sf_dir: str) -> None:
+    import numpy as _np2
+
+    from dads_spark.oracles import minhash_pairs_oracle
+
+    got = _docs_for_oracle(sf_dir)
+    if got is None:
+        return
+    pairs = minhash_pairs_oracle(*got, num_hashes=64, threshold=0.8)
+    _write_dump(
+        "minhash_oracle",
+        {
+            "id_a": _np2.array([p[0] for p in pairs], dtype=_np2.int64),
+            "id_b": _np2.array([p[1] for p in pairs], dtype=_np2.int64),
+            "est_jaccard": _np2.array([p[2] for p in pairs], dtype=_np2.float64),
+        },
+    )
+
+
+def _stage_simhash_oracle(sf_dir: str) -> None:
+    import numpy as _np2
+
+    from dads_spark.oracles import simhash_pairs_oracle
+
+    got = _docs_for_oracle(sf_dir)
+    if got is None:
+        return
+    pairs = simhash_pairs_oracle(*got, max_hamming=3)
+    _write_dump(
+        "simhash_pairs_oracle",
+        {
+            "id_a": _np2.array([p[0] for p in pairs], dtype=_np2.int64),
+            "id_b": _np2.array([p[1] for p in pairs], dtype=_np2.int64),
+            "hamming": _np2.array([p[2] for p in pairs], dtype=_np2.int64),
+        },
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs. Driver-hash-gated (r3) against
+    the DIRECT all-pairs definition (dads_spark/oracles.py, scalar FNV +
+    exact integer permutations) — lossless-banding pigeonhole makes the
+    two formulations identical, so the hash pins the whole
+    shingle->signature->band->bucket->verify pipeline."""
     docs = _t(spark, sf_dir, "documents")
+    _stage_minhash_oracle(sf_dir)
     return minhash_lsh_pairs(docs, threshold=0.8).select(
         "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
     )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc 64-bit SimHash values, driver-hash-gated (r3) against the
+    # scalar per-bit-vote oracle — exact integers by construction
     docs = _t(spark, sf_dir, "documents")
+    got = _docs_for_oracle(sf_dir)
+    if got is not None:
+        import numpy as _np2
+
+        from dads_spark.oracles import simhash_oracle
+
+        cache: dict = {}
+        _write_dump(
+            "simhash_oracle",
+            {
+                "doc_id": _np2.array([int(i) for i in got[0]], dtype=_np2.int64),
+                "simhash": _np2.array(
+                    [simhash_oracle(t, cache) for t in got[1]], dtype=_np2.int64
+                ),
+            },
+        )
     return simhash64(docs)
 
 
@@ -1561,11 +1642,14 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Manku-style pigeonhole banding over the 64-bit simhash; rows-only
-    # (the simhash bit votes are not ANSI-SQL-expressible)
+    # Manku-style pigeonhole banding over the 64-bit simhash. Driver-hash-
+    # gated (r3) against the direct all-pairs popcount definition (the
+    # 4x16-bit banding is lossless at max_hamming=3) — integer output, so
+    # the pin is exact by construction.
     from dads_spark.ops import simhash_near_pairs
 
     docs = _t(spark, sf_dir, "documents")
+    _stage_simhash_oracle(sf_dir)
     return simhash_near_pairs(docs, max_hamming=3)
 
 
@@ -1735,20 +1819,81 @@ def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_ann_ivf_oracle(sf_dir: str) -> None:
+    import numpy as _np2
+    import pyarrow.parquet as _pq
+
+    from dads_spark.oracles import ann_ivf_oracle
+
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    if t.num_rows > _ORACLE_MAX_DOCS:  # gate scales only (see _docs_for_oracle)
+        return
+    pdf = t.to_pandas()
+    rows = ann_ivf_oracle(
+        pdf["vec_id"].to_numpy(),
+        _np2.array(list(pdf["embedding"]), dtype=_np2.float64),
+        _KNN_QUERIES,
+        k=10,
+        n_cells=16,
+        n_probe=6,
+    )
+    _write_dump(
+        "ann_ivf_oracle",
+        {
+            "query_id": _np2.array([r[0] for r in rows], dtype=_np2.int64),
+            "neighbor_id": _np2.array([r[1] for r in rows], dtype=_np2.int64),
+            "rank": _np2.array([r[2] for r in rows], dtype=_np2.int64),
+            "cosine": _np2.array([r[3] for r in rows], dtype=_np2.float64),
+        },
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF coarse-quantizer ANN (rows-only: seeded k-means is not SQL);
-    # at warehouse scale the cell id becomes a bucket column so a probe
-    # reads n_probe/n_cells of the data via partition pruning
+    # IVF coarse-quantizer ANN. Driver-hash-gated (r3) against a single-
+    # threaded local mirror of the full pipeline (stratum-sampled seeded
+    # k-means, probe mask, cosine, HALF_UP-6dp ranking) — pins the
+    # distributed path: Arrow batching, tie-safe per-batch pruning, window
+    # ranking. Approximation quality is pinned by full-probe==exact tests.
+    # At warehouse scale the cell id becomes a bucket column so a probe
+    # reads n_probe/n_cells of the data via partition pruning.
     from dads_spark.ops import ann_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
+    _stage_ann_ivf_oracle(sf_dir)
     return ann_ivf(emb, _KNN_QUERIES, k=10, n_cells=16, n_probe=6)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
     # bucket count must track corpus size: ~2^planes buckets per band; the
-    # test corpora are small, so few planes + more bands keeps recall high
+    # test corpora are small, so few planes + more bands keeps recall high.
+    # Driver-hash-gated (r3) against the local mirror in dads_spark/oracles.
+    emb = _t(spark, sf_dir, "embeddings")
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    if t.num_rows <= _ORACLE_MAX_DOCS:
+        import numpy as _np2
+
+        from dads_spark.oracles import ann_lsh_oracle
+
+        pdf = t.to_pandas()
+        rows = ann_lsh_oracle(
+            pdf["vec_id"].to_numpy(),
+            _np2.array(list(pdf["embedding"]), dtype=_np2.float64),
+            _KNN_QUERIES,
+            k=10,
+            n_planes=6,
+            n_bands=8,
+        )
+        _write_dump(
+            "ann_lsh_oracle",
+            {
+                "query_id": _np2.array([r[0] for r in rows], dtype=_np2.int64),
+                "neighbor_id": _np2.array([r[1] for r in rows], dtype=_np2.int64),
+                "rank": _np2.array([r[2] for r in rows], dtype=_np2.int64),
+                "cosine": _np2.array([r[3] for r in rows], dtype=_np2.float64),
+            },
+        )
     return ann_lsh(emb, _KNN_QUERIES, k=10, n_planes=6, n_bands=8)
 
 
@@ -2790,6 +2935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stream_join": q_streaming_stream_join,
         "ann_ivf": q_ann_ivf,
         "minhash_lsh": q_minhash_lsh,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "simhash": q_simhash,
+        "ann_lsh": q_ann_lsh,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -2874,7 +3022,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rows-only S2G/sketch/forecast ops (weaker checks anyway) -------
         "s2g_hourly_scores": q_s2g_hourly_scores,
         "s2g_graph_edges": q_s2g_graph_edges,
-        "ann_lsh": q_ann_lsh,
         "approx_aggregates": q_approx_aggregates,
         "matrix_profile_discord": q_matrix_profile_discord,
         "holt_residual_outliers": q_holt_residual_outliers,
@@ -2886,8 +3033,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": q_token_counts_bpe,
         "text_quality": q_text_quality,
         "lang_mix": q_lang_mix,
-        "simhash": q_simhash,
-        "simhash_near_pairs": q_simhash_near_pairs,
     }
 
 
@@ -4343,5 +4488,25 @@ def oracle_sql() -> dict[str, str]:
     d["drag_discords"] = f"""
         SELECT event_type, range_start, range_end, peak_q6
         FROM read_parquet('{_dump_path("drag_oracle")}')
+    """
+    d["minhash_lsh"] = f"""
+        SELECT id_a, id_b, est_jaccard
+        FROM read_parquet('{_dump_path("minhash_oracle")}')
+    """
+    d["simhash_near_pairs"] = f"""
+        SELECT id_a, id_b, hamming
+        FROM read_parquet('{_dump_path("simhash_pairs_oracle")}')
+    """
+    d["simhash"] = f"""
+        SELECT doc_id, simhash
+        FROM read_parquet('{_dump_path("simhash_oracle")}')
+    """
+    d["ann_ivf"] = f"""
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM read_parquet('{_dump_path("ann_ivf_oracle")}')
+    """
+    d["ann_lsh"] = f"""
+        SELECT query_id, neighbor_id, rank, cosine
+        FROM read_parquet('{_dump_path("ann_lsh_oracle")}')
     """
     return d

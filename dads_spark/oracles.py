@@ -287,6 +287,263 @@ def top_discords_oracle(mp: np.ndarray, m: int, k: int, exclusion=None) -> list[
 
 
 # ---------------------------------------------------------------------------
+# MinHash / SimHash — scalar FNV + direct all-pairs definitions
+# ---------------------------------------------------------------------------
+
+def fnv1a_scalar(token: str) -> int:
+    """Per-byte FNV-1a fold in Python ints mod 2^64 — the scalar definition
+    the production kernel's across-token vectorization is pinned against."""
+    h = 0xCBF29CE484222325
+    for byte in token.encode():
+        h = ((h ^ byte) * 0x100000001B3) & _MASK64
+    return h
+
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_permutations(num_hashes: int = 64, seed: int = 42):
+    """The operator family's (a, b) parameters — part of the spec, shared
+    with the production kernel (same seed stream)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE31, num_hashes).astype(np.int64)
+    b = rng.integers(0, _MERSENNE31, num_hashes).astype(np.int64)
+    return a, b
+
+
+def minhash_signature_oracle(
+    text: str, a: np.ndarray, b: np.ndarray, cache: dict | None = None
+) -> np.ndarray:
+    """Signature = per-permutation min of (a*x + b) mod (2^31 - 1) over the
+    doc's DISTINCT token FNV hashes; empty doc -> the modulus. Exact
+    integer arithmetic (Python ints / int64 products < 2^62)."""
+    toks = set(text.split()) if text else set()
+    if not toks:
+        return np.full(len(a), _MERSENNE31, dtype=np.int64)
+    if cache is None:
+        cache = {}
+    xs = []
+    for t in toks:
+        if t not in cache:
+            cache[t] = fnv1a_scalar(t) % _MERSENNE31
+        xs.append(cache[t])
+    x = np.array(sorted(set(xs)), dtype=np.int64)
+    vals = (x[:, None] * a[None, :] + b[None, :]) % _MERSENNE31
+    return vals.min(axis=0)
+
+
+def minhash_pairs_oracle(
+    ids: list[int], texts: list[str], num_hashes: int = 64, threshold: float = 0.8
+):
+    """All-pairs minhash agreement — the DIRECT definition of the LSH
+    pipeline's output. At num_hashes=64 / bands=16 / threshold=0.8 the
+    banded candidate generation is lossless by pigeonhole (est >= 0.8 means
+    <= 12 disagreeing components, which can dirty at most 12 of 16 bands),
+    so {pairs with agree/num_hashes >= threshold} IS the production pair
+    set. Returns (id_a, id_b, est) with id_a < id_b, est rounded to 4dp
+    (exact: est is dyadic, so floor(est*1e4+0.5)/1e4 equals HALF_UP)."""
+    cache: dict[str, int] = {}
+    a, b = minhash_permutations(num_hashes)
+    sig = np.stack(
+        [minhash_signature_oracle(t, a, b, cache) for t in texts]
+    )
+    ids_arr = np.asarray(ids, dtype=np.int64)
+    out = []
+    n = len(ids_arr)
+    for i in range(n):
+        agree = num_hashes - np.count_nonzero(sig[i + 1 :] != sig[i], axis=1)
+        est = agree / float(num_hashes)
+        for off in np.nonzero(est >= threshold)[0]:
+            j = i + 1 + off
+            lo, hi = sorted((int(ids_arr[i]), int(ids_arr[j])))
+            out.append((lo, hi, float(np.floor(est[off] * 1e4 + 0.5) / 1e4)))
+    return out
+
+
+def simhash_oracle(text: str, cache: dict | None = None) -> int:
+    """64-bit SimHash over distinct token FNV hashes, scalar per-bit vote
+    (bit set iff strictly more tokens have it than not); signed int64."""
+    toks = set(text.split()) if text else set()
+    if not toks:
+        return 0
+    if cache is None:
+        cache = {}
+    hs = []
+    for t in toks:
+        if t not in cache:
+            cache[t] = fnv1a_scalar(t)
+        hs.append(cache[t])
+    n = len(hs)
+    word = 0
+    for bit in range(64):
+        cnt = sum((h >> bit) & 1 for h in hs)
+        if 2 * cnt - n > 0:
+            word |= 1 << bit
+    return word - (1 << 64) if word >= (1 << 63) else word
+
+
+def simhash_pairs_oracle(ids: list[int], texts: list[str], max_hamming: int = 3):
+    """All-pairs SimHash Hamming pairs — the direct definition; the Manku
+    pigeonhole banding (4 x 16 bits at max_hamming=3) is lossless, so this
+    IS the production pair set. Returns (id_a, id_b, hamming), id_a < id_b."""
+    cache: dict[str, int] = {}
+    sh = [simhash_oracle(t, cache) & _MASK64 for t in texts]
+    ids_arr = [int(i) for i in ids]
+    out = []
+    n = len(ids_arr)
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = bin(sh[i] ^ sh[j]).count("1")
+            if d <= max_hamming:
+                lo, hi = sorted((ids_arr[i], ids_arr[j]))
+                out.append((lo, hi, d))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — local mirror of the full pipeline (training branch included)
+# ---------------------------------------------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+
+
+def xxh64_long(value: int, seed: int = 42) -> int:
+    """Spark's ``xxhash64`` of one LongType value (XXH64.hashLong, public
+    xxHash spec / Spark catalyst XXH64.java): needed to replicate the IVF
+    trainer's hash-stratum sampling filter exactly. Returns signed int64."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _MASK64
+
+    h = (seed + _XXP5 + 8) & _MASK64
+    k1 = (value & _MASK64) * _XXP2 & _MASK64
+    k1 = rotl(k1, 31) * _XXP1 & _MASK64
+    h ^= k1
+    h = (rotl(h, 27) * _XXP1 + _XXP4) & _MASK64
+    h ^= h >> 33
+    h = h * _XXP2 & _MASK64
+    h ^= h >> 29
+    h = h * _XXP3 & _MASK64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def ann_ivf_oracle(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+):
+    """Single-threaded mirror of the IVF pipeline on the whole table at
+    once: hash-stratum (or fallback) training sample, seeded spherical
+    k-means, cell assignment, probe masking, exact cosine, HALF_UP-6dp
+    ranking with id tiebreak. This pins the DISTRIBUTED path (Arrow
+    batching, per-batch tie-safe pruning, window ranking) against one local
+    evaluation; approximation quality itself is pinned by the
+    full-probe==exact recall test. Returns rows (query_id, neighbor_id,
+    rank, cosine6)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, vecs = ids[order], np.asarray(vecs, dtype=np.float64)[order]
+    # training sample: the 1/64 hash stratum, first sample_size by id;
+    # thin stratum (tiny tables) -> first sample_size of the full table
+    stratum = np.array([i for i in range(len(ids)) if xxh64_long(int(ids[i])) % 64 == 0])
+    sel = stratum[:sample_size] if len(stratum) else stratum
+    if len(sel) < max(n_cells * 4, 64):
+        sel = np.arange(min(sample_size, len(ids)))
+    X = vecs[sel]
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=n_cells, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (X @ cent.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-30)
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    qmat = np.stack([vecs[id_to_row[q]] for q in query_ids])
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+    probe = np.zeros((n_cells, len(query_ids)), dtype=bool)
+    for qi in range(len(query_ids)):
+        for c in np.argsort(-(cent @ qmat[qi]))[:n_probe]:
+            probe[int(c), qi] = True
+    mat = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+    cells = (mat @ cent.T).argmax(axis=1)
+    cos = mat @ qmat.T
+    allowed = probe[cells]
+    allowed &= ids[:, None] != np.asarray(query_ids, dtype=np.int64)[None, :]
+    rows = []
+    for qi, q in enumerate(query_ids):
+        col = np.where(allowed[:, qi], cos[:, qi], -np.inf)
+        finite = np.isfinite(col)
+        key = np.where(
+            finite, np.sign(col) * np.floor(np.abs(col) * 1e6 + 0.5), -np.inf
+        )
+        # rank by (HALF_UP 6dp key desc, neighbor_id asc), row_number <= k
+        cand = np.nonzero(finite)[0]
+        cand = sorted(cand, key=lambda i: (-key[i], int(ids[i])))[:k]
+        for r, i in enumerate(cand, start=1):
+            rows.append((int(q), int(ids[i]), r, float(key[i] / 1e6)))
+    return rows
+
+
+def ann_lsh_oracle(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 12,
+    n_bands: int = 4,
+    seed: int = 42,
+):
+    """Local mirror of the hyperplane-LSH ANN pipeline: seeded random
+    hyperplanes, sign-pattern band buckets, candidates = any shared
+    (band, bucket) with a query, exact cosine re-rank ordered by raw
+    cosine desc with id tiebreak. Returns (query_id, neighbor_id, rank,
+    cosine6) rows."""
+    ids = np.asarray(ids, dtype=np.int64)
+    vecs = np.asarray(vecs, dtype=np.float64)
+    dim = vecs.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_bands, n_planes, dim))
+    codes = np.empty((n_bands, len(ids)), dtype=np.int64)
+    for band in range(n_bands):
+        proj = vecs @ planes[band].T > 0
+        packed = np.packbits(proj, axis=1, bitorder="little")[:, :2]
+        codes[band] = packed[:, 0].astype(np.int64) + (
+            packed[:, 1].astype(np.int64) << 8 if packed.shape[1] > 1 else 0
+        )
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+    rows = []
+    for q in query_ids:
+        qi = id_to_row[int(q)]
+        cand_mask = np.zeros(len(ids), dtype=bool)
+        for band in range(n_bands):
+            cand_mask |= codes[band] == codes[band, qi]
+        cand_mask[qi] = False
+        cand = np.nonzero(cand_mask)[0]
+        # per-row elementwise-multiply + sum, the re-rank kernel's expression
+        cos = (norm[cand] * norm[qi][None, :]).sum(axis=1)
+        order = sorted(range(len(cand)), key=lambda t: (-cos[t], int(ids[cand[t]])))[:k]
+        for r, t in enumerate(order, start=1):
+            c6 = float(np.sign(cos[t]) * np.floor(np.abs(cos[t]) * 1e6 + 0.5) / 1e6)
+            rows.append((int(q), int(ids[cand[t]]), r, c6))
+    return rows
+
+
+# ---------------------------------------------------------------------------
 # DRAG discords — brute-force z-normalized NN distances (no MASS/FFT)
 # ---------------------------------------------------------------------------
 
