@@ -2662,10 +2662,46 @@ def q_matrix_profile_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q6_cols(out, ["event_type", "rank", "idx"], {"mp": "mp_q6"})
 
 
+def _stage_s2g_edges_oracle(sf_dir: str) -> None:
+    import numpy as _np2
+    import pyarrow as _pa
+
+    from dads_spark.oracles import hourly_counts_gapfilled
+    from dads_spark.s2g.oracle import s2g_oracle
+    from dads_spark.s2g.pipeline import min_series_length
+
+    ets, fs, fi, ts_, ti, w = [], [], [], [], [], []
+    for et, x in hourly_counts_gapfilled(sf_dir).items():
+        if len(x) < min_series_length(S2G_ROLLUP_PARAMS):
+            continue
+        res = s2g_oracle(x, S2G_ROLLUP_PARAMS, n_slices=1)
+        for (a, b, c, d), wt in res.edge_weights.items():
+            ets.append(et)
+            fs.append(int(a))
+            fi.append(int(b))
+            ts_.append(int(c))
+            ti.append(int(d))
+            w.append(int(wt))
+    _write_dump(
+        "s2g_edges_oracle",
+        {
+            "event_type": _pa.array(ets, type=_pa.string()),
+            "from_seg": _pa.array(fs, type=_pa.int32()),
+            "from_idx": _pa.array(fi, type=_pa.int32()),
+            "to_seg": _pa.array(ts_, type=_pa.int32()),
+            "to_idx": _pa.array(ti, type=_pa.int32()),
+            "weight": _pa.array(w, type=_pa.int64()),
+        },
+    )
+
+
 def q_s2g_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the S2G graph itself as rows: one weighted edge per (series, edge).
-    # Rows-only (the graph construction is the bit-parity NumPy core, not
-    # SQL); the scores queries are projections of exactly this graph.
+    # Driver-hash-gated (r3) against a staged local recomputation on the
+    # bit-identical count series: the pin covers the DISTRIBUTED assembly
+    # (rollup -> gap-fill -> grouping -> emission); the graph kernel itself
+    # is bit-parity-tested against the reference semantics in test_s2g_*.
+    # All-integer output (segment ids + walk counts), exact by construction.
     from dads_spark.s2g.pipeline import graph_edges_grouped
 
     ev = _t(spark, sf_dir, "events")
@@ -2673,6 +2709,7 @@ def q_s2g_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", bucket_expr("ts", "hour")
     ).agg(F.count(F.lit(1)).cast("double").alias("v"))
     filled = gap_fill_linear(hourly, ["event_type"], "bucket_ts", ["v"], 3600)
+    _stage_s2g_edges_oracle(sf_dir)
     return graph_edges_grouped(
         filled, ["event_type"], "bucket_ts", "v", S2G_ROLLUP_PARAMS
     )
@@ -2938,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
+        "s2g_graph_edges": q_s2g_graph_edges,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -3021,7 +3059,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_value": q11_important_value,
         # -- rows-only S2G/sketch/forecast ops (weaker checks anyway) -------
         "s2g_hourly_scores": q_s2g_hourly_scores,
-        "s2g_graph_edges": q_s2g_graph_edges,
         "approx_aggregates": q_approx_aggregates,
         "matrix_profile_discord": q_matrix_profile_discord,
         "holt_residual_outliers": q_holt_residual_outliers,
@@ -4508,5 +4545,9 @@ def oracle_sql() -> dict[str, str]:
     d["ann_lsh"] = f"""
         SELECT query_id, neighbor_id, rank, cosine
         FROM read_parquet('{_dump_path("ann_lsh_oracle")}')
+    """
+    d["s2g_graph_edges"] = f"""
+        SELECT event_type, from_seg, from_idx, to_seg, to_idx, weight
+        FROM read_parquet('{_dump_path("s2g_edges_oracle")}')
     """
     return d
