@@ -2499,10 +2499,12 @@ def _stage_holt_oracle(
         vals.extend(val.tolist())
         fq.extend(q6(fc).tolist())
         rq.extend(q6(resid).tolist())
+    import pyarrow as _pa
+
     return _write_dump(
         "holt_oracle",
         {
-            "event_type": ets,
+            "event_type": _pa.array(ets, type=_pa.string()),
             "idx": _np2.array(idxs, dtype=_np2.int64),
             "value": _np2.array(vals, dtype=_np2.float64),
             "fc_q6": _np2.array(fq, dtype=_np2.int64),
@@ -2553,10 +2555,12 @@ def _stage_mp_oracle(sf_dir: str, m: int = 24, k: int = 3) -> str:
             rks.append(r)
             idxs.append(i)
             mq.append(int(q6(_np2.array([mp[i]]))[0]))
+    import pyarrow as _pa
+
     return _write_dump(
         "mp_oracle",
         {
-            "event_type": ets,
+            "event_type": _pa.array(ets, type=_pa.string()),
             "rank": _np2.array(rks, dtype=_np2.int64),
             "idx": _np2.array(idxs, dtype=_np2.int64),
             "mp_q6": _np2.array(mq, dtype=_np2.int64),
