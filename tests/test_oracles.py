@@ -87,6 +87,16 @@ def test_brute_mp_flat_window_convention():
     assert np.allclose(mp_fast, mp_brute, atol=1e-8)
 
 
+def test_fnv_scalar_matches_vectorized_kernel():
+    from dads_spark.oracles import fnv1a_scalar
+    from dads_spark.ops.dedup import _fnv1a_tokens
+
+    toks = ["", "a", "the", "qu1ck", "ümläut", "x" * 40]
+    vec = _fnv1a_tokens(toks)
+    for t, v in zip(toks, vec):
+        assert fnv1a_scalar(t) == int(v)
+
+
 def test_winnow_oracle_known_properties():
     # deterministic, position-independent fingerprints; ties resolved
     # rightmost (robust winnowing): a run of identical k-grams must still
