@@ -2616,6 +2616,111 @@ def _q6_cols(df: DataFrame, keep: list[str], quant: dict[str, str]) -> DataFrame
     return df.mapInPandas(f, schema)
 
 
+def _resample_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular per-second value series per event_type: raw event
+    timestamps floored to seconds, two-a-second collisions summed (IEEE
+    addition is commutative, so a 2-element sum is partition-order-proof)."""
+    ev = _t(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ: route through LTZ (session tz is UTC, so
+    # the instant is unchanged) because Spark forbids NTZ -> BIGINT directly
+    sec = F.col("ts").cast("timestamp_ltz").cast("long")
+    return ev.groupBy("event_type", sec.alias("sec")).agg(
+        F.sum("value").alias("value")
+    )
+
+
+def q_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-step grid resampling (linear): project each type's
+    irregular per-second series onto the epoch-aligned hourly grid. Fully
+    relational (sequence/explode grid + two window passes over ONE sort +
+    codegen interpolation — no Python stage), so the oracle is the same
+    formulation in ANSI SQL and the arithmetic trees match exactly."""
+    from dads_spark.rollup import resample_grid
+
+    out = resample_grid(
+        _resample_input(spark, sf_dir), ["event_type"], "sec", "value", 3600
+    )
+    return out.select(
+        "event_type",
+        _fmt_bucket(),
+        F.round("v", 6).alias("v"),
+        F.col("exact").cast("int").alias("exact"),
+    )
+
+
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LOCF variant on a deliberately misaligned 90-minute grid
+    from dads_spark.rollup import resample_grid
+
+    out = resample_grid(
+        _resample_input(spark, sf_dir), ["event_type"], "sec", "value", 5400,
+        method="locf",
+    )
+    return out.select(
+        "event_type",
+        _fmt_bucket(),
+        F.round("v", 6).alias("v"),
+        F.col("exact").cast("int").alias("exact"),
+    )
+
+
+_PATTERN_DAILY = None  # computed lazily: one 24h sine period
+
+
+def _daily_pattern():
+    global _PATTERN_DAILY
+    if _PATTERN_DAILY is None:
+        import numpy as _np2
+
+        _PATTERN_DAILY = _np2.sin(
+            2 * _np2.pi * _np2.arange(24, dtype=_np2.float64) / 24
+        ).tolist()
+    return _PATTERN_DAILY
+
+
+def _stage_pattern_oracle(sf_dir: str, k: int = 5) -> str:
+    import numpy as _np2
+    import pyarrow as _pa
+
+    from dads_spark.oracles import hourly_counts, pattern_topk_oracle
+
+    pat = _np2.asarray(_daily_pattern())
+    ets, rks, wi, dq = [], [], [], []
+    for et, (_, v) in hourly_counts(sf_dir).items():
+        for r, (i, q6v) in enumerate(pattern_topk_oracle(v, pat, k), start=1):
+            ets.append(et)
+            rks.append(r)
+            wi.append(i)
+            dq.append(q6v)
+    return _write_dump(
+        "pattern_oracle",
+        {
+            "event_type": _pa.array(ets, type=_pa.string()),
+            "rank": _pa.array(rks, type=_pa.int64()),
+            "window_idx": _pa.array(wi, type=_pa.int64()),
+            "dist_q6": _pa.array(dq, type=_pa.int64()),
+        },
+    )
+
+
+def q_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsequence pattern search: the 5 windows of each type's hourly
+    count series that best match one 24h sine period, z-normalized (the
+    'find days shaped like this' query). Driver-hash-gated against the
+    direct z-normalization oracle — no FFT arithmetic shared; the tie-free
+    q6 ranking makes the two implementations' top-k lists identical."""
+    from dads_spark.rollup import pattern_topk
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    _stage_pattern_oracle(sf_dir)
+    return pattern_topk(
+        hourly, ["event_type"], "bucket_ts", "v", _daily_pattern(), k=5
+    )
+
+
 def q_holt_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt residual outliers over hourly COUNT series, driver-hash-gated
     against the scalar textbook recurrence in dads_spark/oracles.py (staged
@@ -2980,6 +3085,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "s2g_graph_edges": q_s2g_graph_edges,
+        "resample_linear": q_resample_linear,
+        "resample_locf": q_resample_locf,
+        "pattern_search": q_pattern_search,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -4553,5 +4661,65 @@ def oracle_sql() -> dict[str, str]:
     d["s2g_graph_edges"] = f"""
         SELECT event_type, from_seg, from_idx, to_seg, to_idx, weight
         FROM read_parquet('{_dump_path("s2g_edges_oracle")}')
+    """
+
+    # grid resampling: the SAME relational formulation in ANSI SQL (grid
+    # generate_series + sample/grid union + two window passes + identical
+    # interpolation expression tree) — a true independent-engine oracle,
+    # not a staged dump
+    def _resample_sql(step: int, locf: bool) -> str:
+        value = (
+            "pv"
+            if locf
+            else (
+                "CASE WHEN pt = t OR nt = pt THEN pv "
+                "ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / (nt - pt)) END"
+            )
+        )
+        return f"""
+            WITH s AS (
+              SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                     sum(value) AS sv
+              FROM events GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT event_type,
+                     (min(t) + {step - 1}) // {step} * {step} AS g0,
+                     max(t) // {step} * {step} AS g1
+              FROM s GROUP BY 1
+            ),
+            g AS (
+              SELECT event_type, unnest(generate_series(g0, g1, {step})) AS t
+              FROM b WHERE g0 <= g1
+            ),
+            u AS (
+              SELECT event_type, t, CAST(NULL AS DOUBLE) AS sv, TRUE AS isg FROM g
+              UNION ALL
+              SELECT event_type, t, sv, FALSE FROM s
+            ),
+            w AS (
+              SELECT event_type, t, isg,
+                last_value(sv IGNORE NULLS) OVER pw AS pv,
+                last_value(CASE WHEN NOT isg THEN t END IGNORE NULLS) OVER pw AS pt,
+                first_value(sv IGNORE NULLS) OVER nw AS nv,
+                first_value(CASE WHEN NOT isg THEN t END IGNORE NULLS) OVER nw AS nt
+              FROM u
+              WINDOW pw AS (PARTITION BY event_type ORDER BY t, isg
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     nw AS (PARTITION BY event_type ORDER BY t, isg
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_type,
+                   strftime(to_timestamp(t), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   round({value}, 6) AS v,
+                   CAST(pt = t AS INT) AS exact
+            FROM w WHERE isg
+        """
+
+    d["resample_linear"] = _resample_sql(3600, locf=False)
+    d["resample_locf"] = _resample_sql(5400, locf=True)
+    d["pattern_search"] = f"""
+        SELECT event_type, rank, window_idx, dist_q6
+        FROM read_parquet('{_dump_path("pattern_oracle")}')
     """
     return d

@@ -153,6 +153,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # r3 session 2: link graph + eval decontamination
         "link_pagerank",
         "decontaminate",
+        # r3 session 3: relational grid resampling + subsequence search
+        "resample_linear",
+        "pattern_search",
     ]
     for name in suite:
         t0 = _now()

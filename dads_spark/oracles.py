@@ -608,6 +608,33 @@ def drag_oracle(
     ]
 
 
+def pattern_topk_oracle(
+    x: np.ndarray, pattern: np.ndarray, k: int
+) -> list[tuple[int, int]]:
+    """Top-k pattern matches by the DIRECT definition: explicitly
+    z-normalize the pattern and every window, take exact Euclidean
+    distances (no FFT/MASS arithmetic), rank by (q6 distance, index).
+    Flat windows follow the MASS convention (sqrt(2m) — no shape
+    information)."""
+    x = np.asarray(x, dtype=np.float64)
+    pattern = np.asarray(pattern, dtype=np.float64)
+    m = len(pattern)
+    if len(x) < m:
+        return []
+    pq_ = pattern.std()
+    zq = (pattern - pattern.mean()) / pq_ if pq_ > 0 else np.zeros(m)
+    wins = np.lib.stride_tricks.sliding_window_view(x, m).astype(np.float64)
+    mu = wins.mean(axis=1)
+    sd = wins.std(axis=1)
+    flat = sd == 0.0
+    z = (wins - mu[:, None]) / np.where(flat, 1.0, sd)[:, None]
+    d = np.sqrt(np.sum((z - zq[None, :]) ** 2, axis=1))
+    d = np.where(flat | (pq_ == 0), np.sqrt(2.0 * m), d)
+    q = np.floor(d * 1e6 + 0.5).astype(np.int64)
+    order = sorted(range(len(q)), key=lambda i: (int(q[i]), i))[:k]
+    return [(i, int(q[i])) for i in order]
+
+
 # ---------------------------------------------------------------------------
 # Winnowing — Horner rolling hash + rightmost-minimum windows, all-scalar
 # ---------------------------------------------------------------------------

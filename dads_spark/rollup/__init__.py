@@ -12,6 +12,8 @@ from .tiers import (  # noqa: F401
     write_tier,
 )
 from .gapfill import TIER_SECONDS, gap_fill_linear, gap_fill_locf  # noqa: F401
+from .patterns import pattern_topk, pattern_topk_kernel  # noqa: F401
+from .resample import resample_grid  # noqa: F401
 from .intervals import hopping_rollup, merge_intervals  # noqa: F401
 from .series import domain_hourly_series, text_identity_fingerprint, with_domain  # noqa: F401
 from .retention import DEFAULT_POLICY, enforce_policy, enforce_retention  # noqa: F401

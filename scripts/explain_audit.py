@@ -375,6 +375,24 @@ def main() -> None:
         "\n".join(l for l in p18.splitlines() if "Join" in l or "Exchange" in l or "Generate" in l)[:600],
     ))
 
+    # --- A19: resample_grid — fully relational, no Python stage ------------
+    p19 = plan_of(em.queries()["resample_linear"](spark, sf_dir))
+    assert not re.search(r"(ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)", p19), (
+        "resample must have no Python operator"
+    )
+    assert "Window" in p19, "resample neighbor lookup should be window passes"
+    n_exch = len(re.findall(r"Exchange \(\d+\)", p19))
+    assert n_exch <= 4, f"resample grew to {n_exch} exchanges"
+    sections.append((
+        "A19 resample_grid: relational grid resampling, zero Python",
+        "PASS — grid generation (sequence/explode), neighbor lookup (two "
+        "window frames over ONE sort) and linear interpolation are all "
+        "Catalyst codegen; the plan has no Python stage, so the operator "
+        "scales like any window aggregate and the DuckDB oracle runs the "
+        "same ANSI formulation",
+        "\n".join(l for l in p19.splitlines() if "Window" in l or "Exchange" in l or "Generate" in l or "Sort" in l)[:600],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
