@@ -982,6 +982,44 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, "user_id", "ts", "week")
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase): per user the
+    earliest view, the earliest click strictly after it, the earliest
+    purchase strictly after that; output one row per step with the user
+    count that reached it. Pure relational (3 conditional min-aggregations
+    chained by co-partitioned joins on user_id; at warehouse scale these
+    are one shuffle each on the same key, AQE-coalesced)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    u2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        u1.agg(F.lit(1).alias("step"), F.lit("view").alias("event_type"),
+               F.count(F.lit(1)).alias("users")),
+        u2.agg(F.lit(2).alias("step"), F.lit("click").alias("event_type"),
+               F.count(F.lit(1)).alias("users")),
+        u3.agg(F.lit(3).alias("step"), F.lit("purchase").alias("event_type"),
+               F.count(F.lit(1)).alias("users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def q_matrix_profile_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
     # STOMP matrix-profile discords over the hourly event series — the exact
     # nearest-neighbor counterpart to the S2G/DRAG graph scoring. Rows-only:
@@ -1861,6 +1899,39 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     _stage_ann_ivf_oracle(sf_dir)
     return ann_ivf(emb, _KNN_QUERIES, k=10, n_cells=16, n_probe=6)
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded spherical k-means cluster assignment over the embeddings
+    table — the data-curation clustering pass (topic bucketing / diversity
+    quotas). Driver-hash-gated against the local mirror; the trainer is the
+    IVF coarse quantizer's, the assignment one mapInPandas scan."""
+    from dads_spark.ops import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    if t.num_rows <= _ORACLE_MAX_DOCS:
+        import numpy as _np2
+
+        from dads_spark.oracles import kmeans_assign_oracle
+
+        pdf = t.to_pandas()
+        rows = kmeans_assign_oracle(
+            pdf["vec_id"].to_numpy(),
+            _np2.array(list(pdf["embedding"]), dtype=_np2.float64),
+            n_clusters=8,
+        )
+        _write_dump(
+            "kmeans_oracle",
+            {
+                "vec_id": _np2.array([r[0] for r in rows], dtype=_np2.int64),
+                "cluster": _np2.array([r[1] for r in rows], dtype=_np2.int64),
+                "sim_q6": _np2.array([r[2] for r in rows], dtype=_np2.int64),
+            },
+        )
+    return kmeans_assign(emb, n_clusters=8)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3088,6 +3159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_linear": q_resample_linear,
         "resample_locf": q_resample_locf,
         "pattern_search": q_pattern_search,
+        "funnel_steps": q_funnel_steps,
+        "kmeans_clusters": q_kmeans_clusters,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -4721,5 +4794,28 @@ def oracle_sql() -> dict[str, str]:
     d["pattern_search"] = f"""
         SELECT event_type, rank, window_idx, dist_q6
         FROM read_parquet('{_dump_path("pattern_oracle")}')
+    """
+    d["funnel_steps"] = """
+        WITH u1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        u2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN u1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1
+        ),
+        u3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN u2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1
+        )
+        SELECT 1 AS step, 'view' AS event_type, count(*) AS users FROM u1
+        UNION ALL SELECT 2, 'click', count(*) FROM u2
+        UNION ALL SELECT 3, 'purchase', count(*) FROM u3
+    """
+    d["kmeans_clusters"] = f"""
+        SELECT vec_id, cluster, sim_q6
+        FROM read_parquet('{_dump_path("kmeans_oracle")}')
     """
     return d

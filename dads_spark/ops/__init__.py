@@ -50,7 +50,7 @@ from .sketch import (  # noqa: F401
     merge_digests,
     quantile_digest,
 )
-from .similarity import ann_ivf, ann_lsh, knn_bruteforce  # noqa: F401
+from .similarity import ann_ivf, ann_lsh, kmeans_assign, knn_bruteforce  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_media_metadata,
     extract_features,

@@ -106,6 +106,86 @@ def knn_bruteforce(
     )
 
 
+def _train_spherical_kmeans(
+    embeddings: DataFrame,
+    n_cells: int,
+    sample_size: int,
+    kmeans_iters: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> np.ndarray:
+    """Deterministic spherical k-means centroids on the driver.
+
+    Deterministic hash-sample for training: pre-filter to a ~1/64 hash
+    stratum so the ordered limit (per-partition top-k + driver merge) scans
+    a sliver of the table instead of feeding ALL n ids through a top-k at
+    10^9-vector scale; falls back to the unfiltered ordered limit only when
+    the stratum is too thin to train (tiny tables). Both paths are pure
+    functions of the ids. Centroids are tiny and broadcast to every task.
+    """
+    rng = np.random.default_rng(seed)
+    base = embeddings.select(id_col, vec_col)
+    stratum = base.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)) == 0)
+    sample = stratum.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    if len(sample) < max(n_cells * 4, 64):
+        sample = base.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    X = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    cent = X[rng.choice(len(X), size=n_cells, replace=False)]
+    for _ in range(kmeans_iters):  # spherical k-means (cosine geometry)
+        assign = (X @ cent.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-30)
+    return cent
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    sample_size: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster assignment for every vector: (id, cluster, sim_q6).
+
+    The data-curation clustering pass an LLM-corpus pipeline runs over
+    embeddings (topic bucketing, diversity sampling, per-cluster quotas):
+    seeded spherical k-means trained on a deterministic driver sample
+    (same trainer as the IVF coarse quantizer), then ONE mapInPandas scan
+    assigns each vector its argmax-cosine centroid. sim_q6 is the cosine
+    to the assigned centroid in micro-units (tie-free quantization).
+    At warehouse scale the cluster id becomes a partition/bucket column.
+    """
+    cent = _train_spherical_kmeans(
+        embeddings, n_clusters, sample_size, kmeans_iters, seed, id_col, vec_col
+    )
+
+    def assign(it):
+        for pdf in it:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            cos = mat @ cent.T
+            cl = cos.argmax(axis=1)
+            best = cos[np.arange(len(cl)), cl]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": cl.astype(np.int64),
+                    "sim_q6": np.floor(best * 1e6 + 0.5).astype(np.int64),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cluster long, sim_q6 long"
+    )
+
+
 def _exact_rerank(pairs: DataFrame, k: int) -> DataFrame:
     """Exact cosine over (query_id, neighbor_id, nvec, qvec) candidate rows,
     then per-query top-k with a deterministic id tiebreak."""
@@ -165,28 +245,9 @@ def ann_ivf(
     parameters); only <= partitions x queries x k skinny rows reach the
     final ranking window here.
     """
-    rng = np.random.default_rng(seed)
-    # deterministic hash-sample for quantizer training: pre-filter to a
-    # ~1/64 hash stratum so the ordered limit (per-partition top-k +
-    # driver merge) scans a sliver of the table instead of feeding ALL n
-    # ids through a top-k at 10^9-vector scale; falls back to the
-    # unfiltered ordered limit only when the stratum is too thin to train
-    # (tiny tables). Both paths are pure functions of the ids.
-    base = embeddings.select(id_col, vec_col)
-    stratum = base.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)) == 0)
-    sample = stratum.orderBy(id_col).limit(sample_size).select(vec_col).collect()
-    if len(sample) < max(n_cells * 4, 64):
-        sample = base.orderBy(id_col).limit(sample_size).select(vec_col).collect()
-    X = np.array([r[vec_col] for r in sample], dtype=np.float64)
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
-    cent = X[rng.choice(len(X), size=n_cells, replace=False)]
-    for _ in range(kmeans_iters):  # spherical k-means (cosine geometry)
-        assign = (X @ cent.T).argmax(axis=1)
-        for c in range(n_cells):
-            members = X[assign == c]
-            if len(members):
-                m = members.sum(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-30)
+    cent = _train_spherical_kmeans(
+        embeddings, n_cells, sample_size, kmeans_iters, seed, id_col, vec_col
+    )
 
     qrows = (
         embeddings.filter(F.col(id_col).isin(query_ids))

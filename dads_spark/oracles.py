@@ -498,6 +498,45 @@ def ann_ivf_oracle(
     return rows
 
 
+def kmeans_assign_oracle(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    n_clusters: int = 8,
+    sample_size: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+):
+    """Local mirror of the cluster-assignment pass (same trainer spec as
+    the IVF oracle, argmax-cosine assignment, tie-free q6 similarity).
+    Returns (id, cluster, sim_q6) rows."""
+    ids = np.asarray(ids, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, vecs = ids[order], np.asarray(vecs, dtype=np.float64)[order]
+    stratum = np.array(
+        [i for i in range(len(ids)) if xxh64_long(int(ids[i])) % 64 == 0]
+    )
+    sel = stratum[:sample_size] if len(stratum) else stratum
+    if len(sel) < max(n_clusters * 4, 64):
+        sel = np.arange(min(sample_size, len(ids)))
+    X = vecs[sel]
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=n_clusters, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (X @ cent.T).argmax(axis=1)
+        for c in range(n_clusters):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-30)
+    mat = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+    cos = mat @ cent.T
+    cl = cos.argmax(axis=1)
+    best = cos[np.arange(len(cl)), cl]
+    q = np.floor(best * 1e6 + 0.5).astype(np.int64)
+    return [(int(i), int(c), int(s)) for i, c, s in zip(ids, cl, q)]
+
+
 def ann_lsh_oracle(
     ids: np.ndarray,
     vecs: np.ndarray,
