@@ -2895,6 +2895,201 @@ def q_s2g_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hourly_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly COUNT series per event_type — the shared exact-integer input
+    of the pinned sequential-recurrence twins (counts sum exactly in
+    float64 under any partitioning)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+
+
+def q_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # M4 pixel downsampling (Jugel VLDB'14) of the hourly tiers at one-day
+    # pixels: per (series, pixel) the first/last/min/max points — 100% JVM
+    # codegen, one shuffle carrying one row per OUTPUT pixel. Tie rules are
+    # the deterministic struct orderings documented in m4_downsample;
+    # values are exact counts, timestamps exact epochs -> hash-safe.
+    from dads_spark.rollup import m4_downsample
+
+    hourly = _hourly_counts_df(spark, sf_dir).select(
+        "event_type",
+        F.col("bucket_ts").cast("timestamp_ltz").alias("bucket_ts"),
+        "v",
+    )
+    return m4_downsample(hourly, ["event_type"], "bucket_ts", "v", 86400)
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Theil-Sen robust trend per hourly count series, reported as the LOWER
+    # median (k-th smallest pairwise slope, k=(n+1)//2) so the result is a
+    # rank selection both engines reproduce exactly; the slope expression
+    # (v_j-v_i)*3600.0/(t_j-t_i) is evaluated on bit-identical doubles on
+    # both sides, so the q6 quantization never straddles an engine gap.
+    from dads_spark.rollup import theil_sen_grouped
+
+    hourly = _hourly_counts_df(spark, sf_dir).select(
+        "event_type",
+        F.col("bucket_ts").cast("timestamp_ltz").cast("long").alias("t"),
+        "v",
+    )
+    # series with <2 points have no pairs (nan slope); the oracle's rank
+    # selection emits nothing for them — drop on this side too
+    out = theil_sen_grouped(hourly, ["event_type"], "t", "v").filter(
+        F.col("n_pairs") > 0
+    )
+    return out.select(
+        "event_type",
+        "n_points",
+        "n_pairs",
+        F.expr("CAST(floor(slope_per_hr * 1e6 + 0.5) AS BIGINT)").alias(
+            "slope_q6"
+        ),
+    )
+
+
+def q_session_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inter-arrival gap distribution per event_type (gaps measured per
+    # user): exact integer sum + rank-based p50/p90 (k = ceil(q*n) in
+    # integer arithmetic) — no interpolation rule, all-integer output.
+    from dads_spark.rollup import gap_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_percentiles(ev, "user_id", "event_type").withColumnRenamed(
+        "type", "event_type"
+    )
+
+
+def _stage_hw_oracle(
+    sf_dir: str, m: int = 24, alpha: float = 0.3, beta: float = 0.1,
+    gamma: float = 0.2,
+) -> str:
+    import numpy as _np2
+    import pyarrow as _pa
+
+    from dads_spark.oracles import holt_winters_oracle, hourly_counts, q6
+
+    ets, idxs, vals, fq, rq = [], [], [], [], []
+    for et, (_, v) in hourly_counts(sf_dir).items():
+        fc, resid = holt_winters_oracle(v, m, alpha, beta, gamma)
+        ok = _np2.isfinite(fc)
+        idx = _np2.nonzero(ok)[0]
+        ets.extend([et] * len(idx))
+        idxs.extend(idx.tolist())
+        vals.extend(v[idx].tolist())
+        fq.extend(q6(fc[idx]).tolist())
+        rq.extend(q6(resid[idx]).tolist())
+    return _write_dump(
+        "hw_oracle",
+        {
+            "event_type": _pa.array(ets, type=_pa.string()),
+            "idx": _np2.array(idxs, dtype=_np2.int64),
+            "value": _np2.array(vals, dtype=_np2.float64),
+            "fc_q6": _np2.array(fq, dtype=_np2.int64),
+            "resid_q6": _np2.array(rq, dtype=_np2.int64),
+        },
+    )
+
+
+def q_holt_winters_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (season=24) one-step forecasts + residuals over
+    hourly COUNT series, driver-hash-gated against the scalar textbook
+    recurrence in dads_spark/oracles.py (staged to parquet). The seasonal
+    extension of ``holt_pinned``: on daily-cycle web traffic the seasonal
+    state absorbs the morning ramp Holt linear misreads as an outlier."""
+    from dads_spark.rollup import holt_winters_grouped
+
+    out = holt_winters_grouped(
+        _hourly_counts_df(spark, sf_dir), ["event_type"], "bucket_ts", "v", m=24
+    )
+    _stage_hw_oracle(sf_dir)
+    return _q6_cols(
+        out,
+        ["event_type", "idx", "value"],
+        {"forecast": "fc_q6", "residual": "resid_q6"},
+    )
+
+
+def _stage_dtw_oracle(sf_dir: str, band: int = 48) -> str:
+    import numpy as _np2
+    import pyarrow as _pa
+
+    from dads_spark.oracles import dtw_oracle, hourly_counts, q6
+
+    series = {et: v for et, (_, v) in hourly_counts(sf_dir).items()}
+    keys = sorted(series)
+    ka, kb, na, nb, dq = [], [], [], [], []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            d = dtw_oracle(series[a], series[b], band)
+            ka.append(a)
+            kb.append(b)
+            na.append(len(series[a]))
+            nb.append(len(series[b]))
+            dq.append(int(q6(_np2.array([d]))[0]))
+    return _write_dump(
+        "dtw_oracle",
+        {
+            "key_a": _pa.array(ka, type=_pa.string()),
+            "key_b": _pa.array(kb, type=_pa.string()),
+            "n_a": _np2.array(na, dtype=_np2.int64),
+            "n_b": _np2.array(nb, dtype=_np2.int64),
+            "dtw_q6": _np2.array(dq, dtype=_np2.int64),
+        },
+    )
+
+
+def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded DTW distance between every pair of hourly count series,
+    driver-hash-gated against the scalar full-matrix DP (staged): the
+    phase-tolerant shape-similarity complement of ``series_xcorr``."""
+    from dads_spark.rollup import dtw_pairs_grouped
+
+    out = dtw_pairs_grouped(
+        _hourly_counts_df(spark, sf_dir), "event_type", "bucket_ts", "v",
+        band=48,
+    )
+    _stage_dtw_oracle(sf_dir)
+    return _q6_cols(out, ["key_a", "key_b", "n_a", "n_b"], {"dtw": "dtw_q6"})
+
+
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # containment similarity |A∩B| / min(|A|,|B|) over token sets — the
+    # asymmetric near-dup measure that catches a short page embedded in a
+    # longer one, which Jaccard (the symmetric /union variant alongside in
+    # q_ngram_jaccard) dilutes below threshold. Same candidate discipline:
+    # exact token equi-join on a bounded slice; the scale path is the LSH
+    # family in ops/dedup.py.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select(
+        F.col("doc_id").alias("tid"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    )
+    sizes = toks.groupBy("tid").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.token") == F.col("b.token")) & (F.col("a.tid") < F.col("b.tid")),
+        )
+        .groupBy(F.col("a.tid").alias("id_a"), F.col("b.tid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("tid").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("tid").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter") / F.least("sz_a", "sz_b"), 4),
+        )
+        .filter(F.col("containment") >= 0.9)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact heavy hitters over document tokens via mergeable Misra-Gries
     # candidates + broadcast verify (shuffle bounded by 1/threshold, not
@@ -3161,6 +3356,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_search": q_pattern_search,
         "funnel_steps": q_funnel_steps,
         "kmeans_clusters": q_kmeans_clusters,
+        # -- (1d) session-3 additions, no driver row yet ---------------------
+        # (these four displace the r1-green rollup_hour..rollup_hour_salted
+        # block past 50 under the same rotation policy: never-checked
+        # entries outrank twice-green ones for the 50 driver slots)
+        "minmax_downsample": q_minmax_downsample,
+        "theil_sen_trend": q_theil_sen_trend,
+        "session_gap_stats": q_session_gap_stats,
+        "holt_winters_pinned": q_holt_winters_pinned,
+        # ---- position 50 ends here ----------------------------------------
+        # -- oracle-backed, deferred (local sweep verifies; rotate in next) --
+        "dtw_distance": q_dtw_distance,
+        "shingle_containment": q_shingle_containment,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -3182,7 +3389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_big_orders": q18_big_orders,
         "q19_disjunctive_pred": q19_disjunctive_pred,
         "q22_idle_balance": q22_idle_balance,
-        # ---- position 50 ends here ----------------------------------------
         # (the seven session-2 r3 additions above displace stats_aggregates
         # .. window_running_order_total past 50 — all r1-green and cheap,
         # lowest-risk to defer under the same rotation policy)
@@ -4666,6 +4872,96 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
         """,
+        "minmax_downsample": """
+            WITH s AS (
+              SELECT event_type,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events GROUP BY 1, 2),
+            p AS (SELECT event_type, t // 86400 AS pixel, t, v FROM s),
+            a AS (
+              SELECT event_type, pixel,
+                     min(t) AS t_first, max(t) AS t_last,
+                     min(v) AS v_min, max(v) AS v_max
+              FROM p GROUP BY 1, 2)
+            SELECT a.event_type, a.pixel,
+                   a.t_first,
+                   min(CASE WHEN p.t = a.t_first THEN p.v END) AS v_first,
+                   a.t_last,
+                   min(CASE WHEN p.t = a.t_last THEN p.v END) AS v_last,
+                   min(CASE WHEN p.v = a.v_min THEN p.t END) AS t_min,
+                   a.v_min,
+                   max(CASE WHEN p.v = a.v_max THEN p.t END) AS t_max,
+                   a.v_max
+            FROM a JOIN p ON p.event_type = a.event_type AND p.pixel = a.pixel
+            GROUP BY a.event_type, a.pixel, a.t_first, a.t_last,
+                     a.v_min, a.v_max
+        """,
+        "theil_sen_trend": """
+            WITH s AS (
+              SELECT event_type,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events GROUP BY 1, 2),
+            pr AS (
+              SELECT a.event_type,
+                     (b.v - a.v) * 3600.0 / (b.t - a.t) AS slope
+              FROM s a JOIN s b
+                ON b.event_type = a.event_type AND b.t > a.t),
+            r AS (
+              SELECT event_type, slope,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY slope) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM pr),
+            np AS (SELECT event_type, count(*) AS n_points FROM s GROUP BY 1)
+            SELECT r.event_type, np.n_points, r.n AS n_pairs,
+                   CAST(floor(slope * 1e6 + 0.5) AS BIGINT) AS slope_q6
+            FROM r JOIN np USING (event_type)
+            WHERE rn = (n + 1) // 2
+        """,
+        "session_gap_stats": """
+            WITH g AS (
+              SELECT event_type, user_id, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS gap
+              FROM events),
+            f AS (SELECT * FROM g WHERE gap IS NOT NULL),
+            r AS (
+              SELECT event_type, gap, user_id, event_id,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY gap, user_id, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM f)
+            SELECT event_type,
+                   max(n) AS n_gaps,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_sec,
+                   max(CASE WHEN rn = (n + 1) // 2 THEN gap END)
+                       AS p50_gap_sec,
+                   max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END)
+                       AS p90_gap_sec
+            FROM r GROUP BY 1
+        """,
+        "shingle_containment": """
+            WITH toks AS (
+              SELECT doc_id AS tid, unnest(list_distinct(string_split(text, ' '))) AS token
+              FROM documents WHERE doc_id < 100),
+            sizes AS (SELECT tid, count(*) AS sz FROM toks GROUP BY 1),
+            inter AS (
+              SELECT a.tid AS id_a, b.tid AS id_b, count(*) AS n_inter
+              FROM toks a JOIN toks b ON a.token = b.token AND a.tid < b.tid
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, containment FROM (
+              SELECT id_a, id_b,
+                     round(n_inter / CAST(least(sa.sz, sb.sz) AS DOUBLE), 4)
+                         AS containment
+              FROM inter
+              JOIN sizes sa ON sa.tid = id_a
+              JOIN sizes sb ON sb.tid = id_b)
+            WHERE containment >= 0.9
+        """,
     }
     # the stateful streaming sessionizer emits exactly the batch sessions;
     # its oracle IS the batch sessionize SQL
@@ -4710,6 +5006,14 @@ def oracle_sql() -> dict[str, str]:
     d["drag_discords"] = f"""
         SELECT event_type, range_start, range_end, peak_q6
         FROM read_parquet('{_dump_path("drag_oracle")}')
+    """
+    d["holt_winters_pinned"] = f"""
+        SELECT event_type, idx, value, fc_q6, resid_q6
+        FROM read_parquet('{_dump_path("hw_oracle")}')
+    """
+    d["dtw_distance"] = f"""
+        SELECT key_a, key_b, n_a, n_b, dtw_q6
+        FROM read_parquet('{_dump_path("dtw_oracle")}')
     """
     d["minhash_lsh"] = f"""
         SELECT id_a, id_b, est_jaccard

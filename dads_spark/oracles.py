@@ -712,3 +712,65 @@ def winnow_oracle(text: str, k: int = 8, w: int = 4, base: int = 1_000_003):
             sel.add(s + off)
     fps = {hashes[i] for i in sel}
     return sorted(fp - (1 << 64) if fp >= (1 << 63) else fp for fp in fps)
+
+
+def holt_winters_oracle(
+    x: np.ndarray, m: int = 24, alpha: float = 0.3, beta: float = 0.1,
+    gamma: float = 0.2,
+):
+    """Scalar textbook additive Holt-Winters (Winters 1960 / Hyndman fpp
+    formulation): classical init over the first two seasons, then the
+    three-state recurrence. Returns (forecast, residual); idx < m nan.
+
+    Init means use a plain scalar sum — exact in float64 on integer count
+    series, hence bit-identical to any vectorized/distributed sum."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    f = [float("nan")] * n
+    r = [float("nan")] * n
+    if n < 2 * m:
+        return np.array(f), np.array(r)
+    s1 = 0.0
+    for i in range(m):
+        s1 += x[i]
+    s2 = 0.0
+    for i in range(m, 2 * m):
+        s2 += x[i]
+    level = s1 / m
+    trend = (s2 / m - level) / m
+    season = [float("nan")] * n
+    for i in range(m):
+        season[i] = x[i] - level
+    for t in range(m, n):
+        f[t] = level + trend + season[t - m]
+        new_level = alpha * (x[t] - season[t - m]) + (1 - alpha) * (level + trend)
+        new_trend = beta * (new_level - level) + (1 - beta) * trend
+        season[t] = gamma * (x[t] - new_level) + (1 - gamma) * season[t - m]
+        level, trend = new_level, new_trend
+        r[t] = x[t] - f[t]
+    return np.array(f), np.array(r)
+
+
+def dtw_oracle(a: np.ndarray, b: np.ndarray, band: int) -> float:
+    """Scalar full-matrix banded DTW (Sakoe-Chiba 1978), L1 local cost,
+    band on the length-normalized diagonal |i - round(i*m/n)| <= band.
+    O(n*m) reference implementation — no row vectorization, every cell a
+    scalar min of three floats, so it shares no array mechanics with the
+    production kernel."""
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return float("nan")
+    INF = float("inf")
+    D = [[INF] * (m + 1) for _ in range(n + 1)]
+    D[0][0] = 0.0
+    for i in range(1, n + 1):
+        center = int(round(i * m / n))
+        for j in range(max(1, center - band), min(m, center + band) + 1):
+            c = abs(float(a[i - 1]) - float(b[j - 1]))
+            best = D[i - 1][j]
+            if D[i][j - 1] < best:
+                best = D[i][j - 1]
+            if D[i - 1][j - 1] < best:
+                best = D[i - 1][j - 1]
+            D[i][j] = c + best
+    return D[n][m]

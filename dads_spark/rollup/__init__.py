@@ -17,12 +17,19 @@ from .resample import resample_grid  # noqa: F401
 from .intervals import hopping_rollup, merge_intervals  # noqa: F401
 from .series import domain_hourly_series, text_identity_fingerprint, with_domain  # noqa: F401
 from .retention import DEFAULT_POLICY, enforce_policy, enforce_retention  # noqa: F401
-from .downsample import ewma_smooth, lttb_downsample, lttb_indices  # noqa: F401
+from .downsample import (  # noqa: F401
+    ewma_smooth,
+    lttb_downsample,
+    lttb_indices,
+    m4_downsample,
+)
 from .forecast import (  # noqa: F401
     cusum_changepoints,
     cusum_grouped,
     holt_forecast,
     holt_residuals_grouped,
+    holt_winters,
+    holt_winters_grouped,
 )
 from .matrixprofile import (  # noqa: F401
     discords_grouped,
@@ -30,8 +37,15 @@ from .matrixprofile import (  # noqa: F401
     matrix_profile_grouped,
     top_discords,
 )
+from .trend import (  # noqa: F401
+    dtw_banded,
+    dtw_pairs_grouped,
+    theil_sen_grouped,
+    theil_sen_slope,
+)
 from .analytics import (  # noqa: F401
     autocorrelation,
+    gap_percentiles,
     cohort_retention,
     counter_rate,
     mad_outliers,

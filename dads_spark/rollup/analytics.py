@@ -483,3 +483,65 @@ def seasonal_decompose(
             F.round(det - F.col("seasonal") - F.lit(1e-9), 6).alias("residual"),
         )
     )
+
+
+def gap_percentiles(
+    events: DataFrame,
+    entity_col: str,
+    type_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival gap distribution per series type: for each
+    ``type_col``, the number of consecutive-event gaps (per entity, e.g.
+    user or domain), their exact sum, and EXACT rank-based p50/p90 — the
+    k-th smallest gap with k = ceil(q*n) computed in integer arithmetic
+    ((n+1)//2 and (9n+9)//10), so no engine interpolation rule is involved
+    and every output column is an exact integer.
+
+    Plan shape: one window pass partitioned by entity (lag), one window
+    pass partitioned by type (rank + count), one grouped aggregation —
+    all JVM codegen. The rank window sorts gaps within a type; at web
+    scale that is the one genuinely global per-type sort, which is what an
+    exact order statistic costs (use the quantile digest cascade for the
+    approximate path).
+
+    Output: (type, n_gaps, sum_gap_sec, p50_gap_sec, p90_gap_sec).
+    """
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    w_ent = W.partitionBy(entity_col).orderBy(t, F.col(tiebreak_col))
+    gaps = (
+        events.select(
+            F.col(type_col).alias("type"),
+            F.col(entity_col).alias("_ent"),
+            F.col(tiebreak_col).alias("_tb"),
+            (t - F.lag(t).over(w_ent)).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    w_rank = W.partitionBy("type").orderBy("gap", "_ent", "_tb")
+    w_all = W.partitionBy("type")
+    ranked = gaps.select(
+        "type",
+        "gap",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    return ranked.groupBy("type").agg(
+        F.max("n").alias("n_gaps"),
+        F.sum("gap").alias("sum_gap_sec"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("gap")
+            ).otherwise(None)
+        ).alias("_p50_raw"),
+        F.max(
+            F.when(F.col("rn") == F.floor((9 * F.col("n") + 9) / 10), F.col("gap"))
+        ).alias("p90_gap_sec"),
+    ).select(
+        "type",
+        "n_gaps",
+        "sum_gap_sec",
+        F.col("_p50_raw").alias("p50_gap_sec"),
+        "p90_gap_sec",
+    )

@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def lttb_indices(t: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
@@ -92,6 +93,62 @@ def lttb_downsample(
     return df.select(*key_cols, bucket_col, value_col).groupBy(
         *key_cols
     ).applyInPandas(pick, out_schema)
+
+
+def m4_downsample(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    pixel_sec: int,
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per fixed-width pixel
+    bucket keep the four extremal points — first, last, min, max — which is
+    exactly the point set a width-w line plot needs for pixel-perfect
+    rendering, and the standard visualization downsample next to LTTB.
+
+    Unlike LTTB (sequential per-series recurrence -> applyInPandas), M4 is
+    a plain grouped aggregation: 100% JVM codegen, ONE shuffle on
+    (keys, pixel), partial aggregation map-side — at 10^12 docs the shuffle
+    carries one row per (series, pixel), i.e. the OUTPUT size, not the
+    input. Pixel buckets are absolute (``floor(epoch/pixel_sec)``) rather
+    than per-series extents, so no second pass / broadcast of per-series
+    min/max is needed and buckets align across series.
+
+    Tie rules (deterministic under any partitioning): within a pixel the
+    timestamp is assumed unique per series (true for tier rollups); the
+    min point breaks value ties by SMALLEST ts, the max point by LARGEST
+    ts — the lexicographic struct orderings ``min(struct(v,t))`` /
+    ``max(struct(v,t))``.
+
+    Output: (keys..., pixel, t_first, v_first, t_last, v_last,
+    t_min, v_min, t_max, v_max) with t_* as epoch seconds.
+    """
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        *key_cols,
+        (F.floor(t / F.lit(int(pixel_sec)))).alias("pixel"),
+        t.alias("t"),
+        v.alias("v"),
+    )
+    return base.groupBy(*key_cols, "pixel").agg(
+        F.min(F.struct("t", "v")).alias("_first"),
+        F.max(F.struct("t", "v")).alias("_last"),
+        F.min(F.struct("v", "t")).alias("_min"),
+        F.max(F.struct("v", "t")).alias("_max"),
+    ).select(
+        *key_cols,
+        "pixel",
+        F.col("_first.t").alias("t_first"),
+        F.col("_first.v").alias("v_first"),
+        F.col("_last.t").alias("t_last"),
+        F.col("_last.v").alias("v_last"),
+        F.col("_min.t").alias("t_min"),
+        F.col("_min.v").alias("v_min"),
+        F.col("_max.t").alias("t_max"),
+        F.col("_max.v").alias("v_max"),
+    )
 
 
 def ewma_smooth(

@@ -44,6 +44,87 @@ def holt_forecast(
     return f, x - f
 
 
+def holt_winters(
+    x: np.ndarray,
+    m: int = 24,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Additive Holt-Winters (triple exponential) smoothing, season ``m``.
+
+    The seasonal extension of :func:`holt_forecast` — for web-traffic
+    series the daily cycle (m=24 on hourly tiers) IS the signal, and Holt
+    linear flags every morning ramp as a residual outlier; Holt-Winters
+    absorbs it into the seasonal state.
+
+    Init (classical, needs n >= 2m): level = mean(x[0:m]),
+    trend = (mean(x[m:2m]) - mean(x[0:m])) / m, s_i = x_i - level for the
+    first season. For t >= m, one-step-ahead:
+
+      forecast_t = level + trend + s_{t-m}
+      level'     = alpha (x_t - s_{t-m}) + (1-alpha)(level + trend)
+      trend'     = beta (level' - level) + (1-beta) trend
+      s_t        = gamma (x_t - level') + (1-gamma) s_{t-m}
+
+    Returns (forecast, residual); indices < m are nan. On integer count
+    series the init means are exact in float64 under any summation order,
+    so distributed and local assemblies feed bit-identical state.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    f = np.full(n, np.nan)
+    if n < 2 * m:
+        return f, np.full(n, np.nan)
+    level = x[:m].sum() / m
+    trend = (x[m : 2 * m].sum() / m - level) / m
+    s = np.full(n, np.nan)
+    s[:m] = x[:m] - level
+    for t in range(m, n):
+        f[t] = level + trend + s[t - m]
+        new_level = alpha * (x[t] - s[t - m]) + (1 - alpha) * (level + trend)
+        new_trend = beta * (new_level - level) + (1 - beta) * trend
+        s[t] = gamma * (x[t] - new_level) + (1 - gamma) * s[t - m]
+        level, trend = new_level, new_trend
+    return f, x - f
+
+
+def holt_winters_grouped(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    m: int = 24,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Per-series Holt-Winters one-step forecasts + residuals for every
+    index past the first season: (keys..., idx, value, forecast, residual).
+    Same grouped-kernel scale shape as :func:`holt_residuals_grouped`."""
+    out_schema = ", ".join(
+        [f"{c} string" for c in key_cols]
+        + ["idx long", "value double", "forecast double", "residual double"]
+    )
+
+    def f(keys, pdf):
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        fc, resid = holt_winters(x, m, alpha, beta, gamma)
+        ok = np.isfinite(fc)
+        return pd.DataFrame(
+            {
+                **{c: v for c, v in zip(key_cols, keys)},
+                "idx": np.nonzero(ok)[0].astype(np.int64),
+                "value": x[ok],
+                "forecast": fc[ok],
+                "residual": resid[ok],
+            }
+        )
+
+    return df.groupBy(*key_cols).applyInPandas(f, out_schema)
+
+
 def cusum_changepoints(
     x: np.ndarray, k: float = 0.5, h: float = 5.0, baseline: int | None = None
 ) -> list[tuple[int, str]]:

@@ -1,0 +1,179 @@
+"""Robust trend estimation + series-shape distance over rolled-up tiers.
+
+Two operators a time-series retention engine needs once tiers exist:
+
+- :func:`theil_sen_grouped` — Theil-Sen robust trend slope per series: the
+  median of all pairwise slopes. Breakdown point 29%, immune to the outlier
+  spikes that wreck an OLS slope on web-traffic series. We report the LOWER
+  median (the k-th smallest order statistic, k = (n_pairs+1)//2) rather than
+  the interpolated median so the result is an element of the slope multiset
+  — exactly reproducible by any engine as a rank selection, with no
+  cross-engine interpolation rule involved.
+- :func:`dtw_pairs_grouped` — banded (Sakoe-Chiba) Dynamic Time Warping
+  distance between every pair of series: the standard shape-similarity
+  measure that tolerates phase shift (a CDN mirror lagging its origin by an
+  hour still reads as "same shape"), which plain Euclidean/xcorr punishes.
+
+Scale shape: both are per-series/per-pair kernels over POST-ROLLUP series
+(thousands of points each after tier aggregation, regardless of raw input
+size), running under ``groupBy().applyInPandas`` — one task per series or
+pair, zero cross-task traffic, the same many-small-kernels layout as the
+grouped S2G scorer. Theil-Sen is O(n^2) pairs per series: bounded because n
+is the TIER length (e.g. 8,760 hourly points/year -> 38M slopes, one
+NumPy partition per task); for longer series swap in the repeated-median
+variant or a pair sample. DTW is O(n*band) per pair via the Sakoe-Chiba
+window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def theil_sen_slope(t_sec: np.ndarray, v: np.ndarray) -> tuple[float, int]:
+    """Lower-median Theil-Sen slope in value-units per HOUR.
+
+    slope_ij = (v_j - v_i) * 3600.0 / (t_j - t_i) for all i < j (t in
+    seconds, strictly increasing), result = k-th smallest with
+    k = (n_pairs+1)//2. Returns (slope, n_pairs); (nan, 0) when n < 2.
+    """
+    t = np.asarray(t_sec, dtype=np.float64)
+    x = np.asarray(v, dtype=np.float64)
+    n = len(x)
+    if n < 2:
+        return float("nan"), 0
+    i, j = np.triu_indices(n, k=1)
+    slopes = (x[j] - x[i]) * 3600.0 / (t[j] - t[i])
+    k = (len(slopes) + 1) // 2
+    kth = np.partition(slopes, k - 1)[k - 1]
+    return float(kth), int(len(slopes))
+
+
+def theil_sen_grouped(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-series Theil-Sen trend: (keys..., n_points, n_pairs, slope_per_hr).
+
+    ``ts_col`` must be epoch seconds (long) or castable; series are sorted
+    by it inside the kernel so the result is partition-order invariant.
+    """
+    out_schema = ", ".join(
+        [f"{c} string" for c in key_cols]
+        + ["n_points long", "n_pairs long", "slope_per_hr double"]
+    )
+
+    def f(keys, pdf):
+        pdf = pdf.sort_values(ts_col)
+        t = pdf[ts_col].to_numpy(dtype=np.int64)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        slope, n_pairs = theil_sen_slope(t, v)
+        return pd.DataFrame(
+            {
+                **{c: [k] for c, k in zip(key_cols, keys)},
+                "n_points": np.array([len(v)], dtype=np.int64),
+                "n_pairs": np.array([n_pairs], dtype=np.int64),
+                "slope_per_hr": np.array([slope], dtype=np.float64),
+            }
+        )
+
+    return df.groupBy(*key_cols).applyInPandas(f, out_schema)
+
+
+def dtw_banded(a: np.ndarray, b: np.ndarray, band: int) -> float:
+    """Sakoe-Chiba banded DTW with |a_i - b_j| (L1) local cost.
+
+    Classic O(n*band) DP: D[i,j] = cost(i,j) + min(D[i-1,j], D[i,j-1],
+    D[i-1,j-1]), cells outside |i - round(j*n/m)| <= band are +inf (the
+    band is applied on the length-normalized diagonal so unequal-length
+    series warp fairly). Row-sliced NumPy: the i-loop is sequential (the
+    recurrence demands it), each row's window is vectorized.
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return float("nan")
+    inf = np.inf
+    prev = np.full(m + 1, inf)
+    prev[0] = 0.0
+    for i in range(1, n + 1):
+        # window of j allowed for this i (1-based), band on the normalized
+        # diagonal j* = i*m/n
+        center = int(round(i * m / n))
+        lo = max(1, center - band)
+        hi = min(m, center + band)
+        cur = np.full(m + 1, inf)
+        cost = np.abs(a[i - 1] - b[lo - 1 : hi])
+        seg_prev = prev[lo : hi + 1]      # D[i-1, j]
+        seg_diag = prev[lo - 1 : hi]      # D[i-1, j-1]
+        best = np.minimum(seg_prev, seg_diag)
+        # D[i, j-1] is a left-to-right scan inside the row
+        left = cur[lo - 1]
+        out = cur[lo : hi + 1]
+        for idx in range(hi - lo + 1):
+            c = cost[idx] + min(best[idx], left)
+            out[idx] = c
+            left = c
+        prev = cur
+    return float(prev[m])
+
+
+def dtw_pairs_grouped(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    band: int = 48,
+) -> DataFrame:
+    """Banded DTW distance between every unordered pair of series:
+    (key_a, key_b, n_a, n_b, dtw) with key_a < key_b.
+
+    Plan shape: one shuffle to assemble each series as a sorted array row
+    (``collect_list`` under a group — safe because post-rollup series are
+    tier-bounded), a broadcastable self-join to form pairs, then one
+    vectorized-DP kernel per pair row. Pair count is quadratic in the
+    NUMBER OF SERIES, so at web scale this runs on a candidate-pair list
+    (e.g. same LSH bucket of series sketches), not the full cross join —
+    the operator takes whatever pair relation the caller filtered to.
+    """
+    from pyspark.sql import functions as F
+
+    series = (
+        df.groupBy(key_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(ts_col, value_col))
+            ).alias("pts")
+        )
+        .select(
+            F.col(key_col).alias("k"),
+            F.col(f"pts.{value_col}").alias("vs"),
+        )
+    )
+    a = series.select(F.col("k").alias("key_a"), F.col("vs").alias("vs_a"))
+    b = series.select(F.col("k").alias("key_b"), F.col("vs").alias("vs_b"))
+    pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                va = np.asarray(r["vs_a"], dtype=np.float64)
+                vb = np.asarray(r["vs_b"], dtype=np.float64)
+                rows.append(
+                    (r["key_a"], r["key_b"], len(va), len(vb),
+                     dtw_banded(va, vb, band))
+                )
+            yield pd.DataFrame(
+                rows, columns=["key_a", "key_b", "n_a", "n_b", "dtw"]
+            )
+
+    return pairs.mapInPandas(
+        kernel, "key_a string, key_b string, n_a long, n_b long, dtw double"
+    )
