@@ -156,6 +156,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # r3 session 3: relational grid resampling + subsequence search
         "resample_linear",
         "pattern_search",
+        # r3 session 3b: viz downsampling, robust trend, gap distribution,
+        # seasonal forecasting (dtw_distance / shingle_containment are
+        # gate-only: their lanes would mostly time oracle staging)
+        "minmax_downsample",
+        "theil_sen_trend",
+        "session_gap_stats",
+        "holt_winters_pinned",
     ]
     for name in suite:
         t0 = _now()

