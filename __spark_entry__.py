@@ -3090,6 +3090,80 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_burst_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # burst detection over the hourly tiers: maximal runs of buckets above
+    # 1.3x the trailing-24h average, merged gaps-and-islands style. The
+    # trailing average is an exact-integer sum / 24 on both engines, so the
+    # threshold comparison is IEEE-identical and the all-integer-valued
+    # output hashes cleanly.
+    from dads_spark.rollup import burst_intervals
+
+    return burst_intervals(
+        _hourly_counts_df(spark, sf_dir),
+        ["event_type"],
+        "bucket_ts",
+        "v",
+        factor=1.3,
+        baseline_buckets=24,
+    )
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact duplicate-substring spans (Lee et al. 2022 style): token ranges
+    # whose every 8-gram window recurs in another document — catches pasted
+    # boilerplate paragraphs document-level dedup can't see. All-integer
+    # positional output.
+    from dads_spark.ops import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = duplicate_spans(docs, "text", "doc_id", n=8, min_span_tokens=12)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
+def q_tier_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # continuous-aggregate integrity audit: the day tier CASCADED from the
+    # hour tier must agree with the day tier computed DIRECTLY from raw on
+    # every exactly-associative column (counts, min, max). The operator a
+    # retention engine runs after every tier materialization; float sums
+    # are excluded on purpose (associativity does not bit-hold for them —
+    # their cross-check is the rounded-oracle gate on the tier queries).
+    from dads_spark.rollup import cascade, rollup_from_raw
+
+    ev = _t(spark, sf_dir, "events")
+    hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+    day_c = cascade(hour, ["event_type"], "day").select(
+        "event_type",
+        F.col("bucket_ts").cast("timestamp_ltz").cast("long").alias("day_sec"),
+        F.col("doc_count").alias("n_cascade"),
+        F.col("value_min").alias("min_cascade"),
+        F.col("value_max").alias("max_cascade"),
+    )
+    day_d = rollup_from_raw(ev, ["event_type"], "ts", "value", "day").select(
+        "event_type",
+        F.col("bucket_ts").cast("timestamp_ltz").cast("long").alias("day_sec"),
+        F.col("doc_count").alias("n_direct"),
+        F.col("value_min").alias("min_direct"),
+        F.col("value_max").alias("max_direct"),
+    )
+    j = day_c.join(day_d, ["event_type", "day_sec"], "full_outer")
+    return j.select(
+        "event_type",
+        "day_sec",
+        "n_cascade",
+        "n_direct",
+        (
+            F.col("n_cascade").eqNullSafe(F.col("n_direct"))
+            & F.col("min_cascade").eqNullSafe(F.col("min_direct"))
+            & F.col("max_cascade").eqNullSafe(F.col("max_direct"))
+        ).alias("consistent"),
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact heavy hitters over document tokens via mergeable Misra-Gries
     # candidates + broadcast verify (shuffle bounded by 1/threshold, not
@@ -3368,6 +3442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- oracle-backed, deferred (local sweep verifies; rotate in next) --
         "dtw_distance": q_dtw_distance,
         "shingle_containment": q_shingle_containment,
+        "burst_intervals": q_burst_intervals,
+        "duplicate_spans": q_duplicate_spans,
+        "tier_consistency": q_tier_consistency,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -4961,6 +5038,88 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sa ON sa.tid = id_a
               JOIN sizes sb ON sb.tid = id_b)
             WHERE containment >= 0.9
+        """,
+        "burst_intervals": """
+            WITH s AS (
+              SELECT event_type,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS t,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events GROUP BY 1, 2),
+            tr AS (
+              SELECT event_type, t, v, t // 3600 AS bidx,
+                     avg(v) OVER w AS trail_avg,
+                     count(*) OVER w AS trail_n
+              FROM s
+              WINDOW w AS (PARTITION BY event_type ORDER BY t // 3600
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+            fl AS (SELECT * FROM tr
+                   WHERE trail_n = 24 AND v > 1.3 * trail_avg),
+            isl AS (
+              SELECT event_type, t, v, bidx,
+                     bidx - row_number() OVER (PARTITION BY event_type
+                                               ORDER BY bidx) AS island
+              FROM fl)
+            SELECT event_type,
+                   min(t) AS start_sec,
+                   max(t) AS end_sec,
+                   count(*) AS n_buckets,
+                   max(v) AS peak_v,
+                   sum(v) AS sum_v
+            FROM isl GROUP BY event_type, island
+        """,
+        "duplicate_spans": """
+            WITH toks AS (
+              SELECT doc_id AS id, string_split(text, ' ') AS tk
+              FROM documents
+              WHERE doc_id < 300 AND len(string_split(text, ' ')) >= 8),
+            ix AS (SELECT id, tk, unnest(range(1, len(tk) - 6)) AS i
+                   FROM toks),
+            g AS (SELECT id, i - 1 AS pos,
+                         array_to_string(tk[i:i + 7], ' ') AS gram
+                  FROM ix),
+            dup AS (SELECT gram FROM (
+                      SELECT gram, count(DISTINCT id) AS nd
+                      FROM g GROUP BY 1)
+                    WHERE nd >= 2),
+            h AS (SELECT id, pos FROM g JOIN dup USING (gram)),
+            isl AS (
+              SELECT id, pos,
+                     pos - row_number() OVER (PARTITION BY id
+                                              ORDER BY pos) AS island
+              FROM h)
+            SELECT id AS doc_id, span_start, span_end, span_tokens FROM (
+              SELECT id,
+                     CAST(min(pos) AS BIGINT) AS span_start,
+                     CAST(max(pos) + 8 AS BIGINT) AS span_end,
+                     CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+              FROM isl GROUP BY id, island)
+            WHERE span_tokens >= 12
+        """,
+        "tier_consistency": """
+            WITH hr AS (
+              SELECT event_type, date_trunc('hour', ts) AS bt,
+                     count(*) AS n, min(value) AS mn, max(value) AS mx
+              FROM events GROUP BY 1, 2),
+            dc AS (
+              SELECT event_type,
+                     CAST(floor(epoch(date_trunc('day', bt))) AS BIGINT)
+                         AS day_sec,
+                     CAST(sum(n) AS BIGINT) AS n_cascade,
+                     min(mn) AS min_cascade, max(mx) AS max_cascade
+              FROM hr GROUP BY 1, 2),
+            dd AS (
+              SELECT event_type,
+                     CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                         AS day_sec,
+                     count(*) AS n_direct,
+                     min(value) AS min_direct, max(value) AS max_direct
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, day_sec, n_cascade, n_direct,
+                   (n_cascade IS NOT DISTINCT FROM n_direct
+                    AND min_cascade IS NOT DISTINCT FROM min_direct
+                    AND max_cascade IS NOT DISTINCT FROM max_direct)
+                       AS consistent
+            FROM dc FULL OUTER JOIN dd USING (event_type, day_sec)
         """,
     }
     # the stateful streaming sessionizer emits exactly the batch sessions;

@@ -2,6 +2,7 @@
 
 from .dedup import (  # noqa: F401
     dedup_exact,
+    duplicate_spans,
     exact_duplicates,
     minhash_lsh_pairs,
     minhash_signatures,

@@ -505,3 +505,65 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_span_tokens: int = 12,
+) -> DataFrame:
+    """Exact duplicate-substring spans: for every document, the maximal
+    token ranges whose every length-``n`` token window also occurs in at
+    least one OTHER document — the span form of exact-substring training-
+    data dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): near-dup removal keeps one copy of a page,
+    while this finds the boilerplate paragraph pasted into thousands of
+    otherwise-distinct pages, which document-level dedup can never see.
+
+    Relational formulation (no suffix array needed for the span report):
+    positional n-grams via ``transform(sequence)`` inside codegen, a
+    distinct-doc count per gram (the one corpus-wide shuffle, keyed by
+    gram — at web scale hash the gram to 8 bytes first and the shuffle
+    carries fixed-width keys), a semi-join back, and a gaps-and-islands
+    merge of consecutive duplicated positions per doc. Spans shorter than
+    ``min_span_tokens`` are dropped (an isolated 8-gram match is usually a
+    stock phrase, not boilerplate).
+
+    Output: (id, span_start, span_end, span_tokens) in token positions,
+    end exclusive at span_start + span_tokens.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("tk")
+    ).filter(F.size("tk") >= n)
+    grams = toks.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(tk) - {n}),"
+                f" i -> concat_ws(' ', slice(tk, i + 1, {n})))"
+            )
+        ).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup_grams, "gram", "left_semi").select("id", "pos")
+    w = W.partitionBy("id").orderBy("pos")
+    islands = hits.withColumn(
+        "island", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n)).alias("span_end"),
+        )
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start"))
+        .filter(F.col("span_tokens") >= min_span_tokens)
+        .select("id", "span_start", "span_end", "span_tokens")
+    )

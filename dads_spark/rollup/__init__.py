@@ -45,6 +45,7 @@ from .trend import (  # noqa: F401
 )
 from .analytics import (  # noqa: F401
     autocorrelation,
+    burst_intervals,
     gap_percentiles,
     cohort_retention,
     counter_rate,

@@ -545,3 +545,62 @@ def gap_percentiles(
         F.col("_p50_raw").alias("p50_gap_sec"),
         "p90_gap_sec",
     )
+
+
+def burst_intervals(
+    series: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "bucket_ts",
+    value_col: str = "v",
+    factor: float = 1.5,
+    baseline_buckets: int = 24,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Burst detection over rolled-up series: maximal runs of consecutive
+    buckets whose value exceeds ``factor`` x the trailing
+    ``baseline_buckets``-bucket average, merged into intervals
+    (gaps-and-islands).
+
+    A bucket only qualifies when its trailing window is FULL — the first
+    day of a series can't alarm off a two-point baseline. Merging is the
+    classic islands trick: for consecutive hourly buckets,
+    ``bucket_index - row_number()`` is constant within a run, so one
+    additional window pass + one aggregate materializes the intervals.
+
+    All JVM codegen (two window passes + one groupBy, all partitioned by
+    the series key — no extra shuffle beyond the series partitioning).
+    Values stay exact integers/counts; the threshold comparison evaluates
+    the same IEEE expression on both engines, so the operator is
+    hash-gate-safe.
+
+    Output: (keys..., start_sec, end_sec, n_buckets, peak_v, sum_v).
+    """
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    idx = (t / F.lit(bucket_seconds)).cast("long")
+    w_trail = (
+        W.partitionBy(*key_cols)
+        .orderBy(idx)
+        .rowsBetween(-baseline_buckets, -1)
+    )
+    flagged = series.select(
+        *key_cols,
+        idx.alias("bidx"),
+        t.alias("tsec"),
+        F.col(value_col).alias("v"),
+        F.avg(value_col).over(w_trail).alias("trail_avg"),
+        F.count(F.lit(1)).over(w_trail).alias("trail_n"),
+    ).filter(
+        (F.col("trail_n") == baseline_buckets)
+        & (F.col("v") > F.lit(factor) * F.col("trail_avg"))
+    )
+    w_run = W.partitionBy(*key_cols).orderBy("bidx")
+    islands = flagged.withColumn(
+        "island", F.col("bidx") - F.row_number().over(w_run)
+    )
+    return islands.groupBy(*key_cols, "island").agg(
+        F.min("tsec").alias("start_sec"),
+        F.max("tsec").alias("end_sec"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("v").alias("peak_v"),
+        F.sum("v").alias("sum_v"),
+    ).drop("island")
