@@ -3164,6 +3164,25 @@ def q_tier_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-unigram surprisal per doc (perplexity-proxy quality filter):
+    # per-token -ln p quantized to integer micro-units BEFORE the per-doc
+    # sum, so the score is an exact integer under any partitioning.
+    from dads_spark.ops import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic k-per-(series,hour) exemplar sample: membership is a
+    # pure function of event ids (md5 order), stable across reruns and
+    # resharding; output bounded at k rows per bucket at any input size.
+    from dads_spark.ops import bucket_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return bucket_sample(ev, ["event_type"], "ts", "event_id", k=5)
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact heavy hitters over document tokens via mergeable Misra-Gries
     # candidates + broadcast verify (shuffle bounded by 1/threshold, not
@@ -3445,6 +3464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_intervals": q_burst_intervals,
         "duplicate_spans": q_duplicate_spans,
         "tier_consistency": q_tier_consistency,
+        "unigram_logprob": q_unigram_logprob,
+        "bucket_sample": q_bucket_sample,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -5094,6 +5115,43 @@ def oracle_sql() -> dict[str, str]:
                      CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
               FROM isl GROUP BY id, island)
             WHERE span_tokens >= 12
+        """,
+        "unigram_logprob": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            dt AS (SELECT doc_id, w, count(*) AS dc FROM tok GROUP BY 1, 2),
+            v AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+            tot AS (SELECT count(*) AS t FROM tok),
+            nl AS (
+              SELECT w,
+                     CAST(floor(-ln(cw / CAST(t AS DOUBLE)) * 1e6 + 0.5)
+                          AS BIGINT) AS neglp_q6
+              FROM v, tot)
+            SELECT doc_id,
+                   CAST(sum(dc) AS BIGINT) AS n_tokens,
+                   CAST(sum(dc * neglp_q6) AS BIGINT) AS sum_neglp_q6,
+                   CAST(floor(sum(dc * neglp_q6)
+                              / CAST(sum(dc) AS DOUBLE) + 0.5) AS BIGINT)
+                       AS avg_neglp_q6
+            FROM dt JOIN nl USING (w) GROUP BY 1
+        """,
+        "bucket_sample": """
+            WITH b AS (
+              SELECT event_type,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+                         AS bucket_sec,
+                     event_id
+              FROM events),
+            r AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY event_type, bucket_sec
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+                         AS rnk
+              FROM b)
+            SELECT event_type, bucket_sec, event_id, rnk
+            FROM r WHERE rnk <= 5
         """,
         "tier_consistency": """
             WITH hr AS (

@@ -163,6 +163,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "theil_sen_trend",
         "session_gap_stats",
         "holt_winters_pinned",
+        # r3 session 3b: bursts, substring-span dedup, tier audit,
+        # LM-surprisal quality, per-bucket exemplar sampling
+        "burst_intervals",
+        "duplicate_spans",
+        "tier_consistency",
+        "unigram_logprob",
+        "bucket_sample",
     ]
     for name in suite:
         t0 = _now()

@@ -23,6 +23,7 @@ from .textstats import (  # noqa: F401
     token_counts,
     token_entropy,
     top_terms,
+    unigram_logprob,
     vocab_oov,
     winnow_fingerprints,
 )
@@ -33,6 +34,7 @@ from .linkgraph import (  # noqa: F401
 )
 from .contamination import contamination_report  # noqa: F401
 from .sampling import (  # noqa: F401
+    bucket_sample,
     deterministic_sample,
     hash_split,
     stratified_sample,

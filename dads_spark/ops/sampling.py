@@ -95,3 +95,37 @@ def stratified_sample(
         .filter(F.col("_rn") <= F.col("_take"))
         .drop("_rn", "_take")
     )
+
+
+def bucket_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    k: int = 5,
+    tier_seconds: int = 3600,
+) -> DataFrame:
+    """Deterministic fixed-size sample per (series, tier bucket): the k
+    rows with the smallest md5(id) in each bucket — a reservoir whose
+    membership is a pure function of the ids, so it is stable across
+    reruns, repartitioning, and incremental re-ingestion (re-processing a
+    bucket reproduces byte-identical samples, which checkpoint resume and
+    cross-engine audits both need).
+
+    One window pass partitioned by (keys, bucket); output is bounded at
+    k rows per bucket regardless of raw bucket size — the property that
+    makes per-bucket exemplar retention viable at 10^12 rows.
+
+    Output: (keys..., bucket_sec, id, rnk).
+    """
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    bucket = ((t / F.lit(tier_seconds)).cast("long") * tier_seconds).alias(
+        "bucket_sec"
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy(*key_cols, "bucket_sec").orderBy(h, F.col(id_col))
+    return (
+        df.select(*key_cols, bucket, F.col(id_col))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

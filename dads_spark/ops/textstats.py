@@ -389,3 +389,49 @@ def inverted_index(
         )
         .filter(F.col("doc_freq") >= min_df)
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-unigram-LM surprisal per document — the classic cheap
+    quality/perplexity filter for training-data pipelines: documents whose
+    tokens are improbable under the corpus's OWN unigram distribution are
+    disproportionately OCR garbage, lists of codes, or non-language.
+
+    Per distinct token w: neglp_q6(w) = floor(-ln(c_w / T) * 1e6 + 0.5)
+    as an integer (c_w = corpus occurrences, T = corpus total). Per doc:
+    the exact integer sum of neglp_q6 over token OCCURRENCES plus the
+    token count. Quantizing per-token BEFORE summing makes the document
+    score an exact integer — independent of summation order, partitioning,
+    and engine float-reduction differences (the one remaining cross-engine
+    surface is ln() itself on identical doubles, a <=1-ulp concern the
+    1e-6 quantum dwarfs).
+
+    Shape: explode -> per-(doc, token) counts (shuffle keyed by doc+token,
+    bounded by doc length), a corpus vocab aggregate (shuffle keyed by
+    token — the only corpus-wide reduction, one row per distinct token),
+    then a token-keyed join of the two count relations; at web scale the
+    vocab side is Zipf-headed, so AQE's skew handling or a salt on the
+    top-K tokens applies, and the join can equally run against a
+    BROADCAST top-K vocab with a rare-token floor.
+
+    Output: (id, n_tokens, sum_neglp_q6, avg_neglp_q6).
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    doc_tok = tok.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("dc"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    total = tok.count()  # driver-side scalar: one long, not a collect loop
+    neglp = F.expr(f"CAST(floor(-ln(cw / CAST({total} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)")
+    scored = doc_tok.join(vocab.withColumn("neglp_q6", neglp), "w")
+    return scored.groupBy(id_col).agg(
+        F.sum("dc").alias("n_tokens"),
+        F.sum(F.col("dc") * F.col("neglp_q6")).alias("sum_neglp_q6"),
+        F.expr(
+            "CAST(floor(sum(dc * neglp_q6) / CAST(sum(dc) AS DOUBLE) + 0.5) AS BIGINT)"
+        ).alias("avg_neglp_q6"),
+    )
