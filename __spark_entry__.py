@@ -3164,6 +3164,28 @@ def q_tier_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the retention engine's multi-resolution read path: hour rows inside
+    # the 14-day horizon, day rows beyond it, cut snapped to a day boundary
+    # (no overlap, no gap). Exact columns exact; float sums rounded (2 dp)
+    # per the tier-oracle precedent.
+    from dads_spark.rollup import cascade, downsample_on_expiry, rollup_from_raw
+
+    ev = _t(spark, sf_dir, "events")
+    hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+    day = cascade(hour, ["event_type"], "day")
+    out = downsample_on_expiry(hour, day, keep_hour_seconds=14 * 86_400)
+    return out.select(
+        "event_type",
+        "bucket_sec",
+        "resolution",
+        "doc_count",
+        F.round("value_sum", 2).alias("value_sum"),
+        F.round("value_min", 2).alias("value_min"),
+        F.round("value_max", 2).alias("value_max"),
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-unigram surprisal per doc (perplexity-proxy quality filter):
     # per-token -ln p quantized to integer micro-units BEFORE the per-doc
@@ -3466,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_consistency": q_tier_consistency,
         "unigram_logprob": q_unigram_logprob,
         "bucket_sample": q_bucket_sample,
+        "retention_downsample": q_retention_downsample,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -5115,6 +5138,33 @@ def oracle_sql() -> dict[str, str]:
                      CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
               FROM isl GROUP BY id, island)
             WHERE span_tokens >= 12
+        """,
+        "retention_downsample": """
+            WITH hr AS (
+              SELECT event_type,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+                         AS bsec,
+                     count(*) AS doc_count,
+                     sum(value) AS vs, min(value) AS vmin, max(value) AS vmax
+              FROM events GROUP BY 1, 2),
+            dy AS (
+              SELECT event_type, (bsec // 86400) * 86400 AS bsec,
+                     CAST(sum(doc_count) AS BIGINT) AS doc_count,
+                     sum(vs) AS vs, min(vmin) AS vmin, max(vmax) AS vmax
+              FROM hr GROUP BY 1, 2),
+            cut AS (
+              SELECT ((max(bsec) - 1209600) // 86400) * 86400 AS cut_sec
+              FROM hr)
+            SELECT event_type, bsec AS bucket_sec, 'hour' AS resolution,
+                   doc_count,
+                   round(vs, 2) AS value_sum,
+                   round(vmin, 2) AS value_min,
+                   round(vmax, 2) AS value_max
+            FROM hr, cut WHERE bsec >= cut_sec
+            UNION ALL
+            SELECT event_type, bsec, 'day', doc_count,
+                   round(vs, 2), round(vmin, 2), round(vmax, 2)
+            FROM dy, cut WHERE bsec < cut_sec
         """,
         "unigram_logprob": """
             WITH tok AS (

@@ -170,6 +170,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "tier_consistency",
         "unigram_logprob",
         "bucket_sample",
+        "retention_downsample",
     ]
     for name in suite:
         t0 = _now()

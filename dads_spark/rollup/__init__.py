@@ -16,7 +16,12 @@ from .patterns import pattern_topk, pattern_topk_kernel  # noqa: F401
 from .resample import resample_grid  # noqa: F401
 from .intervals import hopping_rollup, merge_intervals  # noqa: F401
 from .series import domain_hourly_series, text_identity_fingerprint, with_domain  # noqa: F401
-from .retention import DEFAULT_POLICY, enforce_policy, enforce_retention  # noqa: F401
+from .retention import (  # noqa: F401
+    DEFAULT_POLICY,
+    downsample_on_expiry,
+    enforce_policy,
+    enforce_retention,
+)
 from .downsample import (  # noqa: F401
     ewma_smooth,
     lttb_downsample,

@@ -70,3 +70,61 @@ def enforce_policy(
         tier: enforce_retention(df, policy.get(tier), watermark, bucket_col)
         for tier, df in tiers.items()
     }
+
+
+def downsample_on_expiry(
+    hour_df: DataFrame,
+    day_df: DataFrame,
+    keep_hour_seconds: int = DEFAULT_POLICY["hour"],
+    watermark: DataFrame | None = None,
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """The retention engine's multi-resolution READ path: hour rows inside
+    the hour-tier horizon, day rows for everything older — one seamless
+    relation where fresh data is fine-grained and aged data is coarse,
+    which is what "retention + downsample" means operationally (the
+    TimescaleDB / InfluxDB continuous-aggregate ladder).
+
+    The cut is snapped DOWN to a day boundary so the two resolutions never
+    overlap and never leave a gap: the day bucket containing the horizon
+    stays fine-grained in full; every strictly older day appears exactly
+    once as a day row. The watermark (default: the hour tier's own max
+    bucket) is a broadcast 1-row relation, so both sides remain one
+    scan-side predicate — partition-prunable under a ``days()``/
+    ``bucket_date`` layout, no shuffle added.
+
+    Output: (keys..., bucket_sec, resolution, doc_count, value_sum,
+    value_min, value_max).
+    """
+    us = F.unix_micros(F.col(bucket_col).cast("timestamp"))
+    if watermark is None:
+        watermark = hour_df.agg(F.max(us).alias("_wm_us"))
+    day_us = 86_400 * 1_000_000
+    cut_day_us = (
+        F.floor(
+            (F.col("_wm_us") - F.lit(int(keep_hour_seconds) * 1_000_000))
+            / F.lit(day_us)
+        )
+        * F.lit(day_us)
+    ).alias("_cut_us")
+    cut = F.broadcast(watermark.select(cut_day_us))
+
+    def shape(df: DataFrame, resolution: str, pred) -> DataFrame:
+        return (
+            df.crossJoin(cut)
+            .filter(pred(us, F.col("_cut_us")))
+            .select(
+                *[c for c in df.columns if c not in (bucket_col, "_cut_us")
+                  and not c.startswith("value") and c != "doc_count"],
+                (us / 1_000_000).cast("long").alias("bucket_sec"),
+                F.lit(resolution).alias("resolution"),
+                "doc_count",
+                "value_sum",
+                "value_min",
+                "value_max",
+            )
+        )
+
+    fine = shape(hour_df, "hour", lambda u, c: u >= c)
+    coarse = shape(day_df, "day", lambda u, c: u < c)
+    return fine.unionByName(coarse)

@@ -140,3 +140,41 @@ def test_enforce_policy_shared_watermark(spark, hour_tier):
     assert dy["bucket_ts"].min() >= wm - pd.Timedelta(days=30)
     # horizon = 2024-02-09T23 - 30d = 2024-01-10T23: day buckets 01-11..02-09
     assert len(dy) == 30
+
+
+def test_downsample_on_expiry_no_overlap_no_gap(spark):
+    """Every raw hour appears exactly once: fine-grained if >= the
+    day-snapped cut, inside exactly one day row otherwise."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from dads_spark.rollup import (
+        cascade,
+        downsample_on_expiry,
+        rollup_from_raw,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + dt.timedelta(hours=h, minutes=7), float(h % 9))
+        for h in range(40 * 24)  # 40 days of hourly events
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+    day = cascade(hour, ["event_type"], "day")
+    out = downsample_on_expiry(hour, day, keep_hour_seconds=14 * 86_400)
+    pdf = out.toPandas()
+    fine = pdf[pdf["resolution"] == "hour"]
+    coarse = pdf[pdf["resolution"] == "day"]
+    assert len(fine) > 0 and len(coarse) > 0
+    # cut = day floor of (max hour bucket - 14d)
+    wm = int(fine["bucket_sec"].max())
+    cut = ((wm - 14 * 86_400) // 86_400) * 86_400
+    assert fine["bucket_sec"].min() == cut  # boundary day stays fine
+    assert coarse["bucket_sec"].max() == cut - 86_400  # no overlap
+    # no gap: coarse days are contiguous from the first day to cut-1d
+    days = sorted(coarse["bucket_sec"])
+    assert days == list(range(days[0], cut, 86_400))
+    # conservation: every raw event counted exactly once across resolutions
+    assert int(pdf["doc_count"].sum()) == ev.count()

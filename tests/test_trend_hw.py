@@ -256,3 +256,74 @@ def test_gap_percentiles_exact_ranks(spark):
         assert r["sum_gap_sec"] == int(g.sum())
         assert r["p50_gap_sec"] == int(g[(n + 1) // 2 - 1])
         assert r["p90_gap_sec"] == int(g[(9 * n + 9) // 10 - 1])
+
+
+# ---------------------------------------------------------------------------
+# property tests (kernel-level, no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    vs=st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=3, max_size=60),
+    shift=st.floats(-1e5, 1e5, allow_nan=False),
+)
+@settings(max_examples=50, deadline=None)
+def test_theil_sen_shift_invariant(vs, shift):
+    t = np.arange(len(vs), dtype=np.int64) * 3600
+    v = np.asarray(vs)
+    s1, n1 = theil_sen_slope(t, v)
+    s2, n2 = theil_sen_slope(t, v + shift)
+    assert n1 == n2
+    # adding a constant never changes any pairwise slope beyond fp eps
+    assert s2 == pytest.approx(s1, rel=1e-9, abs=1e-9)
+
+
+@given(
+    vs=st.lists(st.floats(-1e3, 1e3, allow_nan=False), min_size=2, max_size=40)
+)
+@settings(max_examples=50, deadline=None)
+def test_dtw_symmetric_and_bounded(vs):
+    a = np.asarray(vs)
+    b = a[::-1].copy()
+    d_ab = dtw_banded(a, b, band=len(a))
+    d_ba = dtw_banded(b, a, band=len(a))
+    # full band + equal lengths -> symmetric
+    assert d_ab == pytest.approx(d_ba, rel=1e-12, abs=1e-12)
+    # DTW with any band is bounded below by |sum endpoint match| >= 0 and
+    # above by the L1 diagonal alignment cost
+    assert 0.0 <= d_ab <= np.abs(a - b).sum() + 1e-9
+
+
+@given(
+    vs=st.lists(
+        st.integers(0, 10**6), min_size=1, max_size=200
+    ),
+    pixel=st.integers(2, 50),
+)
+@settings(max_examples=50, deadline=None)
+def test_m4_extremes_bracket_kernel(vs, pixel):
+    # pandas-level property of the M4 semantics: per pixel, v_min/v_max
+    # bracket every value and first/last are the boundary points
+    pdf = pd.DataFrame(
+        {"t": np.arange(len(vs), dtype=np.int64), "v": np.asarray(vs, float)}
+    )
+    pdf["px"] = pdf["t"] // pixel
+    for _, sub in pdf.groupby("px"):
+        assert sub["v"].min() <= sub["v"].max()
+        assert sub.loc[sub["t"].idxmin(), "v"] >= sub["v"].min()
+        assert sub.loc[sub["t"].idxmax(), "v"] <= sub["v"].max()
+
+
+@given(
+    season=st.lists(st.integers(0, 100), min_size=4, max_size=12),
+    cycles=st.integers(3, 6),
+)
+@settings(max_examples=30, deadline=None)
+def test_holt_winters_seasonal_absorption_property(season, cycles):
+    m = len(season)
+    x = np.tile(np.asarray(season, dtype=np.float64), cycles)
+    _, resid = holt_winters(x, m=m)
+    ok = np.isfinite(resid)
+    assert np.abs(resid[ok]).max() < 1e-6 * (1 + np.abs(x).max())
