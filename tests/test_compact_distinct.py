@@ -1,0 +1,157 @@
+"""Tier compaction (rollup/compact.py) and the HLL distinct-count cascade
+(rollup/distinct.py): layout properties and sketch-merge exactness."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from dads_spark.rollup.compact import compact_tier, file_stats
+from dads_spark.rollup.distinct import (
+    cascade_distinct,
+    distinct_sketch_tier,
+    with_estimate,
+)
+
+
+def _tier_df(spark, n_rows=20_000, n_keys=8):
+    # synthetic hour-tier shape: (key, bucket_ts, doc_count, value_sum)
+    return (
+        spark.range(n_rows)
+        .select(
+            F.concat(F.lit("k"), (F.col("id") % n_keys).cast("string")).alias("key"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + (F.col("id") / n_keys).cast("long") * 3600).alias("bucket_ts"),
+            (F.col("id") % 97).alias("doc_count"),
+            (F.col("id") % 31 * 1.5).alias("value_sum"),
+        )
+    )
+
+
+def test_compact_bin_packs_and_preserves_data(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    tier = _tier_df(spark)
+    # fragment: 64 small files, the accreted-store pathology
+    tier.repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    compact_tier(spark.read.parquet(src), ["key", "bucket_ts"], out, target_files=4)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) <= 4
+
+    a = spark.read.parquet(src).orderBy("key", "bucket_ts", "doc_count").collect()
+    b = spark.read.parquet(out).orderBy("key", "bucket_ts", "doc_count").collect()
+    assert a == b
+
+
+def test_compact_layout_is_range_disjoint(spark, tmp_path):
+    # per-file [min,max] of the leading range column must not interleave:
+    # that's the property that lets a key-predicate read prune whole files
+    # from parquet footers alone
+    out = str(tmp_path / "clustered")
+    compact_tier(_tier_df(spark), ["key", "bucket_ts"], out, target_files=4)
+    stats = file_stats(spark, out, ["key"]).orderBy("min_key").collect()
+    assert len(stats) > 1
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev["max_key"] <= cur["min_key"]
+    # bin-packing: no file holds more than ~2x its fair share
+    rows = [s["n_rows"] for s in stats]
+    assert max(rows) <= 2 * (sum(rows) / len(rows))
+
+
+def test_max_records_per_file_caps_hot_ranges(spark, tmp_path):
+    out = str(tmp_path / "capped")
+    # one hot key = one hot range partition; the cap must split it
+    hot = spark.range(9_000).select(
+        F.lit("hot").alias("key"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("bucket_ts"),
+        F.col("id").alias("doc_count"),
+        F.lit(0.0).alias("value_sum"),
+    )
+    compact_tier(hot, ["key"], out, target_files=1, max_records_per_file=2_000)
+    counts = [s["n_rows"] for s in file_stats(spark, out, ["key"]).collect()]
+    assert max(counts) <= 2_000 and sum(counts) == 9_000
+
+
+def _events(spark, n=40_000, users=6_000):
+    # ids hashed so user cardinality per day exercises the sketch's dense
+    # regime (beyond the exact sparse/coupon modes)
+    return spark.range(n).select(
+        F.concat(F.lit("u"), F.pmod(F.hash(F.col("id")), F.lit(users)).cast("string")).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("event_type"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % (14 * 86_400)).alias("ts"),
+    )
+
+
+def test_hll_cascade_agrees_with_direct_within_rse(spark):
+    # register states are identical either way (max-associativity), but a
+    # single-pass sketch that never merged keeps the HIP estimator while a
+    # union reports the composite estimator — so direct-vs-cascade agrees
+    # within (well under) the sketch's RSE, not bitwise (module docstring)
+    ev = _events(spark)
+    hour = distinct_sketch_tier(ev, ["event_type"], "ts", "user_id", lg_k=12)
+    via_hour = with_estimate(cascade_distinct(hour, ["event_type"], "day"))
+    from dads_spark.rollup.tiers import bucket_expr
+
+    direct = with_estimate(
+        ev.groupBy("event_type", bucket_expr("ts", "day")).agg(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("distinct_hll")
+        )
+    )
+    a = {(r[0], r[1]): r[2] for r in via_hour.collect()}
+    b = {(r[0], r[1]): r[2] for r in direct.collect()}
+    assert a.keys() == b.keys() and a
+    for k in a:
+        assert abs(a[k] - b[k]) <= 0.03 * b[k]
+
+
+def test_hll_cascade_partitioning_invariant(spark):
+    ev = _events(spark)
+    one = with_estimate(
+        cascade_distinct(
+            distinct_sketch_tier(ev.coalesce(1), ["event_type"], "ts", "user_id"),
+            ["event_type"],
+            "day",
+        )
+    ).collect()
+    many = with_estimate(
+        cascade_distinct(
+            distinct_sketch_tier(
+                ev.repartition(13, "user_id"), ["event_type"], "ts", "user_id"
+            ),
+            ["event_type"],
+            "day",
+        )
+    ).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_hll_estimate_within_error_envelope(spark):
+    from dads_spark.rollup.tiers import bucket_expr
+
+    ev = _events(spark, n=80_000, users=20_000)
+    hour = distinct_sketch_tier(ev, ["event_type"], "ts", "user_id", lg_k=13)
+    day = with_estimate(cascade_distinct(hour, ["event_type"], "day"))
+    exact = ev.groupBy("event_type", bucket_expr("ts", "day")).agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    rows = day.join(exact, ["event_type", "bucket_ts"]).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_distinct"] - r["exact"]) <= 0.05 * r["exact"]
+
+
+def test_hll_week_cascade_path_independent(spark):
+    # the full chain raw -> hour -> day -> week equals the shortcut
+    # raw -> hour -> week BIT-FOR-BIT: both are union paths, and a union
+    # estimate is a pure function of the (associative) register state —
+    # cascade results don't depend on which tier they were merged through
+    ev = _events(spark)
+    hour = distinct_sketch_tier(ev, ["event_type"], "ts", "user_id")
+    day = cascade_distinct(hour, ["event_type"], "day")
+    week_via_day = with_estimate(cascade_distinct(day, ["event_type"], "week"))
+    week_via_hour = with_estimate(cascade_distinct(hour, ["event_type"], "week"))
+    assert sorted(map(tuple, week_via_day.collect())) == sorted(
+        map(tuple, week_via_hour.collect())
+    )
