@@ -1446,6 +1446,29 @@ def q_streaming_rollup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_topk_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hopping-window trending: incremental 1h/15m overlapping
+    counts per event_type (watermarked multi-assign window state), top-3
+    per window ranked batch-side on the completed sink — the streaming
+    counts / serving rank split. Oracle = the equivalent batch hopping
+    expansion + rank in DuckDB; hash equality proves streaming/batch
+    equivalence of the whole trending pipeline."""
+    from dads_spark.streaming import run_hopping_topk_once
+
+    ev = _t(spark, sf_dir, "events")
+    src = _events_stream_src(spark, sf_dir)
+    res = run_hopping_topk_once(
+        spark, src, ev.schema, ["event_type"], "ts", k=3,
+        query_name="q_stream_topk",
+    )
+    return res.select(
+        "event_type",
+        F.unix_timestamp("window_start").alias("ws"),
+        F.col("n").cast("long").alias("n"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -3535,11 +3558,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_pairs": q_simhash_near_pairs,
-        "simhash": q_simhash,
+        # "simhash" rotated past 50 (session 3c): it is the per-doc
+        # signature stage CONTAINED in simhash_near_pairs, so a near-pairs
+        # row certifies the family; two brand-new operator families
+        # (compact_roundtrip, hll_distinct_cascade) take the slots. Same
+        # rationale for resample_locf: the LOCF kernel semantics are
+        # already driver-pinned by r2-green gapfill_hour_locf, and
+        # resample_linear covers the shared grid machinery.
         "ann_lsh": q_ann_lsh,
         "s2g_graph_edges": q_s2g_graph_edges,
         "resample_linear": q_resample_linear,
-        "resample_locf": q_resample_locf,
+        "compact_roundtrip": q_compact_roundtrip,
+        "hll_distinct_cascade": q_hll_distinct_cascade,
         "pattern_search": q_pattern_search,
         "funnel_steps": q_funnel_steps,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3561,8 +3591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "bucket_sample": q_bucket_sample,
         "retention_downsample": q_retention_downsample,
-        "compact_roundtrip": q_compact_roundtrip,
-        "hll_distinct_cascade": q_hll_distinct_cascade,
+        "simhash": q_simhash,
+        "resample_locf": q_resample_locf,
+        "streaming_topk_hopping": q_streaming_topk_hopping,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -5212,6 +5243,27 @@ def oracle_sql() -> dict[str, str]:
                      CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
               FROM isl GROUP BY id, island)
             WHERE span_tokens >= 12
+        """,
+        "streaming_topk_hopping": """
+            WITH ev AS (
+                SELECT event_type, epoch_us(ts) AS t_us FROM events),
+            expanded AS (
+                SELECT event_type, t_us,
+                       (t_us // 900000000) * 900 - 900 * o.o AS ws
+                FROM ev, (SELECT unnest([0, 1, 2, 3]) AS o) o),
+            counts AS (
+                SELECT event_type, ws, count(*) AS n
+                FROM expanded
+                WHERE t_us >= ws * 1000000 AND t_us < (ws + 3600) * 1000000
+                GROUP BY 1, 2),
+            ranked AS (
+                SELECT event_type, CAST(ws AS BIGINT) AS ws,
+                       CAST(n AS BIGINT) AS n,
+                       CAST(row_number() OVER (
+                           PARTITION BY ws
+                           ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+                FROM counts)
+            SELECT event_type, ws, n, rnk FROM ranked WHERE rnk <= 3
         """,
         "compact_roundtrip": """
             SELECT event_type,

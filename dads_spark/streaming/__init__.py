@@ -8,8 +8,10 @@ for pipelines that tail a landing zone instead of re-scanning it.
 
 from .windowed import (  # noqa: F401
     run_dedup_stream,
+    run_hopping_topk_once,
     run_stream_once,
     sized_state_partitions,
+    streaming_hopping_counts,
     streaming_hourly_rollup,
 )
 from .stateful import (  # noqa: F401

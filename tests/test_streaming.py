@@ -157,3 +157,38 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     assert np.allclose(
         got["value_sum"].to_numpy(), want["value_sum"].to_numpy(), atol=0.01
     )
+
+
+def test_streaming_hopping_topk_matches_batch(spark, tmp_path):
+    # incremental hopping counts + serving-side rank == batch hopping
+    # rollup + the same rank; tie-free by (n DESC, key ASC)
+    from pyspark.sql import Window as W
+
+    from dads_spark.rollup import hopping_rollup
+    from dads_spark.streaming import run_hopping_topk_once
+
+    src = str(tmp_path / "hop_src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(src)
+
+    out = run_hopping_topk_once(
+        spark, src, events.schema, ["event_type"], "ts", k=3,
+        query_name="t_hop_topk",
+    ).toPandas()
+
+    rank_w = W.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    batch = (
+        hopping_rollup(events, ["event_type"], "ts", None,
+                       window="1 hour", slide="15 minutes")
+        .withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= 3)
+        .toPandas()
+    )
+    key = ["window_start", "rnk"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert (a["event_type"].to_numpy() == b["event_type"].to_numpy()).all()
+    assert (a["n"].to_numpy() == b["n"].to_numpy()).all()
