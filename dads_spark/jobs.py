@@ -25,6 +25,7 @@ from .compress import encode_timestamps, encode_values
 from .metrics import StageMetricsCollector
 from .ops.sketch import digest, digest_quantiles, merge_digests
 from .rollup import bucket_expr, cascade, gap_fill_linear
+from .rollup.distinct import cascade_distinct, distinct_sketch_tier, with_estimate
 from .rollup.series import domain_hourly_series, with_domain
 from .s2g import ROLLUP as S2G_ROLLUP_PARAMS, S2GParams
 from .s2g.discord import discord_series_grouped
@@ -138,6 +139,26 @@ class PagesRollupJob:
         out["day_quantiles"] = digest_quantiles(
             out["sketch_day"], ["domain", "bucket_day"], [0.5, 0.9]
         )
+
+        # Distinct-count cascade: COUNT(DISTINCT url) doesn't decompose
+        # either; hour-level HLL register arrays (rollup/distinct.py)
+        # persist beside the hour tier and the day stage UNIONS the stored
+        # sketches — <=4 KB per (domain, hour) crosses the wire, raw pages
+        # are never re-read for day/week distinct counts.
+        out["distinct_hour"] = self._stage(
+            "distinct_hour",
+            fp,
+            lambda: distinct_sketch_tier(
+                with_domain(pages), ["domain"], "warc_ts", "url", lg_k=12
+            ),
+        )
+        out["distinct_day"] = self._stage(
+            "distinct_day",
+            fp,
+            lambda: cascade_distinct(out["distinct_hour"], ["domain"], "day"),
+        )
+        # derived view: the estimate is a projection over stored registers
+        out["day_distinct_urls"] = with_estimate(out["distinct_day"])
 
         filled = gap_fill_linear(
             out["hour"].select(

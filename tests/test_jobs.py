@@ -27,7 +27,7 @@ def test_full_pipeline_and_resume(spark, pages, tmp_path_factory):
 
     job = PagesRollupJob(spark, root, s2g_params=params)
     out = job.run(pages, desc)
-    assert len(job.ran_stages) == 9 and not job.skipped_stages
+    assert len(job.ran_stages) == 11 and not job.skipped_stages
 
     # tiers conserve totals
     hour_total = out["hour"].agg(F.sum("doc_count")).collect()[0][0]
@@ -84,10 +84,24 @@ def test_full_pipeline_and_resume(spark, pages, tmp_path_factory):
             checked += 1
     assert checked > 0
 
+    # distinct cascade: day distinct-url estimates derived by UNIONING the
+    # persisted hour HLL sketches (distinct_day reads only distinct_hour)
+    # sit within the sketch's error envelope of exact COUNT(DISTINCT url)
+    exact_d = (
+        with_domain(pages)
+        .groupBy("domain", bucket_expr("warc_ts", "day").alias("bucket_ts"))
+        .agg(F.countDistinct("url").alias("exact"))
+    )
+    est = out["day_distinct_urls"].join(exact_d, ["domain", "bucket_ts"])
+    est_rows = est.collect()
+    assert est_rows
+    for r in est_rows:
+        assert abs(r["approx_distinct"] - r["exact"]) <= max(0.05 * r["exact"], 1)
+
     # resume: everything committed -> all skipped
     job2 = PagesRollupJob(spark, root, s2g_params=params)
     job2.run(pages, desc)
-    assert len(job2.skipped_stages) == 9 and not job2.ran_stages
+    assert len(job2.skipped_stages) == 11 and not job2.ran_stages
 
 
 def test_text_bytes_untouched(spark, pages):

@@ -84,6 +84,7 @@ def test_mid_pipeline_resume_recomputes_only_missing_stage(spark, tmp_path):
     assert job2.ran_stages == ["tier_day"]
     assert set(job2.skipped_stages) == {
         "tier_hour", "tier_week", "sketch_hour", "sketch_day",
+        "distinct_hour", "distinct_day",
         "gapfill_hour", "compress_hour", "s2g_scores", "discord_ranges",
     }
     day2 = out2["day"].toPandas().sort_values(["domain", "bucket_ts"])
@@ -94,6 +95,7 @@ def test_mid_pipeline_resume_recomputes_only_missing_stage(spark, tmp_path):
     persisted = spark.read.parquet(f"{root}/_metrics").toPandas()
     assert set(persisted["stage"]) == {
         "tier_hour", "tier_day", "tier_week", "sketch_hour", "sketch_day",
+        "distinct_hour", "distinct_day",
         "gapfill_hour", "compress_hour", "s2g_scores", "discord_ranges",
     }
-    assert len(persisted) == 9
+    assert len(persisted) == 11
