@@ -1446,6 +1446,40 @@ def q_streaming_rollup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy sequence packing (ops/packing.py): documents
+    concatenated per language shard in doc_id order, cut into 2048-token
+    context windows; each doc gets (bin_id, bin_offset, spans_boundary).
+    All integer arithmetic over a single JVM window pass — bit-exact on
+    any engine, repartition-invariant."""
+    from dads_spark.ops import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_toks")
+    )
+    return pack_sequences(docs, ["lang"], "doc_id", "n_toks", ctx_len=2048)
+
+
+def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per (event_type, day) vs the type's first-week
+    baseline (rollup/drift.py): total-variation distance over 10
+    equal-width baseline-fitted bins, reported as the EXACT integer
+    numerator sum |n_i*M - m_i*N| plus both totals — no logarithms, no
+    float hash surface (the paa_sax cross-engine rounding lesson)."""
+    from dads_spark.rollup import tv_drift
+
+    ev = _t(spark, sf_dir, "events")
+    out = tv_drift(ev, ["event_type"], "ts", "value",
+                   baseline_days=7, period="day", bins=10)
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket_ts").alias("ws"),
+        "tv_numer",
+        "n_period",
+        "n_baseline",
+    )
+
+
 def q_streaming_topk_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming hopping-window trending: incremental 1h/15m overlapping
     counts per event_type (watermarked multi-assign window state), top-3
@@ -3594,6 +3628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "resample_locf": q_resample_locf,
         "streaming_topk_hopping": q_streaming_topk_hopping,
+        "pack_sequences": q_pack_sequences,
+        "tv_drift": q_tv_drift,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -5243,6 +5279,65 @@ def oracle_sql() -> dict[str, str]:
                      CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
               FROM isl GROUP BY id, island)
             WHERE span_tokens >= 12
+        """,
+        "pack_sequences": """
+            SELECT lang, doc_id,
+                   CAST(n_toks AS BIGINT) AS n_tokens,
+                   CAST((cum - n_toks) // 2048 AS BIGINT) AS bin_id,
+                   CAST((cum - n_toks) % 2048 AS BIGINT) AS bin_offset,
+                   ((cum - n_toks) % 2048 + n_toks > 2048) AS spans_boundary
+            FROM (
+                SELECT lang, doc_id,
+                       len(string_split(text, ' ')) AS n_toks,
+                       sum(len(string_split(text, ' '))) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum
+                FROM documents)
+        """,
+        "tv_drift": """
+            WITH b AS (
+                SELECT event_type, min(epoch_us(ts)) AS t0 FROM events GROUP BY 1),
+            ev AS (
+                SELECT e.event_type, e.value, epoch_us(e.ts) AS t_us,
+                       (epoch_us(e.ts) < b.t0 + 604800000000) AS is_base
+                FROM events e JOIN b USING (event_type)),
+            bs AS (
+                SELECT event_type, min(value) AS v_lo, max(value) AS v_hi
+                FROM ev WHERE is_base GROUP BY 1),
+            binned AS (
+                SELECT ev.*, least(9, greatest(0, CAST(floor(
+                           (value - v_lo) / ((v_hi - v_lo) / 10.0)) AS INT))) AS bin
+                FROM ev JOIN bs USING (event_type)),
+            mh AS (
+                SELECT event_type, bin, count(*) AS m_i
+                FROM binned WHERE is_base GROUP BY 1, 2),
+            mt AS (SELECT event_type, sum(m_i) AS m_total FROM mh GROUP BY 1),
+            nh AS (
+                SELECT event_type, (t_us // 86400000000) * 86400 AS ws, bin,
+                       count(*) AS n_i
+                FROM binned WHERE NOT is_base GROUP BY 1, 2, 3),
+            nt AS (
+                SELECT event_type, ws, sum(n_i) AS n_total
+                FROM nh GROUP BY 1, 2),
+            grid AS (
+                SELECT nt.event_type, nt.ws, nt.n_total, g.bin
+                FROM nt, (SELECT unnest(range(0, 10)) AS bin) g),
+            j AS (
+                SELECT grid.event_type, grid.ws, grid.n_total, mt.m_total,
+                       coalesce(nh.n_i, 0) AS n_i, coalesce(mh.m_i, 0) AS m_i
+                FROM grid
+                LEFT JOIN nh ON nh.event_type = grid.event_type
+                            AND nh.ws = grid.ws AND nh.bin = grid.bin
+                LEFT JOIN mh ON mh.event_type = grid.event_type
+                            AND mh.bin = grid.bin
+                JOIN mt ON mt.event_type = grid.event_type)
+            SELECT event_type, CAST(ws AS BIGINT) AS ws,
+                   CAST(sum(abs(n_i * m_total - m_i * n_total)) AS BIGINT)
+                       AS tv_numer,
+                   CAST(n_total AS BIGINT) AS n_period,
+                   CAST(m_total AS BIGINT) AS n_baseline
+            FROM j GROUP BY event_type, ws, n_total, m_total
         """,
         "streaming_topk_hopping": """
             WITH ev AS (

@@ -40,6 +40,7 @@ from .sampling import (  # noqa: F401
     stratified_sample,
 )
 from .heavyhitters import heavy_hitters  # noqa: F401
+from .packing import pack_sequences  # noqa: F401
 from .redact import pii_counts, redact_pii  # noqa: F401
 from .boilerplate import boilerplate_lines, remove_boilerplate  # noqa: F401
 from .urltools import (  # noqa: F401

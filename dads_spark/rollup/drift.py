@@ -1,0 +1,137 @@
+"""Distribution-drift detection between time periods, integer-exact.
+
+Training-data pipelines watch whether a feature's distribution moved
+between ingestion periods (new crawl vs reference crawl, this week vs
+baseline). The standard monitoring metrics (PSI, KL) end in logarithms
+whose last-ulp behavior differs across engines — exactly the cross-engine
+float hazard this repo's oracle gate keeps hitting (paa_sax precedent) —
+so this operator reports TOTAL-VARIATION distance over fixed equal-width
+bins in EXACT INTEGER form:
+
+    TV = 1/2 * sum_i | n_i/N - m_i/M |
+       = sum_i | n_i*M - m_i*N |  /  (2*N*M)
+
+The numerator ``tv_numer`` and the totals (N, M) are integers — the
+metric is pinned bit-for-bit by the oracle; the float quotient is a
+display projection. Equal-width binning over the baseline's [min, max]
+(ids clamped into [0, bins-1]) keeps bin assignment engine-portable,
+unlike percentile bins whose interpolation rules differ.
+
+Spark shape: histograms are groupBy counts with map-side partials — the
+shuffle carries (key, period, bin) count rows, never raw values; baseline
+bounds/histogram are broadcast (keys x bins rows). The (period x bin)
+comparison grid is built with ``sequence``+``explode`` on the tiny period
+table, so every downstream join is small-side-broadcast.
+
+Reference analog: none; spec source is §2.4 (corpus-quality monitoring
+over time) + BASELINE.json:6 (per-tier series diagnostics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .tiers import bucket_expr
+
+__all__ = ["tv_drift"]
+
+
+def tv_drift(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    baseline_days: int = 7,
+    period: str = "day",
+    bins: int = 10,
+) -> DataFrame:
+    """Per (keys..., period bucket) AFTER each key's baseline window: the
+    total-variation distance between that period's ``value_col``
+    distribution and the key's baseline (its first ``baseline_days`` days),
+    over ``bins`` equal-width bins fitted on the baseline range.
+
+    Output: keys..., bucket_ts, tv_numer (exact sum |n_i*M - m_i*N|),
+    n_period, n_baseline, tv (float = tv_numer/(2*N*M), 6 dp).
+    """
+    us_per_day = 86_400_000_000
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+    # per-key baseline window [first_ts, first_ts + baseline_days) and
+    # equal-width bin bounds from the baseline value range
+    bounds = df.groupBy(*key_cols).agg(F.min(t_us).alias("t0_us"))
+    with_t = df.join(F.broadcast(bounds), key_cols).withColumn("_t_us", t_us)
+    is_base = F.col("_t_us") < F.col("t0_us") + F.lit(baseline_days * us_per_day)
+    base_stats = (
+        with_t.filter(is_base)
+        .groupBy(*key_cols)
+        .agg(F.min(value_col).alias("v_lo"), F.max(value_col).alias("v_hi"))
+    )
+    binned = (
+        with_t.join(F.broadcast(base_stats), key_cols)
+        .withColumn(
+            "_bin",
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(value_col) - F.col("v_lo"))
+                        / ((F.col("v_hi") - F.col("v_lo")) / F.lit(float(bins)))
+                    ).cast("int"),
+                ),
+            ),
+        )
+        .withColumn("_is_base", is_base)
+    )
+
+    base_hist = (
+        binned.filter("_is_base")
+        .groupBy(*key_cols, "_bin")
+        .agg(F.count(F.lit(1)).alias("m_i"))
+    )
+    base_total = base_hist.groupBy(*key_cols).agg(F.sum("m_i").alias("m_total"))
+
+    per_hist = (
+        binned.filter(~F.col("_is_base"))
+        .groupBy(*key_cols, bucket_expr(ts_col, period), "_bin")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+    )
+    per_total = per_hist.groupBy(*key_cols, "bucket_ts").agg(
+        F.sum("n_i").alias("n_total")
+    )
+
+    # complete (key, period, bin) grid so bins empty on either side still
+    # contribute |0*M - m_i*N| / |n_i*M - 0*N| terms
+    grid = per_total.select(
+        *key_cols,
+        "bucket_ts",
+        "n_total",
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("_bin"),
+    )
+    joined = (
+        grid.join(per_hist, [*key_cols, "bucket_ts", "_bin"], "left")
+        .join(F.broadcast(base_hist), [*key_cols, "_bin"], "left")
+        .join(F.broadcast(base_total), key_cols)
+        .withColumn("n_i", F.coalesce("n_i", F.lit(0)))
+        .withColumn("m_i", F.coalesce("m_i", F.lit(0)))
+    )
+    term = F.abs(
+        F.col("n_i").cast("long") * F.col("m_total").cast("long")
+        - F.col("m_i").cast("long") * F.col("n_total").cast("long")
+    )
+    return (
+        joined.groupBy(*key_cols, "bucket_ts", "m_total", "n_total")
+        .agg(F.sum(term).alias("tv_numer"))
+        .select(
+            *key_cols,
+            "bucket_ts",
+            F.col("tv_numer").cast("long").alias("tv_numer"),
+            F.col("n_total").cast("long").alias("n_period"),
+            F.col("m_total").cast("long").alias("n_baseline"),
+            F.round(
+                F.col("tv_numer")
+                / (F.lit(2.0) * F.col("n_total") * F.col("m_total")),
+                6,
+            ).alias("tv"),
+        )
+    )

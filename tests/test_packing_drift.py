@@ -1,0 +1,107 @@
+"""Sequence packing (ops/packing.py) and TV drift (rollup/drift.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dads_spark.ops.packing import pack_sequences
+from dads_spark.rollup.drift import tv_drift
+
+
+def _docs(spark, n=500):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l"), (F.col("id") % 3).cast("string")).alias("lang"),
+        (F.pmod(F.hash(F.col("id")), F.lit(900)) + 10).alias("n_toks"),
+    )
+
+
+def test_packing_invariants(spark):
+    out = pack_sequences(_docs(spark), ["lang"], "doc_id", "n_toks", 2048).toPandas()
+    assert (out["bin_offset"] >= 0).all() and (out["bin_offset"] < 2048).all()
+    assert (out["spans_boundary"] == (out["bin_offset"] + out["n_tokens"] > 2048)).all()
+    for lang, grp in out.sort_values("doc_id").groupby("lang"):
+        # greedy fill: bin ids are non-decreasing, start at 0, and the
+        # running offset reconstructs the cumulative token stream exactly
+        assert grp["bin_id"].iloc[0] == 0
+        assert (grp["bin_id"].diff().dropna() >= 0).all()
+        cum = grp["n_tokens"].cumsum() - grp["n_tokens"]
+        assert ((cum // 2048).to_numpy() == grp["bin_id"].to_numpy()).all()
+        assert ((cum % 2048).to_numpy() == grp["bin_offset"].to_numpy()).all()
+
+
+def test_packing_repartition_invariant(spark):
+    docs = _docs(spark)
+    a = pack_sequences(docs.coalesce(1), ["lang"], "doc_id", "n_toks", 2048)
+    b = pack_sequences(
+        docs.repartition(7, "doc_id"), ["lang"], "doc_id", "n_toks", 2048
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _drift_events(spark, shifted: bool):
+    # 14 days of data: baseline week ~ Uniform(0,100); second week either
+    # identical (no drift) or shifted +100 (total drift)
+    base = spark.range(2_000).select(
+        F.lit("t").alias("event_type"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % (7 * 86_400)).alias("ts"),
+        (F.pmod(F.hash("id"), F.lit(1000)) / 10.0).alias("value"),
+    )
+    second = spark.range(2_000).select(
+        F.lit("t").alias("event_type"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000 + 7 * 86_400) + F.col("id") % (7 * 86_400)
+        ).alias("ts"),
+        (
+            F.pmod(F.hash(F.col("id") + 77), F.lit(1000)) / 10.0
+            + (F.lit(1000.0) if shifted else F.lit(0.0))
+        ).alias("value"),
+    )
+    return base.union(second)
+
+
+def test_tv_drift_extremes(spark):
+    # identical generator -> small tv; fully shifted -> tv == 1 exactly
+    calm = tv_drift(_drift_events(spark, False), ["event_type"], "ts", "value")
+    calm_rows = calm.collect()
+    assert calm_rows and all(r["tv"] < 0.25 for r in calm_rows)
+
+    # fully shifted: every period value clamps into the top bin. The top
+    # bin is NOT empty in the baseline (equal-width bins are fitted on the
+    # baseline range, so bin 9 always holds v_hi), so the exact ceiling is
+    # 2*N*(M - m_9), reproduced here bin-for-bin in numpy.
+    import numpy as np
+
+    src = _drift_events(spark, True)
+    pdf = src.toPandas()
+    t0 = pdf["ts"].min()
+    base = pdf[pdf["ts"] < t0 + __import__("pandas").Timedelta(days=7)]
+    bv = base["value"].to_numpy()
+    lo, hi = bv.min(), bv.max()
+    mb = np.bincount(
+        np.clip(np.floor((bv - lo) / ((hi - lo) / 10.0)).astype(int), 0, 9),
+        minlength=10,
+    )
+    M = len(bv)
+    for r in tv_drift(src, ["event_type"], "ts", "value").collect():
+        N = r["n_period"]
+        n = np.zeros(10, dtype=np.int64)
+        n[9] = N
+        assert r["n_baseline"] == M
+        assert r["tv_numer"] == int(np.abs(n * M - mb * N).sum())
+        assert r["tv"] > 0.8
+
+
+def test_tv_drift_zero_on_identical_histogram(spark):
+    # literally the same rows re-timestamped into the next week -> every
+    # bin ratio matches exactly -> integer numerator is exactly 0
+    base = spark.range(1_000).select(
+        F.lit("t").alias("event_type"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") % 86_400).alias("ts"),
+        (F.pmod(F.hash("id"), F.lit(500)) / 5.0).alias("value"),
+    )
+    nxt = base.withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp("ts") + F.lit(8 * 86_400))
+    )
+    out = tv_drift(base.union(nxt), ["event_type"], "ts", "value").collect()
+    assert out and all(r["tv_numer"] == 0 and r["tv"] == 0.0 for r in out)
