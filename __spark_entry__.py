@@ -1480,6 +1480,63 @@ def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-suffix blocklist annotation (ops/urltools.py): hosts with
+    0-2 subdomain labels synthesized from documents columns, rules derived
+    per source (bare-domain rules for md5(source)<'8', a deeper
+    'assets.<source>.co.uk' rule otherwise) — exercises exact-host match,
+    one-label and multi-label subdomain matches, and non-matches. The
+    corpus is never shuffled: distinct hosts -> suffix-explode ->
+    broadcast rule equi-join -> matched set broadcast back."""
+    from dads_spark.ops import blocklist_annotate
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        "doc_id",
+        F.lower(
+            F.concat(
+                F.when(F.col("doc_id") % 4 == 0, F.lit("cdn.assets."))
+                .when(F.col("doc_id") % 4 == 1, F.lit("m."))
+                .otherwise(F.lit("")),
+                "source",
+                F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk")).otherwise(
+                    F.lit(".example.com")
+                ),
+            )
+        ).alias("host"),
+    )
+    rules = (
+        docs.select("source")
+        .distinct()
+        .select(
+            F.when(
+                F.substring(F.md5("source"), 1, 1) < "8",
+                F.concat(F.col("source"), F.lit(".example.com")),
+            )
+            .otherwise(F.concat(F.lit("assets."), F.col("source"), F.lit(".co.uk")))
+            .alias("rule")
+        )
+    )
+    return blocklist_annotate(hosts, rules).select(
+        "doc_id", "host", "blocked", "matched_rule"
+    )
+
+
+def q_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing (ops/sampling.py balance_sample):
+    largest subsample whose language mix is exactly en:de:fr:es:zh =
+    8:3:3:3:2 — integer water-level m = min(n_g div w_g), each group
+    contributes m*w_g smallest-md5 docs. All-integer quota arithmetic, so
+    the row SET is engine-exact (no float share boundaries)."""
+    from dads_spark.ops import balance_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = balance_sample(
+        docs, "lang", {"en": 8, "de": 3, "fr": 3, "es": 3, "zh": 2}, "doc_id"
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_streaming_topk_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming hopping-window trending: incremental 1h/15m overlapping
     counts per event_type (watermarked multi-assign window state), top-3
@@ -3630,6 +3687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_topk_hopping": q_streaming_topk_hopping,
         "pack_sequences": q_pack_sequences,
         "tv_drift": q_tv_drift,
+        "domain_blocklist": q_domain_blocklist,
+        "mixture_balance": q_mixture_balance,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -5338,6 +5397,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_total AS BIGINT) AS n_period,
                    CAST(m_total AS BIGINT) AS n_baseline
             FROM j GROUP BY event_type, ws, n_total, m_total
+        """,
+        "domain_blocklist": """
+            WITH hosts AS (
+                SELECT doc_id,
+                       lower(concat(
+                           CASE WHEN doc_id % 4 = 0 THEN 'cdn.assets.'
+                                WHEN doc_id % 4 = 1 THEN 'm.'
+                                ELSE '' END,
+                           source,
+                           CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+                                ELSE '.example.com' END)) AS host
+                FROM documents),
+            rules AS (
+                SELECT DISTINCT
+                       CASE WHEN substring(md5(source), 1, 1) < '8'
+                            THEN lower(concat(source, '.example.com'))
+                            ELSE lower(concat('assets.', source, '.co.uk'))
+                       END AS rule
+                FROM documents),
+            sfx AS (
+                SELECT doc_id, host,
+                       unnest(list_transform(
+                           range(1, least(len(string_split(host, '.')), 8) + 1),
+                           k -> array_to_string(
+                               string_split(host, '.')[
+                                   len(string_split(host, '.')) - k + 1:],
+                               '.'))) AS s
+                FROM hosts),
+            hit AS (
+                SELECT doc_id, s,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY len(s) DESC, s) AS rn
+                FROM sfx JOIN rules ON sfx.s = rules.rule)
+            SELECT h.doc_id, h.host,
+                   (hit.s IS NOT NULL) AS blocked,
+                   hit.s AS matched_rule
+            FROM hosts h
+            LEFT JOIN hit ON hit.doc_id = h.doc_id AND hit.rn = 1
+        """,
+        "mixture_balance": """
+            WITH w(lang, wt) AS (
+                VALUES ('en', 8), ('de', 3), ('fr', 3), ('es', 3), ('zh', 2)),
+            c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+            m AS (SELECT min(coalesce(n, 0) // wt) AS m
+                  FROM w LEFT JOIN c USING (lang)),
+            q AS (SELECT w.lang, w.wt * m.m AS take FROM w, m),
+            r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents)
+            SELECT r.doc_id, r.lang
+            FROM r JOIN q USING (lang) WHERE r.rn <= q.take
         """,
         "streaming_topk_hopping": """
             WITH ev AS (

@@ -175,6 +175,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # cascade (compaction write prestaged; lanes time reads/merges)
         "compact_roundtrip",
         "hll_distinct_cascade",
+        # r3 session 4: context-window packing, distribution drift,
+        # blocklist filtering, mixture rebalancing
+        "pack_sequences",
+        "tv_drift",
+        "domain_blocklist",
+        "mixture_balance",
     ]
     for name in suite:
         t0 = _now()

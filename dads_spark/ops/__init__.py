@@ -34,6 +34,7 @@ from .linkgraph import (  # noqa: F401
 )
 from .contamination import contamination_report  # noqa: F401
 from .sampling import (  # noqa: F401
+    balance_sample,
     bucket_sample,
     deterministic_sample,
     hash_split,
@@ -44,7 +45,10 @@ from .packing import pack_sequences  # noqa: F401
 from .redact import pii_counts, redact_pii  # noqa: F401
 from .boilerplate import boilerplate_lines, remove_boilerplate  # noqa: F401
 from .urltools import (  # noqa: F401
+    blocklist_annotate,
+    blocklist_filter,
     canonicalize_urls,
+    host_suffixes,
     parse_urls,
     registrable_domain,
 )

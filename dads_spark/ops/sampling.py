@@ -129,3 +129,59 @@ def bucket_sample(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def balance_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, int],
+    id_col: str,
+) -> DataFrame:
+    """Largest deterministic subsample whose group mix matches integer
+    ``weights`` EXACTLY: with m = min over weighted groups of
+    (n_g div w_g), every group g contributes exactly m * w_g rows — the
+    smallest-md5(id) ones. Groups absent from ``weights`` are dropped; a
+    weighted group with fewer than w_g rows empties the output (m = 0).
+
+    This is training-mixture rebalancing (up-weight tail languages /
+    down-weight a dominant crawl source) done in pure integer arithmetic:
+    real-valued target shares need a floor(C * s_g) whose float boundary
+    behavior differs across engines, while integer weights make both the
+    water-level m and every quota engine-exact, repartition-stable, and
+    reproducible under re-ingestion.
+
+    Scale shape: one narrow count shuffle over group_col (map-side
+    partials), the quota table (|groups| rows) broadcast back, and ONE
+    per-group ranking window over the corpus — the same single-shuffle
+    shape as ``stratified_sample``; nothing global, no driver data moves.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(int(w) <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive integers: {weights}")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(weights.items())],
+        schema=f"{group_col} string, _w long",
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    # left join FROM the weights side: a weighted group absent from df
+    # must floor the water level to 0, not silently vanish from the min
+    m = (
+        wdf.join(counts, group_col, "left")
+        .select(F.expr("coalesce(_n, 0L) div _w").alias("_q"))
+        .agg(F.min("_q").alias("_m"))
+    )
+    quota = wdf.crossJoin(F.broadcast(m)).select(
+        group_col, (F.col("_w") * F.col("_m")).alias("_take")
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    rn = F.row_number().over(
+        W.partitionBy(group_col).orderBy(h, F.col(id_col))
+    )
+    return (
+        df.join(F.broadcast(quota), group_col)
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") <= F.col("_take"))
+        .drop("_rn", "_take")
+    )

@@ -120,3 +120,86 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         )
         .withColumn("host", host)
     )
+
+
+def host_suffixes(host: Column, max_labels: int = 8) -> Column:
+    """Array of the dot-suffixes of ``host`` with 1..max_labels labels,
+    shortest first: 'a.b.example.com' -> ['com', 'example.com',
+    'b.example.com', 'a.b.example.com']. Pure array expressions (split /
+    sequence / transform / slice) — codegen, no Python."""
+    labels = F.split(F.lower(host), r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
+        lambda k: F.array_join(F.slice(labels, n - k + 1, k), "."),
+    )
+
+
+def blocklist_annotate(
+    df: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    rule_col: str = "rule",
+    max_labels: int = 8,
+) -> DataFrame:
+    """Domain-suffix blocklist matching (UT1/adult-filter style): a row is
+    blocked when its host equals a rule domain OR is a subdomain of one.
+    Adds ``blocked`` (bool) and ``matched_rule`` (the most specific, i.e.
+    longest, matching rule, else NULL — all matches are suffixes of one
+    host, so equal length implies equality and the max is tie-free).
+
+    Scale shape (the corpus is never shuffled):
+    1. distinct hosts — a shuffle over the narrow host column only, with
+       map-side partials; host cardinality is sites, not pages;
+    2. suffix-explode the distinct hosts (<= max_labels rows each) and
+       broadcast-join the rule table on equality — suffix matching becomes
+       an equi-join, no LIKE scans over the rule list;
+    3. reduce to one (host, matched_rule) row, broadcast THAT back onto
+       the corpus as a map-side hash join.
+    Step 3's broadcast holds only hosts that matched some rule — bounded
+    by the blocklist's reach, not the corpus. If the matched-host set ever
+    outgrows a broadcast, replace the final join with a shuffle join on
+    host; steps 1-2 are unchanged.
+    """
+    host = F.lower(F.col(host_col))
+    hosts = df.select(host.alias("_bl_host")).distinct()
+    rule_norm = F.lower(F.col(rule_col))
+    matched = (
+        hosts.select(
+            "_bl_host",
+            F.explode(host_suffixes(F.col("_bl_host"), max_labels)).alias("_sfx"),
+        )
+        .join(
+            F.broadcast(rules.select(rule_norm.alias("_sfx")).distinct()),
+            "_sfx",
+        )
+        .groupBy("_bl_host")
+        .agg(
+            # most specific rule: longest suffix, then lexicographic
+            F.max(F.struct(F.length("_sfx").alias("l"), F.col("_sfx").alias("r")))
+            .alias("_best")
+        )
+        .select("_bl_host", F.col("_best.r").alias("matched_rule"))
+    )
+    return (
+        df.withColumn("_bl_host", host)
+        .join(F.broadcast(matched), "_bl_host", "left")
+        .withColumn("blocked", F.col("matched_rule").isNotNull())
+        .drop("_bl_host")
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    rule_col: str = "rule",
+    max_labels: int = 8,
+) -> DataFrame:
+    """Rows of ``df`` NOT blocked by the suffix blocklist (see
+    ``blocklist_annotate``); the annotation columns are dropped."""
+    return (
+        blocklist_annotate(df, rules, host_col, rule_col, max_labels)
+        .filter(~F.col("blocked"))
+        .drop("blocked", "matched_rule")
+    )
