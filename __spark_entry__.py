@@ -1480,6 +1480,60 @@ def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle_sql() -> str:
+    from dads_spark.rollup.zorder import zvalue_sql
+
+    z = zvalue_sql("hx", "uy")
+    return f"""
+        SELECT event_id, hx, uy, {z} AS zval
+        FROM (
+            SELECT event_id,
+                   (epoch_us(ts) // 3600000000) % 65536 AS hx,
+                   user_id % 65536 AS uy
+            FROM events)
+    """
+
+
+def _stage_pelt_oracle(sf_dir: str) -> None:
+    import numpy as _np2
+
+    from dads_spark.oracles import hourly_counts, pelt_oracle
+    from dads_spark.rollup.changepoint import auto_penalty
+
+    ets, rk, idx, ns = [], [], [], []
+    for et, (b, v) in hourly_counts(sf_dir).items():
+        cps = pelt_oracle(v, auto_penalty(v))
+        for r, c in enumerate(cps, 1):
+            ets.append(et)
+            rk.append(r)
+            idx.append(c)
+            ns.append(len(v))
+    _write_dump(
+        "pelt_oracle",
+        {
+            "event_type": ets,
+            "cp_rank": _np2.array(rk, dtype=_np2.int64),
+            "cp_idx": _np2.array(idx, dtype=_np2.int64),
+            "n": _np2.array(ns, dtype=_np2.int64),
+        },
+    )
+
+
+def q_pelt_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact penalized mean-shift segmentation (rollup/changepoint.py,
+    PELT) of the hourly count series, driver-hash-gated against the
+    UNPRUNED O(n^2) textbook DP in dads_spark/oracles.py (staged parquet).
+    All-integer output (cp_rank, cp_idx, n); penalty is the shared
+    prefix-sum BIC scalar, so agreement is bitwise, not approximate."""
+    from dads_spark.rollup import pelt_grouped
+
+    out = pelt_grouped(
+        _hourly_counts_df(spark, sf_dir), ["event_type"], "bucket_ts", "v"
+    )
+    _stage_pelt_oracle(sf_dir)
+    return out.select("event_type", "cp_rank", "cp_idx", "n")
+
+
 def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-suffix blocklist annotation (ops/urltools.py): hosts with
     0-2 subdomain labels synthesized from documents columns, rules derived
@@ -1535,6 +1589,25 @@ def q_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", {"en": 8, "de": 3, "fr": 3, "es": 3, "zh": 2}, "doc_id"
     )
     return out.select("doc_id", "lang")
+
+
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/z-order interleave (rollup/zorder.py) of (hour bucket,
+    user bucket) over events — the clustering key the 2-D tier-file
+    layout sorts by. Pure JVM bit arithmetic, reproduced term-for-term in
+    the DuckDB oracle via zvalue_sql; the layout property itself (per-file
+    bounding boxes shrink in both dims) is pinned by tests/test_zorder.py."""
+    from dads_spark.rollup import zvalue
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 65536")
+    y = F.expr("user_id % 65536")
+    return ev.select(
+        "event_id",
+        x.alias("hx"),
+        y.alias("uy"),
+        zvalue(x, y).alias("zval"),
+    )
 
 
 def q_streaming_topk_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3689,6 +3762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tv_drift": q_tv_drift,
         "domain_blocklist": q_domain_blocklist,
         "mixture_balance": q_mixture_balance,
+        "pelt_changepoints": q_pelt_changepoints,
+        "zorder_values": q_zorder_values,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -5436,6 +5511,7 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts h
             LEFT JOIN hit ON hit.doc_id = h.doc_id AND hit.rn = 1
         """,
+        "zorder_values": _zorder_oracle_sql(),
         "mixture_balance": """
             WITH w(lang, wt) AS (
                 VALUES ('en', 8), ('de', 3), ('fr', 3), ('es', 3), ('zh', 2)),
@@ -5611,6 +5687,10 @@ def oracle_sql() -> dict[str, str]:
     d["cusum_pinned"] = f"""
         SELECT event_type, idx, direction
         FROM read_parquet('{_dump_path("cusum_oracle")}')
+    """
+    d["pelt_changepoints"] = f"""
+        SELECT event_type, cp_rank, cp_idx, n
+        FROM read_parquet('{_dump_path("pelt_oracle")}')
     """
     d["matrix_profile_pinned"] = f"""
         SELECT event_type, rank, idx, mp_q6

@@ -181,6 +181,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "tv_drift",
         "domain_blocklist",
         "mixture_balance",
+        "pelt_changepoints",
+        "zorder_values",
     ]
     for name in suite:
         t0 = _now()

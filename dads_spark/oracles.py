@@ -774,3 +774,48 @@ def dtw_oracle(a: np.ndarray, b: np.ndarray, band: int) -> float:
                 best = D[i - 1][j - 1]
             D[i][j] = c + best
     return D[n][m]
+
+
+def pelt_oracle(x: "np.ndarray", penalty: float) -> list[int]:
+    """O(n^2) exact penalized-SSE segmentation DP — the unpruned textbook
+    reference for rollup/changepoint.py:pelt_changepoints. Pure running
+    sums + a double loop, earliest candidate wins ties (strict <), costs
+    built from the identical prefix-sum expression so agreement with the
+    PELT kernel is bitwise."""
+    vals = [float(v) for v in x]
+    n = len(vals)
+    if n < 2:
+        return []
+    s1 = [0.0]
+    s2 = [0.0]
+    a = b = 0.0
+    for v in vals:
+        a += v
+        b += v * v
+        s1.append(a)
+        s2.append(b)
+
+    big = float("inf")
+    F = [big] * (n + 1)
+    F[0] = -penalty
+    prev = [0] * (n + 1)
+    for t in range(1, n + 1):
+        best = big
+        arg = 0
+        for s in range(t):
+            cost = (s2[t] - s2[s]) - (s1[t] - s1[s]) ** 2 / float(t - s)
+            v = F[s] + cost + penalty
+            if v < best:
+                best = v
+                arg = s
+        F[t] = best
+        prev[t] = arg
+
+    cps: list[int] = []
+    t = n
+    while t > 0:
+        s = prev[t]
+        if s > 0:
+            cps.append(s)
+        t = s
+    return cps[::-1]
