@@ -289,6 +289,7 @@ def prestage_sources(spark: SparkSession, sf_dir: str) -> None:
     _events_stream_src(spark, sf_dir)
     _stage_sessionize_src(spark, sf_dir)
     _stage_dedup_src(spark, sf_dir)
+    _stage_backfill_src(spark, sf_dir)
     for fmt in ("csv", "orc", "json"):
         _staged_copy(spark, sf_dir, fmt)
     _stage_compact_hour(spark, sf_dir)
@@ -1437,6 +1438,48 @@ def q_streaming_rollup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="q_stream_rollup",
     )
     return res.select(
+        "event_type",
+        _fmt_bucket(),
+        F.col("doc_count").alias("n_events"),
+        F.round("value_sum", 2).alias("value_sum"),
+        F.round("value_min", 2).alias("value_min"),
+        F.round("value_max", 2).alias("value_max"),
+    )
+
+
+def _stage_backfill_src(spark: SparkSession, sf_dir: str) -> str:
+    """Events table staged as a FOUR-file parquet directory so the backfill
+    stream (maxFilesPerTrigger=1) exercises multiple micro-batch merges."""
+    import os as _os
+
+    src = _stage_dir("backfill_src", sf_dir)
+    if not _os.path.exists(f"{src}/_SUCCESS"):
+        _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(src)
+    return src
+
+
+def q_streaming_tier_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained ON-DISK hour tier (streaming/backfill.py):
+    foreachBatch folds each micro-batch's delta into the stored tier via
+    merge_tier + dynamic partition overwrite, with a batch-id ledger for
+    idempotent replay. The oracle is the BATCH hour rollup SQL — hash
+    equality proves the incrementally-maintained store equals a from-
+    scratch rollup after 4 merges. Kill/resume is pinned by
+    tests/test_backfill.py."""
+    import shutil as _sh
+
+    from dads_spark.streaming import run_tier_backfill_stream
+
+    ev = _t(spark, sf_dir, "events")
+    src = _stage_backfill_src(spark, sf_dir)
+    base = _stage_dir("tier_backfill_run", sf_dir)
+    _sh.rmtree(base, ignore_errors=True)  # a fresh maintenance run per call
+    run_tier_backfill_stream(
+        spark, src, ev.schema, ["event_type"], "ts", "value",
+        f"{base}/tier", f"{base}/ckpt", max_files_per_trigger=1,
+    )
+    tier = spark.read.parquet(f"{base}/tier").drop("bucket_date")
+    return tier.select(
         "event_type",
         _fmt_bucket(),
         F.col("doc_count").alias("n_events"),
@@ -3678,7 +3721,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     longer certify the current code; (3) r1-green entries that got no r2
     row (oldest evidence, re-confirmed); (4) past position 50: r2-green
     entries (freshest evidence), rows-only sketch/S2G ops (weaker checks
-    anyway), and the cheapest twice-stable document-suite entries."""
+    anyway), and the cheapest twice-stable document-suite entries.
+    Session-4 rotation: the four most novel new families (pack_sequences,
+    domain_blocklist, pelt_changepoints, streaming_tier_backfill) take
+    slots from streaming_stream_join (prior green row; staging-only
+    change) and three entries whose machinery r2-green twins certify —
+    every displaced entry remains in the full local sweep artifact."""
     return {
         # -- (1) no driver row yet ------------------------------------------
         "s2g_score_profile": q_s2g_score_profile,
@@ -3688,11 +3736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_merge": q_interval_merge,
         "url_canonicalize": q_url_canonicalize,
         "boilerplate_lines": q_boilerplate_lines,
-        "redact_pii": q_redact_pii,
-        "rolling_quantile": q_rolling_quantile,
         "dup_clusters": q_dup_clusters,
         "repetition_stats": q_repetition_stats,
-        "stratified_sample": q_stratified_sample,
         "q12_priority_class": q12_priority_class,
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
@@ -3718,7 +3763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile_pinned": q_matrix_profile_pinned,
         "drag_discords": q_drag_discords,
         # -- (2) implementation changed this round --------------------------
-        "streaming_stream_join": q_streaming_stream_join,
+        # streaming_stream_join rotated past 50 (session 4): its r3 change
+        # was LANE STAGING only (where the source parquet lives), not join
+        # semantics — the r2 hash-green row still certifies the operator.
         "ann_ivf": q_ann_ivf,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -3745,6 +3792,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_trend": q_theil_sen_trend,
         "session_gap_stats": q_session_gap_stats,
         "holt_winters_pinned": q_holt_winters_pinned,
+        # -- (1e) session-4 additions, no driver row yet ---------------------
+        # (the four most novel new families take the slots freed by
+        # streaming_stream_join — prior green row, staging-only change —
+        # and by redact_pii / rolling_quantile / stratified_sample, whose
+        # machinery is certified by r2-green twins: regex map stages by
+        # language_id/text_quality, RANGE-frame windows by
+        # window_frames_ranking, md5-rank selection by deterministic_sample)
+        "pack_sequences": q_pack_sequences,
+        "domain_blocklist": q_domain_blocklist,
+        "pelt_changepoints": q_pelt_changepoints,
+        "streaming_tier_backfill": q_streaming_tier_backfill,
         # ---- position 50 ends here ----------------------------------------
         # -- oracle-backed, deferred (local sweep verifies; rotate in next) --
         "dtw_distance": q_dtw_distance,
@@ -3758,11 +3816,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "resample_locf": q_resample_locf,
         "streaming_topk_hopping": q_streaming_topk_hopping,
-        "pack_sequences": q_pack_sequences,
+        "streaming_stream_join": q_streaming_stream_join,
+        "redact_pii": q_redact_pii,
+        "rolling_quantile": q_rolling_quantile,
+        "stratified_sample": q_stratified_sample,
         "tv_drift": q_tv_drift,
-        "domain_blocklist": q_domain_blocklist,
         "mixture_balance": q_mixture_balance,
-        "pelt_changepoints": q_pelt_changepoints,
         "zorder_values": q_zorder_values,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
@@ -4938,6 +4997,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
                    round(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "streaming_tier_backfill": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum,
+                   round(min(value), 2) AS value_min,
+                   round(max(value), 2) AS value_max
             FROM events GROUP BY 1, 2
         """,
         "streaming_rollup_hour": """

@@ -183,6 +183,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "mixture_balance",
         "pelt_changepoints",
         "zorder_values",
+        "streaming_tier_backfill",
     ]
     for name in suite:
         t0 = _now()

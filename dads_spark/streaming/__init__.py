@@ -18,3 +18,7 @@ from .stateful import (  # noqa: F401
     run_sessionize_stream,
     streaming_sessionize,
 )
+from .backfill import (  # noqa: F401
+    read_backfill_tier,
+    run_tier_backfill_stream,
+)

@@ -475,6 +475,74 @@ def main() -> None:
                   if "PushedFilters" in l or "Scan" in l or "Filter" in l)[:600],
     ))
 
+    # --- A24: z-order value — pure codegen bit arithmetic -------------------
+    p24 = plan_of(em.queries()["zorder_values"](spark, sf_dir))
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"):
+        assert py_op not in p24, f"zorder plan contains {py_op}"
+    assert "Exchange" not in p24, "zorder value must be a map-only projection"
+    # formatted mode marks codegen stages with '[codegen id : N]'
+    assert "codegen id" in p24, "zorder interleave must codegen"
+    sections.append((
+        "A24 zorder_values: Morton interleave is a map-only codegen projection",
+        "PASS — the 32-term shift/AND interleave compiles into one "
+        "WholeStageCodegen projection over the scan: zero exchanges, zero "
+        "Python, so clustering a 100 TB tier by z-value costs exactly one "
+        "repartitionByRange shuffle (the write), never a compute stage",
+        "\n".join(l for l in p24.splitlines()
+                  if "WholeStageCodegen" in l or "Scan" in l or "Project" in l)[:600],
+    ))
+
+    # --- A25: blocklist — corpus side joins broadcast, never sort-merges ----
+    p25 = plan_of(em.queries()["domain_blocklist"](spark, sf_dir))
+    assert "SortMergeJoin" not in p25, "blocklist must not sort-merge the corpus"
+    assert p25.count("BroadcastHashJoin") >= 2, "rule join + matched-set join must broadcast"
+    sections.append((
+        "A25 domain_blocklist: both joins broadcast; the corpus is never shuffled",
+        "PASS — suffix matching runs on DISTINCT hosts (narrow-column "
+        "shuffle with partial aggregation), the rule table and the matched-"
+        "host result both attach as BroadcastHashJoin; no SortMergeJoin "
+        "anywhere, so at corpus scale the page rows stream map-only through "
+        "the annotation",
+        "\n".join(l for l in p25.splitlines()
+                  if "Join" in l or "Exchange" in l or "HashAggregate" in l)[:600],
+    ))
+
+    # --- A26: tv_drift — histogram shuffles carry (key,period,bin) rows -----
+    p26 = plan_of(em.queries()["tv_drift"](spark, sf_dir))
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"):
+        assert py_op not in p26, f"tv_drift plan contains {py_op}"
+    assert "SortMergeJoin" not in p26, "drift joins must broadcast"
+    assert "HashAggregate" in p26
+    sections.append((
+        "A26 tv_drift: histogram counts shuffle, raw values never do",
+        "PASS — baseline bounds/histogram and totals attach as broadcast "
+        "joins; every aggregation is HashAggregate with map-side partials, "
+        "so the wire carries (key, period, bin) count rows — at 10^12 rows "
+        "the drift check shuffles kilobytes per key, not values",
+        "\n".join(l for l in p26.splitlines()
+                  if "Join" in l or "Exchange" in l or "HashAggregate" in l)[:600],
+    ))
+
+    # --- A27: pack_sequences — ONE window pass, all-JVM ---------------------
+    p27 = plan_of(em.queries()["pack_sequences"](spark, sf_dir))
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"):
+        assert py_op not in p27, f"packing plan contains {py_op}"
+    n_exch27 = len(_re.findall(r"Exchange \(\d+\)", p27))
+    assert n_exch27 == 1, f"packing must shuffle once, got {n_exch27}"
+    assert "Window" in p27
+    sections.append((
+        "A27 pack_sequences: one shard shuffle, one window pass, no Python",
+        "PASS — the running token offset is a single JVM window over the "
+        "shard key; bin/offset/boundary are integer projections of it. One "
+        "exchange total: packing a corpus costs the same as sorting it by "
+        "shard, which the training-data writer needs anyway",
+        "\n".join(l for l in p27.splitlines()
+                  if "Window" in l or "Exchange" in l or "Sort" in l)[:600],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
