@@ -1523,6 +1523,55 @@ def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cm_freq_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency-sketch tier cascade (rollup/freqsketch.py):
+    hour sketches of per-type user activity merged cell-wise into day
+    sketches (no raw re-read), then point estimates for a 20-user probe
+    set vs exact truth. The oracle builds the DAY sketch directly from
+    raw in SQL — hash equality therefore also verifies the cascade
+    identity (cell-wise adds commute). ge_ok pins the count-min >=-truth
+    guarantee as data."""
+    from dads_spark.rollup import cm_build_tier, cm_cascade, cm_estimate
+
+    d, w = 4, 256
+    ev = _t(spark, sf_dir, "events")
+    hour = cm_build_tier(ev, ["event_type"], "ts", "user_id", "hour", d=d, w=w)
+    day = cm_cascade(hour, ["event_type"], "day")
+    probes = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(20).select(F.col("id").alias("user_id")))
+    )
+    est = cm_estimate(day, probes, ["event_type"], "user_id", d=d, w=w)
+    exact = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("event_type", bucket_expr("ts", "day"), "user_id")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.join(exact, ["event_type", "bucket_ts", "user_id"], "left")
+        .withColumn("exact", F.coalesce("exact", F.lit(0)).cast("long"))
+        .select(
+            "event_type",
+            F.unix_timestamp("bucket_ts").alias("ws"),
+            "user_id",
+            "est",
+            "exact",
+            (F.col("est") >= F.col("exact")).alias("ge_ok"),
+        )
+    )
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass ANALYZE-style profile (ops/profile.py) of four events
+    columns: nulls, exact distincts, string-cast min/max, total string
+    length — all integers/strings, hash-exact cross-engine."""
+    from dads_spark.ops import profile_table
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_table(ev, ["event_id", "event_type", "user_id", "props"])
+
+
 def _zorder_oracle_sql() -> str:
     from dads_spark.rollup.zorder import zvalue_sql
 
@@ -3823,6 +3872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tv_drift": q_tv_drift,
         "mixture_balance": q_mixture_balance,
         "zorder_values": q_zorder_values,
+        "cm_freq_cascade": q_cm_freq_cascade,
+        "table_profile": q_table_profile,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -5580,6 +5631,85 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hit ON hit.doc_id = h.doc_id AND hit.rn = 1
         """,
         "zorder_values": _zorder_oracle_sql(),
+        "cm_freq_cascade": """
+            WITH days AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 86400000000) * 86400 AS ws,
+                       user_id
+                FROM events),
+            cells AS (
+                SELECT event_type, ws, h.hrow,
+                       CAST(('0x' || substr(md5(
+                           'cm' || h.hrow || ':' || CAST(user_id AS VARCHAR)
+                       ), 1, 8)) AS BIGINT) % 256 AS hcol,
+                       count(*) AS c
+                FROM days, (SELECT unnest(range(0, 4)) AS hrow) h
+                GROUP BY 1, 2, 3, 4),
+            probes AS (
+                SELECT DISTINCT e.event_type, u.user_id, p.hrow,
+                       CAST(('0x' || substr(md5(
+                           'cm' || p.hrow || ':' || CAST(u.user_id AS VARCHAR)
+                       ), 1, 8)) AS BIGINT) % 256 AS hcol
+                FROM (SELECT DISTINCT event_type FROM events) e,
+                     (SELECT unnest(range(0, 20)) AS user_id) u,
+                     (SELECT unnest(range(0, 4)) AS hrow) p),
+            buckets AS (SELECT DISTINCT event_type, ws FROM cells),
+            est AS (
+                SELECT pr.event_type, b.ws, pr.user_id,
+                       min(coalesce(cells.c, 0)) AS est
+                FROM probes pr
+                JOIN buckets b ON b.event_type = pr.event_type
+                LEFT JOIN cells ON cells.event_type = pr.event_type
+                               AND cells.ws = b.ws
+                               AND cells.hrow = pr.hrow
+                               AND cells.hcol = pr.hcol
+                GROUP BY 1, 2, 3),
+            exact AS (
+                SELECT event_type, ws, user_id, count(*) AS exact
+                FROM days WHERE user_id < 20 GROUP BY 1, 2, 3)
+            SELECT est.event_type, CAST(est.ws AS BIGINT) AS ws,
+                   est.user_id, CAST(est.est AS BIGINT) AS est,
+                   CAST(coalesce(exact.exact, 0) AS BIGINT) AS exact,
+                   (est.est >= coalesce(exact.exact, 0)) AS ge_ok
+            FROM est
+            LEFT JOIN exact ON exact.event_type = est.event_type
+                           AND exact.ws = est.ws
+                           AND exact.user_id = est.user_id
+        """,
+        "table_profile": """
+            WITH s AS (SELECT count(*) AS n FROM events)
+            SELECT p.* FROM s, LATERAL (
+                SELECT 'event_id' AS "column", s.n AS n_rows,
+                       (SELECT count(*) FROM events WHERE event_id IS NULL) AS n_null,
+                       (SELECT count(DISTINCT event_id) FROM events) AS n_distinct,
+                       (SELECT min(CAST(event_id AS VARCHAR)) FROM events) AS min_s,
+                       (SELECT max(CAST(event_id AS VARCHAR)) FROM events) AS max_s,
+                       (SELECT CAST(sum(coalesce(length(CAST(event_id AS VARCHAR)), 0)) AS BIGINT)
+                        FROM events) AS total_len
+                UNION ALL
+                SELECT 'event_type', s.n,
+                       (SELECT count(*) FROM events WHERE event_type IS NULL),
+                       (SELECT count(DISTINCT event_type) FROM events),
+                       (SELECT min(event_type) FROM events),
+                       (SELECT max(event_type) FROM events),
+                       (SELECT CAST(sum(coalesce(length(event_type), 0)) AS BIGINT) FROM events)
+                UNION ALL
+                SELECT 'user_id', s.n,
+                       (SELECT count(*) FROM events WHERE user_id IS NULL),
+                       (SELECT count(DISTINCT user_id) FROM events),
+                       (SELECT min(CAST(user_id AS VARCHAR)) FROM events),
+                       (SELECT max(CAST(user_id AS VARCHAR)) FROM events),
+                       (SELECT CAST(sum(coalesce(length(CAST(user_id AS VARCHAR)), 0)) AS BIGINT)
+                        FROM events)
+                UNION ALL
+                SELECT 'props', s.n,
+                       (SELECT count(*) FROM events WHERE props IS NULL),
+                       (SELECT count(DISTINCT props) FROM events),
+                       (SELECT min(props) FROM events),
+                       (SELECT max(props) FROM events),
+                       (SELECT CAST(sum(coalesce(length(props), 0)) AS BIGINT) FROM events)
+            ) p
+        """,
         "mixture_balance": """
             WITH w(lang, wt) AS (
                 VALUES ('en', 8), ('de', 3), ('fr', 3), ('es', 3), ('zh', 2)),

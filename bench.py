@@ -184,6 +184,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "pelt_changepoints",
         "zorder_values",
         "streaming_tier_backfill",
+        "cm_freq_cascade",
+        "table_profile",
     ]
     for name in suite:
         t0 = _now()

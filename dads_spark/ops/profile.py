@@ -1,0 +1,58 @@
+"""ANALYZE-style table profiling in one aggregate pass.
+
+Data pipelines gate ingests on column profiles (null explosion, distinct
+collapse, truncated strings). This operator computes, for every named
+column, (n_rows, n_null, n_distinct, min, max, total_len) in ONE
+aggregation over the table — no per-column scans — then unpivots with
+``stack`` so the result is one row per column.
+
+Everything emitted is an integer or a string: min/max are taken over the
+STRING CAST of the column (callers pick columns whose string form is
+engine-canonical — ints/strings always are; avoid raw doubles in
+cross-engine comparisons) and lengths are summed, not averaged, so the
+whole profile hash-compares exactly. Exact ``count_distinct`` is used —
+at tier/dimension scale that is the right tool; at raw-corpus scale swap
+``approx_count_distinct`` (the HLL path this repo's distinct cascade
+already owns) for the same shape.
+
+Scale shape: one scan; Spark plans multi-column distinct aggregates via
+Expand (input replicated once per distinct column) with map-side partial
+aggregation — the shuffle carries per-group partials, never the table.
+Profiling 10 columns costs one pass at ~10x aggregate width, not 10
+passes.
+
+Reference analog: none; spec source BASELINE.json:6 (ingest-quality
+monitoring beside the rollup engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["profile_table"]
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass per-column profile: (column, n_rows, n_null, n_distinct,
+    min_s, max_s, total_len), one row per entry of ``cols``."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(s).alias(f"_min_{c}"),
+            F.max(s).alias(f"_max_{c}"),
+            F.sum(F.coalesce(F.length(s), F.lit(0))).alias(f"_len_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _null_{c}, _nd_{c}, _min_{c}, _max_{c}, _len_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "_n AS n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_null, n_distinct, min_s, max_s, total_len)",
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_s", "max_s", "total_len")

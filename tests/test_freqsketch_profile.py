@@ -1,0 +1,85 @@
+"""Count-min tier cascade (rollup/freqsketch.py) and one-pass profiler
+(ops/profile.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dads_spark.ops import profile_table
+from dads_spark.rollup import bucket_expr, cm_build_tier, cm_cascade, cm_estimate
+
+
+def _events(spark, n=3000):
+    return spark.range(n).select(
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 97).alias("ts"),
+        F.concat(F.lit("t"), (F.col("id") % 2).cast("string")).alias("k"),
+        # Zipf-ish items: item 0 dominates
+        F.when(F.col("id") % 3 == 0, F.lit(0))
+        .otherwise(F.pmod(F.hash("id"), F.lit(500)))
+        .alias("item"),
+    )
+
+
+def test_cm_cascade_equals_direct_build(spark):
+    ev = _events(spark)
+    hour = cm_build_tier(ev, ["k"], "ts", "item", "hour", d=4, w=128)
+    day_casc = cm_cascade(hour, ["k"], "day")
+    day_direct = cm_build_tier(ev, ["k"], "ts", "item", "day", d=4, w=128)
+    a = sorted(map(tuple, day_casc.collect()))
+    b = sorted(map(tuple, day_direct.collect()))
+    assert a == b  # cell-wise adds commute: cascade is exact
+
+
+def test_cm_estimate_overestimates_and_is_tight_for_heavy_items(spark):
+    ev = _events(spark)
+    day = cm_build_tier(ev, ["k"], "ts", "item", "day", d=4, w=512)
+    probes = ev.select("k").distinct().crossJoin(
+        spark.range(10).select(F.col("id").alias("item"))
+    )
+    est = cm_estimate(day, probes, ["k"], "item", d=4, w=512)
+    exact = (
+        ev.filter(F.col("item") < 10)
+        .groupBy("k", bucket_expr("ts", "day"), "item")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    rows = (
+        est.join(exact, ["k", "bucket_ts", "item"], "left")
+        .withColumn("exact", F.coalesce("exact", F.lit(0)))
+        .collect()
+    )
+    assert rows
+    n_per_bucket = 3000 / 4  # ~4 day buckets
+    for r in rows:
+        assert r["est"] >= r["exact"], r  # the count-min guarantee
+        # CM error bound: overestimate <= ~e*n/w with high probability
+        assert r["est"] - r["exact"] <= 3 * n_per_bucket / 512 + 5, r
+    # the planted heavy item is estimated closely (its own mass dominates)
+    heavy = [r for r in rows if r["item"] == 0]
+    assert heavy and all(r["exact"] > 0 for r in heavy)
+
+
+def test_cm_build_partition_invariant(spark):
+    ev = _events(spark, 800)
+    a = cm_build_tier(ev.coalesce(1), ["k"], "ts", "item", "hour", d=3, w=64)
+    b = cm_build_tier(
+        ev.repartition(7, "item"), ["k"], "ts", "item", "hour", d=3, w=64
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_profile_table(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "bb"), (4, "a"), (None, "cc")],
+        "x int, s string",
+    )
+    got = {r["column"]: r.asDict() for r in profile_table(df, ["x", "s"]).collect()}
+    assert got["x"]["n_rows"] == 5 and got["s"]["n_rows"] == 5
+    assert got["x"]["n_null"] == 1 and got["s"]["n_null"] == 1
+    assert got["x"]["n_distinct"] == 4 and got["s"]["n_distinct"] == 3
+    assert got["x"]["min_s"] == "1" and got["x"]["max_s"] == "4"
+    assert got["s"]["min_s"] == "a" and got["s"]["max_s"] == "cc"
+    assert got["x"]["total_len"] == 4  # '1','2','3','4'
+    assert got["s"]["total_len"] == 1 + 2 + 1 + 2
+    with pytest.raises(ValueError):
+        profile_table(df, [])
