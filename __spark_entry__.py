@@ -2181,6 +2181,57 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(emb, _KNN_QUERIES, k=10, n_cells=16, n_probe=6)
 
 
+def _stage_ann_pq_oracle(sf_dir: str, books) -> None:
+    import numpy as _np2
+    import pyarrow.parquet as _pq
+
+    from dads_spark.oracles import pq_topk_oracle
+
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    if t.num_rows > _ORACLE_MAX_DOCS:  # gate scales only
+        return
+    pdf = t.to_pandas()
+    ids = pdf["vec_id"].to_numpy()
+    vecs = _np2.array(list(pdf["embedding"]), dtype=_np2.float64)
+    sel = _np2.isin(ids, _KNN_QUERIES)
+    rows = pq_topk_oracle(ids, vecs, books, ids[sel], vecs[sel], k=10)
+    _write_dump(
+        "ann_pq_oracle",
+        {
+            "query_id": _np2.array([r[0] for r in rows], dtype=_np2.int64),
+            "neighbor_id": _np2.array([r[1] for r in rows], dtype=_np2.int64),
+            "rank": _np2.array([r[2] for r in rows], dtype=_np2.int64),
+            "score_q6": _np2.array([r[3] for r in rows], dtype=_np2.int64),
+        },
+    )
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (ops/quantize.py): the corpus is encoded to
+    8-byte PQ codes (one mapInPandas, materialize-once), queries scan the
+    CODES table via ADC lookup tables with per-batch partial top-k.
+    Driver-hash-gated against the scalar textbook encode+ADC loops in
+    oracles.py (pq_topk_oracle) — same codebooks, bitwise accumulation
+    orders, integer 6dp-quantized scores."""
+    import numpy as _np2
+
+    from dads_spark.ops.quantize import ann_pq_adc, pq_encode, train_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb)
+    qrows = (
+        emb.filter(F.col("vec_id").isin(_KNN_QUERIES))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = _np2.array([r["vec_id"] for r in qrows], dtype=_np2.int64)
+    q_mat = _np2.array([r["embedding"] for r in qrows], dtype=_np2.float64)
+    codes = pq_encode(emb, books)
+    out = ann_pq_adc(codes, books, q_ids, q_mat, k=10)
+    _stage_ann_pq_oracle(sf_dir, books)
+    return _q6_cols(out, ["query_id", "neighbor_id", "rank"], {"score": "score_q6"})
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded spherical k-means cluster assignment over the embeddings
     table — the data-curation clustering pass (topic bucketing / diversity
@@ -3874,6 +3925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_values": q_zorder_values,
         "cm_freq_cascade": q_cm_freq_cascade,
         "table_profile": q_table_profile,
+        "ann_pq": q_ann_pq,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -5929,6 +5981,10 @@ def oracle_sql() -> dict[str, str]:
     d["ann_lsh"] = f"""
         SELECT query_id, neighbor_id, rank, cosine
         FROM read_parquet('{_dump_path("ann_lsh_oracle")}')
+    """
+    d["ann_pq"] = f"""
+        SELECT query_id, neighbor_id, rank, score_q6
+        FROM read_parquet('{_dump_path("ann_pq_oracle")}')
     """
     d["s2g_graph_edges"] = f"""
         SELECT event_type, from_seg, from_idx, to_seg, to_idx, weight

@@ -186,6 +186,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "streaming_tier_backfill",
         "cm_freq_cascade",
         "table_profile",
+        "ann_pq",
     ]
     for name in suite:
         t0 = _now()

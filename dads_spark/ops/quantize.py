@@ -1,0 +1,196 @@
+"""Product quantization (PQ) for embedding compression + ADC top-k scan.
+
+At 10^9+ vectors the ANN bottleneck is BYTES, not FLOPs: a 64-dim float32
+corpus is 256 GB/10^9 vectors, while 8-subspace PQ codes are 8 bytes each
+(32x smaller) — the difference between an executor-cached scan and a
+disk-bound one. PQ (Jegou et al. 2011, public method) splits each vector
+into ``m`` subvectors, k-means-quantizes each subspace to ``ksub``
+centroids, and stores only the per-subspace centroid ids; a query scores
+a code in m table lookups (asymmetric distance computation, ADC) against
+a per-query lookup table of subspace dot products.
+
+Spark shape:
+- codebooks are trained on a deterministic hash-sample on the driver
+  (tiny: m * ksub * dsub floats) and broadcast via task closure;
+- ``pq_encode`` is ONE mapInPandas over the corpus producing the codes
+  table — materialize it once, scan it forever (the compressed tier);
+- ``ann_pq_adc`` is ONE mapInPandas over the CODES table: per Arrow
+  batch, gather LUT entries and emit a partial top-k per query (the
+  ``knn_bruteforce`` survivor contract), then a final window ranks
+  batches x (k + ties) rows. No joins, no shuffle of the corpus.
+
+Determinism: sample, k-means init and iteration, encode argmin
+(first-min tie rule), LUT sums, and the 6dp quantized ranking are all
+pure functions of the data — `tests/test_quantize.py` pins the encode
+and scan kernels BITWISE against the scalar textbook loops in
+``dads_spark/oracles.py:pq_oracle``, and the ``ann_pq`` registry entry
+stages that oracle's top-k for the driver hash gate.
+
+Reference analog: none (DADS has no embedding path); spec source §2.4
+(similarity search — "IVF or LSH-bucketed variant as the scale path";
+PQ is the codes-side complement the same tier needs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+__all__ = ["train_pq_codebooks", "pq_encode", "ann_pq_adc"]
+
+
+def _hash_sample(
+    embeddings: DataFrame, sample_size: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic training sample: 1/64 xxhash64 stratum, ordered-limit
+    on the sliver (same shape as similarity._train_spherical_kmeans — no
+    global sort of the corpus)."""
+    base = embeddings.select(id_col, vec_col)
+    stratum = base.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)) == 0)
+    rows = stratum.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    if len(rows) < 64:
+        rows = base.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    return np.array([r[vec_col] for r in rows], dtype=np.float64)
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """L2 k-means codebooks per subspace: (m, ksub, dim//m) float64.
+    Deterministic: seeded init from the hash-sample, fixed iterations,
+    empty clusters keep their previous centroid."""
+    X = _hash_sample(embeddings, sample_size, id_col, vec_col)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        cent = Xs[rng.choice(len(Xs), size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                members = Xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def encode_block(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) -> (n, m) uint8 codes; per-subspace L2 argmin (first-min
+    tie rule — the scalar oracle's strict < loop)."""
+    m, ksub, dsub = books.shape
+    codes = np.empty((len(mat), m), dtype=np.uint8)
+    for s in range(m):
+        Xs = mat[:, s * dsub : (s + 1) * dsub]
+        d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus -> codes table (id, code_0..code_{m-1} int columns): the
+    materialize-once compressed representation (flat ints, not an array,
+    so the codes table itself stays oracle-hashable and prunable)."""
+    m = books.shape[0]
+    schema = ", ".join([f"{id_col} long"] + [f"code_{s} int" for s in range(m)])
+
+    def f(it):
+        for pdf in it:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = encode_block(mat, books)
+            out = {id_col: pdf[id_col].to_numpy()}
+            for s in range(m):
+                out[f"code_{s}"] = codes[:, s].astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return embeddings.select(id_col, vec_col).mapInPandas(f, schema)
+
+
+def ann_pq_adc(
+    codes: DataFrame,
+    books: np.ndarray,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate dot-product top-k over the CODES table via ADC:
+    score(q, x) ~= sum_s <q_s, centroid_{code_s(x)}> — m lookups per
+    candidate. One mapInPandas scan emits per-batch partial top-k (ties
+    at the quantized boundary kept); a final window ranks the survivors.
+    Output: (query_id, neighbor_id, rank, score) with score = 6dp-rounded
+    approximate dot product."""
+    m, ksub, dsub = books.shape
+    # LUT[q, s, c] = <q_s, books[s, c]>, built with explicit sequential
+    # accumulation (NOT einsum/BLAS, whose summation order is unspecified)
+    # so the scalar oracle reproduces every entry bitwise; the table is
+    # tiny (nq*m*ksub) and built once, driver-side
+    qsub = q_mat.reshape(len(q_mat), m, dsub)
+    lut = np.empty((len(q_ids), m, ksub), dtype=np.float64)
+    for qi in range(len(q_ids)):
+        for s in range(m):
+            for c in range(ksub):
+                acc = 0.0
+                for dd in range(dsub):
+                    acc += float(qsub[qi, s, dd]) * float(books[s, c, dd])
+                lut[qi, s, c] = acc
+
+    def f(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            codes_mat = np.stack(
+                [pdf[f"code_{s}"].to_numpy() for s in range(m)], axis=1
+            )
+            # scores: (n, nq) built subspace-sequentially (matches the
+            # scalar oracle's accumulation order)
+            scores = np.zeros((len(ids), len(q_ids)), dtype=np.float64)
+            for s in range(m):
+                scores += lut[:, s, :][:, codes_mat[:, s]].T
+            key = np.sign(scores) * np.floor(np.abs(scores) * 1e6 + 0.5)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                valid = ids != q_ids[qi]
+                kq, kid, kc = key[valid, qi], ids[valid], scores[valid, qi]
+                if len(kq) > k:
+                    kth = np.partition(kq, len(kq) - k)[len(kq) - k]
+                    keep = kq >= kth
+                    kid, kc = kid[keep], kc[keep]
+                out_q.append(np.full(len(kid), q_ids[qi]))
+                out_n.append(kid)
+                out_c.append(kc)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "score": np.concatenate(out_c),
+                }
+            )
+
+    flat = codes.mapInPandas(f, "query_id long, neighbor_id long, score double")
+    w = W.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        flat.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )

@@ -819,3 +819,67 @@ def pelt_oracle(x: "np.ndarray", penalty: float) -> list[int]:
             cps.append(s)
         t = s
     return cps[::-1]
+
+
+def pq_topk_oracle(
+    ids: "np.ndarray",
+    vecs: "np.ndarray",
+    books: "np.ndarray",
+    q_ids: "np.ndarray",
+    q_mat: "np.ndarray",
+    k: int,
+):
+    """Scalar textbook PQ/ADC reference for ops/quantize.py: encode every
+    vector with strict-< argmin loops, score via sequentially-accumulated
+    lookup tables, rank by (6dp-quantized score desc, id asc). Returns
+    [(query_id, neighbor_id, rank, score_q6)]. Bitwise twin of the
+    vectorized kernels — same accumulation orders throughout."""
+    m, ksub, dsub = books.shape
+    n = len(ids)
+
+    codes = [[0] * m for _ in range(n)]
+    for i in range(n):
+        for s in range(m):
+            best = None
+            arg = 0
+            for c in range(ksub):
+                acc = 0.0
+                for dd in range(dsub):
+                    diff = float(vecs[i, s * dsub + dd]) - float(books[s, c, dd])
+                    acc += diff * diff
+                if best is None or acc < best:
+                    best = acc
+                    arg = c
+            codes[i][s] = arg
+
+    out = []
+    for qi in range(len(q_ids)):
+        lut = [[0.0] * ksub for _ in range(m)]
+        for s in range(m):
+            for c in range(ksub):
+                acc = 0.0
+                for dd in range(dsub):
+                    acc += float(q_mat[qi, s * dsub + dd]) * float(books[s, c, dd])
+                lut[s][c] = acc
+        scored = []
+        for i in range(n):
+            if int(ids[i]) == int(q_ids[qi]):
+                continue
+            sc = 0.0
+            for s in range(m):
+                sc += lut[s][codes[i][s]]
+            q6v = _math_sign_floor_q6(sc)
+            scored.append((-q6v, int(ids[i]), sc))
+        scored.sort()
+        for r, (negq6, nid, sc) in enumerate(scored[:k], 1):
+            out.append((int(q_ids[qi]), nid, r, -negq6))
+    return out
+
+
+def _math_sign_floor_q6(x: float) -> int:
+    """sign(x) * floor(|x| * 1e6 + 0.5) — the HALF_UP 6dp quantization the
+    Spark side ranks and emits with (F.round semantics on doubles)."""
+    import math
+
+    s = -1.0 if x < 0 else 1.0
+    return int(s * math.floor(abs(x) * 1e6 + 0.5))
