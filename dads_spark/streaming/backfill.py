@@ -84,18 +84,17 @@ def _merge_batch(
             .filter(F.col("bucket_date").isin(dates))
             .drop("bucket_date")
         )
-    merged = (
-        merge_tier(existing, delta.drop("bucket_date"), key_cols)
-        if existing is not None
-        else delta.drop("bucket_date")
-    )
-    # localCheckpoint materializes the merge BEFORE the overwrite so the
-    # plan no longer reads the path it is about to replace
-    staged = (
-        merged.withColumn("bucket_date", F.to_date("bucket_ts"))
-        .repartition(1)
-        .localCheckpoint(eager=True)
-    )
+    if existing is not None:
+        # localCheckpoint materializes the merge BEFORE the overwrite so
+        # the plan no longer reads the path it is about to replace
+        staged = (
+            merge_tier(existing, delta.drop("bucket_date"), key_cols)
+            .withColumn("bucket_date", F.to_date("bucket_ts"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    else:  # first batch: nothing stored yet, write the delta directly
+        staged = delta.coalesce(1)
     (
         staged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -119,6 +118,7 @@ def run_tier_backfill_stream(
     tier: str = "hour",
     max_files_per_trigger: int = 1,
     fail_after_batches: int | None = None,
+    state_partitions: int | None = 4,
 ) -> int:
     """Drive the parquet backlog at ``source_path`` through foreachBatch
     tier maintenance until exhausted (availableNow trigger). Restartable:
@@ -137,17 +137,24 @@ def run_tier_backfill_stream(
         )
         seen["n"] += 1
 
+    from .windowed import sized_state_partitions
+
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(source_path)
     )
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # foreachBatch holds no state stores, but the per-batch merge groupBy
+    # still plans spark.sql.shuffle.partitions tasks over a handful of
+    # tier rows — size it to the delta, and skip the trailing no-data
+    # batch (nothing emits on it here)
+    with sized_state_partitions(spark, state_partitions, no_data_batches=False):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return seen["n"]
