@@ -1562,6 +1562,61 @@ def q_cm_freq_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tier_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned tier store (checkpoint/snapshots.py): v0 = hour tier of
+    an 80% events subset, v1 = the full tier; both read back AS-OF their
+    snapshot and aggregated. Hash equality vs SQL computing the same two
+    rollup summaries from raw proves time-travel reads serve exactly the
+    committed data. Vacuum/pin semantics are pinned by
+    tests/test_snapshots.py."""
+    import shutil as _sh
+
+    from dads_spark.checkpoint import SnapshotStore
+    from dads_spark.rollup import rollup_from_raw
+
+    base = _stage_dir("snapshot_store_run", sf_dir)
+    _sh.rmtree(base, ignore_errors=True)  # fresh store per call
+    store = SnapshotStore(spark, base)
+    ev = _t(spark, sf_dir, "events")
+    v0 = store.commit(
+        "hour",
+        rollup_from_raw(
+            ev.filter(F.col("event_id") % 5 != 0), ["event_type"], "ts", None, "hour"
+        ),
+        note="partial ingest",
+    )
+    v1 = store.commit(
+        "hour", rollup_from_raw(ev, ["event_type"], "ts", None, "hour"),
+        note="full ingest",
+    )
+    parts = []
+    for v in (v0, v1):
+        parts.append(
+            store.read("hour", v)
+            .groupBy()
+            .agg(
+                F.lit(v).cast("long").alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("doc_count").cast("long").alias("events_total"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend as exact integer fractions
+    (rollup/trend.py:ols_trend_exact): every moment is an integer sum, so
+    slope/intercept hash bit-for-bit with no float surface — the
+    variance-weighted complement of theil_sen_trend."""
+    from dads_spark.rollup import bucket_expr, ols_trend_exact
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    return ols_trend_exact(hourly, ["event_type"], "bucket_ts", "y")
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass ANALYZE-style profile (ops/profile.py) of four events
     columns: nulls, exact distincts, string-cast min/max, total string
@@ -3926,6 +3981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_freq_cascade": q_cm_freq_cascade,
         "table_profile": q_table_profile,
         "ann_pq": q_ann_pq,
+        "ols_trend": q_ols_trend,
+        "tier_snapshots": q_tier_snapshots,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -5727,6 +5784,48 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN exact ON exact.event_type = est.event_type
                            AND exact.ws = est.ws
                            AND exact.user_id = est.user_id
+        """,
+        "tier_snapshots": """
+            WITH b AS (
+                SELECT event_id, event_type,
+                       (epoch_us(ts) // 3600000000) * 3600 AS hb
+                FROM events),
+            v0 AS (
+                SELECT event_type, hb, count(*) AS dc FROM b
+                WHERE event_id % 5 != 0 GROUP BY 1, 2),
+            v1 AS (
+                SELECT event_type, hb, count(*) AS dc FROM b GROUP BY 1, 2)
+            SELECT CAST(0 AS BIGINT) AS version,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(dc) AS BIGINT) AS events_total
+            FROM v0
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+                   CAST(sum(dc) AS BIGINT)
+            FROM v1
+        """,
+        "ols_trend": """
+            WITH h AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) * 3600 AS b,
+                       count(*) AS y
+                FROM events GROUP BY 1, 2),
+            r AS (
+                SELECT event_type, y,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY b) - 1 AS x
+                FROM h),
+            a AS (
+                SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM r GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS slope_numer,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS slope_denom,
+                   CAST(sy * (n * sxx - sx * sx)
+                        - sx * (n * sxy - sx * sy) AS BIGINT) AS icept_numer,
+                   CAST(n * (n * sxx - sx * sx) AS BIGINT) AS icept_denom
+            FROM a
         """,
         "table_profile": """
             WITH s AS (SELECT count(*) AS n FROM events)

@@ -187,6 +187,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "cm_freq_cascade",
         "table_profile",
         "ann_pq",
+        "ols_trend",
+        "tier_snapshots",
     ]
     for name in suite:
         t0 = _now()

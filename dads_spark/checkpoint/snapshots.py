@@ -1,0 +1,130 @@
+"""Versioned tier store: snapshot commits, time-travel reads, vacuum.
+
+The checkpoint manifests (`manifest.py`) give kill/resume for a RUNNING
+job; this module gives the tier STORE a history: every commit writes a
+new immutable data directory and appends a snapshot entry, so readers
+can pin "the day tier as of snapshot N" while a writer publishes N+1 —
+the serving contract Iceberg snapshots provide, reduced to its parquet
+essentials (README "Iceberg proper" documents the swap path):
+
+- data lives under ``data/<table>/v=<N>/`` — never rewritten, so a
+  reader holding version N is immune to concurrent publishes;
+- the snapshot log ``_snapshots.json`` is replaced atomically
+  (``os.replace`` of a temp file) — the single pointer swap that makes a
+  commit visible all-or-nothing. Single-writer (one maintenance job owns
+  a store), many-reader;
+- ``vacuum(keep_last=K)`` deletes data directories no kept snapshot
+  references — the retention engine's GC step after compaction /
+  re-publish, without which a daily-published 100 TB tier doubles its
+  footprint every rewrite cycle. Vacuum only touches versions strictly
+  older than the kept window, so pinned readers inside the window never
+  lose files.
+
+Reference analog: none (DADS holds results in actor memory); spec source
+BASELINE.json:6,14 (retention engine owns the tier store lifecycle;
+checkpointed stages need a publish/rollback story at 10^12 docs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["SnapshotStore"]
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- snapshot log ------------------------------------------------------
+    @property
+    def _log_path(self) -> str:
+        return os.path.join(self.root, "_snapshots.json")
+
+    def history(self) -> list[dict]:
+        try:
+            with open(self._log_path) as fh:
+                return json.load(fh)
+        except OSError:
+            return []
+
+    def _append(self, entry: dict) -> None:
+        log = self.history() + [entry]
+        tmp = self._log_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(log, fh, indent=1)
+        os.replace(tmp, self._log_path)  # atomic pointer swap
+
+    def latest_version(self, table: str) -> int | None:
+        vs = [s["version"] for s in self.history() if s["table"] == table]
+        return max(vs) if vs else None
+
+    # -- commit / read / vacuum -------------------------------------------
+    def _data_path(self, table: str, version: int) -> str:
+        return os.path.join(self.root, "data", table, f"v={version}")
+
+    def commit(self, table: str, df: DataFrame, note: str = "") -> int:
+        """Write ``df`` as the next immutable version of ``table`` and
+        publish it. Returns the new version number."""
+        prev = self.latest_version(table)
+        version = 0 if prev is None else prev + 1
+        path = self._data_path(table, version)
+        df.write.mode("errorifexists").parquet(path)
+        n = self.spark.read.parquet(path).count()
+        self._append(
+            {
+                "table": table,
+                "version": version,
+                "path": path,
+                "row_count": n,
+                "note": note,
+                "committed_at": time.time(),
+            }
+        )
+        return version
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (time travel), or at the latest
+        snapshot. Raises if the version was never committed or vacuumed."""
+        if version is None:
+            version = self.latest_version(table)
+            if version is None:
+                raise ValueError(f"no snapshots for table {table!r}")
+        entries = [
+            s
+            for s in self.history()
+            if s["table"] == table and s["version"] == version
+        ]
+        if not entries:
+            raise ValueError(f"unknown snapshot {table!r} v{version}")
+        path = entries[0]["path"]
+        if not os.path.exists(path):
+            raise ValueError(
+                f"snapshot {table!r} v{version} was vacuumed (data gone)"
+            )
+        return self.spark.read.parquet(path)
+
+    def vacuum(self, table: str, keep_last: int = 2) -> list[int]:
+        """Delete data for all but the newest ``keep_last`` versions of
+        ``table``; the snapshot log keeps the full history (audit trail).
+        Returns the vacuumed version numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = sorted(
+            s["version"] for s in self.history() if s["table"] == table
+        )
+        victims = versions[:-keep_last]
+        removed = []
+        for v in victims:
+            path = self._data_path(table, v)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+                removed.append(v)
+        return removed

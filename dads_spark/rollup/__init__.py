@@ -51,6 +51,7 @@ from .matrixprofile import (  # noqa: F401
 from .trend import (  # noqa: F401
     dtw_banded,
     dtw_pairs_grouped,
+    ols_trend_exact,
     theil_sen_grouped,
     theil_sen_slope,
 )

@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def theil_sen_slope(t_sec: np.ndarray, v: np.ndarray) -> tuple[float, int]:
@@ -176,4 +176,64 @@ def dtw_pairs_grouped(
 
     return pairs.mapInPandas(
         kernel, "key_a string, key_b string, n_a long, n_b long, dtw double"
+    )
+
+
+def ols_trend_exact(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-series OLS trend as EXACT integer fractions — the closed form
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        intercept = (Sy - slope*Sx) / n
+                  = (Sy*(n*Sxx - Sx^2) - Sx*(n*Sxy - Sx*Sy)) / (n*denom)
+
+    computed over x = 0..n-1 (the dense rank of ``order_col``) and
+    integer ``value_col``. Because every moment (Sx, Sy, Sxy, Sxx) is an
+    integer sum, both fractions are exact integers: the trend hashes
+    bit-for-bit on any engine — no float summation order, no rounding
+    rule — unlike a float OLS whose last ulp depends on partitioning.
+
+    Output: keys..., n, slope_numer, slope_denom, icept_numer,
+    icept_denom (constant series -> slope 0/denom; n<2 -> denom 0,
+    caller filters). Complements ``theil_sen_grouped``: OLS is the
+    variance-weighted trend, Theil-Sen the robust one; the engine should
+    offer both.
+
+    Shape: ONE ranking window + ONE aggregation, all JVM codegen.
+    Overflow bound: |n^2 * max|y| * n| must fit int64 — fine for tier
+    series (n ~ 1e4, counts ~ 1e9 -> 1e17); switch the moment columns to
+    decimal(38,0) for wider regimes.
+    """
+    from pyspark.sql import Window as _W
+
+    x = (
+        F.row_number().over(
+            _W.partitionBy(*key_cols).orderBy(order_col)
+        )
+        - 1
+    ).cast("long")
+    y = F.col(value_col).cast("long")
+    with_x = df.select(*key_cols, x.alias("_x"), y.alias("_y"))
+    agg = with_x.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+    )
+    slope_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope_d = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        *key_cols,
+        F.col("n").cast("long").alias("n"),
+        slope_n.cast("long").alias("slope_numer"),
+        slope_d.cast("long").alias("slope_denom"),
+        (F.col("sy") * slope_d - F.col("sx") * slope_n)
+        .cast("long")
+        .alias("icept_numer"),
+        (F.col("n") * slope_d).cast("long").alias("icept_denom"),
     )

@@ -1,0 +1,71 @@
+"""Versioned tier store (checkpoint/snapshots.py): commit, time travel,
+vacuum, pinned-reader safety."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dads_spark.checkpoint import SnapshotStore
+
+
+def _df(spark, n, tag):
+    return spark.range(n).select(
+        F.col("id").alias("k"), F.lit(tag).alias("tag")
+    )
+
+
+def test_commit_read_time_travel(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    v0 = store.commit("t", _df(spark, 3, "a"))
+    v1 = store.commit("t", _df(spark, 5, "b"))
+    assert (v0, v1) == (0, 1)
+    assert store.read("t").count() == 5  # latest
+    assert store.read("t", 0).count() == 3  # as-of
+    assert {r["tag"] for r in store.read("t", 0).collect()} == {"a"}
+    assert store.latest_version("t") == 1
+    hist = store.history()
+    assert [h["version"] for h in hist] == [0, 1]
+    assert [h["row_count"] for h in hist] == [3, 5]
+
+
+def test_committed_data_is_immune_to_later_publishes(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    store.commit("t", _df(spark, 4, "a"))
+    pinned = store.read("t", 0)  # reader pins v0
+    store.commit("t", _df(spark, 9, "b"))  # writer publishes v1
+    assert pinned.count() == 4  # pinned plan still serves v0's files
+    assert store.read("t").count() == 9
+
+
+def test_vacuum_keeps_window_and_fails_cleanly_outside_it(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    for i in range(4):
+        store.commit("t", _df(spark, i + 1, f"v{i}"))
+    removed = store.vacuum("t", keep_last=2)
+    assert removed == [0, 1]
+    assert store.read("t", 2).count() == 3
+    assert store.read("t", 3).count() == 4
+    with pytest.raises(ValueError, match="vacuumed"):
+        store.read("t", 0)
+    # history survives as an audit trail
+    assert [h["version"] for h in store.history()] == [0, 1, 2, 3]
+    with pytest.raises(ValueError):
+        store.vacuum("t", keep_last=0)
+
+
+def test_unknown_reads_raise(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    with pytest.raises(ValueError, match="no snapshots"):
+        store.read("missing")
+    store.commit("t", _df(spark, 1, "a"))
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        store.read("t", 7)
+
+
+def test_tables_are_independent(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    store.commit("a", _df(spark, 2, "x"))
+    store.commit("b", _df(spark, 6, "y"))
+    assert store.latest_version("a") == 0 and store.latest_version("b") == 0
+    assert store.read("a").count() == 2 and store.read("b").count() == 6

@@ -327,3 +327,36 @@ def test_holt_winters_seasonal_absorption_property(season, cycles):
     _, resid = holt_winters(x, m=m)
     ok = np.isfinite(resid)
     assert np.abs(resid[ok]).max() < 1e-6 * (1 + np.abs(x).max())
+
+
+def test_ols_trend_exact_line_and_parity(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dads_spark.rollup import ols_trend_exact
+
+    # perfect line y = 3x + 7 -> slope fraction reduces to exactly 3
+    df = spark.range(100).select(
+        F.lit("a").alias("k"), F.col("id").alias("t"),
+        (F.col("id") * 3 + 7).alias("y"),
+    )
+    r = ols_trend_exact(df, ["k"], "t", "y").first()
+    assert r["slope_numer"] == 3 * r["slope_denom"]
+    assert r["icept_numer"] == 7 * r["icept_denom"]
+
+    # noisy series: fraction matches numpy polyfit to float precision
+    rng = np.random.default_rng(9)
+    y = (rng.normal(50, 5, 200) + 0.7 * np.arange(200)).round().astype(int)
+    df2 = spark.createDataFrame(
+        [("b", int(i), int(v)) for i, v in enumerate(y)], "k string, t long, y long"
+    )
+    r2 = ols_trend_exact(df2, ["k"], "t", "y").first()
+    slope = r2["slope_numer"] / r2["slope_denom"]
+    icept = r2["icept_numer"] / r2["icept_denom"]
+    fit = np.polyfit(np.arange(200), y, 1)
+    assert abs(slope - fit[0]) < 1e-9 and abs(icept - fit[1]) < 1e-6
+
+    # repartition invariance: integers have no summation-order surface
+    a = ols_trend_exact(df2.coalesce(1), ["k"], "t", "y").collect()
+    b = ols_trend_exact(df2.repartition(7, "t"), ["k"], "t", "y").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
