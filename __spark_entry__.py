@@ -1562,6 +1562,31 @@ def q_cm_freq_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked per-source contribution cap (ops/sampling.py
+    cap_per_group): at most 12 docs per source, keeping the LONGEST
+    (n_chars as the quality proxy; md5 tiebreak) — the anti-gigasite
+    curation cap, distinct from the uniform deterministic_sample."""
+    from dads_spark.ops import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return cap_per_group(docs, ["source"], "doc_id", 12, "n_chars")
+
+
+def q_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer seasonal-vs-naive forecast baselines per series
+    (rollup/analytics.py seasonal_naive_error): sum-of-absolute-errors of
+    y_{t-24} and y_{t-1} predictors over hourly counts — the forecast-
+    family triage metric, with zero float surface."""
+    from dads_spark.rollup import seasonal_naive_error
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    return seasonal_naive_error(hourly, ["event_type"], "bucket_ts", "y", season=24)
+
+
 def q_tier_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned tier store (checkpoint/snapshots.py): v0 = hour tier of
     an 80% events subset, v1 = the full tier; both read back AS-OF their
@@ -3983,6 +4008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "ols_trend": q_ols_trend,
         "tier_snapshots": q_tier_snapshots,
+        "domain_cap": q_domain_cap,
+        "seasonal_naive_error": q_seasonal_naive_error,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -5784,6 +5811,37 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN exact ON exact.event_type = est.event_type
                            AND exact.ws = est.ws
                            AND exact.user_id = est.user_id
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC,
+                                    md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents)
+            WHERE rn <= 12
+        """,
+        "seasonal_naive_error": """
+            WITH h AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) * 3600 AS b,
+                       count(*) AS y
+                FROM events GROUP BY 1, 2),
+            l AS (
+                SELECT event_type, y,
+                       lag(y, 1) OVER (
+                           PARTITION BY event_type ORDER BY b) AS y1,
+                       lag(y, 24) OVER (
+                           PARTITION BY event_type ORDER BY b) AS ys
+                FROM h)
+            SELECT event_type,
+                   CAST(sum(abs(y - ys)) AS BIGINT) AS sae_seasonal,
+                   CAST(count(ys) AS BIGINT) AS n_seasonal,
+                   CAST(sum(abs(y - y1)) AS BIGINT) AS sae_naive,
+                   CAST(count(y1) AS BIGINT) AS n_naive
+            FROM l GROUP BY 1
         """,
         "tier_snapshots": """
             WITH b AS (

@@ -189,6 +189,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "ann_pq",
         "ols_trend",
         "tier_snapshots",
+        "domain_cap",
+        "seasonal_naive_error",
     ]
     for name in suite:
         t0 = _now()

@@ -36,6 +36,7 @@ from .contamination import contamination_report  # noqa: F401
 from .sampling import (  # noqa: F401
     balance_sample,
     bucket_sample,
+    cap_per_group,
     deterministic_sample,
     hash_split,
     stratified_sample,

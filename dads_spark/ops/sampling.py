@@ -185,3 +185,33 @@ def balance_sample(
         .filter(F.col("_rn") <= F.col("_take"))
         .drop("_rn", "_take")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    cap: int,
+    quality_col: str,
+) -> DataFrame:
+    """Quality-ranked contribution cap: at most ``cap`` rows per group,
+    keeping the BEST ``quality_col`` (descending; md5(id) then id break
+    ties deterministically) — the per-domain cap every web-corpus
+    curation pipeline applies so one gigasite cannot dominate the
+    training mix, retaining its highest-quality pages rather than a
+    uniform draw (that uniform variant is ``deterministic_sample``).
+
+    One ranking window per group; at 100 TB the window sort is
+    per-domain and bounded by domain size — hot domains are exactly the
+    rows the cap discards, so the skew pays for itself once and never
+    again downstream.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    h = F.md5(F.col(id_col).cast("string"))
+    rn = F.row_number().over(
+        W.partitionBy(*group_cols).orderBy(
+            F.col(quality_col).desc(), h, F.col(id_col)
+        )
+    )
+    return df.withColumn("_rn", rn).filter(F.col("_rn") <= cap).drop("_rn")

@@ -65,6 +65,7 @@ from .analytics import (  # noqa: F401
     paa_sax,
     rolling_quantile,
     seasonal_decompose,
+    seasonal_naive_error,
     seasonal_outliers,
     series_cross_correlation,
     time_weighted_avg,

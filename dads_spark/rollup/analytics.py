@@ -604,3 +604,43 @@ def burst_intervals(
         F.max("v").alias("peak_v"),
         F.sum("v").alias("sum_v"),
     ).drop("island")
+
+
+def seasonal_naive_error(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    season: int = 24,
+) -> DataFrame:
+    """Per-series forecastability baseline in EXACT integers: the sum of
+    absolute errors of the seasonal-naive predictor (y_hat_t = y_{t-m})
+    and of the last-value predictor (y_hat_t = y_{t-1}) over an integer
+    series, plus their evaluation counts. MASE-style skill ratios are
+    one division away, but the stored metric has no float surface —
+    |y_t - y_{t-s}| over counts is an integer, so the result hashes
+    bit-for-bit on any engine/partitioning.
+
+    A series where sae_seasonal/n_seasonal ~ sae_naive/n_naive has no
+    exploitable daily cycle (Holt-Winters won't beat Holt on it); a much
+    smaller seasonal SAE flags strong seasonality. This is the triage
+    that decides which forecast family the anomaly pre-stage runs.
+
+    Shape: one window pass (two lags over the same per-series sort), one
+    aggregation — all codegen, shuffle = one row per series.
+    """
+    w = W.partitionBy(*key_cols).orderBy(order_col)
+    y = F.col(value_col).cast("long")
+    lag1 = F.lag(y, 1).over(w)
+    lags = F.lag(y, season).over(w)
+    with_err = df.select(
+        *key_cols,
+        F.abs(y - lag1).alias("_e1"),
+        F.abs(y - lags).alias("_es"),
+    )
+    return with_err.groupBy(*key_cols).agg(
+        F.sum("_es").cast("long").alias("sae_seasonal"),
+        F.count("_es").cast("long").alias("n_seasonal"),
+        F.sum("_e1").cast("long").alias("sae_naive"),
+        F.count("_e1").cast("long").alias("n_naive"),
+    )

@@ -134,3 +134,39 @@ def test_balance_sample_validates_weights(spark):
         balance_sample(df, "lang", {}, "doc_id")
     with pytest.raises(ValueError):
         balance_sample(df, "lang", {"en": 0}, "doc_id")
+
+
+def test_cap_per_group_keeps_best_quality(spark):
+    from dads_spark.ops import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 2), i * 10) for i in range(20)],
+        "doc_id long, source string, q long",
+    )
+    out = cap_per_group(df, ["source"], "doc_id", 3, "q").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["q"])
+    # per source: exactly the 3 highest quality values survive
+    assert sorted(by_src["s0"]) == [140, 160, 180]
+    assert sorted(by_src["s1"]) == [150, 170, 190]
+    with pytest.raises(ValueError):
+        cap_per_group(df, ["source"], "doc_id", 0, "q")
+
+
+def test_seasonal_naive_error_exact(spark):
+    import numpy as np
+
+    from dads_spark.rollup import seasonal_naive_error
+
+    # perfectly 4-periodic series: seasonal SAE (season=4) is exactly 0,
+    # naive SAE is the within-cycle step mass
+    cycle = [10, 3, 8, 5]
+    y = cycle * 12
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(y)], "k string, t long, y long"
+    )
+    r = seasonal_naive_error(df, ["k"], "t", "y", season=4).first()
+    assert r["sae_seasonal"] == 0 and r["n_seasonal"] == len(y) - 4
+    want_naive = sum(abs(y[i] - y[i - 1]) for i in range(1, len(y)))
+    assert r["sae_naive"] == want_naive and r["n_naive"] == len(y) - 1
