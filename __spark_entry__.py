@@ -1562,6 +1562,36 @@ def q_cm_freq_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tier_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tier range router (rollup/router.py): per-type totals over a
+    ~3.7-week range served from week+day+hour tiers stitched without
+    overlap or gap. The oracle aggregates RAW events over the same range
+    — hash equality proves the coarse-tier serving plan is exact. Which
+    tiers served (provenance counts) is pinned by tests/test_router.py."""
+    from dads_spark.rollup import cascade, rollup_from_raw, route_range
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = (
+        ev.agg(
+            F.min(F.unix_timestamp(F.col("ts").cast("timestamp"))),
+            F.max(F.unix_timestamp(F.col("ts").cast("timestamp"))),
+        ).first()
+    )
+    t0 = (int(lo) // 3600) * 3600 + 5 * 3600
+    t1 = (int(hi) // 3600) * 3600 - 3 * 3600
+    hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+    day = cascade(hour, ["event_type"], "day")
+    week = cascade(day, ["event_type"], "week")
+    out = route_range(
+        {"hour": hour, "day": day, "week": week}, ["event_type"], t0, t1
+    )
+    return out.select(
+        "event_type",
+        F.col("doc_count").alias("n_events"),
+        F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked per-source contribution cap (ops/sampling.py
     cap_per_group): at most 12 docs per source, keeping the LONGEST
@@ -4010,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_snapshots": q_tier_snapshots,
         "domain_cap": q_domain_cap,
         "seasonal_naive_error": q_seasonal_naive_error,
+        "tier_route": q_tier_route,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -5811,6 +5842,19 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN exact ON exact.event_type = est.event_type
                            AND exact.ws = est.ws
                            AND exact.user_id = est.user_id
+        """,
+        "tier_route": """
+            WITH bounds AS (
+                SELECT (min(epoch_us(ts)) // 3600000000) * 3600 + 5 * 3600 AS t0,
+                       (max(epoch_us(ts)) // 3600000000) * 3600 - 3 * 3600 AS t1
+                FROM events)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS value_sum
+            FROM events, bounds
+            WHERE epoch_us(ts) // 1000000 >= t0
+              AND epoch_us(ts) // 1000000 < t1
+            GROUP BY 1
         """,
         "domain_cap": """
             SELECT doc_id, source, n_chars FROM (

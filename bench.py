@@ -191,6 +191,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "tier_snapshots",
         "domain_cap",
         "seasonal_naive_error",
+        "tier_route",
     ]
     for name in suite:
         t0 = _now()

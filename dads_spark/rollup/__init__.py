@@ -17,6 +17,7 @@ from .changepoint import auto_penalty, pelt_changepoints, pelt_grouped  # noqa: 
 from .zorder import zorder_write, zvalue, zvalue_sql  # noqa: F401
 from .drift import tv_drift  # noqa: F401
 from .freqsketch import cm_build_tier, cm_cascade, cm_estimate  # noqa: F401
+from .router import range_segments, route_range  # noqa: F401
 from .distinct import cascade_distinct, distinct_sketch_tier, with_estimate  # noqa: F401
 from .patterns import pattern_topk, pattern_topk_kernel  # noqa: F401
 from .resample import resample_grid  # noqa: F401

@@ -543,6 +543,54 @@ def main() -> None:
                   if "Window" in l or "Exchange" in l or "Sort" in l)[:600],
     ))
 
+    # --- A28: count-min cascade — all-JVM aggregates, no Python -------------
+    p28 = plan_of(em.queries()["cm_freq_cascade"](spark, sf_dir))
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"):
+        assert py_op not in p28, f"cm cascade plan contains {py_op}"
+    assert "HashAggregate" in p28
+    sections.append((
+        "A28 cm_freq_cascade: sketch build/merge/estimate are plain JVM aggregates",
+        "PASS — the relational cell representation keeps every count-min "
+        "operation inside HashAggregate with map-side partials (shuffle "
+        "<= d*w cells per bucket, never items) and the md5 cell hashes are "
+        "codegen expressions; zero Python operators across build, "
+        "hour->day merge, and the probe-estimate join",
+        "\n".join(l for l in p28.splitlines()
+                  if "HashAggregate" in l or "Exchange" in l or "Join" in l)[:600],
+    ))
+
+    # --- A29: table profiler — ONE scan for N columns -----------------------
+    p29 = plan_of(em.queries()["table_profile"](spark, sf_dir))
+    n_scans29 = len(_re.findall(r"\(\d+\) Scan parquet", p29))
+    assert n_scans29 == 1, f"profiler must scan once, got {n_scans29}"
+    assert "Expand" in p29, "multi-distinct profile plans via Expand"
+    sections.append((
+        "A29 table_profile: one scan, Expand-planned multi-column distincts",
+        "PASS — profiling four columns costs a single parquet scan; "
+        "Spark plans the multi-column exact distincts via one Expand with "
+        "partial aggregation, so the shuffle carries per-group partials "
+        "and the pass count stays 1 regardless of column count",
+        "\n".join(l for l in p29.splitlines()
+                  if "Expand" in l or "HashAggregate" in l or "Scan" in l)[:600],
+    ))
+
+    # --- A30: exact-integer OLS — one window, one agg, codegen --------------
+    p30 = plan_of(em.queries()["ols_trend"](spark, sf_dir))
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"):
+        assert py_op not in p30, f"ols plan contains {py_op}"
+    assert "Window" in p30 and "HashAggregate" in p30
+    sections.append((
+        "A30 ols_trend: integer moments via one window + one aggregate",
+        "PASS — the dense rank is one JVM window, the four moment sums "
+        "one hash aggregate with partials; slope/intercept fractions are "
+        "integer projections. No Python, no float summation surface — "
+        "the trend is bit-exact under any partitioning",
+        "\n".join(l for l in p30.splitlines()
+                  if "Window" in l or "HashAggregate" in l or "Exchange" in l)[:600],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
