@@ -70,11 +70,28 @@ class SnapshotStore:
     def _data_path(self, table: str, version: int) -> str:
         return os.path.join(self.root, "data", table, f"v={version}")
 
+    def _stray_versions(self, table: str) -> list[int]:
+        """Data dirs on disk (committed or orphaned by a crash mid-commit)."""
+        base = os.path.join(self.root, "data", table)
+        try:
+            return [
+                int(e.split("=", 1)[1])
+                for e in os.listdir(base)
+                if e.startswith("v=")
+            ]
+        except OSError:
+            return []
+
     def commit(self, table: str, df: DataFrame, note: str = "") -> int:
         """Write ``df`` as the next immutable version of ``table`` and
-        publish it. Returns the new version number."""
+        publish it. Returns the new version number. Version numbering
+        skips past any orphaned data dir a crash between data-write and
+        log-swap left behind (the orphan is unpublished garbage — vacuum
+        of the log's history never references it, and numbering around it
+        keeps ``errorifexists`` from tripping on the retry)."""
         prev = self.latest_version(table)
-        version = 0 if prev is None else prev + 1
+        floor = -1 if prev is None else prev
+        version = max([floor] + self._stray_versions(table)) + 1
         path = self._data_path(table, version)
         df.write.mode("errorifexists").parquet(path)
         n = self.spark.read.parquet(path).count()

@@ -18,8 +18,9 @@ makes every sketch operation a plain Spark aggregate:
 - MERGE / CASCADE: counter matrices add cell-wise, so hour -> day -> week
   is ``groupBy(bucket(day), row, col).sum`` over STORED hour cells — the
   same no-raw-re-read contract as the HLL and t-digest cascades;
-- ESTIMATE: join a query item's d cells, take min(count) — missing cells
-  are zero (the sketch's floor), handled with a left join + coalesce.
+- ESTIMATE: join a query item's d cells, take min(count) — a missing
+  cell means count 0, so the inner-join form emits 0 whenever fewer than
+  d cells matched (no outer join over the sketch needed).
 
 Everything is exact integer arithmetic over deterministic hashes: the
 whole pipeline (build, cascade, estimate, even the >=-truth guarantee) is
@@ -104,9 +105,10 @@ def cm_estimate(
     min over the item's d counters (absent cell = 0). ``items`` must carry
     ``key_cols``; output adds bucket_ts and ``est``.
 
-    The items side is exploded to d probe rows and joined on
-    (keys, hrow, hcol) — broadcast when the probe set is small (the usual
-    shape: a dashboard's watchlist against a year of tier sketches)."""
+    The items side is exploded to d probe rows and BROADCAST into an
+    inner join on (keys, bucket, hrow, hcol), so the sketch — the big
+    side at a year of tiers — streams map-side and never shuffles (the
+    usual shape: a dashboard watchlist probing stored sketch cells)."""
     item = F.col(item_col)
     probes = items.select(
         *key_cols,
@@ -124,11 +126,29 @@ def cm_estimate(
     ).select(*key_cols, item_col, F.col("_p.hrow").alias("hrow"),
              F.col("_p.hcol").alias("hcol"))
     buckets = sketch.select(*key_cols, "bucket_ts").distinct()
-    grid = probes.join(buckets, key_cols)  # every item x every bucket
-    joined = grid.join(
-        sketch, [*key_cols, "bucket_ts", "hrow", "hcol"], "left"
-    ).withColumn("c", F.coalesce("c", F.lit(0)))
+    grid = probes.join(F.broadcast(buckets), key_cols)
+    # INNER broadcast join, probe grid on the build side: the sketch
+    # (the big table) streams map-side and never shuffles. A probe cell
+    # absent from the sketch means count 0, which forces the min to 0 —
+    # so instead of an outer join we count matched cells and emit 0
+    # whenever fewer than d matched.
+    joined = sketch.join(
+        F.broadcast(grid), [*key_cols, "bucket_ts", "hrow", "hcol"]
+    )
     return (
         joined.groupBy(*key_cols, "bucket_ts", item_col)
-        .agg(F.min("c").cast("long").alias("est"))
+        .agg(
+            F.when(F.count(F.lit(1)) < d, F.lit(0))
+            .otherwise(F.min("c"))
+            .cast("long")
+            .alias("est")
+        )
+        # items whose d cells ALL miss vanish from the inner join: restore
+        # them as explicit zero estimates via the (tiny) grid side
+        .join(
+            grid.select(*key_cols, "bucket_ts", item_col).distinct(),
+            [*key_cols, "bucket_ts", item_col],
+            "right",
+        )
+        .withColumn("est", F.coalesce("est", F.lit(0)).cast("long"))
     )

@@ -69,3 +69,20 @@ def test_tables_are_independent(spark, tmp_path):
     store.commit("b", _df(spark, 6, "y"))
     assert store.latest_version("a") == 0 and store.latest_version("b") == 0
     assert store.read("a").count() == 2 and store.read("b").count() == 6
+
+
+def test_commit_skips_orphaned_data_dir(spark, tmp_path):
+    import os
+
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    store.commit("t", _df(spark, 2, "a"))
+    # simulate a crash between data-write and log-swap: v=1 data exists
+    # but was never published
+    orphan = os.path.join(str(tmp_path / "store"), "data", "t", "v=1")
+    _df(spark, 9, "orphan").write.parquet(orphan)
+    v = store.commit("t", _df(spark, 3, "b"))
+    assert v == 2  # numbering skips the orphan instead of erroring
+    assert store.read("t").count() == 3
+    assert store.latest_version("t") == 2
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        store.read("t", 1)  # the orphan is unpublished garbage
