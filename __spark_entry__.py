@@ -1562,6 +1562,17 @@ def q_cm_freq_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate profile drift (ops/profile.py profile_drift): the 80%
+    events subset vs the full table — per-column null/distinct/length
+    deltas and changed-extrema flags, all integer/bool, hash-exact."""
+    from dads_spark.ops import profile_drift
+
+    ev = _t(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 5 != 0)
+    return profile_drift(old, ev, ["event_id", "event_type", "user_id", "props"])
+
+
 def q_tier_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-tier range router (rollup/router.py): per-type totals over a
     ~3.7-week range served from week+day+hour tiers stitched without
@@ -1680,6 +1691,35 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return profile_table(ev, ["event_id", "event_type", "user_id", "props"])
+
+
+def _profile_drift_oracle_sql() -> str:
+    parts = []
+    for c in ("event_id", "event_type", "user_id", "props"):
+        s = f"CAST({c} AS VARCHAR)"
+        parts.append(f"""
+            SELECT '{c}' AS "column",
+              (SELECT CAST(count(*) AS BIGINT) FROM old_t) AS n_rows_old,
+              (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows_new,
+              CAST((SELECT count(*) FROM events WHERE {c} IS NULL)
+                 - (SELECT count(*) FROM old_t WHERE {c} IS NULL) AS BIGINT)
+                  AS null_delta,
+              CAST((SELECT count(DISTINCT {c}) FROM events)
+                 - (SELECT count(DISTINCT {c}) FROM old_t) AS BIGINT)
+                  AS distinct_delta,
+              CAST((SELECT sum(coalesce(length({s}), 0)) FROM events)
+                 - (SELECT sum(coalesce(length({s}), 0)) FROM old_t) AS BIGINT)
+                  AS len_delta,
+              ((SELECT min({s}) FROM events)
+                   IS DISTINCT FROM (SELECT min({s}) FROM old_t)
+               OR (SELECT max({s}) FROM events)
+                   IS DISTINCT FROM (SELECT max({s}) FROM old_t))
+                  AS range_changed
+        """)
+    return (
+        "WITH old_t AS (SELECT * FROM events WHERE event_id % 5 != 0)\n"
+        + "\nUNION ALL\n".join(parts)
+    )
 
 
 def _zorder_oracle_sql() -> str:
@@ -4041,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "seasonal_naive_error": q_seasonal_naive_error,
         "tier_route": q_tier_route,
+        "profile_drift": q_profile_drift,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -5798,6 +5839,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hit ON hit.doc_id = h.doc_id AND hit.rn = 1
         """,
         "zorder_values": _zorder_oracle_sql(),
+        "profile_drift": _profile_drift_oracle_sql(),
         "cm_freq_cascade": """
             WITH days AS (
                 SELECT event_type,

@@ -192,6 +192,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "domain_cap",
         "seasonal_naive_error",
         "tier_route",
+        "profile_drift",
     ]
     for name in suite:
         t0 = _now()

@@ -56,3 +56,55 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(column, n_null, n_distinct, min_s, max_s, total_len)",
     ).select("column", "n_rows", "n_null", "n_distinct", "min_s", "max_s", "total_len")
+
+
+def profile_drift(
+    old_df: DataFrame, new_df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Per-column profile drift between two versions of a table (e.g. two
+    SnapshotStore versions, yesterday's ingest vs today's): joins the two
+    one-pass profiles and emits integer deltas plus changed-extrema
+    flags — the ingest-gate check "did nulls explode / distincts collapse
+    / value ranges move" as data. All integers/strings/booleans, so the
+    report hash-compares exactly.
+
+    Two scans total (one per version, each profiling all columns at
+    once); the join is |cols| rows — driver-trivial at any table size.
+    """
+    a = profile_table(old_df, cols)
+    b = profile_table(new_df, cols)
+    oldp = a.select(
+        "column",
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("n_null").alias("n_null_old"),
+        F.col("n_distinct").alias("n_distinct_old"),
+        F.col("min_s").alias("min_old"),
+        F.col("max_s").alias("max_old"),
+        F.col("total_len").alias("total_len_old"),
+    )
+    newp = b.select(
+        "column",
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("n_null").alias("n_null_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+        F.col("min_s").alias("min_new"),
+        F.col("max_s").alias("max_new"),
+        F.col("total_len").alias("total_len_new"),
+    )
+    return (
+        oldp.join(newp, "column")
+        .select(
+            "column",
+            "n_rows_old",
+            "n_rows_new",
+            (F.col("n_null_new") - F.col("n_null_old")).alias("null_delta"),
+            (F.col("n_distinct_new") - F.col("n_distinct_old")).alias(
+                "distinct_delta"
+            ),
+            (F.col("total_len_new") - F.col("total_len_old")).alias("len_delta"),
+            (
+                ~F.col("min_new").eqNullSafe(F.col("min_old"))
+                | ~F.col("max_new").eqNullSafe(F.col("max_old"))
+            ).alias("range_changed"),
+        )
+    )

@@ -155,8 +155,6 @@ def test_cap_per_group_keeps_best_quality(spark):
 
 
 def test_seasonal_naive_error_exact(spark):
-    import numpy as np
-
     from dads_spark.rollup import seasonal_naive_error
 
     # perfectly 4-periodic series: seasonal SAE (season=4) is exactly 0,

@@ -83,3 +83,24 @@ def test_profile_table(spark):
     assert got["s"]["total_len"] == 1 + 2 + 1 + 2
     with pytest.raises(ValueError):
         profile_table(df, [])
+
+
+def test_profile_drift(spark):
+    from dads_spark.ops import profile_drift
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "x int, s string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (9, None), (None, "zz")],
+        "x int, s string",
+    )
+    got = {r["column"]: r.asDict() for r in profile_drift(old, new, ["x", "s"]).collect()}
+    assert got["x"]["n_rows_old"] == 3 and got["x"]["n_rows_new"] == 5
+    assert got["x"]["null_delta"] == 1  # None x appeared
+    assert got["x"]["distinct_delta"] == 1  # 9 is new
+    assert got["x"]["range_changed"] is True  # max moved 3 -> 9
+    assert got["s"]["null_delta"] == 1
+    assert got["s"]["distinct_delta"] == 1  # 'zz'
+    assert got["s"]["len_delta"] == 2
+    assert got["s"]["range_changed"] is True  # max 'b' -> 'zz'
