@@ -1562,6 +1562,41 @@ def q_cm_freq_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compressed_read_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranged read over the Gorilla blob store (compress/blobstore.py):
+    the hour tier is written as chunked compressed blobs with
+    [t_min, t_max] pruning columns, then a mid-range window is read back
+    (blob-level pruning at the scan, row-level trim after decode) and
+    aggregated. Oracle = the same range aggregated from RAW events —
+    hash equality proves the compressed store serves exact ranged reads."""
+    import shutil as _sh
+
+    from dads_spark.compress import read_compressed_tier, write_compressed_tier
+    from dads_spark.rollup import rollup_from_raw
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = (
+        ev.agg(
+            F.min(F.unix_timestamp(F.col("ts").cast("timestamp"))),
+            F.max(F.unix_timestamp(F.col("ts").cast("timestamp"))),
+        ).first()
+    )
+    t0 = ((int(lo) // 3600) * 3600 + 24 * 3600) * 1_000_000
+    t1 = ((int(hi) // 3600) * 3600 - 36 * 3600) * 1_000_000
+    hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+    path = _stage_dir("gorilla_store_run", sf_dir)
+    _sh.rmtree(path, ignore_errors=True)
+    # chunk small so the range exercises real blob pruning at every sf
+    write_compressed_tier(hour, ["event_type"], path, chunk_points=64)
+    rows = read_compressed_tier(
+        spark, path, ["event_type"], t0_us=t0, t1_us=t1
+    )
+    return rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.round(F.sum("value_sum"), 2).alias("value_sum"),
+    )
+
+
 def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-gate profile drift (ops/profile.py profile_drift): the 80%
     events subset vs the full table — per-column null/distinct/length
@@ -4082,6 +4117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_error": q_seasonal_naive_error,
         "tier_route": q_tier_route,
         "profile_drift": q_profile_drift,
+        "compressed_read_range": q_compressed_read_range,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -5884,6 +5920,23 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN exact ON exact.event_type = est.event_type
                            AND exact.ws = est.ws
                            AND exact.user_id = est.user_id
+        """,
+        "compressed_read_range": """
+            WITH bounds AS (
+                SELECT (min(epoch_us(ts)) // 3600000000) * 3600 + 24 * 3600 AS t0,
+                       (max(epoch_us(ts)) // 3600000000) * 3600 - 36 * 3600 AS t1
+                FROM events),
+            h AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) * 3600 AS b,
+                       sum(value) AS vs
+                FROM events GROUP BY 1, 2)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   round(sum(vs), 2) AS value_sum
+            FROM h, bounds
+            WHERE h.b >= bounds.t0 AND h.b < bounds.t1
+            GROUP BY 1
         """,
         "tier_route": """
             WITH bounds AS (

@@ -193,6 +193,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "seasonal_naive_error",
         "tier_route",
         "profile_drift",
+        "compressed_read_range",
     ]
     for name in suite:
         t0 = _now()

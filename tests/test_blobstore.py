@@ -1,0 +1,62 @@
+"""Compressed blob store (compress/blobstore.py): lossless ranged reads,
+blob-level pruning, edge-chunk trimming."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dads_spark.compress import read_compressed_tier, write_compressed_tier
+
+
+def _tier(spark, n_hours=500):
+    return spark.range(n_hours).select(
+        F.concat(F.lit("k"), (F.col("id") % 2).cast("string")).alias("key"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 3600).alias(
+            "bucket_ts"
+        ),
+        (F.pmod(F.hash("id"), F.lit(500)) + 1.5).alias("value_sum"),
+    )
+
+
+def test_full_roundtrip_lossless(spark, tmp_path):
+    tier = _tier(spark)
+    path = str(tmp_path / "blobs")
+    write_compressed_tier(tier, ["key"], path, chunk_points=64)
+    back = read_compressed_tier(spark, path, ["key"])
+    a = sorted(map(tuple, tier.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b  # bit-exact doubles, exact timestamps
+
+
+def test_ranged_read_prunes_blobs_and_trims_edges(spark, tmp_path):
+    tier = _tier(spark)
+    path = str(tmp_path / "blobs")
+    write_compressed_tier(tier, ["key"], path, chunk_points=16)
+    blobs = spark.read.parquet(path)
+    total_blobs = blobs.count()
+    t0 = (1_700_000_000 + 100 * 3600) * 1_000_000
+    t1 = (1_700_000_000 + 140 * 3600) * 1_000_000
+    surviving = blobs.filter(
+        (F.col("t_max_us") >= t0) & (F.col("t_min_us") < t1)
+    ).count()
+    assert surviving < total_blobs / 3  # the range predicate prunes blobs
+    out = read_compressed_tier(spark, path, ["key"], t0_us=t0, t1_us=t1)
+    want = tier.filter(
+        (F.unix_timestamp("bucket_ts") * 1_000_000 >= t0)
+        & (F.unix_timestamp("bucket_ts") * 1_000_000 < t1)
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
+    # blob bounds reach the parquet scan as pushed filters
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "t_max_us" in plan
+
+
+def test_empty_range_read(spark, tmp_path):
+    tier = _tier(spark, 50)
+    path = str(tmp_path / "blobs")
+    write_compressed_tier(tier, ["key"], path, chunk_points=16)
+    out = read_compressed_tier(
+        spark, path, ["key"], t0_us=1, t1_us=2
+    )
+    assert out.count() == 0
+    assert out.columns == ["key", "bucket_ts", "value_sum"]
