@@ -28,6 +28,8 @@ retention store; a store needs a ranged read path, not just a codec).
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 
@@ -68,6 +70,7 @@ def write_compressed_tier(
             StructField("n_points", LongType()),
             StructField("ts_blob", BinaryType()),
             StructField("val_blob", BinaryType()),
+            StructField("crc", LongType()),
         ]
     )
 
@@ -78,14 +81,18 @@ def write_compressed_tier(
         rows = []
         for lo in range(0, len(ts_us), chunk_points):
             t, v = ts_us[lo : lo + chunk_points], vals[lo : lo + chunk_points]
+            tb, vb = encode_timestamps(t), encode_values(v)
             rows.append(
                 {
                     **{k: pdf[k].iloc[0] for k in key_cols},
                     "t_min_us": int(t[0]),
                     "t_max_us": int(t[-1]),
                     "n_points": len(t),
-                    "ts_blob": encode_timestamps(t),
-                    "val_blob": encode_values(v),
+                    "ts_blob": tb,
+                    "val_blob": vb,
+                    # integrity seal over both streams: cold blobs outlive
+                    # parquet-level checks once copied/re-tiered
+                    "crc": zlib.crc32(tb) ^ (zlib.crc32(vb) << 1),
                 }
             )
         return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
@@ -129,8 +136,15 @@ def read_compressed_tier(
             outs = []
             for _, r in pdf.iterrows():
                 n = int(r["n_points"])
-                ts = decode_timestamps(bytes(r["ts_blob"]), n)
-                vs = decode_values(bytes(r["val_blob"]), n)
+                tb, vb = bytes(r["ts_blob"]), bytes(r["val_blob"])
+                want = zlib.crc32(tb) ^ (zlib.crc32(vb) << 1)
+                if want != int(r["crc"]):
+                    raise ValueError(
+                        f"blob checksum mismatch (t_min_us={r['t_min_us']}): "
+                        "stored blob bytes are corrupt"
+                    )
+                ts = decode_timestamps(tb, n)
+                vs = decode_values(vb, n)
                 outs.append(
                     pd.DataFrame(
                         {

@@ -60,3 +60,35 @@ def test_empty_range_read(spark, tmp_path):
     )
     assert out.count() == 0
     assert out.columns == ["key", "bucket_ts", "value_sum"]
+
+
+def test_corrupted_blob_detected(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import glob
+
+    import pytest
+
+    tier = _tier(spark, 60)
+    path = str(tmp_path / "blobs")
+    write_compressed_tier(tier, ["key"], path, chunk_points=16)
+    # flip one byte inside one blob file
+    f = sorted(glob.glob(f"{path}/part-*.parquet"))[0]
+    t = pq.read_table(f)
+    idx = t.schema.get_field_index("val_blob")
+    col = t.column("val_blob").to_pylist()
+    blob = bytearray(col[0])
+    blob[len(blob) // 2] ^= 0xFF
+    col[0] = bytes(blob)
+    t = t.set_column(idx, t.schema.field(idx), pa.array(col, type=pa.binary()))
+    pq.write_table(t, f)
+    # drop Hadoop's local-fs .crc sidecar: it guards THIS filesystem copy,
+    # not a blob that later moves through object stores / re-tiering —
+    # the store's own seal must catch the corruption
+    import os
+
+    sidecar = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+    if os.path.exists(sidecar):
+        os.remove(sidecar)
+    with pytest.raises(Exception, match="checksum mismatch"):
+        read_compressed_tier(spark, path, ["key"]).count()
