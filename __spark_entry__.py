@@ -2417,6 +2417,52 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q6_cols(out, ["query_id", "neighbor_id", "rank"], {"score": "score_q6"})
 
 
+def _stage_ann_ivf_pq_oracle(sf_dir: str, cent, books, n_probe: int) -> None:
+    import numpy as _np2
+    import pyarrow.parquet as _pq
+
+    from dads_spark.oracles import pq_ivf_oracle
+
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    if t.num_rows > _ORACLE_MAX_DOCS:
+        return
+    pdf = t.to_pandas()
+    rows = pq_ivf_oracle(
+        pdf["vec_id"].to_numpy(),
+        _np2.array(list(pdf["embedding"]), dtype=_np2.float64),
+        cent,
+        books,
+        _KNN_QUERIES,
+        k=10,
+        n_probe=n_probe,
+    )
+    _write_dump(
+        "ann_ivf_pq_oracle",
+        {
+            "query_id": _np2.array([r[0] for r in rows], dtype=_np2.int64),
+            "neighbor_id": _np2.array([r[1] for r in rows], dtype=_np2.int64),
+            "rank": _np2.array([r[2] for r in rows], dtype=_np2.int64),
+            "score_q6": _np2.array([r[3] for r in rows], dtype=_np2.int64),
+        },
+    )
+
+
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (ops/quantize.py ann_ivf_pq): coarse cells
+    prune (n_probe/n_cells of the corpus per query), residual PQ codes
+    compress (8 bytes/vector), ADC scores in m lookups. Driver-hash-gated
+    against the single-threaded whole-table mirror (pq_ivf_oracle) with
+    the same trained centroids/codebooks — bitwise accumulation orders,
+    integer 6dp-quantized scores."""
+    from dads_spark.ops.quantize import ann_ivf_pq, train_ivf_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, books = train_ivf_pq(emb)
+    out = ann_ivf_pq(emb, _KNN_QUERIES, k=10, n_probe=6, model=(cent, books))
+    _stage_ann_ivf_pq_oracle(sf_dir, cent, books, n_probe=6)
+    return _q6_cols(out, ["query_id", "neighbor_id", "rank"], {"score": "score_q6"})
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded spherical k-means cluster assignment over the embeddings
     table — the data-curation clustering pass (topic bucketing / diversity
@@ -4118,6 +4164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_route": q_tier_route,
         "profile_drift": q_profile_drift,
         "compressed_read_range": q_compressed_read_range,
+        "ann_ivf_pq": q_ann_ivf_pq,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -6281,6 +6328,10 @@ def oracle_sql() -> dict[str, str]:
     d["ann_pq"] = f"""
         SELECT query_id, neighbor_id, rank, score_q6
         FROM read_parquet('{_dump_path("ann_pq_oracle")}')
+    """
+    d["ann_ivf_pq"] = f"""
+        SELECT query_id, neighbor_id, rank, score_q6
+        FROM read_parquet('{_dump_path("ann_ivf_pq_oracle")}')
     """
     d["s2g_graph_edges"] = f"""
         SELECT event_type, from_seg, from_idx, to_seg, to_idx, weight

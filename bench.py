@@ -194,6 +194,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "tier_route",
         "profile_drift",
         "compressed_read_range",
+        "ann_ivf_pq",
     ]
     for name in suite:
         t0 = _now()

@@ -38,7 +38,13 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-__all__ = ["train_pq_codebooks", "pq_encode", "ann_pq_adc"]
+__all__ = [
+    "ann_ivf_pq",
+    "ann_pq_adc",
+    "pq_encode",
+    "train_ivf_pq",
+    "train_pq_codebooks",
+]
 
 
 def _hash_sample(
@@ -69,11 +75,16 @@ def train_pq_codebooks(
     Deterministic: seeded init from the hash-sample, fixed iterations,
     empty clusters keep their previous centroid."""
     X = _hash_sample(embeddings, sample_size, id_col, vec_col)
+    return _kmeans_subspaces(X, m, ksub, iters, np.random.default_rng(seed))
+
+
+def _kmeans_subspaces(
+    X: np.ndarray, m: int, ksub: int, iters: int, rng: np.random.Generator
+) -> np.ndarray:
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    rng = np.random.default_rng(seed)
     books = np.empty((m, ksub, dsub), dtype=np.float64)
     for s in range(m):
         Xs = X[:, s * dsub : (s + 1) * dsub]
@@ -186,6 +197,159 @@ def ann_pq_adc(
             )
 
     flat = codes.mapInPandas(f, "query_id long, neighbor_id long, score double")
+    w = W.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        flat.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def _build_lut(q_mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Sequentially-accumulated <q_s, centroid> lookup tables (nq, m,
+    ksub) — loop-built so the scalar oracle reproduces entries bitwise
+    (see ann_pq_adc's inline note)."""
+    m, ksub, dsub = books.shape
+    qsub = q_mat.reshape(len(q_mat), m, dsub)
+    lut = np.empty((len(q_mat), m, ksub), dtype=np.float64)
+    for qi in range(len(q_mat)):
+        for s in range(m):
+            for c in range(ksub):
+                acc = 0.0
+                for dd in range(dsub):
+                    acc += float(qsub[qi, s, dd]) * float(books[s, c, dd])
+                lut[qi, s, c] = acc
+    return lut
+
+
+def train_ivf_pq(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-PQ training: spherical coarse centroids (the IVF cell
+    quantizer) + subspace codebooks trained on the sample's RESIDUALS
+    (x_norm - cell centroid) — residual coding is what lets 8-byte codes
+    stay accurate once the coarse term absorbs cluster structure.
+    Returns (centroids (n_cells, dim), books (m, ksub, dim//m))."""
+    from .similarity import _train_spherical_kmeans
+
+    cent = _train_spherical_kmeans(
+        embeddings, n_cells, sample_size, iters, seed, id_col, vec_col
+    )
+    X = _hash_sample(embeddings, sample_size, id_col, vec_col)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    R = Xn - cent[(Xn @ cent.T).argmax(axis=1)]
+    books = _kmeans_subspaces(R, m, ksub, iters, np.random.default_rng(seed + 1))
+    return cent, books
+
+
+def ann_ivf_pq(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    model: tuple | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the canonical billion-scale ANN index
+    (FAISS IVFPQ shape, public method): coarse cells give PRUNING
+    (n_probe/n_cells of the corpus per query; at warehouse scale the cell
+    id is a partition column), residual PQ codes give MEMORY (8 bytes a
+    vector), and ADC gives scoring in m table lookups:
+
+        score(q, x) ~= <q, c_cell(x)> + sum_s <q_s, books[s, code_s(x)]>
+
+    ONE mapInPandas scan does assign + residual-encode + probe-mask +
+    ADC + per-batch partial top-k (tie-safe 6dp cut, the knn_bruteforce
+    survivor contract); the final window ranks skinny survivor rows.
+    Deterministic end-to-end; pinned bitwise by the staged
+    ``pq_ivf_oracle`` mirror and the ann_ivf_pq registry entry.
+    """
+    cent, books = model or train_ivf_pq(
+        embeddings, n_cells, m, ksub, sample_size, iters, seed, id_col, vec_col
+    )
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = np.array([int(r[id_col]) for r in qrows], dtype=np.int64)
+    q_raw = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    q_mat = q_raw / np.maximum(np.linalg.norm(q_raw, axis=1, keepdims=True), 1e-30)
+    qc = q_mat @ cent.T  # (nq, n_cells) coarse term
+    probe_mask = np.zeros((n_cells, len(q_ids)), dtype=bool)
+    for qi in range(len(q_ids)):
+        for c in np.argsort(-qc[qi])[:n_probe]:
+            probe_mask[int(c), qi] = True
+    lut = _build_lut(q_mat, books)
+    dsub = books.shape[2]
+
+    def score(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-30
+            )
+            cells = (mat @ cent.T).argmax(axis=1)
+            codes = encode_block(mat - cent[cells], books)
+            scores = qc[:, cells].T.copy()  # (n, nq) coarse term
+            for s in range(m):
+                scores += lut[:, s, :][:, codes[:, s]].T
+            allowed = probe_mask[cells]
+            allowed &= ids[:, None] != q_ids[None, :]
+            scores = np.where(allowed, scores, -np.inf)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                col = scores[:, qi]
+                finite = np.isfinite(col)
+                key = np.where(
+                    finite,
+                    np.sign(col) * np.floor(np.abs(col) * 1e6 + 0.5),
+                    -np.inf,
+                )
+                fkey = key[finite]
+                if len(fkey) > k:
+                    kth = np.partition(fkey, len(fkey) - k)[len(fkey) - k]
+                    keep = np.nonzero(key >= kth)[0]
+                else:
+                    keep = np.nonzero(finite)[0]
+                if len(keep):
+                    out_q.append(np.full(len(keep), q_ids[qi]))
+                    out_n.append(ids[keep])
+                    out_c.append(col[keep])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "score": np.concatenate(out_c),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "score": []}
+                )
+
+    flat = embeddings.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, score double"
+    )
     w = W.partitionBy("query_id").orderBy(
         F.round("score", 6).desc(), F.col("neighbor_id")
     )

@@ -883,3 +883,69 @@ def _math_sign_floor_q6(x: float) -> int:
 
     s = -1.0 if x < 0 else 1.0
     return int(s * math.floor(abs(x) * 1e6 + 0.5))
+
+
+def pq_ivf_oracle(
+    ids: "np.ndarray",
+    vecs: "np.ndarray",
+    cent: "np.ndarray",
+    books: "np.ndarray",
+    query_ids: list,
+    k: int = 10,
+    n_probe: int = 4,
+):
+    """Single-threaded whole-table mirror of the IVF-PQ pipeline
+    (ops/quantize.py:ann_ivf_pq) given its trained centroids/codebooks:
+    normalize, coarse-assign, residual-encode (first-min argmin),
+    probe-mask, coarse term + sequentially-accumulated ADC lookups,
+    HALF_UP-6dp ranking with id tiebreak. Same expressions, same
+    accumulation orders -> bitwise agreement with the distributed path.
+    Returns rows (query_id, neighbor_id, rank, score_q6)."""
+    m, ksub, dsub = books.shape
+    ids = np.asarray(ids, dtype=np.int64)
+    vecs = np.asarray(vecs, dtype=np.float64)
+    mat = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    qmat = np.stack([mat[id_to_row[int(q)]] for q in query_ids])
+    qc = qmat @ cent.T
+    probe = np.zeros((len(cent), len(query_ids)), dtype=bool)
+    for qi in range(len(query_ids)):
+        for c in np.argsort(-qc[qi])[:n_probe]:
+            probe[int(c), qi] = True
+
+    cells = (mat @ cent.T).argmax(axis=1)
+    resid = mat - cent[cells]
+    codes = np.empty((len(mat), m), dtype=np.int64)
+    for s in range(m):
+        Rs = resid[:, s * dsub : (s + 1) * dsub]
+        d2 = ((Rs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+
+    qsub = qmat.reshape(len(qmat), m, dsub)
+    lut = np.empty((len(query_ids), m, ksub), dtype=np.float64)
+    for qi in range(len(query_ids)):
+        for s in range(m):
+            for c in range(ksub):
+                acc = 0.0
+                for dd in range(dsub):
+                    acc += float(qsub[qi, s, dd]) * float(books[s, c, dd])
+                lut[qi, s, c] = acc
+
+    scores = qc[:, cells].T.copy()
+    for s in range(m):
+        scores += lut[:, s, :][:, codes[:, s]].T
+    allowed = probe[cells]
+    allowed &= ids[:, None] != np.asarray(query_ids, dtype=np.int64)[None, :]
+    scores = np.where(allowed, scores, -np.inf)
+
+    rows = []
+    for qi, q in enumerate(query_ids):
+        col = scores[:, qi]
+        finite = np.isfinite(col)
+        key = np.where(
+            finite, np.sign(col) * np.floor(np.abs(col) * 1e6 + 0.5), -np.inf
+        )
+        cand = sorted(np.nonzero(finite)[0], key=lambda i: (-key[i], int(ids[i])))[:k]
+        for r, i in enumerate(cand, start=1):
+            rows.append((int(q), int(ids[i]), r, int(key[i])))
+    return rows

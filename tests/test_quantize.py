@@ -141,3 +141,66 @@ def test_encode_partition_invariant(spark, emb_df, books):
 def test_train_rejects_bad_subspace_split(spark, emb_df):
     with pytest.raises(ValueError):
         train_pq_codebooks(emb_df, m=7)  # 64 % 7 != 0
+
+
+def test_ivf_pq_bitwise_equals_mirror(spark, emb_df, emb_pdf):
+    from dads_spark.oracles import pq_ivf_oracle
+    from dads_spark.ops.quantize import ann_ivf_pq, train_ivf_pq
+
+    cent, books = train_ivf_pq(emb_df)
+    ids = emb_pdf["vec_id"].to_numpy()
+    vecs = np.array(list(emb_pdf["embedding"]), dtype=np.float64)
+    want = pq_ivf_oracle(ids, vecs, cent, books, [0, 1, 2, 3, 4], k=10, n_probe=6)
+
+    got_df = ann_ivf_pq(
+        emb_df, [0, 1, 2, 3, 4], k=10, n_probe=6, model=(cent, books)
+    ).collect()
+    got = sorted(
+        (
+            r["query_id"],
+            r["neighbor_id"],
+            r["rank"],
+            int(np.sign(r["score"]) * np.floor(abs(r["score"]) * 1e6 + 0.5)),
+        )
+        for r in got_df
+    )
+    assert got == sorted(want)
+
+
+def test_ivf_pq_partition_invariant(spark, emb_df):
+    from dads_spark.ops.quantize import ann_ivf_pq, train_ivf_pq
+
+    model = train_ivf_pq(emb_df)
+    a = ann_ivf_pq(emb_df.coalesce(1), [0, 1], k=5, n_probe=6, model=model)
+    b = ann_ivf_pq(
+        emb_df.repartition(7, "vec_id"), [0, 1], k=5, n_probe=6, model=model
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivf_pq_full_probe_recall_vs_exact(spark, emb_df, emb_pdf):
+    # with every cell probed, IVF-PQ reduces to residual-PQ ADC. On this
+    # noise-dominated corpus residual coding cannot beat plain PQ (the
+    # coarse centroids absorb little structure in an isotropic ball):
+    # measured recall ~0.26, same as test_recall_vs_exact_topk, vs the
+    # ~0.02 random baseline — the bound pins "well above chance"; the
+    # structured-data regime is pinned by test_recall_on_separated_clusters
+    from dads_spark.ops.quantize import ann_ivf_pq, train_ivf_pq
+
+    model = train_ivf_pq(emb_df)
+    vecs = np.array(list(emb_pdf["embedding"]), dtype=np.float64)
+    ids = emb_pdf["vec_id"].to_numpy()
+    out = ann_ivf_pq(
+        emb_df, [0, 1, 2, 3, 4], k=10, n_probe=16, model=model
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+    hits = total = 0
+    for qi in range(5):
+        q = vn[ids.tolist().index(qi)]
+        exact = [ids[i] for i in np.argsort(-(vn @ q)) if ids[i] != qi][:10]
+        hits += len(set(exact) & got[qi])
+        total += 10
+    assert hits / total >= 0.15
