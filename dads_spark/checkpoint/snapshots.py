@@ -82,19 +82,36 @@ class SnapshotStore:
         except OSError:
             return []
 
-    def commit(self, table: str, df: DataFrame, note: str = "") -> int:
+    def commit(self, table: str, df: DataFrame, note: str = "", audit=None) -> int:
         """Write ``df`` as the next immutable version of ``table`` and
         publish it. Returns the new version number. Version numbering
         skips past any orphaned data dir a crash between data-write and
         log-swap left behind (the orphan is unpublished garbage — vacuum
         of the log's history never references it, and numbering around it
-        keeps ``errorifexists`` from tripping on the retry)."""
+        keeps ``errorifexists`` from tripping on the retry).
+
+        ``audit`` enables write-audit-publish: a callable receiving the
+        STAGED (already written, not yet published) DataFrame; if it
+        raises, the log is never swapped — readers keep serving the prior
+        version and the staged data is left as an unpublished orphan for
+        inspection (next commit numbers around it). This is how ingest
+        gates (profile_drift thresholds, tier-consistency audits) block a
+        bad publish without ever exposing it."""
         prev = self.latest_version(table)
         floor = -1 if prev is None else prev
         version = max([floor] + self._stray_versions(table)) + 1
         path = self._data_path(table, version)
         df.write.mode("errorifexists").parquet(path)
-        n = self.spark.read.parquet(path).count()
+        staged = self.spark.read.parquet(path)
+        if audit is not None:
+            try:
+                audit(staged)
+            except Exception as e:
+                raise ValueError(
+                    f"audit rejected {table!r} v{version} (left staged, "
+                    f"unpublished): {e}"
+                ) from e
+        n = staged.count()
         self._append(
             {
                 "table": table,

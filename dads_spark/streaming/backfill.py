@@ -60,6 +60,30 @@ def read_backfill_tier(spark: SparkSession, tier_path: str) -> DataFrame:
         return None  # caller treats as empty
 
 
+def _read_touched(spark: SparkSession, path: str, dates) -> DataFrame | None:
+    if not os.path.isdir(path):
+        return None
+    if not (
+        os.path.exists(os.path.join(path, "_SUCCESS"))
+        or any(e.startswith("bucket_date=") for e in os.listdir(path))
+    ):
+        return None
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket_date").isin(dates))
+        .drop("bucket_date")
+    )
+
+
+def _overwrite_touched(staged: DataFrame, path: str) -> None:
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket_date")
+        .parquet(path)
+    )
+
+
 def _merge_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -69,21 +93,14 @@ def _merge_batch(
     value_col: str | None,
     tier_path: str,
     tier: str,
+    distinct_item_col: str | None = None,
 ) -> None:
     if batch_id <= _committed_batch(tier_path):
         return  # replayed batch: already folded in, skip (idempotence)
     delta = rollup_from_raw(batch_df, key_cols, ts_col, value_col, tier)
     delta = delta.withColumn("bucket_date", F.to_date("bucket_ts")).cache()
     dates = [r["bucket_date"] for r in delta.select("bucket_date").distinct().collect()]
-    existing = None
-    if os.path.exists(os.path.join(tier_path, "_SUCCESS")) or any(
-        e.startswith("bucket_date=") for e in os.listdir(tier_path)
-    ):
-        existing = (
-            spark.read.parquet(tier_path)
-            .filter(F.col("bucket_date").isin(dates))
-            .drop("bucket_date")
-        )
+    existing = _read_touched(spark, tier_path, dates)
     if existing is not None:
         # localCheckpoint materializes the merge BEFORE the overwrite so
         # the plan no longer reads the path it is about to replace
@@ -95,13 +112,43 @@ def _merge_batch(
         )
     else:  # first batch: nothing stored yet, write the delta directly
         staged = delta.coalesce(1)
-    (
-        staged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket_date")
-        .parquet(tier_path)
-    )
+    _overwrite_touched(staged, tier_path)
     delta.unpersist()
+
+    if distinct_item_col is not None:
+        # co-maintained HLL distinct tier: register-max union with the
+        # stored sketches — the non-decomposable aggregate the plain
+        # count/sum merge cannot carry (distinct users per bucket).
+        # HLL union is associative+idempotent ON REGISTERS, but replaying
+        # a batch would still be wrong only for the VALUE tier; the
+        # shared ledger already gates both.
+        from ..rollup.distinct import distinct_sketch_tier
+
+        sk_path = tier_path + "_distinct"
+        os.makedirs(sk_path, exist_ok=True)
+        sk_delta = (
+            distinct_sketch_tier(batch_df, key_cols, ts_col, distinct_item_col, tier)
+            .withColumn("bucket_date", F.to_date("bucket_ts"))
+            .cache()
+        )
+        sk_dates = [
+            r["bucket_date"]
+            for r in sk_delta.select("bucket_date").distinct().collect()
+        ]
+        sk_existing = _read_touched(spark, sk_path, sk_dates)
+        if sk_existing is not None:
+            sk_staged = (
+                sk_existing.unionByName(sk_delta.drop("bucket_date"))
+                .groupBy(*key_cols, "bucket_ts")
+                .agg(F.hll_union_agg("distinct_hll").alias("distinct_hll"))
+                .withColumn("bucket_date", F.to_date("bucket_ts"))
+                .coalesce(1)
+                .localCheckpoint(eager=True)
+            )
+        else:
+            sk_staged = sk_delta.coalesce(1)
+        _overwrite_touched(sk_staged, sk_path)
+        sk_delta.unpersist()
     with open(_ledger_path(tier_path), "w") as fh:
         json.dump({"batch_id": batch_id}, fh)
 
@@ -119,13 +166,17 @@ def run_tier_backfill_stream(
     max_files_per_trigger: int = 1,
     fail_after_batches: int | None = None,
     state_partitions: int | None = 4,
+    distinct_item_col: str | None = None,
 ) -> int:
     """Drive the parquet backlog at ``source_path`` through foreachBatch
     tier maintenance until exhausted (availableNow trigger). Restartable:
     the stream checkpoint replays uncommitted batches, the ledger skips
     committed ones. ``fail_after_batches`` injects a crash after N merges
-    (tests the kill/resume contract). Returns the number of batches this
-    RUN folded in (a resumed run folds only the uncommitted tail)."""
+    (tests the kill/resume contract). ``distinct_item_col`` additionally
+    co-maintains an HLL distinct-count tier at ``<tier_path>_distinct``
+    (register-union merges — the continuous aggregate COUNT(DISTINCT)
+    needs but plain merge cannot carry). Returns the number of batches
+    this RUN folded in (a resumed run folds only the uncommitted tail)."""
     os.makedirs(tier_path, exist_ok=True)
     seen = {"n": 0}
 
@@ -133,7 +184,8 @@ def run_tier_backfill_stream(
         if fail_after_batches is not None and seen["n"] >= fail_after_batches:
             raise RuntimeError("injected failure for resume test")
         _merge_batch(
-            spark, batch_df, batch_id, key_cols, ts_col, value_col, tier_path, tier
+            spark, batch_df, batch_id, key_cols, ts_col, value_col, tier_path,
+            tier, distinct_item_col,
         )
         seen["n"] += 1
 

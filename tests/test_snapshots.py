@@ -86,3 +86,22 @@ def test_commit_skips_orphaned_data_dir(spark, tmp_path):
     assert store.latest_version("t") == 2
     with pytest.raises(ValueError, match="unknown snapshot"):
         store.read("t", 1)  # the orphan is unpublished garbage
+
+
+def test_write_audit_publish_gate(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    store.commit("t", _df(spark, 5, "good"))
+
+    def audit_min_rows(staged):
+        if staged.count() < 4:
+            raise AssertionError("row count collapsed")
+
+    # failing audit: nothing published, readers keep the old version
+    with pytest.raises(ValueError, match="audit rejected"):
+        store.commit("t", _df(spark, 2, "bad"), audit=audit_min_rows)
+    assert store.latest_version("t") == 0
+    assert store.read("t").count() == 5
+    # passing audit publishes; numbering skips the rejected staging dir
+    v = store.commit("t", _df(spark, 7, "good2"), audit=audit_min_rows)
+    assert v == 2
+    assert store.read("t").count() == 7
