@@ -111,13 +111,25 @@ class SnapshotStore:
                     f"audit rejected {table!r} v{version} (left staged, "
                     f"unpublished): {e}"
                 ) from e
-        n = staged.count()
+        # per-partition lineage (north rule: every committed stage records
+        # partition row counts) — file-level here, since a published
+        # version's partitions ARE its files
+        from pyspark.sql import functions as F
+
+        per_part = {
+            str(r["p"]): r["n"]
+            for r in staged.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         self._append(
             {
                 "table": table,
                 "version": version,
                 "path": path,
-                "row_count": n,
+                "row_count": sum(per_part.values()),
+                "partition_rows": per_part,
                 "note": note,
                 "committed_at": time.time(),
             }

@@ -105,3 +105,12 @@ def test_write_audit_publish_gate(spark, tmp_path):
     v = store.commit("t", _df(spark, 7, "good2"), audit=audit_min_rows)
     assert v == 2
     assert store.read("t").count() == 7
+
+
+def test_commit_records_partition_lineage(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    store.commit("t", _df(spark, 10, "a").repartition(3))
+    entry = store.history()[-1]
+    assert entry["row_count"] == 10
+    assert sum(entry["partition_rows"].values()) == 10
+    assert len(entry["partition_rows"]) >= 1
