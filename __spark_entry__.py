@@ -1638,6 +1638,49 @@ def q_tier_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt policy matching (ops/robots.py): synthesized per-source
+    hosts/paths against a star-group policy (disallow /private and /tmp,
+    allow /private/ok, policy present only for md5(source)<'8' hosts).
+    The Spark side runs the generic longest-match array-HOF matcher; the
+    oracle expresses the SAME policy as direct CASE logic — agreement
+    pins the matcher's semantics, not a shared implementation."""
+    from dads_spark.ops import robots_annotate
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit("/private/"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("/private/ok/"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("/pub/"))
+            .otherwise(F.lit("/tmp/")),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    rules = (
+        docs.select("source")
+        .distinct()
+        .filter(F.substring(F.md5("source"), 1, 1) < "8")
+        .select(F.concat(F.col("source"), F.lit(".example.com")).alias("host"))
+        .select(
+            "host",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("disallow").alias("rtype"), F.lit("/private").alias("prefix")),
+                    F.struct(F.lit("allow").alias("rtype"), F.lit("/private/ok").alias("prefix")),
+                    F.struct(F.lit("disallow").alias("rtype"), F.lit("/tmp").alias("prefix")),
+                )
+            ).alias("_r"),
+        )
+        .select("host", F.col("_r.rtype").alias("rtype"), F.col("_r.prefix").alias("prefix"))
+    )
+    return robots_annotate(pages, rules).select(
+        "doc_id", "host", "path", "crawl_allowed"
+    )
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked per-source contribution cap (ops/sampling.py
     cap_per_group): at most 12 docs per source, keeping the LONGEST
@@ -4165,6 +4208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_drift": q_profile_drift,
         "compressed_read_range": q_compressed_read_range,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "robots_policy": q_robots_policy,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -5997,6 +6041,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE epoch_us(ts) // 1000000 >= t0
               AND epoch_us(ts) // 1000000 < t1
             GROUP BY 1
+        """,
+        "robots_policy": """
+            SELECT doc_id,
+                   concat(source, '.example.com') AS host,
+                   concat(
+                       CASE WHEN doc_id % 4 = 0 THEN '/private/'
+                            WHEN doc_id % 4 = 1 THEN '/private/ok/'
+                            WHEN doc_id % 4 = 2 THEN '/pub/'
+                            ELSE '/tmp/' END,
+                       CAST(doc_id AS VARCHAR)) AS path,
+                   CASE
+                       WHEN substring(md5(source), 1, 1) >= '8' THEN TRUE
+                       WHEN doc_id % 4 = 1 THEN TRUE   -- allow /private/ok wins (longer)
+                       WHEN doc_id % 4 = 0 THEN FALSE  -- disallow /private
+                       WHEN doc_id % 4 = 3 THEN FALSE  -- disallow /tmp
+                       ELSE TRUE                        -- /pub: no rule matches
+                   END AS crawl_allowed
+            FROM documents
         """,
         "domain_cap": """
             SELECT doc_id, source, n_chars FROM (

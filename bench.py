@@ -195,6 +195,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "profile_drift",
         "compressed_read_range",
         "ann_ivf_pq",
+        "robots_policy",
     ]
     for name in suite:
         t0 = _now()

@@ -46,6 +46,7 @@ from .packing import pack_sequences  # noqa: F401
 from .profile import profile_drift, profile_table  # noqa: F401
 from .quantize import ann_pq_adc, pq_encode, train_pq_codebooks  # noqa: F401
 from .redact import pii_counts, redact_pii  # noqa: F401
+from .robots import parse_robots, robots_annotate, robots_filter  # noqa: F401
 from .boilerplate import boilerplate_lines, remove_boilerplate  # noqa: F401
 from .urltools import (  # noqa: F401
     blocklist_annotate,

@@ -1,0 +1,85 @@
+"""robots.txt parsing + longest-match policy filtering (ops/robots.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dads_spark.ops import parse_robots, robots_annotate, robots_filter
+
+ROBOTS_A = """# site A
+User-agent: googlebot
+Disallow: /gb-only
+
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /tmp
+
+User-agent: weirdbot
+Disallow: /
+"""
+
+ROBOTS_B = """User-agent: badbot
+User-agent: *
+Disallow: /all:colons
+Disallow:
+Allow: /
+"""
+
+
+def _rules(spark):
+    robots = spark.createDataFrame(
+        [("a.com", ROBOTS_A), ("b.com", ROBOTS_B)], "host string, robots_txt string"
+    )
+    return parse_robots(robots)
+
+
+def test_parse_robots_star_group_only(spark):
+    got = sorted(map(tuple, _rules(spark).collect()))
+    assert got == [
+        ("a.com", "allow", "/private/ok"),
+        ("a.com", "disallow", "/private"),
+        ("a.com", "disallow", "/tmp"),
+        # b.com: multi-agent header containing *, colon kept in value,
+        # empty Disallow dropped
+        ("b.com", "allow", "/"),
+        ("b.com", "disallow", "/all:colons"),
+    ]
+
+
+def test_matching_longest_wins_allow_beats_disallow(spark):
+    rules = _rules(spark)
+    docs = spark.createDataFrame(
+        [
+            (1, "a.com", "/public/x"),        # no rule matches -> allowed
+            (2, "a.com", "/private/x"),       # disallow /private wins
+            (3, "a.com", "/private/ok/x"),    # longer allow overrides
+            (4, "a.com", "/tmp"),             # exact disallow
+            (5, "b.com", "/all:colons/x"),    # /all:colons (11) > / (1)
+            (6, "b.com", "/anything"),        # allow / vs no disallow match
+            (7, "c.com", "/no/policy"),       # host without robots
+        ],
+        "doc_id long, host string, path string",
+    )
+    got = {
+        r["doc_id"]: r["crawl_allowed"]
+        for r in robots_annotate(docs, rules).collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: False, 6: True, 7: True}
+    kept = sorted(r["doc_id"] for r in robots_filter(docs, rules).collect())
+    assert kept == [1, 3, 6, 7]
+
+
+def test_corpus_side_stays_broadcast(spark):
+    rules = _rules(spark)
+    docs = spark.createDataFrame(
+        [(1, "a.com", "/x")], "doc_id long, host string, path string"
+    )
+    plan = (
+        robots_annotate(docs, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
