@@ -1638,6 +1638,62 @@ def q_tier_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_warc_src(sf_dir: str) -> str:
+    """Deterministic WARC archive built from the documents table: one
+    response record per doc (+ a request record every 7th doc that the
+    parser must skip). Staged once per data fingerprint."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from dads_spark.io import build_warc_record
+
+    d = _stage_dir("warc_src", sf_dir)
+    marker = f"{d}/_STAGED"
+    if not _os.path.exists(marker):
+        _os.makedirs(d, exist_ok=True)
+        t = _pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        ).to_pandas()
+        t = t.sort_values("doc_id")
+        buf = bytearray()
+        for _, r in t.iterrows():
+            doc_id = int(r["doc_id"])
+            url = f"https://{r['source']}.example.com/p/{doc_id}"
+            ts = 1_704_067_200 + doc_id  # 2024-01-01T00:00:00Z + id sec
+            import datetime as _dt
+
+            iso = _dt.datetime.fromtimestamp(ts, _dt.timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            )
+            if doc_id % 7 == 0:
+                buf += build_warc_record(url, iso, b"GET", rec_type="request")
+            buf += build_warc_record(url, iso, r["text"].encode())
+        with open(f"{d}/part0.warc", "wb") as fh:
+            fh.write(bytes(buf))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return d
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source connector roundtrip (io/warc.py): a deterministic
+    archive synthesized from documents (response + decoy request
+    records) is parsed back; the oracle reconstructs the expected rows
+    directly from documents — the reader must exactly invert the writer,
+    byte counts included (ingestion-boundary form of the byte-identical
+    text invariant)."""
+    from dads_spark.io import read_warc
+
+    src = _stage_warc_src(sf_dir)
+    out = read_warc(spark, f"{src}/*.warc")
+    return out.select(
+        "url",
+        F.unix_timestamp(F.col("warc_ts").cast("timestamp")).alias("ws"),
+        "n_bytes",
+    )
+
+
 def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt policy matching (ops/robots.py): synthesized per-source
     hosts/paths against a star-group policy (disallow /private and /tmp,
@@ -4209,6 +4265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compressed_read_range": q_compressed_read_range,
         "ann_ivf_pq": q_ann_ivf_pq,
         "robots_policy": q_robots_policy,
+        "warc_ingest": q_warc_ingest,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -6041,6 +6098,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE epoch_us(ts) // 1000000 >= t0
               AND epoch_us(ts) // 1000000 < t1
             GROUP BY 1
+        """,
+        "warc_ingest": """
+            SELECT concat('https://', source, '.example.com/p/',
+                          CAST(doc_id AS VARCHAR)) AS url,
+                   CAST(1704067200 + doc_id AS BIGINT) AS ws,
+                   CAST(length(text) AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "robots_policy": """
             SELECT doc_id,

@@ -196,6 +196,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "compressed_read_range",
         "ann_ivf_pq",
         "robots_policy",
+        "warc_ingest",
     ]
     for name in suite:
         t0 = _now()
