@@ -1694,6 +1694,42 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e2e_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEB-side end-to-end flagship, composing the ingestion suite in
+    one plan: WARC archive -> record parse (io/warc.py) -> host
+    extraction -> domain-suffix blocklist (md5(source)<'4' sites banned)
+    -> exact text dedup (lowest-id representative per identical body) ->
+    per-site hourly rollup over warc_ts. Every stage is individually
+    oracle-gated elsewhere; this entry pins their COMPOSITION (the oracle
+    rebuilds the whole funnel relationally from documents)."""
+    from dads_spark.io import read_warc
+    from dads_spark.ops import blocklist_annotate, dedup_exact
+
+    src = _stage_warc_src(sf_dir)
+    pages = read_warc(spark, f"{src}/*.warc")
+    with_host = pages.withColumn(
+        "host", F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
+    )
+    rules = (
+        _t(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .filter(F.substring(F.md5("source"), 1, 1) < "4")
+        .select(F.concat(F.col("source"), F.lit(".example.com")).alias("rule"))
+    )
+    kept = (
+        blocklist_annotate(with_host, rules)
+        .filter(~F.col("blocked"))
+        .withColumn("body", F.col("html").cast("string"))
+    )
+    deduped = dedup_exact(kept, text_col="body", id_col="url")
+    return (
+        deduped.groupBy("host", bucket_expr("warc_ts", "hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select("host", F.unix_timestamp("bucket_ts").alias("ws"), "n_docs")
+    )
+
+
 def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt policy matching (ops/robots.py): synthesized per-source
     hosts/paths against a star-group policy (disallow /private and /tmp,
@@ -4266,6 +4302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": q_ann_ivf_pq,
         "robots_policy": q_robots_policy,
         "warc_ingest": q_warc_ingest,
+        "e2e_web_ingest": q_e2e_web_ingest,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -6098,6 +6135,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE epoch_us(ts) // 1000000 >= t0
               AND epoch_us(ts) // 1000000 < t1
             GROUP BY 1
+        """,
+        "e2e_web_ingest": """
+            WITH pages AS (
+                SELECT doc_id, source,
+                       concat(source, '.example.com') AS host,
+                       concat('https://', source, '.example.com/p/',
+                              CAST(doc_id AS VARCHAR)) AS url,
+                       1704067200 + doc_id AS ts_sec,
+                       text
+                FROM documents),
+            kept AS (
+                SELECT * FROM pages
+                WHERE substring(md5(source), 1, 1) >= '4'),
+            dedup AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY text ORDER BY url) AS rn
+                    FROM kept)
+                WHERE rn = 1)
+            SELECT host,
+                   CAST((ts_sec // 3600) * 3600 AS BIGINT) AS ws,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM dedup GROUP BY 1, 2
         """,
         "warc_ingest": """
             SELECT concat('https://', source, '.example.com/p/',

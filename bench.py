@@ -197,6 +197,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "ann_ivf_pq",
         "robots_policy",
         "warc_ingest",
+        "e2e_web_ingest",
     ]
     for name in suite:
         t0 = _now()
