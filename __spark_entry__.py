@@ -1694,6 +1694,31 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-tier HTML -> text extraction (ops/htmltext.py): documents
+    text wrapped in a deterministic page shell (script/style decoys,
+    headings, entities) in BOTH engines, then extracted independently —
+    hash equality pins the extractor's cross-engine semantics, the
+    ingestion-side half of the byte-identical-text invariant."""
+    from dads_spark.ops import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><script>var x=1;</script><style>p{margin:0}"
+                  "</style></head><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit("</p><br><div>footer &amp; end</div></body></html>"),
+        ).alias("html"),
+    )
+    return html_to_text(pages, "html", "text_extracted").select(
+        "doc_id", "text_extracted"
+    )
+
+
 def q_e2e_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WEB-side end-to-end flagship, composing the ingestion suite in
     one plan: WARC archive -> record parse (io/warc.py) -> host
@@ -4303,6 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_policy": q_robots_policy,
         "warc_ingest": q_warc_ingest,
         "e2e_web_ingest": q_e2e_web_ingest,
+        "html_extract": q_html_extract,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
@@ -6135,6 +6161,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE epoch_us(ts) // 1000000 >= t0
               AND epoch_us(ts) // 1000000 < t1
             GROUP BY 1
+        """,
+        "html_extract": """
+            WITH pages AS (
+                SELECT doc_id,
+                       concat('<html><head><script>var x=1;</script>',
+                              '<style>p{margin:0}</style></head><body><h1>Doc ',
+                              CAST(doc_id AS VARCHAR), '</h1><p>', text,
+                              '</p><br><div>footer &amp; end</div></body></html>'
+                       ) AS html
+                FROM documents),
+            x AS (
+                SELECT doc_id,
+                  regexp_replace(regexp_replace(html,
+                    '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                    '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS s
+                FROM pages),
+            x2 AS (
+                SELECT doc_id, regexp_replace(s,
+                    '(?i)</?(p|div|li|tr|h[1-6]|blockquote)\\b[^>]*>|<br\\s*/?>',
+                    chr(10), 'g') AS s
+                FROM x),
+            x3 AS (
+                SELECT doc_id,
+                       regexp_replace(s, '(?s)<[^>]*>', ' ', 'g') AS s
+                FROM x2),
+            x4 AS (
+                SELECT doc_id,
+                  replace(replace(replace(replace(replace(
+                      s, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                      '&#39;', ''''), '&amp;', '&') AS s
+                FROM x3),
+            x5 AS (
+                SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(
+                      s, '[ \\t]+', ' ', 'g'),
+                      ' ?\\n ?', chr(10), 'g'),
+                      '\\n{2,}', chr(10), 'g') AS s
+                FROM x4)
+            SELECT doc_id,
+                   regexp_replace(s, '^\\s+|\\s+$', '', 'g') AS text_extracted
+            FROM x5
         """,
         "e2e_web_ingest": """
             WITH pages AS (

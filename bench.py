@@ -198,6 +198,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "robots_policy",
         "warc_ingest",
         "e2e_web_ingest",
+        "html_extract",
     ]
     for name in suite:
         t0 = _now()
