@@ -4236,7 +4236,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q20_part_promotion": q20_part_promotion,
         "q21_waiting_supplier": q21_waiting_supplier,
-        "multi_source_rollup": q_multi_source_rollup,
+        # multi_source_rollup rotated past 50 (session 4): it folds three
+        # per-format source queries that each hold an r1-green driver row;
+        # the web-side END-TO-END flagship (WARC -> blocklist -> dedup ->
+        # rollup composition pin) takes the slot.
+        "e2e_web_ingest": q_e2e_web_ingest,
         # -- (1b) new this session, no driver row yet -----------------------
         "link_pagerank": q_link_pagerank,
         "decontaminate": q_decontaminate,
@@ -4327,7 +4331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": q_ann_ivf_pq,
         "robots_policy": q_robots_policy,
         "warc_ingest": q_warc_ingest,
-        "e2e_web_ingest": q_e2e_web_ingest,
+        "multi_source_rollup": q_multi_source_rollup,
         "html_extract": q_html_extract,
         # -- (3) r1-green, no row since r1 ----------------------------------
         "rollup_hour": q_rollup_hour,
