@@ -6018,8 +6018,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type, min(value) AS v_lo, max(value) AS v_hi
                 FROM ev WHERE is_base GROUP BY 1),
             binned AS (
-                SELECT ev.*, least(9, greatest(0, CAST(floor(
-                           (value - v_lo) / ((v_hi - v_lo) / 10.0)) AS INT))) AS bin
+                SELECT ev.*,
+                       CASE WHEN v_hi = v_lo THEN 0
+                            ELSE least(9, greatest(0, CAST(floor(
+                                (value - v_lo) / ((v_hi - v_lo) / 10.0))
+                                AS INT)))
+                       END AS bin
                 FROM ev JOIN bs USING (event_type)),
             mh AS (
                 SELECT event_type, bin, count(*) AS m_i

@@ -24,7 +24,9 @@ from .checkpoint import CheckpointManager, fingerprint
 from .compress import encode_timestamps, encode_values
 from .metrics import StageMetricsCollector
 from .ops.sketch import digest, digest_quantiles, merge_digests
-from .rollup import bucket_expr, cascade, gap_fill_linear
+from .rollup import bucket_expr, cascade, gap_fill_linear, pelt_grouped
+from .rollup.analytics import seasonal_naive_error
+from .rollup.drift import tv_drift
 from .rollup.distinct import cascade_distinct, distinct_sketch_tier, with_estimate
 from .rollup.series import domain_hourly_series, with_domain
 from .s2g import ROLLUP as S2G_ROLLUP_PARAMS, S2GParams
@@ -189,6 +191,45 @@ class PagesRollupJob:
             fp,
             lambda: discord_series_grouped(
                 out["gapfilled"], ["domain"], "bucket_ts", "v", m=self.discord_m
+            ),
+        )
+
+        # Analytics stages over the TIERS (never raw): exact PELT regime
+        # boundaries separate "level changed" from the point anomalies the
+        # S2G/discord stages flag; seasonal-vs-naive SAE baselines triage
+        # which forecast family each domain deserves; day-grain TV drift
+        # watches the count distribution against each domain's first week.
+        # All three read committed stage outputs, so a resume re-derives
+        # them from the checkpoint store without touching pages.
+        out["changepoints"] = self._stage(
+            "changepoints",
+            fp,
+            lambda: pelt_grouped(out["gapfilled"], ["domain"], "bucket_ts", "v"),
+        )
+        out["forecast_baselines"] = self._stage(
+            "forecast_baselines",
+            fp,
+            lambda: seasonal_naive_error(
+                out["hour"].select("domain", "bucket_ts", "doc_count"),
+                ["domain"],
+                "bucket_ts",
+                "doc_count",
+            ),
+        )
+        out["count_drift"] = self._stage(
+            "count_drift",
+            fp,
+            lambda: tv_drift(
+                out["hour"].select(
+                    "domain",
+                    "bucket_ts",
+                    F.col("doc_count").cast("double").alias("value"),
+                ),
+                ["domain"],
+                "bucket_ts",
+                "value",
+                baseline_days=7,
+                period="day",
             ),
         )
         if self.ran_stages:  # pure-resume reruns keep the prior metrics table

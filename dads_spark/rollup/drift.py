@@ -70,15 +70,19 @@ def tv_drift(
         with_t.join(F.broadcast(base_stats), key_cols)
         .withColumn(
             "_bin",
-            F.least(
-                F.lit(bins - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        (F.col(value_col) - F.col("v_lo"))
-                        / ((F.col("v_hi") - F.col("v_lo")) / F.lit(float(bins)))
-                    ).cast("int"),
-                ),
+            # a constant baseline (v_hi == v_lo) degenerates to one bin —
+            # guard the width division (ANSI mode throws on /0)
+            F.when(F.col("v_hi") == F.col("v_lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col(value_col) - F.col("v_lo"))
+                            / ((F.col("v_hi") - F.col("v_lo")) / F.lit(float(bins)))
+                        ).cast("int"),
+                    ),
+                )
             ),
         )
         .withColumn("_is_base", is_base)

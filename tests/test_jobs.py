@@ -27,7 +27,7 @@ def test_full_pipeline_and_resume(spark, pages, tmp_path_factory):
 
     job = PagesRollupJob(spark, root, s2g_params=params)
     out = job.run(pages, desc)
-    assert len(job.ran_stages) == 11 and not job.skipped_stages
+    assert len(job.ran_stages) == 14 and not job.skipped_stages
 
     # tiers conserve totals
     hour_total = out["hour"].agg(F.sum("doc_count")).collect()[0][0]
@@ -98,10 +98,18 @@ def test_full_pipeline_and_resume(spark, pages, tmp_path_factory):
     for r in est_rows:
         assert abs(r["approx_distinct"] - r["exact"]) <= max(0.05 * r["exact"], 1)
 
+    # analytics stages emit per-domain rows from committed tiers only
+    assert out["forecast_baselines"].count() > 0
+    assert out["count_drift"].count() > 0
+    for r in out["count_drift"].collect():
+        assert 0 <= r["tv"] <= 1
+    cps = out["changepoints"]
+    assert cps.filter(~F.col("cp_idx").between(1, F.col("n") - 1)).count() == 0
+
     # resume: everything committed -> all skipped
     job2 = PagesRollupJob(spark, root, s2g_params=params)
     job2.run(pages, desc)
-    assert len(job2.skipped_stages) == 11 and not job2.ran_stages
+    assert len(job2.skipped_stages) == 14 and not job2.ran_stages
 
 
 def test_text_bytes_untouched(spark, pages):
