@@ -86,6 +86,7 @@ def test_mid_pipeline_resume_recomputes_only_missing_stage(spark, tmp_path):
         "tier_hour", "tier_week", "sketch_hour", "sketch_day",
         "distinct_hour", "distinct_day",
         "gapfill_hour", "compress_hour", "s2g_scores", "discord_ranges",
+        "changepoints", "forecast_baselines", "count_drift",
     }
     day2 = out2["day"].toPandas().sort_values(["domain", "bucket_ts"])
     assert day1.reset_index(drop=True).equals(day2.reset_index(drop=True))
@@ -97,5 +98,6 @@ def test_mid_pipeline_resume_recomputes_only_missing_stage(spark, tmp_path):
         "tier_hour", "tier_day", "tier_week", "sketch_hour", "sketch_day",
         "distinct_hour", "distinct_day",
         "gapfill_hour", "compress_hour", "s2g_scores", "discord_ranges",
+        "changepoints", "forecast_baselines", "count_drift",
     }
-    assert len(persisted) == 11
+    assert len(persisted) == 14
