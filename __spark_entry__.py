@@ -1864,6 +1864,49 @@ def q_tier_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_snapshot_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-store maintenance verbs (checkpoint/snapshots.py): v0 =
+    hour tier of an 80% subset, v1 = keyed UPSERT of the full tier's rows
+    (touched buckets replaced, new buckets appended), v2 = DELETE of the
+    'click' series (the per-key erasure path). All three versions read
+    back AS-OF and aggregated; the oracle computes each state directly
+    from raw — copy-on-write versioning must reproduce exact history."""
+    import shutil as _sh
+
+    from dads_spark.checkpoint import SnapshotStore
+    from dads_spark.rollup import rollup_from_raw
+
+    base = _stage_dir("snapshot_ud_run", sf_dir)
+    _sh.rmtree(base, ignore_errors=True)
+    store = SnapshotStore(spark, base)
+    ev = _t(spark, sf_dir, "events")
+    keys = ["event_type", "bucket_ts"]
+    v0 = store.commit(
+        "hour",
+        rollup_from_raw(
+            ev.filter(F.col("event_id") % 5 != 0), ["event_type"], "ts", None, "hour"
+        ),
+    )
+    full = rollup_from_raw(ev, ["event_type"], "ts", None, "hour")
+    v1 = store.upsert("hour", full, keys)
+    v2 = store.delete_where("hour", F.col("event_type") == "click")
+    parts = []
+    for v in (v0, v1, v2):
+        parts.append(
+            store.read("hour", v)
+            .groupBy()
+            .agg(
+                F.lit(v).cast("long").alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("doc_count").cast("long").alias("events_total"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series OLS trend as exact integer fractions
     (rollup/trend.py:ols_trend_exact): every moment is an integer sum, so
@@ -4323,6 +4366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "ols_trend": q_ols_trend,
         "tier_snapshots": q_tier_snapshots,
+        "snapshot_upsert_delete": q_snapshot_upsert_delete,
         "domain_cap": q_domain_cap,
         "seasonal_naive_error": q_seasonal_naive_error,
         "tier_route": q_tier_route,
@@ -6156,6 +6200,28 @@ def oracle_sql() -> dict[str, str]:
             FROM h, bounds
             WHERE h.b >= bounds.t0 AND h.b < bounds.t1
             GROUP BY 1
+        """,
+        "snapshot_upsert_delete": """
+            WITH b AS (
+                SELECT event_id, event_type,
+                       (epoch_us(ts) // 3600000000) * 3600 AS hb
+                FROM events),
+            v0 AS (
+                SELECT event_type, hb, count(*) AS dc FROM b
+                WHERE event_id % 5 != 0 GROUP BY 1, 2),
+            v1 AS (
+                SELECT event_type, hb, count(*) AS dc FROM b GROUP BY 1, 2),
+            v2 AS (
+                SELECT * FROM v1 WHERE event_type != 'click')
+            SELECT CAST(0 AS BIGINT) AS version,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(dc) AS BIGINT) AS events_total FROM v0
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+                   CAST(sum(dc) AS BIGINT) FROM v1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+                   CAST(sum(dc) AS BIGINT) FROM v2
         """,
         "tier_route": """
             WITH bounds AS (

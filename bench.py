@@ -199,6 +199,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "warc_ingest",
         "e2e_web_ingest",
         "html_extract",
+        "snapshot_upsert_delete",
     ]
     for name in suite:
         t0 = _now()

@@ -157,6 +157,34 @@ class SnapshotStore:
             )
         return self.spark.read.parquet(path)
 
+    def upsert(
+        self, table: str, delta: DataFrame, key_cols: list[str], note: str = ""
+    ) -> int:
+        """SCD1 keyed merge: rows of ``delta`` replace same-key rows of
+        the latest snapshot, new keys append — published as a NEW version
+        (copy-on-write; readers pinned to older versions are untouched).
+        The anti-join keys on the (small) delta side, so the base scan
+        streams against a broadcast."""
+        from pyspark.sql import functions as F
+
+        base = self.read(table)
+        survivors = base.join(
+            F.broadcast(delta.select(*key_cols).distinct()), key_cols, "left_anti"
+        )
+        return self.commit(table, survivors.unionByName(delta), note=note)
+
+    def delete_where(self, table: str, predicate, note: str = "") -> int:
+        """Publish a new version WITHOUT rows matching ``predicate`` (a
+        Column) — the per-key erasure path (takedowns / right-to-be-
+        forgotten) a web-corpus store must support. Copy-on-write like
+        :meth:`upsert`; older versions still hold the rows until
+        :meth:`vacuum` reclaims them — complete erasure = delete_where +
+        vacuum(keep_last=1), which the tests pin. Derived sketch tiers
+        (HLL/count-min) cannot subtract and must be REBUILT from the new
+        version — callers own that invalidation."""
+        base = self.read(table)
+        return self.commit(table, base.filter(~predicate), note=note)
+
     def vacuum(self, table: str, keep_last: int = 2) -> list[int]:
         """Delete data for all but the newest ``keep_last`` versions of
         ``table``; the snapshot log keeps the full history (audit trail).

@@ -114,3 +114,46 @@ def test_commit_records_partition_lineage(spark, tmp_path):
     assert entry["row_count"] == 10
     assert sum(entry["partition_rows"].values()) == 10
     assert len(entry["partition_rows"]) >= 1
+
+
+def test_upsert_replaces_keys_copy_on_write(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    store.commit("t", base)
+    pinned = store.read("t", 0)
+    delta = spark.createDataFrame([(2, "B2"), (9, "NEW")], "k long, v string")
+    v = store.upsert("t", delta, ["k"])
+    assert v == 1
+    got = {r["k"]: r["v"] for r in store.read("t").collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "NEW"}
+    # copy-on-write: the pinned reader still sees the old row
+    assert {r["k"]: r["v"] for r in pinned.collect()}[2] == "b"
+
+
+def test_delete_where_then_vacuum_erases(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    base = spark.createDataFrame(
+        [(1, "keep"), (2, "forget"), (3, "keep")], "k long, v string"
+    )
+    store.commit("t", base)
+    v = store.delete_where("t", F.col("v") == "forget")
+    assert v == 1
+    assert sorted(r["k"] for r in store.read("t").collect()) == [1, 3]
+    # the old version still HOLDS the row until vacuum reclaims it
+    assert store.read("t", 0).filter(F.col("v") == "forget").count() == 1
+    store.vacuum("t", keep_last=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        store.read("t", 0)
+    # erased on disk, not just unpublished
+    import glob
+
+    files = glob.glob(str(tmp_path / "store" / "data" / "t" / "**" / "*.parquet"),
+                      recursive=True)
+    import pyarrow.parquet as pq
+
+    remaining = set()
+    for f in files:
+        remaining.update(pq.read_table(f).column("v").to_pylist())
+    assert "forget" not in remaining
