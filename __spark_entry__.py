@@ -2617,7 +2617,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, books)
     out = ann_pq_adc(codes, books, q_ids, q_mat, k=10)
     _stage_ann_pq_oracle(sf_dir, books)
-    return _q6_cols(out, ["query_id", "neighbor_id", "rank"], {"score": "score_q6"})
+    # score_q6 now comes straight from the operator (the ranking key
+    # itself) — no second quantization layer (round-4 ADVICE fix)
+    return out.select("query_id", "neighbor_id", "rank", "score_q6")
 
 
 def _stage_ann_ivf_pq_oracle(sf_dir: str, cent, books, n_probe: int) -> None:
@@ -2663,7 +2665,8 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent, books = train_ivf_pq(emb)
     out = ann_ivf_pq(emb, _KNN_QUERIES, k=10, n_probe=6, model=(cent, books))
     _stage_ann_ivf_pq_oracle(sf_dir, cent, books, n_probe=6)
-    return _q6_cols(out, ["query_id", "neighbor_id", "rank"], {"score": "score_q6"})
+    # score_q6 comes straight from the operator's ranking key (r4 fix)
+    return out.select("query_id", "neighbor_id", "rank", "score_q6")
 
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6304,7 +6307,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT concat('https://', source, '.example.com/p/',
                           CAST(doc_id AS VARCHAR)) AS url,
                    CAST(1704067200 + doc_id AS BIGINT) AS ws,
-                   CAST(length(text) AS BIGINT) AS n_bytes
+                   -- UTF-8 BYTE count, not character count: the Spark
+                   -- side counts bytes of the record body, and length()
+                   -- on VARCHAR would silently depend on the documents
+                   -- table staying pure ASCII (round-4 ADVICE fix)
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
         """,
         "robots_policy": """

@@ -49,13 +49,23 @@ def pack_sequences(
     )
     cum = F.sum(F.col(token_col)).over(w)
     start = (cum - F.col(token_col)).cast("long")
-    return docs.select(
+    staged = docs.select(
         *shard_cols,
         F.col(order_col),
         F.col(token_col).cast("long").alias("n_tokens"),
-        (F.floor(start / F.lit(ctx_len))).cast("long").alias("bin_id"),
-        (start % F.lit(ctx_len)).cast("long").alias("bin_offset"),
+        start.alias("_tok_start"),
+    )
+    return staged.select(
+        *shard_cols,
+        F.col(order_col),
+        "n_tokens",
+        # integer `DIV`, NOT `/`: long/int promotes to double in Spark
+        # and loses exactness past 2^53 cumulative tokens — real at
+        # 100 TB-corpus shard offsets
+        F.expr(f"_tok_start DIV {int(ctx_len)}").cast("long").alias("bin_id"),
+        (F.col("_tok_start") % F.lit(ctx_len)).cast("long").alias("bin_offset"),
         (
-            (start % F.lit(ctx_len)) + F.col(token_col) > F.lit(ctx_len)
+            (F.col("_tok_start") % F.lit(ctx_len)) + F.col("n_tokens")
+            > F.lit(ctx_len)
         ).alias("spans_boundary"),
     )

@@ -148,8 +148,10 @@ def ann_pq_adc(
     score(q, x) ~= sum_s <q_s, centroid_{code_s(x)}> — m lookups per
     candidate. One mapInPandas scan emits per-batch partial top-k (ties
     at the quantized boundary kept); a final window ranks the survivors.
-    Output: (query_id, neighbor_id, rank, score) with score = 6dp-rounded
-    approximate dot product."""
+    Output: (query_id, neighbor_id, rank, score_q6, score) where
+    score_q6 = sign*floor(|score|*1e6+0.5) — the exact integer key the
+    per-batch cut, the final ranking, and the scalar oracle all share —
+    and score is the raw approximate dot product."""
     m, ksub, dsub = books.shape
     # LUT[q, s, c] = <q_s, books[s, c]>, built with explicit sequential
     # accumulation (NOT einsum/BLAS, whose summation order is unspecified)
@@ -177,33 +179,41 @@ def ann_pq_adc(
             for s in range(m):
                 scores += lut[:, s, :][:, codes_mat[:, s]].T
             key = np.sign(scores) * np.floor(np.abs(scores) * 1e6 + 0.5)
-            out_q, out_n, out_c = [], [], []
+            out_q, out_n, out_c, out_k = [], [], [], []
             for qi in range(len(q_ids)):
                 valid = ids != q_ids[qi]
                 kq, kid, kc = key[valid, qi], ids[valid], scores[valid, qi]
                 if len(kq) > k:
                     kth = np.partition(kq, len(kq) - k)[len(kq) - k]
                     keep = kq >= kth
-                    kid, kc = kid[keep], kc[keep]
+                    kid, kc, kq = kid[keep], kc[keep], kq[keep]
                 out_q.append(np.full(len(kid), q_ids[qi]))
                 out_n.append(kid)
                 out_c.append(kc)
+                out_k.append(kq.astype(np.int64))
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
                     "neighbor_id": np.concatenate(out_n),
                     "score": np.concatenate(out_c),
+                    "score_q6": np.concatenate(out_k),
                 }
             )
 
-    flat = codes.mapInPandas(f, "query_id long, neighbor_id long, score double")
+    flat = codes.mapInPandas(
+        f, "query_id long, neighbor_id long, score double, score_q6 long"
+    )
+    # final ranking uses the SAME sign*floor(|x|*1e6+0.5) integer key as
+    # the per-batch cut (NOT F.round, whose HALF_UP on the shortest
+    # decimal repr can disagree at representation boundaries) — the key
+    # the scalar oracle ranks and emits with
     w = W.partitionBy("query_id").orderBy(
-        F.round("score", 6).desc(), F.col("neighbor_id")
+        F.col("score_q6").desc(), F.col("neighbor_id")
     )
     return (
         flat.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+        .select("query_id", "neighbor_id", "rank", "score_q6", "score")
     )
 
 
@@ -315,7 +325,7 @@ def ann_ivf_pq(
             allowed = probe_mask[cells]
             allowed &= ids[:, None] != q_ids[None, :]
             scores = np.where(allowed, scores, -np.inf)
-            out_q, out_n, out_c = [], [], []
+            out_q, out_n, out_c, out_k = [], [], [], []
             for qi in range(len(q_ids)):
                 col = scores[:, qi]
                 finite = np.isfinite(col)
@@ -334,27 +344,37 @@ def ann_ivf_pq(
                     out_q.append(np.full(len(keep), q_ids[qi]))
                     out_n.append(ids[keep])
                     out_c.append(col[keep])
+                    out_k.append(key[keep].astype(np.int64))
             if out_q:
                 yield pd.DataFrame(
                     {
                         "query_id": np.concatenate(out_q),
                         "neighbor_id": np.concatenate(out_n),
                         "score": np.concatenate(out_c),
+                        "score_q6": np.concatenate(out_k),
                     }
                 )
             else:
                 yield pd.DataFrame(
-                    {"query_id": [], "neighbor_id": [], "score": []}
+                    {
+                        "query_id": [],
+                        "neighbor_id": [],
+                        "score": [],
+                        "score_q6": [],
+                    }
                 )
 
     flat = embeddings.select(id_col, vec_col).mapInPandas(
-        score, "query_id long, neighbor_id long, score double"
+        score, "query_id long, neighbor_id long, score double, score_q6 long"
     )
+    # rank by the SAME integer key as the per-batch cut and the scalar
+    # oracle (sign*floor(|x|*1e6+0.5)); F.round on the double can flip at
+    # representation boundaries — a latent flake in a bitwise-gated lane
     w = W.partitionBy("query_id").orderBy(
-        F.round("score", 6).desc(), F.col("neighbor_id")
+        F.col("score_q6").desc(), F.col("neighbor_id")
     )
     return (
         flat.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+        .select("query_id", "neighbor_id", "rank", "score_q6", "score")
     )

@@ -79,9 +79,14 @@ def parse_robots(
             ),
             prefix.alias("prefix"),
         )
+        # RFC 9309: the run of consecutive User-agent lines that opens a
+        # group ends at the FIRST non-blank non-UA line — including
+        # unknown directives (Crawl-delay:, Sitemap:). Blank lines are
+        # ignored entirely (RFC 9309 drops the 1994 record-separator
+        # role), so they neither extend nor terminate the UA run.
         return F.struct(
             in_star.alias("in_star"),
-            (is_agent | (acc.fresh_group & ~is_dis & ~is_all)).alias(
+            (is_agent | (acc.fresh_group & (line == ""))).alias(
                 "fresh_group"
             ),
             F.when(emit, F.array_append(acc.rules, rule))

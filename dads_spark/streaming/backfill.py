@@ -149,8 +149,15 @@ def _merge_batch(
             sk_staged = sk_delta.coalesce(1)
         _overwrite_touched(sk_staged, sk_path)
         sk_delta.unpersist()
-    with open(_ledger_path(tier_path), "w") as fh:
+    # Atomic commit: a crash mid-write must not leave truncated JSON
+    # (truncated -> _committed_batch falls back to -1 -> the replayed
+    # batch double-counts into a tier that already contains it). Same
+    # temp-file + os.replace pointer swap as SnapshotStore._append.
+    ledger = _ledger_path(tier_path)
+    tmp = ledger + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump({"batch_id": batch_id}, fh)
+    os.replace(tmp, ledger)
 
 
 def run_tier_backfill_stream(

@@ -27,6 +27,20 @@ Allow: /
 """
 
 
+ROBOTS_C = """User-agent: *
+Crawl-delay: 1
+User-agent: badbot
+Disallow: /
+"""
+
+ROBOTS_D = """User-agent: badbot
+
+User-agent: *
+Sitemap: https://d.com/sitemap.xml
+Disallow: /blocked
+"""
+
+
 def _rules(spark):
     robots = spark.createDataFrame(
         [("a.com", ROBOTS_A), ("b.com", ROBOTS_B)], "host string, robots_txt string"
@@ -45,6 +59,23 @@ def test_parse_robots_star_group_only(spark):
         ("b.com", "allow", "/"),
         ("b.com", "disallow", "/all:colons"),
     ]
+
+
+def test_unknown_directive_ends_ua_run_blank_does_not(spark):
+    """RFC 9309 group boundaries: a non-blank non-UA line (Crawl-delay,
+    Sitemap) terminates the User-agent run, so a later UA line opens a
+    NEW group instead of merging; blank lines are ignored entirely and
+    neither extend nor break the run."""
+    robots = spark.createDataFrame(
+        [("c.com", ROBOTS_C), ("d.com", ROBOTS_D)],
+        "host string, robots_txt string",
+    )
+    got = sorted(map(tuple, parse_robots(robots).collect()))
+    # c.com: `Disallow: /` binds ONLY to badbot (Crawl-delay closed the *
+    # group) -> no * rules at all. d.com: blank line between UA lines
+    # keeps one group containing *, Sitemap is an in-group unknown
+    # directive -> Disallow /blocked applies to *.
+    assert got == [("d.com", "disallow", "/blocked")]
 
 
 def test_matching_longest_wins_allow_beats_disallow(spark):
