@@ -219,11 +219,38 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     }
 
 
+def compact_summary(result: dict) -> str:
+    """The LAST stdout line, sized for the driver's tail capture.
+
+    Round-3 lesson: the full per-lane JSON line grew past the driver's
+    stdout tail budget and BENCH_r03 recorded ``parsed: null`` — no hard
+    headline number that round. The full detail line still prints first
+    (and session artifacts commit it); this compact line repeats the
+    headline in <=200 bytes so the tail ALWAYS contains a parseable
+    record. Guarded by tests/test_bench_summary.py."""
+    line = json.dumps(
+        {
+            "metric": result["metric"],
+            "value": result["value"],
+            "unit": result["unit"],
+            "sf": result["sf"],
+            "cpus": result["cpus"],
+            "lanes": len(result["queries"]),
+        },
+        separators=(",", ":"),
+    )
+    if len(line.encode()) > 200:
+        raise ValueError(f"bench summary line too long ({len(line)} bytes)")
+    json.loads(line)  # must round-trip
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     result = run_bench(sf_dir, cpus)
     print(json.dumps(result))
+    print(compact_summary(result))
 
 
 if __name__ == "__main__":

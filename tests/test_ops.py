@@ -87,6 +87,41 @@ def test_minhash_lsh_bucket_cap_equivalence(spark):
     assert key(capped) == key(uncapped)
 
 
+def test_minhash_lsh_probe_gate_equivalence(spark):
+    """Round-4 sampled probe gate: at a cap with probe_inv > 1 (cap >= 64)
+    a 70-member near-dup clique must still be FLAGGED by the 1/2-sampled
+    probe, routed through the hot chunk path, and emit the identical pair
+    set as the uncapped run; a corpus with no hot bucket must also emit
+    identically when the probe statically skips the hot subplan."""
+    base = [f"tok{i}" for i in range(40)]
+    rows = []
+    for d in range(70):
+        toks = list(base)
+        toks[d % 40] = f"uniq{d}"
+        rows.append((d, " ".join(toks)))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    kw = dict(num_hashes=64, bands=16, threshold=0.5)
+
+    def key(pdf):
+        return {
+            (int(a), int(b), float(e))
+            for a, b, e in zip(pdf.id_a, pdf.id_b, pdf.est_jaccard)
+        }
+
+    uncapped = key(minhash_lsh_pairs(corpus, **kw).toPandas())
+    assert len(uncapped) > 100
+    # cap=64 -> probe_inv=2, flag_at=8: ~35 sampled members flag the
+    # bucket, the exact pass finds it hot, chunking engages
+    capped = key(minhash_lsh_pairs(corpus, max_bucket_members=64, **kw).toPandas())
+    assert capped == uncapped
+    # a cold corpus (8 docs, default cap 4096 -> probe_inv=128): probe
+    # skips the hot subplan statically; output must be unchanged
+    small = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = key(minhash_lsh_pairs(small, threshold=0.5).toPandas())
+    b = key(minhash_lsh_pairs(small, threshold=0.5, max_bucket_members=4).toPandas())
+    assert a == b
+
+
 def test_ngram_jaccard_matches_python_oracle(spark, docs):
     pairs = ngram_jaccard_pairs(docs, threshold=0.1).toPandas()
     texts = dict(DOCS)
