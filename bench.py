@@ -200,6 +200,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "e2e_web_ingest",
         "html_extract",
         "snapshot_upsert_delete",
+        # r4: the serving-path flagship — week/day tiers + Gorilla-decoded
+        # hour fringe stitched to raw-exact totals (suite cap: 90 lanes)
+        "serving_path_range",
     ]
     for name in suite:
         t0 = _now()

@@ -82,7 +82,9 @@ class SnapshotStore:
         except OSError:
             return []
 
-    def commit(self, table: str, df: DataFrame, note: str = "", audit=None) -> int:
+    def commit(
+        self, table: str, df: DataFrame, note: str = "", audit=None, extra=None
+    ) -> int:
         """Write ``df`` as the next immutable version of ``table`` and
         publish it. Returns the new version number. Version numbering
         skips past any orphaned data dir a crash between data-write and
@@ -132,6 +134,7 @@ class SnapshotStore:
                 "partition_rows": per_part,
                 "note": note,
                 "committed_at": time.time(),
+                **(extra or {}),
             }
         )
         return version
@@ -185,20 +188,54 @@ class SnapshotStore:
         base = self.read(table)
         return self.commit(table, base.filter(~predicate), note=note)
 
+    def rollback(self, table: str, version: int, note: str = "") -> int:
+        """Re-publish an OLDER version's data as the new latest snapshot
+        (Iceberg rollback semantics): metadata-only — a new log entry
+        points at the old immutable data path, nothing is copied or
+        deleted. Readers of "latest" immediately see the old data; the
+        rolled-back-PAST versions stay in the history for audit/time
+        travel until vacuumed. Returns the new version number."""
+        entries = [
+            s
+            for s in self.history()
+            if s["table"] == table and s["version"] == version
+        ]
+        if not entries:
+            raise ValueError(f"unknown snapshot {table!r} v{version}")
+        src = entries[0]
+        if not os.path.exists(src["path"]):
+            raise ValueError(
+                f"snapshot {table!r} v{version} was vacuumed (data gone)"
+            )
+        prev = self.latest_version(table)
+        new_version = max([prev] + self._stray_versions(table)) + 1
+        self._append(
+            {
+                **src,
+                "version": new_version,
+                "note": note or f"rollback to v{version}",
+                "committed_at": time.time(),
+            }
+        )
+        return new_version
+
     def vacuum(self, table: str, keep_last: int = 2) -> list[int]:
-        """Delete data for all but the newest ``keep_last`` versions of
-        ``table``; the snapshot log keeps the full history (audit trail).
-        Returns the vacuumed version numbers."""
+        """Delete data directories no kept snapshot references — all but
+        the newest ``keep_last`` versions of ``table``, EXCEPT paths a
+        kept version still points at (a rollback entry shares the data
+        path of the version it restored). The snapshot log keeps the full
+        history (audit trail). Returns the vacuumed version numbers."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        versions = sorted(
-            s["version"] for s in self.history() if s["table"] == table
-        )
-        victims = versions[:-keep_last]
+        entries = [s for s in self.history() if s["table"] == table]
+        versions = sorted(s["version"] for s in entries)
+        kept = set(versions[-keep_last:])
+        kept_paths = {s["path"] for s in entries if s["version"] in kept}
         removed = []
-        for v in victims:
-            path = self._data_path(table, v)
-            if os.path.exists(path):
-                shutil.rmtree(path)
-                removed.append(v)
+        for s in entries:
+            if s["version"] in kept or s["path"] in kept_paths:
+                continue
+            if os.path.exists(s["path"]):
+                shutil.rmtree(s["path"])
+                removed.append(s["version"])
         return removed

@@ -20,7 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checkpoint import CheckpointManager, fingerprint
+from .checkpoint import CheckpointManager, SnapshotStore, fingerprint
 from .compress import encode_timestamps, encode_values
 from .metrics import StageMetricsCollector
 from .ops.sketch import digest, digest_quantiles, merge_digests
@@ -64,7 +64,22 @@ def compress_tier_blobs(
 
 
 class PagesRollupJob:
-    """Resumable pages -> tiers -> gap-fill -> anomaly job."""
+    """Resumable pages -> tiers -> gap-fill -> anomaly job.
+
+    With ``publish_root`` set, every stage additionally publishes through
+    the versioned SnapshotStore under write-audit-publish: the staged
+    copy is audited against the checkpoint manifest's row count BEFORE
+    the snapshot-log swap makes it visible, so a bad write can never
+    reach readers. Resume composes with publication: a stage that is
+    checkpoint-committed but unpublished (crash between commit and
+    publish) is healed on the next run; a stage whose latest published
+    snapshot already carries the current input fingerprint is left
+    untouched — in particular, an operator ``rollback()`` (which
+    re-publishes an older version of the same fingerprint) SURVIVES a
+    re-run instead of being clobbered. Readers go through
+    :meth:`read_published` (time travel via ``version=``). The publish
+    is a copy-on-write parquet write; on a warehouse filesystem the seam
+    swaps to an Iceberg snapshot commit / directory rename (README)."""
 
     def __init__(
         self,
@@ -72,6 +87,7 @@ class PagesRollupJob:
         ckpt_root: str,
         s2g_params: S2GParams = S2G_ROLLUP_PARAMS,
         discord_m: int = 24,
+        publish_root: str | None = None,
     ):
         self.spark = spark
         self.ckpt = CheckpointManager(spark, ckpt_root)
@@ -79,16 +95,61 @@ class PagesRollupJob:
         self.discord_m = discord_m
         self.ran_stages: list[str] = []
         self.skipped_stages: list[str] = []
+        self.published_stages: list[str] = []
+        self.store = (
+            SnapshotStore(spark, publish_root) if publish_root else None
+        )
         # statistics-protocol counterpart: one duration/bytes row per
         # executed stage, persisted next to the manifests after run()
         self.metrics = StageMetricsCollector(spark)
 
+    def _is_published(self, name: str, fp: str) -> bool:
+        """True when the LATEST published snapshot of ``name`` carries
+        fingerprint ``fp`` (whether an original publish or a rollback
+        entry restoring one)."""
+        latest = self.store.latest_version(name)
+        if latest is None:
+            return False
+        return any(
+            s.get("fp") == fp
+            for s in self.store.history()
+            if s["table"] == name and s["version"] == latest
+        )
+
+    def _publish(self, name: str, fp: str, df: DataFrame) -> None:
+        expected = sum(r["row_count"] for r in self.ckpt.metrics(name))
+
+        def audit(staged: DataFrame) -> None:
+            n = staged.count()
+            if n != expected:
+                raise ValueError(
+                    f"staged row count {n} != checkpoint manifest {expected}"
+                )
+
+        # fingerprint travels in the snapshot entry so resume can tell
+        # "already published for this input" from "needs healing"
+        self.store.commit(
+            name, df, note=f"stage {name}", audit=audit, extra={"fp": fp}
+        )
+        self.published_stages.append(name)
+
+    def read_published(self, name: str, version: int | None = None) -> DataFrame:
+        """A stage's PUBLISHED output (latest snapshot, or time travel)."""
+        if self.store is None:
+            raise ValueError("job has no publish_root")
+        return self.store.read(name, version)
+
     def _stage(self, name: str, fp: str, build):
         if self.ckpt.is_committed(name, fp):
             self.skipped_stages.append(name)
-            return self.ckpt.load(name)
+            df = self.ckpt.load(name)
+            if self.store is not None and not self._is_published(name, fp):
+                self._publish(name, fp, df)  # heal commit-then-crash
+            return df
         with self.metrics.stage(name):
             out = self.ckpt.commit(name, build(), fp)
+        if self.store is not None:
+            self._publish(name, fp, out)
         self.ran_stages.append(name)
         return out
 

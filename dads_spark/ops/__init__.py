@@ -17,6 +17,7 @@ from .components import (  # noqa: F401
 from .textstats import (  # noqa: F401
     doc_fingerprint,
     inverted_index,
+    bigram_logprob,
     language_id,
     repetition_stats,
     text_quality,
@@ -33,6 +34,8 @@ from .linkgraph import (  # noqa: F401
     pagerank,
 )
 from .contamination import contamination_report  # noqa: F401
+from .scd import scd2_history  # noqa: F401
+from .frontier import frontier_schedule  # noqa: F401
 from .sampling import (  # noqa: F401
     balance_sample,
     bucket_sample,

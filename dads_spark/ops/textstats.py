@@ -435,3 +435,68 @@ def unigram_logprob(
             "CAST(floor(sum(dc * neglp_q6) / CAST(sum(dc) AS DOUBLE) + 0.5) AS BIGINT)"
         ).alias("avg_neglp_q6"),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-bigram-LM surprisal per document with Laplace smoothing —
+    the second rung of the n-gram quality ladder above
+    :func:`unigram_logprob`: unigram surprisal scores WHICH words a doc
+    uses, bigram surprisal scores whether it uses them in corpus-typical
+    ORDER (word salad and shuffled boilerplate pass the unigram filter
+    but not this one).
+
+    Per distinct bigram (w1, w2): P(w2|w1) = (c(w1,w2)+1) / (ctx(w1)+V)
+    where ctx(w1) = bigram occurrences starting with w1 and V = corpus
+    distinct-unigram count; neglp_q6 = floor(-ln P * 1e6 + 0.5) as an
+    integer. Per doc: exact integer sums over bigram occurrences —
+    summation-order/partitioning/engine independent, the same
+    quantize-then-sum discipline as unigram_logprob.
+
+    Shape: adjacent pairs are built INSIDE the row with JVM array ops
+    (slice + arrays_zip, no Python, no self-join on position), then one
+    shuffle keyed by (doc, bigram) for doc counts, one keyed by bigram
+    for the corpus LM (partial aggregation on both), and a bigram-keyed
+    join — Zipf skew on the hot bigrams is AQE-handled, and at web scale
+    the head of the LM can broadcast with a rare-bigram floor exactly
+    like the unigram path.
+
+    Output: (id, n_bigrams, sum_neglp_q6, avg_neglp_q6); docs with fewer
+    than 2 tokens emit no row (no bigrams — same convention as the
+    oracle).
+    """
+    toks = F.split(F.col(text_col), " ")
+    # adjacent pairs via an index lambda, trimmed of the dangling last
+    # element with slice(..., 1, size-1); slice length 0 (single-token
+    # doc) yields the empty array, so explode emits nothing
+    pairs = F.expr(
+        # get() (not [i+1]): the dangling last struct is built before
+        # slice trims it, and ANSI mode makes out-of-bounds [] a hard
+        # error rather than NULL
+        f"slice(transform(split({text_col}, ' '), (x, i) -> "
+        f"struct(x AS w1, get(split({text_col}, ' '), i + 1) AS w2)), "
+        f"1, greatest(size(split({text_col}, ' ')) - 1, 0))"
+    )
+    bg = docs.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+        id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+    doc_bg = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("dc"))
+    lm = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = lm.groupBy("w1").agg(F.sum("cb").alias("ctx"))
+    v_total = (
+        docs.select(F.explode(toks).alias("w")).select("w").distinct().count()
+    )
+    neglp = F.expr(
+        f"CAST(floor(-ln((cb + 1) / CAST(ctx + {v_total} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+    )
+    scored = doc_bg.join(lm.join(ctx, "w1").withColumn("neglp_q6", neglp), ["w1", "w2"])
+    return scored.groupBy(id_col).agg(
+        F.sum("dc").alias("n_bigrams"),
+        F.sum(F.col("dc") * F.col("neglp_q6")).alias("sum_neglp_q6"),
+        F.expr(
+            "CAST(floor(sum(dc * neglp_q6) / CAST(sum(dc) AS DOUBLE) + 0.5) AS BIGINT)"
+        ).alias("avg_neglp_q6"),
+    )

@@ -57,6 +57,7 @@ from .trend import (  # noqa: F401
     theil_sen_slope,
 )
 from .analytics import (  # noqa: F401
+    anomaly_ensemble,
     autocorrelation,
     burst_intervals,
     gap_percentiles,

@@ -644,3 +644,86 @@ def seasonal_naive_error(
         F.sum("_e1").cast("long").alias("sae_naive"),
         F.count("_e1").cast("long").alias("n_naive"),
     )
+
+
+def anomaly_ensemble(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_sigma: float = 3.0,
+    k_mad: float = 5.0,
+    k_delta: float = 8.0,
+    min_votes: int = 2,
+) -> DataFrame:
+    """Detector-ensemble anomaly vote: a row is anomalous when at least
+    ``min_votes`` of three independent detector FAMILIES agree —
+    seasonal hour-of-day z-score (level vs time-of-day norm), median/MAD
+    robust deviation (level vs heavy-tail-safe series center), and
+    lag-delta shock (change vs the series' own typical step). Single
+    detectors each have a blind spot (a spike at an always-noisy hour, a
+    level shift MAD normalizes away, a slow drift no delta sees);
+    requiring agreement is the standard production alerting contract.
+
+    Composition pin over seasonal_outliers/mad_outliers semantics: the
+    flag conditions here are the SAME expressions those (individually
+    oracle-gated) operators use, evaluated in one pipeline.
+
+    Shape: one fact scan; the three profile relations (per-key-hod
+    mean/std, per-key median+MAD, per-key mean |step|) are each one row
+    per key(-hod) — broadcast — and the delta needs one window over the
+    per-key sort. The fact table is never reshuffled for a profile join.
+
+    Output: keys..., id, ts (formatted), value (4 dp), is_seasonal,
+    is_robust, is_shock, n_votes — rows with n_votes >= min_votes only.
+    """
+    hod = F.hour(F.col(ts_col).cast("timestamp"))
+    prof = df.groupBy(*key_cols, hod.alias("hod")).agg(
+        F.avg(value_col).alias("_mean"), F.stddev_pop(value_col).alias("_std")
+    )
+    med = df.groupBy(*key_cols).agg(F.median(value_col).alias("_med"))
+    mad = (
+        df.join(F.broadcast(med), key_cols)
+        .groupBy(*key_cols)
+        .agg(F.median(F.abs(F.col(value_col) - F.col("_med"))).alias("_mad"))
+    )
+    w = W.partitionBy(*key_cols).orderBy(ts_col, id_col)
+    with_d = df.withColumn(
+        "_d", F.col(value_col) - F.lag(value_col).over(w)
+    )
+    scale = with_d.groupBy(*key_cols).agg(
+        F.avg(F.abs(F.col("_d"))).alias("_scale")
+    )
+    fact = (
+        with_d.withColumn("hod", hod)
+        .join(F.broadcast(prof), [*key_cols, "hod"])
+        .join(F.broadcast(med), key_cols)
+        .join(F.broadcast(mad), key_cols)
+        .join(F.broadcast(scale), key_cols)
+    )
+    v = F.col(value_col)
+    is_seasonal = (F.col("_std") > 0) & (
+        F.abs(v - F.col("_mean")) > n_sigma * F.col("_std")
+    )
+    is_robust = (F.col("_mad") > 0) & (
+        F.abs(v - F.col("_med")) > k_mad * F.col("_mad")
+    )
+    is_shock = (
+        F.col("_d").isNotNull()
+        & (F.col("_scale") > 0)
+        & (F.abs(F.col("_d")) > k_delta * F.col("_scale"))
+    )
+    flagged = fact.select(
+        *key_cols,
+        F.col(id_col),
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round(v, 4).alias("value"),
+        is_seasonal.alias("is_seasonal"),
+        is_robust.alias("is_robust"),
+        is_shock.alias("is_shock"),
+        (
+            is_seasonal.cast("int") + is_robust.cast("int") + is_shock.cast("int")
+        ).cast("long").alias("n_votes"),
+    )
+    return flagged.filter(F.col("n_votes") >= min_votes)

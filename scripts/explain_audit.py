@@ -591,6 +591,53 @@ def main() -> None:
                   if "Window" in l or "HashAggregate" in l or "Exchange" in l)[:600],
     ))
 
+    # --- A31: SCD2 — two window passes, ONE exchange -------------------------
+    p31 = plan_of(em.queries()["scd2_user_state"](spark, sf_dir))
+    n_ex31 = len(_re.findall(r"^\(\d+\) Exchange", p31, _re.M))
+    assert n_ex31 == 1, f"SCD2 must reuse one exchange, got {n_ex31}"
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py_op not in p31, f"SCD2 plan contains {py_op}"
+    sections.append((
+        "A31 scd2_user_state: both window passes share one exchange",
+        "PASS — lag (state-change detection) and lead (interval close) "
+        "windows use the same (user_id) partitioning and (ts, id) order, "
+        "so Catalyst plans ONE hashpartitioning exchange + sort for the "
+        "whole temporal derivation; no Python operators",
+        "\n".join(l for l in p31.splitlines()
+                  if "Window" in l or "Exchange" in l or "Sort" in l)[:600],
+    ))
+
+    # --- A32: frontier schedule — window-only, no joins, no Python ----------
+    p32 = plan_of(em.queries()["frontier_schedule"](spark, sf_dir))
+    for bad in ("MapInPandas", "BatchEvalPython", "SortMergeJoin",
+                "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in p32, f"frontier plan contains {bad}"
+    assert p32.count("Window") >= 2
+    sections.append((
+        "A32 frontier_schedule: pure window pipeline over the frontier",
+        "PASS — politeness offsets (per-host window) and worker fetch "
+        "order (per-worker window) are rank windows over column-derived "
+        "keys; no join, no Python, no driver loop — a billion-row "
+        "frontier schedules in two keyed passes",
+        "\n".join(l for l in p32.splitlines()
+                  if "Window" in l or "Exchange" in l)[:600],
+    ))
+
+    # --- A33: ensemble — one fact scan, broadcast profiles ------------------
+    p33 = plan_of(em.queries()["anomaly_ensemble"](spark, sf_dir))
+    n_bhj = p33.count("BroadcastHashJoin")
+    assert n_bhj >= 4, f"profiles must broadcast, got {n_bhj}"
+    assert "SortMergeJoin" not in p33
+    sections.append((
+        "A33 anomaly_ensemble: detector profiles broadcast onto one fact pass",
+        "PASS — all four profile relations (hod mean/std, median, MAD, "
+        "delta scale) are per-key rows joined via BroadcastHashJoin; the "
+        "event scan is never reshuffled for a profile, and the only "
+        "fact exchange is the per-key sort for the lag window",
+        "\n".join(l for l in p33.splitlines()
+                  if "Join" in l or "Exchange" in l)[:600],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"

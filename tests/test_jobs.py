@@ -112,6 +112,74 @@ def test_full_pipeline_and_resume(spark, pages, tmp_path_factory):
     assert len(job2.skipped_stages) == 14 and not job2.ran_stages
 
 
+def test_wap_publish_rollback_and_resume(spark, pages, tmp_path_factory):
+    """SnapshotStore wiring (r4): every stage publishes through WAP; a
+    rolled-back-past version is invisible to the job's readers; a re-run
+    resumes from the last PUBLISHED snapshot (the rollback survives)."""
+    root = str(tmp_path_factory.mktemp("jobwap"))
+    params = S2GParams(m=20, c=6, S=30, ell=30)
+    desc = {"source": "pages-fixture", "n": 8000}
+    pub = f"{root}/published"
+
+    job = PagesRollupJob(spark, f"{root}/ckpt", s2g_params=params, publish_root=pub)
+    out = job.run(pages, desc)
+    assert len(job.published_stages) == 14
+    # published latest == the stage output, row for row
+    assert job.read_published("tier_day").count() == out["day"].count()
+    v0 = job.store.latest_version("tier_day")
+
+    # a bad manual publish (wrong data) lands as v0+1 ...
+    bad = out["day"].limit(3)
+    v1 = job.store.commit("tier_day", bad, note="bad manual publish")
+    assert job.read_published("tier_day").count() == 3
+    # ... and rollback republishes v0's data; v1 becomes invisible to
+    # latest-readers while staying time-travelable
+    v2 = job.store.rollback("tier_day", v0)
+    assert v2 > v1
+    assert job.read_published("tier_day").count() == out["day"].count()
+    assert job.read_published("tier_day", version=v1).count() == 3
+
+    # re-run: all stages checkpoint-committed AND published for this fp
+    # (the rollback entry carries v0's fp) -> nothing re-published, the
+    # rollback is NOT clobbered
+    job2 = PagesRollupJob(spark, f"{root}/ckpt", s2g_params=params, publish_root=pub)
+    job2.run(pages, desc)
+    assert len(job2.skipped_stages) == 14 and not job2.ran_stages
+    assert not job2.published_stages
+    assert job2.store.latest_version("tier_day") == v2
+
+    # heal path: wipe ONE stage's snapshot history (simulates a crash
+    # between checkpoint-commit and publish); the next run republishes
+    # exactly that stage without recomputing anything
+    import json as _json
+
+    hist = [s for s in job2.store.history() if s["table"] != "tier_week"]
+    with open(job2.store._log_path, "w") as fh:
+        _json.dump(hist, fh)
+    job3 = PagesRollupJob(spark, f"{root}/ckpt", s2g_params=params, publish_root=pub)
+    job3.run(pages, desc)
+    assert job3.published_stages == ["tier_week"] and not job3.ran_stages
+    assert job3.read_published("tier_week").count() == out["week"].count()
+
+    # WAP: an audit rejection never becomes visible
+    before = job3.store.latest_version("tier_day")
+    with pytest.raises(ValueError, match="audit rejected"):
+        job3.store.commit(
+            "tier_day",
+            out["day"],
+            audit=lambda staged: (_ for _ in ()).throw(ValueError("gate says no")),
+        )
+    assert job3.store.latest_version("tier_day") == before
+
+    # vacuum respects the rollback's shared data path: vacuuming down to
+    # the newest 1 version must NOT delete the directory v2 points at
+    # (shared with v0) — the rolled-back data keeps serving
+    job3.store.vacuum("tier_day", keep_last=1)
+    assert job3.read_published("tier_day").count() == out["day"].count()
+    with pytest.raises(ValueError, match="vacuumed"):
+        job3.read_published("tier_day", version=v1)
+
+
 def test_text_bytes_untouched(spark, pages):
     before = text_identity_fingerprint(pages).withColumnRenamed("text_sha256", "a")
     after = text_identity_fingerprint(pages).withColumnRenamed("text_sha256", "b")

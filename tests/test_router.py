@@ -79,3 +79,43 @@ def test_route_equals_direct_aggregation_and_uses_week_tier(spark):
         assert r["n_rows_week"] >= 1
         assert r["n_rows_day"] >= 1
         assert r["n_rows_hour"] >= 1
+
+
+def test_serving_path_composition_matches_router(spark):
+    """The serving-path flagship (q_serving_path_range): hour fringe
+    decoded from the Gorilla blob store must stitch to the SAME totals as
+    the all-parquet router over the same range, and the range must
+    actually contain hour fringe segments (else the composition pins
+    nothing)."""
+    import __spark_entry__ as e
+    from dads_spark.rollup.router import range_segments
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    lo, hi = ev.agg(
+        F.min(F.unix_timestamp(F.col("ts").cast("timestamp"))),
+        F.max(F.unix_timestamp(F.col("ts").cast("timestamp"))),
+    ).first()
+    t0 = (int(lo) // 3600) * 3600 + 5 * 3600
+    t1 = (int(hi) // 3600) * 3600 - 3 * 3600
+    segs = range_segments(t0, t1)
+    assert any(t == "hour" for t, _, _ in segs), segs
+
+    got = {
+        r["event_type"]: (r["n_events"], r["value_sum"])
+        for r in e.q_serving_path_range(spark, sf).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], round(r["s"], 2))
+        for r in ev.filter(
+            (F.unix_timestamp("ts") >= t0) & (F.unix_timestamp("ts") < t1)
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0]  # integer counts exact
+        assert abs(got[k][1] - want[k][1]) < 1e-9

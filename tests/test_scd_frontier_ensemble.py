@@ -1,0 +1,159 @@
+"""Round-4 operator families: SCD2 history (ops/scd.py), crawl-frontier
+scheduling (ops/frontier.py), bigram-LM surprisal (ops/textstats.py),
+detector-ensemble anomaly vote (rollup/analytics.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dads_spark.ops import bigram_logprob, frontier_schedule, scd2_history
+from dads_spark.rollup import anomaly_ensemble
+
+
+# ---------------------------------------------------------------- SCD2 --
+def test_scd2_collapses_runs_and_chains_intervals(spark):
+    rows = [
+        # key 1: a -> a -> b -> b -> a   => 3 states
+        (1, 10, 1, "a"), (1, 20, 2, "a"), (1, 30, 3, "b"),
+        (1, 40, 4, "b"), (1, 50, 5, "a"),
+        # key 2: single state incl. NULL attr forming its own state
+        (2, 10, 6, None), (2, 20, 7, None), (2, 30, 8, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, id long, attr string")
+    got = {
+        (r["k"], r["valid_from"]): (r["attr"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, ["k"], "ts", ["attr"], ["id"]).collect()
+    }
+    assert got == {
+        (1, 10): ("a", 30, False),
+        (1, 30): ("b", 50, False),
+        (1, 50): ("a", None, True),
+        (2, 10): (None, 30, False),
+        (2, 30): ("x", None, True),
+    }
+
+
+def test_scd2_single_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 1, "a")], "k long, ts long, id long, attr string"
+    )
+    plan = (
+        scd2_history(df, ["k"], "ts", ["attr"], ["id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both window passes share one hashpartitioning(k) exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_scd2_tiebreak_makes_order_total(spark):
+    rows = [(1, 10, 2, "b"), (1, 10, 1, "a")]
+    df = spark.createDataFrame(rows, "k long, ts long, id long, attr string")
+    out = sorted(
+        (r["valid_from"], r["attr"], r["is_current"])
+        for r in scd2_history(df, ["k"], "ts", ["attr"], ["id"]).collect()
+    )
+    # id orders the tie: 'a' first (closed at ts=10), then 'b' current.
+    assert out == [(10, "a", False), (10, "b", True)]
+
+
+# ------------------------------------------------------------ frontier --
+def test_frontier_politeness_and_worker_order(spark):
+    rows = []
+    for h in ("a.com", "b.com", "c.com"):
+        for i in range(5):
+            rows.append((h, f"https://{h}/{i}", i % 3))
+    df = spark.createDataFrame(rows, "host string, url string, priority long")
+    out = frontier_schedule(df, n_workers=2, delay_sec=10).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    for h, rs in by_host.items():
+        # one worker per host; offsets are 0,10,20,... by (prio desc, url)
+        assert len({r["worker"] for r in rs}) == 1
+        offs = sorted(r["fetch_offset_sec"] for r in rs)
+        assert offs == [10 * i for i in range(len(rs))]
+        # priority was i % 3 with i embedded as the url's last path segment
+        ranked = sorted(
+            rs, key=lambda r: (-(int(r["url"].rsplit("/", 1)[1]) % 3), r["url"])
+        )
+        assert [r["fetch_offset_sec"] for r in ranked] == offs
+    # per-worker fetch_order is a dense total order 1..n
+    by_worker = {}
+    for r in out:
+        by_worker.setdefault(r["worker"], []).append(r["fetch_order"])
+    for w, orders in by_worker.items():
+        assert sorted(orders) == list(range(1, len(orders) + 1))
+
+
+def test_frontier_worker_col_plugs_in(spark):
+    df = spark.createDataFrame(
+        [("a.com", "u1", 1, 7), ("a.com", "u2", 2, 7)],
+        "host string, url string, priority long, wk int",
+    )
+    out = frontier_schedule(df, n_workers=99, worker_col="wk").collect()
+    assert {r["worker"] for r in out} == {7}
+
+
+# ------------------------------------------------------------- bigrams --
+def test_bigram_logprob_matches_scalar_oracle(spark):
+    texts = {1: "a b c b c", 2: "a b a b a", 3: "z"}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    # scalar mirror: same Laplace smoothing, same quantization
+    bigrams = {}
+    ctx = {}
+    vocab = set()
+    docs_bg = {}
+    for d, t in texts.items():
+        toks = t.split(" ")
+        vocab.update(toks)
+        docs_bg[d] = list(zip(toks, toks[1:]))
+        for b in docs_bg[d]:
+            bigrams[b] = bigrams.get(b, 0) + 1
+            ctx[b[0]] = ctx.get(b[0], 0) + 1
+    V = len(vocab)
+    nl = {
+        b: math.floor(-math.log((c + 1) / float(ctx[b[0]] + V)) * 1e6 + 0.5)
+        for b, c in bigrams.items()
+    }
+    want = {}
+    for d, bgs in docs_bg.items():
+        if not bgs:
+            continue  # single-token doc emits no row
+        s = sum(nl[b] for b in bgs)
+        want[d] = (len(bgs), s, math.floor(s / float(len(bgs)) + 0.5))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_neglp_q6"], r["avg_neglp_q6"])
+        for r in bigram_logprob(df).collect()
+    }
+    assert got == want
+    assert 3 not in got
+
+
+# ------------------------------------------------------------ ensemble --
+def test_anomaly_ensemble_votes(spark):
+    # 96 hourly points of a flat series plus one massive spike: the spike
+    # trips seasonal z, MAD, and delta shock (3 votes); everything else
+    # gets 0 votes. Mild per-hour wiggle keeps stddevs nonzero.
+    rows = []
+    for i in range(96):
+        v = 100.0 + (i % 7) * 0.5
+        if i == 50:
+            v = 10_000.0
+        rows.append(("t", i, 1_700_000_000 + i * 3600, v))
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, tsec long, value double"
+    ).withColumn("ts", F.col("tsec").cast("timestamp")).drop("tsec")
+    out = anomaly_ensemble(df, ["event_type"], "event_id", "ts", "value").collect()
+    assert len(out) >= 1
+    spike = [r for r in out if r["event_id"] == 50]
+    assert spike and spike[0]["n_votes"] >= 2
+    assert spike[0]["is_robust"] and spike[0]["is_shock"]
+    # the point AFTER the spike is a shock (big delta down) but level-normal:
+    # one vote only -> must NOT be emitted
+    assert not [r for r in out if r["event_id"] == 51]
