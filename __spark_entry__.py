@@ -4405,6 +4405,50 @@ def q_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (ops/
+    sampling.py weighted_sample, Efraimidis-Spirakis keys): per source,
+    the 20 docs with the smallest -ln(u)/w for w = byte length — the
+    quality-WEIGHTED curation cut. u derives exactly from md5(doc_id)
+    (13 hex digits / 16^13), so DuckDB reproduces the draw bit-for-bit."""
+    from dads_spark.ops import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "source", F.octet_length("text").cast("double").alias("w")
+    )
+    return weighted_sample(staged, ["source"], "doc_id", "w", 20).select(
+        "doc_id", "source", F.col("w").cast("long").alias("n_bytes")
+    )
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-tier exact dedup (ops/dedup.py
+    dedup_exact_normalized): lowercase / punctuation-strip / whitespace
+    collapse, then group — catches trivial reskins byte-exact dedup
+    misses without paying for MinHash. RE2-compatible explicit character
+    classes run identically in DuckDB."""
+    from dads_spark.ops import dedup_exact_normalized
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact_normalized(docs).select(
+        "rep_id", F.col("dup_count").cast("long").alias("dup_count")
+    )
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU/WAU (rollup/analytics.py rolling_active_users): distinct
+    users per day and per trailing 7 days. COUNT(DISTINCT) doesn't
+    decompose over sliding windows, so the exact plan reduces events to
+    the distinct (day, user) relation FIRST and range-expands that skinny
+    relation (<= 7 rows per pair) — the HLL tier cascade is the
+    approximate sibling; this is the exact serving query."""
+    from dads_spark.rollup import rolling_active_users
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_active_users(ev, "user_id", "ts", 7)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -4474,6 +4518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "frontier_schedule": q_frontier_schedule,
         "anomaly_ensemble": q_anomaly_ensemble,
+        "weighted_sample": q_weighted_sample,
+        "dedup_normalized": q_dedup_normalized,
+        "rolling_active_users": q_rolling_active_users,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -4486,11 +4533,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_hour_linear": q_gapfill_hour_linear,
         "gorilla_roundtrip_hour": q_gorilla_roundtrip_hour,
         "streaming_rollup_hour": q_streaming_rollup_hour,
+        # ---- position 50 ends here ---------------------------------
+        # (topk_per_type/dayofweek_profile/distinct_users displaced past
+        # 50 by the three newest families — r1-green, and their window/
+        # distinct machinery is certified by r2-green twins)
+        # -- r2/r3-green (freshest evidence) + rows-only tail --------
         "topk_per_type": q_topk_per_type,
         "dayofweek_profile": q_dayofweek_profile,
         "distinct_users": q_distinct_users,
-        # ---- position 50 ends here ---------------------------------
-        # -- r2/r3-green (freshest evidence) + rows-only tail --------
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_md5": q_minhash_md5,
         "dedup_exact": q_dedup_exact,
@@ -6377,6 +6427,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE epoch_us(ts) // 1000000 >= t0
               AND epoch_us(ts) // 1000000 < t1
             GROUP BY 1
+        """,
+        "weighted_sample": """
+            WITH staged AS (
+                SELECT doc_id, source,
+                       CAST(octet_length(encode(text)) AS DOUBLE) AS w,
+                       CAST(concat('0x', substring(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                           AS h
+                FROM documents),
+            ranked AS (
+                SELECT doc_id, source, w,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY -ln((h + 1) / 4503599627370496.0) / w,
+                                    doc_id) AS rn
+                FROM staged)
+            SELECT doc_id, source, CAST(w AS BIGINT) AS n_bytes
+            FROM ranked WHERE rn <= 20
+        """,
+        "dedup_normalized": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9 \t\n\r\f]', '', 'g'),
+                            '[ \t\n\r\f]+', ' ', 'g')) AS t
+                FROM documents)
+            SELECT min(doc_id) AS rep_id,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM n GROUP BY t
+        """,
+        "rolling_active_users": """
+            WITH pairs AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u
+                FROM events),
+            dau AS (SELECT d, count(DISTINCT u) AS dau FROM pairs GROUP BY 1),
+            spine AS (SELECT DISTINCT d FROM pairs),
+            wau AS (
+                SELECT a.d, count(DISTINCT b.u) AS wau
+                FROM spine a JOIN pairs b
+                  ON b.d <= a.d AND b.d > a.d - INTERVAL 7 DAY
+                GROUP BY 1)
+            SELECT strftime(dau.d, '%Y-%m-%d') AS d,
+                   CAST(dau AS BIGINT) AS dau,
+                   CAST(wau AS BIGINT) AS wau
+            FROM dau JOIN wau ON dau.d = wau.d
         """,
         "scd2_user_state": """
             WITH ordered AS (

@@ -2,6 +2,7 @@
 
 from .dedup import (  # noqa: F401
     dedup_exact,
+    dedup_exact_normalized,
     duplicate_spans,
     exact_duplicates,
     minhash_lsh_pairs,
@@ -42,6 +43,7 @@ from .sampling import (  # noqa: F401
     cap_per_group,
     deterministic_sample,
     hash_split,
+    weighted_sample,
     stratified_sample,
 )
 from .heavyhitters import heavy_hitters  # noqa: F401

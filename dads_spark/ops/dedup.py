@@ -606,3 +606,39 @@ def duplicate_spans(
         .filter(F.col("span_tokens") >= min_span_tokens)
         .select("id", "span_start", "span_end", "span_tokens")
     )
+
+
+def dedup_exact_normalized(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on NORMALIZED text: lowercase, punctuation stripped,
+    whitespace runs collapsed, edges trimmed — the standard "same page,
+    different chrome" pass between byte-exact dedup (misses any
+    formatting drift) and MinHash (overkill for trivial reskins). Keeps
+    the lowest-id representative per normalized form and reports the
+    form's cardinality.
+
+    The normalization chain is RE2-compatible (explicit character
+    classes, no backrefs/lookarounds, no ``\\s`` — Java's \\s includes
+    \\x0B, RE2's does not) so DuckDB evaluates byte-identical patterns —
+    the same cross-engine regex discipline as ops/htmltext.py. All
+    map-stage expressions inside codegen; one hash-agg shuffle keyed by
+    the normalized digest, never the text.
+
+    Output: (norm_sha, rep_id, dup_count).
+    """
+    ws = " \t\n\r\f"
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.col(text_col)), f"[^a-z0-9{ws}]", ""
+            ),
+            f"[{ws}]+",
+            " ",
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.sha2(norm.cast("binary"), 256).alias("norm_sha"))
+        .groupBy("norm_sha")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )

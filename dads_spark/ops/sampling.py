@@ -215,3 +215,40 @@ def cap_per_group(
         )
     )
     return df.withColumn("_rn", rn).filter(F.col("_rn") <= cap).drop("_rn")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    n_per_key: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (A-ES /
+    Efraimidis-Spirakis): per key, keep the ``n_per_key`` rows with the
+    smallest exponential keys -ln(u)/w — inclusion probability tracks the
+    weight, heavier rows are exponentially likelier to survive. The
+    quality-WEIGHTED curation cut (sample the corpus proportional to a
+    quality score) beside deterministic_sample's uniform one.
+
+    u derives from md5(id): the first 13 hex digits as an integer h give
+    u = (h+1)/16^13 in (0,1] — both operands below 2^53, so the division
+    is the same exact double on any engine, and ln() on identical doubles
+    agrees to the last bit in practice (the same surface every green
+    logprob lane already stands on). No rand(), no partition-order
+    dependence; ties break on id.
+
+    One ranking window per key; at scale Spark pushes the top-n under the
+    exchange (WindowGroupLimit), so the shuffle carries ~n rows per key.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(float(16**13))
+    ekey = -F.log(u) / F.col(weight_col).cast("double")
+    w = W.partitionBy(*key_cols).orderBy(ekey, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_key)
+        .drop("_rn")
+    )

@@ -65,6 +65,7 @@ from .analytics import (  # noqa: F401
     counter_rate,
     mad_outliers,
     paa_sax,
+    rolling_active_users,
     rolling_quantile,
     seasonal_decompose,
     seasonal_naive_error,

@@ -727,3 +727,46 @@ def anomaly_ensemble(
         ).cast("long").alias("n_votes"),
     )
     return flagged.filter(F.col("n_votes") >= min_votes)
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Daily + rolling-window distinct active users (DAU/WAU): for each
+    day, the exact count of distinct users active that day and across the
+    trailing ``window_days`` days. COUNT(DISTINCT) does not decompose
+    over sliding windows, so the exact shape is: reduce events to the
+    DISTINCT (day, user) relation first (one shuffle — the relation is
+    orders of magnitude smaller than the events), expand it against the
+    day spine with a bounded range join (each pair lands in at most
+    ``window_days`` windows), and count distinct per window end. The
+    HLL-sketch tier (rollup/distinct.py) is the approximate cascade for
+    when exactness is negotiable; this is the exact serving query.
+
+    Output: (d 'yyyy-MM-dd', dau, wau_<window_days>d as wau).
+    """
+    pairs = df.select(
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("d"),
+        F.col(user_col).alias("u"),
+    ).distinct()
+    dau = pairs.groupBy("d").agg(F.countDistinct("u").alias("dau"))
+    spine = pairs.select("d").distinct().alias("a")
+    ranged = spine.join(
+        pairs.alias("b"),
+        (F.col("b.d") <= F.col("a.d"))
+        & (F.col("b.d") > F.date_sub(F.col("a.d"), window_days)),
+    )
+    wau = ranged.groupBy(F.col("a.d").alias("d")).agg(
+        F.countDistinct("b.u").alias("wau")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+        )
+    )

@@ -157,3 +157,62 @@ def test_anomaly_ensemble_votes(spark):
     # the point AFTER the spike is a shock (big delta down) but level-normal:
     # one vote only -> must NOT be emitted
     assert not [r for r in out if r["event_id"] == 51]
+
+
+# ------------------------------------------------- weighted sampling --
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from dads_spark.ops import weighted_sample
+
+    rows = [("g", i, 1.0 if i else 1e9) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, id long, w double")
+    got = weighted_sample(df, ["k"], "id", "w", 10)
+    ids = {r["id"] for r in got.collect()}
+    assert len(ids) == 10
+    # the ~1e9x heavier row is effectively certain to be drawn
+    assert 0 in ids
+    # repartition invariance (md5 keys, no rand())
+    again = {
+        r["id"]
+        for r in weighted_sample(df.repartition(7, "id"), ["k"], "id", "w", 10).collect()
+    }
+    assert again == ids
+
+
+def test_dedup_normalized_collapses_reskins(spark):
+    from dads_spark.ops import dedup_exact_normalized
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,  World!"),
+            (2, "hello world"),
+            (3, "HELLO\tworld."),
+            (4, "a different page"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["rep_id"], r["dup_count"])
+        for r in dedup_exact_normalized(df).collect()
+    )
+    assert got == [(1, 3), (4, 1)]
+
+
+def test_rolling_active_users_exact(spark):
+    from dads_spark.rollup import rolling_active_users
+
+    # day 1: users {a,b}; day 2: {b}; day 9: {c} (outside 7d of day 2)
+    base = 1_700_000_000
+    rows = [
+        ("a", base), ("b", base), ("a", base + 100),
+        ("b", base + 86_400),
+        ("c", base + 8 * 86_400),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, tsec long").withColumn(
+        "ts", F.col("tsec").cast("timestamp")
+    )
+    got = {
+        r["d"]: (r["dau"], r["wau"])
+        for r in rolling_active_users(df, "user_id", "ts", 7).collect()
+    }
+    days = sorted(got)
+    assert [got[d] for d in days] == [(2, 2), (1, 2), (1, 1)]
