@@ -4251,6 +4251,26 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain triangle counts + local clustering coefficient
+    (ops/linkgraph.py triangle_counts) over the same deterministic
+    synthetic domain graph link_pagerank uses — the link-farm/SEO-ring
+    signal beside centrality. Node-iterator join shape: three hash joins
+    on the small graph, corpus untouched."""
+    from dads_spark.ops import triangle_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 31 + 7) % 97).cast("string")
+        ).alias("dst"),
+    )
+    return triangle_counts(edges, "src", "dst").select(
+        "node", "degree", "triangles", "lcc"
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GPT-3-style eval decontamination at toy n=3: hash-split documents
     # 25% test / 75% train (md5 nibble, the engine-portable split), then
@@ -4521,6 +4541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "dedup_normalized": q_dedup_normalized,
         "rolling_active_users": q_rolling_active_users,
+        "triangle_counts": q_triangle_counts,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -4532,12 +4553,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hour_salted": q_rollup_hour_salted,
         "gapfill_hour_linear": q_gapfill_hour_linear,
         "gorilla_roundtrip_hour": q_gorilla_roundtrip_hour,
-        "streaming_rollup_hour": q_streaming_rollup_hour,
         # ---- position 50 ends here ---------------------------------
-        # (topk_per_type/dayofweek_profile/distinct_users displaced past
-        # 50 by the three newest families — r1-green, and their window/
-        # distinct machinery is certified by r2-green twins)
+        # (topk_per_type/dayofweek_profile/distinct_users/
+        # streaming_rollup_hour displaced past 50 by the four newest
+        # families — r1-green, and their window/distinct/streaming
+        # machinery is certified by r2/r3-green twins)
         # -- r2/r3-green (freshest evidence) + rows-only tail --------
+        "streaming_rollup_hour": q_streaming_rollup_hour,
         "topk_per_type": q_topk_per_type,
         "dayofweek_profile": q_dayofweek_profile,
         "distinct_users": q_distinct_users,
@@ -6427,6 +6449,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE epoch_us(ts) // 1000000 >= t0
               AND epoch_us(ts) // 1000000 < t1
             GROUP BY 1
+        """,
+        "triangle_counts": """
+            WITH e0 AS (
+                SELECT concat('h', CAST(doc_id % 97 AS VARCHAR)) AS src,
+                       concat('h', CAST((doc_id * 31 + 7) % 97 AS VARCHAR))
+                           AS dst
+                FROM documents),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM e0 WHERE src <> dst),
+            deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT a AS node FROM und
+                    UNION ALL SELECT b FROM und) GROUP BY 1),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e1.b = e2.a
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            pn AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+                    SELECT x AS node FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri) GROUP BY 1)
+            SELECT d.node, d.degree,
+                   CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN round(2.0 * coalesce(pn.triangles, 0)
+                                   / (d.degree * (d.degree - 1)), 6)
+                        ELSE 0.0 END AS lcc
+            FROM deg d LEFT JOIN pn ON d.node = pn.node
         """,
         "weighted_sample": """
             WITH staged AS (

@@ -33,6 +33,7 @@ from .linkgraph import (  # noqa: F401
     domain_edges,
     extract_links,
     pagerank,
+    triangle_counts,
 )
 from .contamination import contamination_report  # noqa: F401
 from .scd import scd2_history  # noqa: F401

@@ -162,3 +162,71 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    UNDIRECTED simple graph induced by the edge table — link-farm rings
+    and mutual-citation cliques (triangle-dense neighborhoods) are a
+    spam/SEO signal the per-node scores (degree, PageRank) cannot see.
+
+    Standard distributed shape (the MapReduce "node-iterator++"):
+    canonicalize each edge to (lo, hi) and dedup; count each triangle
+    once by joining edge (a<b) with edge (b<c) on the shared middle node
+    and probing (a<c) — every join keys on a node of the SMALL graph, so
+    the corpus is never touched and skew is bounded by the max degree.
+    (At web scale the classic refinement — orienting edges by degree so
+    the join fans out from the LOW-degree endpoint — drops the cost to
+    O(m^1.5); at domain granularity the plain oriented join suffices and
+    keeps the plan three hash joins.)
+
+    Output: (node, degree, triangles, lcc) with lcc = 2T / (d(d-1)),
+    0.0 for degree < 2; lcc rounded to 6 dp for cross-engine hashing.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # wedges a-b-c with a<b<c via (a,b)⋈(b,c); close with probe (a,c)
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")
+    tri = wedges.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )

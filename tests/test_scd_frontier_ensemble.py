@@ -216,3 +216,27 @@ def test_rolling_active_users_exact(spark):
     }
     days = sorted(got)
     assert [got[d] for d in days] == [(2, 2), (1, 2), (1, 1)]
+
+
+def test_triangle_counts_hand_graph(spark):
+    from dads_spark.ops import triangle_counts
+
+    # K4 on {a,b,c,d} minus edge (c,d), plus pendant e-a; duplicate and
+    # reversed edges and a self-loop must not change anything
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("e", "a"), ("a", "a"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["lcc"])
+        for r in triangle_counts(df).collect()
+    }
+    # triangles: abc, abd -> a:2 b:2 c:1 d:1 e:0
+    assert got == {
+        "a": (4, 2, round(2 * 2 / (4 * 3), 6)),
+        "b": (3, 2, round(2 * 2 / (3 * 2), 6)),
+        "c": (2, 1, 1.0),
+        "d": (2, 1, 1.0),
+        "e": (1, 0, 0.0),
+    }
