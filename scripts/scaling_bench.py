@@ -353,15 +353,25 @@ def main() -> None:
     if not os.path.exists(os.path.join(PAGES_PATH, "_SUCCESS")):
         print("preparing pages parquet input...", file=sys.stderr, flush=True)
         run_workload(32, "prepare")
+    # probe BEFORE and AFTER the workload runs: the ceiling is a hardware
+    # property, so the max across probes is the least-steal-contaminated
+    # estimate — and a probe pair that disagrees wildly (one regime each
+    # side) no longer silently normalizes the workloads with a
+    # stolen-window sample (the r4c lesson: array 0.548 vs cpu 1.099 in
+    # one run was two different steal regimes, not hardware)
     probes = [hardware_ceiling() for _ in range(2)]
+    r8, r32, samples = run_levels()
+    probes += [hardware_ceiling() for _ in range(2)]
     hw_cpu = max(p[0] for p in probes)
     hw_arr = max(p[1] for p in probes)
-    r8, r32, samples = run_levels()
     report = {
         "n_cpus": 8,
         "4n_cpus": 32,
         "hw_ceiling_8_to_32_efficiency": round(hw_cpu, 3),
         "hw_ceiling_numpy_array_8_to_32": round(hw_arr, 3),
+        "probe_samples": [
+            {"cpu": round(p[0], 3), "arr": round(p[1], 3)} for p in probes
+        ],
         "normalization": "workloads normalize by the NumPy-array ceiling "
         "(same DRAM-bandwidth profile as the kernels; 4 independent cluster "
         "machines scale bandwidth linearly, one box does not); the pure-CPU "
