@@ -240,6 +240,50 @@ def _stage_sessionize_src(spark: SparkSession, sf_dir: str) -> str:
     return src
 
 
+def _stage_scd2_src(spark: SparkSession, sf_dir: str) -> str:
+    """Events (entity state stream) + a far-future sentinel row so the
+    event-time timeout flushes every real entity's open interval."""
+    import os as _os
+
+    src = _stage_dir("scd2_src", sf_dir)
+    marker = f"{src}/_SENTINEL_DONE"
+    if not _os.path.exists(marker):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type"
+        )
+        ev.write.mode("overwrite").parquet(src)
+        sentinel = ev.limit(1).select(
+            F.lit(1 << 40).alias("event_id"),
+            F.lit(1_000_000_000).alias("user_id"),
+            (F.col("ts").cast("timestamp") + F.expr("INTERVAL 3650 DAYS")).alias("ts"),
+            F.lit("sentinel").alias("event_type"),
+        )
+        sentinel.write.mode("append").parquet(src)
+        open(marker, "w").close()
+    return src
+
+
+def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance (streaming/stateful.py streaming_scd2):
+    per-entity open-interval state, closed intervals emitted on state
+    change, finals flushed by event-time timeout — the incremental twin
+    of scd2_user_state. The oracle is the BATCH SCD2 SQL: hash equality
+    proves the state machine assembles the identical temporal history."""
+    import hashlib as _hl
+
+    from dads_spark.streaming import run_scd2_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    src = _stage_scd2_src(spark, sf_dir)
+    qname = f"q_scd2_{_hl.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    out = run_scd2_stream(spark, src, ev.schema, query_name=qname)
+    return out.filter(F.col("user_id") < 1_000_000_000).select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+
+
 def warm_streaming(spark: SparkSession) -> None:
     """One-time init of the streaming stateful-join machinery (state-store
     providers, stateful-operator codegen): a 40-row stream-stream join over
@@ -4542,6 +4586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": q_dedup_normalized,
         "rolling_active_users": q_rolling_active_users,
         "triangle_counts": q_triangle_counts,
+        "streaming_scd2": q_streaming_scd2,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -4552,13 +4597,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_week_cascade": q_rollup_week_cascade,
         "rollup_hour_salted": q_rollup_hour_salted,
         "gapfill_hour_linear": q_gapfill_hour_linear,
-        "gorilla_roundtrip_hour": q_gorilla_roundtrip_hour,
         # ---- position 50 ends here ---------------------------------
         # (topk_per_type/dayofweek_profile/distinct_users/
         # streaming_rollup_hour displaced past 50 by the four newest
         # families — r1-green, and their window/distinct/streaming
         # machinery is certified by r2/r3-green twins)
         # -- r2/r3-green (freshest evidence) + rows-only tail --------
+        "gorilla_roundtrip_hour": q_gorilla_roundtrip_hour,
         "streaming_rollup_hour": q_streaming_rollup_hour,
         "topk_per_type": q_topk_per_type,
         "dayofweek_profile": q_dayofweek_profile,
@@ -6527,6 +6572,26 @@ def oracle_sql() -> dict[str, str]:
             FROM dau JOIN wau ON dau.d = wau.d
         """,
         "scd2_user_state": """
+            WITH ordered AS (
+                SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+                       lag(event_type) OVER
+                           (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS prev
+                FROM events),
+            changes AS (
+                SELECT user_id, event_type, tus, event_id FROM ordered
+                WHERE prev IS DISTINCT FROM event_type)
+            SELECT user_id, event_type,
+                   CAST(tus AS BIGINT) AS valid_from,
+                   CAST(lead(tus) OVER
+                        (PARTITION BY user_id ORDER BY tus, event_id)
+                        AS BIGINT) AS valid_to,
+                   lead(tus) OVER
+                       (PARTITION BY user_id ORDER BY tus, event_id)
+                       IS NULL AS is_current
+            FROM changes
+        """,
+"streaming_scd2": """
             WITH ordered AS (
                 SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
                        lag(event_type) OVER

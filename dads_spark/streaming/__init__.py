@@ -15,7 +15,9 @@ from .windowed import (  # noqa: F401
     streaming_hourly_rollup,
 )
 from .stateful import (  # noqa: F401
+    run_scd2_stream,
     run_sessionize_stream,
+    streaming_scd2,
     streaming_sessionize,
 )
 from .backfill import (  # noqa: F401

@@ -132,3 +132,125 @@ def run_sessionize_stream(
         q.processAllAvailable()
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+#: emitted rows: exactly the batch scd2_history shape for one attr column
+SCD2_SCHEMA = (
+    "user_id long, event_type string, valid_from long, valid_to long, "
+    "is_current boolean"
+)
+#: per-entity open state: current attr + when it opened
+SCD2_STATE_SCHEMA = "attr string, valid_from long"
+
+
+def streaming_scd2(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+) -> DataFrame:
+    """Streaming SCD2 maintenance (the incremental twin of
+    ops/scd.py:scd2_history): per entity, state carries the OPEN attr
+    interval; an arriving value different from the current state closes
+    the interval (emit valid_from/valid_to, is_current=False) and opens
+    the next; the event-time timeout flushes the final open interval as
+    is_current=True once the watermark passes the entity's horizon.
+
+    State is one (attr, valid_from) pair per LIVE entity — the 100 TB
+    shape: the store tracks concurrently-evolving entities, not history
+    (history is what gets EMITTED). Cross-batch late data beyond the
+    watermark is out of contract, matching the other stateful twins.
+    """
+    from pyspark.sql import functions as F
+
+    ev = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .select(
+            key_col,
+            ts_col,
+            F.unix_micros(F.col(ts_col)).alias("_us"),
+            F.col(attr_col).alias("_a"),
+            F.col("event_id").alias("_eid"),
+        )
+    )
+
+    def maintain(key, pdfs, state: GroupState):
+        (ent,) = key
+        if state.hasTimedOut:
+            attr, vfrom = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [ent],
+                    "event_type": [attr],
+                    "valid_from": [vfrom],
+                    "valid_to": [None],
+                    "is_current": [True],
+                }
+            )
+            return
+        pdf = pd.concat(list(pdfs)).sort_values(["_us", "_eid"])
+        if state.exists:
+            attr, vfrom = state.get
+        else:
+            attr, vfrom = None, None
+        rows = {"event_type": [], "valid_from": [], "valid_to": []}
+        for us, a in zip(pdf["_us"], pdf["_a"]):
+            us = int(us)
+            if vfrom is None:
+                attr, vfrom = a, us
+            elif a != attr:
+                rows["event_type"].append(attr)
+                rows["valid_from"].append(vfrom)
+                rows["valid_to"].append(us)
+                attr, vfrom = a, us
+        state.update((attr, vfrom))
+        # timeout once the watermark passes the last seen event time
+        state.setTimeoutTimestamp(int(pdf["_us"].max()) // 1000 + 1)
+        if rows["event_type"]:
+            n = len(rows["event_type"])
+            yield pd.DataFrame(
+                {
+                    "user_id": [ent] * n,
+                    "event_type": rows["event_type"],
+                    "valid_from": rows["valid_from"],
+                    "valid_to": rows["valid_to"],
+                    "is_current": [False] * n,
+                }
+            )
+
+    return ev.groupBy(key_col).applyInPandasWithState(
+        maintain,
+        SCD2_SCHEMA,
+        SCD2_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_scd2_stream(
+    spark,
+    source_path: str,
+    schema,
+    watermark: str = "1 hour",
+    query_name: str = "scd2_stream",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Drive a bounded backlog through the streaming SCD2 maintainer
+    (memory sink, append mode) and return every emitted interval row."""
+    from .windowed import sized_state_partitions
+
+    stream = spark.readStream.schema(schema).format("parquet").load(source_path)
+    hist = streaming_scd2(stream, watermark=watermark)
+    with sized_state_partitions(spark, state_partitions):
+        q = (
+            hist.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
