@@ -240,3 +240,68 @@ def test_triangle_counts_hand_graph(spark):
         "d": (2, 1, 1.0),
         "e": (1, 0, 0.0),
     }
+
+
+# ------------------------------------------------ property: SCD2 --------
+def _scd2_reference(rows):
+    """20-line scalar SCD2: rows = [(k, ts, id, attr)] -> set of
+    (k, attr, valid_from, valid_to, is_current)."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, ts, i, a in rows:
+        by_key[k].append((ts, i, a))
+    out = set()
+    for k, evs in by_key.items():
+        evs.sort()
+        states = []  # (attr, valid_from)
+        cur = object()
+        for ts, _, a in evs:
+            if a != cur:
+                states.append((a, ts))
+                cur = a
+        for j, (a, vf) in enumerate(states):
+            vt = states[j + 1][1] if j + 1 < len(states) else None
+            out.add((k, a, vf, vt, vt is None))
+    return out
+
+
+def test_scd2_property_vs_scalar_reference(spark):
+    """Randomized SCD2 parity: many keys, colliding timestamps (broken by
+    id), repeated/alternating attr runs, NULL attrs."""
+    from hypothesis import given, settings, strategies as st
+
+    row = st.tuples(
+        st.integers(0, 4),                       # key
+        st.integers(0, 20),                      # ts (collisions likely)
+        st.integers(0, 10_000),                  # id (tiebreak)
+        st.sampled_from(["a", "b", "c", None]),  # attr incl. NULL states
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=40, unique_by=lambda r: r[2]))
+    def run(rows):
+        df = spark.createDataFrame(rows, "k long, ts long, id long, attr string")
+        got = {
+            (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_history(df, ["k"], "ts", ["attr"], ["id"]).collect()
+        }
+        assert got == _scd2_reference(rows)
+
+    run()
+
+
+def test_weighted_sample_weight_monotone(spark):
+    """Raising a row's weight can only improve its rank (-ln(u)/w is
+    decreasing in w with u fixed): a row sampled at weight w stays
+    sampled at any larger weight, all else equal."""
+    from dads_spark.ops import weighted_sample
+
+    base = [("g", i, 1.0) for i in range(60)]
+    df1 = spark.createDataFrame(base, "k string, id long, w double")
+    first = {r["id"] for r in weighted_sample(df1, ["k"], "id", "w", 12).collect()}
+    victim = sorted(first)[0]
+    boosted = [("g", i, 50.0 if i == victim else 1.0) for i in range(60)]
+    df2 = spark.createDataFrame(boosted, "k string, id long, w double")
+    second = {r["id"] for r in weighted_sample(df2, ["k"], "id", "w", 12).collect()}
+    assert victim in second
