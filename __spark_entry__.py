@@ -4469,6 +4469,29 @@ def q_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global keep-first line dedup (ops/dedup.py
+    line_dedup_global, the Lee et al. / C4 exact-substring pass at line
+    grain): documents wrapped in a deterministic page shell (per-site
+    header, a globally-shared banner, a short exempt id line); every
+    >=20-char line survives only at its first (doc_id, pos) occurrence
+    corpus-wide. Byte-level text output — the aggressive end of the
+    dedup ladder (exact -> normalized -> line-global -> MinHash)."""
+    from dads_spark.ops import line_dedup_global
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("=== site "), F.col("source"), F.lit(" header banner ===\n"),
+            F.col("text"), F.lit("\n"),
+            F.lit("subscribe to our newsletter today\nid "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return line_dedup_global(pages, "text", "doc_id", min_chars=20)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (ops/
     sampling.py weighted_sample, Efraimidis-Spirakis keys): per source,
@@ -4587,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": q_rolling_active_users,
         "triangle_counts": q_triangle_counts,
         "streaming_scd2": q_streaming_scd2,
+        "line_dedup": q_line_dedup,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -4596,8 +4620,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_day_cascade": q_rollup_day_cascade,
         "rollup_week_cascade": q_rollup_week_cascade,
         "rollup_hour_salted": q_rollup_hour_salted,
-        "gapfill_hour_linear": q_gapfill_hour_linear,
         # ---- position 50 ends here ---------------------------------
+        # (gapfill_hour_linear displaced to 51 by line_dedup — r1-green,
+        # and its interpolation kernel is certified by the r2-green
+        # resample_linear twin; a new family with zero driver evidence
+        # outranks a re-confirmation)
+        "gapfill_hour_linear": q_gapfill_hour_linear,
         # (topk_per_type/dayofweek_profile/distinct_users/
         # streaming_rollup_hour displaced past 50 by the four newest
         # families — r1-green, and their window/distinct/streaming
@@ -6554,6 +6582,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS rep_id,
                    CAST(count(*) AS BIGINT) AS dup_count
             FROM n GROUP BY t
+        """,
+        "line_dedup": """
+            WITH pages AS (
+                SELECT doc_id,
+                       '=== site ' || source || ' header banner ===' || chr(10)
+                       || text || chr(10)
+                       || 'subscribe to our newsletter today' || chr(10)
+                       || 'id ' || CAST(doc_id AS VARCHAR) AS text
+                FROM documents),
+            lines AS (
+                SELECT doc_id,
+                       generate_subscripts(ls, 1) - 1 AS pos,
+                       unnest(ls) AS line
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                      FROM pages)),
+            firsts AS (
+                SELECT line, doc_id AS fdoc, pos AS fpos
+                FROM (SELECT line, doc_id, pos,
+                             row_number() OVER (PARTITION BY line
+                                 ORDER BY doc_id, pos) AS rn
+                      FROM lines WHERE length(line) >= 20)
+                WHERE rn = 1),
+            kept AS (
+                SELECT l.doc_id, l.pos, l.line
+                FROM lines l LEFT JOIN firsts f ON l.line = f.line
+                WHERE length(l.line) < 20
+                   OR (f.fdoc = l.doc_id AND f.fpos = l.pos)),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text
+                FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(a.text, '') AS text
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "rolling_active_users": """
             WITH pairs AS (

@@ -3,6 +3,7 @@
 from .dedup import (  # noqa: F401
     dedup_exact,
     dedup_exact_normalized,
+    line_dedup_global,
     duplicate_spans,
     exact_duplicates,
     minhash_lsh_pairs,

@@ -642,3 +642,65 @@ def dedup_exact_normalized(
         .groupBy("norm_sha")
         .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("dup_count"))
     )
+
+
+def line_dedup_global(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 20,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-GLOBAL keep-first line deduplication (the Lee et al. / C4
+    exact-substring pass at line grain): every line of ``min_chars`` or
+    more survives only at its FIRST occurrence corpus-wide — ordered by
+    (doc_id, position), a total deterministic order — and is dropped
+    from every later document. Complements boilerplate_lines (which
+    drops >=N-doc repeats EVERYWHERE, keyed per site): this keeps one
+    canonical copy, the right semantics for training text where the
+    first instance is signal and the clones are the bloat. Short lines
+    (headings, list bullets) are exempt, the standard convention.
+
+    Shape: posexplode (JVM) -> first-occurrence reduction per line (one
+    shuffle, map-side min over a (doc,pos) struct) -> join back keyed on
+    the SAME line column (Catalyst reuses the exchange) -> reassembly
+    keyed by doc. No Python anywhere; the dedup relation is one row per
+    distinct long line.
+
+    Output: (id, text) with the deduplicated text, docs preserved even
+    when everything was dropped (empty string), byte-deterministic.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    eligible = F.length(F.col("line")) >= min_chars
+    firsts = (
+        lines.filter(eligible)
+        .groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"))
+    )
+    kept = (
+        lines.join(firsts, "line", "left")
+        .filter(
+            ~eligible
+            | (
+                (F.col(f"_first.{id_col}") == F.col(id_col))
+                & (F.col("_first.pos") == F.col("pos"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.getField("line"),
+                ),
+                sep,
+            ).alias(text_col)
+        )
+    )
+    # docs whose every line was dropped still exist (empty text)
+    return docs.select(id_col).join(kept, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )

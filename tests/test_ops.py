@@ -446,3 +446,43 @@ def test_repetition_stats_no_python_stage(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     plan = repetition_stats(df, "text", "doc_id", n=2)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan, plan
+
+
+def test_line_dedup_global_keep_first(spark):
+    """Corpus-global keep-first line dedup: a long line repeated across
+    docs survives only at its first (doc_id, pos); short lines are
+    exempt everywhere; a doc whose every line is dropped still exists
+    with empty text; output is byte-deterministic under repartition."""
+    from dads_spark.ops import line_dedup_global
+
+    banner = "this banner is well over twenty characters long"
+    uniq = "unique long content line that appears exactly once here"
+    short = "tiny"
+    rows = [
+        (0, f"{banner}\n{uniq}\n{short}"),
+        (1, f"{banner}\n{short}\nanother long line unique to document one"),
+        (2, banner),  # everything dropped -> empty text survives
+        (3, f"{short}\n{banner}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup_global(docs, min_chars=20).collect()
+    }
+    assert out[0] == f"{banner}\n{uniq}\n{short}"  # first occurrence kept
+    assert out[1] == f"{short}\nanother long line unique to document one"
+    assert out[2] == ""
+    assert out[3] == short
+    # same-doc repeats past the first are dropped too
+    docs2 = spark.createDataFrame(
+        [(7, f"{banner}\n{short}\n{banner}")], "doc_id long, text string"
+    )
+    assert line_dedup_global(docs2, min_chars=20).collect()[0]["text"] == (
+        f"{banner}\n{short}"
+    )
+    # partitioning-invariance: the (doc_id, pos) order is total
+    out_rep = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup_global(docs.repartition(7), min_chars=20).collect()
+    }
+    assert out_rep == out
