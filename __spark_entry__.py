@@ -4492,6 +4492,84 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup_global(pages, "text", "doc_id", min_chars=20)
 
 
+def _crawl_snapshots(docs: DataFrame) -> DataFrame:
+    """Three deterministic crawl snapshots of the documents corpus (the
+    input_hint page shape: url + crawl timestamp + text). Crawl 1 misses
+    doc_id%7==0 (they arrive later => 'new'); crawl 2 rewrites %9==0
+    wholesale and appends to %5==0; crawl 3 truncates %6==0 to 120 chars
+    and drops %11==5 ('gone'). Exactly mirrored in the DuckDB oracle."""
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit("/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    t2 = (
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.lit("replacement content for document "),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" appended update paragraph marker")),
+        )
+        .otherwise(F.col("text"))
+    )
+    t3 = F.when(F.col("doc_id") % 6 == 0, F.substring(t2, 1, 120)).otherwise(t2)
+    c1 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        url.alias("url"),
+        F.lit("2024-03-01").cast("timestamp").alias("crawl_ts"),
+        F.col("text"),
+    )
+    c2 = docs.select(
+        url.alias("url"),
+        F.lit("2024-03-08").cast("timestamp").alias("crawl_ts"),
+        t2.alias("text"),
+    )
+    c3 = docs.filter(F.col("doc_id") % 11 != 5).select(
+        url.alias("url"),
+        F.lit("2024-03-15").cast("timestamp").alias("crawl_ts"),
+        t3.alias("text"),
+    )
+    return c1.unionByName(c2).unionByName(c3)
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-crawl content drift (ops/crawldiff.py crawl_delta):
+    per-(url, crawl) status new/unchanged/changed_minor/changed_major/
+    gone with exact token-Jaccard change magnitude. Broadcast crawl
+    spine, ONE url-keyed window shuffle, no urls×crawls grid — the
+    re-crawl curation signal at Common-Crawl grain."""
+    from dads_spark.ops import crawl_delta
+
+    snap = _crawl_snapshots(_t(spark, sf_dir, "documents"))
+    d = crawl_delta(snap, minor_jaccard=0.5)
+    return d.select(
+        "url",
+        F.date_format("crawl_ts", "yyyy-MM-dd").alias("crawl_day"),
+        "status",
+        "jaccard",
+    )
+
+
+def q_crawl_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain churn time series (ops/crawldiff.py crawl_churn) over
+    the crawl_delta frame: status counts + changed/present ratio per
+    (domain, crawl) — one map-side-partial hash agg on the skinny delta
+    relation; the domain parse is a map-only regexp on the url."""
+    from dads_spark.ops import crawl_churn, crawl_delta
+
+    snap = _crawl_snapshots(_t(spark, sf_dir, "documents"))
+    d = crawl_delta(snap, minor_jaccard=0.5).select(
+        F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("domain"),
+        F.date_format("crawl_ts", "yyyy-MM-dd").alias("crawl_day"),
+        "status",
+        "jaccard",
+    )
+    return crawl_churn(d, "domain", "crawl_day")
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (ops/
     sampling.py weighted_sample, Efraimidis-Spirakis keys): per source,
@@ -4611,6 +4689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "streaming_scd2": q_streaming_scd2,
         "line_dedup": q_line_dedup,
+        "crawl_delta": q_crawl_delta,
+        "crawl_churn": q_crawl_churn,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -4618,13 +4698,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new families above get their driver rows this round)
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
+        # ---- position 50 ends here ---------------------------------
+        # (rollup_week_cascade / rollup_hour_salted / gapfill_hour_linear
+        # displaced past 50 by line_dedup + crawl_delta + crawl_churn —
+        # all three r1-green with their kernels certified by stronger
+        # twins (serving_path_range composes the week tier, the salted
+        # path is plan-asserted, resample_linear pins interpolation); a
+        # new family with zero driver evidence outranks a re-confirmation)
         "rollup_week_cascade": q_rollup_week_cascade,
         "rollup_hour_salted": q_rollup_hour_salted,
-        # ---- position 50 ends here ---------------------------------
-        # (gapfill_hour_linear displaced to 51 by line_dedup — r1-green,
-        # and its interpolation kernel is certified by the r2-green
-        # resample_linear twin; a new family with zero driver evidence
-        # outranks a re-confirmation)
         "gapfill_hour_linear": q_gapfill_hour_linear,
         # (topk_per_type/dayofweek_profile/distinct_users/
         # streaming_rollup_hour displaced past 50 by the four newest
@@ -6615,6 +6697,156 @@ def oracle_sql() -> dict[str, str]:
                 FROM kept GROUP BY doc_id)
             SELECT d.doc_id, COALESCE(a.text, '') AS text
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        "crawl_delta": """
+            WITH c2t AS (
+                SELECT doc_id, source, text AS t1,
+                       CASE WHEN doc_id % 9 = 0
+                            THEN 'replacement content for document '
+                                 || CAST(doc_id AS VARCHAR)
+                            WHEN doc_id % 5 = 0
+                            THEN text || ' appended update paragraph marker'
+                            ELSE text END AS t2
+                FROM documents),
+            snap AS (
+                SELECT 'https://' || source || '/page/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       TIMESTAMP '2024-03-01' AS crawl_ts, t1 AS text
+                FROM c2t WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT 'https://' || source || '/page/'
+                           || CAST(doc_id AS VARCHAR),
+                       TIMESTAMP '2024-03-08', t2
+                FROM c2t
+                UNION ALL
+                SELECT 'https://' || source || '/page/'
+                           || CAST(doc_id AS VARCHAR),
+                       TIMESTAMP '2024-03-15',
+                       CASE WHEN doc_id % 6 = 0 THEN substr(t2, 1, 120)
+                            ELSE t2 END
+                FROM c2t WHERE doc_id % 11 <> 5),
+            spine AS (
+                SELECT crawl_ts, row_number() OVER (ORDER BY crawl_ts) AS k
+                FROM (SELECT DISTINCT crawl_ts FROM snap)),
+            obs AS (
+                SELECT s.url, sp.k, s.text,
+                       list_distinct(string_split(s.text, ' ')) AS toks
+                FROM snap s JOIN spine sp USING (crawl_ts)),
+            scored AS (
+                SELECT url, k, text, toks,
+                       lag(text) OVER w AS ptext,
+                       lag(toks) OVER w AS ptoks,
+                       lead(k) OVER w AS nk
+                FROM obs WINDOW w AS (PARTITION BY url ORDER BY k)),
+            classified AS (
+                SELECT url, k, nk,
+                       CASE WHEN ptext IS NULL THEN 'new'
+                            WHEN text = ptext THEN 'unchanged'
+                            WHEN CAST(len(list_intersect(toks, ptoks)) AS DOUBLE)
+                                 / CAST(len(list_distinct(list_concat(toks, ptoks)))
+                                        AS DOUBLE) >= 0.5
+                            THEN 'changed_minor'
+                            ELSE 'changed_major' END AS status,
+                       CASE WHEN ptext IS NOT NULL AND text <> ptext
+                            THEN CAST(len(list_intersect(toks, ptoks)) AS DOUBLE)
+                                 / CAST(len(list_distinct(list_concat(toks, ptoks)))
+                                        AS DOUBLE) END AS jaccard
+                FROM scored),
+            kmax AS (SELECT max(k) AS k_max FROM spine),
+            gone AS (
+                SELECT url, k + 1 AS k, 'gone' AS status,
+                       CAST(NULL AS DOUBLE) AS jaccard
+                FROM classified, kmax
+                WHERE (nk IS NULL AND k < k_max) OR nk > k + 1),
+            allrows AS (
+                SELECT url, k, status, jaccard FROM classified
+                UNION ALL
+                SELECT url, k, status, jaccard FROM gone)
+            SELECT a.url, strftime(sp.crawl_ts, '%Y-%m-%d') AS crawl_day,
+                   a.status, a.jaccard
+            FROM allrows a JOIN spine sp USING (k)
+        """,
+        "crawl_churn": """
+            WITH c2t AS (
+                SELECT doc_id, source, text AS t1,
+                       CASE WHEN doc_id % 9 = 0
+                            THEN 'replacement content for document '
+                                 || CAST(doc_id AS VARCHAR)
+                            WHEN doc_id % 5 = 0
+                            THEN text || ' appended update paragraph marker'
+                            ELSE text END AS t2
+                FROM documents),
+            snap AS (
+                SELECT 'https://' || source || '/page/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       TIMESTAMP '2024-03-01' AS crawl_ts, t1 AS text
+                FROM c2t WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT 'https://' || source || '/page/'
+                           || CAST(doc_id AS VARCHAR),
+                       TIMESTAMP '2024-03-08', t2
+                FROM c2t
+                UNION ALL
+                SELECT 'https://' || source || '/page/'
+                           || CAST(doc_id AS VARCHAR),
+                       TIMESTAMP '2024-03-15',
+                       CASE WHEN doc_id % 6 = 0 THEN substr(t2, 1, 120)
+                            ELSE t2 END
+                FROM c2t WHERE doc_id % 11 <> 5),
+            spine AS (
+                SELECT crawl_ts, row_number() OVER (ORDER BY crawl_ts) AS k
+                FROM (SELECT DISTINCT crawl_ts FROM snap)),
+            obs AS (
+                SELECT s.url, sp.k, s.text,
+                       list_distinct(string_split(s.text, ' ')) AS toks
+                FROM snap s JOIN spine sp USING (crawl_ts)),
+            scored AS (
+                SELECT url, k, text, toks,
+                       lag(text) OVER w AS ptext,
+                       lag(toks) OVER w AS ptoks,
+                       lead(k) OVER w AS nk
+                FROM obs WINDOW w AS (PARTITION BY url ORDER BY k)),
+            classified AS (
+                SELECT url, k, nk,
+                       CASE WHEN ptext IS NULL THEN 'new'
+                            WHEN text = ptext THEN 'unchanged'
+                            WHEN CAST(len(list_intersect(toks, ptoks)) AS DOUBLE)
+                                 / CAST(len(list_distinct(list_concat(toks, ptoks)))
+                                        AS DOUBLE) >= 0.5
+                            THEN 'changed_minor'
+                            ELSE 'changed_major' END AS status
+                FROM scored),
+            kmax AS (SELECT max(k) AS k_max FROM spine),
+            gone AS (
+                SELECT url, k + 1 AS k, 'gone' AS status
+                FROM classified, kmax
+                WHERE (nk IS NULL AND k < k_max) OR nk > k + 1),
+            allrows AS (
+                SELECT url, k, status FROM classified
+                UNION ALL
+                SELECT url, k, status FROM gone),
+            agg AS (
+                SELECT regexp_extract(a.url, '^https://([^/]+)/', 1) AS domain,
+                       strftime(sp.crawl_ts, '%Y-%m-%d') AS crawl_day,
+                       CAST(count(*) FILTER (status = 'new') AS BIGINT)
+                           AS n_new,
+                       CAST(count(*) FILTER (status = 'unchanged') AS BIGINT)
+                           AS n_unchanged,
+                       CAST(count(*) FILTER (status = 'changed_minor') AS BIGINT)
+                           AS n_minor,
+                       CAST(count(*) FILTER (status = 'changed_major') AS BIGINT)
+                           AS n_major,
+                       CAST(count(*) FILTER (status = 'gone') AS BIGINT)
+                           AS n_gone
+                FROM allrows a JOIN spine sp USING (k)
+                GROUP BY 1, 2)
+            SELECT domain, crawl_day, n_new, n_unchanged, n_minor, n_major,
+                   n_gone,
+                   CASE WHEN n_new + n_unchanged + n_minor + n_major > 0
+                        THEN CAST(n_minor + n_major AS DOUBLE)
+                             / CAST(n_new + n_unchanged + n_minor + n_major
+                                    AS DOUBLE) END AS churn
+            FROM agg
         """,
         "rolling_active_users": """
             WITH pairs AS (

@@ -1,0 +1,164 @@
+"""Crawl-to-crawl content drift over web-page snapshots.
+
+Common-Crawl-style corpora are re-crawled on a cadence; the per-url
+delta between consecutive crawls is BOTH a curation signal (an
+unchanged page need not be re-extracted, a heavily-churned page is
+often template/ad noise) and a time series in its own right (per-domain
+churn rate over crawls). This module classifies every (url, crawl)
+observation as one of::
+
+    new             first time the url carries content
+    unchanged       content digest equals the most recent prior version
+    changed_minor   token-set Jaccard vs prior version >= threshold
+    changed_major   token-set Jaccard vs prior version <  threshold
+    gone            url was present at crawl k, absent at crawl k+1
+                    (emitted once, at the first absent crawl)
+
+Semantics are CONTENT-level across gaps: a url that disappears and
+later reappears is compared against its most recent previously-seen
+version (reappear-identical => unchanged), and ``new`` fires only on a
+url's first-ever appearance. ``gone`` fires only on the present→absent
+transition, not for every absent crawl.
+
+Scale shape (the 100 TB argument): the crawl spine (distinct crawl
+timestamps) is tiny — tens to hundreds of rows — so it travels as a
+BROADCAST on both attach points (index attach, gone-timestamp lookup).
+The corpus pays exactly ONE shuffle: the per-url window that orders a
+url's observations by crawl index. No urls×crawls grid is ever
+materialized (absences are derived from index gaps), so the operator's
+row count stays at |snapshots| + |gone transitions|, not
+|urls|×|crawls|. Jaccard is exact integer arithmetic over distinct
+token arrays (array_intersect/array_union sizes), all JVM codegen — no
+Python anywhere.
+
+Reference analog: none (the reference's pipeline is single-corpus);
+SURVEY §2.4 training-data suite, webtext×timeseries axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def crawl_delta(
+    snapshots: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "crawl_ts",
+    text_col: str = "text",
+    minor_jaccard: float = 0.5,
+) -> DataFrame:
+    """Per-(url, crawl) change classification across crawl snapshots.
+
+    Input: one row per (url, crawl_ts) observation with the page text.
+    Output: (url, crawl_ts, status, jaccard) — ``jaccard`` is the
+    token-set similarity to the previous version (null except for
+    ``changed_*`` rows, where it is an exact int/int double).
+    """
+    spine = (
+        snapshots.select(ts_col)
+        .distinct()
+        .withColumn(
+            "_k", F.row_number().over(Window.orderBy(ts_col))
+        )
+    )
+    # crawl list is tiny: single-partition window above is fine, and it
+    # broadcasts to both attach points below.
+    k_max = spine.agg(F.max("_k").alias("_k_max"))
+
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    obs = snapshots.join(F.broadcast(spine), ts_col).select(
+        url_col,
+        "_k",
+        F.sha2(F.col(text_col), 256).alias("_sha"),
+        toks.alias("_toks"),
+    )
+
+    # window columns materialize in their own projection: generators
+    # (explode below) cannot host window expressions directly.
+    w = Window.partitionBy(url_col).orderBy("_k")
+    scored = obs.select(
+        url_col,
+        "_k",
+        "_sha",
+        "_toks",
+        F.lag("_sha").over(w).alias("_prev_sha"),
+        F.lag("_toks").over(w).alias("_prev_toks"),
+        F.lead("_k").over(w).alias("_next_k"),
+    )
+    prev_sha = F.col("_prev_sha")
+    next_k = F.col("_next_k")
+    inter = F.size(F.array_intersect(F.col("_toks"), F.col("_prev_toks")))
+    union = F.size(F.array_union(F.col("_toks"), F.col("_prev_toks")))
+    jac = inter.cast("double") / union.cast("double")
+
+    own = F.struct(
+        F.col("_k").alias("_k"),
+        F.when(prev_sha.isNull(), F.lit("new"))
+        .when(F.col("_sha") == prev_sha, F.lit("unchanged"))
+        .when(jac >= F.lit(minor_jaccard), F.lit("changed_minor"))
+        .otherwise(F.lit("changed_major"))
+        .alias("status"),
+        F.when(
+            prev_sha.isNotNull() & (F.col("_sha") != prev_sha), jac
+        ).alias("jaccard"),
+    )
+    # gone: the first absent crawl after a presence — an index gap to
+    # the next observation, or trailing absence before the global max.
+    # Emitted from the SAME windowed pass as the row's own status (a
+    # conditional second struct, array_compact'd away otherwise), so the
+    # corpus is scanned and url-shuffled exactly once — a present+gone
+    # union would rebuild the whole windowed subtree twice.
+    gone = F.when(
+        (next_k.isNull() & (F.col("_k") < F.col("_k_max")))
+        | (next_k > F.col("_k") + 1),
+        F.struct(
+            (F.col("_k") + 1).alias("_k"),
+            F.lit("gone").alias("status"),
+            F.lit(None).cast("double").alias("jaccard"),
+        ),
+    )
+
+    return (
+        scored.crossJoin(F.broadcast(k_max))
+        .select(
+            url_col,
+            F.explode(F.array_compact(F.array(own, gone))).alias("_r"),
+        )
+        .select(url_col, "_r._k", "_r.status", "_r.jaccard")
+        .join(F.broadcast(spine), "_k")
+        .select(url_col, ts_col, "status", "jaccard")
+    )
+
+
+def crawl_churn(
+    delta: DataFrame,
+    domain_col: str = "domain",
+    ts_col: str = "crawl_ts",
+) -> DataFrame:
+    """Per-(domain, crawl) churn rollup over a :func:`crawl_delta` frame.
+
+    One hash aggregation (map-side partials: the payload is five
+    conditional counters), emitting counts per status plus
+    ``churn = changed / present`` as an exact int/int double — the
+    per-domain web-churn time series.
+    """
+    n = lambda s: F.sum(F.when(F.col("status") == s, 1).otherwise(0))  # noqa: E731
+    agg = delta.groupBy(domain_col, ts_col).agg(
+        n("new").alias("n_new"),
+        n("unchanged").alias("n_unchanged"),
+        n("changed_minor").alias("n_minor"),
+        n("changed_major").alias("n_major"),
+        n("gone").alias("n_gone"),
+    )
+    present = (
+        F.col("n_new") + F.col("n_unchanged") + F.col("n_minor") + F.col("n_major")
+    )
+    return agg.withColumn(
+        "churn",
+        F.when(
+            present > 0,
+            (F.col("n_minor") + F.col("n_major")).cast("double")
+            / present.cast("double"),
+        ),
+    )

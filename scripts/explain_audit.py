@@ -672,6 +672,26 @@ def main() -> None:
                   if "Join" in l or "HashAggregate" in l or "Exchange" in l)[:600],
     ))
 
+    # --- A36: crawl delta — one corpus shuffle, broadcast crawl spine -------
+    p36 = plan_of(em.queries()["crawl_delta"](spark, sf_dir))
+    url_ex = [l for l in p36.splitlines()
+              if "hashpartitioning(url" in l and "Exchange" not in l]
+    assert len(url_ex) == 1, f"crawl_delta url exchanges: {len(url_ex)}"
+    assert "BroadcastHashJoin" in p36 or "BroadcastNestedLoop" in p36
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py_op not in p36, f"crawl_delta plan contains {py_op}"
+    sections.append((
+        "A36 crawl_delta: one url-keyed corpus shuffle, broadcast spine",
+        "PASS — the snapshot corpus is shuffled exactly once (the "
+        "per-url window ordering crawl observations); gone-transition "
+        "rows are emitted from the SAME windowed pass via a conditional "
+        "second struct + explode instead of a union that would rebuild "
+        "the subtree, and both crawl-spine attach points (index, final "
+        "timestamp) are broadcasts of a tens-of-rows relation",
+        "\n".join(l for l in p36.splitlines()
+                  if "Exchange" in l or "Broadcast" in l or "Generate" in l)[:600],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
