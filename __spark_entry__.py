@@ -2914,6 +2914,51 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval via reciprocal-rank fusion (ops/
+    similarity.py rrf_fuse): arm 1 is the BM25 top-50 for the fixed
+    query terms, arm 2 the embedding-cosine top-50 vs vec 0's embedding
+    (JVM zip_with/aggregate fold, rank on the sign-floor q6 cosine so
+    ordering is engine-independent). Fusion is exact integer nano-unit
+    arithmetic over the two skinny ranked lists — the corpora never
+    enter the fusion. The standard no-calibration way to combine the
+    two retrieval stacks this engine already certifies separately."""
+    from dads_spark.ops import rrf_fuse
+
+    lexical = q_bm25_rank(spark, sf_dir).select("doc_id", "rank")
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select(F.col("vec_id").alias("doc_id"), v.alias("v"))
+    q = e.filter(F.col("doc_id") == 0).select(F.col("v").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    cos = dot / (F.sqrt(sq("v")) * F.sqrt(sq("qv")))
+    q6 = (
+        F.when(cos >= 0, F.floor(cos * 1e6 + F.lit(0.5)))
+        .otherwise(-F.floor(-cos * 1e6 + F.lit(0.5)))
+        .cast("long")
+    )
+    dense = (
+        e.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", q6.alias("_q6"))
+        .orderBy(F.col("_q6").desc(), "doc_id")
+        .limit(50)
+        .withColumn(
+            "rank", F.row_number().over(W.orderBy(F.col("_q6").desc(), "doc_id"))
+        )
+        .select("doc_id", "rank")
+    )
+    return rrf_fuse([lexical, dense], "doc_id", "rank", k=60, top_n=20)
+
+
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing, gate-visible: payloads are
     synthesized deterministically from the documents table (text bytes with
@@ -4691,20 +4736,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "crawl_delta": q_crawl_delta,
         "crawl_churn": q_crawl_churn,
+        "hybrid_retrieval": q_hybrid_retrieval,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
         # dup_clusters re-pinning ngram_jaccard's semantics — so the four
         # new families above get their driver rows this round)
         "rollup_hour": q_rollup_hour,
-        "rollup_day_cascade": q_rollup_day_cascade,
         # ---- position 50 ends here ---------------------------------
-        # (rollup_week_cascade / rollup_hour_salted / gapfill_hour_linear
-        # displaced past 50 by line_dedup + crawl_delta + crawl_churn —
-        # all three r1-green with their kernels certified by stronger
-        # twins (serving_path_range composes the week tier, the salted
-        # path is plan-asserted, resample_linear pins interpolation); a
-        # new family with zero driver evidence outranks a re-confirmation)
+        # (rollup_day_cascade / rollup_week_cascade / rollup_hour_salted /
+        # gapfill_hour_linear displaced past 50 by the four newest
+        # families (line_dedup, crawl_delta/churn, hybrid_retrieval) —
+        # all four r1-green with their kernels certified by stronger
+        # twins (serving_path_range composes the day+week cascade, the
+        # salted path is plan-asserted, resample_linear pins
+        # interpolation); a new family with zero driver evidence
+        # outranks a re-confirmation)
+        "rollup_day_cascade": q_rollup_day_cascade,
         "rollup_week_cascade": q_rollup_week_cascade,
         "rollup_hour_salted": q_rollup_hour_salted,
         "gapfill_hour_linear": q_gapfill_hour_linear,
@@ -5998,6 +6046,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank,
                    doc_id, bm25, n_terms_hit
             FROM ranked ORDER BY bm25 DESC, doc_id LIMIT 50
+        """,
+        "hybrid_retrieval": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE doc_id < 300),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ({', '.join(repr(t) for t in _BM25_TERMS)})
+              GROUP BY 1, 2),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            bscored AS (
+              SELECT tf.doc_id,
+                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * ({_BM25_K1} + 1))
+                       / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl)) AS s
+              FROM tf JOIN dft USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats),
+            branked AS (
+              SELECT doc_id, round(sum(s), 4) AS bm25 FROM bscored GROUP BY 1),
+            lexical AS (
+              SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+              FROM branked ORDER BY bm25 DESC, doc_id LIMIT 50),
+            e AS (
+              SELECT vec_id AS doc_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            qv AS (SELECT v AS qvec FROM e WHERE doc_id = 0),
+            sc AS (
+              SELECT doc_id,
+                     list_reduce(list_transform(list_zip(v, qvec),
+                                                s -> s[1] * s[2]),
+                                 (a, b) -> a + b)
+                       / (sqrt(list_reduce(list_transform(v, x -> x * x),
+                                           (a, b) -> a + b))
+                          * sqrt(list_reduce(list_transform(qvec, x -> x * x),
+                                             (a, b) -> a + b))) AS c
+              FROM e, qv WHERE doc_id <> 0),
+            cq AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN c >= 0 THEN floor(c * 1e6 + 0.5)
+                               ELSE -floor(-c * 1e6 + 0.5) END AS BIGINT) AS q6
+              FROM sc),
+            dense AS (
+              SELECT doc_id, row_number() OVER (ORDER BY q6 DESC, doc_id) AS rank
+              FROM cq ORDER BY q6 DESC, doc_id LIMIT 50),
+            arms AS (
+              SELECT doc_id,
+                     CAST(floor(1e9 / (60 + rank) + 0.5) AS BIGINT) AS c
+              FROM lexical
+              UNION ALL
+              SELECT doc_id,
+                     CAST(floor(1e9 / (60 + rank) + 0.5) AS BIGINT) AS c
+              FROM dense),
+            fused AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_q9,
+                     CAST(count(*) AS BIGINT) AS n_arms
+              FROM arms GROUP BY 1)
+            SELECT row_number() OVER (ORDER BY rrf_q9 DESC, doc_id) AS rank,
+                   doc_id, rrf_q9, n_arms
+            FROM fused ORDER BY rrf_q9 DESC, doc_id LIMIT 20
         """,
         "multimodal_metadata": """
             WITH p AS (

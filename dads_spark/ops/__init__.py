@@ -71,7 +71,13 @@ from .sketch import (  # noqa: F401
     merge_digests,
     quantile_digest,
 )
-from .similarity import ann_ivf, ann_lsh, kmeans_assign, knn_bruteforce  # noqa: F401
+from .similarity import (  # noqa: F401
+    ann_ivf,
+    ann_lsh,
+    kmeans_assign,
+    knn_bruteforce,
+    rrf_fuse,
+)
 from .multimodal import (  # noqa: F401
     attach_media_metadata,
     extract_features,

@@ -376,3 +376,45 @@ def ann_lsh(
     return _exact_rerank(
         cand.join(vecs, "neighbor_id").join(F.broadcast(qvecs), "query_id"), k
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval arms (Cormack/Clarke RRF:
+    score(d) = sum over arms of 1/(k + rank_arm(d))) — the standard way
+    to combine a lexical (BM25) and a dense (embedding-cosine) ranking
+    without score calibration.
+
+    Each input frame carries (id_col, rank_col) for ONE arm's ranked
+    list. The per-arm contribution is quantized to integer nano-units
+    (floor(1e9/(k+rank) + 0.5)) before summing, so the fused score is
+    exact integer arithmetic — bit-identical under any partitioning,
+    arm order, or engine, with ties broken by id. Ranked lists are
+    top-N-scale (thousands of rows per arm at most), so the fusion is a
+    skinny union + one hash agg + one global window over <= N x arms
+    rows; the corpora behind the arms never enter this operator.
+
+    Output: (rank, id, rrf_q9, n_arms) for the fused top ``top_n``.
+    """
+    contrib = F.floor(
+        F.lit(1e9) / (F.lit(k) + F.col(rank_col)) + F.lit(0.5)
+    ).cast("long")
+    arms = [r.select(F.col(id_col), contrib.alias("_c")) for r in rankings]
+    u = arms[0]
+    for a in arms[1:]:
+        u = u.unionByName(a)
+    fused = u.groupBy(id_col).agg(
+        F.sum("_c").alias("rrf_q9"), F.count(F.lit(1)).alias("n_arms")
+    )
+    w = W.orderBy(F.col("rrf_q9").desc(), id_col)
+    return (
+        fused.orderBy(F.col("rrf_q9").desc(), id_col)
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", id_col, "rrf_q9", "n_arms")
+    )
