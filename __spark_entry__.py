@@ -2914,6 +2914,25 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window multi-burn-rate SLO alerting (rollup/slo.py
+    slo_burn_rates, the SRE-workbook page/ticket rule pair): events
+    shard to 8 services, error budget 2%, burn rates at 5m/30m/1h/6h
+    over 5-minute grains; page fires when 1h AND 5m both burn >14.4,
+    ticket when 6h AND 30m both burn >6. One fact-table pass + one
+    service-keyed window exchange shared by all four RANGE frames."""
+    from dads_spark.rollup import slo_burn_rates
+
+    ev = _t(spark, sf_dir, "events")
+    return slo_burn_rates(
+        ev.withColumn("service", F.col("user_id") % 8),
+        "service",
+        "ts",
+        F.col("event_type") == "error",
+        budget=0.02,
+    )
+
+
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+dense retrieval via reciprocal-rank fusion (ops/
     similarity.py rrf_fuse): arm 1 is the BM25 top-50 for the fixed
@@ -4737,21 +4756,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "crawl_churn": q_crawl_churn,
         "hybrid_retrieval": q_hybrid_retrieval,
+        "slo_burn": q_slo_burn,
+        # ---- position 50 ends here ---------------------------------
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
         # dup_clusters re-pinning ngram_jaccard's semantics — so the four
         # new families above get their driver rows this round)
+        # (rollup_hour / rollup_day_cascade / rollup_week_cascade /
+        # rollup_hour_salted / gapfill_hour_linear displaced past 50 by
+        # the five newest families (line_dedup, crawl_delta/churn,
+        # hybrid_retrieval, slo_burn) — all r1-green with their kernels
+        # certified by stronger twins (serving_path_range composes the
+        # full tier cascade, the salted path is plan-asserted,
+        # resample_linear pins interpolation); a new family with zero
+        # driver evidence outranks a re-confirmation)
         "rollup_hour": q_rollup_hour,
-        # ---- position 50 ends here ---------------------------------
-        # (rollup_day_cascade / rollup_week_cascade / rollup_hour_salted /
-        # gapfill_hour_linear displaced past 50 by the four newest
-        # families (line_dedup, crawl_delta/churn, hybrid_retrieval) —
-        # all four r1-green with their kernels certified by stronger
-        # twins (serving_path_range composes the day+week cascade, the
-        # salted path is plan-asserted, resample_linear pins
-        # interpolation); a new family with zero driver evidence
-        # outranks a re-confirmation)
         "rollup_day_cascade": q_rollup_day_cascade,
         "rollup_week_cascade": q_rollup_week_cascade,
         "rollup_hour_salted": q_rollup_hour_salted,
@@ -6046,6 +6066,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank,
                    doc_id, bm25, n_terms_hit
             FROM ranked ORDER BY bm25 DESC, doc_id LIMIT 50
+        """,
+        "slo_burn": """
+            WITH g AS (
+              SELECT user_id % 8 AS service,
+                     (epoch_us(ts) // 1000000)
+                       - (epoch_us(ts) // 1000000) % 300 AS grain_epoch,
+                     CAST(count(*) AS BIGINT) AS n_total,
+                     CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_err
+              FROM events GROUP BY 1, 2)
+            SELECT service, grain_epoch, n_total, n_err,
+                   CAST(sum(n_err) OVER w300 AS DOUBLE)
+                     / CAST(sum(n_total) OVER w300 AS DOUBLE) / 0.02
+                     AS burn_300s,
+                   CAST(sum(n_err) OVER w1800 AS DOUBLE)
+                     / CAST(sum(n_total) OVER w1800 AS DOUBLE) / 0.02
+                     AS burn_1800s,
+                   CAST(sum(n_err) OVER w3600 AS DOUBLE)
+                     / CAST(sum(n_total) OVER w3600 AS DOUBLE) / 0.02
+                     AS burn_3600s,
+                   CAST(sum(n_err) OVER w21600 AS DOUBLE)
+                     / CAST(sum(n_total) OVER w21600 AS DOUBLE) / 0.02
+                     AS burn_21600s,
+                   (CAST(sum(n_err) OVER w3600 AS DOUBLE)
+                     / CAST(sum(n_total) OVER w3600 AS DOUBLE) / 0.02 > 14.4)
+                   AND
+                   (CAST(sum(n_err) OVER w300 AS DOUBLE)
+                     / CAST(sum(n_total) OVER w300 AS DOUBLE) / 0.02 > 14.4)
+                     AS page,
+                   (CAST(sum(n_err) OVER w21600 AS DOUBLE)
+                     / CAST(sum(n_total) OVER w21600 AS DOUBLE) / 0.02 > 6.0)
+                   AND
+                   (CAST(sum(n_err) OVER w1800 AS DOUBLE)
+                     / CAST(sum(n_total) OVER w1800 AS DOUBLE) / 0.02 > 6.0)
+                     AS ticket
+            FROM g
+            WINDOW
+              w300 AS (PARTITION BY service ORDER BY grain_epoch
+                       RANGE BETWEEN 0 PRECEDING AND CURRENT ROW),
+              w1800 AS (PARTITION BY service ORDER BY grain_epoch
+                        RANGE BETWEEN 1500 PRECEDING AND CURRENT ROW),
+              w3600 AS (PARTITION BY service ORDER BY grain_epoch
+                        RANGE BETWEEN 3300 PRECEDING AND CURRENT ROW),
+              w21600 AS (PARTITION BY service ORDER BY grain_epoch
+                         RANGE BETWEEN 21300 PRECEDING AND CURRENT ROW)
         """,
         "hybrid_retrieval": f"""
             WITH toks AS (

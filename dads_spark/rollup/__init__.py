@@ -73,3 +73,4 @@ from .analytics import (  # noqa: F401
     series_cross_correlation,
     time_weighted_avg,
 )
+from .slo import DEFAULT_RULES, slo_burn_rates  # noqa: F401
