@@ -2914,6 +2914,19 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (ops/sampling.py dsir_importance):
+    hashed-unigram log-ratio weights of the lang='en' target slice vs
+    the raw corpus, exact integer micro-nat sums, top-150 selection.
+    The classifier-free way to skew a crawl toward an in-domain slice."""
+    from dads_spark.ops import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs, F.col("lang") == "en", n_buckets=256, alpha=0.5, top_n=150
+    )
+
+
 def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-window multi-burn-rate SLO alerting (rollup/slo.py
     slo_burn_rates, the SRE-workbook page/ticket rule pair): events
@@ -4758,6 +4771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": q_hybrid_retrieval,
         "slo_burn": q_slo_burn,
         # ---- position 50 ends here ---------------------------------
+        # -- (2c) new families past the window: first in line for the
+        # r5 rotation, oracle-green in the full local sweep -----------
+        "dsir_select": q_dsir_select,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -6066,6 +6082,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank,
                    doc_id, bm25, n_terms_hit
             FROM ranked ORDER BY bm25 DESC, doc_id LIMIT 50
+        """,
+        "dsir_select": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+                     CAST(concat('0x', substring(md5(w), 1, 13)) AS BIGINT)
+                       % 256 AS b
+              FROM (SELECT doc_id, lang,
+                           unnest(string_split(text, ' ')) AS w
+                    FROM documents)),
+            per_doc AS (
+              SELECT doc_id, b, count(*) AS dc FROM tok GROUP BY 1, 2),
+            buckets AS (
+              SELECT b, CAST(sum(t) AS BIGINT) AS ct,
+                     CAST(count(*) AS BIGINT) AS cr
+              FROM tok GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                     CAST(sum(cr) AS BIGINT) AS tr
+              FROM buckets),
+            lrs AS (
+              SELECT b,
+                     CAST(floor((ln((ct + 0.5) / (tt + 0.5 * 256))
+                                 - ln((cr + 0.5) / (tr + 0.5 * 256)))
+                                * 1e6 + 0.5) AS BIGINT) AS lr
+              FROM buckets, tot),
+            doc AS (
+              SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_tokens,
+                     CAST(sum(dc * lr) AS BIGINT) AS lw_q6
+              FROM per_doc JOIN lrs USING (b) GROUP BY 1)
+            SELECT doc_id, n_tokens, lw_q6,
+                   row_number() OVER (ORDER BY lw_q6 DESC, doc_id) <= 150
+                     AS selected
+            FROM doc
         """,
         "slo_burn": """
             WITH g AS (

@@ -45,6 +45,7 @@ from .sampling import (  # noqa: F401
     bucket_sample,
     cap_per_group,
     deterministic_sample,
+    dsir_importance,
     hash_split,
     weighted_sample,
     stratified_sample,

@@ -252,3 +252,68 @@ def weighted_sample(
         .filter(F.col("_rn") <= n_per_key)
         .drop("_rn")
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    is_target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+    top_n: int | None = None,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    via Importance Resampling"): score every document by how much more
+    likely its hashed-unigram features are under a TARGET distribution
+    (rows where ``is_target``) than under the RAW corpus distribution,
+    then optionally select the top ``top_n``. The standard way to skew a
+    web crawl toward a high-quality / in-domain slice without a trained
+    classifier.
+
+    Exactness: tokens hash to ``n_buckets`` via md5 (engine-portable);
+    each bucket's Laplace-smoothed log-ratio
+    ln((c_t+a)/(T_t+aB)) - ln((c_r+a)/(T_r+aB)) is quantized ONCE to
+    integer micro-nats, and per-doc weights are exact integer sums of
+    bucket quanta x occurrence counts — the unigram_logprob discipline:
+    partitioning/engine-independent, ln() on identical doubles the only
+    (sub-quantum) float surface.
+
+    Shape: one explode pass feeds BOTH aggregations — per-(doc, bucket)
+    occurrence counts (shuffle bounded by doc length) and the
+    ``n_buckets``-row target/raw counter table (conditional sums in one
+    agg; broadcast back). Totals are two scalar longs. The optional
+    selection is a global top-n window here (gate scale); at corpus
+    scale you'd take the weight threshold from a quantile sketch and
+    filter map-side instead — the weights themselves are the operator.
+
+    Output: (id, n_tokens, lw_q6[, selected]).
+    """
+    tok = docs.select(
+        F.col(id_col),
+        is_target.cast("int").alias("_t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+    ).withColumn(
+        "_b",
+        F.conv(F.substring(F.md5(F.col("_w")), 1, 13), 16, 10).cast("long")
+        % n_buckets,
+    )
+    per_doc = tok.groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_dc"))
+    buckets = tok.groupBy("_b").agg(
+        F.sum("_t").alias("_ct"), F.count(F.lit(1)).alias("_cr")
+    )
+    tt, tr = buckets.agg(F.sum("_ct"), F.sum("_cr")).first()
+    lr = F.expr(
+        f"CAST(floor((ln((_ct + {alpha}) / ({tt} + {alpha} * {n_buckets})) "
+        f"- ln((_cr + {alpha}) / ({tr} + {alpha} * {n_buckets}))) * 1e6 + 0.5) "
+        "AS BIGINT)"
+    )
+    scored = per_doc.join(F.broadcast(buckets.withColumn("_lr", lr)), "_b")
+    out = scored.groupBy(id_col).agg(
+        F.sum("_dc").alias("n_tokens"),
+        F.sum(F.col("_dc") * F.col("_lr")).alias("lw_q6"),
+    )
+    if top_n is None:
+        return out
+    w = W.orderBy(F.col("lw_q6").desc(), id_col)
+    return out.withColumn("selected", F.row_number().over(w) <= top_n)

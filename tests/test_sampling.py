@@ -83,3 +83,37 @@ def test_top_terms_prefers_rare_term_at_equal_tf(spark):
     assert d0.term.tolist() == ["rare", "common"]
     assert d0.tf.tolist() == [2, 2]
     assert d0.doc_freq.tolist() == [1, 3]
+
+
+def test_dsir_importance_directionality(spark):
+    """Docs made of target-heavy tokens must outweigh raw-typical docs;
+    weights are exact integers, invariant under repartition."""
+    from pyspark.sql import functions as F
+
+    from dads_spark.ops import dsir_importance
+
+    rows = (
+        # target slice speaks "alpha beta", raw background speaks "noise"
+        [(i, "alpha beta alpha beta", 1) for i in range(20)]
+        + [(100 + i, "noise junk noise junk", 0) for i in range(20)]
+        # probes: one target-shaped, one background-shaped, one mixed
+        + [(500, "alpha beta", 0), (501, "noise junk", 0), (502, "alpha noise", 0)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt int")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(
+            docs, F.col("tgt") == 1, n_buckets=64, top_n=21
+        ).collect()
+    }
+    assert out[500]["lw_q6"] > 0 > out[501]["lw_q6"]
+    assert out[501]["lw_q6"] < out[502]["lw_q6"] < out[500]["lw_q6"]
+    # target-shaped probe is selected alongside the 20 target docs
+    assert out[500]["selected"] and not out[501]["selected"]
+    out2 = {
+        r["doc_id"]: r
+        for r in dsir_importance(
+            docs.repartition(9), F.col("tgt") == 1, n_buckets=64, top_n=21
+        ).collect()
+    }
+    assert all(out[k]["lw_q6"] == out2[k]["lw_q6"] for k in out)
