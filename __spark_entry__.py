@@ -2914,13 +2914,57 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_dsir_quanta(sf_dir: str, n_buckets: int = 256, alpha: float = 0.5) -> str:
+    """Independent Spark-free recomputation of the DSIR bucket quanta:
+    pyarrow + hashlib + math.log only. Re-derives the target/raw bucket
+    counters from documents.parquet and quantizes the Laplace-smoothed
+    log-ratio to integer micro-nats — the one float step of the lane.
+    Both the lane and this oracle evaluate ln() in CPython's libm on
+    identical rational doubles, so the quanta (and therefore the exact
+    integer doc weights) can never diverge at a rounding boundary the
+    way two engines' ln() implementations can. DuckDB keeps the whole
+    relational half (tokenize, bucket, count, join, sum, top-n)."""
+    import hashlib as _hashlib
+    import math as _math
+
+    import pyarrow.parquet as _pq
+
+    tbl = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    ct = [0] * n_buckets
+    cr = [0] * n_buckets
+    bucket_of: dict[str, int] = {}
+    for lang, text in zip(tbl["lang"].to_pylist(), tbl["text"].to_pylist()):
+        t = 1 if lang == "en" else 0
+        for w in text.split(" "):
+            b = bucket_of.get(w)
+            if b is None:
+                b = int(_hashlib.md5(w.encode()).hexdigest()[:13], 16) % n_buckets
+                bucket_of[w] = b
+            ct[b] += t
+            cr[b] += 1
+    tt, tr = sum(ct), sum(cr)
+    bs, lrs = [], []
+    for b in range(n_buckets):
+        if cr[b] == 0:
+            continue  # unpopulated buckets never join
+        x = _math.log((ct[b] + alpha) / (tt + alpha * n_buckets)) - _math.log(
+            (cr[b] + alpha) / (tr + alpha * n_buckets)
+        )
+        bs.append(b)
+        lrs.append(int(_math.floor(x * 1e6 + 0.5)))
+    return _write_dump("dsir_quanta_oracle", {"b": bs, "lr": lrs})
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (ops/sampling.py dsir_importance):
     hashed-unigram log-ratio weights of the lang='en' target slice vs
     the raw corpus, exact integer micro-nat sums, top-150 selection.
-    The classifier-free way to skew a crawl toward an in-domain slice."""
+    The classifier-free way to skew a crawl toward an in-domain slice.
+    Stages the independently-recomputed bucket-quanta dump for the
+    oracle (see _stage_dsir_quanta)."""
     from dads_spark.ops import dsir_importance
 
+    _stage_dsir_quanta(sf_dir)
     docs = _t(spark, sf_dir, "documents")
     return dsir_importance(
         docs, F.col("lang") == "en", n_buckets=256, alpha=0.5, top_n=150
@@ -6083,40 +6127,6 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, bm25, n_terms_hit
             FROM ranked ORDER BY bm25 DESC, doc_id LIMIT 50
         """,
-        "dsir_select": """
-            WITH tok AS (
-              SELECT doc_id,
-                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
-                     CAST(concat('0x', substring(md5(w), 1, 13)) AS BIGINT)
-                       % 256 AS b
-              FROM (SELECT doc_id, lang,
-                           unnest(string_split(text, ' ')) AS w
-                    FROM documents)),
-            per_doc AS (
-              SELECT doc_id, b, count(*) AS dc FROM tok GROUP BY 1, 2),
-            buckets AS (
-              SELECT b, CAST(sum(t) AS BIGINT) AS ct,
-                     CAST(count(*) AS BIGINT) AS cr
-              FROM tok GROUP BY 1),
-            tot AS (
-              SELECT CAST(sum(ct) AS BIGINT) AS tt,
-                     CAST(sum(cr) AS BIGINT) AS tr
-              FROM buckets),
-            lrs AS (
-              SELECT b,
-                     CAST(floor((ln((ct + 0.5) / (tt + 0.5 * 256))
-                                 - ln((cr + 0.5) / (tr + 0.5 * 256)))
-                                * 1e6 + 0.5) AS BIGINT) AS lr
-              FROM buckets, tot),
-            doc AS (
-              SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_tokens,
-                     CAST(sum(dc * lr) AS BIGINT) AS lw_q6
-              FROM per_doc JOIN lrs USING (b) GROUP BY 1)
-            SELECT doc_id, n_tokens, lw_q6,
-                   row_number() OVER (ORDER BY lw_q6 DESC, doc_id) <= 150
-                     AS selected
-            FROM doc
-        """,
         "slo_burn": """
             WITH g AS (
               SELECT user_id % 8 AS service,
@@ -7640,6 +7650,32 @@ def oracle_sql() -> dict[str, str]:
     d["minhash_lsh"] = f"""
         SELECT id_a, id_b, est_jaccard
         FROM read_parquet('{_dump_path("minhash_oracle")}')
+    """
+    # dsir_select: DuckDB does the whole relational half (tokenize, hash
+    # bucket, count, join, integer sum, top-n); only the 256-row bucket
+    # quanta come from the Spark-free pyarrow/hashlib/math staging
+    # (_stage_dsir_quanta) — ln() is evaluated once, in CPython, for both
+    # sides, killing the cross-engine last-ulp rounding flake
+    d["dsir_select"] = f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substring(md5(w), 1, 13)) AS BIGINT)
+                   % 256 AS b
+          FROM (SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w
+                FROM documents)),
+        per_doc AS (
+          SELECT doc_id, b, count(*) AS dc FROM tok GROUP BY 1, 2),
+        lrs AS (
+          SELECT b, lr FROM read_parquet('{_dump_path("dsir_quanta_oracle")}')),
+        doc AS (
+          SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_tokens,
+                 CAST(sum(dc * lr) AS BIGINT) AS lw_q6
+          FROM per_doc JOIN lrs USING (b) GROUP BY 1)
+        SELECT doc_id, n_tokens, lw_q6,
+               row_number() OVER (ORDER BY lw_q6 DESC, doc_id) <= 150
+                 AS selected
+        FROM doc
     """
     d["simhash_near_pairs"] = f"""
         SELECT id_a, id_b, hamming

@@ -254,6 +254,20 @@ def weighted_sample(
     )
 
 
+def bucket_log_ratio_q6(
+    ct: int, cr: int, tt: int, tr: int, n_buckets: int, alpha: float
+) -> int:
+    """Laplace-smoothed target/raw log-ratio of one hash bucket, quantized
+    to integer micro-nats with CPython's libm — the single place ln() is
+    evaluated for the DSIR weights."""
+    import math
+
+    x = math.log((ct + alpha) / (tt + alpha * n_buckets)) - math.log(
+        (cr + alpha) / (tr + alpha * n_buckets)
+    )
+    return int(math.floor(x * 1e6 + 0.5))
+
+
 def dsir_importance(
     docs: DataFrame,
     is_target,
@@ -274,15 +288,20 @@ def dsir_importance(
     Exactness: tokens hash to ``n_buckets`` via md5 (engine-portable);
     each bucket's Laplace-smoothed log-ratio
     ln((c_t+a)/(T_t+aB)) - ln((c_r+a)/(T_r+aB)) is quantized ONCE to
-    integer micro-nats, and per-doc weights are exact integer sums of
-    bucket quanta x occurrence counts — the unigram_logprob discipline:
-    partitioning/engine-independent, ln() on identical doubles the only
-    (sub-quantum) float surface.
+    integer micro-nats ON THE DRIVER (the counter table is <= n_buckets
+    rows — the codebook-collect shape), and per-doc weights are exact
+    integer sums of bucket quanta x occurrence counts. Executors never
+    evaluate ln(): the distributed plan is pure integer arithmetic, so
+    the output is bit-identical under any partitioning AND any engine —
+    a quantum whose ln() lands within an ulp of a rounding boundary
+    cannot flip between JVM and C libm because only one libm (CPython's)
+    is ever consulted.
 
     Shape: one explode pass feeds BOTH aggregations — per-(doc, bucket)
     occurrence counts (shuffle bounded by doc length) and the
     ``n_buckets``-row target/raw counter table (conditional sums in one
-    agg; broadcast back). Totals are two scalar longs. The optional
+    agg; collected, quantized on the driver, quanta broadcast back).
+    Totals are two scalar longs summed from the collected rows. The optional
     selection is a global top-n window here (gate scale); at corpus
     scale you'd take the weight threshold from a quantile sketch and
     filter map-side instead — the weights themselves are the operator.
@@ -301,14 +320,16 @@ def dsir_importance(
     per_doc = tok.groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_dc"))
     buckets = tok.groupBy("_b").agg(
         F.sum("_t").alias("_ct"), F.count(F.lit(1)).alias("_cr")
-    )
-    tt, tr = buckets.agg(F.sum("_ct"), F.sum("_cr")).first()
-    lr = F.expr(
-        f"CAST(floor((ln((_ct + {alpha}) / ({tt} + {alpha} * {n_buckets})) "
-        f"- ln((_cr + {alpha}) / ({tr} + {alpha} * {n_buckets}))) * 1e6 + 0.5) "
-        "AS BIGINT)"
-    )
-    scored = per_doc.join(F.broadcast(buckets.withColumn("_lr", lr)), "_b")
+    ).collect()
+    tt = sum(r["_ct"] for r in buckets)
+    tr = sum(r["_cr"] for r in buckets)
+    quanta = [
+        (r["_b"], bucket_log_ratio_q6(r["_ct"], r["_cr"], tt, tr, n_buckets, alpha))
+        for r in buckets
+    ]
+    spark = docs.sparkSession
+    lr_df = spark.createDataFrame(quanta, "_b long, _lr long")
+    scored = per_doc.join(F.broadcast(lr_df), "_b")
     out = scored.groupBy(id_col).agg(
         F.sum("_dc").alias("n_tokens"),
         F.sum(F.col("_dc") * F.col("_lr")).alias("lw_q6"),

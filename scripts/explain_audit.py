@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -690,6 +691,43 @@ def main() -> None:
         "timestamp) are broadcasts of a tens-of-rows relation",
         "\n".join(l for l in p36.splitlines()
                   if "Exchange" in l or "Broadcast" in l or "Generate" in l)[:600],
+    ))
+
+    # --- A37: SLO burn — one merged Window node for all four frames ---------
+    p37 = plan_of(em.queries()["slo_burn"](spark, sf_dir))
+    # count detail headers "(N) Window" only — the formatted explain also
+    # prints each node once in the tree view, which would double-count
+    n_window_nodes = sum(
+        1 for l in p37.splitlines()
+        if re.fullmatch(r"\(\d+\) Window(Exec)?", l.strip())
+    )
+    assert n_window_nodes == 1, f"slo_burn Window nodes: {n_window_nodes}"
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py_op not in p37, f"slo_burn plan contains {py_op}"
+    sections.append((
+        "A37 slo_burn: all four burn-rate RANGE frames share one Window node",
+        "PASS — the fact table reduces to (service, grain) counter pairs "
+        "in one map-side-partial hash aggregate, and Catalyst collapses "
+        "the 5m/30m/1h/6h RANGE frames (same partitioning, same ordering) "
+        "into a single Window operator over one service-keyed exchange — "
+        "adding alert windows costs expressions, not shuffles",
+        "\n".join(l for l in p37.splitlines()
+                  if "Window" in l or "Exchange" in l or "HashAggregate" in l)[:600],
+    ))
+
+    # --- A38: DSIR — bucket stats broadcast, corpus never re-shuffled wide --
+    p38 = plan_of(em.queries()["dsir_select"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p38
+    assert "SortMergeJoin" not in p38, "dsir bucket join must broadcast"
+    sections.append((
+        "A38 dsir_select: 256-row bucket table broadcast onto doc counts",
+        "PASS — the target/raw bucket counters (<= n_buckets rows) "
+        "broadcast back onto the per-(doc, bucket) counts; the only "
+        "corpus-sized shuffles are the two hash aggregations over the "
+        "exploded tokens, both with map-side partials. The final top-n "
+        "selection windows over one row per document",
+        "\n".join(l for l in p38.splitlines()
+                  if "Join" in l or "Exchange" in l)[:600],
     ))
 
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
