@@ -2990,6 +2990,41 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_late_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invalidation-based continuous-aggregate refresh (rollup/refresh.py
+    invalidate_and_refresh): a stale hour tier built without a
+    deterministic 1/8 md5 slice of events ("late" arrivals) is refreshed
+    by recomputing ONLY the (event_type, hour) buckets the late rows
+    touch — broadcast semi-join pruned rescan + broadcast anti-join
+    splice. The oracle is the PLAIN full-rebuild hour rollup with the
+    invalidation flag derived relationally: hash equality proves
+    incremental maintenance == rebuild, bucket for bucket, bit for bit
+    (all-integer metrics over user_id)."""
+    from dads_spark.rollup import invalidate_and_refresh, rollup_from_raw
+
+    ev = _t(spark, sf_dir, "events")
+    is_late = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 13), 16, 10
+        ).cast("long")
+        % 8
+        == 0
+    )
+    stale = rollup_from_raw(ev.filter(~is_late), ["event_type"], "ts", "user_id")
+    out = invalidate_and_refresh(
+        stale, ev, ev.filter(is_late), ["event_type"], "ts", "user_id"
+    )
+    return out.select(
+        "event_type",
+        _fmt_bucket(),
+        "doc_count",
+        "value_sum",
+        "value_min",
+        "value_max",
+        "refreshed",
+    )
+
+
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+dense retrieval via reciprocal-rank fusion (ops/
     similarity.py rrf_fuse): arm 1 is the BM25 top-50 for the fixed
@@ -4790,7 +4825,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_containment": q_shingle_containment,
         "stratified_sample": q_stratified_sample,
         "streaming_topk_hopping": q_streaming_topk_hopping,
-        "tier_consistency": q_tier_consistency,
         "tier_route": q_tier_route,
         "unigram_logprob": q_unigram_logprob,
         "zorder_values": q_zorder_values,
@@ -4814,10 +4848,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_churn": q_crawl_churn,
         "hybrid_retrieval": q_hybrid_retrieval,
         "slo_burn": q_slo_burn,
-        # ---- position 50 ends here ---------------------------------
-        # -- (2c) new families past the window: first in line for the
-        # r5 rotation, oracle-green in the full local sweep -----------
+        # dsir_select earned a window slot over tier_consistency (a
+        # self-consistency audit lane): its cross-engine ln() flake was
+        # fixed this round, so a fresh driver pin certifies the fix
         "dsir_select": q_dsir_select,
+        # ---- position 50 ends here ---------------------------------
+        # -- (2c) displaced to the r5 rotation: oracle-green in the
+        # full local sweep -------------------------------------------
+        "tier_consistency": q_tier_consistency,
+        "late_refresh": q_late_refresh,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -5295,6 +5334,28 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 2) AS value_min,
                    round(max(value), 2) AS value_max
             FROM events GROUP BY 1, 2
+        """,
+        "late_refresh": """
+            WITH lateb AS (
+              SELECT DISTINCT event_type, date_trunc('hour', ts) AS b
+              FROM events
+              WHERE CAST(concat('0x',
+                       substring(md5(CAST(event_id AS VARCHAR)), 1, 13))
+                     AS BIGINT) % 8 = 0),
+            fullr AS (
+              SELECT event_type, date_trunc('hour', ts) AS b,
+                     CAST(count(*) AS BIGINT) AS doc_count,
+                     CAST(sum(user_id) AS BIGINT) AS value_sum,
+                     CAST(min(user_id) AS BIGINT) AS value_min,
+                     CAST(max(user_id) AS BIGINT) AS value_max
+              FROM events GROUP BY 1, 2)
+            SELECT f.event_type,
+                   strftime(f.b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   f.doc_count, f.value_sum, f.value_min, f.value_max,
+                   (l.b IS NOT NULL) AS refreshed
+            FROM fullr f
+            LEFT JOIN lateb l
+              ON f.event_type = l.event_type AND f.b = l.b
         """,
         "multi_source_rollup": """
             WITH h AS (

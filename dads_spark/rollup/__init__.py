@@ -74,3 +74,4 @@ from .analytics import (  # noqa: F401
     time_weighted_avg,
 )
 from .slo import DEFAULT_RULES, slo_burn_rates  # noqa: F401
+from .refresh import invalidate_and_refresh, invalidation_set  # noqa: F401
