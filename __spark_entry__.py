@@ -3025,6 +3025,36 @@ def q_late_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (ops/linkgraph.py anchor_terms): top-5
+    anchor terms per TARGET domain — the off-page relevance signal.
+    Deterministic synthetic crawl html: each doc links to two derived
+    domains with anchor text drawn from the doc's own words, so term
+    counts are corpus-dependent, not constant. One codegen corpus pass
+    (regex pair-extract + explodes), one (domain, term) count shuffle,
+    rank windows over the counted table only."""
+    from dads_spark.ops import anchor_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    w = lambda i: F.split_part(F.col("text"), F.lit(" "), F.lit(i))  # noqa: E731
+    pages = docs.select(
+        F.concat(
+            F.lit('<p><a href="https://h'),
+            ((F.col("doc_id") * 31 + 7) % 97).cast("string"),
+            F.lit('.example.com/x">'),
+            w(1),
+            F.lit(" "),
+            w(2),
+            F.lit("</a><i>x</i><a href='http://h"),
+            ((F.col("doc_id") * 5 + 3) % 11).cast("string"),
+            F.lit(".org/y'>"),
+            w(3),
+            F.lit("</a></p>"),
+        ).alias("html")
+    )
+    return anchor_terms(pages, "html", top_k=5)
+
+
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+dense retrieval via reciprocal-rank fusion (ops/
     similarity.py rrf_fuse): arm 1 is the BM25 top-50 for the fixed
@@ -4857,6 +4887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full local sweep -------------------------------------------
         "tier_consistency": q_tier_consistency,
         "late_refresh": q_late_refresh,
+        "anchor_text": q_anchor_text,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -5356,6 +5387,40 @@ def oracle_sql() -> dict[str, str]:
             FROM fullr f
             LEFT JOIN lateb l
               ON f.event_type = l.event_type AND f.b = l.b
+        """,
+        "anchor_text": """
+            WITH pages AS (
+              SELECT '<p><a href="https://h'
+                     || CAST((doc_id * 31 + 7) % 97 AS VARCHAR)
+                     || '.example.com/x">' || split_part(text, ' ', 1)
+                     || ' ' || split_part(text, ' ', 2)
+                     || '</a><i>x</i><a href=''http://h'
+                     || CAST((doc_id * 5 + 3) % 11 AS VARCHAR)
+                     || '.org/y''>' || split_part(text, ' ', 3)
+                     || '</a></p>' AS html
+              FROM documents),
+            l AS (
+              SELECT unnest(regexp_extract_all(html,
+                       '<a [^>]*href=["''](https?://[^"''\\s>]+)["''][^>]*>([^<]*)</a>',
+                       1)) AS u,
+                     unnest(regexp_extract_all(html,
+                       '<a [^>]*href=["''](https?://[^"''\\s>]+)["''][^>]*>([^<]*)</a>',
+                       2)) AS a
+              FROM pages),
+            t AS (
+              SELECT lower(regexp_extract(u, '^https?://([^/]+)', 1))
+                       AS dst_domain,
+                     unnest(string_split(lower(a), ' ')) AS term
+              FROM l),
+            c AS (
+              SELECT dst_domain, term, CAST(count(*) AS BIGINT) AS n
+              FROM t WHERE term <> '' GROUP BY 1, 2)
+            SELECT dst_domain, term, n, rank FROM (
+              SELECT dst_domain, term, n,
+                     row_number() OVER (PARTITION BY dst_domain
+                                        ORDER BY n DESC, term) AS rank
+              FROM c)
+            WHERE rank <= 5
         """,
         "multi_source_rollup": """
             WITH h AS (

@@ -32,6 +32,7 @@ from .textstats import (  # noqa: F401
     winnow_fingerprints,
 )
 from .linkgraph import (  # noqa: F401
+    anchor_terms,
     domain_edges,
     extract_links,
     pagerank,

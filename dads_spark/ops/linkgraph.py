@@ -230,3 +230,59 @@ def triangle_counts(
             .alias("lcc"),
         )
     )
+
+
+#: one <a> element: absolute href (group 1) and its anchor text (group 2).
+#: No backreferences — identical semantics under Java regex and RE2.
+ANCHOR_PATTERN = r'<a [^>]*href=["\'](https?://[^"\'\s>]+)["\'][^>]*>([^<]*)</a>'
+
+
+def anchor_terms(
+    df: DataFrame,
+    html_col: str = "html",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top anchor-text terms per TARGET domain — the classic off-page
+    relevance signal (what the web calls a page is better evidence than
+    what the page calls itself; anchor aggregation powered early web
+    ranking and still feeds crawl prioritization and query-independent
+    quality scores).
+
+    Shape: the corpus pass is a single codegen map stage — two
+    ``regexp_extract_all`` over the html (hrefs and anchor texts come out
+    index-aligned, ``arrays_zip`` pairs them), one explode per link, one
+    explode per term. The only shuffle is the (domain, term) count, whose
+    key space is bounded by vocabulary x domains actually LINKED — orders
+    of magnitude under the corpus — with map-side partials. The top-k
+    ranking windows over the counted table, not the corpus; Spark pushes
+    the rank filter under the exchange (WindowGroupLimit).
+
+    Output: (dst_domain, term, n, rank), rank 1..top_k per domain, ties
+    broken on term for engine-independent ordering. Counts are exact
+    integers — no float surface.
+
+    Reference analog: none (pure web-corpus op); SURVEY §2.4 suite.
+    """
+    from pyspark.sql import Window as W
+
+    html = F.col(html_col).cast("string")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), F.lit(1)).alias("u"),
+        F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), F.lit(2)).alias("a"),
+    )
+    links = df.select(F.explode(pairs).alias("p")).select(
+        F.lower(F.parse_url(F.col("p.u"), F.lit("HOST"))).alias("dst_domain"),
+        F.col("p.a").alias("anchor"),
+    )
+    terms = links.select(
+        "dst_domain",
+        F.explode(F.split(F.lower(F.col("anchor")), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    counted = terms.groupBy("dst_domain", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("dst_domain").orderBy(F.col("n").desc(), "term")
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )

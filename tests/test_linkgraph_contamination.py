@@ -263,3 +263,25 @@ def test_inverted_index_postings(spark):
     assert got["x"].doc_freq == 2 and got["x"].total_tf == 3
     assert got["x"].postings == "1,3"  # sorted doc ids
     assert got["y"].postings == "2,3"
+
+
+def test_anchor_terms_hand_computed(spark):
+    from dads_spark.ops import anchor_terms
+
+    rows = [
+        ('<a href="https://x.com/a">big cats</a>'
+         '<a href="http://y.org/b">small cats</a>',),
+        ("<a href='https://X.com/c'>big dogs</a>no link here",),
+        ("<p>nothing</p>",),
+    ]
+    df = spark.createDataFrame(rows, "html string")
+    got = {
+        (r["dst_domain"], r["term"]): (r["n"], r["rank"])
+        for r in anchor_terms(df, "html", top_k=2).collect()
+    }
+    # x.com: big x2 (rank 1), cats/dogs x1 (rank 2 = cats on term tiebreak)
+    assert got[("x.com", "big")] == (2, 1)
+    assert got[("x.com", "cats")] == (1, 2)
+    assert ("x.com", "dogs") not in got  # rank 3 cut by top_k=2
+    assert got[("y.org", "cats")] == (1, 1)
+    assert got[("y.org", "small")] == (1, 2)
