@@ -3025,6 +3025,33 @@ def q_late_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS over the same deterministic synthetic crawl graph
+    the pagerank lane extracts (ops/linkgraph.py hits): 3 unnormalized
+    power-iteration rounds from hub=1, so scores are EXACT BIGINTs
+    (per-round normalization only rescales — rankings identical) and the
+    oracle is 3 unrolled integer join/aggregate rounds in SQL. The .org
+    hosts have no out-edges, pinning the hub-0 boundary."""
+    from dads_spark.ops import domain_edges, extract_links, hits
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example.com")).alias("src_domain"),
+        F.concat(
+            F.lit('<p><a href="https://h'),
+            ((F.col("doc_id") * 31 + 7) % 97).cast("string"),
+            F.lit('.example.com/x">l</a> <a href=\'http://h'),
+            ((F.col("doc_id") * 5 + 3) % 11).cast("string"),
+            F.lit(".org/y'>m</a></p>"),
+        ).alias("html"),
+    )
+    links = extract_links(pages, "html", "doc_id", keep=("src_domain",))
+    edges = domain_edges(links, "src_domain", "link_url")
+    return hits(edges, iterations=3)
+
+
 def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation (ops/linkgraph.py anchor_terms): top-5
     anchor terms per TARGET domain — the off-page relevance signal.
@@ -4888,6 +4915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_consistency": q_tier_consistency,
         "late_refresh": q_late_refresh,
         "anchor_text": q_anchor_text,
+        "hits_scores": q_hits_scores,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -5387,6 +5415,54 @@ def oracle_sql() -> dict[str, str]:
             FROM fullr f
             LEFT JOIN lateb l
               ON f.event_type = l.event_type AND f.b = l.b
+        """,
+        "hits_scores": """
+            WITH pages AS (
+                SELECT doc_id,
+                       'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com'
+                           AS src_domain,
+                       '<p><a href="https://h'
+                       || CAST((doc_id * 31 + 7) % 97 AS VARCHAR)
+                       || '.example.com/x">l</a> <a href=''http://h'
+                       || CAST((doc_id * 5 + 3) % 11 AS VARCHAR)
+                       || '.org/y''>m</a></p>' AS html
+                FROM documents),
+            l0 AS (
+                SELECT src_domain,
+                       unnest(regexp_extract_all(
+                           html,
+                           'href=["'']((?:https?)://[^"''\\s>]+)["'']', 1))
+                           AS link_url
+                FROM pages),
+            edges AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src_domain AS src,
+                           lower(regexp_extract(
+                               link_url, '^https?://([^/]+)', 1)) AS dst
+                    FROM l0)
+                WHERE dst IS NOT NULL AND dst <> '' AND dst <> src),
+            nodes AS (
+                SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges),
+            h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes),
+            a1 AS (SELECT dst AS node, CAST(sum(h) AS BIGINT) AS a
+                   FROM edges JOIN h0 ON h0.node = edges.src GROUP BY 1),
+            h1 AS (SELECT src AS node, CAST(sum(a) AS BIGINT) AS h
+                   FROM edges JOIN a1 ON a1.node = edges.dst GROUP BY 1),
+            a2 AS (SELECT dst AS node, CAST(sum(h) AS BIGINT) AS a
+                   FROM edges JOIN h1 ON h1.node = edges.src GROUP BY 1),
+            h2 AS (SELECT src AS node, CAST(sum(a) AS BIGINT) AS h
+                   FROM edges JOIN a2 ON a2.node = edges.dst GROUP BY 1),
+            a3 AS (SELECT dst AS node, CAST(sum(h) AS BIGINT) AS a
+                   FROM edges JOIN h2 ON h2.node = edges.src GROUP BY 1),
+            h3 AS (SELECT src AS node, CAST(sum(a) AS BIGINT) AS h
+                   FROM edges JOIN a3 ON a3.node = edges.dst GROUP BY 1)
+            SELECT n.node,
+                   CAST(coalesce(a3.a, 0) AS BIGINT) AS auth,
+                   CAST(coalesce(h3.h, 0) AS BIGINT) AS hub
+            FROM nodes n
+            LEFT JOIN a3 ON a3.node = n.node
+            LEFT JOIN h3 ON h3.node = n.node
         """,
         "anchor_text": """
             WITH pages AS (

@@ -35,6 +35,7 @@ from .linkgraph import (  # noqa: F401
     anchor_terms,
     domain_edges,
     extract_links,
+    hits,
     pagerank,
     triangle_counts,
 )

@@ -286,3 +286,64 @@ def anchor_terms(
         counted.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Kleinberg HITS hubs/authorities over the domain graph, EXACT.
+
+    Runs the power iteration UNNORMALIZED from hub_0 = 1: per-round
+    normalization in HITS only divides by scalars, so the k-round
+    normalized vector equals the unnormalized one up to a single final
+    scalar — rankings identical, and the unnormalized scores stay exact
+    BIGINTs (auth_1 is just in-degree; magnitudes grow like degree^k, so
+    3 rounds over a domain graph are nowhere near long overflow). Zero
+    float surface — bit-identical on any engine, no rounding discipline
+    needed (contrast pagerank's round-6 damping arithmetic).
+
+    auth_k(d) = sum of hub_{k-1}(s) over in-edges (s,d);
+    hub_k(s)  = sum of auth_k(d)    over out-edges (s,d).
+
+    Scale shape: every join/groupBy is keyed on the SMALL domain graph
+    (the corpus pass already happened in extract_links); lineage is cut
+    per round with localCheckpoint like pagerank. Nodes with no in-edges
+    (resp. out-edges) keep auth 0 (resp. hub 0) via the final left join.
+
+    Output: (node, auth, hub) as exact longs.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(1).cast("long").alias("h"))
+    auth = None
+    for _ in range(iterations):
+        auth = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+            .withColumnRenamed("dst", "node")
+            .localCheckpoint(eager=False)
+        )
+        hub = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .withColumnRenamed("src", "node")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce("a", F.lit(0)).alias("auth"),
+            F.coalesce("h", F.lit(0)).alias("hub"),
+        )
+    )

@@ -285,3 +285,15 @@ def test_anchor_terms_hand_computed(spark):
     assert ("x.com", "dogs") not in got  # rank 3 cut by top_k=2
     assert got[("y.org", "cats")] == (1, 1)
     assert got[("y.org", "small")] == (1, 2)
+
+
+def test_hits_hand_computed(spark):
+    """a->b, a->c, b->c: 3 unnormalized rounds give Fibonacci-flavored
+    exact integers (worked by hand: auth = {b:8, c:13}, hub = {a:21, b:13})."""
+    from dads_spark.ops import hits
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    got = {r["node"]: (r["auth"], r["hub"]) for r in hits(edges, 3).collect()}
+    assert got == {"a": (0, 21), "b": (8, 13), "c": (13, 0)}
