@@ -3025,6 +3025,28 @@ def q_late_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup (ops/bloom.py bloom_dedup): the
+    prior snapshot is docs with doc_id % 3 != 0, today's crawl is every
+    doc; a 4096-bit / 3-probe filter over the prior texts is broadcast
+    and probed map-side. Small m deliberately leaves measurable fill so
+    the false_positive status is exercised, and the audit arm classifies
+    each row exactly. All-integer double hashing from disjoint md5
+    slices — the oracle rebuilds the filter relationally as the distinct
+    set-bit position table."""
+    from dads_spark.ops import bloom_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_dedup(
+        docs,
+        docs.filter(F.col("doc_id") % 3 != 0),
+        key_col="text",
+        id_col="doc_id",
+        m_bits=4096,
+        k=3,
+    )
+
+
 def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS over the same deterministic synthetic crawl graph
     the pagerank lane extracts (ops/linkgraph.py hits): 3 unnormalized
@@ -4916,6 +4938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_refresh": q_late_refresh,
         "anchor_text": q_anchor_text,
         "hits_scores": q_hits_scores,
+        "bloom_dedup": q_bloom_dedup,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -5415,6 +5438,40 @@ def oracle_sql() -> dict[str, str]:
             FROM fullr f
             LEFT JOIN lateb l
               ON f.event_type = l.event_type AND f.b = l.b
+        """,
+        "bloom_dedup": """
+            WITH seend AS (
+              SELECT DISTINCT text AS k FROM documents WHERE doc_id % 3 <> 0),
+            ks AS (SELECT unnest(generate_series(0, 2)) AS i),
+            sh AS (
+              SELECT k,
+                     CAST(concat('0x', substring(md5(k), 1, 13)) AS BIGINT)
+                       AS h1,
+                     CAST(concat('0x', substring(md5(k), 14, 13)) AS BIGINT)
+                       * 2 + 1 AS h2
+              FROM seend),
+            spos AS (
+              SELECT DISTINCT (h1 + i * h2) % 4096 AS p
+              FROM sh CROSS JOIN ks),
+            nh AS (
+              SELECT doc_id, text AS k,
+                     CAST(concat('0x', substring(md5(text), 1, 13)) AS BIGINT)
+                       AS h1,
+                     CAST(concat('0x', substring(md5(text), 14, 13)) AS BIGINT)
+                       * 2 + 1 AS h2
+              FROM documents),
+            npos AS (
+              SELECT doc_id, k, (h1 + i * h2) % 4096 AS p
+              FROM nh CROSS JOIN ks),
+            hit AS (
+              SELECT doc_id, k, bool_and(s.p IS NOT NULL) AS bloom_hit
+              FROM npos n LEFT JOIN spos s USING (p) GROUP BY 1, 2)
+            SELECT h.doc_id, h.bloom_hit,
+                   (e.k IS NOT NULL) AS exact_seen,
+                   CASE WHEN e.k IS NOT NULL THEN 'seen'
+                        WHEN h.bloom_hit THEN 'false_positive'
+                        ELSE 'new' END AS status
+            FROM hit h LEFT JOIN seend e ON h.k = e.k
         """,
         "hits_scores": """
             WITH pages AS (

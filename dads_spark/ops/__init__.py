@@ -87,3 +87,4 @@ from .multimodal import (  # noqa: F401
     resize_media,
     sample_frames,
 )
+from .bloom import bloom_dedup  # noqa: F401
