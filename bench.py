@@ -167,9 +167,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # LM-surprisal quality, per-bucket exemplar sampling
         "burst_intervals",
         "duplicate_spans",
-        "tier_consistency",
+        # tier_consistency + bucket_sample retired r4s2 (suite cap): the
+        # former is a self-consistency audit whose tier machinery the
+        # rollup/route/snapshot lanes already time; the latter's
+        # md5-rank machinery is timed by deterministic_sample,
+        # hash_split, domain_cap and mixture_balance. Both stay in the
+        # correctness registry.
         "unigram_logprob",
-        "bucket_sample",
         "retention_downsample",
         # r3 session 3c: tier-store compaction read path + HLL distinct
         # cascade (compaction write prestaged; lanes time reads/merges)
@@ -203,6 +207,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # r4: the serving-path flagship — week/day tiers + Gorilla-decoded
         # hour fringe stitched to raw-exact totals (suite cap: 90 lanes)
         "serving_path_range",
+        # r4 session 2: late-data invalidation refresh (broadcast-pruned
+        # rescan + splice) and Bloom incremental dedup (bitmap broadcast
+        # + map-side probe)
+        "late_refresh",
+        "bloom_dedup",
     ]
     for name in suite:
         t0 = _now()

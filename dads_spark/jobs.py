@@ -296,3 +296,96 @@ class PagesRollupJob:
         if self.ran_stages:  # pure-resume reruns keep the prior metrics table
             self.metrics.write(self.ckpt.root)
         return out
+
+    def apply_late(
+        self,
+        pages: DataFrame,
+        late: DataFrame,
+        input_desc: dict,
+        late_desc: dict,
+    ) -> dict[str, DataFrame]:
+        """Late-data maintenance: the invalidation refresh of
+        rollup/refresh.py composed with the checkpoint/WAP machinery.
+
+        Refreshes ONLY the (domain, bucket) groups the late rows touch —
+        hour from a broadcast-semi pruned rescan of pages ∪ late, day
+        from the refreshed hour tier, week from the refreshed day tier —
+        and commits them as ``refresh_hour/day/week`` stages under a
+        fingerprint covering BOTH inputs, so a killed maintenance run
+        resumes like any other stage and (with a publish_root) each
+        refreshed tier goes through write-audit-publish. Output tiers
+        are bit-identical to rerunning the whole job over pages ∪ late
+        (asserted in test_jobs): untouched buckets carry the committed
+        bytes forward, touched buckets recompute from scratch.
+
+        Requires the base tiers committed (``run()`` first).
+        """
+        from .rollup.refresh import invalidation_set
+
+        fp = fingerprint(
+            {**input_desc, "late": late_desc, "params": str(self.s2g_params)}
+        )
+        facts = with_domain(pages.unionByName(late))
+        inval_h = invalidation_set(
+            with_domain(late), ["domain"], "warc_ts", "hour"
+        )
+        out: dict[str, DataFrame] = {}
+
+        def refresh_hour():
+            stale = self.ckpt.load("tier_hour")
+            touched = facts.withColumn(
+                "bucket_ts", bucket_expr("warc_ts", "hour")
+            ).join(F.broadcast(inval_h), ["domain", "bucket_ts"], "left_semi")
+            kept = stale.join(
+                F.broadcast(inval_h), ["domain", "bucket_ts"], "left_anti"
+            )
+            return kept.unionByName(
+                domain_hourly_series(touched.drop("bucket_ts", "domain"))
+            )
+
+        out["hour"] = self._stage("refresh_hour", fp, refresh_hour)
+
+        hour_metric = out["hour"].select(
+            "domain",
+            "bucket_ts",
+            F.col("doc_count").alias("doc_count"),
+            F.col("text_bytes").alias("value_sum"),
+            F.col("text_bytes").alias("value_min"),
+            F.col("text_bytes").alias("value_max"),
+        )
+
+        def refresh_cascade(src_metric, stale_name: str, to_tier: str):
+            def build():
+                stale = self.ckpt.load(stale_name)
+                inval = inval_h.select(
+                    "domain", bucket_expr("bucket_ts", to_tier)
+                ).distinct()
+                touched = (
+                    src_metric.withColumn(
+                        "_coarse", bucket_expr("bucket_ts", to_tier)
+                    )
+                    .join(
+                        F.broadcast(
+                            inval.withColumnRenamed("bucket_ts", "_coarse")
+                        ),
+                        ["domain", "_coarse"],
+                        "left_semi",
+                    )
+                    .drop("_coarse")
+                )
+                kept = stale.join(
+                    F.broadcast(inval), ["domain", "bucket_ts"], "left_anti"
+                )
+                return kept.unionByName(cascade(touched, ["domain"], to_tier))
+
+            return build
+
+        out["day"] = self._stage(
+            "refresh_day", fp, refresh_cascade(hour_metric, "tier_day", "day")
+        )
+        out["week"] = self._stage(
+            "refresh_week", fp, refresh_cascade(out["day"], "tier_week", "week")
+        )
+        if self.ran_stages:
+            self.metrics.write(self.ckpt.root)
+        return out

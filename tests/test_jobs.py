@@ -184,3 +184,41 @@ def test_text_bytes_untouched(spark, pages):
     before = text_identity_fingerprint(pages).withColumnRenamed("text_sha256", "a")
     after = text_identity_fingerprint(pages).withColumnRenamed("text_sha256", "b")
     assert before.join(after, "url").filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_apply_late_equals_full_rerun(spark, tmp_path_factory):
+    """Invalidation refresh through the job: run() on the base slice,
+    apply_late() with the held-out slice, and every refreshed tier must
+    equal a from-scratch run() over the full table — including buckets
+    that exist ONLY in the late data. Resume skips committed refreshes."""
+    root = str(tmp_path_factory.mktemp("latejob"))
+    params = S2GParams(m=20, c=6, S=30, ell=30)
+    full = pages_table(spark, 6000).cache()
+    is_late = F.crc32(F.col("url")) % 5 == 0
+    base, late = full.filter(~is_late).cache(), full.filter(is_late).cache()
+
+    job = PagesRollupJob(spark, f"{root}/a", s2g_params=params)
+    job.run(base, {"source": "base", "n": 6000})
+    refreshed = job.apply_late(
+        base, late, {"source": "base", "n": 6000}, {"slice": "late"}
+    )
+    assert {"refresh_hour", "refresh_day", "refresh_week"} <= set(
+        job.ran_stages
+    )
+
+    ref_job = PagesRollupJob(spark, f"{root}/b", s2g_params=params)
+    want = ref_job.run(full, {"source": "full", "n": 6000})
+    for tier in ("hour", "day", "week"):
+        g = refreshed[tier].orderBy("domain", "bucket_ts").toPandas()
+        w = want[tier].orderBy("domain", "bucket_ts").toPandas()
+        assert g.reset_index(drop=True).equals(w.reset_index(drop=True)), tier
+
+    # second apply_late with identical inputs is a pure resume
+    job2 = PagesRollupJob(spark, f"{root}/a", s2g_params=params)
+    job2.apply_late(
+        base, late, {"source": "base", "n": 6000}, {"slice": "late"}
+    )
+    assert {"refresh_hour", "refresh_day", "refresh_week"} <= set(
+        job2.skipped_stages
+    )
+    assert not job2.ran_stages
