@@ -3318,6 +3318,25 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming online anomaly (streaming/stateful.py
+    streaming_zscore): each event scored against all PRIOR events of its
+    type via the all-integer rearrangement (n*x - s)^2 > k^2(n*q - s^2)
+    of the z-score test — Welford state without the division, three
+    longs per key, zero float surface. The oracle is the batch running-
+    window-sum formulation; hash equality proves the incremental state
+    machine is bit-identical to the batch recurrence (the second
+    applyInPandasWithState operator beside sessionize/SCD2)."""
+    import hashlib as _hl
+
+    from dads_spark.streaming import run_zscore_stream
+
+    src = _events_stream_src(spark, sf_dir)
+    schema = _t(spark, sf_dir, "events").schema
+    qname = f"q_zs_{_hl.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    return run_zscore_stream(spark, src, schema, query_name=qname)
+
+
 def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream INNER join: the purchases stream joined to
     the clicks stream on user + event-time range (click strictly within the
@@ -4939,6 +4958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "hits_scores": q_hits_scores,
         "bloom_dedup": q_bloom_dedup,
+        "streaming_zscore": q_streaming_zscore,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -5438,6 +5458,24 @@ def oracle_sql() -> dict[str, str]:
             FROM fullr f
             LEFT JOIN lateb l
               ON f.event_type = l.event_type AND f.b = l.b
+        """,
+        "streaming_zscore": """
+            WITH e AS (
+              SELECT event_id, event_type, user_id % 997 AS x, ts
+              FROM events),
+            r AS (
+              SELECT event_id, event_type, x,
+                     CAST(count(*) OVER w - 1 AS BIGINT) AS n_prev,
+                     CAST(sum(x) OVER w - x AS BIGINT) AS s_prev,
+                     CAST(sum(x * x) OVER w - x * x AS BIGINT) AS q_prev
+              FROM e
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW))
+            SELECT event_id, event_type, CAST(x AS BIGINT) AS x, n_prev,
+                   (n_prev * x - s_prev) * (n_prev * x - s_prev)
+                     > 9 * (n_prev * q_prev - s_prev * s_prev) AS is_outlier
+            FROM r WHERE n_prev >= 30
         """,
         "bloom_dedup": """
             WITH seend AS (

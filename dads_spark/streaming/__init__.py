@@ -17,8 +17,10 @@ from .windowed import (  # noqa: F401
 from .stateful import (  # noqa: F401
     run_scd2_stream,
     run_sessionize_stream,
+    run_zscore_stream,
     streaming_scd2,
     streaming_sessionize,
+    streaming_zscore,
 )
 from .backfill import (  # noqa: F401
     read_backfill_tier,

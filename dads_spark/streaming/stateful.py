@@ -254,3 +254,127 @@ def run_scd2_stream(
         q.processAllAvailable()
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+#: emitted rows: one per scored event past the warm-up
+ZSCORE_SCHEMA = (
+    "event_id long, event_type string, x long, n_prev long, "
+    "is_outlier boolean"
+)
+#: per-key running counters — three exact integers
+ZSCORE_STATE_SCHEMA = "n long, s long, q long"
+
+
+def streaming_zscore(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    x_col: str = "x",
+    min_n: int = 30,
+    k2: int = 9,
+) -> DataFrame:
+    """Online per-key z-score anomaly flags with EXACT INTEGER state.
+
+    Each event is scored against the statistics of every PRIOR event of
+    its key (prior by event time, ties on event_id): outlier iff
+    ``(x - mean)^2 > k^2 * var``, which over integer observations
+    rearranges to the all-integer test
+
+        (n*x - s)^2  >  k^2 * (n*q - s^2)        [n = count, s = sum,
+                                                  q = sum of squares]
+
+    so the streaming result is bit-identical to the batch window-sum
+    formulation — no float recurrence, no cross-engine surface. State is
+    three longs per key (Welford without the division); emission is
+    per-batch append, so a bounded time-ordered backlog reproduces the
+    batch oracle exactly. Events during the warm-up (fewer than
+    ``min_n`` priors) are not emitted.
+
+    The 100 TB shape: state size is O(keys), each batch does one
+    vectorized cumsum per key — the same cost profile as the stateless
+    streaming rollups, plus three integers of state.
+    """
+    from pyspark.sql import functions as F
+
+    import numpy as np
+
+    ev = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .select(
+            F.col(key_col).alias("_k"),
+            F.unix_micros(F.col(ts_col)).alias("_us"),
+            F.col(x_col).cast("long").alias("_x"),
+            F.col("event_id").alias("_eid"),
+        )
+    )
+
+    def score(key, pdfs, state: GroupState):
+        (k,) = key
+        if state.hasTimedOut:  # NoTimeout: unreachable, kept for clarity
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs)).sort_values(["_us", "_eid"])
+        n0, s0, q0 = state.get if state.exists else (0, 0, 0)
+        x = pdf["_x"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(x)
+        cum2 = np.cumsum(x * x)
+        n_prev = n0 + np.arange(len(x), dtype=np.int64)
+        s_prev = s0 + np.concatenate(([0], cum[:-1]))
+        q_prev = q0 + np.concatenate(([0], cum2[:-1]))
+        lhs = (n_prev * x - s_prev) ** 2
+        rhs = k2 * (n_prev * q_prev - s_prev * s_prev)
+        keep = n_prev >= min_n
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["_eid"].to_numpy()[keep],
+                "event_type": k,
+                "x": x[keep],
+                "n_prev": n_prev[keep],
+                "is_outlier": (lhs > rhs)[keep],
+            }
+        )
+        state.update(
+            (int(n0 + len(x)), int(s0 + cum[-1]) if len(x) else s0,
+             int(q0 + cum2[-1]) if len(x) else q0)
+        )
+        if len(out):
+            yield out
+
+    return ev.groupBy("_k").applyInPandasWithState(
+        score,
+        ZSCORE_SCHEMA,
+        ZSCORE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_zscore_stream(
+    spark,
+    source_path: str,
+    schema,
+    query_name: str = "zscore_stream",
+    state_partitions: int | None = 8,
+    x_expr: str = "user_id % 997",
+) -> DataFrame:
+    """Drive a bounded backlog through the stateful z-scorer (memory sink,
+    append mode) and return every emitted row."""
+    from pyspark.sql import functions as F
+
+    from .windowed import sized_state_partitions
+
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(source_path)
+        .withColumn("x", F.expr(x_expr))
+    )
+    scored = streaming_zscore(stream)
+    with sized_state_partitions(spark, state_partitions):
+        q = (
+            scored.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

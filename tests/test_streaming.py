@@ -192,3 +192,86 @@ def test_streaming_hopping_topk_matches_batch(spark, tmp_path):
     assert len(a) == len(b) and len(a) > 0
     assert (a["event_type"].to_numpy() == b["event_type"].to_numpy()).all()
     assert (a["n"].to_numpy() == b["n"].to_numpy()).all()
+
+
+def test_streaming_zscore_two_batches_matches_batch(spark, tmp_path):
+    """The integer z-score state machine carries (n, s, q) across
+    micro-batches: two time-ordered batches must reproduce the batch
+    running-window formulation exactly (exact integers — `==`, no
+    tolerance)."""
+    import numpy as np
+    import pandas as pd
+
+    from dads_spark.streaming import streaming_zscore
+
+    rng = np.random.default_rng(5)
+    n = 400
+    ts = pd.to_datetime(1_700_000_000 + np.arange(n) * 60, unit="s")
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b"], n),
+            "ts": ts,
+            "x": rng.integers(0, 50, n).astype("int64"),
+        }
+    )
+    # plant an extreme value late in each key's sequence
+    pdf.loc[n - 3, "x"] = 5000
+    pdf.loc[n - 2, "x"] = 5000
+    src = str(tmp_path / "zs_src")
+    schema = "event_id long, event_type string, ts timestamp, x long"
+    half = n // 2  # time-ordered split: batch 1 = first half
+    spark.createDataFrame(pdf.iloc[:half], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    q = (
+        streaming_zscore(stream, min_n=20)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_zscore_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(pdf.iloc[half:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM t_zscore_stream")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    # batch reference: running sums per key in (ts, event_id) order
+    want_rows = []
+    for k, g in pdf.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        x = g["x"].to_numpy()
+        cn = np.arange(len(x), dtype=np.int64)
+        cs = np.concatenate(([0], np.cumsum(x)[:-1]))
+        cq = np.concatenate(([0], np.cumsum(x * x)[:-1]))
+        flag = (cn * x - cs) ** 2 > 9 * (cn * cq - cs * cs)
+        keep = cn >= 20
+        for eid, xi, ni, fi in zip(
+            g["event_id"].to_numpy()[keep], x[keep], cn[keep], flag[keep]
+        ):
+            want_rows.append((eid, k, xi, ni, fi))
+    want = (
+        pd.DataFrame(
+            want_rows,
+            columns=["event_id", "event_type", "x", "n_prev", "is_outlier"],
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    assert (got["n_prev"].to_numpy() == want["n_prev"].to_numpy()).all()
+    assert (got["is_outlier"].to_numpy() == want["is_outlier"].to_numpy()).all()
+    # the planted spikes must be flagged
+    spikes = got[got["x"] == 5000]
+    assert len(spikes) == 2 and spikes["is_outlier"].all()
