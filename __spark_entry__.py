@@ -4349,6 +4349,150 @@ def q_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_sample(ev, ["event_type"], "ts", "event_id", k=5)
 
 
+def _stage_weblines(sf_dir: str) -> str:
+    """Derive a deterministic multi-line web-text corpus from the documents
+    table for the line-level quality-filter gates. The synthetic documents
+    are single-line and punctuation-free, so the C4/Gopher line rules would
+    be degenerate over them raw; this reshapes each doc into 7-token lines
+    and plants every feature the rules key on — terminal punctuation (2 of
+    3 lines), bullet prefixes (doc_id%7), '...' suffixes (doc_id%11),
+    javascript boilerplate (doc_id%13), 'Lorem Ipsum' (doc_id%17), '{'
+    code lines (doc_id%19), '#' headings (doc_id%23) — all pure arithmetic
+    on (doc_id, line index), no RNG. Rewritten on every owning-query call
+    at the FIXED dump path (the staged-oracle convention: never serves a
+    stale sf) as BOTH engines' input: the Spark query and the DuckDB
+    oracle read the same parquet, so the gate pins the operator, not the
+    derivation."""
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    path = _dump_path("weblines_src")
+    t = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    ids, texts, langs = [], [], []
+    for did, text, lang in zip(
+        t.column("doc_id").to_pylist(),
+        t.column("text").to_pylist(),
+        t.column("lang").to_pylist(),
+    ):
+        toks = text.split(" ")
+        lines = []
+        for li, i in enumerate(range(0, len(toks), 7)):
+            chunk = " ".join(toks[i : i + 7])
+            r = (did + li) % 3
+            if r == 1:
+                chunk += "."
+            elif r == 2:
+                chunk += "!"
+            if did % 7 == 0 and li == 1:
+                chunk = "- " + chunk
+            if did % 11 == 0 and li % 4 == 2:
+                chunk += "..."
+            if did % 13 == 0 and li == 0:
+                chunk = "please enable javascript to view this page."
+            if did % 23 == 0 and li == 0:
+                chunk = "# " + chunk
+            lines.append(chunk)
+        if did % 17 == 0:
+            lines.append("Lorem Ipsum dolor sit amet.")
+        if did % 19 == 0:
+            lines.append("function() { return; }")
+        ids.append(did)
+        texts.append("\n".join(lines))
+        langs.append(lang)
+    tbl = _pa.table(
+        {
+            "doc_id": _pa.array(ids, _pa.int64()),
+            "text": _pa.array(texts, _pa.string()),
+            "lang": _pa.array(langs, _pa.string()),
+        }
+    )
+    tmp = path + ".tmp"
+    _pq.write_table(tbl, tmp)
+    _os.replace(tmp, path)
+    return path
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality heuristics (Rae et al. 2021 A1.1) over the
+    staged multi-line corpus: per-doc boolean flags for word-count bounds,
+    mean-word-length sandwich, symbol ratio, bullet/ellipsis line ratios,
+    alpha-word ratio, required stopwords, and the composed keep decision —
+    every rule an INTEGER inequality folded into one codegen projection
+    over the scan (map-only at 100 TB). min_words=20 so the bound bisects
+    the 10..99-word synthetic docs."""
+    from dads_spark.ops import gopher_rules
+
+    docs = spark.read.parquet(_stage_weblines(sf_dir))
+    return gopher_rules(docs, min_words=20)
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over the staged
+    multi-line corpus: keep lines ending in terminal punctuation with >=5
+    words and no 'javascript'; drop docs with <3 surviving lines, 'lorem
+    ipsum', or '{'. Emits the byte-exact re-joined clean_text per doc —
+    the same per-url text invariant the WARC extractor keeps. Map-only:
+    array higher-order functions in one codegen projection."""
+    from dads_spark.ops import c4_clean
+
+    docs = spark.read.parquet(_stage_weblines(sf_dir))
+    return c4_clean(docs)
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality terciles per language (Wenzek
+    et al. 2020): rank docs by corpus-unigram surprisal (integer
+    micro-units) WITHIN each language, ntile(3). Ordering key is
+    (avg_neglp_q6, doc_id) — total and integer, so the split is exact on
+    any engine; one shuffle keyed by language."""
+    from dads_spark.ops import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup embedding-space near-dup removal (Abbas et al. 2023):
+    spherical-k-means cluster the corpus, compare pairs only WITHIN a
+    cluster, drop each doc with a lower-id near-duplicate above the
+    cosine threshold (smallest-witness keep-first rule). Cluster id
+    bounds the candidate set exactly as the LSH band bucket does — no
+    all-pairs path. tau is tuned to the synthetic embedding spread
+    (max inter-doc cosine ~0.51) so the gate exercises real drops;
+    the library default stays at the paper's ~0.95 regime."""
+    from dads_spark.ops import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    if t.num_rows <= _ORACLE_MAX_DOCS:
+        import numpy as _np2
+
+        from dads_spark.oracles import semdedup_oracle
+
+        pdf = t.to_pandas()
+        rows = semdedup_oracle(
+            pdf["vec_id"].to_numpy(),
+            _np2.array(list(pdf["embedding"]), dtype=_np2.float64),
+            tau_q6=400_000,
+            n_clusters=8,
+        )
+        _write_dump(
+            "semdedup_oracle",
+            {
+                "vec_id": [r[0] for r in rows],
+                "cluster": [r[1] for r in rows],
+                "dropped": [r[2] for r in rows],
+                "witness_id": [r[3] for r in rows],
+            },
+        )
+    return semdedup(emb, tau_q6=400_000, n_clusters=8)
+
+
 def _stage_compact_hour(spark: SparkSession, sf_dir: str) -> str:
     """Compact the hour tier once per data fingerprint into the owned stage
     root (rollup/compact.py bin-packed range-clustered rewrite); shared by
@@ -4959,6 +5103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "bloom_dedup": q_bloom_dedup,
         "streaming_zscore": q_streaming_zscore,
+        "gopher_rules": q_gopher_rules,
+        "c4_clean": q_c4_clean,
+        "perplexity_buckets": q_perplexity_buckets,
+        "semdedup": q_semdedup,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -8084,5 +8232,112 @@ def oracle_sql() -> dict[str, str]:
     d["kmeans_clusters"] = f"""
         SELECT vec_id, cluster, sim_q6
         FROM read_parquet('{_dump_path("kmeans_oracle")}')
+    """
+    # Gopher quality flags over the staged multi-line corpus: every rule an
+    # integer inequality, mirrored expression-for-expression (LIKE prefixes
+    # = startswith; (L - len(replace))/3 is exactly integral so the BIGINT
+    # cast agrees across DuckDB round / Spark truncate).
+    d["gopher_rules"] = f"""
+        WITH b AS (
+          SELECT doc_id, text,
+                 string_split(text, ' ') AS toks,
+                 string_split(text, chr(10)) AS lns,
+                 length(text) AS l,
+                 length(replace(text, '#', '')) AS lh,
+                 length(replace(text, '...', '')) AS le
+          FROM read_parquet('{_dump_path("weblines_src")}')),
+        m AS (
+          SELECT doc_id,
+                 len(toks) AS n_words,
+                 l - (len(toks) - 1) AS swc,
+                 CAST((l - lh) + (l - le) / 3 AS BIGINT) AS n_symbols,
+                 len(lns) AS n_lines,
+                 len(list_filter(lns, x -> x LIKE '- %' OR x LIKE '* %'
+                                        OR x LIKE '• %')) AS n_bullet,
+                 len(list_filter(lns, x -> x LIKE '%...')) AS n_ell,
+                 len(list_filter(toks,
+                                 x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                 (CAST(list_contains(toks, 'the') AS INT)
+                  + CAST(list_contains(toks, 'be') AS INT)
+                  + CAST(list_contains(toks, 'to') AS INT)
+                  + CAST(list_contains(toks, 'of') AS INT)
+                  + CAST(list_contains(toks, 'and') AS INT)
+                  + CAST(list_contains(toks, 'that') AS INT)
+                  + CAST(list_contains(toks, 'have') AS INT)
+                  + CAST(list_contains(toks, 'with') AS INT)) AS sw
+          FROM b)
+        SELECT doc_id, n_words,
+               (n_words >= 20 AND n_words <= 100000) AS flag_word_count,
+               (swc >= 3 * n_words AND swc <= 10 * n_words)
+                   AS flag_mean_word_len,
+               (10 * n_symbols <= n_words) AS flag_symbol_ratio,
+               (10 * n_bullet < 9 * n_lines) AS flag_bullet_lines,
+               (10 * n_ell <= 3 * n_lines) AS flag_ellipsis_lines,
+               (5 * n_alpha >= 4 * n_words) AS flag_alpha_words,
+               (sw >= 2) AS flag_stopwords,
+               ((n_words >= 20 AND n_words <= 100000)
+                AND (swc >= 3 * n_words AND swc <= 10 * n_words)
+                AND (10 * n_symbols <= n_words)
+                AND (10 * n_bullet < 9 * n_lines)
+                AND (10 * n_ell <= 3 * n_lines)
+                AND (5 * n_alpha >= 4 * n_words)
+                AND (sw >= 2)) AS keep
+        FROM m
+    """
+    d["c4_clean"] = f"""
+        WITH b AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS lns
+          FROM read_parquet('{_dump_path("weblines_src")}')),
+        k AS (
+          SELECT doc_id, text, len(lns) AS n_lines,
+                 list_filter(lns, x ->
+                     (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?'
+                      OR x LIKE '%"')
+                     AND len(string_split(x, ' ')) >= 5
+                     AND NOT contains(lower(x), 'javascript')) AS kept
+          FROM b)
+        SELECT doc_id, n_lines, len(kept) AS n_kept_lines,
+               (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{{')) AS keep_doc,
+               COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+        FROM k
+    """
+    # CCNet terciles: the unigram_logprob CTE chain + per-language ntile on
+    # the integer (avg_neglp_q6, doc_id) key — ANSI ntile on both engines.
+    d["perplexity_buckets"] = """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        dt AS (SELECT doc_id, w, count(*) AS dc FROM tok GROUP BY 1, 2),
+        v AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+        tot AS (SELECT count(*) AS t FROM tok),
+        nl AS (
+          SELECT w,
+                 CAST(floor(-ln(cw / CAST(t AS DOUBLE)) * 1e6 + 0.5)
+                      AS BIGINT) AS neglp_q6
+          FROM v, tot),
+        s AS (
+          SELECT doc_id,
+                 CAST(floor(sum(dc * neglp_q6)
+                            / CAST(sum(dc) AS DOUBLE) + 0.5) AS BIGINT)
+                     AS avg_neglp_q6
+          FROM dt JOIN nl USING (w) GROUP BY 1),
+        j AS (
+          SELECT s.doc_id, d.lang, s.avg_neglp_q6
+          FROM s JOIN documents d USING (doc_id)),
+        r AS (
+          SELECT doc_id, lang, avg_neglp_q6,
+                 ntile(3) OVER (PARTITION BY lang
+                                ORDER BY avg_neglp_q6, doc_id) AS bucket
+          FROM j)
+        SELECT doc_id, lang, avg_neglp_q6, bucket,
+               CASE WHEN bucket = 1 THEN 'head'
+                    WHEN bucket = 3 THEN 'tail'
+                    ELSE 'middle' END AS bucket_name
+        FROM r
+    """
+    d["semdedup"] = f"""
+        SELECT vec_id, cluster, dropped, witness_id
+        FROM read_parquet('{_dump_path("semdedup_oracle")}')
     """
     return d

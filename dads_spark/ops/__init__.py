@@ -13,6 +13,12 @@ from .dedup import (  # noqa: F401
     simhash64,
     simhash_near_pairs,
 )
+from .quality import (  # noqa: F401
+    c4_clean,
+    gopher_rules,
+    perplexity_buckets,
+    semdedup,
+)
 from .components import (  # noqa: F401
     connected_components,
     dedup_by_cluster,

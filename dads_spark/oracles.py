@@ -537,6 +537,45 @@ def kmeans_assign_oracle(
     return [(int(i), int(c), int(s)) for i, c, s in zip(ids, cl, q)]
 
 
+def semdedup_oracle(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    tau_q6: int = 950_000,
+    n_clusters: int = 8,
+    sample_size: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+):
+    """Local mirror of the SemDeDup pass: the kmeans_assign_oracle trainer
+    spec for cluster assignment, then within every cluster drop each id
+    that has a LOWER-id member at quantized cosine >= tau_q6, witnessing
+    the smallest such id. Returns (id, cluster, dropped, witness_or_None)
+    rows — a pure function of the input set."""
+    ids = np.asarray(ids, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    vecs = np.asarray(vecs, dtype=np.float64)[order]
+    assign = {
+        i: c for i, c, _ in kmeans_assign_oracle(
+            ids, vecs, n_clusters, sample_size, kmeans_iters, seed
+        )
+    }
+    mat = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+    rows = []
+    for c in sorted(set(assign.values())):
+        idx = np.array([k for k, i in enumerate(ids) if assign[int(i)] == c])
+        sub = mat[idx]
+        cos_q6 = np.floor(sub @ sub.T * 1e6 + 0.5).astype(np.int64)
+        cids = ids[idx]
+        for p in range(len(cids)):
+            hits = np.nonzero(cos_q6[p, :p] >= tau_q6)[0]
+            if len(hits):
+                rows.append((int(cids[p]), int(c), True, int(cids[hits[0]])))
+            else:
+                rows.append((int(cids[p]), int(c), False, None))
+    return rows
+
+
 def ann_lsh_oracle(
     ids: np.ndarray,
     vecs: np.ndarray,
