@@ -4493,6 +4493,108 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, tau_q6=400_000, n_clusters=8)
 
 
+def _oracle_merges(sf_dir: str, n_merges: int = 24) -> list:
+    """Scalar-BPE merge list for the gate corpus (cached per sf fingerprint
+    in-process): shared by the train dump and the encode queries."""
+    import pyarrow.parquet as _pq
+
+    from dads_spark.oracles import bpe_train_oracle
+
+    key = _stage_key(sf_dir)
+    cached = _ORACLE_MERGE_CACHE.get(key)
+    if cached is None:
+        texts = (
+            _pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+            .column("text")
+            .to_pylist()
+        )
+        cached = bpe_train_oracle(texts, n_merges=n_merges)
+        _ORACLE_MERGE_CACHE[key] = cached
+    return cached
+
+
+_ORACLE_MERGE_CACHE: dict = {}
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): one
+    corpus-sized word-count shuffle, then every merge iteration runs on
+    the DISTINCT-WORD table only (vocab-sized — the 100 TB shape), pair
+    argmax tie-broken (count DESC, pair ASC) on exact integers so the
+    learned merge table is partition-invariant. Gated bit-for-bit
+    against the scalar Sennrich mirror (oracles.bpe_train_oracle)."""
+    from dads_spark.ops import bpe_train
+
+    rows = _oracle_merges(sf_dir)
+    _write_dump(
+        "bpe_train_oracle",
+        {
+            "rank": [r[0] for r in rows],
+            "left": [r[1] for r in rows],
+            "right": [r[2] for r in rows],
+            "merged": [r[3] for r in rows],
+            "pair_count": [r[4] for r in rows],
+        },
+    )
+    out = bpe_train(_t(spark, sf_dir, "documents"), n_merges=24)
+    return out.select(
+        F.col("rank").cast("long"),
+        "left",
+        "right",
+        "merged",
+        "pair_count",
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding with a learned merge list: map-only, zero shuffles —
+    each merge rank is one Catalyst aggregate-fold layer over per-word
+    symbol arrays (greedy leftmost non-overlap), emitting token counts +
+    the chars-per-token fertility ratio in integer micro-units. The
+    merge list is the scalar-oracle-trained one (itself pinned
+    bit-for-bit by the bpe_train gate), so this lane isolates ENCODE."""
+    import pyarrow.parquet as _pq
+
+    from dads_spark.oracles import bpe_encode_oracle
+    from dads_spark.ops import bpe_encode
+
+    merges = [(r[1], r[2]) for r in _oracle_merges(sf_dir)]
+    t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if t.num_rows <= _ORACLE_MAX_DOCS * 5:  # linear scalar mirror: cheap
+        rows = bpe_encode_oracle(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist(), merges
+        )
+        _write_dump(
+            "bpe_encode_oracle",
+            {
+                "doc_id": [r[0] for r in rows],
+                "n_words": [r[1] for r in rows],
+                "n_chars": [r[2] for r in rows],
+                "n_bpe_tokens": [r[3] for r in rows],
+                "compression_q6": [r[4] for r in rows],
+            },
+        )
+    out = bpe_encode(_t(spark, sf_dir, "documents"), merges)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long"),
+        "n_chars",
+        "n_bpe_tokens",
+        "compression_q6",
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining over adjacent token pairs (Church & Hanks
+    1990): one corpus explode+count shuffle builds the bigram table; both
+    margins re-aggregate that skinny table. pmi_q6 uses the sum-of-logs
+    form (no BIGINT product overflow at web scale), identical expression
+    in the DuckDB oracle."""
+    from dads_spark.ops import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5)
+
+
 def _stage_compact_hour(spark: SparkSession, sf_dir: str) -> str:
     """Compact the hour tier once per data fingerprint into the owned stage
     root (rollup/compact.py bin-packed range-clustered rewrite); shared by
@@ -5107,6 +5209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "perplexity_buckets": q_perplexity_buckets,
         "semdedup": q_semdedup,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "pmi_collocations": q_pmi_collocations,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -8339,5 +8444,33 @@ def oracle_sql() -> dict[str, str]:
     d["semdedup"] = f"""
         SELECT vec_id, cluster, dropped, witness_id
         FROM read_parquet('{_dump_path("semdedup_oracle")}')
+    """
+    d["bpe_train"] = f"""
+        SELECT "rank", "left", "right", merged, pair_count
+        FROM read_parquet('{_dump_path("bpe_train_oracle")}')
+    """
+    d["bpe_encode"] = f"""
+        SELECT doc_id, n_words, n_chars, n_bpe_tokens, compression_q6
+        FROM read_parquet('{_dump_path("bpe_encode_oracle")}')
+    """
+    # PMI in sum-of-logs form — the identical expression the Spark side
+    # evaluates, over the same exact integer counts
+    d["pmi_collocations"] = """
+        WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        pairs AS (
+          SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS p
+          FROM tok),
+        b0 AS (SELECT p[1] AS w1, p[2] AS w2 FROM pairs),
+        b AS (SELECT w1, w2, count(*) AS n_xy FROM b0
+              WHERE length(w1) > 0 AND length(w2) > 0 GROUP BY 1, 2),
+        tot AS (SELECT sum(n_xy) AS t FROM b),
+        l AS (SELECT w1, sum(n_xy) AS n_x FROM b GROUP BY 1),
+        r AS (SELECT w2, sum(n_xy) AS n_y FROM b GROUP BY 1)
+        SELECT b.w1, b.w2, b.n_xy,
+               CAST(floor((ln(CAST(n_xy AS DOUBLE)) + ln(CAST(t AS DOUBLE))
+                    - ln(CAST(n_x AS DOUBLE)) - ln(CAST(n_y AS DOUBLE)))
+                    * 1e6 + 0.5) AS BIGINT) AS pmi_q6
+        FROM b JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+        WHERE n_xy >= 5
     """
     return d

@@ -13,6 +13,11 @@ from .dedup import (  # noqa: F401
     simhash64,
     simhash_near_pairs,
 )
+from .bpe import (  # noqa: F401
+    bpe_encode,
+    bpe_train,
+    word_frequencies,
+)
 from .quality import (  # noqa: F401
     c4_clean,
     gopher_rules,
@@ -28,6 +33,7 @@ from .textstats import (  # noqa: F401
     inverted_index,
     bigram_logprob,
     language_id,
+    pmi_collocations,
     repetition_stats,
     text_quality,
     token_counts,

@@ -500,3 +500,59 @@ def bigram_logprob(
             "CAST(floor(sum(dc * neglp_q6) / CAST(sum(dc) AS DOUBLE) + 0.5) AS BIGINT)"
         ).alias("avg_neglp_q6"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining over adjacent token
+    pairs (Church & Hanks 1990) — the phrase/multi-word-expression detector
+    tokenizer and corpus-analysis pipelines run before vocabulary design.
+
+    PMI(x,y) = ln p(x,y) - ln p(x·) - ln p(·y) over the corpus bigram
+    distribution, emitted as pmi_q6 = floor(PMI * 1e6 + 0.5) computed in
+    the SUM-OF-LOGS form ``ln n_xy + ln T - ln n_x - ln n_y``: every term
+    is the ln of an exact BIGINT count (exact in double to 2^53), so the
+    expression never forms the n_xy*T product that would overflow BIGINT
+    at web scale, and the identical expression runs on any engine.
+
+    Scale shape: ONE corpus-sized explode+count shuffle builds the bigram
+    table; both margins (x as left, y as right) are re-aggregations of
+    that skinny table, joined back on its own keys — the corpus is
+    touched once. min_count prunes the hapax tail before the joins.
+
+    Returns (w1, w2, n_xy, pmi_q6), one row per surviving bigram.
+    """
+    pairs = F.expr(
+        f"slice(transform(split({text_col}, ' '), (x, i) -> "
+        f"struct(x AS w1, get(split({text_col}, ' '), i + 1) AS w2)), "
+        f"1, greatest(size(split({text_col}, ' ')) - 1, 0))"
+    )
+    bg = (
+        docs.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .where((F.length("w1") > 0) & (F.length("w2") > 0))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        # materialize the skinny bigram table so the margins re-aggregate
+        # IT rather than re-exploding the corpus (without this the three
+        # consumers each rebuild the explode subtree — measured: 3
+        # Generate nodes in the plan; audit A41 pins it at 1)
+        .localCheckpoint(eager=True)
+    )
+    total = bg.agg(F.sum("n_xy")).collect()[0][0]  # one scalar sync
+    left = bg.groupBy("w1").agg(F.sum("n_xy").alias("n_x"))
+    right = bg.groupBy("w2").agg(F.sum("n_xy").alias("n_y"))
+    pmi = F.expr(
+        f"CAST(floor((ln(CAST(n_xy AS DOUBLE)) + ln(CAST({total} AS DOUBLE)) "
+        "- ln(CAST(n_x AS DOUBLE)) - ln(CAST(n_y AS DOUBLE))) * 1e6 + 0.5) "
+        "AS BIGINT)"
+    )
+    return (
+        bg.where(F.col("n_xy") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .select("w1", "w2", "n_xy", pmi.alias("pmi_q6"))
+    )

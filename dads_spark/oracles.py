@@ -576,6 +576,71 @@ def semdedup_oracle(
     return rows
 
 
+def bpe_train_oracle(texts, n_merges: int = 30, min_pair_count: int = 2):
+    """Scalar mirror of ops/bpe.py bpe_train: classic Sennrich BPE over the
+    whitespace word-frequency table, argmax tie-break (count DESC, left
+    ASC, right ASC), greedy leftmost non-overlapping merge application.
+    Returns [(rank, left, right, merged, pair_count)]."""
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wc[w] += 1
+    vocab = {w: list(w) for w in wc}
+    learned = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            c = wc[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (lv, rv), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        learned.append((rank, lv, rv, lv + rv, int(n)))
+        for w, syms in vocab.items():
+            vocab[w] = _bpe_merge_once(syms, lv, rv)
+    return learned
+
+
+def _bpe_merge_once(syms, lv, rv):
+    out = []
+    for x in syms:
+        if out and out[-1] == lv and x == rv:
+            out[-1] = lv + rv
+        else:
+            out.append(x)
+    return out
+
+
+def bpe_encode_oracle(ids, texts, merges):
+    """Scalar mirror of ops/bpe.py bpe_encode. Returns
+    [(id, n_words, n_chars, n_bpe_tokens, compression_q6)]."""
+    import math
+
+    rows = []
+    for did, t in zip(ids, texts):
+        wsyms = [list(w) for w in t.split(" ") if w]
+        for lv, rv in merges:
+            wsyms = [_bpe_merge_once(s, lv, rv) for s in wsyms]
+        n_chars = sum(len(x) for s in wsyms for x in s)
+        n_tok = sum(len(s) for s in wsyms)
+        rows.append(
+            (
+                int(did),
+                len(wsyms),
+                n_chars,
+                n_tok,
+                int(math.floor(1e6 * n_chars / n_tok + 0.5)) if n_tok else 0,
+            )
+        )
+    return rows
+
+
 def ann_lsh_oracle(
     ids: np.ndarray,
     vecs: np.ndarray,

@@ -730,6 +730,67 @@ def main() -> None:
                   if "Join" in l or "Exchange" in l)[:600],
     ))
 
+    # --- A39: Gopher + C4 quality filters — map-only, zero Exchange ---------
+    for qname in ("gopher_rules", "c4_clean"):
+        pq_ = plan_of(em.queries()[qname](spark, sf_dir))
+        assert "Exchange" not in pq_, f"{qname} plan contains a shuffle"
+        for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+            assert py_op not in pq_, f"{qname} plan contains {py_op}"
+    sections.append((
+        "A39 gopher_rules / c4_clean: whole rule suite is one map-only projection",
+        "PASS — all seven Gopher integer-inequality flags and the C4 "
+        "line-level keep/re-join fold into a single shuffle-free, "
+        "Python-free projection over the scan: the corpus-wide quality "
+        "pass at 100 TB costs exactly one read",
+        "\n".join(l for l in pq_.splitlines() if "(1)" in l or "Project" in l)[:300],
+    ))
+
+    # --- A40: BPE encode — merge layers stay map-only -----------------------
+    from dads_spark.ops import bpe_encode as _bpe_encode
+
+    p40 = plan_of(
+        _bpe_encode(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            [("t", "h"), ("th", "e"), ("a", "n")],
+        )
+    )
+    assert "Exchange" not in p40, "bpe_encode plan contains a shuffle"
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py_op not in p40, f"bpe_encode plan contains {py_op}"
+    sections.append((
+        "A40 bpe_encode: every merge rank is a map-only aggregate-fold layer",
+        "PASS — encoding with a learned merge list is zero-shuffle and "
+        "Python-free: each rank wraps the symbol arrays in one more "
+        "Catalyst fold, so tokenizing the corpus is a single projection "
+        "pipeline over the scan regardless of merge count",
+        "\n".join(l for l in p40.splitlines() if "Project" in l or "Scan" in l)[:300],
+    ))
+
+    # --- A41: PMI — corpus exploded once, margins reaggregate the skinny bg --
+    p41 = plan_of(em.queries()["pmi_collocations"](spark, sf_dir))
+    n_gen = sum(
+        1 for l in p41.splitlines()
+        if re.fullmatch(r"\(\d+\) Generate(Exec)?", l.strip())
+    )
+    # the corpus explode must NOT appear in the consumer plan: the bigram
+    # table is checkpoint-materialized once, and margins/joins re-aggregate
+    # that skinny relation (without the checkpoint this plan showed THREE
+    # Generate nodes — the corpus re-exploded per consumer)
+    assert n_gen == 0, f"pmi_collocations re-explodes the corpus: {n_gen}"
+    assert "ExistingRDD" in p41 or "LocalTableScan" in p41
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py_op not in p41, f"pmi plan contains {py_op}"
+    sections.append((
+        "A41 pmi_collocations: one corpus explode; margins re-aggregate the bigram table",
+        "PASS — the exploded (w1,w2) count table is materialized once "
+        "(localCheckpoint; map-side partial agg on the way in); both PMI "
+        "margins, the total, and the final join consume that vocab-sized "
+        "relation — zero Generate nodes in the consumer plan, so corpus "
+        "cost is one scan + one shuffle at any scale",
+        "\n".join(l for l in p41.splitlines()
+                  if "Generate" in l or "Exchange" in l or "HashAggregate" in l)[:600],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
