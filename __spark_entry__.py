@@ -4595,6 +4595,30 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5)
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick downsample per (event_type, hour): open/close are
+    the first/last value under the TOTAL (ts, event_id) order via
+    min_by/max_by on a struct key — one map-side-partial hash aggregate,
+    no window, no sort; integer-div epoch bucketing."""
+    from dads_spark.rollup import ohlc_bars
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc_bars(ev, ["event_type"], "ts", "value", "event_id")
+
+
+_PHRASE = ["slow", "hash", "batch"]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase query over positional postings: contains() prefilter
+    (scan-level, pushes to the reader) shrinks the corpus to candidate
+    docs, then one posexplode + lead() window per doc verifies token
+    adjacency. 0-based positions; (doc, n_matches, first_pos) rows."""
+    from dads_spark.ops import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), _PHRASE)
+
+
 def _stage_compact_hour(spark: SparkSession, sf_dir: str) -> str:
     """Compact the hour tier once per data fingerprint into the owned stage
     root (rollup/compact.py bin-packed range-clustered rewrite); shared by
@@ -5212,6 +5236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "pmi_collocations": q_pmi_collocations,
+        "ohlc_bars": q_ohlc_bars,
+        "phrase_search_pos": q_phrase_search,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -8472,5 +8498,44 @@ def oracle_sql() -> dict[str, str]:
                     * 1e6 + 0.5) AS BIGINT) AS pmi_q6
         FROM b JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
         WHERE n_xy >= 5
+    """
+    d["ohlc_bars"] = """
+        WITH b AS (
+          SELECT event_type,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+                     AS bucket_sec,
+                 ts, event_id, value
+          FROM events),
+        w AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY event_type, bucket_sec
+                                    ORDER BY ts, event_id) AS rn,
+                 row_number() OVER (PARTITION BY event_type, bucket_sec
+                                    ORDER BY ts DESC, event_id DESC) AS rrn
+          FROM b)
+        SELECT event_type, bucket_sec,
+               max(CASE WHEN rn = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rrn = 1 THEN value END) AS close,
+               count(*) AS n
+        FROM w GROUP BY 1, 2
+    """
+    d["phrase_search_pos"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 generate_subscripts(ts, 1) - 1 AS pos,
+                 unnest(ts) AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                FROM documents)),
+        l AS (
+          SELECT doc_id, pos, w,
+                 lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                 lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM tok)
+        SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
+        FROM l
+        WHERE w = 'slow' AND w1 = 'hash' AND w2 = 'batch'
+        GROUP BY 1
     """
     return d

@@ -33,6 +33,7 @@ from .textstats import (  # noqa: F401
     inverted_index,
     bigram_logprob,
     language_id,
+    phrase_search,
     pmi_collocations,
     repetition_stats,
     text_quality,

@@ -556,3 +556,45 @@ def pmi_collocations(
         .join(right, "w2")
         .select("w1", "w2", "n_xy", pmi.alias("pmi_q6"))
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact multi-word phrase matching via positional postings — the
+    inverted-index companion query (inverted_index stores the postings;
+    this is the consecutive-position join a phrase query runs over them).
+
+    Plan shape: a substring ``contains`` prefilter on the joined phrase
+    runs FIRST (a necessary condition for a token-consecutive match, and
+    a scan-level filter Catalyst pushes into the reader), so only
+    candidate documents are tokenized; then one posexplode + lead()
+    window per document checks true token adjacency — one shuffle keyed
+    by doc over the candidate set only. Returns (id, n_matches,
+    first_pos) for documents with >= 1 occurrence, positions 0-based.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase_search needs a multi-word phrase")
+    from pyspark.sql import Window as _W
+
+    cand = docs.where(F.col(text_col).contains(" ".join(phrase)))
+    t = cand.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    w = _W.partitionBy(id_col).orderBy("pos")
+    cond = F.col("w") == phrase[0]
+    for k, term in enumerate(phrase[1:], 1):
+        t = t.withColumn(f"_w{k}", F.lead("w", k).over(w))
+        cond = cond & (F.col(f"_w{k}") == term)
+    return (
+        t.where(cond)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("pos").alias("first_pos"),
+        )
+    )

@@ -34,6 +34,7 @@ from .downsample import (  # noqa: F401
     lttb_downsample,
     lttb_indices,
     m4_downsample,
+    ohlc_bars,
 )
 from .forecast import (  # noqa: F401
     cusum_changepoints,

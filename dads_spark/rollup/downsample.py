@@ -185,3 +185,37 @@ def ewma_smooth(
     return df.select(*key_cols, bucket_col, value_col).groupBy(
         *key_cols
     ).applyInPandas(smooth, out_schema)
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    order_col: str,
+    grain_sec: int = 3600,
+) -> DataFrame:
+    """OHLC candlestick downsample: per (keys, bucket) the open/high/low/
+    close values plus the sample count — the financial-chart aggregate
+    every time-series store serves.
+
+    open/close are deterministic under duplicate timestamps: the first/
+    last row by the TOTAL order (ts, order_col), taken with min_by/max_by
+    on a struct key — one map-side-partial hash aggregate, no window, no
+    sort, ONE shuffle keyed by (keys, bucket). Bucketing is integer
+    ``div`` epoch arithmetic (the tiers.py rule: exact at any epoch, no
+    java.time serialization under many threads).
+    """
+    grain_us = grain_sec * 1_000_000
+    bucket = (
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {grain_us}")
+        * grain_sec
+    ).cast("long")
+    ordk = F.struct(F.col(ts_col), F.col(order_col))
+    return df.groupBy(*key_cols, bucket.alias("bucket_sec")).agg(
+        F.min_by(F.col(val_col), ordk).alias("open"),
+        F.max(val_col).alias("high"),
+        F.min(val_col).alias("low"),
+        F.max_by(F.col(val_col), ordk).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
