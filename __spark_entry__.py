@@ -1567,6 +1567,26 @@ def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per (event_type, day) vs the type's
+    first-week baseline over the SAME binned grid as tv_drift — the
+    industry drift scorecard metric. Per-bin ln terms quantized to
+    integer nano-units before the exact integer sum (the pmi discipline),
+    so the gate hashes integers only."""
+    from dads_spark.rollup import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    out = psi_drift(ev, ["event_type"], "ts", "value",
+                    baseline_days=7, period="day", bins=10)
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket_ts").alias("ws"),
+        "psi_q9",
+        "n_period",
+        "n_baseline",
+    )
+
+
 def q_cm_freq_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency-sketch tier cascade (rollup/freqsketch.py):
     hour sketches of per-type user activity merged cell-wise into day
@@ -5238,6 +5258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "ohlc_bars": q_ohlc_bars,
         "phrase_search_pos": q_phrase_search,
+        "psi_drift": q_psi_drift,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -8537,5 +8558,66 @@ def oracle_sql() -> dict[str, str]:
         FROM l
         WHERE w = 'slow' AND w1 = 'hash' AND w2 = 'batch'
         GROUP BY 1
+    """
+    # PSI over the tv_drift grid: identical CTE chain, ln-based finalizer
+    # with per-bin nano-unit quantization before the exact integer sum
+    d["psi_drift"] = """
+        WITH b AS (
+            SELECT event_type, min(epoch_us(ts)) AS t0 FROM events GROUP BY 1),
+        ev AS (
+            SELECT e.event_type, e.value, epoch_us(e.ts) AS t_us,
+                   (epoch_us(e.ts) < b.t0 + 604800000000) AS is_base
+            FROM events e JOIN b USING (event_type)),
+        bs AS (
+            SELECT event_type, min(value) AS v_lo, max(value) AS v_hi
+            FROM ev WHERE is_base GROUP BY 1),
+        binned AS (
+            SELECT ev.*,
+                   CASE WHEN v_hi = v_lo THEN 0
+                        ELSE least(9, greatest(0, CAST(floor(
+                            (value - v_lo) / ((v_hi - v_lo) / 10.0))
+                            AS INT)))
+                   END AS bin
+            FROM ev JOIN bs USING (event_type)),
+        mh AS (
+            SELECT event_type, bin, count(*) AS m_i
+            FROM binned WHERE is_base GROUP BY 1, 2),
+        mt AS (SELECT event_type, sum(m_i) AS m_total FROM mh GROUP BY 1),
+        nh AS (
+            SELECT event_type, (t_us // 86400000000) * 86400 AS ws, bin,
+                   count(*) AS n_i
+            FROM binned WHERE NOT is_base GROUP BY 1, 2, 3),
+        nt AS (
+            SELECT event_type, ws, sum(n_i) AS n_total
+            FROM nh GROUP BY 1, 2),
+        grid AS (
+            SELECT nt.event_type, nt.ws, nt.n_total, g.bin
+            FROM nt, (SELECT unnest(range(0, 10)) AS bin) g),
+        j AS (
+            SELECT grid.event_type, grid.ws,
+                   CAST(grid.n_total AS BIGINT) AS n_total,
+                   CAST(mt.m_total AS BIGINT) AS m_total,
+                   CAST(coalesce(nh.n_i, 0) AS BIGINT) AS n_i,
+                   CAST(coalesce(mh.m_i, 0) AS BIGINT) AS m_i
+            FROM grid
+            LEFT JOIN nh ON nh.event_type = grid.event_type
+                        AND nh.ws = grid.ws AND nh.bin = grid.bin
+            LEFT JOIN mh ON mh.event_type = grid.event_type
+                        AND mh.bin = grid.bin
+            JOIN mt ON mt.event_type = grid.event_type),
+        t AS (
+            SELECT event_type, ws, n_total, m_total,
+                   CAST(floor(
+                       (CAST(n_i + 1 AS DOUBLE) / CAST(n_total + 10 AS DOUBLE)
+                        - CAST(m_i + 1 AS DOUBLE) / CAST(m_total + 10 AS DOUBLE))
+                       * (ln(CAST(n_i + 1 AS DOUBLE) * CAST(m_total + 10 AS DOUBLE))
+                          - ln(CAST(m_i + 1 AS DOUBLE) * CAST(n_total + 10 AS DOUBLE)))
+                       * 1e9 + 0.5) AS BIGINT) AS term_q9
+            FROM j)
+        SELECT event_type, CAST(ws AS BIGINT) AS ws,
+               CAST(sum(term_q9) AS BIGINT) AS psi_q9,
+               n_total AS n_period,
+               m_total AS n_baseline
+        FROM t GROUP BY event_type, ws, n_total, m_total
     """
     return d

@@ -2,11 +2,16 @@
 
 Training-data pipelines watch whether a feature's distribution moved
 between ingestion periods (new crawl vs reference crawl, this week vs
-baseline). The standard monitoring metrics (PSI, KL) end in logarithms
-whose last-ulp behavior differs across engines — exactly the cross-engine
-float hazard this repo's oracle gate keeps hitting (paa_sax precedent) —
-so this operator reports TOTAL-VARIATION distance over fixed equal-width
-bins in EXACT INTEGER form:
+baseline). Two metrics over the same baseline-binned histogram grid:
+
+- :func:`tv_drift` — total-variation distance in EXACT INTEGER form (no
+  logarithms at all);
+- :func:`psi_drift` — the industry-standard Population Stability Index,
+  whose ln() cross-engine hazard (paa_sax precedent) is contained by
+  quantizing each per-bin term to integer nano-units before the exact
+  integer sum (the pmi/unigram_logprob discipline).
+
+The TV identity:
 
     TV = 1/2 * sum_i | n_i/N - m_i/M |
        = sum_i | n_i*M - m_i*N |  /  (2*N*M)
@@ -33,26 +38,23 @@ from pyspark.sql import DataFrame, functions as F
 
 from .tiers import bucket_expr
 
-__all__ = ["tv_drift"]
+__all__ = ["tv_drift", "psi_drift"]
 
 
-def tv_drift(
+def _drift_grid(
     df: DataFrame,
     key_cols: list[str],
     ts_col: str,
     value_col: str,
-    baseline_days: int = 7,
-    period: str = "day",
-    bins: int = 10,
+    baseline_days: int,
+    period: str,
+    bins: int,
 ) -> DataFrame:
-    """Per (keys..., period bucket) AFTER each key's baseline window: the
-    total-variation distance between that period's ``value_col``
-    distribution and the key's baseline (its first ``baseline_days`` days),
-    over ``bins`` equal-width bins fitted on the baseline range.
-
-    Output: keys..., bucket_ts, tv_numer (exact sum |n_i*M - m_i*N|),
-    n_period, n_baseline, tv (float = tv_numer/(2*N*M), 6 dp).
-    """
+    """Shared drift scaffolding: per-key baseline window + equal-width
+    baseline bins, period/baseline histograms, and the completed
+    (key, period-bucket, bin) grid with integer counts (n_i, m_i) and
+    totals (n_total, m_total). tv_drift and psi_drift are finalizers
+    over this grid."""
     us_per_day = 86_400_000_000
     t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
 
@@ -119,6 +121,29 @@ def tv_drift(
         .withColumn("n_i", F.coalesce("n_i", F.lit(0)))
         .withColumn("m_i", F.coalesce("m_i", F.lit(0)))
     )
+    return joined
+
+
+def tv_drift(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    baseline_days: int = 7,
+    period: str = "day",
+    bins: int = 10,
+) -> DataFrame:
+    """Per (keys..., period bucket) AFTER each key's baseline window: the
+    total-variation distance between that period's ``value_col``
+    distribution and the key's baseline (its first ``baseline_days`` days),
+    over ``bins`` equal-width bins fitted on the baseline range.
+
+    Output: keys..., bucket_ts, tv_numer (exact sum |n_i*M - m_i*N|),
+    n_period, n_baseline, tv (float = tv_numer/(2*N*M), 6 dp).
+    """
+    joined = _drift_grid(
+        df, key_cols, ts_col, value_col, baseline_days, period, bins
+    )
     term = F.abs(
         F.col("n_i").cast("long") * F.col("m_total").cast("long")
         - F.col("m_i").cast("long") * F.col("n_total").cast("long")
@@ -137,5 +162,61 @@ def tv_drift(
                 / (F.lit(2.0) * F.col("n_total") * F.col("m_total")),
                 6,
             ).alias("tv"),
+        )
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    baseline_days: int = 7,
+    period: str = "day",
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per (keys..., period bucket) vs the
+    key's baseline window — the monitoring metric scorecard/feature-drift
+    dashboards standardize on (PSI < 0.1 stable, > 0.25 shifted), beside
+    tv_drift's exact-integer twin.
+
+    PSI = sum_i (p_i - q_i) * ln(p_i / q_i) with Laplace +1 smoothing
+    (p_i = (n_i+1)/(N+bins), q_i = (m_i+1)/(M+bins)) so empty bins are
+    finite. The ln hazard this module's docstring avoids is contained the
+    way pmi/unigram_logprob contain it: each PER-BIN term is quantized to
+    integer nano-units — the same double expression on any engine — and
+    the bin SUM is exact integer arithmetic, so the metric is
+    partition-invariant and oracle-pinnable. psi float = psi_q9 / 1e9 is
+    a display projection.
+
+    Same plan shape as tv_drift: histograms with map-side partials over
+    (key, period, bin) count rows, baseline side broadcast, grid built
+    from sequence+explode on the tiny period table.
+    """
+    joined = _drift_grid(
+        df, key_cols, ts_col, value_col, baseline_days, period, bins
+    )
+    p_num = F.col("n_i").cast("long") + 1
+    q_num = F.col("m_i").cast("long") + 1
+    p_den = F.col("n_total").cast("long") + F.lit(bins)
+    q_den = F.col("m_total").cast("long") + F.lit(bins)
+    p = p_num.cast("double") / p_den.cast("double")
+    q = q_num.cast("double") / q_den.cast("double")
+    # ln(p/q) = ln(p_num*q_den) - ln(q_num*p_den): logs of exact integer
+    # products (exact in double to 2^53), identical expression both engines
+    lnr = F.log(p_num.cast("double") * q_den.cast("double")) - F.log(
+        q_num.cast("double") * p_den.cast("double")
+    )
+    term_q9 = F.floor((p - q) * lnr * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        joined.groupBy(*key_cols, "bucket_ts", "m_total", "n_total")
+        .agg(F.sum(term_q9).alias("psi_q9"))
+        .select(
+            *key_cols,
+            "bucket_ts",
+            F.col("psi_q9").cast("long").alias("psi_q9"),
+            F.col("n_total").cast("long").alias("n_period"),
+            F.col("m_total").cast("long").alias("n_baseline"),
+            F.round(F.col("psi_q9") / F.lit(1e9), 6).alias("psi"),
         )
     )

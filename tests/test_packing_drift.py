@@ -105,3 +105,56 @@ def test_tv_drift_zero_on_identical_histogram(spark):
     )
     out = tv_drift(base.union(nxt), ["event_type"], "ts", "value").collect()
     assert out and all(r["tv_numer"] == 0 and r["tv"] == 0.0 for r in out)
+
+
+def test_psi_drift_calm_vs_shifted(spark):
+    from dads_spark.rollup.drift import psi_drift
+
+    calm = psi_drift(_drift_events(spark, False), ["event_type"], "ts", "value").collect()
+    assert calm and all(r["psi"] < 0.25 for r in calm)
+    hot = psi_drift(_drift_events(spark, True), ["event_type"], "ts", "value").collect()
+    # fully shifted distribution: PSI far beyond the 0.25 action threshold
+    assert hot and all(r["psi"] > 1.0 for r in hot)
+
+
+def test_psi_drift_matches_numpy_reference(spark):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from dads_spark.rollup.drift import psi_drift
+
+    src = _drift_events(spark, True)
+    pdf = src.toPandas()
+    t0 = pdf["ts"].min()
+    base = pdf[pdf["ts"] < t0 + pd.Timedelta(days=7)]
+    bv = base["value"].to_numpy()
+    lo, hi = bv.min(), bv.max()
+    mb = np.bincount(
+        np.clip(np.floor((bv - lo) / ((hi - lo) / 10.0)).astype(int), 0, 9),
+        minlength=10,
+    )
+    M = len(bv)
+    for r in psi_drift(src, ["event_type"], "ts", "value").collect():
+        N = r["n_period"]
+        n = np.zeros(10, dtype=np.int64)
+        n[9] = N  # every shifted value clamps into the top bin
+        want = 0
+        for i in range(10):
+            p = (n[i] + 1) / (N + 10)
+            q = (mb[i] + 1) / (M + 10)
+            lnr = math.log(float((n[i] + 1) * (M + 10))) - math.log(
+                float((mb[i] + 1) * (N + 10))
+            )
+            want += math.floor((p - q) * lnr * 1e9 + 0.5)
+        assert r["psi_q9"] == want
+
+
+def test_psi_drift_partition_invariant(spark):
+    from dads_spark.rollup.drift import psi_drift
+
+    src = _drift_events(spark, False)
+    a = sorted(tuple(r) for r in psi_drift(src.repartition(1), ["event_type"], "ts", "value").collect())
+    b = sorted(tuple(r) for r in psi_drift(src.repartition(13), ["event_type"], "ts", "value").collect())
+    assert a == b
