@@ -4639,6 +4639,68 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(_t(spark, sf_dir, "documents"), _PHRASE)
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus — the S2G TSQR protocol
+    (per-slice centered QR -> driver tree reduction + SVD, reference
+    PCACalculatorControl.java) re-exposed as the corpus whitener. Top-4
+    projections in integer micro-units, pinned bit-for-bit by the scalar
+    mirror (deterministic id%P slicing makes the factorization a pure
+    function of the input set)."""
+    from dads_spark.ops import embedding_pca
+
+    emb = _t(spark, sf_dir, "embeddings")
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    if t.num_rows <= _ORACLE_MAX_DOCS * 5:
+        import numpy as _np2
+
+        from dads_spark.oracles import embedding_pca_oracle
+
+        pdf = t.to_pandas()
+        rows = embedding_pca_oracle(
+            pdf["vec_id"].to_numpy(),
+            _np2.array(list(pdf["embedding"]), dtype=_np2.float64),
+            k=4,
+            n_slices=8,
+        )
+        _write_dump(
+            "embedding_pca_oracle",
+            {
+                "vec_id": [r[0] for r in rows],
+                "pc1_q6": [r[1] for r in rows],
+                "pc2_q6": [r[2] for r in rows],
+                "pc3_q6": [r[3] for r in rows],
+                "pc4_q6": [r[4] for r in rows],
+            },
+        )
+    return embedding_pca(emb, k=4, n_slices=8)
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join by edit distance (record linkage): distinct
+    per-source hosts, blocked by (3-char prefix, length/4 bucket with
+    neighbor overlap), scored with built-in integer levenshtein — no
+    all-pairs path, no float surface. Pairs with dist <= 2, each once."""
+    from dads_spark.ops import fuzzy_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    # two variants per source — the real one and a typosquat — so the
+    # candidate set contains pairs on BOTH sides of the threshold
+    # (srcN.example.com vs srcN.exampel.com = 2; cross-source typo pairs
+    # = 3+, filtered): the gate exercises the cutoff, not just the hash
+    host = F.lower(
+        F.concat(
+            "source",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".exampel.com")).otherwise(
+                F.lit(".example.com")
+            ),
+        )
+    )
+    hosts = docs.groupBy(host.alias("host")).agg(F.min("doc_id").alias("hid"))
+    return fuzzy_pairs(hosts, "hid", "host", max_dist=2, prefix_len=3)
+
+
 def _stage_compact_hour(spark: SparkSession, sf_dir: str) -> str:
     """Compact the hour tier once per data fingerprint into the owned stage
     root (rollup/compact.py bin-packed range-clustered rewrite); shared by
@@ -5259,6 +5321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": q_ohlc_bars,
         "phrase_search_pos": q_phrase_search,
         "psi_drift": q_psi_drift,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "embedding_pca": q_embedding_pca,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -8619,5 +8683,34 @@ def oracle_sql() -> dict[str, str]:
                n_total AS n_period,
                m_total AS n_baseline
         FROM t GROUP BY event_type, ws, n_total, m_total
+    """
+    # blocked fuzzy join: same blocking + integer levenshtein, no floats
+    d["fuzzy_pairs"] = """
+        WITH h AS (
+          SELECT lower(source || CASE WHEN doc_id % 3 = 0
+                                      THEN '.exampel.com'
+                                      ELSE '.example.com' END) AS host,
+                 min(doc_id) AS hid
+          FROM documents GROUP BY 1),
+        e AS (
+          SELECT hid, host,
+                 lower(substring(host, 1, 3)) AS pfx,
+                 length(host) // 4 AS lb
+          FROM h),
+        blocked AS (
+          SELECT hid, host, pfx, unnest([lb, lb - 1]) AS blk FROM e),
+        cand AS (
+          SELECT DISTINCT a.hid AS id_a, b.hid AS id_b,
+                 a.host AS str_a, b.host AS str_b
+          FROM blocked a JOIN blocked b USING (pfx, blk)
+          WHERE a.hid < b.hid)
+        SELECT id_a, id_b, str_a, str_b,
+               levenshtein(str_a, str_b) AS dist
+        FROM cand
+        WHERE levenshtein(str_a, str_b) <= 2
+    """
+    d["embedding_pca"] = f"""
+        SELECT vec_id, pc1_q6, pc2_q6, pc3_q6, pc4_q6
+        FROM read_parquet('{_dump_path("embedding_pca_oracle")}')
     """
     return d

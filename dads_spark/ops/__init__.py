@@ -18,6 +18,8 @@ from .bpe import (  # noqa: F401
     bpe_train,
     word_frequencies,
 )
+from .embpca import embedding_pca, pca_components  # noqa: F401
+from .fuzzyjoin import fuzzy_pairs  # noqa: F401
 from .quality import (  # noqa: F401
     c4_clean,
     gopher_rules,

@@ -576,6 +576,47 @@ def semdedup_oracle(
     return rows
 
 
+def embedding_pca_oracle(ids, vecs, k: int = 4, n_slices: int = 8):
+    """Scalar mirror of ops/embpca.py: id%P slicing in vec_id order,
+    per-slice centered QR, weighted-mean correction stack + TSQR tree +
+    SVD, first-coordinate sign rule, micro-unit quantized projections.
+    Returns rows (id, pc1_q6, ..., pck_q6)."""
+    import math as _math
+
+    from dads_spark.s2g.core import tsqr_tree
+
+    ids = np.asarray(ids, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    vecs = np.asarray(vecs, dtype=np.float64)[order]
+    d = vecs.shape[1]
+    means, rs, counts = [], [], []
+    for s in range(n_slices):
+        sub = vecs[ids % n_slices == s]
+        if len(sub) == 0:
+            continue
+        m = sub.mean(axis=0)
+        means.append(m)
+        rs.append(np.linalg.qr(sub - m, mode="r"))
+        counts.append(len(sub))
+    total_n = sum(counts)
+    total_mean = np.zeros(d)
+    for m_i, n_i in zip(means, counts):
+        total_mean = total_mean + m_i * (n_i / float(total_n))
+    corr = [
+        (m_i - total_mean) * _math.sqrt(n_i) for m_i, n_i in zip(means, counts)
+    ]
+    r_final = np.linalg.qr(np.vstack(corr + [tsqr_tree(rs)]), mode="r")
+    _, _, vt = np.linalg.svd(r_final)
+    v = vt.T[:, :k].copy()
+    for col in range(k):
+        if v[0, col] < 0.0:
+            v[:, col] = -v[:, col]
+    coords = (vecs - total_mean) @ v
+    q = (np.sign(coords) * np.floor(np.abs(coords) * 1e6 + 0.5)).astype(np.int64)
+    return [(int(i), *map(int, q[j])) for j, i in enumerate(ids)]
+
+
 def bpe_train_oracle(texts, n_merges: int = 30, min_pair_count: int = 2):
     """Scalar mirror of ops/bpe.py bpe_train: classic Sennrich BPE over the
     whitespace word-frequency table, argmax tie-break (count DESC, left
