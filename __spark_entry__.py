@@ -4677,6 +4677,55 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pca(emb, k=4, n_slices=8)
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease over the staged multi-line corpus (it has the
+    terminal punctuation the sentence count needs): three exact integer
+    counts + one fixed closed-form float expression quantized to q3 —
+    map-only, one codegen projection."""
+    from dads_spark.ops import readability_scores
+
+    docs = spark.read.parquet(_stage_weblines(sf_dir))
+    return readability_scores(docs)
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog scan between two tier-store versions (Iceberg
+    incremental-consumer semantics): v0 = hour tier of the 80% events
+    subset, v1 = full tier; diff classifies every (event_type, hour) key
+    added/changed/unchanged via a FULL OUTER null-safe compare — the
+    primitive downstream jobs read instead of re-scanning the new
+    version. Hash equality vs SQL deriving both versions from raw pins
+    the classification AND both counts per key."""
+    import shutil as _sh
+
+    from dads_spark.checkpoint import SnapshotStore
+    from dads_spark.rollup import rollup_from_raw
+
+    base = _stage_dir("snapshot_diff_run", sf_dir)
+    _sh.rmtree(base, ignore_errors=True)
+    store = SnapshotStore(spark, base)
+    ev = _t(spark, sf_dir, "events")
+    v0 = store.commit(
+        "hour",
+        rollup_from_raw(
+            ev.filter(F.col("event_id") % 5 != 0), ["event_type"], "ts", None, "hour"
+        ),
+        note="partial ingest",
+    )
+    v1 = store.commit(
+        "hour", rollup_from_raw(ev, ["event_type"], "ts", None, "hour"),
+        note="full ingest",
+    )
+    out = store.diff("hour", v0, v1, ["event_type", "bucket_ts"])
+    return out.select(
+        "change",
+        "event_type",
+        F.unix_timestamp("bucket_ts").alias("hb"),
+        "old_doc_count",
+        "new_doc_count",
+    )
+
+
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-join by edit distance (record linkage): distinct
     per-source hosts, blocked by (3-char prefix, length/4 bucket with
@@ -5323,6 +5372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "fuzzy_pairs": q_fuzzy_pairs,
         "embedding_pca": q_embedding_pca,
+        "snapshot_diff": q_snapshot_diff,
+        "readability": q_readability,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -8712,5 +8763,57 @@ def oracle_sql() -> dict[str, str]:
     d["embedding_pca"] = f"""
         SELECT vec_id, pc1_q6, pc2_q6, pc3_q6, pc4_q6
         FROM read_parquet('{_dump_path("embedding_pca_oracle")}')
+    """
+    d["snapshot_diff"] = """
+        WITH b AS (
+            SELECT event_id, event_type,
+                   (epoch_us(ts) // 3600000000) * 3600 AS hb
+            FROM events),
+        v0 AS (
+            SELECT event_type, hb, count(*) AS dc FROM b
+            WHERE event_id % 5 != 0 GROUP BY 1, 2),
+        v1 AS (
+            SELECT event_type, hb, count(*) AS dc FROM b GROUP BY 1, 2)
+        SELECT CASE WHEN v0.hb IS NULL THEN 'added'
+                    WHEN v1.hb IS NULL THEN 'removed'
+                    WHEN v0.dc = v1.dc THEN 'unchanged'
+                    ELSE 'changed' END AS change,
+               coalesce(v0.event_type, v1.event_type) AS event_type,
+               CAST(coalesce(v0.hb, v1.hb) AS BIGINT) AS hb,
+               v0.dc AS old_doc_count,
+               v1.dc AS new_doc_count
+        FROM v0 FULL OUTER JOIN v1
+          ON v0.event_type = v1.event_type AND v0.hb = v1.hb
+    """
+    # Flesch reading ease: three exact integer counts, one fixed float
+    # closed form quantized to q3 (sign*floor(|x|*1e3+0.5)) — identical
+    # expression both engines; 'g' flag makes DuckDB regexp_replace global
+    # like Spark's
+    d["readability"] = f"""
+        WITH c AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_words,
+                 greatest(1, length(text)
+                          - length(translate(text, '.!?', ''))) AS n_sentences,
+                 regexp_replace(lower(text), '[aeiouy]+', '#', 'g') AS coll
+          FROM read_parquet('{_dump_path("weblines_src")}')),
+        m AS (
+          SELECT doc_id, n_words, n_sentences,
+                 length(coll) - length(replace(coll, '#', '')) AS n_syllables
+          FROM c),
+        s AS (
+          SELECT *,
+                 206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)) AS score
+          FROM m)
+        SELECT doc_id, n_words,
+               CAST(n_sentences AS INT) AS n_sentences,
+               CAST(n_syllables AS INT) AS n_syllables,
+               CAST(sign(score) * floor(abs(score) * 1e3 + 0.5) AS BIGINT)
+                   AS flesch_q3
+        FROM s
     """
     return d

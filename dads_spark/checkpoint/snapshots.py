@@ -160,6 +160,55 @@ class SnapshotStore:
             )
         return self.spark.read.parquet(path)
 
+    def diff(
+        self,
+        table: str,
+        v_from: int,
+        v_to: int,
+        key_cols: list[str],
+    ) -> DataFrame:
+        """Row-level change set between two committed versions (Iceberg
+        changelog-scan semantics): one row per key present in either
+        version, classified 'added' / 'removed' / 'changed' / 'unchanged'
+        by a FULL OUTER join on ``key_cols`` with null-safe equality over
+        every non-key column. Non-key columns are emitted twice, prefixed
+        ``old_`` / ``new_`` (flat scalars — no struct/array surface).
+
+        Plan shape: both sides are snapshot parquet scans (tier-sized,
+        never raw-sized); the join keys on the tier grain, so the diff of
+        two 10^12-doc-derived tiers shuffles tier rows only. This is the
+        incremental-consumer primitive: downstream jobs read the change
+        set instead of re-scanning the new version."""
+        from pyspark.sql import functions as F
+
+        old = self.read(table, v_from)
+        new = self.read(table, v_to)
+        val_cols = [c for c in old.columns if c not in key_cols]
+        if set(old.columns) != set(new.columns):
+            raise ValueError("diff requires identical schemas")
+        o = old.select(
+            *key_cols, *[F.col(c).alias(f"old_{c}") for c in val_cols]
+        ).withColumn("_in_old", F.lit(True))
+        n = new.select(
+            *key_cols, *[F.col(c).alias(f"new_{c}") for c in val_cols]
+        ).withColumn("_in_new", F.lit(True))
+        j = o.join(n, key_cols, "full_outer")
+        same = F.lit(True)
+        for c in val_cols:
+            same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        change = (
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(same, F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+        )
+        return j.select(
+            change.alias("change"),
+            *key_cols,
+            *[F.col(f"old_{c}") for c in val_cols],
+            *[F.col(f"new_{c}") for c in val_cols],
+        )
+
     def upsert(
         self, table: str, delta: DataFrame, key_cols: list[str], note: str = ""
     ) -> int:

@@ -24,6 +24,7 @@ from .quality import (  # noqa: F401
     c4_clean,
     gopher_rules,
     perplexity_buckets,
+    readability_scores,
     semdedup,
 )
 from .components import (  # noqa: F401

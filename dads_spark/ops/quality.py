@@ -306,3 +306,49 @@ def semdedup(
         dedup_cluster,
         f"{id_col} long, cluster long, dropped boolean, witness_id long",
     )
+
+
+def readability_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948) — the classic
+    readability quality signal, over the standard cheap approximations:
+    words = whitespace tokens, sentences = terminal-punctuation marks
+    ('.', '!', '?'; min 1), syllables = vowel-group runs ([aeiouy]+,
+    case-folded) across the text.
+
+    score = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words),
+    emitted as flesch_q3 = sign*floor(|score|*1e3 + 0.5) from the three
+    EXACT integer counts — the only float step is the fixed closed-form
+    expression, identical on any engine. Map-only: one codegen projection
+    over the scan, the gopher_rules shape.
+
+    Returns (id, n_words, n_sentences, n_syllables, flesch_q3).
+    """
+    text = F.col(text_col)
+    n_words = F.size(F.split(text, " "))
+    n_sentences = F.greatest(
+        F.lit(1),
+        F.length(text) - F.length(F.translate(text, ".!?", "")),
+    )
+    collapsed = F.regexp_replace(F.lower(text), "[aeiouy]+", "#")
+    n_syllables = F.length(collapsed) - F.length(
+        F.replace(collapsed, F.lit("#"), F.lit(""))
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sentences.cast("double"))
+        - F.lit(84.6) * (n_syllables.cast("double") / n_words.cast("double"))
+    )
+    q3 = (
+        F.signum(score) * F.floor(F.abs(score) * F.lit(1e3) + F.lit(0.5))
+    ).cast("long")
+    return docs.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_sentences.cast("int").alias("n_sentences"),
+        n_syllables.cast("int").alias("n_syllables"),
+        q3.alias("flesch_q3"),
+    )

@@ -227,3 +227,37 @@ def test_semdedup_partition_invariant(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# readability_scores
+# ---------------------------------------------------------------------------
+
+
+def test_readability_hand_computed(spark):
+    import math
+
+    from dads_spark.ops import readability_scores
+
+    text = "the cat sat. the dog ran! was it fast?"
+    # words=9, sentences=3, vowel groups: e,a,a,e,o,a,a,i,a = 9
+    out = readability_scores(_docs(spark, [(1, text)])).first()
+    assert out["n_words"] == 9
+    assert out["n_sentences"] == 3
+    assert out["n_syllables"] == 9
+    score = 206.835 - 1.015 * (9 / 3) - 84.6 * (9 / 9)
+    want = int(math.copysign(math.floor(abs(score) * 1e3 + 0.5), score))
+    assert out["flesch_q3"] == want
+
+
+def test_readability_no_punctuation_min_one_sentence(spark):
+    from dads_spark.ops import readability_scores
+
+    out = readability_scores(_docs(spark, [(1, "aa bb cc")])).first()
+    assert out["n_sentences"] == 1
+    # polysyllabic gibberish scores LOWER (harder) than simple prose
+    hard = readability_scores(
+        _docs(spark, [(1, "extraordinary unbelievable onomatopoeia.")])
+    ).first()
+    easy = readability_scores(_docs(spark, [(1, "the cat sat on a mat.")])).first()
+    assert hard["flesch_q3"] < easy["flesch_q3"]

@@ -157,3 +157,49 @@ def test_delete_where_then_vacuum_erases(spark, tmp_path):
     for f in files:
         remaining.update(pq.read_table(f).column("v").to_pylist())
     assert "forget" not in remaining
+
+
+def test_diff_classifies_all_change_kinds(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    v0 = store.commit(
+        "t",
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, tag string"
+        ),
+    )
+    v1 = store.commit(
+        "t",
+        spark.createDataFrame(
+            [(1, "a"), (2, "B"), (4, "d")], "k long, tag string"
+        ),
+    )
+    out = {r["k"]: r for r in store.diff("t", v0, v1, ["k"]).collect()}
+    assert out[1]["change"] == "unchanged"
+    assert out[2]["change"] == "changed"
+    assert (out[2]["old_tag"], out[2]["new_tag"]) == ("b", "B")
+    assert out[3]["change"] == "removed" and out[3]["new_tag"] is None
+    assert out[4]["change"] == "added" and out[4]["old_tag"] is None
+
+
+def test_diff_null_safe_value_compare(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    v0 = store.commit(
+        "t", spark.createDataFrame([(1, None), (2, "x")], "k long, tag string")
+    )
+    v1 = store.commit(
+        "t", spark.createDataFrame([(1, None), (2, None)], "k long, tag string")
+    )
+    out = {r["k"]: r["change"] for r in store.diff("t", v0, v1, ["k"]).collect()}
+    assert out[1] == "unchanged"  # NULL == NULL under eqNullSafe
+    assert out[2] == "changed"
+
+
+def test_diff_rejects_schema_drift(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    v0 = store.commit("t", _df(spark, 2, "a"))
+    v1 = store.commit(
+        "t",
+        spark.range(2).select(F.col("id").alias("k"), F.lit(1).alias("other")),
+    )
+    with pytest.raises(ValueError, match="identical schemas"):
+        store.diff("t", v0, v1, ["k"])
