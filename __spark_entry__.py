@@ -3357,6 +3357,24 @@ def q_streaming_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_zscore_stream(spark, src, schema, query_name=qname)
 
 
+def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming CUSUM drift alarms (streaming/stateful.py
+    streaming_cusum): baseline sigma enters only as r = isqrt(B*Q - S^2)
+    — exact integer — and the reset-free recurrence is evaluated through
+    the prefix identity s_t = P_t - min(0, min_j P_j), so the incremental
+    state machine is bit-identical to a plain SQL window (cumsum +
+    running min). Fourth applyInPandasWithState operator beside
+    sessionize/SCD2/z-score."""
+    import hashlib as _hl
+
+    from dads_spark.streaming import run_cusum_stream
+
+    src = _events_stream_src(spark, sf_dir)
+    schema = _t(spark, sf_dir, "events").schema
+    qname = f"q_cu_{_hl.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    return run_cusum_stream(spark, src, schema, query_name=qname)
+
+
 def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream INNER join: the purchases stream joined to
     the clicks stream on user + event-time range (click strictly within the
@@ -5374,6 +5392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "snapshot_diff": q_snapshot_diff,
         "readability": q_readability,
+        "streaming_cusum": q_streaming_cusum,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -8815,5 +8834,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(sign(score) * floor(abs(score) * 1e3 + 0.5) AS BIGINT)
                    AS flesch_q3
         FROM s
+    """
+    # streaming CUSUM == SQL window: r via floor(sqrt)+Newton step (exact
+    # isqrt, matching the stream's math.isqrt), then cumsum + running min
+    d["streaming_cusum"] = """
+        WITH e AS (
+          SELECT event_id, event_type, user_id % 997 AS x, ts FROM events),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS rn
+          FROM e),
+        base AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS b,
+                 CAST(sum(x) AS BIGINT) AS s,
+                 CAST(sum(x * x) AS BIGINT) AS q
+          FROM rk WHERE rn <= 30 GROUP BY 1),
+        rr AS (
+          SELECT event_type, b, s, b * q - s * s AS sd2,
+                 CAST(floor(sqrt(CAST(b * q - s * s AS DOUBLE))) AS BIGINT)
+                     AS r0
+          FROM base WHERE b = 30 AND b * q - s * s > 0),
+        rx AS (
+          SELECT event_type, b, s,
+                 CASE WHEN r0 * r0 > sd2 THEN r0 - 1
+                      WHEN (r0 + 1) * (r0 + 1) <= sd2 THEN r0 + 1
+                      ELSE r0 END AS r
+          FROM rr),
+        post AS (
+          SELECT rk.event_id, rk.event_type, rk.ts, rk.rn,
+                 2 * (rx.b * rk.x - rx.s) AS d2, rx.r
+          FROM rk JOIN rx USING (event_type) WHERE rk.rn > 30),
+        w AS (
+          SELECT event_id, event_type, ts, r,
+                 sum(d2 - r) OVER wdw AS pu,
+                 sum(-d2 - r) OVER wdw AS pn
+          FROM post
+          WINDOW wdw AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        f AS (
+          SELECT event_id, event_type, r,
+                 CAST(pu - least(CAST(0 AS BIGINT), min(pu) OVER wdw)
+                      AS BIGINT) AS sp,
+                 CAST(pn - least(CAST(0 AS BIGINT), min(pn) OVER wdw)
+                      AS BIGINT) AS sn
+          FROM w
+          WINDOW wdw AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id, event_type, sp, sn,
+               sp > 10 * r AS alarm_up,
+               sn > 10 * r AS alarm_down
+        FROM f
     """
     return d

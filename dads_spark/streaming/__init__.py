@@ -15,9 +15,11 @@ from .windowed import (  # noqa: F401
     streaming_hourly_rollup,
 )
 from .stateful import (  # noqa: F401
+    run_cusum_stream,
     run_scd2_stream,
     run_sessionize_stream,
     run_zscore_stream,
+    streaming_cusum,
     streaming_scd2,
     streaming_sessionize,
     streaming_zscore,

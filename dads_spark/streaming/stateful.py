@@ -378,3 +378,148 @@ def run_zscore_stream(
         q.processAllAvailable()
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+CUSUM_SCHEMA = (
+    "event_id long, event_type string, sp long, sn long, "
+    "alarm_up boolean, alarm_down boolean"
+)
+# nb/s/q: baseline accumulators; r: isqrt(B*Q - S^2) once established
+# (-1 = degenerate constant baseline, emit nothing); cp/cn: running
+# prefix sums; mp/mn: running prefix minima clamped at 0
+CUSUM_STATE_SCHEMA = (
+    "nb long, s long, q long, r long, cp long, mp long, cn long, mn long"
+)
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    x_col: str = "x",
+    baseline_n: int = 30,
+    k_half_units: int = 1,
+    h_units: int = 10,
+) -> DataFrame:
+    """Online two-sided CUSUM drift alarms with EXACT INTEGER state.
+
+    The in-control mean/sigma come from each key's first ``baseline_n``
+    events (the batch cusum_changepoints rule); sigma enters ONLY through
+    r = isqrt(B*Q - S^2) — exact integer square root, no float anywhere.
+    The classic recurrence s_t = max(0, s_{t-1} + z_t - k) is kept
+    reset-free and evaluated through the prefix identity
+
+        s_t = P_t - min(0, min_{j<=t} P_j),   P = cumsum(2*d_t -+ r)
+
+    with d_t = B*x_t - S (so z_t = d_t / (B*sigma) and k = 1/2 in the
+    same scaled units; alarm when s > h_units * r, h_units=10 == 5 sigma).
+    The identity makes the stream bit-identical to a plain SQL window
+    (cumsum + running min) — the oracle needs no sequential UDF — while
+    the streaming side updates (P, min) per key in O(1) state and one
+    vectorized cumsum/minimum.accumulate per batch.
+
+    Emits one row per post-baseline event: (event_id, key, sp, sn,
+    alarm_up, alarm_down). Keys with a constant baseline (sigma = 0)
+    emit nothing, matching the batch guard.
+    """
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    ev = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .select(
+            F.col(key_col).alias("_k"),
+            F.unix_micros(F.col(ts_col)).alias("_us"),
+            F.col(x_col).cast("long").alias("_x"),
+            F.col("event_id").alias("_eid"),
+        )
+    )
+
+    def score(key, pdfs, state: GroupState):
+        (k,) = key
+        pdf = pd.concat(list(pdfs)).sort_values(["_us", "_eid"])
+        nb, s, q, r, cp, mp, cn, mn = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0, 0, 0)
+        )
+        x = pdf["_x"].to_numpy(dtype=np.int64)
+        eid = pdf["_eid"].to_numpy(dtype=np.int64)
+        i = 0
+        # 1) finish the baseline if still warming up
+        if nb < baseline_n:
+            take = min(baseline_n - nb, len(x))
+            bx = x[:take]
+            nb += take
+            s += int(bx.sum())
+            q += int((bx * bx).sum())
+            i = take
+            if nb == baseline_n:
+                sd2 = baseline_n * q - s * s
+                r = math.isqrt(sd2) if sd2 > 0 else -1
+        out = None
+        if nb == baseline_n and r > 0 and i < len(x):
+            d2 = 2 * (baseline_n * x[i:] - s)
+            a_up = d2 - k_half_units * r
+            a_dn = -d2 - k_half_units * r
+            p_up = cp + np.cumsum(a_up)
+            p_dn = cn + np.cumsum(a_dn)
+            m_up = np.minimum.accumulate(np.minimum(p_up, mp))
+            m_dn = np.minimum.accumulate(np.minimum(p_dn, mn))
+            sp = p_up - np.minimum(m_up, 0)
+            sn = p_dn - np.minimum(m_dn, 0)
+            out = pd.DataFrame(
+                {
+                    "event_id": eid[i:],
+                    "event_type": k,
+                    "sp": sp,
+                    "sn": sn,
+                    "alarm_up": sp > h_units * r,
+                    "alarm_down": sn > h_units * r,
+                }
+            )
+            cp, mp = int(p_up[-1]), int(min(m_up[-1], 0))
+            cn, mn = int(p_dn[-1]), int(min(m_dn[-1], 0))
+        state.update((nb, s, q, r, cp, mp, cn, mn))
+        if out is not None and len(out):
+            yield out
+
+    return ev.groupBy("_k").applyInPandasWithState(
+        score,
+        CUSUM_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_cusum_stream(
+    spark,
+    source_path: str,
+    schema,
+    query_name: str = "cusum_stream",
+    state_partitions: int | None = 8,
+    x_expr: str = "user_id % 997",
+) -> DataFrame:
+    """Drive a bounded backlog through the stateful CUSUM (memory sink,
+    append mode) and return every emitted row."""
+    from pyspark.sql import functions as F
+
+    from .windowed import sized_state_partitions
+
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(source_path)
+        .withColumn("x", F.expr(x_expr))
+    )
+    scored = streaming_cusum(stream)
+    with sized_state_partitions(spark, state_partitions):
+        q = (
+            scored.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -275,3 +275,89 @@ def test_streaming_zscore_two_batches_matches_batch(spark, tmp_path):
     # the planted spikes must be flagged
     spikes = got[got["x"] == 5000]
     assert len(spikes) == 2 and spikes["is_outlier"].all()
+
+
+def test_streaming_cusum_two_batches_matches_batch(spark, tmp_path):
+    """The integer CUSUM state machine carries (baseline, P, min P)
+    across micro-batches: two time-ordered batches must reproduce the
+    prefix-identity batch formulation exactly (exact integers)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from dads_spark.streaming import streaming_cusum
+
+    rng = np.random.default_rng(9)
+    n = 400
+    ts = pd.to_datetime(1_700_000_000 + np.arange(n) * 60, unit="s")
+    x = rng.integers(40, 60, n).astype("int64")
+    x[300:] += 40  # mean shift late in the series -> alarm_up
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b"], n),
+            "ts": ts,
+            "x": x,
+        }
+    )
+    src = str(tmp_path / "cu_src")
+    schema = "event_id long, event_type string, ts timestamp, x long"
+    half = n // 2
+    spark.createDataFrame(pdf.iloc[:half], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    q = (
+        streaming_cusum(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_cusum_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(pdf.iloc[half:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM t_cusum_stream")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    # batch mirror: baseline first 30, r = isqrt, prefix identity
+    want_rows = []
+    B = 30
+    for k, g in pdf.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        xx = g["x"].to_numpy()
+        s, qq = int(xx[:B].sum()), int((xx[:B] * xx[:B]).sum())
+        sd2 = B * qq - s * s
+        if len(xx) <= B or sd2 <= 0:
+            continue
+        r = math.isqrt(sd2)
+        d2 = 2 * (B * xx[B:] - s)
+        pu = np.cumsum(d2 - r)
+        pn = np.cumsum(-d2 - r)
+        sp = pu - np.minimum(np.minimum.accumulate(pu), 0)
+        sn = pn - np.minimum(np.minimum.accumulate(pn), 0)
+        for eid, a, b2, au, ad in zip(
+            g["event_id"].to_numpy()[B:], sp, sn, sp > 10 * r, sn > 10 * r
+        ):
+            want_rows.append((eid, k, a, b2, au, ad))
+    want = (
+        pd.DataFrame(
+            want_rows,
+            columns=["event_id", "event_type", "sp", "sn", "alarm_up", "alarm_down"],
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for c in ["event_id", "sp", "sn", "alarm_up", "alarm_down"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # the planted shift is detected
+    assert got[got["event_id"] >= 320]["alarm_up"].any()
