@@ -5226,6 +5226,18 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between the first and last crawl snapshot
+    (ops/crawldiff.py trending_terms): Laplace-smoothed per-term log-
+    ratio in sum-of-logs micro-units — the per-TERM complement of
+    crawl_delta's per-url view. One explode shuffle per compared crawl;
+    the join/totals run on checkpointed vocab-sized count tables."""
+    from dads_spark.ops import trending_terms
+
+    snap = _crawl_snapshots(_t(spark, sf_dir, "documents"))
+    return trending_terms(snap, min_count=10)
+
+
 def q_crawl_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain churn time series (ops/crawldiff.py crawl_churn) over
     the crawl_delta frame: status counts + changed/present ratio per
@@ -5393,6 +5405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "readability": q_readability,
         "streaming_cusum": q_streaming_cusum,
+        "trending_terms": q_trending_terms,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -8884,5 +8897,47 @@ def oracle_sql() -> dict[str, str]:
                sp > 10 * r AS alarm_up,
                sn > 10 * r AS alarm_down
         FROM f
+    """
+    # trending terms: first vs last crawl of the SAME snapshot derivation
+    # crawl_delta mirrors; Laplace log-ratio in sum-of-logs micro-units
+    d["trending_terms"] = """
+        WITH c2t AS (
+            SELECT doc_id, source, text AS t1,
+                   CASE WHEN doc_id % 9 = 0
+                        THEN 'replacement content for document '
+                             || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 5 = 0
+                        THEN text || ' appended update paragraph marker'
+                        ELSE text END AS t2
+            FROM documents),
+        old_t AS (
+            SELECT unnest(string_split(t1, ' ')) AS term
+            FROM c2t WHERE doc_id % 7 <> 0),
+        new_t AS (
+            SELECT unnest(string_split(
+                       CASE WHEN doc_id % 6 = 0 THEN substr(t2, 1, 120)
+                            ELSE t2 END, ' ')) AS term
+            FROM c2t WHERE doc_id % 11 <> 5),
+        oc AS (SELECT term, count(*) AS c_old FROM old_t
+               WHERE length(term) > 0 GROUP BY 1),
+        nc AS (SELECT term, count(*) AS c_new FROM new_t
+               WHERE length(term) > 0 GROUP BY 1),
+        j AS (
+            SELECT coalesce(oc.term, nc.term) AS term,
+                   CAST(coalesce(c_old, 0) AS BIGINT) AS c_old,
+                   CAST(coalesce(c_new, 0) AS BIGINT) AS c_new
+            FROM oc FULL OUTER JOIN nc ON oc.term = nc.term),
+        tot AS (
+            SELECT sum(c_old) AS n_old, sum(c_new) AS n_new,
+                   count(*) AS v
+            FROM j)
+        SELECT term, c_old, c_new,
+               CAST(floor((ln(CAST(c_new + 1 AS DOUBLE))
+                           + ln(CAST(n_old + v AS DOUBLE))
+                           - ln(CAST(c_old + 1 AS DOUBLE))
+                           - ln(CAST(n_new + v AS DOUBLE))) * 1e6 + 0.5)
+                    AS BIGINT) AS trend_q6
+        FROM j CROSS JOIN tot
+        WHERE c_old + c_new >= 10
     """
     return d

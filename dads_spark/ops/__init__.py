@@ -1,6 +1,6 @@
 """Web-corpus operators: dedup, text analysis, similarity, multimodal."""
 
-from .crawldiff import crawl_churn, crawl_delta  # noqa: F401
+from .crawldiff import crawl_churn, crawl_delta, trending_terms  # noqa: F401
 from .dedup import (  # noqa: F401
     dedup_exact,
     dedup_exact_normalized,

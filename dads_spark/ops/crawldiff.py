@@ -162,3 +162,65 @@ def crawl_churn(
             / present.cast("double"),
         ),
     )
+
+
+def trending_terms(
+    snapshots: DataFrame,
+    ts_col: str = "crawl_ts",
+    text_col: str = "text",
+    min_count: int = 10,
+) -> DataFrame:
+    """Terms whose corpus frequency moved between the FIRST and LAST
+    crawl — the crawl-to-crawl vocabulary-drift signal (new entities,
+    emerging spam campaigns, template changes) that complements the
+    per-url ``crawl_delta`` view with a per-TERM one.
+
+    Score = Laplace-smoothed log-ratio of the term's probability in the
+    last vs first crawl, quantized to integer micro-units in the
+    SUM-OF-LOGS form (ln(c_new+1) + ln(N_old+V) - ln(c_old+1)
+    - ln(N_new+V)) — no product overflow at web scale, identical
+    expression on any engine. Positive = rising, negative = falling.
+
+    Plan shape: one explode+count shuffle PER COMPARED CRAWL (each reads
+    only its crawl's partition of the snapshot table); the full-outer
+    term join and the totals run on the two vocab-sized count tables,
+    checkpoint-materialized so the totals pass does not re-explode the
+    corpus (the pmi_collocations rule).
+
+    Returns (term, c_old, c_new, trend_q6) for terms with
+    c_old + c_new >= min_count.
+    """
+    lo, hi = snapshots.agg(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+    ).collect()[0]
+
+    def counts(ts, alias):
+        return (
+            snapshots.where(F.col(ts_col) == F.lit(ts))
+            .select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+            .where(F.length("term") > 0)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    j = (
+        counts(lo, "c_old")
+        .join(counts(hi, "c_new"), "term", "full_outer")
+        .fillna(0, ["c_old", "c_new"])
+        .localCheckpoint(eager=True)
+    )
+    tot = j.agg(
+        F.sum("c_old").alias("n_old"),
+        F.sum("c_new").alias("n_new"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    n_old, n_new, v = int(tot["n_old"]), int(tot["n_new"]), int(tot["v"])
+    trend = F.expr(
+        f"CAST(floor((ln(CAST(c_new + 1 AS DOUBLE)) + ln(CAST({n_old + v} AS DOUBLE))"
+        f" - ln(CAST(c_old + 1 AS DOUBLE)) - ln(CAST({n_new + v} AS DOUBLE)))"
+        " * 1e6 + 0.5) AS BIGINT)"
+    )
+    return (
+        j.where(F.col("c_old") + F.col("c_new") >= min_count)
+        .select("term", "c_old", "c_new", trend.alias("trend_q6"))
+    )

@@ -80,3 +80,48 @@ def test_crawl_churn_rollup(spark):
     assert c4["churn"] == 1.0
     # crawl 2: u1 unchanged, u2 gone -> churn 0
     assert churn[8]["churn"] == 0.0
+
+
+def test_trending_terms_rising_and_falling(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dads_spark.ops import trending_terms
+
+    rows = []
+    # crawl 1: 'olden' dominates; crawl 2: 'newish' dominates
+    for i in range(10):
+        rows.append((f"u{i}", "2024-01-01", "base olden olden filler"))
+        rows.append((f"u{i}", "2024-02-01", "base newish newish filler"))
+    snap = spark.createDataFrame(
+        rows, "url string, crawl_ts string, text string"
+    ).withColumn("crawl_ts", F.col("crawl_ts").cast("timestamp"))
+    out = {r["term"]: r for r in trending_terms(snap, min_count=5).collect()}
+    assert out["newish"]["trend_q6"] > 0 > out["olden"]["trend_q6"]
+    assert out["newish"]["c_old"] == 0 and out["newish"]["c_new"] == 20
+    # stable terms score ~0 (exact: ln ratio of equal smoothed probs)
+    n_old = n_new = 40
+    assert abs(out["base"]["trend_q6"]) < 50_000  # < 0.05 nats drift
+    # exact mirror for the planted riser
+    v = 4  # base, olden, newish, filler
+    want = math.floor(
+        (math.log(21) + math.log(n_old + v) - math.log(1) - math.log(n_new + v))
+        * 1e6
+        + 0.5
+    )
+    assert out["newish"]["trend_q6"] == want
+
+
+def test_trending_terms_min_count_prunes(spark):
+    from pyspark.sql import functions as F
+
+    from dads_spark.ops import trending_terms
+
+    rows = [("u", "2024-01-01", "rare common common common common"),
+            ("u", "2024-02-01", "common common common common common")]
+    snap = spark.createDataFrame(
+        rows, "url string, crawl_ts string, text string"
+    ).withColumn("crawl_ts", F.col("crawl_ts").cast("timestamp"))
+    terms = {r["term"] for r in trending_terms(snap, min_count=5).collect()}
+    assert terms == {"common"}
