@@ -5226,6 +5226,49 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-level pruning effectiveness of the compressed tier store,
+    PINNED as data (not prose): every blob of the chunked Gorilla store
+    is classified pruned / full / edge against the same mid-range window
+    q_compressed_read_range reads, straight from the plain [t_min_us,
+    t_max_us] pruning columns — no decode. The oracle reproduces the
+    deterministic chunk layout (64-point chunks over each key's ordered
+    hour buckets) in SQL, so hash equality pins BOTH the layout and the
+    pruning arithmetic that makes a day-over-a-year read decode ~1/365
+    of the store."""
+    import os as _os
+
+    from dads_spark.compress import write_compressed_tier
+    from dads_spark.rollup import rollup_from_raw
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = (
+        ev.agg(
+            F.min(F.unix_timestamp(F.col("ts").cast("timestamp"))),
+            F.max(F.unix_timestamp(F.col("ts").cast("timestamp"))),
+        ).first()
+    )
+    t0 = ((int(lo) // 3600) * 3600 + 24 * 3600) * 1_000_000
+    t1 = ((int(hi) // 3600) * 3600 - 36 * 3600) * 1_000_000
+    path = _stage_dir("gorilla_store_stats", sf_dir)
+    if not _os.path.exists(f"{path}/_SUCCESS"):
+        hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+        write_compressed_tier(hour, ["event_type"], path, chunk_points=64)
+    blobs = spark.read.parquet(path)
+    survives = (F.col("t_max_us") >= t0) & (F.col("t_min_us") < t1)
+    full = (F.col("t_min_us") >= t0) & (F.col("t_max_us") < t1)
+    return blobs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blobs"),
+        F.sum((~survives).cast("long")).alias("n_pruned"),
+        F.sum(full.cast("long")).alias("n_full"),
+        F.sum((survives & ~full).cast("long")).alias("n_edge"),
+        F.sum("n_points").cast("long").alias("points_total"),
+        F.sum(F.when(survives, F.col("n_points")).otherwise(0))
+        .cast("long")
+        .alias("points_decoded"),
+    )
+
+
 def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary drift between the first and last crawl snapshot
     (ops/crawldiff.py trending_terms): Laplace-smoothed per-term log-
@@ -5406,6 +5449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "streaming_cusum": q_streaming_cusum,
         "trending_terms": q_trending_terms,
+        "pruning_stats": q_pruning_stats,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -8939,5 +8983,46 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS trend_q6
         FROM j CROSS JOIN tot
         WHERE c_old + c_new >= 10
+    """
+    # pruning stats: reproduce the deterministic 64-point chunk layout in
+    # SQL and classify each chunk against the same mid-range window
+    d["pruning_stats"] = """
+        WITH bounds AS (
+            SELECT ((CAST(floor(min(epoch(ts))) AS BIGINT) // 3600) * 3600
+                    + 24 * 3600) * 1000000 AS t0,
+                   ((CAST(floor(max(epoch(ts))) AS BIGINT) // 3600) * 3600
+                    - 36 * 3600) * 1000000 AS t1
+            FROM events),
+        h AS (
+            SELECT DISTINCT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600000000 AS b_us
+            FROM events),
+        rk AS (
+            SELECT event_type, b_us,
+                   (row_number() OVER (PARTITION BY event_type
+                                       ORDER BY b_us) - 1) // 64 AS chunk
+            FROM h),
+        blobs AS (
+            SELECT event_type, chunk,
+                   min(b_us) AS t_min_us, max(b_us) AS t_max_us,
+                   count(*) AS n_points
+            FROM rk GROUP BY 1, 2),
+        cl AS (
+            SELECT event_type, n_points,
+                   (t_max_us >= t0 AND t_min_us < t1) AS survives,
+                   (t_min_us >= t0 AND t_max_us < t1) AS is_full
+            FROM blobs CROSS JOIN bounds)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_blobs,
+               CAST(sum(CASE WHEN NOT survives THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pruned,
+               CAST(sum(CASE WHEN is_full THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_full,
+               CAST(sum(CASE WHEN survives AND NOT is_full THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_edge,
+               CAST(sum(n_points) AS BIGINT) AS points_total,
+               CAST(sum(CASE WHEN survives THEN n_points ELSE 0 END)
+                    AS BIGINT) AS points_decoded
+        FROM cl GROUP BY 1
     """
     return d
