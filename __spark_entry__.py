@@ -5226,6 +5226,41 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asap_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASAP smoothing parameter search (Rong & Bailis, VLDB 2017) per
+    hourly count series: the auto-chosen moving-average window minimizing
+    roughness under the kurtosis-preservation constraint, micro-unit
+    quantized. One task per series (grouped-S2G shape); the staged twin
+    runs the SAME deterministic search on the raw-derived series."""
+    from dads_spark.rollup import asap_smooth_params, asap_window_search
+
+    from dads_spark.oracles import hourly_counts
+
+    import numpy as _np2
+
+    ets, ns, ws, rs, ks = [], [], [], [], []
+    for et, (_b, v) in sorted(hourly_counts(sf_dir).items()):
+        w, r, k = asap_window_search(_np2.asarray(v, dtype=_np2.float64))
+        q6 = lambda x: int(_np2.sign(x) * _np2.floor(abs(x) * 1e6 + 0.5))  # noqa: E731
+        ets.append(et)
+        ns.append(len(v))
+        ws.append(w)
+        rs.append(q6(r))
+        ks.append(q6(k))
+    _write_dump(
+        "asap_oracle",
+        {
+            "event_type": ets,
+            "n_points": ns,
+            "w_opt": ws,
+            "roughness_q6": rs,
+            "kurtosis_q6": ks,
+        },
+    )
+    ev = _t(spark, sf_dir, "events")
+    return asap_smooth_params(ev, ["event_type"], "ts", None, "hour")
+
+
 def q_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blob-level pruning effectiveness of the compressed tier store,
     PINNED as data (not prose): every blob of the chunked Gorilla store
@@ -5450,6 +5485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cusum": q_streaming_cusum,
         "trending_terms": q_trending_terms,
         "pruning_stats": q_pruning_stats,
+        "asap_smooth": q_asap_smooth,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -9024,5 +9060,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN survives THEN n_points ELSE 0 END)
                     AS BIGINT) AS points_decoded
         FROM cl GROUP BY 1
+    """
+    d["asap_smooth"] = f"""
+        SELECT event_type, n_points, w_opt, roughness_q6, kurtosis_q6
+        FROM read_parquet('{_dump_path("asap_oracle")}')
     """
     return d

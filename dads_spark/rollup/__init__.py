@@ -33,6 +33,8 @@ from .downsample import (  # noqa: F401
     ewma_smooth,
     lttb_downsample,
     lttb_indices,
+    asap_smooth_params,
+    asap_window_search,
     m4_downsample,
     ohlc_bars,
 )

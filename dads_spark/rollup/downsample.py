@@ -219,3 +219,92 @@ def ohlc_bars(
         F.max_by(F.col(val_col), ordk).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def asap_window_search(
+    v: np.ndarray, max_window: int = 100
+) -> tuple[int, float, float]:
+    """ASAP smoothing parameter search (Rong & Bailis, VLDB 2017),
+    deterministic exhaustive variant: over w in 1..min(n//2, max_window),
+    pick the window whose moving average minimizes ROUGHNESS (std of the
+    first differences) subject to preserving KURTOSIS (kurt(MA_w) >=
+    kurt(raw) — the paper's spike-preservation constraint). Ties break to
+    the smaller window. Returns (w_opt, roughness(w_opt), kurt(w_opt)).
+
+    Shared by the Spark operator and the scalar oracle so the pinned
+    numbers are a pure function of the series bytes.
+    """
+    v = np.asarray(v, dtype=np.float64)
+    n = len(v)
+
+    def _kurt(x: np.ndarray) -> float:
+        m = x.mean()
+        d = x - m
+        s2 = float((d * d).mean())
+        if s2 == 0.0:
+            return -3.0
+        return float((d**4).mean()) / (s2 * s2) - 3.0
+
+    def _rough(x: np.ndarray) -> float:
+        if len(x) < 2:
+            return 0.0
+        return float(np.diff(x).std())
+
+    k0 = _kurt(v)
+    best = (1, _rough(v), k0)
+    c = np.concatenate(([0.0], np.cumsum(v)))
+    for w in range(2, min(n // 2, max_window) + 1):
+        ma = (c[w:] - c[:-w]) / w
+        kw = _kurt(ma)
+        if kw >= k0:
+            r = _rough(ma)
+            if r < best[1]:
+                best = (w, r, kw)
+    return best
+
+
+def asap_smooth_params(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str | None = None,
+    tier: str = "hour",
+    max_window: int = 100,
+) -> DataFrame:
+    """Per-series ASAP smoothing parameters over a rollup tier: the
+    auto-chosen moving-average window plus its roughness/kurtosis,
+    quantized to integer micro-units (q6, sign*floor(|x|*1e6+0.5)).
+
+    Same zero-coordination many-series shape as the grouped S2G scorer:
+    one task per series, the search a vectorized cumsum sweep inside
+    ``applyInPandas``. Output: (keys..., n_points, w_opt, roughness_q6,
+    kurtosis_q6).
+    """
+    from .tiers import rollup_from_raw
+
+    hourly = rollup_from_raw(df, key_cols, ts_col, value_col, tier)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts")
+        v = pdf["doc_count"].to_numpy(np.float64)
+        w, r, k = asap_window_search(v, max_window)
+
+        def q6(x: float) -> int:
+            return int(np.sign(x) * np.floor(abs(x) * 1e6 + 0.5))
+
+        return pd.DataFrame(
+            {
+                **{c: [pdf[c].iloc[0]] for c in key_cols},
+                "n_points": [len(v)],
+                "w_opt": [w],
+                "roughness_q6": [q6(r)],
+                "kurtosis_q6": [q6(k)],
+            }
+        )
+
+    key_schema = ", ".join(f"{c} string" for c in key_cols)
+    return hourly.groupBy(*key_cols).applyInPandas(
+        run,
+        f"{key_schema}, n_points long, w_opt long, "
+        "roughness_q6 long, kurtosis_q6 long",
+    )

@@ -178,3 +178,61 @@ def test_downsample_on_expiry_no_overlap_no_gap(spark):
     assert days == list(range(days[0], cut, 86_400))
     # conservation: every raw event counted exactly once across resolutions
     assert int(pdf["doc_count"].sum()) == ev.count()
+
+
+def test_asap_window_search_prefers_smoother_window():
+    import numpy as np
+
+    from dads_spark.rollup import asap_window_search
+
+    rng = np.random.RandomState(11)
+    n = 500
+    noisy = 50 + rng.randn(n) * 3.0
+    # SUSTAINED anomaly (the shape ASAP preserves): smoothing shrinks the
+    # noise ~sqrt(w) while the 20-point block survives, so the smoothed
+    # series is MORE heavy-tailed than raw and the kurtosis constraint
+    # admits a window. (A single-point spike is the opposite case: any
+    # smoothing flattens it, kurtosis falls, and the search keeps w=1 —
+    # the paper's intended behavior.)
+    noisy[250:270] += 25
+    w, rough, kurt = asap_window_search(noisy)
+    assert w > 1  # smoothing chosen
+    # roughness strictly below the raw series' roughness
+    assert rough < float(np.diff(noisy).std())
+    # kurtosis preserved (>= raw kurtosis, the ASAP constraint)
+    d = noisy - noisy.mean()
+    k0 = float((d**4).mean() / (d.var() ** 2) - 3.0)
+    assert kurt >= k0
+    # single-point spike: constraint rejects every window -> w stays 1
+    spiky = 50 + rng.randn(n) * 3.0
+    spiky[300] += 100
+    assert asap_window_search(spiky)[0] == 1
+
+
+def test_asap_spark_matches_scalar_search(spark):
+    import numpy as np
+    import pandas as pd
+
+    from dads_spark.rollup import asap_smooth_params, asap_window_search
+
+    rng = np.random.RandomState(4)
+    rows = []
+    for et in ("a", "b"):
+        for i in range(400):
+            # several raw events per hour so doc_count varies
+            for _ in range(int(rng.randint(1, 5))):
+                rows.append((et, pd.Timestamp("2026-01-01") + pd.Timedelta(hours=i)))
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts"])
+    ev = spark.createDataFrame(pdf, "event_type string, ts timestamp")
+    got = {
+        r["event_type"]: r
+        for r in asap_smooth_params(ev, ["event_type"], "ts", None, "hour").collect()
+    }
+    for et, g in pdf.groupby("event_type"):
+        counts = g.groupby(g["ts"].dt.floor("h")).size().sort_index().to_numpy()
+        w, rough, kurt = asap_window_search(counts.astype(np.float64))
+        q6 = lambda x: int(np.sign(x) * np.floor(abs(x) * 1e6 + 0.5))  # noqa: E731
+        assert got[et]["w_opt"] == w
+        assert got[et]["roughness_q6"] == q6(rough)
+        assert got[et]["kurtosis_q6"] == q6(kurt)
+        assert got[et]["n_points"] == len(counts)
