@@ -5082,6 +5082,34 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension enrichment (ops/scd.py
+    asof_dimension_join): each purchase joined to the user's BROWSING
+    state (SCD2 over the non-purchase event stream) valid at purchase
+    time — the reproducible-historical-report join. LEFT keeps purchases
+    that predate any browsing state (NULL attrs)."""
+    from dads_spark.ops import asof_dimension_join, scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "event_type",
+    )
+    dim = scd2_history(
+        ev.filter(F.col("event_type") != "purchase"),
+        ["user_id"],
+        "tus",
+        ["event_type"],
+        tiebreak_cols=["event_id"],
+    ).withColumnRenamed("event_type", "browse_state")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "tus"
+    )
+    out = asof_dimension_join(facts, dim, ["user_id"], "tus", how="left")
+    return out.select("event_id", "user_id", "browse_state", "state_valid_from")
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-bigram-LM surprisal with Laplace smoothing
     (ops/textstats.py bigram_logprob): the word-ORDER rung of the n-gram
@@ -5486,6 +5514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_terms": q_trending_terms,
         "pruning_stats": q_pruning_stats,
         "asap_smooth": q_asap_smooth,
+        "scd2_asof_join": q_scd2_asof_join,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -9064,5 +9093,34 @@ def oracle_sql() -> dict[str, str]:
     d["asap_smooth"] = f"""
         SELECT event_type, n_points, w_opt, roughness_q6, kurtosis_q6
         FROM read_parquet('{_dump_path("asap_oracle")}')
+    """
+    # point-in-time SCD2 enrichment: intervals over the non-purchase
+    # stream, purchases range-joined to the containing interval
+    d["scd2_asof_join"] = """
+        WITH ordered AS (
+            SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+                   lag(event_type) OVER
+                       (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS prev
+            FROM events WHERE event_type <> 'purchase'),
+        changes AS (
+            SELECT user_id, event_type, tus, event_id FROM ordered
+            WHERE prev IS DISTINCT FROM event_type),
+        dim AS (
+            SELECT user_id, event_type AS browse_state,
+                   CAST(tus AS BIGINT) AS valid_from,
+                   CAST(lead(tus) OVER
+                        (PARTITION BY user_id ORDER BY tus, event_id)
+                        AS BIGINT) AS valid_to
+            FROM changes),
+        facts AS (
+            SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tus
+            FROM events WHERE event_type = 'purchase')
+        SELECT f.event_id, f.user_id, d.browse_state,
+               d.valid_from AS state_valid_from
+        FROM facts f LEFT JOIN dim d
+          ON f.user_id = d.user_id
+         AND f.tus >= d.valid_from
+         AND (d.valid_to IS NULL OR f.tus < d.valid_to)
     """
     return d

@@ -56,7 +56,7 @@ from .linkgraph import (  # noqa: F401
     triangle_counts,
 )
 from .contamination import contamination_report  # noqa: F401
-from .scd import scd2_history  # noqa: F401
+from .scd import asof_dimension_join, scd2_history  # noqa: F401
 from .frontier import frontier_schedule  # noqa: F401
 from .sampling import (  # noqa: F401
     balance_sample,

@@ -60,3 +60,48 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
     )
+
+
+def asof_dimension_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    key_cols: list[str],
+    fact_ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (AS-OF) dimension enrichment: each fact row joined
+    to the SCD2 interval containing its timestamp —
+
+        valid_from <= fact_ts AND (valid_to IS NULL OR fact_ts < valid_to)
+
+    — the warehouse rule that makes historical reports reproducible
+    (yesterday's fact sees yesterday's dimension attributes, not
+    today's). SCD2 intervals are half-open and non-overlapping per key,
+    so each fact matches at most one row; ``how='left'`` keeps facts that
+    predate any dimension state (NULL attributes).
+
+    Scale shape: the join keys on ``key_cols`` equality (the shuffle),
+    with the interval test as a join residual — the dimension side is
+    interval rows (states, not updates), orders of magnitude smaller
+    than the fact table, and broadcast-eligible when the entity set is
+    bounded.
+    """
+    f = facts.alias("_f")
+    d = dim_history.alias("_d")
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(f"_f.{k}") == F.col(f"_d.{k}"))
+    ts = F.col(f"_f.{fact_ts_col}")
+    cond = cond & (ts >= F.col("_d.valid_from"))
+    cond = cond & (
+        F.col("_d.valid_to").isNull() | (ts < F.col("_d.valid_to"))
+    )
+    dim_attrs = [
+        c for c in dim_history.columns
+        if c not in (*key_cols, "valid_from", "valid_to", "is_current")
+    ]
+    return f.join(d, cond, how).select(
+        "_f.*",
+        *[F.col(f"_d.{c}").alias(c) for c in dim_attrs],
+        F.col("_d.valid_from").alias("state_valid_from"),
+    )

@@ -305,3 +305,69 @@ def test_weighted_sample_weight_monotone(spark):
     df2 = spark.createDataFrame(boosted, "k string, id long, w double")
     second = {r["id"] for r in weighted_sample(df2, ["k"], "id", "w", 12).collect()}
     assert victim in second
+
+
+def test_asof_dimension_join_point_in_time(spark):
+    from dads_spark.ops import asof_dimension_join, scd2_history
+
+    # dimension updates: user 1 is 'bronze' from t=10, 'gold' from t=50
+    dim_updates = spark.createDataFrame(
+        [(1, 10, 1, "bronze"), (1, 50, 2, "gold"), (2, 30, 3, "silver")],
+        "user_id long, tus long, event_id long, plan string",
+    )
+    dim = scd2_history(
+        dim_updates, ["user_id"], "tus", ["plan"], tiebreak_cols=["event_id"]
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, 5),    # before any state -> NULL (left join)
+            (101, 1, 10),   # boundary: valid_from inclusive -> bronze
+            (102, 1, 49),   # last tick of bronze
+            (103, 1, 50),   # boundary: valid_to exclusive -> gold
+            (104, 1, 99),   # open interval -> gold
+            (105, 2, 40),   # other user -> silver
+            (106, 3, 40),   # unknown user -> NULL
+        ],
+        "event_id long, user_id long, tus long",
+    )
+    out = {
+        r["event_id"]: r["plan"]
+        for r in asof_dimension_join(facts, dim, ["user_id"], "tus").collect()
+    }
+    assert out == {
+        100: None,
+        101: "bronze",
+        102: "bronze",
+        103: "gold",
+        104: "gold",
+        105: "silver",
+        106: None,
+    }
+
+
+def test_asof_dimension_join_matches_at_most_once(spark):
+    import random
+
+    from dads_spark.ops import asof_dimension_join, scd2_history
+
+    rng = random.Random(3)
+    ups, facts = [], []
+    eid = 0
+    for u in range(20):
+        t = 0
+        for _ in range(rng.randint(1, 6)):
+            t += rng.randint(1, 20)
+            ups.append((u, t, eid, rng.choice("abc")))
+            eid += 1
+        for _ in range(5):
+            facts.append((eid, u, rng.randint(0, 150)))
+            eid += 1
+    dim = scd2_history(
+        spark.createDataFrame(ups, "user_id long, tus long, event_id long, s string"),
+        ["user_id"], "tus", ["s"], tiebreak_cols=["event_id"],
+    )
+    f = spark.createDataFrame(facts, "event_id long, user_id long, tus long")
+    out = asof_dimension_join(f, dim, ["user_id"], "tus")
+    # SCD2 intervals are disjoint: LEFT join emits exactly one row per fact
+    assert out.count() == len(facts)
+    assert out.select("event_id").distinct().count() == len(facts)
