@@ -791,6 +791,45 @@ def main() -> None:
                   if "Generate" in l or "Exchange" in l or "HashAggregate" in l)[:600],
     ))
 
+    # --- A42: OHLC — ONE hash aggregate, no Window, no sort ------------------
+    p42 = plan_of(em.queries()["ohlc_bars"](spark, sf_dir))
+    assert "Window" not in p42, "ohlc_bars plans a window"
+    n_ex42 = sum(
+        1 for l in p42.splitlines()
+        if re.fullmatch(r"\(\d+\) Exchange(Exec)?", l.strip())
+    )
+    assert n_ex42 == 1, f"ohlc_bars exchanges: {n_ex42}"
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py_op not in p42, f"ohlc_bars plan contains {py_op}"
+    sections.append((
+        "A42 ohlc_bars: min_by/max_by struct order — one exchange, no Window",
+        "PASS — open/close come from min_by/max_by on the (ts, id) struct "
+        "key inside the SAME partial+final aggregate as high/low/count "
+        "(SortAggregate: struct-ordered extrema), so the candlestick "
+        "downsample pays exactly one bucket-keyed exchange of partial "
+        "rows — vs the full-data sort a two-pass row_number formulation "
+        "would shuffle",
+        "\n".join(l for l in p42.splitlines()
+                  if "Aggregate (" in l or "Exchange" in l)[:500],
+    ))
+
+    # --- A43: AS-OF SCD2 join — key-equality join, interval as residual ------
+    p43 = plan_of(em.queries()["scd2_asof_join"](spark, sf_dir))
+    assert "Join" in p43
+    assert "CartesianProduct" not in p43 and "BroadcastNestedLoop" not in p43, (
+        "asof join degenerated to a non-equi join"
+    )
+    sections.append((
+        "A43 scd2_asof_join: point-in-time join keys on user equality",
+        "PASS — the SCD2 interval test rides as a join residual on a "
+        "user-keyed equi-join (no cartesian/nested-loop): the fact "
+        "shuffle is keyed, the dimension side is interval rows "
+        "(states, not updates) and broadcast-eligible at bounded "
+        "entity counts",
+        "\n".join(l for l in p43.splitlines()
+                  if "Join" in l or "Exchange" in l)[:500],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
