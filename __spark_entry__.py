@@ -5082,6 +5082,26 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert episodes with hysteresis (rollup/slo.py alert_hysteresis):
+    breach = exact-integer 1.5x-of-baseline-mean rule, fire at the 3rd
+    consecutive breaching hour, clear at the 2nd consecutive quiet hour
+    — Prometheus for:/keep_firing_for: semantics as pure window algebra,
+    pinned bit-for-bit by the SQL twin."""
+    from dads_spark.rollup import alert_hysteresis
+
+    ev = _t(spark, sf_dir, "events")
+    out = alert_hysteresis(
+        ev, ["event_type"], "ts", tier="hour",
+        baseline_days=7, fire_n=3, clear_m=2, num=3, den=2,
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("fired_ts").alias("fired_s"),
+        F.unix_timestamp("cleared_ts").alias("cleared_s"),
+    )
+
+
 def q_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension enrichment (ops/scd.py
     asof_dimension_join): each purchase joined to the user's BROWSING
@@ -5515,6 +5535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruning_stats": q_pruning_stats,
         "asap_smooth": q_asap_smooth,
         "scd2_asof_join": q_scd2_asof_join,
+        "alert_hysteresis": q_alert_hysteresis,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -9122,5 +9143,50 @@ def oracle_sql() -> dict[str, str]:
           ON f.user_id = d.user_id
          AND f.tus >= d.valid_from
          AND (d.valid_to IS NULL OR f.tus < d.valid_to)
+    """
+    # hysteresis alerting: gaps-and-islands runs, in-run positions, an
+    # alternation filter over the fire/clear event stream — pure windows
+    d["alert_hysteresis"] = """
+        WITH h AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600000000 AS b_us,
+                   count(*) AS doc_count
+            FROM events GROUP BY 1, 2),
+        t0 AS (SELECT event_type, min(b_us) AS t0_us FROM h GROUP BY 1),
+        base AS (
+            SELECT h.event_type, count(*) AS b, sum(doc_count) AS s
+            FROM h JOIN t0 USING (event_type)
+            WHERE h.b_us < t0.t0_us + 7 * 86400000000 GROUP BY 1),
+        fl AS (
+            SELECT h.event_type, h.b_us, h.doc_count,
+                   (2 * base.b * h.doc_count > 3 * base.s) AS breach,
+                   row_number() OVER (PARTITION BY h.event_type
+                                      ORDER BY h.b_us) AS rn
+            FROM h JOIN base USING (event_type)),
+        fl2 AS (
+            SELECT *, rn - row_number() OVER (
+                       PARTITION BY event_type, breach ORDER BY b_us) AS grp
+            FROM fl),
+        ev AS (
+            SELECT event_type, b_us, breach,
+                   row_number() OVER (PARTITION BY event_type, breach, grp
+                                      ORDER BY b_us) AS pos
+            FROM fl2),
+        evf AS (
+            SELECT event_type, b_us, breach FROM ev
+            WHERE (breach AND pos = 3) OR (NOT breach AND pos = 2)),
+        alt AS (
+            SELECT *, lag(breach) OVER (PARTITION BY event_type
+                                        ORDER BY b_us) AS prev
+            FROM evf),
+        kept AS (
+            SELECT event_type, b_us, breach,
+                   lead(b_us) OVER (PARTITION BY event_type
+                                    ORDER BY b_us) AS next_us
+            FROM alt WHERE prev IS NULL OR prev <> breach)
+        SELECT event_type,
+               CAST(b_us // 1000000 AS BIGINT) AS fired_s,
+               CAST(next_us // 1000000 AS BIGINT) AS cleared_s
+        FROM kept WHERE breach
     """
     return d

@@ -76,5 +76,5 @@ from .analytics import (  # noqa: F401
     series_cross_correlation,
     time_weighted_avg,
 )
-from .slo import DEFAULT_RULES, slo_burn_rates  # noqa: F401
+from .slo import DEFAULT_RULES, alert_hysteresis, slo_burn_rates  # noqa: F401
 from .refresh import invalidate_and_refresh, invalidation_set  # noqa: F401

@@ -88,3 +88,92 @@ def slo_burn_rates(
             & (F.col(f"burn_{short_s}s") > F.lit(thr)),
         )
     return out
+
+
+def alert_hysteresis(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tier: str = "hour",
+    baseline_days: int = 7,
+    fire_n: int = 3,
+    clear_m: int = 2,
+    num: int = 3,
+    den: int = 2,
+) -> DataFrame:
+    """Alert EPISODES with hysteresis over a rollup tier — the
+    Prometheus ``for:`` / ``keep_firing_for:`` semantics that turn point
+    breaches into actionable incidents instead of flapping pages.
+
+    Breach rule (exact integers, no float threshold): a bucket breaches
+    iff ``den * B * doc_count > num * S`` — i.e. doc_count exceeds
+    (num/den)x the key's baseline mean S/B, where (B, S) are the bucket
+    count and doc_count sum of the key's first ``baseline_days`` days.
+    An alert FIRES at the ``fire_n``-th consecutive breaching bucket and
+    CLEARS at the ``clear_m``-th consecutive non-breaching bucket;
+    shorter opposing runs in between do not change state (hysteresis).
+    "Consecutive" is row-adjacent on the tier grid (gap-filled tiers
+    make it wall-clock).
+
+    Everything is window algebra — gaps-and-islands run ids, in-run
+    positions, an alternation filter over the event stream — so the
+    episode list is exactly expressible in ANSI SQL on any engine, and
+    the oracle pins it bit-for-bit.
+
+    Returns (keys..., fired_ts, cleared_ts) — cleared_ts NULL while the
+    episode is still firing at end of data.
+    """
+    from .tiers import bucket_expr, rollup_from_raw
+
+    hourly = rollup_from_raw(df, key_cols, ts_col, None, tier).select(
+        *key_cols, "bucket_ts", "doc_count"
+    )
+    us_per_day = 86_400_000_000
+    t_us = F.unix_micros(F.col("bucket_ts"))
+    t0 = hourly.groupBy(*key_cols).agg(F.min(t_us).alias("t0_us"))
+    with_t = hourly.join(F.broadcast(t0), key_cols).withColumn("_t_us", t_us)
+    base = (
+        with_t.filter(
+            F.col("_t_us") < F.col("t0_us") + F.lit(baseline_days * us_per_day)
+        )
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("b"),
+            F.sum("doc_count").alias("s"),
+        )
+    )
+    w_all = Window.partitionBy(*key_cols).orderBy("bucket_ts")
+    flagged = (
+        with_t.join(F.broadcast(base), key_cols)
+        .withColumn(
+            "_breach",
+            F.lit(den) * F.col("b") * F.col("doc_count") > F.lit(num) * F.col("s"),
+        )
+        .withColumn("_rn", F.row_number().over(w_all))
+        .withColumn(
+            "_rnb",
+            F.row_number().over(
+                Window.partitionBy(*key_cols, "_breach").orderBy("bucket_ts")
+            ),
+        )
+        .withColumn("_grp", F.col("_rn") - F.col("_rnb"))
+    )
+    w_run = Window.partitionBy(*key_cols, "_breach", "_grp").orderBy("bucket_ts")
+    events = flagged.withColumn("_pos", F.row_number().over(w_run)).where(
+        (F.col("_breach") & (F.col("_pos") == fire_n))
+        | (~F.col("_breach") & (F.col("_pos") == clear_m))
+    )
+    w_ev = Window.partitionBy(*key_cols).orderBy("bucket_ts")
+    alt = events.withColumn("_prev", F.lag("_breach").over(w_ev)).where(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("_breach"))
+    )
+    w_alt = Window.partitionBy(*key_cols).orderBy("bucket_ts")
+    return (
+        alt.withColumn("_next_ts", F.lead("bucket_ts").over(w_alt))
+        .where(F.col("_breach"))
+        .select(
+            *key_cols,
+            F.col("bucket_ts").alias("fired_ts"),
+            F.col("_next_ts").alias("cleared_ts"),
+        )
+    )

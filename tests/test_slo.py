@@ -79,3 +79,69 @@ def test_slo_burn_partitioning_invariance(spark):
         map(tuple, slo_burn_rates(df.repartition(13), "service", "ts", err).collect())
     )
     assert a == b
+
+
+def test_alert_hysteresis_state_machine(spark):
+    import pandas as pd
+
+    from dads_spark.rollup import alert_hysteresis
+
+    # baseline week: 24 quiet hours/day x 7 (count 1/hour);
+    # then a crafted post-baseline sequence of hourly counts:
+    #   idx: 0  1  2  3  4  5  6  7  8  9 10 11 12 13
+    #   cnt: 9  9  9  1  9  9  1  1  9  9  9  1  1  1
+    # breach = count > 1.5*baseline_mean (mean=1) -> count 9 breaches.
+    # fire_n=3 -> fires at idx 2; idx 3 clear-run len 1 < clear_m=2 (stays
+    # firing); idx 6-7 clear-run len 2 -> clears at idx 7; idx 8-10
+    # breach-run len 3 -> re-fires at idx 10; idx 11-13 clears at idx 12.
+    rows = []
+    t0 = pd.Timestamp("2026-01-01")
+    for h in range(7 * 24):
+        rows.append(("a", t0 + pd.Timedelta(hours=h)))
+    seq = [9, 9, 9, 1, 9, 9, 1, 1, 9, 9, 9, 1, 1, 1]
+    base_h = 7 * 24
+    for i, c in enumerate(seq):
+        for _ in range(c):
+            rows.append(("a", t0 + pd.Timedelta(hours=base_h + i)))
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts"]),
+        "event_type string, ts timestamp",
+    )
+    out = sorted(
+        (r["fired_ts"], r["cleared_ts"])
+        for r in alert_hysteresis(
+            ev, ["event_type"], "ts", fire_n=3, clear_m=2
+        ).collect()
+    )
+    hr = lambda i: (t0 + pd.Timedelta(hours=base_h + i)).to_pydatetime()  # noqa: E731
+    assert out == [(hr(2), hr(7)), (hr(10), hr(12))]
+
+
+def test_alert_hysteresis_open_episode_and_no_fire(spark):
+    import pandas as pd
+
+    from dads_spark.rollup import alert_hysteresis
+
+    rows = []
+    t0 = pd.Timestamp("2026-01-01")
+    for h in range(7 * 24):
+        rows.append(("a", t0 + pd.Timedelta(hours=h)))
+        rows.append(("b", t0 + pd.Timedelta(hours=h)))
+    # a: ends in a breach run >= fire_n -> open episode (cleared NULL)
+    for i, c in enumerate([9, 9, 9, 9]):
+        for _ in range(c):
+            rows.append(("a", t0 + pd.Timedelta(hours=7 * 24 + i)))
+    # b: breach runs always shorter than fire_n -> no episode at all
+    for i, c in enumerate([9, 9, 1, 9, 9, 1]):
+        for _ in range(c):
+            rows.append(("b", t0 + pd.Timedelta(hours=7 * 24 + i)))
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts"]),
+        "event_type string, ts timestamp",
+    )
+    out = alert_hysteresis(ev, ["event_type"], "ts", fire_n=3, clear_m=2).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["event_type"], []).append(r)
+    assert "b" not in by_key
+    assert len(by_key["a"]) == 1 and by_key["a"][0]["cleared_ts"] is None
