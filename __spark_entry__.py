@@ -5082,6 +5082,21 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest (rollup/forecast.py
+    rolling_backtest): last 4x24 hourly buckets held out as per-fold
+    blocks, seasonal-naive (wall-clock t-168h self-join, gap-safe)
+    scored against persistence in exact integers + one quantized skill
+    ratio per fold."""
+    from dads_spark.rollup import rolling_backtest
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_backtest(
+        ev, ["event_type"], "ts", tier="hour",
+        horizon=24, n_folds=4, season_sec=7 * 86_400,
+    )
+
+
 def q_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alert episodes with hysteresis (rollup/slo.py alert_hysteresis):
     breach = exact-integer 1.5x-of-baseline-mean rule, fire at the 3rd
@@ -5536,6 +5551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asap_smooth": q_asap_smooth,
         "scd2_asof_join": q_scd2_asof_join,
         "alert_hysteresis": q_alert_hysteresis,
+        "rolling_backtest": q_rolling_backtest,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -9188,5 +9204,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(b_us // 1000000 AS BIGINT) AS fired_s,
                CAST(next_us // 1000000 AS BIGINT) AS cleared_s
         FROM kept WHERE breach
+    """
+    # rolling-origin backtest: folds from the series end, wall-clock
+    # seasonal self-join, exact integer errors + one quantized ratio
+    d["rolling_backtest"] = """
+        WITH h AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600000000 AS b_us,
+                   count(*) AS y
+            FROM events GROUP BY 1, 2),
+        o AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY b_us DESC) AS rnd,
+                   lag(y) OVER (PARTITION BY event_type
+                                ORDER BY b_us) AS yprev
+            FROM h),
+        cur AS (
+            SELECT event_type, b_us, y, yprev,
+                   CAST((rnd - 1) // 24 AS INT) + 1 AS fold
+            FROM o WHERE rnd <= 96),
+        j AS (
+            SELECT cur.*, p.y AS ysea
+            FROM cur LEFT JOIN h p
+              ON p.event_type = cur.event_type
+             AND p.b_us + 604800000000 = cur.b_us),
+        per AS (
+            SELECT event_type, fold,
+                   CAST(sum(CASE WHEN ysea IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_scored,
+                   CAST(sum(CASE WHEN ysea IS NOT NULL
+                                 THEN abs(y - ysea) ELSE 0 END)
+                        AS BIGINT) AS sae_seasonal,
+                   CAST(sum(CASE WHEN yprev IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_persist,
+                   CAST(sum(CASE WHEN yprev IS NOT NULL
+                                 THEN abs(y - yprev) ELSE 0 END)
+                        AS BIGINT) AS sae_persist
+            FROM j GROUP BY 1, 2)
+        SELECT event_type, fold, n_scored, sae_seasonal, n_persist,
+               sae_persist,
+               CASE WHEN sae_persist > 0 AND n_scored > 0
+                    THEN CAST(floor(1e6 * CAST(sae_seasonal AS DOUBLE)
+                                    * CAST(n_persist AS DOUBLE)
+                                    / (CAST(sae_persist AS DOUBLE)
+                                       * CAST(n_scored AS DOUBLE)) + 0.5)
+                              AS BIGINT)
+               END AS skill_q6
+        FROM per
     """
     return d

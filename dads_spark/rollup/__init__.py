@@ -45,6 +45,7 @@ from .forecast import (  # noqa: F401
     holt_residuals_grouped,
     holt_winters,
     holt_winters_grouped,
+    rolling_backtest,
 )
 from .matrixprofile import (  # noqa: F401
     discords_grouped,

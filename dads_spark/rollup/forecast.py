@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def holt_forecast(
@@ -226,3 +226,98 @@ def cusum_grouped(
         )
 
     return df.groupBy(*key_cols).applyInPandas(f, out_schema)
+
+
+def rolling_backtest(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tier: str = "hour",
+    horizon: int = 24,
+    n_folds: int = 4,
+    season_sec: int = 7 * 86_400,
+) -> DataFrame:
+    """Rolling-origin forecast backtest (the standard time-series
+    evaluation protocol: hold out the last ``n_folds`` x ``horizon``
+    buckets, score each block separately so accuracy drift over folds is
+    visible) for the seasonal-naive predictor yhat(t) = y(t - season),
+    in EXACT integers.
+
+    The seasonal lag is a WALL-CLOCK self-join (bucket - season_sec),
+    not a row lag, so missing buckets cannot shift the predictor; folds
+    are assigned from the series end (fold 1 = most recent block). Per
+    (key, fold): scored-bucket count, exact sum of absolute errors, the
+    same for the persistence predictor y(t-1 row), and the MASE-style
+    skill ratio quantized to micro-units (the single float step,
+    identical expression on any engine).
+
+    Output: keys..., fold, n_scored, sae_seasonal, sae_persist,
+    skill_q6 = floor(1e6 * sae_seasonal * n_persist
+                     / (sae_persist * n_seasonal) + 0.5)  (NULL when the
+    persistence error is 0). skill < 1e6 means the seasonal predictor
+    beats persistence on that fold.
+    """
+    from pyspark.sql import Window as W
+
+    from .tiers import rollup_from_raw
+
+    hourly = rollup_from_raw(df, key_cols, ts_col, None, tier).select(
+        *key_cols,
+        F.unix_micros(F.col("bucket_ts")).alias("b_us"),
+        F.col("doc_count").alias("y"),
+    )
+    w = W.partitionBy(*key_cols).orderBy("b_us")
+    wd = W.partitionBy(*key_cols).orderBy(F.desc("b_us"))
+    cur = (
+        hourly.withColumn("_rnd", F.row_number().over(wd))
+        .withColumn("_yprev", F.lag("y").over(w))
+        .where(F.col("_rnd") <= horizon * n_folds)
+        .withColumn("fold", ((F.col("_rnd") - 1) / horizon).cast("int") + 1)
+    )
+    past = hourly.select(
+        *key_cols,
+        (F.col("b_us") + F.lit(season_sec * 1_000_000)).alias("b_us"),
+        F.col("y").alias("_ysea"),
+    )
+    j = cur.join(past, [*key_cols, "b_us"], "left")
+    per = j.groupBy(*key_cols, "fold").agg(
+        F.sum(F.when(F.col("_ysea").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_scored"),
+        F.sum(
+            F.when(
+                F.col("_ysea").isNotNull(), F.abs(F.col("y") - F.col("_ysea"))
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sae_seasonal"),
+        F.sum(F.when(F.col("_yprev").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_persist"),
+        F.sum(
+            F.when(
+                F.col("_yprev").isNotNull(), F.abs(F.col("y") - F.col("_yprev"))
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sae_persist"),
+    )
+    skill = F.when(
+        (F.col("sae_persist") > 0) & (F.col("n_scored") > 0),
+        F.floor(
+            F.lit(1e6)
+            * F.col("sae_seasonal").cast("double")
+            * F.col("n_persist").cast("double")
+            / (F.col("sae_persist").cast("double") * F.col("n_scored").cast("double"))
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return per.select(
+        *key_cols,
+        "fold",
+        "n_scored",
+        "sae_seasonal",
+        "n_persist",
+        "sae_persist",
+        skill.alias("skill_q6"),
+    )

@@ -65,3 +65,56 @@ def test_cusum_grouped_matches_kernel(spark):
     want = cusum_changepoints(x)
     assert list(zip(got["idx"], got["direction"])) == want
     assert (got["direction"] == "down").any()
+
+
+def test_rolling_backtest_perfect_weekly_series(spark):
+    import pandas as pd
+
+    from dads_spark.rollup import rolling_backtest
+
+    # 3 weeks of hourly events, count(h) = (h mod 168) % 5 + 1 — exactly
+    # weekly-periodic, so the seasonal-naive predictor is PERFECT on every
+    # fold while persistence is not.
+    rows = []
+    t0 = pd.Timestamp("2026-01-01")
+    for h in range(3 * 168):
+        for _ in range((h % 168) % 5 + 1):
+            rows.append(("a", t0 + pd.Timedelta(hours=h)))
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts"]),
+        "event_type string, ts timestamp",
+    )
+    out = {r["fold"]: r for r in rolling_backtest(ev, ["event_type"], "ts").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for fold, r in out.items():
+        assert r["n_scored"] == 24
+        assert r["sae_seasonal"] == 0
+        assert r["sae_persist"] > 0
+        assert r["skill_q6"] == 0  # perfect seasonal model
+
+
+def test_rolling_backtest_gap_safe_seasonal_join(spark):
+    import pandas as pd
+
+    from dads_spark.rollup import rolling_backtest
+
+    # drop hours 300..305 — exactly one week before held-out hours
+    # 468..473. A ROW-lag formulation would misalign every later bucket;
+    # the wall-clock join just scores those 6 buckets as missing
+    # (n_scored < horizon) and stays exact on the rest.
+    rows = []
+    t0 = pd.Timestamp("2026-01-01")
+    for h in range(3 * 168):
+        if 300 <= h < 306:
+            continue
+        for _ in range(2):
+            rows.append(("a", t0 + pd.Timedelta(hours=h)))
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts"]),
+        "event_type string, ts timestamp",
+    )
+    out = {r["fold"]: r for r in rolling_backtest(ev, ["event_type"], "ts").collect()}
+    # constant count=2 everywhere present: zero error where scored
+    assert all(r["sae_seasonal"] == 0 for r in out.values())
+    # exactly 6 held-out buckets lack their t-168h twin
+    assert sum(24 - r["n_scored"] for r in out.values()) == 6
