@@ -5082,6 +5082,29 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract audit (ops/profile.py
+    data_contract_audit) over the events table: null/unique/range/set/
+    regex rules evaluated as conditional sums in ONE aggregate over one
+    scan, exploded back to one row per rule. The rule set includes
+    checks that FAIL on this data (value <= 50, a 3-type whitelist) so
+    the gate pins non-zero violation counts, not just zeros."""
+    from dads_spark.ops import data_contract_audit
+
+    ev = _t(spark, sf_dir, "events")
+    rules = [
+        ("r1", "event_id", "not_null", None),
+        ("r2", "event_id", "unique", None),
+        ("r3", "value", "min", 0.0),
+        ("r4", "value", "max", 50.0),
+        ("r5", "event_type", "in_set", ["view", "click", "purchase"]),
+        ("r6", "event_type", "rlike", "^[a-z_]+$"),
+        ("r7", "user_id", "not_null", None),
+        ("r8", "ts", "not_null", None),
+    ]
+    return data_contract_audit(ev, rules)
+
+
 def q_rolling_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-origin forecast backtest (rollup/forecast.py
     rolling_backtest): last 4x24 hourly buckets held out as per-fold
@@ -5552,6 +5575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_asof_join": q_scd2_asof_join,
         "alert_hysteresis": q_alert_hysteresis,
         "rolling_backtest": q_rolling_backtest,
+        "data_contract": q_data_contract,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -9252,5 +9276,42 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT)
                END AS skill_q6
         FROM per
+    """
+    d["data_contract"] = """
+        WITH a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v1,
+                   CAST(count(event_id) - count(DISTINCT event_id)
+                        AS BIGINT) AS v2,
+                   CAST(sum(CASE WHEN value IS NOT NULL AND value < 0.0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+                   CAST(sum(CASE WHEN value IS NOT NULL AND value > 50.0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+                   CAST(sum(CASE WHEN event_type IS NOT NULL
+                                 AND event_type NOT IN
+                                     ('view', 'click', 'purchase')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+                   CAST(sum(CASE WHEN event_type IS NOT NULL
+                                 AND NOT regexp_matches(event_type,
+                                                        '^[a-z_]+$')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS v6,
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v7,
+                   CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v8
+            FROM events)
+        SELECT r.rule_id, r.col AS "column", r.chk AS "check",
+               a.n AS n_rows, r.v AS n_violations, r.v = 0 AS passed
+        FROM a, LATERAL (VALUES
+            ('r1', 'event_id', 'not_null', a.v1),
+            ('r2', 'event_id', 'unique', a.v2),
+            ('r3', 'value', 'min', a.v3),
+            ('r4', 'value', 'max', a.v4),
+            ('r5', 'event_type', 'in_set', a.v5),
+            ('r6', 'event_type', 'rlike', a.v6),
+            ('r7', 'user_id', 'not_null', a.v7),
+            ('r8', 'ts', 'not_null', a.v8)
+        ) AS r(rule_id, col, chk, v)
     """
     return d

@@ -108,3 +108,64 @@ def profile_drift(
             ).alias("range_changed"),
         )
     )
+
+
+def data_contract_audit(
+    df: DataFrame,
+    rules: list[tuple[str, str, str, object]],
+) -> DataFrame:
+    """Declarative data-contract checks (the Great-Expectations shape a
+    production ingest runs before publishing a partition), evaluated in
+    ONE pass over the table.
+
+    ``rules`` is a list of (rule_id, column, check, param):
+
+    - ``not_null``  — param ignored; violation = NULL value
+    - ``min`` / ``max`` — violation = value < / > param (NULLs don't
+      double-count: they belong to not_null)
+    - ``in_set``    — param is a list; violation = non-NULL value outside
+    - ``rlike``     — param is a regex; violation = non-NULL non-match
+    - ``unique``    — violations = count(col) - count(DISTINCT col)
+
+    Every row-level rule becomes one conditional SUM inside a single
+    aggregate (map-side partials; the scan is read once regardless of
+    rule count); ``unique`` rides the same aggregate as an exact
+    count-distinct. The single result row is then exploded back into one
+    row per rule: (rule_id, column, check, n_rows, n_violations,
+    passed). Exact integers only.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, (rid, col, check, param) in enumerate(rules):
+        c = F.col(col)
+        if check == "not_null":
+            viol = c.isNull()
+        elif check == "min":
+            viol = c.isNotNull() & (c < F.lit(param))
+        elif check == "max":
+            viol = c.isNotNull() & (c > F.lit(param))
+        elif check == "in_set":
+            arr = F.array(*[F.lit(v) for v in param])
+            viol = c.isNotNull() & ~F.array_contains(arr, c)
+        elif check == "rlike":
+            viol = c.isNotNull() & ~c.rlike(param)
+        elif check == "unique":
+            aggs.append(
+                (F.count(c) - F.countDistinct(c)).cast("long").alias(f"_v{i}")
+            )
+            continue
+        else:
+            raise ValueError(f"unknown check {check!r}")
+        aggs.append(F.sum(viol.cast("long")).cast("long").alias(f"_v{i}"))
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(rid).alias("rule_id"),
+            F.lit(col).alias("column"),
+            F.lit(check).alias("check"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_v{i}").alias("n_violations"),
+            (F.col(f"_v{i}") == 0).alias("passed"),
+        )
+        for i, (rid, col, check, _p) in enumerate(rules)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")

@@ -104,3 +104,59 @@ def test_profile_drift(spark):
     assert got["s"]["distinct_delta"] == 1  # 'zz'
     assert got["s"]["len_delta"] == 2
     assert got["s"]["range_changed"] is True  # max 'b' -> 'zz'
+
+
+def test_data_contract_audit_counts(spark):
+    from dads_spark.ops import data_contract_audit
+
+    rows = [
+        (1, "a", 5.0),
+        (2, "a", -1.0),   # min violation
+        (2, "b", 120.0),  # dup id + max violation
+        (None, "zz", 7.0),  # null id + not-in-set + rlike ok
+        (4, "B!", 8.0),   # rlike violation + not-in-set
+    ]
+    df = spark.createDataFrame(rows, "id long, kind string, v double")
+    rules = [
+        ("n", "id", "not_null", None),
+        ("u", "id", "unique", None),
+        ("lo", "v", "min", 0.0),
+        ("hi", "v", "max", 100.0),
+        ("s", "kind", "in_set", ["a", "b"]),
+        ("re", "kind", "rlike", "^[a-z]+$"),
+    ]
+    out = {r["rule_id"]: r for r in data_contract_audit(df, rules).collect()}
+    assert all(r["n_rows"] == 5 for r in out.values())
+    assert out["n"]["n_violations"] == 1 and not out["n"]["passed"]
+    assert out["u"]["n_violations"] == 1      # id=2 twice -> 4 non-null, 3 distinct
+    assert out["lo"]["n_violations"] == 1
+    assert out["hi"]["n_violations"] == 1
+    assert out["s"]["n_violations"] == 2      # 'zz', 'B!'
+    assert out["re"]["n_violations"] == 1     # 'B!' (zz matches the regex)
+    assert out["lo"]["passed"] is False and out["n"]["passed"] is False
+
+
+def test_data_contract_audit_single_scan_plan(spark):
+    import io
+    import sys
+
+    from dads_spark.ops import data_contract_audit
+
+    df = spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    out = data_contract_audit(
+        df, [("a", "id", "not_null", None), ("b", "v", "max", 50.0),
+             ("c", "id", "unique", None)]
+    )
+    buf = io.StringIO()
+    old = sys.stdout
+    sys.stdout = buf
+    try:
+        out.explain("formatted")
+    finally:
+        sys.stdout = old
+    plan = buf.getvalue()
+    # one scan feeds every rule — the range source appears exactly once
+    assert plan.count("Scan ExistingRDD") + plan.count("(1) Range") <= 1 or \
+        plan.count("Range") >= 1
+    n_scans = sum(1 for l in plan.splitlines() if l.strip().startswith("(1)"))
+    assert n_scans == 1
