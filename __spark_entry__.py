@@ -5082,6 +5082,23 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-visitation projection (ops/linkgraph.py
+    covisitation) over (user, page-id-from-props): weight = distinct
+    common users, heavy users cut at 50 distinct items (a third of the
+    synthetic users are cut, pinning the cut semantics) and min_weight
+    25 splits the weight distribution (721 of 4950 pairs survive) so
+    both the cut and the threshold discriminate."""
+    from dads_spark.ops import covisitation
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    )
+    return covisitation(ev, "user_id", "page",
+                        max_items_per_user=50, min_weight=25)
+
+
 def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-contract audit (ops/profile.py
     data_contract_audit) over the events table: null/unique/range/set/
@@ -5576,6 +5593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alert_hysteresis": q_alert_hysteresis,
         "rolling_backtest": q_rolling_backtest,
         "data_contract": q_data_contract,
+        "covisitation": q_covisitation,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -9313,5 +9331,21 @@ def oracle_sql() -> dict[str, str]:
             ('r7', 'user_id', 'not_null', a.v7),
             ('r8', 'ts', 'not_null', a.v8)
         ) AS r(rule_id, col, chk, v)
+    """
+    d["covisitation"] = """
+        WITH ui AS (
+            SELECT DISTINCT user_id,
+                   CAST(json_extract(props, '$.k') AS INT) AS page
+            FROM events),
+        deg AS (
+            SELECT user_id, count(*) AS d FROM ui GROUP BY 1),
+        kept AS (
+            SELECT ui.user_id, ui.page
+            FROM ui JOIN deg USING (user_id) WHERE deg.d <= 50)
+        SELECT a.page AS item_a, b.page AS item_b,
+               CAST(count(*) AS BIGINT) AS weight
+        FROM kept a JOIN kept b
+          ON a.user_id = b.user_id AND a.page < b.page
+        GROUP BY 1, 2 HAVING count(*) >= 25
     """
     return d

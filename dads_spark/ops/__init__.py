@@ -49,6 +49,7 @@ from .textstats import (  # noqa: F401
 )
 from .linkgraph import (  # noqa: F401
     anchor_terms,
+    covisitation,
     domain_edges,
     extract_links,
     hits,

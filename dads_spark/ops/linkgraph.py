@@ -347,3 +347,47 @@ def hits(
             F.coalesce("h", F.lit(0)).alias("hub"),
         )
     )
+
+
+def covisitation(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    max_items_per_user: int = 20,
+    min_weight: int = 2,
+) -> DataFrame:
+    """Item-item co-occurrence projection of the (user, item) bipartite
+    graph — the collaborative-filtering / related-pages signal: two items
+    are linked with weight = number of distinct users who touched both.
+
+    The all-pairs hazard lives in heavy users (a user with d distinct
+    items contributes d^2 pairs); the standard bound is the HEAVY-USER
+    CUT: users with more than ``max_items_per_user`` distinct items are
+    excluded entirely (their co-occurrences are dominated by bots/power
+    users and poison the signal anyway — the same role the hot-bucket
+    cap plays in minhash_lsh). Per-user pair fan-out is then <= C^2 by
+    construction, so the self-join is bounded at any corpus size.
+
+    Plan: distinct (user, item) -> per-user degree (window over the same
+    shuffle) -> filtered self-join keyed on user -> pair count with
+    map-side partials. Returns (item_a, item_b, weight) with
+    item_a < item_b and weight >= min_weight.
+    """
+    from pyspark.sql import Window as W
+
+    ui = df.select(user_col, item_col).distinct()
+    deg = W.partitionBy(user_col)
+    kept = (
+        ui.withColumn("_d", F.count(F.lit(1)).over(deg))
+        .where(F.col("_d") <= max_items_per_user)
+        .drop("_d")
+    )
+    a = kept.select(F.col(user_col).alias("_u"), F.col(item_col).alias("item_a"))
+    b = kept.select(F.col(user_col).alias("_u"), F.col(item_col).alias("item_b"))
+    return (
+        a.join(b, "_u")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .where(F.col("weight") >= min_weight)
+    )

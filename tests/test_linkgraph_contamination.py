@@ -297,3 +297,38 @@ def test_hits_hand_computed(spark):
     )
     got = {r["node"]: (r["auth"], r["hub"]) for r in hits(edges, 3).collect()}
     assert got == {"a": (0, 21), "b": (8, 13), "c": (13, 0)}
+
+
+def test_covisitation_weights_and_heavy_user_cut(spark):
+    from dads_spark.ops import covisitation
+
+    rows = [
+        # users 1..3 each touch items (1,2): pair weight 3
+        (1, 1), (1, 2),
+        (2, 1), (2, 2),
+        (3, 1), (3, 2), (3, 3),
+        # user 4 touches items 2,3: pair (2,3) weight 2 (with user 3)
+        (4, 2), (4, 3),
+        # heavy user 9 touches 5 items (> cap 4): contributes nothing
+        (9, 1), (9, 2), (9, 3), (9, 4), (9, 5),
+        # duplicates collapse before pairing
+        (1, 1), (1, 2),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, item long")
+    out = {
+        (r["item_a"], r["item_b"]): r["weight"]
+        for r in covisitation(
+            df, "user_id", "item", max_items_per_user=4, min_weight=2
+        ).collect()
+    }
+    assert out == {(1, 2): 3, (2, 3): 2}  # (1,3) weight 1 pruned; user 9 cut
+
+
+def test_covisitation_partition_invariant(spark):
+    from dads_spark.ops import covisitation
+
+    rows = [(u, (u * 7 + i) % 10) for u in range(30) for i in range(4)]
+    df = spark.createDataFrame(rows, "user_id long, item long")
+    a = sorted(tuple(r) for r in covisitation(df.repartition(1), "user_id", "item", min_weight=1).collect())
+    b = sorted(tuple(r) for r in covisitation(df.repartition(7), "user_id", "item", min_weight=1).collect())
+    assert a == b and len(a) > 0
