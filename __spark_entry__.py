@@ -5082,6 +5082,26 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance (ops/textstats.py
+    index_delta_merge): the crawl-1 index patched with the crawl-3
+    change set (fingerprint full-outer join detects changes; only
+    changed/new docs re-tokenize). The oracle builds the crawl-3 index
+    FROM SCRATCH — hash equality pins the incremental == batch
+    invariant, cost proportional to the delta."""
+    from dads_spark.ops import index_delta_merge
+
+    snap = _crawl_snapshots(_t(spark, sf_dir, "documents"))
+    lo, hi = snap.agg(F.min("crawl_ts"), F.max("crawl_ts")).first()
+    old = snap.where(F.col("crawl_ts") == lo).select(
+        F.col("url").alias("doc_key"), "text"
+    )
+    new = snap.where(F.col("crawl_ts") == hi).select(
+        F.col("url").alias("doc_key"), "text"
+    )
+    return index_delta_merge(old, new, id_col="doc_key", min_df=3)
+
+
 def q_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item co-visitation projection (ops/linkgraph.py
     covisitation) over (user, page-id-from-props): weight = distinct
@@ -5594,6 +5614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_backtest": q_rolling_backtest,
         "data_contract": q_data_contract,
         "covisitation": q_covisitation,
+        "index_delta_merge": q_index_delta_merge,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -9347,5 +9368,34 @@ def oracle_sql() -> dict[str, str]:
         FROM kept a JOIN kept b
           ON a.user_id = b.user_id AND a.page < b.page
         GROUP BY 1, 2 HAVING count(*) >= 25
+    """
+    # incremental index == from-scratch index of the LAST crawl
+    d["index_delta_merge"] = """
+        WITH c2t AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 9 = 0
+                        THEN 'replacement content for document '
+                             || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 5 = 0
+                        THEN text || ' appended update paragraph marker'
+                        ELSE text END AS t2
+            FROM documents),
+        c3 AS (
+            SELECT 'https://' || source || '/page/'
+                       || CAST(doc_id AS VARCHAR) AS doc_key,
+                   CASE WHEN doc_id % 6 = 0 THEN substr(t2, 1, 120)
+                        ELSE t2 END AS text
+            FROM c2t WHERE doc_id % 11 <> 5),
+        pairs AS (
+            SELECT term, doc_key, count(*) AS tf
+            FROM (SELECT doc_key,
+                         unnest(string_split(text, ' ')) AS term
+                  FROM c3)
+            GROUP BY 1, 2)
+        SELECT term,
+               CAST(count(*) AS BIGINT) AS doc_freq,
+               CAST(sum(tf) AS BIGINT) AS total_tf,
+               array_to_string(list_sort(list(doc_key)), ',') AS postings
+        FROM pairs GROUP BY 1 HAVING count(*) >= 3
     """
     return d

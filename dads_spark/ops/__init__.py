@@ -33,6 +33,7 @@ from .components import (  # noqa: F401
 )
 from .textstats import (  # noqa: F401
     doc_fingerprint,
+    index_delta_merge,
     inverted_index,
     bigram_logprob,
     language_id,

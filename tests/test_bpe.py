@@ -125,3 +125,45 @@ def test_pmi_partition_invariant(spark):
     a = sorted(tuple(r) for r in pmi_collocations(docs.repartition(1), min_count=1).collect())
     b = sorted(tuple(r) for r in pmi_collocations(docs.repartition(5), min_count=1).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# index_delta_merge
+# ---------------------------------------------------------------------------
+
+
+def test_index_delta_merge_equals_from_scratch(spark):
+    from dads_spark.ops import index_delta_merge, inverted_index
+
+    old = _docs(
+        spark,
+        [
+            "the cat sat",          # 0: unchanged
+            "old text gone soon",   # 1: will change
+            "removed doc entirely", # 2: gone in new
+            "the dog ran",          # 3: unchanged
+        ],
+    )
+    new = spark.createDataFrame(
+        [
+            (0, "the cat sat"),
+            (1, "fresh replacement text"),
+            (3, "the dog ran"),
+            (9, "brand new document the"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        tuple(r) for r in index_delta_merge(old, new, min_df=1).collect()
+    )
+    want = sorted(tuple(r) for r in inverted_index(new, min_df=1).collect())
+    assert got == want and len(got) > 0
+
+
+def test_index_delta_merge_identical_snapshots_noop(spark):
+    from dads_spark.ops import index_delta_merge, inverted_index
+
+    docs = _docs(spark, CORPUS)
+    got = sorted(tuple(r) for r in index_delta_merge(docs, docs, min_df=2).collect())
+    want = sorted(tuple(r) for r in inverted_index(docs, min_df=2).collect())
+    assert got == want
