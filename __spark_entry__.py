@@ -5584,7 +5584,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         # ---- position 50 ends here ---------------------------------
         # -- (2c) displaced to the r5 rotation: oracle-green in the
-        # full local sweep -------------------------------------------
+        # full local sweep (CORRECTNESS_LOCAL_r4s3_full.json: 206/206).
+        # r5 window proposal, ordered by family weight: the never-
+        # driver-checked r4s2/r4s3 additions — streaming_cusum +
+        # streaming_zscore + streaming_scd2 (stateful streaming),
+        # snapshot_diff + late_refresh (store/incremental), bpe_train +
+        # bpe_encode + semdedup + gopher_rules + c4_clean +
+        # perplexity_buckets + dsir twins (LLM curation), embedding_pca
+        # + fuzzy_pairs (similarity/linkage), psi_drift + alert_
+        # hysteresis + rolling_backtest + asap_smooth + ohlc_bars
+        # (timeseries), index_delta_merge + trending_terms +
+        # covisitation + phrase_search_pos + pruning_stats +
+        # data_contract + scd2_asof_join + readability + hits_scores +
+        # anchor_text + bloom_dedup + tier_consistency ----------------
         "tier_consistency": q_tier_consistency,
         "late_refresh": q_late_refresh,
         "anchor_text": q_anchor_text,
