@@ -5082,6 +5082,25 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel despiking (rollup/analytics.py hampel_filter): rolling
+    lower-median + rolling MAD over a +-5 hourly window, spike iff
+    |y - med| > 3*MAD — exact integers end to end (lower-median rule, no
+    even-count averaging), JVM array expressions only."""
+    from dads_spark.rollup import hampel_filter
+
+    ev = _t(spark, sf_dir, "events")
+    out = hampel_filter(ev, ["event_type"], "ts", half_window=5, k=3)
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket_ts").alias("ws"),
+        "y",
+        "med",
+        "mad",
+        "is_spike",
+    )
+
+
 def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental inverted-index maintenance (ops/textstats.py
     index_delta_merge): the crawl-1 index patched with the crawl-3
@@ -5627,6 +5646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_contract": q_data_contract,
         "covisitation": q_covisitation,
         "index_delta_merge": q_index_delta_merge,
+        "hampel_filter": q_hampel_filter,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -9409,5 +9429,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(tf) AS BIGINT) AS total_tf,
                array_to_string(list_sort(list(doc_key)), ',') AS postings
         FROM pairs GROUP BY 1 HAVING count(*) >= 3
+    """
+    # Hampel: windowed list -> lower median -> MAD from the same window
+    d["hampel_filter"] = """
+        WITH h AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600 AS ws,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        a AS (
+            SELECT event_type, ws, y,
+                   list_sort(list(y) OVER wdw) AS arr
+            FROM h
+            WINDOW wdw AS (PARTITION BY event_type ORDER BY ws
+                           ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)),
+        m AS (
+            SELECT event_type, ws, y, arr,
+                   arr[(len(arr) + 1) // 2] AS med
+            FROM a),
+        d2 AS (
+            SELECT event_type, ws, y, med,
+                   list_sort(list_transform(arr, v -> abs(v - med))) AS dev
+            FROM m)
+        SELECT event_type, CAST(ws AS BIGINT) AS ws, y,
+               CAST(med AS BIGINT) AS med,
+               CAST(dev[(len(dev) + 1) // 2] AS BIGINT) AS mad,
+               abs(y - med) > 3 * dev[(len(dev) + 1) // 2] AS is_spike
+        FROM d2
     """
     return d

@@ -67,6 +67,7 @@ from .analytics import (  # noqa: F401
     gap_percentiles,
     cohort_retention,
     counter_rate,
+    hampel_filter,
     mad_outliers,
     paa_sax,
     rolling_active_users,

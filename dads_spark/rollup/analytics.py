@@ -770,3 +770,62 @@ def rolling_active_users(
             F.col("wau").cast("long").alias("wau"),
         )
     )
+
+
+def hampel_filter(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tier: str = "hour",
+    half_window: int = 5,
+    k: int = 3,
+) -> DataFrame:
+    """Hampel despiking filter per series on a rollup tier — the
+    standard robust outlier detector (rolling MEDIAN + rolling MAD, so a
+    spike cannot drag its own threshold the way mean/std filters do).
+
+    EXACT INTEGER evaluation: the centered +-half_window window is
+    collected as an array (counts are integers), median := the
+    (n+1)//2-th smallest (lower median — identical rule on any engine,
+    no even-count averaging), MAD := lower median of |x_i - med|, and
+    the flag is the integer inequality |x - med| > k * MAD. Edge windows
+    use whatever rows exist (same rule both engines).
+
+    Shape: one tier shuffle + one keyed window; the per-row array work
+    is O(window log window) inside JVM array expressions (sort_array /
+    transform) — no Python. Returns (keys..., bucket_ts, y, med, mad,
+    is_spike).
+    """
+    from .tiers import rollup_from_raw
+
+    hourly = rollup_from_raw(df, key_cols, ts_col, None, tier).select(
+        *key_cols, "bucket_ts", F.col("doc_count").alias("y")
+    )
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy("bucket_ts")
+        .rowsBetween(-half_window, half_window)
+    )
+    arr = F.sort_array(F.collect_list("y").over(w))
+    med = F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
+    with_med = hourly.withColumn("med", med)
+    dev = F.sort_array(
+        F.transform(
+            F.collect_list("y").over(w), lambda a: F.abs(a - F.col("med"))
+        )
+    )
+    # the second collect_list reuses the SAME window frame, so Catalyst
+    # folds both into one Window operator — no second shuffle
+    out = with_med.withColumn(
+        "mad", F.element_at(dev, ((F.size(dev) + 1) / 2).cast("int"))
+    )
+    return out.select(
+        *key_cols,
+        "bucket_ts",
+        "y",
+        "med",
+        "mad",
+        (F.abs(F.col("y") - F.col("med")) > F.lit(k) * F.col("mad")).alias(
+            "is_spike"
+        ),
+    )

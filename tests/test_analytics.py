@@ -222,3 +222,59 @@ def test_rolling_quantile_gap_shrinks_window(spark):
     )
     assert out["rolling_q"].tolist() == [100.0, 150.0, 6.0]
     assert out["n_in_window"].tolist() == [1, 2, 1]
+
+
+def test_hampel_filter_flags_spike_not_step(spark):
+    import pandas as pd
+
+    from dads_spark.rollup import hampel_filter
+
+    rows = []
+    t0 = pd.Timestamp("2026-01-01")
+    # constant 3/hour with a single-hour spike of 40 at hour 20, then a
+    # SUSTAINED step to 10 from hour 40 (a step is a regime change, not a
+    # spike: once the window's median catches up it must NOT flag)
+    for h in range(80):
+        c = 3
+        if h == 20:
+            c = 40
+        if h >= 40:
+            c = 10
+        for _ in range(c):
+            rows.append(("a", t0 + pd.Timedelta(hours=h)))
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts"]),
+        "event_type string, ts timestamp",
+    )
+    out = {
+        int((r["bucket_ts"] - t0.to_pydatetime()).total_seconds() // 3600): r
+        for r in hampel_filter(ev, ["event_type"], "ts", half_window=5, k=3).collect()
+    }
+    assert out[20]["is_spike"]          # the point spike
+    assert out[20]["med"] == 3          # median robust to the spike itself
+    assert not out[19]["is_spike"] and not out[21]["is_spike"]
+    # interior of the step regime: med=10, deviations 0 -> not spikes
+    assert not out[60]["is_spike"] and out[60]["med"] == 10
+    # hours flagged overall: ONLY the spike and (possibly) the step edge
+    flagged = {h for h, r in out.items() if r["is_spike"]}
+    assert 20 in flagged and flagged <= {20, 38, 39, 40, 41, 42}
+
+
+def test_hampel_filter_exact_integer_columns(spark):
+    import pandas as pd
+
+    from dads_spark.rollup import hampel_filter
+
+    rows = []
+    t0 = pd.Timestamp("2026-01-01")
+    for h in range(30):
+        for _ in range((h * 7) % 5 + 1):
+            rows.append(("a", t0 + pd.Timedelta(hours=h)))
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts"]),
+        "event_type string, ts timestamp",
+    )
+    df = hampel_filter(ev, ["event_type"], "ts")
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in hampel_filter(ev.repartition(7), ["event_type"], "ts").collect())
+    assert a == b  # partition-invariant (exact integers everywhere)
