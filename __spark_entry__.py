@@ -5614,7 +5614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hysteresis + rolling_backtest + asap_smooth + ohlc_bars
         # (timeseries), index_delta_merge + trending_terms +
         # covisitation + phrase_search_pos + pruning_stats +
-        # data_contract + scd2_asof_join + readability + hits_scores +
+        # data_contract + hampel_filter + scd2_asof_join + readability + hits_scores +
         # anchor_text + bloom_dedup + tier_consistency ----------------
         "tier_consistency": q_tier_consistency,
         "late_refresh": q_late_refresh,
