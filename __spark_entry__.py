@@ -5082,6 +5082,42 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary-media decoding (ops/multimodal.py wav_pcm_stats): a
+    RIFF/WAVE PCM container is synthesized per document from the
+    deterministic sample formula s[i] = ((doc_id*31 + i*17) % 65536)
+    - 32768, decoded back with a chunk-walking header parser + one
+    np.frombuffer per payload, and the EXACT integer waveform stats are
+    pinned by SQL computing the same formula over generate_series — the
+    binary pack -> decode round trip is the hash surface. Upgrades the
+    multimodal column plumbing from 'codec stubbed' to a real decode
+    path for a real format (PCM needs no codec library)."""
+    import numpy as _np2
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from dads_spark.ops import make_wav_pcm, wav_pcm_stats
+
+    t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = t.column("doc_id").to_pylist()
+    i = _np2.arange(1000, dtype=_np2.int64)
+    payloads = [
+        make_wav_pcm(((did * 31 + i * 17) % 65536) - 32768, 8000)
+        for did in ids
+    ]
+    path = _dump_path("wav_src")
+    _pq.write_table(
+        _pa.table(
+            {
+                "media_id": _pa.array(ids, _pa.int64()),
+                "payload": _pa.array(payloads, _pa.binary()),
+            }
+        ),
+        path,
+    )
+    return wav_pcm_stats(spark.read.parquet(path))
+
+
 def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hampel despiking (rollup/analytics.py hampel_filter): rolling
     lower-median + rolling MAD over a +-5 hourly window, spike iff
@@ -5647,6 +5683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covisitation": q_covisitation,
         "index_delta_merge": q_index_delta_merge,
         "hampel_filter": q_hampel_filter,
+        "wav_decode": q_wav_decode,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -9456,5 +9493,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(dev[(len(dev) + 1) // 2] AS BIGINT) AS mad,
                abs(y - med) > 3 * dev[(len(dev) + 1) // 2] AS is_spike
         FROM d2
+    """
+    # WAV decode round trip: stats recomputed from the sample FORMULA
+    d["wav_decode"] = """
+        WITH s AS (
+            SELECT d.doc_id AS media_id,
+                   ((d.doc_id * 31 + g.i * 17) % 65536) - 32768 AS v
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 1000)) AS i) g)
+        SELECT media_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(1 AS BIGINT) AS n_channels,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(v) AS BIGINT) AS sum_amp,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq,
+               CAST(max(abs(v)) AS BIGINT) AS peak
+        FROM s GROUP BY 1
     """
     return d

@@ -102,7 +102,9 @@ from .similarity import (  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_media_metadata,
     extract_features,
+    make_wav_pcm,
     resize_media,
     sample_frames,
+    wav_pcm_stats,
 )
 from .bloom import bloom_dedup  # noqa: F401

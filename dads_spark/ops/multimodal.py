@@ -155,3 +155,87 @@ def resize_media(
     return df.select(id_col, payload_col).mapInPandas(
         run, f"{id_col} long, resized binary, out_w int, out_h int"
     )
+
+
+def wav_pcm_stats(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decoding — no stub: RIFF/WAVE PCM needs no codec
+    library, so this is a genuine binary-media decode path end to end.
+
+    Parses the RIFF container (chunk walk: 'fmt ' then 'data'), validates
+    PCM/16-bit, decodes the little-endian int16 samples with one
+    ``np.frombuffer`` per payload, and emits EXACT integer waveform
+    statistics per file: (id, sample_rate, n_channels, n_samples,
+    sum_amp, sum_sq, peak) — sum/sumsq over int64 are exact, so the
+    whole decode is oracle-pinnable bit-for-bit. Malformed payloads
+    (bad magic, missing chunks, non-PCM) yield a row with
+    sample_rate = -1 rather than failing the batch (a corrupt blob on a
+    10^12-doc crawl must not kill the job).
+
+    Arrow-batched mapInPandas, one vectorized decode per payload — the
+    same plumbing the stubbed image/video codecs document, now exercised
+    by a REAL format.
+    """
+    import struct
+
+    def run(it):
+        for pdf in it:
+            out = {
+                id_col: [], "sample_rate": [], "n_channels": [],
+                "n_samples": [], "sum_amp": [], "sum_sq": [], "peak": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                row = (-1, -1, 0, 0, 0, 0)
+                try:
+                    if b[0:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        pos, fmt, data = 12, None, None
+                        while pos + 8 <= len(b):
+                            cid = b[pos : pos + 4]
+                            (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                            body = b[pos + 8 : pos + 8 + clen]
+                            if cid == b"fmt ":
+                                fmt = struct.unpack("<HHIIHH", body[:16])
+                            elif cid == b"data":
+                                data = body
+                            pos += 8 + clen + (clen & 1)
+                        if fmt and data is not None and fmt[0] == 1 and fmt[5] == 16:
+                            x = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                            row = (
+                                int(fmt[2]),
+                                int(fmt[1]),
+                                len(x) // fmt[1],
+                                int(x.sum()),
+                                int((x * x).sum()),
+                                int(np.abs(x).max()) if len(x) else 0,
+                            )
+                except (struct.error, IndexError):
+                    pass
+                out[id_col].append(mid)
+                for k, v in zip(
+                    ("sample_rate", "n_channels", "n_samples",
+                     "sum_amp", "sum_sq", "peak"),
+                    row,
+                ):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} long, sample_rate long, n_channels long, n_samples long, "
+        "sum_amp long, sum_sq long, peak long",
+    )
+
+
+def make_wav_pcm(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Minimal mono 16-bit PCM WAV writer (header + LE samples) — the
+    fixture-side inverse of :func:`wav_pcm_stats`, shared by tests and
+    the gate's deterministic staging."""
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out

@@ -516,3 +516,55 @@ def test_rrf_fuse_exact_arithmetic(spark):
     tied = rrf_fuse([t1, t2], k=60).collect()
     assert [r["doc_id"] for r in tied] == [3, 5]  # same score, id ascending
     assert rrf_fuse([lex, den], top_n=2).count() == 2
+
+
+def test_wav_pcm_roundtrip_exact(spark):
+    import numpy as np
+
+    from dads_spark.ops import make_wav_pcm, wav_pcm_stats
+
+    x1 = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int64)
+    x2 = np.array([5] * 50, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(1, bytearray(make_wav_pcm(x1, 44100))),
+         (2, bytearray(make_wav_pcm(x2, 8000))),
+         (3, bytearray(b"not a wav at all"))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in wav_pcm_stats(df).collect()}
+    r1 = out[1]
+    assert (r1["sample_rate"], r1["n_channels"], r1["n_samples"]) == (44100, 1, 6)
+    assert r1["sum_amp"] == int(x1.sum())
+    assert r1["sum_sq"] == int((x1 * x1).sum())
+    assert r1["peak"] == 32768
+    r2 = out[2]
+    assert (r2["sample_rate"], r2["n_samples"], r2["sum_amp"]) == (8000, 50, 250)
+    # malformed payload degrades to a -1 row instead of failing the batch
+    assert out[3]["sample_rate"] == -1 and out[3]["n_samples"] == 0
+
+
+def test_wav_pcm_chunk_walk_skips_extra_chunks(spark):
+    import struct
+
+    import numpy as np
+
+    from dads_spark.ops import make_wav_pcm, wav_pcm_stats
+
+    # splice a LIST chunk (odd length -> exercises the pad byte) between
+    # fmt and data: the chunk walk must skip it and still find the data
+    x = np.array([1, 2, 3], dtype=np.int64)
+    raw = make_wav_pcm(x, 16000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = raw[:fmt_end] + extra + raw[fmt_end:]
+    # fix the RIFF size field
+    spliced = (
+        spliced[:4]
+        + struct.pack("<I", len(spliced) - 8)
+        + spliced[8:]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(spliced))], "media_id long, payload binary"
+    )
+    r = wav_pcm_stats(df).first()
+    assert (r["sample_rate"], r["n_samples"], r["sum_amp"]) == (16000, 3, 6)
