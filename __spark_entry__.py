@@ -5118,6 +5118,41 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_pcm_stats(spark.read.parquet(path))
 
 
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decoding (ops/multimodal.py bmp_stats): a 24-bit
+    BI_RGB BMP is synthesized per document — pixel (r, c) channel k =
+    (doc_id*7 + r*5 + c*3 + k*11) % 256 on a 16x24 grid — decoded back
+    through the header parser + stride-padded bottom-up pixel decode,
+    and the exact integer channel stats are pinned by SQL recomputing
+    the formula over the row/col grid. The image twin of wav_decode."""
+    import numpy as _np2
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from dads_spark.ops import bmp_stats, make_bmp
+
+    t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = t.column("doc_id").to_pylist()
+    r = _np2.arange(16)[:, None, None]
+    c = _np2.arange(24)[None, :, None]
+    k = _np2.arange(3)[None, None, :]
+    payloads = [
+        make_bmp(((did * 7 + r * 5 + c * 3 + k * 11) % 256).astype(_np2.uint8))
+        for did in ids
+    ]
+    path = _dump_path("bmp_src")
+    _pq.write_table(
+        _pa.table(
+            {
+                "media_id": _pa.array(ids, _pa.int64()),
+                "payload": _pa.array(payloads, _pa.binary()),
+            }
+        ),
+        path,
+    )
+    return bmp_stats(spark.read.parquet(path))
+
+
 def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hampel despiking (rollup/analytics.py hampel_filter): rolling
     lower-median + rolling MAD over a +-5 hourly window, spike iff
@@ -5684,6 +5719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_delta_merge": q_index_delta_merge,
         "hampel_filter": q_hampel_filter,
         "wav_decode": q_wav_decode,
+        "bmp_decode": q_bmp_decode,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -9509,5 +9545,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(v * v) AS BIGINT) AS sum_sq,
                CAST(max(abs(v)) AS BIGINT) AS peak
         FROM s GROUP BY 1
+    """
+    # BMP decode round trip: channel stats from the pixel formula
+    d["bmp_decode"] = """
+        WITH px AS (
+            SELECT d.doc_id AS media_id,
+                   (d.doc_id * 7 + r.r * 5 + c.c * 3) % 256 AS vr,
+                   (d.doc_id * 7 + r.r * 5 + c.c * 3 + 11) % 256 AS vg,
+                   (d.doc_id * 7 + r.r * 5 + c.c * 3 + 22) % 256 AS vb
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 16)) AS r) r
+            CROSS JOIN (SELECT unnest(range(0, 24)) AS c) c)
+        SELECT media_id,
+               CAST(24 AS BIGINT) AS width,
+               CAST(16 AS BIGINT) AS height,
+               CAST(sum(vr) AS BIGINT) AS sum_r,
+               CAST(sum(vg) AS BIGINT) AS sum_g,
+               CAST(sum(vb) AS BIGINT) AS sum_b,
+               CAST(max(2 * vg + vr + vb) AS BIGINT) AS max_lum
+        FROM px GROUP BY 1
     """
     return d

@@ -101,7 +101,9 @@ from .similarity import (  # noqa: F401
 )
 from .multimodal import (  # noqa: F401
     attach_media_metadata,
+    bmp_stats,
     extract_features,
+    make_bmp,
     make_wav_pcm,
     resize_media,
     sample_frames,

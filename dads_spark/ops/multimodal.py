@@ -239,3 +239,77 @@ def make_wav_pcm(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     out += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+
+def bmp_stats(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decoding — no stub: 24-bit uncompressed BMP needs no
+    codec library. Parses BITMAPFILEHEADER + BITMAPINFOHEADER, validates
+    bpp=24 / BI_RGB, decodes the bottom-up pixel rows with the 4-byte
+    row-stride padding, and emits EXACT integer channel statistics:
+    (id, width, height, sum_r, sum_g, sum_b, max_lum) with
+    lum = 2*g + r + b (an integer luminance proxy — no float weights).
+    Malformed payloads yield width = -1 (corrupt-blob tolerance, like
+    wav_pcm_stats)."""
+    import struct
+
+    def run(it):
+        for pdf in it:
+            out = {
+                id_col: [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [], "max_lum": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                row = (-1, 0, 0, 0, 0, 0)
+                try:
+                    if b[0:2] == b"BM":
+                        (off,) = struct.unpack("<I", b[10:14])
+                        w, h = struct.unpack("<ii", b[18:26])
+                        bpp, comp = struct.unpack("<HI", b[28:34])
+                        if bpp == 24 and comp == 0 and w > 0 and h > 0:
+                            stride = (w * 3 + 3) & ~3
+                            px = np.frombuffer(
+                                b, dtype=np.uint8, count=stride * h, offset=off
+                            ).reshape(h, stride)[::-1, : w * 3]
+                            px = px.reshape(h, w, 3).astype(np.int64)
+                            bl, gr, rd = px[..., 0], px[..., 1], px[..., 2]
+                            lum = 2 * gr + rd + bl
+                            row = (
+                                w, h,
+                                int(rd.sum()), int(gr.sum()), int(bl.sum()),
+                                int(lum.max()),
+                            )
+                except (struct.error, ValueError, IndexError):
+                    pass
+                out[id_col].append(mid)
+                for k, v in zip(
+                    ("width", "height", "sum_r", "sum_g", "sum_b", "max_lum"),
+                    row,
+                ):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} long, width long, height long, sum_r long, sum_g long, "
+        "sum_b long, max_lum long",
+    )
+
+
+def make_bmp(rgb: np.ndarray) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (bottom-up rows, 4-byte stride
+    padding) — the fixture-side inverse of :func:`bmp_stats`."""
+    import struct
+
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # BMP stores BGR bottom-up
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    off = 14 + 40
+    head = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return head + info + data

@@ -568,3 +568,25 @@ def test_wav_pcm_chunk_walk_skips_extra_chunks(spark):
     )
     r = wav_pcm_stats(df).first()
     assert (r["sample_rate"], r["n_samples"], r["sum_amp"]) == (16000, 3, 6)
+
+
+def test_bmp_roundtrip_exact(spark):
+    import numpy as np
+
+    from dads_spark.ops import bmp_stats, make_bmp
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)  # w=7: stride pad
+    df = spark.createDataFrame(
+        [(1, bytearray(make_bmp(img))), (2, bytearray(b"PNG? no."))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in bmp_stats(df).collect()}
+    r1 = out[1]
+    assert (r1["width"], r1["height"]) == (7, 5)
+    assert r1["sum_r"] == int(img[..., 0].sum())
+    assert r1["sum_g"] == int(img[..., 1].sum())
+    assert r1["sum_b"] == int(img[..., 2].sum())
+    lum = 2 * img[..., 1].astype(int) + img[..., 0] + img[..., 2]
+    assert r1["max_lum"] == int(lum.max())
+    assert out[2]["width"] == -1  # corrupt-blob tolerance
