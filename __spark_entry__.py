@@ -5082,6 +5082,18 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact prefix-filtered set-similarity self-join (ops/dedup.py
+    jaccard_join, PPJoin family) at tau = 9/10 over the documents'
+    distinct-token sets: rare-first global token order, prefix + length
+    filters, all-integer threshold test. Oracle = brute-force all-pairs
+    SQL, so hash equality proves the prefix filter misses nothing
+    (9,020 of 124,745 sharing pairs qualify at sf0.01)."""
+    from dads_spark.ops import jaccard_join
+
+    return jaccard_join(_t(spark, sf_dir, "documents"), tau_num=9, tau_den=10)
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL binary-media decoding (ops/multimodal.py wav_pcm_stats): a
     RIFF/WAVE PCM container is synthesized per document from the
@@ -5720,6 +5732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hampel_filter": q_hampel_filter,
         "wav_decode": q_wav_decode,
         "bmp_decode": q_bmp_decode,
+        "jaccard_join": q_jaccard_join,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -9564,5 +9577,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(vb) AS BIGINT) AS sum_b,
                CAST(max(2 * vg + vr + vb) AS BIGINT) AS max_lum
         FROM px GROUP BY 1
+    """
+    # brute-force all-pairs twin: equality proves prefix filtering is
+    # lossless at tau = 9/10
+    d["jaccard_join"] = """
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+            FROM documents),
+        tok2 AS (SELECT doc_id, t FROM tok WHERE length(t) > 0),
+        sz AS (SELECT doc_id, count(*) AS n FROM tok2 GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS x
+            FROM tok2 a JOIN tok2 b
+              ON a.t = b.t AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        j AS (
+            SELECT id_a, id_b, x,
+                   sa.n + sb.n - x AS u
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b,
+               CAST(x AS BIGINT) AS inter,
+               CAST(u AS BIGINT) AS uni,
+               CAST(floor(1e6 * CAST(x AS DOUBLE) / CAST(u AS DOUBLE) + 0.5)
+                    AS BIGINT) AS jac_q6
+        FROM j WHERE x * 10 >= 9 * u
     """
     return d

@@ -7,6 +7,7 @@ from .dedup import (  # noqa: F401
     line_dedup_global,
     duplicate_spans,
     exact_duplicates,
+    jaccard_join,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,

@@ -590,3 +590,53 @@ def test_bmp_roundtrip_exact(spark):
     lum = 2 * img[..., 1].astype(int) + img[..., 0] + img[..., 2]
     assert r1["max_lum"] == int(lum.max())
     assert out[2]["width"] == -1  # corrupt-blob tolerance
+
+
+def test_jaccard_join_threshold_boundary(spark):
+    from dads_spark.ops import jaccard_join
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # vs 2: inter 3, union 5 -> 0.6
+            (2, "a b c e f"),
+            (3, "a b c d"),      # identical to 1 -> 1.0
+            (4, "x y z"),        # disjoint from all
+            (5, "a b c d e"),    # vs 1: inter 4, union 5 -> exactly 0.8
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"], r["jac_q6"])
+        for r in jaccard_join(docs, tau_num=4, tau_den=5).collect()
+    }
+    assert out[(1, 3)] == (4, 4, 1_000_000)
+    assert out[(1, 5)] == (4, 5, 800_000)   # >= is inclusive at the boundary
+    assert out[(3, 5)] == (4, 5, 800_000)
+    assert (1, 2) not in out and all(4 not in k for k in out)
+
+
+def test_jaccard_join_prefix_filter_lossless_randomized(spark):
+    import itertools
+    import random
+
+    from dads_spark.ops import jaccard_join
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [
+        " ".join(rng.sample(vocab, rng.randint(5, 18))) for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]) for r in jaccard_join(docs, tau_num=3, tau_den=5).collect()
+    }
+    sets = [set(t.split()) for t in texts]
+    want = set()
+    for i, j in itertools.combinations(range(len(sets)), 2):
+        x = len(sets[i] & sets[j])
+        u = len(sets[i] | sets[j])
+        if x * 5 >= 3 * u:
+            want.add((i, j))
+    assert got == want  # no false negatives from the prefix filter, no extras
