@@ -5082,6 +5082,28 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential trigram mining per user journey
+    (rollup/analytics.py session_patterns): every window of 3
+    consecutive event types is a pattern occurrence; support = distinct
+    users — classic sequential-pattern semantics, one lead-chain window
+    + one aggregate, exact integers."""
+    from dads_spark.rollup import session_patterns
+
+    ev = _t(spark, sf_dir, "events")
+    return session_patterns(ev, "user_id", "event_type", "ts",
+                            "event_id", k=3, min_support=5)
+
+
+def q_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTel-style base-2 exponential histogram (rollup/analytics.py
+    exp_histogram) per event_type: bucket = binary-representation length
+    of floor(value) — no log2, no float boundary, exact on any engine."""
+    from dads_spark.rollup import exp_histogram
+
+    return exp_histogram(_t(spark, sf_dir, "events"), ["event_type"], "value")
+
+
 def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact prefix-filtered set-similarity self-join (ops/dedup.py
     jaccard_join, PPJoin family) at tau = 9/10 over the documents'
@@ -5733,6 +5755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_decode": q_wav_decode,
         "bmp_decode": q_bmp_decode,
         "jaccard_join": q_jaccard_join,
+        "session_patterns": q_session_patterns,
+        "exp_histogram": q_exp_histogram,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -9603,5 +9627,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(1e6 * CAST(x AS DOUBLE) / CAST(u AS DOUBLE) + 0.5)
                     AS BIGINT) AS jac_q6
         FROM j WHERE x * 10 >= 9 * u
+    """
+    d["session_patterns"] = """
+        WITH o AS (
+            SELECT user_id, event_type,
+                   lead(event_type, 1) OVER w AS t1,
+                   lead(event_type, 2) OVER w AS t2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (
+            SELECT user_id,
+                   event_type || '>' || t1 || '>' || t2 AS pattern
+            FROM o WHERE t2 IS NOT NULL)
+        SELECT pattern,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS support
+        FROM g GROUP BY 1 HAVING count(DISTINCT user_id) >= 5
+    """
+    # binary-representation-length bucketing == base-2 exponential bucket
+    d["exp_histogram"] = """
+        WITH b AS (
+            SELECT event_type,
+                   CAST(floor(value) AS BIGINT) AS fv
+            FROM events),
+        k AS (
+            SELECT event_type, fv,
+                   CASE WHEN fv <= 0 THEN 0
+                        ELSE length(bin(fv)) END AS bucket
+            FROM b)
+        SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(fv) AS BIGINT) AS v_floor_min,
+               CAST(max(fv) AS BIGINT) AS v_floor_max
+        FROM k GROUP BY 1, 2
     """
     return d

@@ -64,10 +64,12 @@ from .analytics import (  # noqa: F401
     anomaly_ensemble,
     autocorrelation,
     burst_intervals,
+    exp_histogram,
     gap_percentiles,
     cohort_retention,
     counter_rate,
     hampel_filter,
+    session_patterns,
     mad_outliers,
     paa_sax,
     rolling_active_users,

@@ -829,3 +829,73 @@ def hampel_filter(
             "is_spike"
         ),
     )
+
+
+def session_patterns(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    k: int = 3,
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent sequential k-gram mining over per-user event streams —
+    the journey-pattern summary (view->view->purchase etc.) behavioral
+    analytics runs. Each user's events are ordered by (ts, tiebreak);
+    every window of k consecutive event types becomes one pattern
+    occurrence.
+
+    Emits (pattern, n_occurrences, support) where support = number of
+    DISTINCT users exhibiting the pattern; ``min_support`` prunes on
+    users, the classic sequential-pattern-mining support semantics.
+    One user-keyed window (lead chain) + one pattern-keyed aggregate —
+    exact integers throughout."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    cur = events.select(user_col, type_col, ts_col, tiebreak_col)
+    parts = [F.col(type_col)]
+    for i in range(1, k):
+        cur = cur.withColumn(f"_t{i}", F.lead(type_col, i).over(w))
+        parts.append(F.col(f"_t{i}"))
+    pat = F.concat_ws(">", *parts)
+    grams = cur.where(F.col(f"_t{k - 1}").isNotNull()).select(
+        user_col, pat.alias("pattern")
+    )
+    return (
+        grams.groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct(user_col).cast("long").alias("support"),
+        )
+        .where(F.col("support") >= min_support)
+    )
+
+
+def exp_histogram(
+    events: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """OTel-style base-2 exponential histogram per key, EXACT-integer
+    bucketing: bucket b holds values with floor(value) in [2^(b-1), 2^b)
+    (bucket 0 = values < 1), computed as the LENGTH OF THE BINARY
+    REPRESENTATION of floor(value) — no log2(), no float boundary
+    anywhere, so the histogram hashes bit-for-bit on any engine. The
+    telemetry-native histogram shape: fixed tiny bucket count at any
+    value range, mergeable by cell addition.
+
+    Returns (keys..., bucket, n, v_floor_min, v_floor_max)."""
+    fv = F.floor(F.col(value_col)).cast("long")
+    bucket = F.when(fv <= 0, F.lit(0)).otherwise(
+        F.length(F.conv(fv.cast("string"), 10, 2))
+    )
+    return (
+        events.groupBy(*key_cols, bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(fv).alias("v_floor_min"),
+            F.max(fv).alias("v_floor_max"),
+        )
+    )

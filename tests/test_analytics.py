@@ -278,3 +278,42 @@ def test_hampel_filter_exact_integer_columns(spark):
     a = sorted(tuple(r) for r in df.collect())
     b = sorted(tuple(r) for r in hampel_filter(ev.repartition(7), ["event_type"], "ts").collect())
     assert a == b  # partition-invariant (exact integers everywhere)
+
+
+def test_session_patterns_support_semantics(spark):
+    import pandas as pd
+
+    from dads_spark.rollup import session_patterns
+
+    rows = []
+    t0 = pd.Timestamp("2026-01-01")
+    # users 1,2 both do v>c>p; user 1 does it twice (occurrences 3, support 2)
+    for u, seq in ((1, "vcpvcp"), (2, "vcp"), (3, "ppp")):
+        for i, ch in enumerate(seq):
+            rows.append((len(rows), u, {"v": "view", "c": "click", "p": "buy"}[ch],
+                         (t0 + pd.Timedelta(minutes=i)).to_pydatetime()))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r["pattern"]: r for r in session_patterns(
+        ev, "user_id", "event_type", "ts", "event_id", k=3, min_support=2
+    ).collect()}
+    assert out["view>click>buy"]["support"] == 2
+    # user 1's 6-event stream has 2 non-overlap + 2 bridging windows
+    assert out["view>click>buy"]["n_occurrences"] == 3
+    assert "buy>buy>buy" not in out  # support 1 < 2 pruned
+
+
+def test_exp_histogram_exact_power_of_two_buckets(spark):
+    from dads_spark.rollup import exp_histogram
+
+    rows = [(1, "a", v) for v in
+            [0.0, 0.9, 1.0, 1.5, 2.0, 3.99, 4.0, 7.0, 8.0, 255.0, 256.0]]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["bucket"]: r for r in exp_histogram(ev, ["event_type"], "value").collect()}
+    assert out[0]["n"] == 2                       # floor(v)=0
+    assert out[1]["n"] == 2 and out[1]["v_floor_max"] == 1   # [1,2)
+    assert out[2]["n"] == 2 and out[2]["v_floor_min"] == 2   # [2,4)
+    assert out[3]["n"] == 2                       # [4,8): 4.0, 7.0
+    assert out[4]["n"] == 1 and out[4]["v_floor_min"] == 8   # [8,16)
+    assert out[8]["n"] == 1 and out[9]["n"] == 1  # 255 -> len 8; 256 -> len 9
