@@ -830,6 +830,51 @@ def main() -> None:
                   if "Join" in l or "Exchange" in l)[:500],
     ))
 
+    # --- A44: exact Jaccard join — token-keyed joins, never cartesian -------
+    p44 = plan_of(em.queries()["jaccard_join"](spark, sf_dir))
+    assert "CartesianProduct" not in p44 and "BroadcastNestedLoop" not in p44
+    for py_op in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py_op not in p44, f"jaccard_join plan contains {py_op}"
+    sections.append((
+        "A44 jaccard_join: prefix-filtered candidates, token-keyed equi-joins only",
+        "PASS — candidate generation joins on PREFIX tokens (rare-first "
+        "global order, so the exploded prefix is ~(1-τ)|d|+1 tokens per "
+        "doc) and verification joins candidate pairs back to the token "
+        "table — every join is hash-keyed, no cartesian/nested-loop "
+        "anywhere, all threshold math integer",
+        "\n".join(l for l in p44.splitlines() if "Join" in l)[:500],
+    ))
+
+    # --- A45: co-visitation — user-keyed self-join behind the heavy-user cut -
+    p45 = plan_of(em.queries()["covisitation"](spark, sf_dir))
+    assert "CartesianProduct" not in p45 and "BroadcastNestedLoop" not in p45
+    sections.append((
+        "A45 covisitation: bounded bipartite projection",
+        "PASS — the item-pair self-join keys on user equality AFTER the "
+        "heavy-user cut (window count over the same user-keyed exchange), "
+        "so per-user fan-out is <= cap^2 by construction; pair counting "
+        "aggregates with map-side partials",
+        "\n".join(l for l in p45.splitlines()
+                  if "Join" in l or "Window" in l or "Exchange" in l)[:500],
+    ))
+
+    # --- A46: real media decode — one scan, one Arrow-batched Python stage ---
+    for qname in ("wav_decode", "bmp_decode"):
+        p46 = plan_of(em.queries()[qname](spark, sf_dir))
+        n_py = sum(p46.count(op) for op in ("MapInPandas",))
+        assert n_py >= 1, f"{qname}: decode stage missing"
+        assert "Exchange" not in p46, f"{qname} plan shuffles"
+        assert "BatchEvalPython" not in p46  # Arrow-batched, not per-row
+    sections.append((
+        "A46 wav_decode / bmp_decode: shuffle-free Arrow-batched media decode",
+        "PASS — both real binary decoders (RIFF/WAVE PCM, 24-bit BMP) are "
+        "a single MapInPandas over the payload scan: zero shuffles, Arrow "
+        "batch transfer, one vectorized numpy decode per payload — the "
+        "multimodal plumbing contract, now carried by real formats",
+        "\n".join(l for l in p46.splitlines()
+                  if "MapInPandas" in l or "Scan" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
