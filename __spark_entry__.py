@@ -5082,6 +5082,68 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_payload(did: int) -> bytes:
+    """Deterministic binary payload with regions SHARED across documents
+    (a 1.5 KB common header + 0.5 KB common trailer around a doc-specific
+    middle) so content-defined chunking exhibits real cross-doc chunk
+    dedup — the property fixed-size blocks can't have once offsets
+    shift."""
+    import hashlib as _hl
+
+    def blk(seed: str, n: int) -> bytes:
+        out = b""
+        i = 0
+        while len(out) < n:
+            out += _hl.md5(f"{seed}-{i}".encode()).digest()
+            i += 1
+        return out[:n]
+
+    mid_len = 300 + (did * 37) % 700
+    return blk("common-head", 1536) + blk(f"doc-{did}", mid_len) + blk("common-tail", 512)
+
+
+def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking for blob-level storage dedup
+    (ops/dedup.py cdc_chunk_table): gear rolling hash as ONE vectorized
+    sliding dot product per payload (the winnowing trick), min/avg/max
+    64/256/1024. The staged payloads share header/trailer regions across
+    all documents at shifting offsets, so identical chunk hashes appear
+    corpus-wide — the dedup-ratio property the op exists for. Pinned
+    bit-for-bit (every boundary, length, and chunk hash) against the
+    per-byte textbook recurrence."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from dads_spark.oracles import cdc_chunks_oracle
+    from dads_spark.ops import cdc_chunk_table
+
+    t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = t.column("doc_id").to_pylist()
+    payloads = [_cdc_payload(d) for d in ids]
+    path = _dump_path("cdc_src")
+    _pq.write_table(
+        _pa.table(
+            {
+                "doc_id": _pa.array(ids, _pa.int64()),
+                "payload": _pa.array(payloads, _pa.binary()),
+            }
+        ),
+        path,
+    )
+    rows = cdc_chunks_oracle(ids, payloads)
+    _write_dump(
+        "cdc_oracle",
+        {
+            "doc_id": [r[0] for r in rows],
+            "chunk_idx": [r[1] for r in rows],
+            "offset": [r[2] for r in rows],
+            "length": [r[3] for r in rows],
+            "chunk_hash": [r[4] for r in rows],
+        },
+    )
+    return cdc_chunk_table(spark.read.parquet(path))
+
+
 def q_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent sequential trigram mining per user journey
     (rollup/analytics.py session_patterns): every window of 3
@@ -5757,6 +5819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join": q_jaccard_join,
         "session_patterns": q_session_patterns,
         "exp_histogram": q_exp_histogram,
+        "cdc_chunking": q_cdc_chunking,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -9660,5 +9723,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(fv) AS BIGINT) AS v_floor_min,
                CAST(max(fv) AS BIGINT) AS v_floor_max
         FROM k GROUP BY 1, 2
+    """
+    d["cdc_chunking"] = f"""
+        SELECT doc_id, chunk_idx, "offset", "length", chunk_hash
+        FROM read_parquet('{_dump_path("cdc_oracle")}')
     """
     return d

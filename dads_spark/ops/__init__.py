@@ -6,6 +6,8 @@ from .dedup import (  # noqa: F401
     dedup_exact_normalized,
     line_dedup_global,
     duplicate_spans,
+    cdc_boundaries,
+    cdc_chunk_table,
     exact_duplicates,
     jaccard_join,
     minhash_lsh_pairs,

@@ -797,3 +797,130 @@ def jaccard_join(
             .alias("jac_q6"),
         )
     )
+
+
+# gear table for content-defined chunking: deterministic pseudo-random
+# 64-bit constants derived from md5 (no RNG, engine-independent)
+def _gear_table() -> "np.ndarray":
+    import hashlib
+
+    vals = []
+    for i in range(256):
+        h = hashlib.md5(f"gear-{i}".encode()).digest()[:8]
+        vals.append(int.from_bytes(h, "little"))
+    return np.array(vals, dtype=np.uint64)
+
+
+GEAR = _gear_table()
+
+
+def cdc_boundaries(
+    data: bytes,
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 1024,
+) -> list:
+    """Content-defined chunk boundaries (FastCDC-style gear hash): the
+    rolling hash h_t = 2*h_{t-1} + GEAR[b_t] (mod 2^64) cuts where
+    (h_t & (avg_size-1)) == 0, subject to min/max chunk sizes. Because
+    shifts past 64 bits vanish, h_t equals a sliding 64-byte dot product
+    with fixed power-of-two weights — computed for the WHOLE payload in
+    one vectorized numpy pass (the winnowing trick), after which the
+    min/max walk touches only candidate cut points.
+
+    Content-defined means boundaries re-synchronize after insertions:
+    shared regions between documents chunk identically regardless of
+    offset — the property that makes chunk-hash dedup work on
+    near-duplicate blobs where fixed-size blocks would all shift.
+
+    Returns [(offset, length), ...] covering the payload exactly."""
+    n = len(data)
+    if n == 0:
+        return []
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    w = min(64, n)
+    pw = np.zeros(w, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pw[-1] = 1
+        for j in range(w - 2, -1, -1):
+            pw[j] = pw[j + 1] * np.uint64(2)
+        g = GEAR[b.astype(np.intp)]
+        if n >= w:
+            win = np.lib.stride_tricks.sliding_window_view(g, w)
+            h = (win * pw[None, :]).sum(axis=1, dtype=np.uint64)
+            # h[i] = hash at byte position i + w - 1
+            full = np.zeros(n, dtype=np.uint64)
+            full[w - 1 :] = h
+            # positions < w-1: prefix hashes (short dot products)
+            for t in range(w - 1):
+                full[t] = (g[: t + 1] * pw[w - 1 - t :]).sum(dtype=np.uint64)
+        else:
+            full = np.zeros(n, dtype=np.uint64)
+            for t in range(n):
+                full[t] = (g[: t + 1] * pw[w - 1 - t :]).sum(dtype=np.uint64)
+    mask = np.uint64(avg_size - 1)
+    is_cut = (full & mask) == 0
+    out = []
+    start = 0
+    pos = 0
+    while pos < n:
+        length = pos - start + 1
+        if length >= max_size or (length >= min_size and is_cut[pos]):
+            out.append((start, length))
+            start = pos + 1
+        pos += 1
+    if start < n:
+        out.append((start, n - start))
+    return out
+
+
+def cdc_chunk_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 1024,
+) -> DataFrame:
+    """Chunk every binary payload with content-defined boundaries and
+    emit one row per chunk: (id, chunk_idx, offset, length, chunk_hash)
+    with chunk_hash = the first 15 hex chars of md5 over the chunk bytes
+    as a 60-bit integer. Joining/grouping this table on chunk_hash IS
+    blob-level storage dedup: shared regions across documents produce
+    identical rows regardless of byte offset. Arrow-batched mapInPandas,
+    one vectorized rolling-hash pass per payload."""
+    import hashlib
+
+    def run(it):
+        for pdf in it:
+            ids, idxs, offs, lens, hashes = [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                for ci, (off, ln) in enumerate(
+                    cdc_boundaries(data, min_size, avg_size, max_size)
+                ):
+                    ids.append(mid)
+                    idxs.append(ci)
+                    offs.append(off)
+                    lens.append(ln)
+                    hashes.append(
+                        int(
+                            hashlib.md5(data[off : off + ln]).hexdigest()[:15],
+                            16,
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "chunk_idx": idxs,
+                    "offset": offs,
+                    "length": lens,
+                    "chunk_hash": hashes,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} long, chunk_idx long, offset long, length long, "
+        "chunk_hash long",
+    )

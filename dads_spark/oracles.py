@@ -576,6 +576,59 @@ def semdedup_oracle(
     return rows
 
 
+def cdc_chunks_oracle(
+    ids,
+    payloads,
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 1024,
+):
+    """Textbook per-byte mirror of ops/dedup.py cdc_boundaries +
+    cdc_chunk_table: h = (2h + GEAR[b]) mod 2^64, cut when
+    (h & (avg-1)) == 0 under min/max sizes, chunk hash = 60-bit md5
+    prefix. Returns rows (id, chunk_idx, offset, length, chunk_hash)."""
+    import hashlib
+
+    from dads_spark.ops.dedup import GEAR
+
+    m64 = (1 << 64) - 1
+    mask = avg_size - 1
+    rows = []
+    for did, payload in zip(ids, payloads):
+        data = bytes(payload)
+        h = 0
+        start = 0
+        ci = 0
+        for pos, byte in enumerate(data):
+            h = ((h << 1) + int(GEAR[byte])) & m64
+            length = pos - start + 1
+            if length >= max_size or (length >= min_size and (h & mask) == 0):
+                chunk = data[start : pos + 1]
+                rows.append(
+                    (
+                        int(did),
+                        ci,
+                        start,
+                        length,
+                        int(hashlib.md5(chunk).hexdigest()[:15], 16),
+                    )
+                )
+                ci += 1
+                start = pos + 1
+        if start < len(data):
+            chunk = data[start:]
+            rows.append(
+                (
+                    int(did),
+                    ci,
+                    start,
+                    len(chunk),
+                    int(hashlib.md5(chunk).hexdigest()[:15], 16),
+                )
+            )
+    return rows
+
+
 def embedding_pca_oracle(ids, vecs, k: int = 4, n_slices: int = 8):
     """Scalar mirror of ops/embpca.py: id%P slicing in vec_id order,
     per-slice centered QR, weighted-mean correction stack + TSQR tree +

@@ -640,3 +640,48 @@ def test_jaccard_join_prefix_filter_lossless_randomized(spark):
         if x * 5 >= 3 * u:
             want.add((i, j))
     assert got == want  # no false negatives from the prefix filter, no extras
+
+
+def test_cdc_boundaries_cover_and_match_scalar():
+    import hashlib
+
+    import numpy as np
+
+    from dads_spark.oracles import cdc_chunks_oracle
+    from dads_spark.ops import cdc_boundaries
+
+    data = b"".join(
+        hashlib.md5(f"blob-{i}".encode()).digest() for i in range(300)
+    )  # 4800 deterministic bytes
+    chunks = cdc_boundaries(data)
+    # exact cover: contiguous offsets, lengths sum to payload size
+    pos = 0
+    for off, ln in chunks:
+        assert off == pos and 1 <= ln <= 1024
+        pos += ln
+    assert pos == len(data)
+    # vectorized rolling hash == per-byte textbook recurrence
+    want = [(r[2], r[3]) for r in cdc_chunks_oracle([1], [data])]
+    assert chunks == want
+
+
+def test_cdc_resynchronizes_after_insertion():
+    import hashlib
+
+    from dads_spark.ops import cdc_boundaries
+
+    base = b"".join(
+        hashlib.md5(f"doc-{i}".encode()).digest() for i in range(400)
+    )
+    shifted = b"PREFIX-INSERTED-BYTES-" + base
+
+    def hashes(d):
+        return [
+            hashlib.md5(d[o : o + n]).hexdigest()
+            for o, n in cdc_boundaries(d)
+        ]
+
+    ha, hb = set(hashes(base)), set(hashes(shifted))
+    # content-defined boundaries re-align: the vast majority of chunks
+    # survive a prefix insertion (fixed-size blocks would share ~none)
+    assert len(ha & hb) >= 0.8 * len(ha)
