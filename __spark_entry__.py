@@ -5102,6 +5102,16 @@ def _cdc_payload(did: int) -> bytes:
     return blk("common-head", 1536) + blk(f"doc-{did}", mid_len) + blk("common-tail", 512)
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix (ops/textstats.py
+    langid_confusion): the crawl-metadata audit — per (declared,
+    predicted) cell counts + exact per-mille share within the declared
+    language. One detection pass + one skinny aggregate."""
+    from dads_spark.ops import langid_confusion
+
+    return langid_confusion(_t(spark, sf_dir, "documents"))
+
+
 def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking for blob-level storage dedup
     (ops/dedup.py cdc_chunk_table): gear rolling hash as ONE vectorized
@@ -5820,6 +5830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_patterns": q_session_patterns,
         "exp_histogram": q_exp_histogram,
         "cdc_chunking": q_cdc_chunking,
+        "langid_confusion": q_langid_confusion,
         # -- (3) r1-green, no row since r1 ---------------------------
         # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
         # displaced past 50 — r1-green and the cheapest machinery, with
@@ -9727,5 +9738,41 @@ def oracle_sql() -> dict[str, str]:
     d["cdc_chunking"] = f"""
         SELECT doc_id, chunk_idx, "offset", "length", chunk_hash
         FROM read_parquet('{_dump_path("cdc_oracle")}')
+    """
+    # confusion matrix over the language_id CTE chain + declared labels
+    d["langid_confusion"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x != '') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+            len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','for','it')))
+              / CAST(greatest(1, len(toks)) AS DOUBLE) AS s_en,
+            len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu')))
+              / CAST(greatest(1, len(toks)) AS DOUBLE) AS s_de,
+            len(list_filter(toks, x -> x IN ('le','la','les','et','de','un','une','est','pour','que')))
+              / CAST(greatest(1, len(toks)) AS DOUBLE) AS s_fr,
+            len(list_filter(toks, x -> x IN ('el','la','los','de','y','que','es','un','una','por')))
+              / CAST(greatest(1, len(toks)) AS DOUBLE) AS s_es
+          FROM t),
+        p AS (
+          SELECT doc_id,
+                 CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'other'
+                      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                      WHEN s_fr >= s_es THEN 'fr'
+                      ELSE 'es' END AS pred_lang
+          FROM s),
+        j AS (
+          SELECT d.lang, p.pred_lang FROM documents d JOIN p USING (doc_id)),
+        per AS (SELECT lang, count(*) AS n_lang FROM j GROUP BY 1)
+        SELECT j.lang, j.pred_lang,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST((count(*) * 1000) // max(per.n_lang) AS BIGINT)
+                   AS share_permille
+        FROM j JOIN per USING (lang)
+        GROUP BY 1, 2
     """
     return d

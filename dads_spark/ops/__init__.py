@@ -38,6 +38,7 @@ from .textstats import (  # noqa: F401
     doc_fingerprint,
     index_delta_merge,
     inverted_index,
+    langid_confusion,
     bigram_logprob,
     language_id,
     phrase_search,

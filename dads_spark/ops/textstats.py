@@ -661,3 +661,36 @@ def index_delta_merge(
         )
         .where(F.col("doc_freq") >= min_df)
     )
+
+
+def langid_confusion(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Declared-vs-detected language confusion matrix — the crawl
+    metadata audit every multilingual corpus needs (served Content-
+    Language headers and <html lang> attributes are wrong often enough
+    that detection, not declaration, decides the training split).
+
+    Joins :func:`language_id` back to the declared label and counts per
+    (declared, predicted) cell with the per-cell share of the declared
+    language in exact per-mille units (n*1000 div row-count — integer).
+    Map-side one pass for detection + one skinny aggregate."""
+    pred = language_id(docs, text_col, id_col).select(id_col, "pred_lang")
+    j = docs.select(id_col, lang_col).join(pred, id_col)
+    per_lang = j.groupBy(lang_col).agg(F.count(F.lit(1)).alias("_n_lang"))
+    return (
+        j.groupBy(lang_col, "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .join(F.broadcast(per_lang), lang_col)
+        .select(
+            lang_col,
+            "pred_lang",
+            "n",
+            F.expr("CAST((n * 1000) DIV _n_lang AS BIGINT)").alias(
+                "share_permille"
+            ),
+        )
+    )

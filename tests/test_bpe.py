@@ -167,3 +167,23 @@ def test_index_delta_merge_identical_snapshots_noop(spark):
     got = sorted(tuple(r) for r in index_delta_merge(docs, docs, min_df=2).collect())
     want = sorted(tuple(r) for r in inverted_index(docs, min_df=2).collect())
     assert got == want
+
+
+def test_langid_confusion_cells(spark):
+    from dads_spark.ops import langid_confusion
+
+    rows = [
+        (1, "the cat and the dog is here for it", "en"),   # en detected en
+        (2, "der hund und die katze ist nicht da", "de"),  # de detected de
+        (3, "the quick brown fox and the dog", "de"),      # declared de, detects en
+        (4, "zzz qqq www", "en"),                          # no stopwords -> other
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {(r["lang"], r["pred_lang"]): r for r in langid_confusion(docs).collect()}
+    assert out[("en", "en")]["n"] == 1
+    assert out[("de", "de")]["n"] == 1
+    assert out[("de", "en")]["n"] == 1
+    assert out[("en", "other")]["n"] == 1
+    # share: de split 500/500 permille
+    assert out[("de", "de")]["share_permille"] == 500
+    assert out[("en", "en")]["share_permille"] == 500
