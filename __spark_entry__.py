@@ -5696,6 +5696,129 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(ev, "user_id", "ts", 7)
 
 
+def q_promql_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL range-vector ``increase``/``rate`` with Prometheus's full
+    extrapolation algorithm (rollup/promql.py extrapolated_increase):
+    a resetting counter is synthesized per event_type (running sum of
+    floor(value*10) mod 100000 — deterministic in both engines), then
+    evaluated every hour over a trailing 2h window: overlapping windows
+    via bounded explode, reset adjustment, boundary extrapolation capped
+    at 1.1x the mean sample interval and at the counter's zero crossing.
+    The oracle mirrors the double expression tree node-for-node, so the
+    extrapolated values are bit-identical (canonicalized at 9dp)."""
+    from dads_spark.rollup import extrapolated_increase
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts_e", "event_id")
+    samples = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_e"),
+        F.floor(F.col("value") * 10).cast("long").alias("_inc"),
+    ).select(
+        "event_type",
+        "event_id",
+        "ts_e",
+        (F.sum("_inc").over(w) % 100000).alias("counter"),
+    )
+    return extrapolated_increase(
+        samples,
+        ["event_type"],
+        "ts_e",
+        "counter",
+        window_s=7200,
+        step_s=3600,
+        order_cols=["event_id"],
+    )
+
+
+def q_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-down proportional forecast reconciliation (rollup/reconcile.py
+    topdown_reconcile): independent base forecasts at two hierarchy
+    levels — per-type mean daily count over the last 7 days vs total mean
+    daily count over the last 14 days — are incoherent by construction;
+    reconciliation distributes the parent forecast by the children's
+    shares so the grains agree. Shares divide exact longs (sum of counts,
+    not sum of doubles), so no float-summation order enters the hash."""
+    from dads_spark.rollup import topdown_reconcile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.unix_timestamp("ts") / 86400).alias("_day")
+    )
+    maxd = ev.agg(F.max("_day").alias("_maxd"))
+    base = ev.crossJoin(F.broadcast(maxd))
+    children = (
+        base.filter(F.col("_day") > F.col("_maxd") - 7)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    parent = (
+        base.filter(F.col("_day") > F.col("_maxd") - 14)
+        .agg((F.count(F.lit(1)) / F.lit(14.0)).alias("parent_fc"))
+    )
+    out = topdown_reconcile(
+        children, parent, ["event_type"], fc_col="cnt",
+        parent_fc_col="parent_fc",
+    )
+    return out.select(
+        "event_type",
+        "cnt",
+        (F.col("cnt") / F.lit(7.0)).alias("base_fc"),
+        "share",
+        "reconciled",
+    )
+
+
+def q_acf_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-period detection per series (rollup/periodicity.py
+    acf_dominant_period): dense hourly event counts on the global hour
+    grid, autocorrelation over lags 2..48 kept as an EXACT rational
+    N(k)/D via n-scaled centering (y = n*x - sum), argmax by pure int64
+    comparison — no float anywhere, the oracle recomputes the same
+    integers with a generate_series grid + lagged self-join."""
+    from dads_spark.rollup import acf_dominant_period
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).alias("_h"),
+    )
+    h0 = ev.agg(F.min("_h").alias("_h0"))
+    counts = (
+        ev.crossJoin(F.broadcast(h0))
+        .groupBy("event_type", (F.col("_h") - F.col("_h0")).alias("h_idx"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return acf_dominant_period(
+        counts, ["event_type"], "h_idx", "cnt", lag_lo=2, lag_hi=48
+    )
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering (ops/sampling.py
+    curriculum_order): documents ntile'd into 4 quality tiers by
+    (n_chars desc, md5 tiebreak), md5-shuffled within tier, interleaved
+    round-robin into one total training order — positions are a
+    permutation of 1..N, reproducible on any engine/partitioning."""
+    from dads_spark.ops import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return curriculum_order(docs, "doc_id", "n_chars", n_tiers=4)
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ordered train/test split with embargo (ops/sampling.py
+    temporal_split): per event_type, the first (n*80) div 100 rows by
+    (ts, event_id) train; rows within 2h after the last training
+    timestamp are embargoed (the time-axis analogue of n-gram
+    decontamination); the rest test. Exact integer rank arithmetic."""
+    from dads_spark.ops import temporal_split
+
+    ev = _t(spark, sf_dir, "events")
+    return temporal_split(
+        ev, ["event_type"], "ts", "event_id", train_pct=80, embargo_s=7200
+    ).select("event_type", "event_id", "split")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -5980,6 +6103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": q_token_counts_bpe,
         "text_quality": q_text_quality,
         "lang_mix": q_lang_mix,
+        # -- round-4 session-5 additions (next rotation's candidates) --
+        "promql_rate": q_promql_rate,
+        "forecast_reconcile": q_forecast_reconcile,
+        "acf_period": q_acf_period,
+        "curriculum_order": q_curriculum_order,
+        "temporal_split": q_temporal_split,
     }
 
 
@@ -8758,6 +8887,185 @@ def oracle_sql() -> dict[str, str]:
                     AND max_cascade IS NOT DISTINCT FROM max_direct)
                        AS consistent
             FROM dc FULL OUTER JOIN dd USING (event_type, day_sec)
+        """,
+        "promql_rate": """
+            WITH s AS (
+              SELECT event_type, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_e,
+                     CAST(floor(value * 10) AS BIGINT) AS inc
+              FROM events),
+            c AS (
+              SELECT event_type, event_id, ts_e,
+                     CAST(sum(inc) OVER (PARTITION BY event_type
+                                         ORDER BY ts_e, event_id)
+                          % 100000 AS BIGINT) AS v,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts_e, event_id) AS rn
+              FROM s),
+            p AS (
+              SELECT *,
+                     lag(ts_e) OVER (PARTITION BY event_type ORDER BY rn)
+                         AS prev_ts,
+                     lag(v) OVER (PARTITION BY event_type ORDER BY rn)
+                         AS prev_v
+              FROM c),
+            e AS (
+              SELECT p.*,
+                     ((ts_e + 3599) // 3600) * 3600 + j.j * 3600 AS eval_ts
+              FROM p, (SELECT unnest([0, 1]) AS j) j
+              WHERE ((ts_e + 3599) // 3600) * 3600 + j.j * 3600
+                    < ts_e + 7200),
+            a AS (
+              SELECT event_type, eval_ts,
+                     count(*) AS n_samples,
+                     min(ts_e) AS first_ts, max(ts_e) AS last_ts,
+                     arg_min(v, rn) AS first_v, arg_max(v, rn) AS last_v,
+                     CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                                    AND prev_ts > eval_ts - 7200
+                                    AND prev_v > v THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_resets,
+                     CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                                    AND prev_ts > eval_ts - 7200
+                                    AND prev_v > v THEN prev_v
+                              ELSE 0 END) AS BIGINT) AS drops
+              FROM e GROUP BY 1, 2),
+            f AS (
+              SELECT event_type, eval_ts, n_samples, n_resets,
+                     last_v - first_v + drops AS raw_delta, first_v,
+                     CAST(last_ts - first_ts AS DOUBLE) AS si,
+                     CAST(first_ts - (eval_ts - 7200) AS DOUBLE) AS dts,
+                     CAST(eval_ts - last_ts AS DOUBLE) AS dte,
+                     CAST(last_ts - first_ts AS DOUBLE)
+                       / CAST(n_samples - 1 AS DOUBLE) AS avg_iv
+              FROM a
+              WHERE n_samples >= 2 AND last_ts > first_ts),
+            g AS (
+              SELECT *,
+                     CASE WHEN raw_delta > 0 AND first_v >= 0
+                           AND si * (CAST(first_v AS DOUBLE)
+                                     / CAST(raw_delta AS DOUBLE)) < dts
+                          THEN si * (CAST(first_v AS DOUBLE)
+                                     / CAST(raw_delta AS DOUBLE))
+                          ELSE dts END AS dts_eff
+              FROM f),
+            h AS (
+              SELECT *,
+                     si + (CASE WHEN dts_eff < avg_iv * 1.1 THEN dts_eff
+                                ELSE avg_iv / 2.0 END)
+                        + (CASE WHEN dte < avg_iv * 1.1 THEN dte
+                                ELSE avg_iv / 2.0 END) AS ext
+              FROM g)
+            SELECT event_type, eval_ts, n_samples, n_resets, raw_delta,
+                   CAST(raw_delta AS DOUBLE) * (ext / si) AS increase,
+                   (CAST(raw_delta AS DOUBLE) * (ext / si)) / 7200.0 AS rate
+            FROM h
+        """,
+        "forecast_reconcile": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+              FROM events),
+            m AS (SELECT max(day) AS maxd FROM d),
+            ch AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+              FROM d, m WHERE day > maxd - 7 GROUP BY 1),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS child_sum FROM ch),
+            par AS (
+              SELECT count(*) / 14.0 AS parent_fc
+              FROM d, m WHERE day > maxd - 14)
+            SELECT ch.event_type, ch.cnt,
+                   ch.cnt / 7.0 AS base_fc,
+                   ch.cnt / CAST(tot.child_sum AS DOUBLE) AS share,
+                   par.parent_fc
+                     * (ch.cnt / CAST(tot.child_sum AS DOUBLE))
+                     AS reconciled
+            FROM ch, tot, par
+        """,
+        "acf_period": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS h
+              FROM events),
+            b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+            grid AS (
+              SELECT t.event_type, g.g AS h_idx
+              FROM (SELECT DISTINCT event_type FROM ev) t, b,
+                   (SELECT unnest(generate_series(0,
+                        (SELECT CAST(h1 - h0 AS BIGINT) FROM b))) AS g) g),
+            c AS (
+              SELECT event_type, h - (SELECT h0 FROM b) AS h_idx,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM ev GROUP BY 1, 2),
+            x AS (
+              SELECT grid.event_type, grid.h_idx,
+                     coalesce(c.cnt, 0) AS v
+              FROM grid LEFT JOIN c USING (event_type, h_idx)),
+            st AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(v) AS BIGINT) AS s
+              FROM x GROUP BY 1),
+            y AS (
+              SELECT x.event_type, x.h_idx,
+                     CAST(st.n * x.v - st.s AS BIGINT) AS y, st.n
+              FROM x JOIN st USING (event_type)),
+            den AS (
+              SELECT event_type, CAST(sum(y * y) AS BIGINT) AS acf_den,
+                     any_value(n) AS n_buckets
+              FROM y GROUP BY 1),
+            nk AS (
+              SELECT a.event_type, k.k AS lag,
+                     CAST(sum(a.y * b2.y) AS BIGINT) AS num
+              FROM y a,
+                   (SELECT unnest(generate_series(2, 48)) AS k) k,
+                   y b2
+              WHERE b2.event_type = a.event_type
+                AND b2.h_idx = a.h_idx + k.k
+              GROUP BY 1, 2),
+            best AS (
+              SELECT event_type, lag, num,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY num DESC, lag) AS rn
+              FROM nk)
+            SELECT best.event_type, den.n_buckets,
+                   CAST(best.lag AS BIGINT) AS period,
+                   best.num AS acf_num, den.acf_den
+            FROM best JOIN den USING (event_type)
+            WHERE best.rn = 1 AND den.acf_den > 0
+        """,
+        "curriculum_order": """
+            WITH t AS (
+              SELECT doc_id,
+                     ntile(4) OVER (ORDER BY n_chars DESC,
+                                    md5(CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS tier
+              FROM documents)
+            SELECT doc_id, tier,
+                   CAST((row_number() OVER (
+                           PARTITION BY tier
+                           ORDER BY md5('shuffle:'
+                                        || CAST(doc_id AS VARCHAR)),
+                                    doc_id) - 1) * 4 + tier
+                        AS BIGINT) AS pos
+            FROM t
+        """,
+        "temporal_split": """
+            WITH r AS (
+              SELECT event_type, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_l,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type)
+                         * 80 // 100 AS cut
+              FROM events),
+            w2 AS (
+              SELECT *, max(CASE WHEN rn <= cut THEN ts_l END)
+                            OVER (PARTITION BY event_type) AS cut_ts
+              FROM r)
+            SELECT event_type, event_id,
+                   CASE WHEN rn <= cut THEN 'train'
+                        WHEN ts_l <= cut_ts + 7200 THEN 'embargo'
+                        ELSE 'test' END AS split
+            FROM w2
         """,
     }
     # the stateful streaming sessionizer emits exactly the batch sessions;

@@ -68,9 +68,11 @@ from .sampling import (  # noqa: F401
     balance_sample,
     bucket_sample,
     cap_per_group,
+    curriculum_order,
     deterministic_sample,
     dsir_importance,
     hash_split,
+    temporal_split,
     weighted_sample,
     stratified_sample,
 )

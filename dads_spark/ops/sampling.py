@@ -254,6 +254,105 @@ def weighted_sample(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    quality_col: str,
+    n_tiers: int = 4,
+) -> DataFrame:
+    """Deterministic curriculum ordering: rank the corpus into a single
+    training sequence that round-robins across quality tiers.
+
+    Curriculum/data-ordering pipelines want (a) quality-aware structure —
+    every context window of the stream samples all quality strata, so a
+    resumed or truncated run never trains on only the tail — and (b)
+    bitwise reproducibility, because the data ORDER is part of the
+    training recipe. Tiers come from ntile over (quality desc, md5(id),
+    id) — the SQL-standard equal-fill bucketing both engines share — and
+    documents are md5-shuffled WITHIN each tier, then interleaved:
+    position = (rank_in_tier - 1) * n_tiers + tier. Positions are a
+    permutation of 1..N by construction (rank is unique per tier, tier in
+    1..n_tiers).
+
+    Shape: two ranking windows over the same rows (one global ntile, one
+    per-tier rank). The global sort is the honest cost of any total
+    training order; at corpus scale it is a range-partitioned sort-merge,
+    and the emitted position column is what lets the writer bucket the
+    stream without ever re-sorting downstream.
+
+    Output: (id, tier, pos).
+    """
+    if n_tiers < 1:
+        raise ValueError(f"n_tiers must be >= 1, got {n_tiers}")
+    h = F.md5(F.col(id_col).cast("string"))
+    tier = F.ntile(n_tiers).over(
+        W.orderBy(F.col(quality_col).desc(), h, F.col(id_col))
+    )
+    tiered = df.select(F.col(id_col), F.col(quality_col), tier.alias("tier"))
+    h2 = F.md5(F.concat(F.lit("shuffle:"), F.col(id_col).cast("string")))
+    rn = F.row_number().over(
+        W.partitionBy("tier").orderBy(h2, F.col(id_col))
+    )
+    return tiered.select(
+        id_col,
+        "tier",
+        ((rn - 1) * n_tiers + F.col("tier")).cast("long").alias("pos"),
+    )
+
+
+def temporal_split(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    train_pct: int = 80,
+    embargo_s: int = 3600,
+) -> DataFrame:
+    """Time-ordered train/test split with an embargo gap, per series key.
+
+    Random splits leak future information into training whenever rows
+    are autocorrelated in time (web snapshots, event streams); the
+    standard fix is to cut each series chronologically and additionally
+    DROP an embargo window after the cut, so near-boundary test rows
+    aren't near-duplicates of the last training rows (the time-axis
+    analogue of n-gram decontamination). The cut is exact-integer:
+    train = the first (n * train_pct) div 100 rows ordered by (ts, id);
+    rows within ``embargo_s`` seconds after the last training timestamp
+    are labeled ``embargo`` (callers filter them out); the rest are
+    ``test``. Pure window arithmetic — engine-exact, no float quantiles.
+
+    One shuffle (the per-key window); the cut rank and cut timestamp ride
+    the same partitioning as window aggregates, so no second pass.
+
+    Output: df columns + ``split`` in {'train','embargo','test'}.
+    """
+    if not 0 <= train_pct <= 100:
+        raise ValueError(f"train_pct must be in 0..100, got {train_pct}")
+    w = W.partitionBy(*key_cols)
+    order = w.orderBy(F.col(ts_col), F.col(id_col))
+    ts_long = F.col(ts_col).cast("timestamp").cast("long")
+    rn = F.row_number().over(order)
+    ranked = (
+        df.withColumn("_rn", rn)
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        # true integer division (the packing.py lesson: floor(a/b) on
+        # doubles loses exactness past 2^53)
+        .withColumn("_cut", F.expr(f"_n * {int(train_pct)} div 100"))
+        .withColumn("_ts_l", ts_long)
+    )
+    cut_ts = F.max(
+        F.when(F.col("_rn") <= F.col("_cut"), F.col("_ts_l"))
+    ).over(w)
+    split = (
+        F.when(F.col("_rn") <= F.col("_cut"), F.lit("train"))
+        .when(F.col("_ts_l") <= cut_ts + embargo_s, F.lit("embargo"))
+        .otherwise(F.lit("test"))
+    )
+    return ranked.withColumn("split", split).drop(
+        "_rn", "_n", "_cut", "_ts_l"
+    )
+
+
 def bucket_log_ratio_q6(
     ct: int, cr: int, tt: int, tr: int, n_buckets: int, alpha: float
 ) -> int:

@@ -1,0 +1,147 @@
+"""PromQL-style range-vector counter functions with Prometheus's
+boundary-extrapolation semantics.
+
+``counter_rate`` (analytics.py) answers "how much did the counter grow
+inside each tumbling bucket" — the warehouse rollup shape. Monitoring
+systems ask a different question: "evaluated at time t, what was the
+increase over the trailing window (t-W, t]", with W typically a multiple
+of the evaluation step so windows OVERLAP, and with the raw in-window
+delta *extrapolated* to the window edges so the result is comparable
+across windows that caught different sample phases. This module
+implements that evaluation model — the ``extrapolatedRate`` algorithm
+Prometheus applies to ``increase``/``rate`` (promql/functions.go), which
+is subtle enough that naive last-minus-first implementations
+systematically under-report by one sample interval:
+
+- reset adjustment: a decrease between consecutive in-window samples is
+  a counter reset; the delta is corrected by adding the full
+  pre-reset value (the counter restarted from zero),
+- extrapolation: the sampled interval [first_ts, last_ts] is extended
+  toward each window edge by the actual gap when the gap is plausibly
+  one sampling period (< 1.1x the average in-window interval), else by
+  half an average interval,
+- zero-cap: a counter cannot have been negative, so the start-side
+  extension is capped at the point where the line through the in-window
+  delta would cross zero.
+
+Distribution shape (the 100 TB argument): each sample serves exactly
+W/step evaluation times, so the plan is a bounded explode (x W/step,
+typically 2-4) followed by ONE groupBy (series, eval_ts) with
+decomposable aggregates (count/min/max/min_by/max_by/sum) — the same
+shuffle shape as a tier rollup, no self-join, no window re-sort per
+evaluation time. The per-pair reset flags are computed once per sample
+with a lag window BEFORE the explode, so overlapping windows reuse them.
+
+Reference behavior (public): Prometheus promql/functions.go
+extrapolatedRate; semantics cross-checked against the documented
+examples in the PromQL docs. Oracle twin: ``promql_rate`` in
+__spark_entry__.py (identical double expression tree in DuckDB SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def extrapolated_increase(
+    samples: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_epoch",
+    value_col: str = "value",
+    window_s: int = 7200,
+    step_s: int = 3600,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Evaluate PromQL ``increase``/``rate`` on a counter at every
+    ``step_s``-aligned time, each over the trailing ``window_s`` range.
+
+    ``samples``: one row per scrape with integer-second ``ts_col`` and a
+    (long) counter ``value_col``. Returns one row per (series, eval_ts)
+    that contains >= 2 samples spanning a positive interval, with:
+    n_samples, n_resets, raw_delta (reset-adjusted, exact long),
+    increase and rate (doubles, Prometheus extrapolation).
+    """
+    if window_s % step_s != 0:
+        raise ValueError("window_s must be a multiple of step_s")
+    k = window_s // step_s
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = W.partitionBy(*key_cols).orderBy(*order)
+
+    ts = F.col(ts_col).cast("long")
+    val = F.col(value_col).cast("long")
+    # per-sample pair state vs the GLOBAL predecessor: inside any window
+    # the consecutive-pair chain is the global chain restricted to the
+    # window (windows are time-contiguous), so one lag pass serves every
+    # overlapping window
+    paired = samples.select(
+        *key_cols,
+        ts.alias("_ts"),
+        val.alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.lag(ts).over(w).alias("_prev_ts"),
+        F.lag(val).over(w).alias("_prev_v"),
+    ).withColumn(
+        # Prometheus reset correction: the counter restarted (near) zero
+        # and climbed back to v, so the pair's true delta is v - 0 plus
+        # whatever the old counter reached — corrected by adding the FULL
+        # previous value (functions.go: `resultFloat += prevValue`), not
+        # just the drop amount
+        "_drop",
+        F.when(F.col("_v") < F.col("_prev_v"), F.col("_prev_v"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+
+    # bounded explode: the eval grid points t with t >= ts and t < ts+W;
+    # t0 = ceil(ts/step)*step, then j = 0..k-1 (filtered exactly)
+    t0 = (F.floor((F.col("_ts") + step_s - 1) / step_s) * step_s).cast("long")
+    exploded = (
+        paired.withColumn("_j", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .withColumn("eval_ts", t0 + F.col("_j") * step_s)
+        .filter(F.col("eval_ts") < F.col("_ts") + window_s)
+    )
+
+    win_start = F.col("eval_ts") - window_s
+    pair_in = F.col("_prev_ts").isNotNull() & (F.col("_prev_ts") > win_start)
+    agg = exploded.groupBy(*key_cols, "eval_ts").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min("_ts").alias("_first_ts"),
+        F.max("_ts").alias("_last_ts"),
+        F.min_by("_v", "_rn").alias("_first_v"),
+        F.max_by("_v", "_rn").alias("_last_v"),
+        F.sum(F.when(pair_in & (F.col("_drop") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_resets"),
+        F.sum(F.when(pair_in, F.col("_drop")).otherwise(F.lit(0).cast("long")))
+        .alias("_drops"),
+    )
+
+    # Prometheus extrapolatedRate, as one double expression tree (the
+    # DuckDB oracle mirrors this tree node-for-node so the doubles are
+    # bit-identical)
+    raw = (F.col("_last_v") - F.col("_first_v") + F.col("_drops")).alias("raw")
+    agg = agg.withColumn("raw_delta", raw).filter(
+        (F.col("n_samples") >= 2) & (F.col("_last_ts") > F.col("_first_ts"))
+    )
+    si = (F.col("_last_ts") - F.col("_first_ts")).cast("double")
+    dts = (F.col("_first_ts") - (F.col("eval_ts") - window_s)).cast("double")
+    dte = (F.col("eval_ts") - F.col("_last_ts")).cast("double")
+    avg = si / (F.col("n_samples") - 1).cast("double")
+    thr = avg * F.lit(1.1)
+    dtz = si * (F.col("_first_v").cast("double") / F.col("raw_delta").cast("double"))
+    zero_cap = (F.col("raw_delta") > 0) & (F.col("_first_v") >= 0) & (dtz < dts)
+    dts_eff = F.when(zero_cap, dtz).otherwise(dts)
+    ext = (
+        si
+        + F.when(dts_eff < thr, dts_eff).otherwise(avg / F.lit(2.0))
+        + F.when(dte < thr, dte).otherwise(avg / F.lit(2.0))
+    )
+    increase = F.col("raw_delta").cast("double") * (ext / si)
+    return agg.select(
+        *key_cols,
+        "eval_ts",
+        "n_samples",
+        "n_resets",
+        "raw_delta",
+        increase.alias("increase"),
+        (increase / F.lit(float(window_s))).alias("rate"),
+    )
