@@ -875,6 +875,47 @@ def main() -> None:
                   if "MapInPandas" in l or "Scan" in l)[:400],
     ))
 
+    # --- A47: promql_rate — bounded explode, one aggregate exchange ---------
+    p47 = plan_of(em.queries()["promql_rate"](spark, sf_dir))
+    assert "CartesianProduct" not in p47 and "BroadcastNestedLoop" not in p47
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p47, f"promql_rate plan contains {py_op}"
+    assert "Generate" in p47  # the bounded W/step explode, not a join
+    sections.append((
+        "A47 promql_rate: overlapping range windows as bounded explode + one rollup agg",
+        "PASS — the overlapping PromQL evaluation windows are a Generate "
+        "(explode x window/step = 2) over per-sample lag state computed "
+        "once, followed by ONE hash aggregate keyed (series, eval_ts) with "
+        "map-side partials — the tier-rollup shuffle shape; no range "
+        "self-join, no nested loop, no Python stage, extrapolation all "
+        "codegen",
+        "\n".join(l for l in p47.splitlines()
+                  if "Generate" in l or "Exchange" in l or "Aggregate" in l
+                  or "Window" in l)[:600],
+    ))
+
+    # --- A48: acf_period — one shuffle into one Arrow kernel ----------------
+    p48 = plan_of(em.queries()["acf_period"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p48  # the per-series lag-dot kernel
+    assert "BatchEvalPython" not in p48  # Arrow-batched, never per-row
+    assert "BroadcastExchange" in p48  # the global-span one-row join
+    n_shuffles48 = sum(
+        1 for l in p48.splitlines()
+        if "Exchange hashpartitioning" in l
+    )
+    assert n_shuffles48 <= 2, f"acf_period shuffles {n_shuffles48}x"
+    sections.append((
+        "A48 acf_period: count rollup + broadcast span -> one per-series Arrow batch",
+        "PASS — hourly counts reduce with map-side partials, the global "
+        "grid span joins as a broadcast one-row relation (no second scan "
+        "of the facts), and the O(n*B) exact-integer lag products run in "
+        "ONE FlatMapGroupsInPandas batch per series — the matrix-profile "
+        "parallelism unit; <=2 hash exchanges end to end",
+        "\n".join(l for l in p48.splitlines()
+                  if "Exchange" in l or "FlatMapGroupsInPandas" in l
+                  or "Aggregate" in l)[:600],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
