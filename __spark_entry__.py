@@ -5819,6 +5819,33 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "event_id", "split")
 
 
+def q_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``predict_linear``/``deriv`` (rollup/promql.py
+    predict_linear): a long gauge (floor(value*1000)) per event_type is
+    least-squares-fit over every trailing 2h window on the hourly eval
+    grid, x relative to the evaluation time (Prometheus linearRegression
+    interceptTime semantics), and read 30 min ahead. The four regression
+    moments are exact longs; the slope/intercept division is one fixed
+    double tree the oracle mirrors node-for-node."""
+    from dads_spark.rollup import predict_linear
+
+    ev = _t(spark, sf_dir, "events")
+    samples = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_e"),
+        F.floor(F.col("value") * 1000).cast("long").alias("gauge"),
+    )
+    return predict_linear(
+        samples,
+        ["event_type"],
+        "ts_e",
+        "gauge",
+        window_s=7200,
+        step_s=3600,
+        horizon_s=1800,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -6109,6 +6136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_period": q_acf_period,
         "curriculum_order": q_curriculum_order,
         "temporal_split": q_temporal_split,
+        "predict_linear": q_predict_linear,
     }
 
 
@@ -9066,6 +9094,43 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ts_l <= cut_ts + 7200 THEN 'embargo'
                         ELSE 'test' END AS split
             FROM w2
+        """,
+        "predict_linear": """
+            WITH s AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_e,
+                     CAST(floor(value * 1000) AS BIGINT) AS v
+              FROM events),
+            e AS (
+              SELECT s.*,
+                     ((ts_e + 3599) // 3600) * 3600 + j.j * 3600 AS eval_ts
+              FROM s, (SELECT unnest([0, 1]) AS j) j
+              WHERE ((ts_e + 3599) // 3600) * 3600 + j.j * 3600
+                    < ts_e + 7200),
+            a AS (
+              SELECT event_type, eval_ts,
+                     CAST(count(*) AS BIGINT) AS n_samples,
+                     CAST(sum(ts_e - eval_ts) AS BIGINT) AS sx,
+                     CAST(sum(v) AS BIGINT) AS sy,
+                     CAST(sum((ts_e - eval_ts) * v) AS BIGINT) AS sxy,
+                     CAST(sum((ts_e - eval_ts) * (ts_e - eval_ts))
+                          AS BIGINT) AS sxx
+              FROM e GROUP BY 1, 2),
+            f AS (
+              SELECT * FROM a
+              WHERE n_samples >= 2 AND n_samples * sxx <> sx * sx),
+            g AS (
+              SELECT event_type, eval_ts, n_samples,
+                     (CAST(n_samples AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_samples AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+                     CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+              FROM f)
+            SELECT event_type, eval_ts, n_samples, slope,
+                   ((syd - slope * sxd) / CAST(n_samples AS DOUBLE))
+                   + slope * 1800.0 AS predicted
+            FROM g
         """,
     }
     # the stateful streaming sessionizer emits exactly the batch sessions;

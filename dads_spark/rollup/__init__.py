@@ -21,7 +21,7 @@ from .router import range_segments, route_range  # noqa: F401
 from .distinct import cascade_distinct, distinct_sketch_tier, with_estimate  # noqa: F401
 from .patterns import pattern_topk, pattern_topk_kernel  # noqa: F401
 from .resample import resample_grid  # noqa: F401
-from .promql import extrapolated_increase  # noqa: F401
+from .promql import extrapolated_increase, predict_linear  # noqa: F401
 from .reconcile import topdown_reconcile  # noqa: F401
 from .periodicity import acf_dominant_period  # noqa: F401
 from .intervals import hopping_rollup, merge_intervals  # noqa: F401

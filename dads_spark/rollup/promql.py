@@ -43,6 +43,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
+def _explode_to_eval_grid(
+    df: DataFrame, ts_col: str, window_s: int, step_s: int
+) -> DataFrame:
+    """Replicate each sample row to every ``step_s``-aligned evaluation
+    time t whose trailing window (t-window_s, t] contains it: a BOUNDED
+    explode (x window_s/step_s rows), never a range join."""
+    k = window_s // step_s
+    t0 = (F.floor((F.col(ts_col) + step_s - 1) / step_s) * step_s).cast(
+        "long"
+    )
+    return (
+        df.withColumn("_j", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .withColumn("eval_ts", t0 + F.col("_j") * step_s)
+        .filter(F.col("eval_ts") < F.col(ts_col) + window_s)
+        .drop("_j")
+    )
+
+
 def extrapolated_increase(
     samples: DataFrame,
     key_cols: list[str],
@@ -63,7 +81,6 @@ def extrapolated_increase(
     """
     if window_s % step_s != 0:
         raise ValueError("window_s must be a multiple of step_s")
-    k = window_s // step_s
     order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
     w = W.partitionBy(*key_cols).orderBy(*order)
 
@@ -91,14 +108,7 @@ def extrapolated_increase(
         .otherwise(F.lit(0).cast("long")),
     )
 
-    # bounded explode: the eval grid points t with t >= ts and t < ts+W;
-    # t0 = ceil(ts/step)*step, then j = 0..k-1 (filtered exactly)
-    t0 = (F.floor((F.col("_ts") + step_s - 1) / step_s) * step_s).cast("long")
-    exploded = (
-        paired.withColumn("_j", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
-        .withColumn("eval_ts", t0 + F.col("_j") * step_s)
-        .filter(F.col("eval_ts") < F.col("_ts") + window_s)
-    )
+    exploded = _explode_to_eval_grid(paired, "_ts", window_s, step_s)
 
     win_start = F.col("eval_ts") - window_s
     pair_in = F.col("_prev_ts").isNotNull() & (F.col("_prev_ts") > win_start)
@@ -144,4 +154,76 @@ def extrapolated_increase(
         "raw_delta",
         increase.alias("increase"),
         (increase / F.lit(float(window_s))).alias("rate"),
+    )
+
+
+def predict_linear(
+    samples: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_epoch",
+    value_col: str = "value",
+    window_s: int = 7200,
+    step_s: int = 3600,
+    horizon_s: int = 3600,
+) -> DataFrame:
+    """Evaluate PromQL ``predict_linear`` (and its slope, ``deriv``) on a
+    gauge at every ``step_s``-aligned time over the trailing ``window_s``
+    range: simple least-squares over the in-window samples with x taken
+    RELATIVE TO THE EVALUATION TIME (Prometheus linearRegression passes
+    interceptTime = enh.Ts), then the fit line read ``horizon_s`` ahead
+    (predicted = intercept + slope * horizon).
+
+    Distribution shape: identical to ``extrapolated_increase`` — one
+    bounded explode (x window_s/step_s) then ONE groupBy(series, eval_ts)
+    whose aggregates are the four regression moments n, Σx, Σy, Σxy, Σx²
+    — all exact longs (x = ts - eval_ts is a small in-window offset,
+    |x| < window_s, so the moments stay far from long range at any
+    realistic scrape density), summed in any order. The slope/intercept
+    division happens once per output row in a fixed double expression
+    tree the DuckDB oracle mirrors node-for-node.
+
+    Reference behavior (public): Prometheus promql/functions.go
+    linearRegression / funcPredictLinear.
+    """
+    if window_s % step_s != 0:
+        raise ValueError("window_s must be a multiple of step_s")
+    ts = F.col(ts_col).cast("long")
+    val = F.col(value_col).cast("long")
+    base = samples.select(*key_cols, ts.alias("_ts"), val.alias("_v"))
+    exploded = _explode_to_eval_grid(base, "_ts", window_s, step_s)
+    x = (F.col("_ts") - F.col("eval_ts")).cast("long")
+    agg = (
+        exploded.withColumn("_x", x)
+        .groupBy(*key_cols, "eval_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_v").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_v")).alias("_sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        )
+        # Prometheus requires >= 2 samples; distinct timestamps make the
+        # denominator strictly positive (Cauchy-Schwarz is tight only
+        # when all x equal)
+        .filter(
+            (F.col("n_samples") >= 2)
+            & (
+                F.col("n_samples") * F.col("_sxx")
+                != F.col("_sx") * F.col("_sx")
+            )
+        )
+    )
+    n = F.col("n_samples").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return agg.select(
+        *key_cols,
+        "eval_ts",
+        "n_samples",
+        slope.alias("slope"),
+        (intercept + slope * F.lit(float(horizon_s))).alias("predicted"),
     )

@@ -230,3 +230,63 @@ def test_temporal_split_all_test_when_pct_zero(spark):
     ).withColumn("ts", F.col("ts_e").cast("timestamp"))
     out = temporal_split(df, ["k"], "ts", "event_id", 0, 3600).collect()
     assert {r["split"] for r in out} == {"test"}
+
+
+# --------------------------------------------------------- predict_linear
+def test_predict_linear_matches_polyfit(spark):
+    from dads_spark.rollup import predict_linear
+
+    rng = np.random.default_rng(11)
+    ts = np.sort(rng.choice(np.arange(0, 30_000, 13), 200, replace=False))
+    vals = rng.integers(-500, 5000, len(ts))
+    rows = [("g1", int(t), int(v)) for t, v in zip(ts, vals)]
+    df = spark.createDataFrame(rows, "k string, ts_e long, v long")
+    out = predict_linear(
+        df, ["k"], "ts_e", "v", window_s=7200, step_s=3600, horizon_s=900
+    ).collect()
+    assert len(out) > 3
+    for r in out:
+        t = r["eval_ts"]
+        inw = [(x, y) for x, y in zip(ts, vals) if t - 7200 < x <= t]
+        assert r["n_samples"] == len(inw)
+        x = np.array([a - t for a, _ in inw], dtype=float)
+        y = np.array([b for _, b in inw], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert r["slope"] == pytest.approx(slope, rel=1e-9, abs=1e-9)
+        assert r["predicted"] == pytest.approx(
+            intercept + slope * 900.0, rel=1e-9, abs=1e-9
+        )
+
+
+def test_predict_linear_exact_on_a_line(spark):
+    """Samples exactly on v = 3*ts + 7: slope is exactly 3 and the
+    prediction lands exactly on the line (integer moments, one clean
+    division)."""
+    from dads_spark.rollup import predict_linear
+
+    rows = [("k", int(t), int(3 * t + 7)) for t in range(0, 7200, 600)]
+    df = spark.createDataFrame(rows, "k string, ts_e long, v long")
+    out = predict_linear(
+        df, ["k"], "ts_e", "v", window_s=7200, step_s=3600, horizon_s=100
+    ).collect()
+    assert out
+    for r in out:
+        assert r["slope"] == pytest.approx(3.0, abs=1e-12)
+        # line value at eval_ts + horizon
+        assert r["predicted"] == pytest.approx(
+            3.0 * (r["eval_ts"] + 100) + 7.0, rel=1e-12
+        )
+
+
+def test_predict_linear_requires_two_distinct_ts(spark):
+    from dads_spark.rollup import predict_linear
+
+    df = spark.createDataFrame(
+        [("k", 100, 5), ("k", 100, 9)], "k string, ts_e long, v long"
+    )
+    out = predict_linear(
+        df, ["k"], "ts_e", "v", window_s=7200, step_s=3600
+    ).collect()
+    assert out == []  # degenerate x variance filtered, no divide-by-zero
+    with pytest.raises(ValueError):
+        predict_linear(df, ["k"], window_s=5000, step_s=3600)
