@@ -5846,6 +5846,55 @@ def q_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the link_pagerank synthetic crawl graph
+    (ops/linkgraph.py trustrank): teleport restricted to three trusted
+    seeds — one of them (h2.org) dangling, so the dangling-mass-to-seeds
+    redistribution is genuinely exercised — 3 power rounds, damping 0.85.
+    Scores rounded to 6 dp for cross-engine hashing (same discipline as
+    link_pagerank); the oracle unrolls the three rounds in SQL."""
+    from dads_spark.ops import domain_edges, extract_links, trustrank
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example.com")).alias("src_domain"),
+        F.concat(
+            F.lit('<p><a href="https://h'),
+            ((F.col("doc_id") * 31 + 7) % 97).cast("string"),
+            F.lit('.example.com/x">l</a> <a href=\'http://h'),
+            ((F.col("doc_id") * 5 + 3) % 11).cast("string"),
+            F.lit(".org/y'>m</a></p>"),
+        ).alias("html"),
+    )
+    links = extract_links(pages, "html", "doc_id", keep=("src_domain",))
+    edges = domain_edges(links, "src_domain", "link_url")
+    seeds = spark.createDataFrame(
+        [("h1.example.com",), ("h7.example.com",), ("h2.org",)],
+        "node string",
+    )
+    return trustrank(edges, seeds, iterations=3, damping=0.85).select(
+        "node", F.round("tr", 6).alias("tr")
+    )
+
+
+def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed trending score per event_type
+    (rollup/analytics.py decayed_popularity): hourly age buckets, 24h
+    half-life, 28-day horizon, anchored at the max event time (derived
+    in-plan). Each event contributes the exact long 2^(28 - age_half_
+    lives); the score divides by 2^28 — all-integer sums, one dyadic
+    division, bit-identical on any engine with no rounding discipline."""
+    from dads_spark.rollup import decayed_popularity
+
+    ev = _t(spark, sf_dir, "events")
+    return decayed_popularity(
+        ev, ["event_type"], "ts", bucket_s=3600,
+        half_life_buckets=24, horizon_buckets=672,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -6137,6 +6186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "temporal_split": q_temporal_split,
         "predict_linear": q_predict_linear,
+        "trustrank": q_trustrank,
+        "decayed_popularity": q_decayed_popularity,
     }
 
 
@@ -9130,6 +9181,103 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, eval_ts, n_samples, slope,
                    ((syd - slope * sxd) / CAST(n_samples AS DOUBLE))
                    + slope * 1800.0 AS predicted
+            FROM g
+        """,
+        "trustrank": """
+            WITH pages AS (
+                SELECT doc_id,
+                       'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com'
+                           AS src_domain,
+                       '<p><a href="https://h'
+                       || CAST((doc_id * 31 + 7) % 97 AS VARCHAR)
+                       || '.example.com/x">l</a> <a href=''http://h'
+                       || CAST((doc_id * 5 + 3) % 11 AS VARCHAR)
+                       || '.org/y''>m</a></p>' AS html
+                FROM documents),
+            l0 AS (
+                SELECT src_domain,
+                       unnest(regexp_extract_all(
+                           html,
+                           'href=["'']((?:https?)://[^"''\\s>]+)["'']', 1))
+                           AS link_url
+                FROM pages),
+            edges AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src_domain AS src,
+                           lower(regexp_extract(
+                               link_url, '^https?://([^/]+)', 1)) AS dst
+                    FROM l0)
+                WHERE dst IS NOT NULL AND dst <> '' AND dst <> src),
+            nodes AS (
+                SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges),
+            sd AS (
+                SELECT n.node,
+                       CASE WHEN n.node IN ('h1.example.com',
+                                            'h7.example.com', 'h2.org')
+                            THEN CAST(1 AS DOUBLE) / 3 ELSE 0.0 END AS s
+                FROM nodes n),
+            outdeg AS (
+                SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+                FROM edges GROUP BY 1),
+            t0 AS (SELECT node, s, s AS tr FROM sd),
+            d1 AS (SELECT COALESCE(sum(p.tr), 0) AS dm FROM t0 p
+                   LEFT JOIN outdeg o ON o.src = p.node WHERE o.src IS NULL),
+            m1 AS (SELECT e.dst AS node, sum(p.tr / o.outdeg) AS in_mass
+                   FROM edges e JOIN outdeg o ON o.src = e.src
+                   JOIN t0 p ON p.node = e.src GROUP BY 1),
+            t1 AS (SELECT n.node, n.s,
+                          0.15 * n.s
+                          + 0.85 * (COALESCE(m.in_mass, 0) + d1.dm * n.s)
+                              AS tr
+                   FROM sd n CROSS JOIN d1
+                   LEFT JOIN m1 m ON m.node = n.node),
+            d2 AS (SELECT COALESCE(sum(p.tr), 0) AS dm FROM t1 p
+                   LEFT JOIN outdeg o ON o.src = p.node WHERE o.src IS NULL),
+            m2 AS (SELECT e.dst AS node, sum(p.tr / o.outdeg) AS in_mass
+                   FROM edges e JOIN outdeg o ON o.src = e.src
+                   JOIN t1 p ON p.node = e.src GROUP BY 1),
+            t2 AS (SELECT n.node, n.s,
+                          0.15 * n.s
+                          + 0.85 * (COALESCE(m.in_mass, 0) + d2.dm * n.s)
+                              AS tr
+                   FROM sd n CROSS JOIN d2
+                   LEFT JOIN m2 m ON m.node = n.node),
+            d3 AS (SELECT COALESCE(sum(p.tr), 0) AS dm FROM t2 p
+                   LEFT JOIN outdeg o ON o.src = p.node WHERE o.src IS NULL),
+            m3 AS (SELECT e.dst AS node, sum(p.tr / o.outdeg) AS in_mass
+                   FROM edges e JOIN outdeg o ON o.src = e.src
+                   JOIN t2 p ON p.node = e.src GROUP BY 1),
+            t3 AS (SELECT n.node, n.s,
+                          0.15 * n.s
+                          + 0.85 * (COALESCE(m.in_mass, 0) + d3.dm * n.s)
+                              AS tr
+                   FROM sd n CROSS JOIN d3
+                   LEFT JOIN m3 m ON m.node = n.node)
+            SELECT node, round(tr, 6) AS tr FROM t3
+        """,
+        "decayed_popularity": """
+            WITH s AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_e
+              FROM events),
+            m AS (SELECT max(ts_e) AS ref FROM s),
+            a AS (
+              SELECT event_type,
+                     CAST(floor((ref - ts_e) / 3600) AS BIGINT) AS age_b
+              FROM s, m),
+            f AS (
+              SELECT event_type,
+                     CAST(floor(age_b / 24) AS BIGINT) AS age_hl
+              FROM a WHERE age_b >= 0 AND age_b < 672),
+            g AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CAST(1 AS BIGINT) << (28 - age_hl))
+                          AS BIGINT) AS score_scaled
+              FROM f GROUP BY 1)
+            SELECT event_type, n_events, score_scaled,
+                   CAST(score_scaled AS DOUBLE) / 268435456.0 AS score
             FROM g
         """,
     }

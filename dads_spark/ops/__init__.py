@@ -60,6 +60,7 @@ from .linkgraph import (  # noqa: F401
     hits,
     pagerank,
     triangle_counts,
+    trustrank,
 )
 from .contamination import contamination_report  # noqa: F401
 from .scd import asof_dimension_join, scd2_history  # noqa: F401

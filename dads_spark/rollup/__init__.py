@@ -67,6 +67,7 @@ from .analytics import (  # noqa: F401
     anomaly_ensemble,
     autocorrelation,
     burst_intervals,
+    decayed_popularity,
     exp_histogram,
     gap_percentiles,
     cohort_retention,

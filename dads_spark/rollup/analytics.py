@@ -899,3 +899,79 @@ def exp_histogram(
             F.max(fv).alias("v_floor_max"),
         )
     )
+
+
+def decayed_popularity(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    half_life_buckets: int = 24,
+    horizon_buckets: int = 672,
+    ref_ts: int | None = None,
+) -> DataFrame:
+    """Exponentially time-decayed popularity score per key — the
+    trending/ranking primitive (Reddit-hot / HN-gravity family): an event
+    ``a`` buckets old contributes weight 2^(-a_h) where a_h is its age in
+    half-lives, so recent activity dominates and old mass fades
+    geometrically. EXACT-integer construction: ages quantize to buckets
+    (``bucket_s``), the half-life divides in INTEGER bucket units, and
+    each event contributes the long 2^(E - age_hl) with
+    E = horizon_buckets // half_life_buckets — a sum of powers of two
+    with no float term anywhere. The emitted double score is
+    score_scaled / 2^E, an exact dyadic division both engines represent
+    identically, so the query hashes bit-for-bit (contrast a per-event
+    exp() sum, whose value depends on summation order).
+
+    Events older than ``horizon_buckets`` buckets are excluded (weights
+    below 2^-E round to zero anyway at the emitted precision — the
+    standard trending-window cutoff, and what keeps the exponent bounded:
+    2^E per event with E = 28 at the defaults leaves 2^35 events/key of
+    headroom in a long). ``ref_ts`` (epoch seconds) anchors "now"; when
+    None the max event time is derived in-plan via a broadcast 1-row
+    aggregate — no driver round-trip.
+
+    Shape: one codegen map for the weight + ONE groupBy(keys) with
+    map-side partials — the same cost as a plain count per key.
+
+    Returns (keys..., n_events, score_scaled, score) with
+    score = Sigma_events 2^(-age_half_lives), newest-bucket weight 1.0.
+    """
+    if half_life_buckets <= 0 or horizon_buckets % half_life_buckets:
+        raise ValueError(
+            "horizon_buckets must be a positive multiple of half_life_buckets"
+        )
+    e_max = horizon_buckets // half_life_buckets
+    ts = F.unix_timestamp(F.col(ts_col)).cast("long")
+    base = events.select(*key_cols, ts.alias("_ts"))
+    if ref_ts is None:
+        ref = base.agg(F.max("_ts").alias("_ref"))
+        base = base.crossJoin(F.broadcast(ref))
+    else:
+        base = base.withColumn("_ref", F.lit(int(ref_ts)).cast("long"))
+    age_b = F.floor((F.col("_ref") - F.col("_ts")) / F.lit(bucket_s)).cast(
+        "long"
+    )
+    age_hl = (age_b / F.lit(half_life_buckets)).cast("long")  # floor: both >=0
+    return (
+        base.where((age_b >= 0) & (age_b < horizon_buckets))
+        .withColumn("_ahl", age_hl)
+        # shiftleft's bit count must be a column here, which the Python
+        # helper rejects — the SQL form takes any int expression
+        .withColumn(
+            "_w",
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast({e_max} - _ahl as int))"
+            ),
+        )
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("_w").cast("long").alias("score_scaled"),
+        )
+        .withColumn(
+            "score",
+            F.col("score_scaled").cast("double")
+            / F.lit(float(2**e_max)),
+        )
+    )

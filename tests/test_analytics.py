@@ -317,3 +317,58 @@ def test_exp_histogram_exact_power_of_two_buckets(spark):
     assert out[3]["n"] == 2                       # [4,8): 4.0, 7.0
     assert out[4]["n"] == 1 and out[4]["v_floor_min"] == 8   # [8,16)
     assert out[8]["n"] == 1 and out[9]["n"] == 1  # 255 -> len 8; 256 -> len 9
+
+
+# ------------------------------------------------------ decayed_popularity
+def test_decayed_popularity_scalar_reference(spark):
+    from dads_spark.rollup import decayed_popularity
+
+    # events at known ages (hours) relative to the max ts
+    ages_h = {"a": [0, 1, 23, 24, 48, 700], "b": [0, 0, 0]}
+    ref = 1_000_000_000
+    rows = [
+        (k, ref - h * 3600) for k, hs in ages_h.items() for h in hs
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_e long").withColumn(
+        "ts", F.col("ts_e").cast("timestamp")
+    )
+    out = {
+        r["k"]: r
+        for r in decayed_popularity(
+            df, ["k"], "ts", 3600, 24, 672, ref_ts=ref
+        ).collect()
+    }
+    # a: ages 0,1,23h -> hl 0 (w 2^28); 24,48h -> hl 1,2; 700h excluded
+    want_a = 3 * 2**28 + 2**27 + 2**26
+    assert out["a"]["n_events"] == 5
+    assert out["a"]["score_scaled"] == want_a
+    assert out["a"]["score"] == want_a / 2**28
+    assert out["b"]["score"] == 3.0  # three fresh events, weight 1 each
+    with pytest.raises(ValueError):
+        decayed_popularity(df, ["k"], "ts", 3600, 24, 670)
+
+
+def test_decayed_popularity_partitioning_invariant(spark):
+    from dads_spark.rollup import decayed_popularity
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        ("k%d" % (i % 3), 2_000_000_000 - int(rng.integers(0, 700 * 3600)))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_e long").withColumn(
+        "ts", F.col("ts_e").cast("timestamp")
+    )
+    a = decayed_popularity(df, ["k"], "ts").orderBy("k").collect()
+    b = (
+        decayed_popularity(df.repartition(13), ["k"], "ts")
+        .orderBy("k")
+        .collect()
+    )
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    # derived-ref anchor equals explicit max anchor
+    ref = max(t for _, t in rows)
+    c = decayed_popularity(df, ["k"], "ts", ref_ts=ref).orderBy("k").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in c]

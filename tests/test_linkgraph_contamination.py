@@ -332,3 +332,55 @@ def test_covisitation_partition_invariant(spark):
     a = sorted(tuple(r) for r in covisitation(df.repartition(1), "user_id", "item", min_weight=1).collect())
     b = sorted(tuple(r) for r in covisitation(df.repartition(7), "user_id", "item", min_weight=1).collect())
     assert a == b and len(a) > 0
+
+
+# --------------------------------------------------------------- trustrank
+def _numpy_trustrank(edges, seeds, iters, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in edges:
+        out[idx[u]] += 1
+    s = np.zeros(n)
+    for u in seeds:
+        s[idx[u]] = 1.0 / len(seeds)
+    tr = s.copy()
+    for _ in range(iters):
+        dangling = tr[out == 0].sum()
+        nxt = (1 - d) * s + d * dangling * s
+        for u, v in edges:
+            nxt[idx[v]] += d * tr[idx[u]] / out[idx[u]]
+        tr = nxt
+    return dict(zip(nodes, tr))
+
+
+def test_trustrank_matches_numpy(spark):
+    from dads_spark.ops import trustrank
+
+    # c dangling; seed set {a, c} so dangling mass returns to the seeds
+    edges = [("a", "b"), ("b", "c"), ("e", "a"), ("e", "c"), ("a", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("c",)], "node string")
+    got = {r.node: r.tr for r in trustrank(df, seeds, iterations=4).collect()}
+    want = _numpy_trustrank(edges, ["a", "c"], 4)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
+    # trust mass is conserved (teleport + dangling both land on seeds)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_trustrank_starves_unreachable_spam(spark):
+    from dads_spark.ops import trustrank
+
+    # spam ring never linked from the trusted component
+    edges = [("good", "shop"), ("shop", "good"),
+             ("spam1", "spam2"), ("spam2", "spam1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("good",)], "node string")
+    got = {r.node: r.tr for r in trustrank(df, seeds, iterations=3).collect()}
+    assert got["spam1"] == 0.0 and got["spam2"] == 0.0
+    assert got["good"] > 0 and got["shop"] > 0
+    with pytest.raises(ValueError):
+        trustrank(df, seeds.limit(0), iterations=1).collect()
