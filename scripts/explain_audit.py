@@ -916,6 +916,52 @@ def main() -> None:
                   or "Aggregate" in l)[:600],
     ))
 
+    # --- A49: predict_linear — the same explode shape, moments-only agg -----
+    p49 = plan_of(em.queries()["predict_linear"](spark, sf_dir))
+    assert "CartesianProduct" not in p49 and "BroadcastNestedLoop" not in p49
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p49, f"predict_linear plan contains {py_op}"
+    assert "Generate" in p49  # bounded eval-grid explode
+    assert "Window" not in p49  # no per-eval-time re-sort anywhere
+    n_shuffles49 = sum(
+        1 for l in p49.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_shuffles49 <= 1, f"predict_linear shuffles {n_shuffles49}x"
+    sections.append((
+        "A49 predict_linear: regression over overlapping windows in ONE exchange",
+        "PASS — the trailing-window least-squares at every grid step is a "
+        "Generate (bounded explode) plus ONE hash aggregate of the four "
+        "exact-long regression moments with map-side partials; unlike "
+        "promql_rate it needs no lag state, so there is NO window sort at "
+        "all — a single exchange end to end, slope/intercept pure codegen",
+        "\n".join(l for l in p49.splitlines()
+                  if "Generate" in l or "Exchange" in l or "Aggregate" in l
+                  )[:600],
+    ))
+
+    # --- A50: decayed_popularity — count-shaped trending, broadcast anchor --
+    p50 = plan_of(em.queries()["decayed_popularity"](spark, sf_dir))
+    assert "CartesianProduct" not in p50
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p50, f"decayed_popularity plan contains {py_op}"
+    assert "BroadcastExchange" in p50  # the max-ts one-row anchor
+    assert "partial" in p50.lower(), "no map-side partial aggregation"
+    n_shuffles50 = sum(
+        1 for l in p50.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_shuffles50 <= 1, f"decayed_popularity shuffles {n_shuffles50}x"
+    sections.append((
+        "A50 decayed_popularity: trending score at the cost of a count(*)",
+        "PASS — the derived 'now' anchor joins as a broadcast one-row "
+        "aggregate (no driver round-trip, no second shuffle), each event's "
+        "power-of-two weight is a codegen shiftleft, and the score is ONE "
+        "hash aggregate with map-side partials — the same exchange count "
+        "as a plain per-key count at any corpus size",
+        "\n".join(l for l in p50.splitlines()
+                  if "Exchange" in l or "Aggregate" in l or "Broadcast" in l
+                  )[:600],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
