@@ -5895,6 +5895,63 @@ def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of event values across event_type groups
+    (ops/calibrate.py quantile_normalize): each row maps to the pooled
+    distribution's value at its within-group quantile — exact integer
+    rank arithmetic (ceil(r*N/n) via 64-bit div), deterministic tie
+    breaks, no float interpolation. The cross-group score-calibration
+    primitive; values pass through untouched so the hash is exact."""
+    from dads_spark.ops import quantile_normalize
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_normalize(ev, ["event_type"], "value", "event_id")
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities
+    (ops/linkgraph.py label_propagation) over the synthetic crawl's
+    undirected domain graph: 3 rounds, most-frequent neighbor label,
+    min-label ties — a pure function of the edge set (no randomized
+    update order), so the oracle unrolls the rounds in SQL. Exact
+    strings, no float surface."""
+    from dads_spark.ops import domain_edges, extract_links, label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example.com")).alias("src_domain"),
+        F.concat(
+            F.lit('<p><a href="https://h'),
+            ((F.col("doc_id") * 31 + 7) % 97).cast("string"),
+            F.lit('.example.com/x">l</a> <a href=\'http://h'),
+            ((F.col("doc_id") * 5 + 3) % 11).cast("string"),
+            F.lit(".org/y'>m</a></p>"),
+        ).alias("html"),
+    )
+    links = extract_links(pages, "html", "doc_id", keep=("src_domain",))
+    edges = domain_edges(links, "src_domain", "link_url")
+    return label_propagation(edges, rounds=3)
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (rollup/analytics.py
+    last_touch_attribution): every purchase/signup credits the most
+    recent strictly-prior click/view by the same user within a 24h
+    lookback, plus the count of sources in the trailing window. Pure
+    window construction — no self-join, no range join; exact longs."""
+    from dads_spark.rollup import last_touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return last_touch_attribution(
+        ev, "user_id", "ts", "event_type", "event_id",
+        source_types=["click", "view"],
+        conversion_types=["purchase", "signup"],
+        lookback_s=86400,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -6188,6 +6245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predict_linear": q_predict_linear,
         "trustrank": q_trustrank,
         "decayed_popularity": q_decayed_popularity,
+        "quantile_normalize": q_quantile_normalize,
+        "label_propagation": q_label_propagation,
+        "attribution": q_attribution,
     }
 
 
@@ -9279,6 +9339,130 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, n_events, score_scaled,
                    CAST(score_scaled AS DOUBLE) / 268435456.0 AS score
             FROM g
+        """,
+        "quantile_normalize": """
+            WITH b AS (
+              SELECT event_type, event_id, value AS v FROM events),
+            r AS (
+              SELECT event_type, event_id, v,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                                             ORDER BY v, event_id)
+                          AS BIGINT) AS rank_in_group,
+                     CAST(count(*) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS group_n
+              FROM b),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM b),
+            g AS (
+              SELECT CAST(row_number() OVER (ORDER BY v, event_type,
+                                             event_id)
+                          AS BIGINT) AS target_rank,
+                     v AS normalized
+              FROM b),
+            t AS (
+              SELECT r.*,
+                     (rank_in_group * nn + group_n - 1) // group_n
+                         AS target_rank
+              FROM r, n)
+            SELECT t.event_type, t.event_id, t.v AS value,
+                   t.rank_in_group, t.group_n, t.target_rank, g.normalized
+            FROM t JOIN g ON g.target_rank = t.target_rank
+        """,
+        "label_propagation": """
+            WITH pages AS (
+                SELECT doc_id,
+                       'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com'
+                           AS src_domain,
+                       '<p><a href="https://h'
+                       || CAST((doc_id * 31 + 7) % 97 AS VARCHAR)
+                       || '.example.com/x">l</a> <a href=''http://h'
+                       || CAST((doc_id * 5 + 3) % 11 AS VARCHAR)
+                       || '.org/y''>m</a></p>' AS html
+                FROM documents),
+            l0x AS (
+                SELECT src_domain,
+                       unnest(regexp_extract_all(
+                           html,
+                           'href=["'']((?:https?)://[^"''\\s>]+)["'']', 1))
+                           AS link_url
+                FROM pages),
+            edges AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src_domain AS src,
+                           lower(regexp_extract(
+                               link_url, '^https?://([^/]+)', 1)) AS dst
+                    FROM l0x)
+                WHERE dst IS NOT NULL AND dst <> '' AND dst <> src),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM edges WHERE src <> dst),
+            nbr AS (
+                SELECT a AS node, b AS nbr FROM und
+                UNION ALL SELECT b, a FROM und),
+            l0 AS (SELECT DISTINCT node, node AS label FROM nbr),
+            c1 AS (
+                SELECT n.node, l.label AS nlbl,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM nbr n JOIN l0 l ON l.node = n.nbr GROUP BY 1, 2),
+            l1 AS (
+                SELECT node, nlbl AS label FROM (
+                    SELECT node, nlbl,
+                           row_number() OVER (PARTITION BY node
+                                              ORDER BY cnt DESC, nlbl) AS rn
+                    FROM c1) WHERE rn = 1),
+            c2 AS (
+                SELECT n.node, l.label AS nlbl,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM nbr n JOIN l1 l ON l.node = n.nbr GROUP BY 1, 2),
+            l2 AS (
+                SELECT node, nlbl AS label FROM (
+                    SELECT node, nlbl,
+                           row_number() OVER (PARTITION BY node
+                                              ORDER BY cnt DESC, nlbl) AS rn
+                    FROM c2) WHERE rn = 1),
+            c3 AS (
+                SELECT n.node, l.label AS nlbl,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM nbr n JOIN l2 l ON l.node = n.nbr GROUP BY 1, 2),
+            l3 AS (
+                SELECT node, nlbl AS label FROM (
+                    SELECT node, nlbl,
+                           row_number() OVER (PARTITION BY node
+                                              ORDER BY cnt DESC, nlbl) AS rn
+                    FROM c3) WHERE rn = 1)
+            SELECT node, label FROM l3
+        """,
+        "attribution": """
+            WITH b AS (
+              SELECT user_id AS "user", event_id AS eid,
+                     event_type AS etype,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_e
+              FROM events),
+            c AS (
+              SELECT *,
+                     last_value(CASE WHEN etype IN ('click', 'view')
+                                     THEN struct_pack(
+                                         src_ts := ts_e, src_id := eid,
+                                         src_type := etype)
+                                END IGNORE NULLS)
+                       OVER (PARTITION BY "user" ORDER BY ts_e, eid
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS ls,
+                     CAST(sum(CASE WHEN etype IN ('click', 'view')
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY "user" ORDER BY ts_e
+                             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS n_sources_window
+              FROM b),
+            f AS (
+              SELECT *, (ls.src_ts >= ts_e - 86400) AS inw
+              FROM c WHERE etype IN ('purchase', 'signup'))
+            SELECT "user", eid AS conv_id, etype AS conv_type,
+                   ts_e AS conv_ts,
+                   CASE WHEN inw THEN ls.src_id END AS src_id,
+                   CASE WHEN inw THEN ls.src_type END AS src_type,
+                   CASE WHEN inw THEN ls.src_ts END AS src_ts,
+                   n_sources_window
+            FROM f
         """,
     }
     # the stateful streaming sessionizer emits exactly the batch sessions;

@@ -58,10 +58,12 @@ from .linkgraph import (  # noqa: F401
     domain_edges,
     extract_links,
     hits,
+    label_propagation,
     pagerank,
     triangle_counts,
     trustrank,
 )
+from .calibrate import quantile_normalize  # noqa: F401
 from .contamination import contamination_report  # noqa: F401
 from .scd import asof_dimension_join, scd2_history  # noqa: F401
 from .frontier import frontier_schedule  # noqa: F401

@@ -446,6 +446,72 @@ def hits(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over the UNDIRECTED simple graph — the cheap community
+    signal beside connected components: components find reachability,
+    LPA finds densely-linked clusters (site networks, mutual-citation
+    cliques) inside one component. Used in web pipelines to group
+    domains into site families for per-family caps and dedup scoping.
+
+    DETERMINISTIC variant: every node starts labeled with itself; each
+    synchronous round relabels every node with its neighbors' most
+    frequent label, ties broken by MINIMUM label. No randomized update
+    order (the classic async LPA is run-order-dependent — useless for a
+    cross-engine gate); fixed ``rounds``, so the result is a pure
+    function of the edge set.
+
+    Scale shape: per round, one join of the bidirectional neighbor list
+    against the label table (both |E| / |V| sized — the corpus never
+    appears) and one two-level aggregate: count per (node, label), then
+    min_by over a (−count, label) struct picks the winner without a
+    window sort. Lineage cut per round like ``pagerank``.
+
+    Returns (node, label) after ``rounds`` rounds; label is the
+    community representative. Exact strings/longs — no float surface.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbr = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nbr.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(rounds):
+        counted = (
+            nbr.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nlbl")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "nlbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        labels = (
+            counted.groupBy("node")
+            .agg(
+                F.expr(
+                    "min_by(nlbl, struct(-cnt, nlbl))"
+                ).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def covisitation(
     df: DataFrame,
     user_col: str,

@@ -73,6 +73,7 @@ from .analytics import (  # noqa: F401
     cohort_retention,
     counter_rate,
     hampel_filter,
+    last_touch_attribution,
     session_patterns,
     mad_outliers,
     paa_sax,

@@ -975,3 +975,83 @@ def decayed_popularity(
             / F.lit(float(2**e_max)),
         )
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    source_types: list[str],
+    conversion_types: list[str],
+    lookback_s: int = 86400,
+) -> DataFrame:
+    """Last-touch conversion attribution: for every conversion event,
+    the most recent PRIOR source event by the same user, credited only
+    if it falls inside the trailing ``lookback_s`` window — the
+    standard marketing/referral analytics primitive, and the funnel's
+    credit-assignment sibling.
+
+    Pure window construction — NO self-join, NO range join: one sort
+    per user carries the latest source (ts, id, type) struct forward
+    via ``last(..., ignorenulls=True)`` over a rows frame ending ONE
+    ROW BEFORE current (strictly-prior semantics; a source sharing the
+    conversion's timestamp attributes only if its id orders earlier),
+    and a RANGE frame counts sources within the trailing window by
+    timestamp. Per-user data never leaves its partition, so the plan is
+    one exchange + sort at any corpus size. All comparisons are exact
+    longs; no float surface.
+
+    Returns one row per conversion: (user, conv_id, conv_type, conv_ts,
+    src_id, src_type, src_ts, n_sources_window) with the src_* columns
+    null when no source lies inside the window.
+    """
+    ts = F.unix_timestamp(F.col(ts_col)).cast("long")
+    base = events.select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("etype"),
+        ts.alias("_ts"),
+    )
+    is_src = F.col("etype").isin(list(source_types))
+    w_rows = (
+        W.partitionBy("user")
+        .orderBy("_ts", "eid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_range = (
+        W.partitionBy("user").orderBy("_ts").rangeBetween(-lookback_s, 0)
+    )
+    src_struct = F.when(
+        is_src,
+        F.struct(
+            F.col("_ts").alias("src_ts"),
+            F.col("eid").alias("src_id"),
+            F.col("etype").alias("src_type"),
+        ),
+    )
+    carried = base.select(
+        "user",
+        "eid",
+        "etype",
+        "_ts",
+        F.last(src_struct, ignorenulls=True).over(w_rows).alias("_ls"),
+        F.sum(F.when(is_src, 1).otherwise(0))
+        .over(w_range)
+        .cast("long")
+        .alias("n_sources_window"),
+    )
+    in_window = F.col("_ls.src_ts") >= F.col("_ts") - lookback_s
+    return carried.filter(
+        F.col("etype").isin(list(conversion_types))
+    ).select(
+        "user",
+        F.col("eid").alias("conv_id"),
+        F.col("etype").alias("conv_type"),
+        F.col("_ts").alias("conv_ts"),
+        F.when(in_window, F.col("_ls.src_id")).alias("src_id"),
+        F.when(in_window, F.col("_ls.src_type")).alias("src_type"),
+        F.when(in_window, F.col("_ls.src_ts")).alias("src_ts"),
+        "n_sources_window",
+    )
