@@ -5952,6 +5952,22 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chimp_roundtrip_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour tier -> delta-of-delta + CHIMP XOR encode (compress/chimp.py:
+    2-bit flags, 8-class rounded leading zeros, previous-class reuse —
+    Liakos et al. PVLDB 2022) -> decode -> points. Same uncompressed
+    rollup oracle as gorilla_roundtrip_hour: hash equality proves the
+    second value codec lossless under distributed execution."""
+    from dads_spark.compress import compressed_tier_roundtrip
+
+    ev = _t(spark, sf_dir, "events")
+    hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+    rt = compressed_tier_roundtrip(hour, ["event_type"], codec="chimp")
+    return rt.select(
+        "event_type", _fmt_bucket(), F.round("value_sum", 2).alias("value_sum")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -6248,6 +6264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "label_propagation": q_label_propagation,
         "attribution": q_attribution,
+        "chimp_roundtrip_hour": q_chimp_roundtrip_hour,
     }
 
 
@@ -7482,6 +7499,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "gorilla_roundtrip_hour": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   round(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "chimp_roundtrip_hour": """
             SELECT event_type,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
                    round(sum(value), 2) AS value_sum

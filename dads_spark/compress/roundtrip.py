@@ -20,8 +20,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import DoubleType, StructField, StructType, TimestampType
 
+from . import chimp, gorilla
 from .deltadelta import decode_timestamps, encode_timestamps
-from .gorilla import decode_values, encode_values
+
+#: pluggable value codecs: name -> (encode, decode)
+VALUE_CODECS = {
+    "gorilla": (gorilla.encode_values, gorilla.decode_values),
+    "chimp": (chimp.encode_values, chimp.decode_values),
+}
 
 
 def compressed_tier_roundtrip(
@@ -29,10 +35,12 @@ def compressed_tier_roundtrip(
     key_cols: list[str],
     ts_col: str = "bucket_ts",
     value_col: str = "value_sum",
+    codec: str = "gorilla",
 ) -> DataFrame:
-    """Encode each key's (ts, value) series (delta-of-delta + Gorilla XOR),
-    decode, and emit the decoded points.  Lossless: output rows equal input
-    rows exactly."""
+    """Encode each key's (ts, value) series (delta-of-delta timestamps +
+    the named XOR value ``codec`` — gorilla or chimp), decode, and emit
+    the decoded points.  Lossless: output rows equal input rows exactly."""
+    encode_values, decode_values = VALUE_CODECS[codec]
     fields = [tier_df.schema[k] for k in key_cols]
     out_schema = StructType(
         fields

@@ -85,3 +85,83 @@ def test_deltadelta_mixed_gaps():
     t = np.cumsum(deltas).astype(np.int64)
     dec = decode_timestamps(encode_timestamps(t), len(t))
     assert np.array_equal(t, dec)
+
+
+# ------------------------------------------------------------------- chimp
+@given(
+    st.lists(
+        st.floats(allow_nan=False, width=64) | st.sampled_from([0.0, -0.0, 1.5, 3.25]),
+        max_size=300,
+    )
+)
+def test_chimp_roundtrip_property(vals):
+    from dads_spark.compress import chimp
+
+    v = np.array(vals, dtype=np.float64)
+    dec = chimp.decode_values(chimp.encode_values(v), len(v))
+    if len(v):
+        assert np.array_equal(v.view(np.uint64), dec.view(np.uint64))
+
+
+def test_chimp_nan_and_extremes():
+    from dads_spark.compress import chimp
+
+    v = np.array([np.nan, np.inf, -np.inf, 5e-324, 1.7976931348623157e308, -0.0])
+    dec = chimp.decode_values(chimp.encode_values(v), len(v))
+    assert np.array_equal(v.view(np.uint64), dec.view(np.uint64))
+
+
+def test_chimp_beats_gorilla_on_decimal_doubles():
+    # the paper's motivating case: rounded decimals have FEW trailing
+    # zeros, so Gorilla's 6+6 header is overhead Chimp's 2-bit flag +
+    # class reuse avoids
+    from dads_spark.compress import chimp
+
+    rng = np.random.default_rng(7)
+    v = np.round(rng.normal(100, 5, 5000), 2)
+    enc_c = chimp.encode_values(v)
+    enc_g = encode_values(v)
+    assert len(enc_c) < len(enc_g)
+    assert np.array_equal(
+        chimp.decode_values(enc_c, len(v)).view(np.uint64), v.view(np.uint64)
+    )
+
+
+def test_chimp_flag_coverage_and_repeat_runs():
+    from dads_spark.compress import chimp
+
+    # constant run -> flag 00 everywhere after the first value: 2 bits/val
+    v = np.full(4000, 12345.6789)
+    enc = chimp.encode_values(v)
+    assert len(enc) <= 8 + 4000 // 4 + 8
+    assert np.array_equal(chimp.decode_values(enc, len(v)), v)
+    # integer-valued doubles exercise the many-trailing-zeros (01) flag
+    v2 = (100 + np.cumsum(np.arange(500) % 7)).astype(np.float64)
+    assert np.array_equal(
+        chimp.decode_values(chimp.encode_values(v2), 500), v2
+    )
+
+
+def test_tier_roundtrip_codec_chimp(spark):
+    from dads_spark.compress import compressed_tier_roundtrip
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "k": ["a"] * 50 + ["b"] * 30,
+        "bucket_ts": pd.date_range("2024-01-01", periods=50, freq="h").tolist()
+        + pd.date_range("2024-02-01", periods=30, freq="h").tolist(),
+        "value_sum": np.round(np.random.default_rng(1).normal(10, 2, 80), 3),
+    })
+    df = spark.createDataFrame(pdf)
+    out = (
+        compressed_tier_roundtrip(df, ["k"], codec="chimp")
+        .orderBy("k", "bucket_ts")
+        .toPandas()
+    )
+    want = pdf.sort_values(["k", "bucket_ts"]).reset_index(drop=True)
+    assert np.array_equal(
+        out["value_sum"].to_numpy().view(np.uint64),
+        want["value_sum"].to_numpy().view(np.uint64),
+    )
+    assert (out["bucket_ts"].to_numpy() == want["bucket_ts"].to_numpy()).all()
