@@ -5968,6 +5968,19 @@ def q_chimp_roundtrip_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (ops/keywords.py rake_keywords): top-5
+    keyphrases per document — maximal content-word runs between
+    stopwords, word score = degree div freq in integer micro-units so
+    phrase scores are exact longs; two-pass stopword rewrite keeps the
+    regex lookaround-free (RE2 == Java). Oracle replays the pipeline in
+    SQL with generate_subscripts ordinality."""
+    from dads_spark.ops import rake_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return rake_keywords(docs, "doc_id", "text", top_k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -6265,6 +6278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "attribution": q_attribution,
         "chimp_roundtrip_hour": q_chimp_roundtrip_hour,
+        "rake_keywords": q_rake_keywords,
     }
 
 
@@ -7509,6 +7523,64 @@ def oracle_sql() -> dict[str, str]:
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
                    round(sum(value), 2) AS value_sum
             FROM events GROUP BY 1, 2
+        """,
+        "rake_keywords": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(
+                         ' ' || regexp_replace(
+                                  regexp_replace(lower(text),
+                                                 '[.!?;,:]+', ' | ', 'g'),
+                                  '[^a-z|]+', ' ', 'g') || ' ',
+                         ' (?:the|a|an|of|and|or|in|to|is|are|was|for|on|with|as|by|at|be|it|that|this|from) ',
+                         ' | ', 'g'),
+                       ' (?:the|a|an|of|and|or|in|to|is|are|was|for|on|with|as|by|at|be|it|that|this|from) ',
+                       ' | ', 'g') AS marked
+              FROM documents),
+            p0 AS (
+              SELECT doc_id, string_split(marked, '|') AS l FROM d),
+            p1 AS (
+              SELECT doc_id, unnest(l) AS raw,
+                     CAST(generate_subscripts(l, 1) AS BIGINT) AS pidx
+              FROM p0),
+            pp AS (
+              SELECT doc_id, pidx,
+                     trim(regexp_replace(raw, ' +', ' ', 'g')) AS phrase
+              FROM p1),
+            pf AS (SELECT * FROM pp WHERE phrase <> ''),
+            w AS (
+              SELECT doc_id, pidx, phrase,
+                     CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+                     unnest(string_split(phrase, ' ')) AS word
+              FROM pf),
+            ws AS (
+              SELECT doc_id, word,
+                     CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(plen) AS BIGINT) AS deg
+              FROM w GROUP BY 1, 2),
+            po AS (
+              SELECT w.doc_id, w.pidx, w.phrase,
+                     CAST(sum((ws.deg * 1000000) // ws.freq)
+                          AS BIGINT) AS score_u,
+                     CAST(count(*) AS BIGINT) AS n_words
+              FROM w JOIN ws ON ws.doc_id = w.doc_id AND ws.word = w.word
+              GROUP BY 1, 2, 3),
+            c AS (
+              SELECT doc_id, phrase,
+                     CAST(max(score_u) AS BIGINT) AS score_u,
+                     CAST(max(n_words) AS BIGINT) AS n_words,
+                     CAST(count(*) AS BIGINT) AS occurrences
+              FROM po GROUP BY 1, 2),
+            r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score_u DESC, phrase)
+                         AS rank
+              FROM c)
+            SELECT doc_id, phrase, n_words, occurrences, score_u,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 5
         """,
         "streaming_tier_backfill": """
             SELECT event_type,
