@@ -4009,6 +4009,41 @@ def q_cusum_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_grouped(hourly, ["event_type"], "bucket_ts", "v", k=0.5, h=4.0)
 
 
+def _stage_motifs_oracle(sf_dir: str, m: int = 24, k: int = 3) -> str:
+    import numpy as _np2
+
+    from dads_spark.oracles import (
+        brute_matrix_profile_idx,
+        hourly_counts,
+        q6,
+        top_motifs_oracle,
+    )
+
+    ets, rks, ia, ib, mq = [], [], [], [], []
+    for et, (_, v) in hourly_counts(sf_dir).items():
+        mp, mpi = brute_matrix_profile_idx(v, m)
+        picks = top_motifs_oracle(mp, mpi, m, k) if len(mp) else []
+        for r, (a, b) in enumerate(picks, start=1):
+            lo, hi = (a, b) if a < b else (b, a)
+            ets.append(et)
+            rks.append(r)
+            ia.append(lo)
+            ib.append(hi)
+            mq.append(int(q6(_np2.array([mp[lo]]))[0]))
+    import pyarrow as _pa
+
+    return _write_dump(
+        "motifs_oracle",
+        {
+            "event_type": _pa.array(ets, type=_pa.string()),
+            "rank": _np2.array(rks, dtype=_np2.int64),
+            "idx_a": _np2.array(ia, dtype=_np2.int64),
+            "idx_b": _np2.array(ib, dtype=_np2.int64),
+            "mp_q6": _np2.array(mq, dtype=_np2.int64),
+        },
+    )
+
+
 def q_matrix_profile_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 STOMP discords per hourly count series, driver-hash-gated
     against a brute-force O(n^2) z-normalized scan that shares no
@@ -4022,6 +4057,26 @@ def q_matrix_profile_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = discords_grouped(hourly, ["event_type"], "bucket_ts", "v", m=24, k=3)
     _stage_mp_oracle(sf_dir)
     return _q6_cols(out, ["event_type", "rank", "idx"], {"mp": "mp_q6"})
+
+
+def q_motifs_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 STOMP motif pairs per hourly count series (rollup/
+    matrixprofile.py motifs_grouped) — the discord's mirror: greedy
+    non-overlapping MINIMA with both pair members occupying exclusion
+    zones. Pinned against the brute-force z-normalized scan with
+    first-min neighbor indices (shares no arithmetic with the STOMP
+    recurrence); profile values quantized at 1e-6 on both sides."""
+    from dads_spark.rollup import motifs_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    out = motifs_grouped(hourly, ["event_type"], "bucket_ts", "v", m=24, k=3)
+    _stage_motifs_oracle(sf_dir)
+    return _q6_cols(
+        out, ["event_type", "rank", "idx_a", "idx_b"], {"mp": "mp_q6"}
+    )
 
 
 def _stage_s2g_edges_oracle(sf_dir: str) -> None:
@@ -6279,6 +6334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "chimp_roundtrip_hour": q_chimp_roundtrip_hour,
         "rake_keywords": q_rake_keywords,
+        "motifs_pinned": q_motifs_pinned,
     }
 
 
@@ -9599,6 +9655,10 @@ def oracle_sql() -> dict[str, str]:
     d["matrix_profile_pinned"] = f"""
         SELECT event_type, rank, idx, mp_q6
         FROM read_parquet('{_dump_path("mp_oracle")}')
+    """
+    d["motifs_pinned"] = f"""
+        SELECT event_type, rank, idx_a, idx_b, mp_q6
+        FROM read_parquet('{_dump_path("motifs_oracle")}')
     """
     d["winnow_fingerprints"] = f"""
         SELECT doc_id, fingerprint

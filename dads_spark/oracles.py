@@ -1147,3 +1147,58 @@ def pq_ivf_oracle(
         for r, i in enumerate(cand, start=1):
             rows.append((int(q), int(ids[i]), r, int(key[i])))
     return rows
+
+
+def brute_matrix_profile_idx(x: np.ndarray, m: int, exclusion=None):
+    """Brute-force matrix profile WITH nearest-neighbor indices (first
+    minimum on ties, matching np.argmin in the STOMP path). Same direct
+    z-normalized definition as ``brute_matrix_profile``."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    w = n - m + 1
+    if w < 2:
+        return np.empty(0), np.empty(0, dtype=np.int64)
+    excl = int(np.ceil(m / 2)) if exclusion is None else int(exclusion)
+    wins = np.lib.stride_tricks.sliding_window_view(x, m).astype(np.float64)
+    mu = wins.mean(axis=1)
+    sd = wins.std(axis=1)
+    flat = sd == 0.0
+    z = np.where(
+        flat[:, None], 0.0, (wins - mu[:, None]) / np.where(flat, 1.0, sd)[:, None]
+    )
+    mp = np.full(w, np.inf)
+    mpi = np.zeros(w, dtype=np.int64)
+    for i in range(w):
+        best, bj = np.inf, 0
+        for j in range(w):
+            if abs(i - j) <= excl:
+                continue
+            if flat[i] and flat[j]:
+                d = 0.0
+            elif flat[i] or flat[j]:
+                d = float(np.sqrt(2.0 * m))
+            else:
+                d = float(np.sqrt(np.sum((z[i] - z[j]) ** 2)))
+            if d < best:
+                best, bj = d, j
+        mp[i], mpi[i] = best, bj
+    return mp, mpi
+
+
+def top_motifs_oracle(mp, mpi, m, k, exclusion=None):
+    """Greedy non-overlapping top-k motif pairs (smallest profile first,
+    stable on index; both pair members occupy exclusion zones)."""
+    excl = int(np.ceil(m / 2)) if exclusion is None else int(exclusion)
+    order = np.argsort(np.where(np.isfinite(mp), mp, np.inf), kind="stable")
+    picked, occupied = [], []
+    for i in order:
+        if not np.isfinite(mp[i]):
+            continue
+        j = int(mpi[i])
+        if any(abs(int(i) - p) <= excl or abs(j - p) <= excl for p in occupied):
+            continue
+        picked.append((int(i), j))
+        occupied.extend((int(i), j))
+        if len(picked) == k:
+            break
+    return picked

@@ -54,7 +54,9 @@ from .matrixprofile import (  # noqa: F401
     discords_grouped,
     matrix_profile,
     matrix_profile_grouped,
+    motifs_grouped,
     top_discords,
+    top_motifs,
 )
 from .trend import (  # noqa: F401
     dtw_banded,

@@ -188,3 +188,86 @@ def discords_grouped(
         )
 
     return df.groupBy(*key_cols).applyInPandas(f, out_schema)
+
+
+def top_motifs(
+    mp: np.ndarray,
+    mpi: np.ndarray,
+    m: int,
+    k: int = 3,
+    exclusion: int | None = None,
+) -> list[tuple[int, int]]:
+    """Greedy non-overlapping top-k MOTIF PAIRS — the discord's mirror:
+    smallest profile value first (most-repeated shape), each pick is the
+    pair (i, mp_idx[i]), and later picks must clear the exclusion zone of
+    every previously picked window (both pair members). Stable on index
+    for equal values."""
+    excl = int(np.ceil(m / 2)) if exclusion is None else int(exclusion)
+    order = np.argsort(
+        np.where(np.isfinite(mp), mp, np.inf), kind="stable"
+    )
+    picked: list[tuple[int, int]] = []
+    occupied: list[int] = []
+    for i in order:
+        if not np.isfinite(mp[i]):
+            continue
+        j = int(mpi[i])
+        if any(
+            abs(int(i) - p) <= excl or abs(j - p) <= excl for p in occupied
+        ):
+            continue
+        picked.append((int(i), j))
+        occupied.extend((int(i), j))
+        if len(picked) == k:
+            break
+    return picked
+
+
+def motifs_grouped(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    m: int,
+    k: int = 3,
+    exclusion: int | None = None,
+) -> DataFrame:
+    """Top-k non-overlapping motif pairs per series:
+    (keys..., rank, idx_a, idx_b, mp) — idx_a the picked window, idx_b
+    its nearest neighbor, mp their z-normalized distance."""
+    out_schema = ", ".join(
+        [f"{c} string" for c in key_cols]
+        + ["rank long", "idx_a long", "idx_b long", "mp double"]
+    )
+
+    def f(keys, pdf):
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        mp, mpi = matrix_profile(x, m, exclusion)
+        picks = top_motifs(mp, mpi, m, k, exclusion) if len(mp) else []
+        if not picks:
+            return pd.DataFrame(
+                {
+                    **{c: pd.Series(dtype="object") for c in key_cols},
+                    "rank": pd.Series(dtype="int64"),
+                    "idx_a": pd.Series(dtype="int64"),
+                    "idx_b": pd.Series(dtype="int64"),
+                    "mp": pd.Series(dtype="float64"),
+                }
+            )
+        # a motif pair is unordered (the members are mutual neighbors up
+        # to float noise) — canonicalize to (min, max) and report the
+        # profile at the min index so the emitted row is orientation-free
+        lo = [min(p) for p in picks]
+        hi = [max(p) for p in picks]
+        return pd.DataFrame(
+            {
+                **{c: v for c, v in zip(key_cols, keys)},
+                "rank": np.arange(1, len(picks) + 1, dtype=np.int64),
+                "idx_a": np.asarray(lo, dtype=np.int64),
+                "idx_b": np.asarray(hi, dtype=np.int64),
+                "mp": mp[lo],
+            }
+        )
+
+    return df.groupBy(*key_cols).applyInPandas(f, out_schema)

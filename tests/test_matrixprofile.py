@@ -86,3 +86,41 @@ def test_discords_grouped_short_series_empty(spark):
     )
     out = discords_grouped(df, ["k"], "t", "v", m=8, k=2)
     assert out.count() == 0
+
+
+def test_top_motifs_planted_pair(spark):
+    from dads_spark.rollup import motifs_grouped
+
+    rng = np.random.default_rng(12)
+    x = rng.normal(0, 1, 400)
+    pattern = np.sin(np.linspace(0, 4 * np.pi, 32)) * 3
+    x[50:82] = pattern + rng.normal(0, 0.01, 32)
+    x[300:332] = pattern + rng.normal(0, 0.01, 32)
+    df = spark.createDataFrame(
+        [("s", i, float(v)) for i, v in enumerate(x)],
+        "k string, idx long, v double",
+    )
+    out = (
+        motifs_grouped(df, ["k"], "idx", "v", m=32, k=2)
+        .orderBy("rank")
+        .collect()
+    )
+    top = out[0]
+    assert abs(top["idx_a"] - 50) <= 2 and abs(top["idx_b"] - 300) <= 2
+    assert top["idx_a"] < top["idx_b"]  # canonical orientation
+    assert top["mp"] < 1.0  # near-identical planted shapes
+
+
+def test_top_motifs_matches_brute_oracle():
+    from dads_spark.oracles import brute_matrix_profile_idx, top_motifs_oracle
+    from dads_spark.rollup.matrixprofile import matrix_profile, top_motifs
+
+    rng = np.random.default_rng(4)
+    x = np.cumsum(rng.normal(0, 1, 300))
+    m = 16
+    mp_s, mpi_s = matrix_profile(x, m)
+    mp_b, mpi_b = brute_matrix_profile_idx(x, m)
+    assert np.allclose(mp_s, mp_b, atol=1e-8)
+    got = {tuple(sorted(p)) for p in top_motifs(mp_s, mpi_s, m, 3)}
+    want = {tuple(sorted(p)) for p in top_motifs_oracle(mp_b, mpi_b, m, 3)}
+    assert got == want
