@@ -6036,6 +6036,63 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keywords(docs, "doc_id", "text", top_k=5)
 
 
+def _stage_kcore_oracle(sf_dir: str) -> str:
+    """Scalar Batagelj-Zaversnik peel over the same synthetic crawl
+    graph the Spark side derives — shares nothing with the h-operator."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from dads_spark.oracles import core_numbers_oracle
+
+    docs = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).to_pandas()
+    edges = set()
+    for did in docs["doc_id"]:
+        s = f"h{did % 97}.example.com"
+        d1 = f"h{(did * 31 + 7) % 97}.example.com"
+        d2 = f"h{(did * 5 + 3) % 11}.org"
+        for d in (d1, d2):
+            if d != s:
+                edges.add((s, d))
+    core = core_numbers_oracle(sorted(edges))
+    nodes = sorted(core)
+    return _write_dump(
+        "kcore_oracle",
+        {
+            "node": _pa.array(nodes, type=_pa.string()),
+            "core": _pa.array([core[n] for n in nodes], type=_pa.int64()),
+        },
+    )
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-core numbers over the synthetic crawl's undirected domain
+    graph (ops/linkgraph.py core_numbers): h-operator fixed point —
+    c(v) <- h-index of neighbor values, starting at degree — iterated
+    to convergence; pinned against a scalar Batagelj-Zaversnik peel that
+    shares no algorithmic structure. Exact longs."""
+    from dads_spark.ops import core_numbers, domain_edges, extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example.com")).alias("src_domain"),
+        F.concat(
+            F.lit('<p><a href="https://h'),
+            ((F.col("doc_id") * 31 + 7) % 97).cast("string"),
+            F.lit('.example.com/x">l</a> <a href=\'http://h'),
+            ((F.col("doc_id") * 5 + 3) % 11).cast("string"),
+            F.lit(".org/y'>m</a></p>"),
+        ).alias("html"),
+    )
+    links = extract_links(pages, "html", "doc_id", keep=("src_domain",))
+    edges = domain_edges(links, "src_domain", "link_url")
+    _stage_kcore_oracle(sf_dir)
+    return core_numbers(edges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -6335,6 +6392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chimp_roundtrip_hour": q_chimp_roundtrip_hour,
         "rake_keywords": q_rake_keywords,
         "motifs_pinned": q_motifs_pinned,
+        "kcore": q_kcore,
     }
 
 
@@ -9659,6 +9717,10 @@ def oracle_sql() -> dict[str, str]:
     d["motifs_pinned"] = f"""
         SELECT event_type, rank, idx_a, idx_b, mp_q6
         FROM read_parquet('{_dump_path("motifs_oracle")}')
+    """
+    d["kcore"] = f"""
+        SELECT node, core
+        FROM read_parquet('{_dump_path("kcore_oracle")}')
     """
     d["winnow_fingerprints"] = f"""
         SELECT doc_id, fingerprint

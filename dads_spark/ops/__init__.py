@@ -54,6 +54,7 @@ from .textstats import (  # noqa: F401
 )
 from .linkgraph import (  # noqa: F401
     anchor_terms,
+    core_numbers,
     covisitation,
     domain_edges,
     extract_links,

@@ -1202,3 +1202,35 @@ def top_motifs_oracle(mp, mpi, m, k, exclusion=None):
         if len(picked) == k:
             break
     return picked
+
+
+def core_numbers_oracle(edges):
+    """Exact k-core numbers by the classic peel (Batagelj-Zaversnik
+    order): repeatedly remove all nodes whose remaining degree <= the
+    current k, raising k when no such node exists. Shares nothing with
+    the distributed h-operator iteration."""
+    adj: dict = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {n: len(s) for n, s in adj.items()}
+    remaining = set(adj)
+    core = {}
+    k = 0
+    while remaining:
+        k = max(k, min(deg[n] for n in remaining))
+        stack = [n for n in remaining if deg[n] <= k]
+        while stack:
+            n = stack.pop()
+            if n not in remaining:
+                continue
+            core[n] = k
+            remaining.remove(n)
+            for u in adj[n]:
+                if u in remaining:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        stack.append(u)
+    return core

@@ -384,3 +384,35 @@ def test_trustrank_starves_unreachable_spam(spark):
     assert got["good"] > 0 and got["shop"] > 0
     with pytest.raises(ValueError):
         trustrank(df, seeds.limit(0), iterations=1).collect()
+
+
+# ------------------------------------------------------------ core_numbers
+def test_core_numbers_known_shapes(spark):
+    from dads_spark.ops import core_numbers
+
+    # a 4-clique (core 3) with a pendant chain (core 1)
+    cl = ["c1", "c2", "c3", "c4"]
+    edges = [(u, v) for i, u in enumerate(cl) for v in cl[i + 1:]]
+    edges += [("c1", "p1"), ("p1", "p2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.core for r in core_numbers(df).collect()}
+    assert {got[n] for n in cl} == {3}
+    assert got["p1"] == 1 and got["p2"] == 1
+
+
+def test_core_numbers_matches_peel_on_random_graph(spark):
+    from dads_spark.oracles import core_numbers_oracle
+    from dads_spark.ops import core_numbers
+
+    rng = np.random.default_rng(21)
+    nodes = ["n%02d" % i for i in range(40)]
+    edges = sorted(
+        {
+            (nodes[min(a, b)], nodes[max(a, b)])
+            for a, b in rng.integers(0, 40, (260, 2))
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.core for r in core_numbers(df).collect()}
+    assert got == core_numbers_oracle(edges)
