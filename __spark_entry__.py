@@ -6093,6 +6093,19 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_numbers(edges)
 
 
+def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring search through a trigram posting index
+    (ops/trigram.py): candidates must contain EVERY query trigram
+    (posting lookup + gram-count check), then only candidates are
+    verified with instr. The oracle is the DIRECT full-scan strpos —
+    hash equality proves the index path prunes without losing a hit."""
+    from dads_spark.ops import trigram_postings, trigram_search
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = trigram_postings(docs, "doc_id", "text")
+    return trigram_search(docs, postings, "value table", "doc_id", "text")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -6393,6 +6406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake_keywords,
         "motifs_pinned": q_motifs_pinned,
         "kcore": q_kcore,
+        "trigram_search": q_trigram_search,
     }
 
 
@@ -9721,6 +9735,12 @@ def oracle_sql() -> dict[str, str]:
     d["kcore"] = f"""
         SELECT node, core
         FROM read_parquet('{_dump_path("kcore_oracle")}')
+    """
+    d["trigram_search"] = """
+        SELECT doc_id,
+               CAST(strpos(lower(text), 'value table') AS BIGINT) AS pos
+        FROM documents
+        WHERE strpos(lower(text), 'value table') > 0
     """
     d["winnow_fingerprints"] = f"""
         SELECT doc_id, fingerprint
