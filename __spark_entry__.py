@@ -6106,6 +6106,53 @@ def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_search(docs, postings, "value table", "doc_id", "text")
 
 
+def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (ops/htmltext.py html_metadata): title,
+    meta description, rel=canonical, robots-noindex flag, JSON-LD block
+    count, probed in BOTH attribute orders with lookaround-free RE2
+    patterns. A deterministic page head (fields present/absent/reversed
+    by doc_id residues) is synthesized identically in both engines; the
+    oracle runs the same expressions in DuckDB."""
+    from dads_spark.ops import html_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    head = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did.cast("string"),
+        F.lit("</title>"),
+        # description: present for 2/3 of docs, attribute order flips
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit('<meta name="description" content="summary '),
+                     did.cast("string"), F.lit('">')),
+        ).when(
+            did % 3 == 1,
+            F.concat(F.lit("<meta content='rev "), did.cast("string"),
+                     F.lit("' name='description'>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit('<link rel="canonical" href="https://c.example/'),
+                     did.cast("string"), F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.lit("<meta name='robots' content='noindex,nofollow'>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.lit('<script type="application/ld+json">{}</script>'),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = docs.select("doc_id", head.alias("html"))
+    return html_metadata(pages).select(
+        "doc_id", "title", "meta_description", "canonical_url",
+        "noindex", "n_jsonld",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -6407,6 +6454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motifs_pinned": q_motifs_pinned,
         "kcore": q_kcore,
         "trigram_search": q_trigram_search,
+        "html_metadata": q_html_metadata,
     }
 
 
@@ -9741,6 +9789,64 @@ def oracle_sql() -> dict[str, str]:
                CAST(strpos(lower(text), 'value table') AS BIGINT) AS pos
         FROM documents
         WHERE strpos(lower(text), 'value table') > 0
+    """
+    d["html_metadata"] = """
+        WITH h AS (
+          SELECT doc_id,
+            '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+            || '</title>'
+            || CASE WHEN doc_id % 3 = 0
+                    THEN '<meta name="description" content="summary '
+                         || CAST(doc_id AS VARCHAR) || '">'
+                    WHEN doc_id % 3 = 1
+                    THEN '<meta content=''rev ' || CAST(doc_id AS VARCHAR)
+                         || ''' name=''description''>'
+                    ELSE '' END
+            || CASE WHEN doc_id % 2 = 0
+                    THEN '<link rel="canonical" href="https://c.example/'
+                         || CAST(doc_id AS VARCHAR) || '">'
+                    ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                    THEN '<meta name=''robots'' content=''noindex,nofollow''>'
+                    ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                    THEN '<script type="application/ld+json">{}</script>'
+                    ELSE '' END
+            || '</head><body>x</body></html>' AS html
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            NULLIF(regexp_extract(html,
+                '(?is)<title[^>]*>(.*?)</title', 1), '') AS t0,
+            COALESCE(
+              NULLIF(regexp_extract(html,
+                '(?is)<meta[^>]*name=["'']description["''][^>]*content=["'']([^"'']*)',
+                1), ''),
+              NULLIF(regexp_extract(html,
+                '(?is)<meta[^>]*content=["'']([^"'']*)["''][^>]*name=["'']description["'']',
+                1), '')) AS meta_description,
+            COALESCE(
+              NULLIF(regexp_extract(html,
+                '(?is)<link[^>]*rel=["'']canonical["''][^>]*href=["'']([^"'']*)',
+                1), ''),
+              NULLIF(regexp_extract(html,
+                '(?is)<link[^>]*href=["'']([^"'']*)["''][^>]*rel=["'']canonical["'']',
+                1), '')) AS canonical_url,
+            (regexp_matches(html,
+                '(?is)<meta[^>]*name=["'']robots["''][^>]*content=["''][^"'']*noindex')
+             OR regexp_matches(html,
+                '(?is)<meta[^>]*content=["''][^"'']*noindex[^"'']*["''][^>]*name=["'']robots["'']'))
+                AS noindex,
+            CAST(len(regexp_extract_all(html,
+                '(?is)<script[^>]*type=["'']application/ld\\+json["'']'))
+                AS BIGINT) AS n_jsonld
+          FROM h)
+        SELECT doc_id,
+               CASE WHEN t0 IS NOT NULL THEN
+                 regexp_replace(regexp_replace(t0, '\\s+', ' ', 'g'),
+                                '^ | $', '', 'g') END AS title,
+               meta_description, canonical_url, noindex, n_jsonld
+        FROM m
     """
     d["winnow_fingerprints"] = f"""
         SELECT doc_id, fingerprint

@@ -83,7 +83,7 @@ from .sampling import (  # noqa: F401
     stratified_sample,
 )
 from .heavyhitters import heavy_hitters  # noqa: F401
-from .htmltext import html_to_text  # noqa: F401
+from .htmltext import html_metadata, html_to_text  # noqa: F401
 from .packing import pack_sequences  # noqa: F401
 from .profile import data_contract_audit, profile_drift, profile_table  # noqa: F401
 from .quantize import ann_pq_adc, pq_encode, train_pq_codebooks  # noqa: F401

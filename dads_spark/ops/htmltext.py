@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["html_to_text"]
+__all__ = ["html_metadata", "html_to_text"]
 
 
 
@@ -55,3 +55,70 @@ def html_to_text(
     # trim() strips spaces only; boundary newlines must go too
     s = F.regexp_replace(s, r"^\s+|\s+$", "")
     return df.withColumn(out_col, s)
+
+
+def html_metadata(
+    df: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """Page-metadata extraction as pure JVM regex stages — the head-of-
+    document signals every crawler indexes before (or instead of)
+    reading the body: <title>, meta description, rel=canonical (the
+    dedup-by-publisher-intent signal), a robots-noindex flag, and the
+    count of JSON-LD structured-data blocks.
+
+    Attribute ORDER is not fixed in HTML (``name=.. content=..`` vs
+    ``content=.. name=..``), so each attribute pair is probed in both
+    orders and coalesced — still lookaround-free RE2-compatible
+    patterns, so the same expressions run verbatim in the DuckDB oracle.
+    Adds columns: title, meta_description, canonical_url, noindex,
+    n_jsonld. Missing elements yield NULL (title/description/canonical)
+    / false / 0. Title whitespace is collapsed+trimmed; other values are
+    returned raw.
+    """
+    s = F.col(html_col).cast("string")
+
+    def _first(pat: str) -> F.Column:
+        got = F.regexp_extract(s, pat, 1)
+        return F.when(got != "", got)
+
+    title = _first(r"(?is)<title[^>]*>(.*?)</title")
+    title = F.when(
+        title.isNotNull(),
+        F.regexp_replace(F.regexp_replace(title, r"\s+", " "), r"^ | $", ""),
+    )
+    desc = F.coalesce(
+        _first(r'(?is)<meta[^>]*name=["' "'" r']description["' "'"
+               r'][^>]*content=["' "'" r']([^"' "'" r']*)'),
+        _first(r'(?is)<meta[^>]*content=["' "'" r']([^"' "'"
+               r']*)["' "'" r'][^>]*name=["' "'" r']description["' "'" r"]"),
+    )
+    canon = F.coalesce(
+        _first(r'(?is)<link[^>]*rel=["' "'" r']canonical["' "'"
+               r'][^>]*href=["' "'" r']([^"' "'" r']*)'),
+        _first(r'(?is)<link[^>]*href=["' "'" r']([^"' "'"
+               r']*)["' "'" r'][^>]*rel=["' "'" r']canonical["' "'" r"]"),
+    )
+    noindex = s.rlike(
+        r'(?is)<meta[^>]*name=["' "'" r']robots["' "'"
+        r'][^>]*content=["' "'" r'][^"' "'" r']*noindex'
+    ) | s.rlike(
+        r'(?is)<meta[^>]*content=["' "'" r'][^"' "'"
+        r']*noindex[^"' "'" r']*["' "'" r'][^>]*name=["' "'"
+        r']robots["' "'" r"]"
+    )
+    n_jsonld = F.size(
+        F.regexp_extract_all(
+            s,
+            F.lit(r'(?is)<script[^>]*type=["' "'"
+                  r']application/ld\+json["' "'" r"]"),
+            F.lit(0),
+        )
+    ).cast("long")
+    return df.select(
+        "*",
+        title.alias("title"),
+        desc.alias("meta_description"),
+        canon.alias("canonical_url"),
+        noindex.alias("noindex"),
+        n_jsonld.alias("n_jsonld"),
+    )

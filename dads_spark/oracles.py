@@ -1186,10 +1186,13 @@ def brute_matrix_profile_idx(x: np.ndarray, m: int, exclusion=None):
 
 
 def top_motifs_oracle(mp, mpi, m, k, exclusion=None):
-    """Greedy non-overlapping top-k motif pairs (smallest profile first,
-    stable on index; both pair members occupy exclusion zones)."""
+    """Greedy non-overlapping top-k motif pairs (smallest QUANTIZED
+    profile first — the 1e-6 grid the gate emits, so pick order cannot
+    flip on sub-q6 float noise between methods; stable on index; both
+    pair members occupy exclusion zones)."""
     excl = int(np.ceil(m / 2)) if exclusion is None else int(exclusion)
-    order = np.argsort(np.where(np.isfinite(mp), mp, np.inf), kind="stable")
+    key = np.where(np.isfinite(mp), np.floor(mp * 1e6 + 0.5), np.inf)
+    order = np.argsort(key, kind="stable")
     picked, occupied = [], []
     for i in order:
         if not np.isfinite(mp[i]):

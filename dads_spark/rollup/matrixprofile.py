@@ -203,9 +203,13 @@ def top_motifs(
     every previously picked window (both pair members). Stable on index
     for equal values."""
     excl = int(np.ceil(m / 2)) if exclusion is None else int(exclusion)
-    order = np.argsort(
-        np.where(np.isfinite(mp), mp, np.inf), kind="stable"
+    # greedy-order on the 1e-6-QUANTIZED profile (the same grid the gate
+    # emits): raw float order among near-zero ties differs between STOMP
+    # and a brute-force scan, which would flip pick order engine-to-engine
+    key = np.where(
+        np.isfinite(mp), np.floor(mp * 1e6 + 0.5), np.inf
     )
+    order = np.argsort(key, kind="stable")
     picked: list[tuple[int, int]] = []
     occupied: list[int] = []
     for i in order:
