@@ -6153,6 +6153,30 @@ def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval lookup as a bucketed EQUI-join (ops/rangejoin.py
+    bucketed_range_join): events get a deterministic synthetic IPv4
+    (Knuth-hash of user_id mod 2^32), nations define 25 address ranges
+    with gaps; each event maps to the covering range(s). The oracle is
+    the direct BETWEEN join — hash equality proves the bucketing exact
+    while the Spark plan stays a hash join (no nested loop; audited)."""
+    from dads_spark.ops import bucketed_range_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("user_id") * 2654435761) % 4294967296).alias("ip"),
+    )
+    na = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("geo"),
+        (F.col("n_nationkey").cast("long") * 171798691).alias("lo"),
+        (F.col("n_nationkey").cast("long") * 171798691 + 120000000).alias(
+            "hi"
+        ),
+    )
+    out = bucketed_range_join(ev, na, "ip", "lo", "hi", bucket=1 << 24)
+    return out.select("event_id", "ip", "geo")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -6455,6 +6479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "trigram_search": q_trigram_search,
         "html_metadata": q_html_metadata,
+        "ip_range_lookup": q_ip_range_lookup,
     }
 
 
@@ -9847,6 +9872,19 @@ def oracle_sql() -> dict[str, str]:
                                 '^ | $', '', 'g') END AS title,
                meta_description, canonical_url, noindex, n_jsonld
         FROM m
+    """
+    d["ip_range_lookup"] = """
+        WITH e AS (
+          SELECT event_id,
+                 CAST((user_id * 2654435761) % 4294967296 AS BIGINT) AS ip
+          FROM events),
+        r AS (
+          SELECT n_name AS geo,
+                 CAST(n_nationkey AS BIGINT) * 171798691 AS lo,
+                 CAST(n_nationkey AS BIGINT) * 171798691 + 120000000 AS hi
+          FROM nation)
+        SELECT e.event_id, e.ip, r.geo
+        FROM e JOIN r ON e.ip BETWEEN r.lo AND r.hi
     """
     d["winnow_fingerprints"] = f"""
         SELECT doc_id, fingerprint
