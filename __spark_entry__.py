@@ -6177,6 +6177,29 @@ def q_ip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "ip", "geo")
 
 
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between event types per user
+    (rollup/analytics.py transition_matrix): lag window ordered by
+    (ts, event_id), pair counts + exact row totals — probability stays a
+    fraction of longs, no float surface."""
+    from dads_spark.rollup import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev, "user_id", "ts", "event_type", "event_id")
+
+
+def q_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight shuffle-skew diagnosis (ops/profile.py
+    shuffle_skew_report): events bucketed by md5(user_id) prefix into
+    256 hex buckets; per-bucket load, key count, and heaviest key —
+    the planning twin of the salted rollup. md5 prefixes avoid any
+    numeric hex parsing, so the oracle runs the identical expressions."""
+    from dads_spark.ops import shuffle_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return shuffle_skew_report(ev, ["user_id"], n_hex=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -6480,6 +6503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_search": q_trigram_search,
         "html_metadata": q_html_metadata,
         "ip_range_lookup": q_ip_range_lookup,
+        "transition_matrix": q_transition_matrix,
+        "shuffle_skew_report": q_shuffle_skew_report,
     }
 
 
@@ -9885,6 +9910,31 @@ def oracle_sql() -> dict[str, str]:
           FROM nation)
         SELECT e.event_id, e.ip, r.geo
         FROM e JOIN r ON e.ip BETWEEN r.lo AND r.hi
+    """
+    d["transition_matrix"] = """
+        WITH p AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type,
+                 event_type AS type
+          FROM events),
+        c AS (
+          SELECT prev_type, type, CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        SELECT prev_type, type, n,
+               CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+                   AS row_total
+        FROM c
+    """
+    d["shuffle_skew_report"] = """
+        WITH k AS (
+          SELECT md5(CAST(user_id AS VARCHAR)) AS h,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1)
+        SELECT substr(h, 1, 2) AS bucket,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(n) AS BIGINT) AS max_key_rows
+        FROM k GROUP BY 1
     """
     d["winnow_fingerprints"] = f"""
         SELECT doc_id, fingerprint

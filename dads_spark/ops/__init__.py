@@ -86,7 +86,12 @@ from .sampling import (  # noqa: F401
 from .heavyhitters import heavy_hitters  # noqa: F401
 from .htmltext import html_metadata, html_to_text  # noqa: F401
 from .packing import pack_sequences  # noqa: F401
-from .profile import data_contract_audit, profile_drift, profile_table  # noqa: F401
+from .profile import (  # noqa: F401
+    data_contract_audit,
+    profile_drift,
+    profile_table,
+    shuffle_skew_report,
+)
 from .quantize import ann_pq_adc, pq_encode, train_pq_codebooks  # noqa: F401
 from .redact import pii_counts, redact_pii  # noqa: F401
 from .robots import parse_robots, robots_annotate, robots_filter  # noqa: F401

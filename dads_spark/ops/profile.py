@@ -169,3 +169,36 @@ def data_contract_audit(
         for i, (rid, col, check, _p) in enumerate(rules)
     ]
     return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def shuffle_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    n_hex: int = 2,
+) -> DataFrame:
+    """Pre-flight join/groupBy skew diagnosis: how evenly would rows of
+    this table spread if shuffled on ``key_cols``? Rows hash to one of
+    16^n_hex buckets by md5 prefix (engine-portable — Spark and DuckDB
+    md5 agree bytewise, no numeric hex parsing needed), and each bucket
+    reports its load and its single heaviest key. A p99/mean bucket
+    ratio far above 1, or max_key_rows ~ n_rows, says "salt this key or
+    expect a straggler" BEFORE paying for the real shuffle — the
+    planning half of the salted-rollup / hot-bucket machinery.
+
+    Returns (bucket, n_rows, n_keys, max_key_rows) with exact longs;
+    bucket is the hex-prefix string.
+    """
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    per_key = (
+        df.select(F.md5(key).alias("_h"))
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    return (
+        per_key.groupBy(F.substring("_h", 1, n_hex).alias("bucket"))
+        .agg(
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("_n").cast("long").alias("max_key_rows"),
+        )
+    )

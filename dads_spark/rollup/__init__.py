@@ -77,6 +77,7 @@ from .analytics import (  # noqa: F401
     hampel_filter,
     last_touch_attribution,
     session_patterns,
+    transition_matrix,
     mad_outliers,
     paa_sax,
     rolling_active_users,

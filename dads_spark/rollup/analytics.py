@@ -1055,3 +1055,37 @@ def last_touch_attribution(
         F.when(in_window, F.col("_ls.src_ts")).alias("src_ts"),
         "n_sources_window",
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts between event types — the
+    path-analysis / sankey primitive: how users move view -> click ->
+    purchase. One window per user (ordered by ts, id) pairs each event
+    with its predecessor's type; one groupBy counts the pairs. The
+    probability is emitted as the EXACT fraction (n over row_total, both
+    longs) — callers divide; no float leaves the operator.
+
+    Returns (prev_type, type, n, row_total) where row_total sums n over
+    the prev_type row (the denominator of the transition probability).
+    Session starts (no predecessor) are excluded.
+    """
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    row = W.partitionBy("prev_type")
+    return pairs.withColumn(
+        "row_total", F.sum("n").over(row).cast("long")
+    )

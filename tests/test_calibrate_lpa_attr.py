@@ -175,3 +175,39 @@ def test_attribution_window_and_order_semantics(spark):
     assert out[30 + 1]["src_id"] == 30
     assert out[41]["src_id"] is None
     assert len(out) == 4
+
+
+# ------------------------------------------------- transition_matrix / skew
+def test_transition_matrix_hand_case(spark):
+    from dads_spark.rollup import transition_matrix
+
+    rows = [
+        (1, 1, "view", 10), (1, 2, "click", 20), (1, 3, "buy", 30),
+        (2, 4, "view", 10), (2, 5, "click", 20), (2, 6, "view", 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, event_id long, t string, ts_e long"
+    ).withColumn("ts", F.col("ts_e").cast("timestamp"))
+    got = {
+        (r["prev_type"], r["type"]): (r["n"], r["row_total"])
+        for r in transition_matrix(df, "u", "ts", "t", "event_id").collect()
+    }
+    assert got == {
+        ("view", "click"): (2, 2),
+        ("click", "buy"): (1, 2),
+        ("click", "view"): (1, 2),
+    }
+
+
+def test_shuffle_skew_report_detects_hot_key(spark):
+    from dads_spark.ops import shuffle_skew_report
+
+    rows = [(i, "hot") for i in range(900)] + [
+        (900 + i, f"k{i}") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "rid long, k string")
+    rep = shuffle_skew_report(df, ["k"], n_hex=1).collect()
+    assert sum(r["n_rows"] for r in rep) == 1000
+    assert sum(r["n_keys"] for r in rep) == 101
+    assert max(r["max_key_rows"] for r in rep) == 900  # the hot key shows
+    assert all(len(r["bucket"]) == 1 for r in rep)
