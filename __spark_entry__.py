@@ -6200,6 +6200,17 @@ def q_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_skew_report(ev, ["user_id"], n_hex=2)
 
 
+def q_wow_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week hourly comparison per event_type
+    (rollup/analytics.py calendar_compare): each hour bucket equi-joined
+    with the bucket exactly 168h earlier, full-outer with zero fill so
+    appearing/vanishing hours both show. Exact longs throughout."""
+    from dads_spark.rollup import calendar_compare
+
+    ev = _t(spark, sf_dir, "events")
+    return calendar_compare(ev, ["event_type"], "ts", "hour", 168)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -6505,6 +6516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_range_lookup": q_ip_range_lookup,
         "transition_matrix": q_transition_matrix,
         "shuffle_skew_report": q_shuffle_skew_report,
+        "wow_delta": q_wow_delta,
     }
 
 
@@ -9935,6 +9947,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_keys,
                CAST(max(n) AS BIGINT) AS max_key_rows
         FROM k GROUP BY 1
+    """
+    d["wow_delta"] = """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) * 3600
+                     AS bucket_sec,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        j AS (
+          SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+                 COALESCE(a.bucket_sec, b.bucket_sec + 604800)
+                     AS bucket_ts,
+                 COALESCE(a.n, 0) AS n_cur,
+                 COALESCE(b.n, 0) AS n_prev
+          FROM c a FULL OUTER JOIN c b
+            ON a.event_type = b.event_type
+           AND a.bucket_sec = b.bucket_sec + 604800)
+        SELECT event_type, bucket_ts,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               CAST(n_prev AS BIGINT) AS n_prev,
+               CAST(n_cur - n_prev AS BIGINT) AS delta
+        FROM j
     """
     d["winnow_fingerprints"] = f"""
         SELECT doc_id, fingerprint

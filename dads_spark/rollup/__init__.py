@@ -69,6 +69,7 @@ from .analytics import (  # noqa: F401
     anomaly_ensemble,
     autocorrelation,
     burst_intervals,
+    calendar_compare,
     decayed_popularity,
     exp_histogram,
     gap_percentiles,

@@ -1089,3 +1089,49 @@ def transition_matrix(
     return pairs.withColumn(
         "row_total", F.sum("n").over(row).cast("long")
     )
+
+
+def calendar_compare(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tier: str = "hour",
+    lag_buckets: int = 168,
+) -> DataFrame:
+    """Week-over-week (or any fixed-lag) calendar comparison per series:
+    each bucket paired with the bucket exactly ``lag_buckets`` earlier —
+    the standard seasonal baseline for dashboards and alert thresholds
+    ("traffic vs same hour last week").
+
+    Pure EQUI-join on shifted integer epochs (bucket t joins bucket
+    t - lag) — no window, no range logic; buckets missing on either side
+    survive via the outer join with zero-filled counts so new and
+    vanished hours both show. Exact longs; delta = n_cur - n_prev.
+
+    Returns (keys..., bucket_ts, n_cur, n_prev, delta).
+    """
+    unit = {"hour": 3600, "day": 86400}[tier]
+    lag_s = lag_buckets * unit
+    b = F.floor(F.unix_timestamp(F.col(ts_col)) / unit).cast("long") * unit
+    counts = (
+        events.groupBy(*key_cols, b.alias("bucket_sec"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cur = counts.select(
+        *key_cols, "bucket_sec", F.col("n").alias("n_cur")
+    )
+    prev = counts.select(
+        *key_cols,
+        (F.col("bucket_sec") + lag_s).alias("bucket_sec"),
+        F.col("n").alias("n_prev"),
+    )
+    joined = cur.join(prev, [*key_cols, "bucket_sec"], "full_outer")
+    n_cur = F.coalesce(F.col("n_cur"), F.lit(0)).cast("long")
+    n_prev = F.coalesce(F.col("n_prev"), F.lit(0)).cast("long")
+    return joined.select(
+        *key_cols,
+        F.col("bucket_sec").alias("bucket_ts"),
+        n_cur.alias("n_cur"),
+        n_prev.alias("n_prev"),
+        (n_cur - n_prev).alias("delta"),
+    )

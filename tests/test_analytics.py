@@ -372,3 +372,28 @@ def test_decayed_popularity_partitioning_invariant(spark):
     ref = max(t for _, t in rows)
     c = decayed_popularity(df, ["k"], "ts", ref_ts=ref).orderBy("k").collect()
     assert [r.asDict() for r in a] == [r.asDict() for r in c]
+
+
+def test_calendar_compare_wow(spark):
+    from dads_spark.rollup import calendar_compare
+
+    wk = 168 * 3600
+    rows = (
+        [("a", 0, 3), ("a", wk, 5)]          # same hour, both weeks
+        + [("a", 7200, 2)]                   # only previous week
+        + [("a", wk + 10800, 4)]             # only current week
+    )
+    flat = [
+        (k, t + i) for k, t, n in rows for i in range(n)
+    ]
+    df = spark.createDataFrame(flat, "k string, ts_e long").withColumn(
+        "ts", F.col("ts_e").cast("timestamp")
+    )
+    got = {
+        r["bucket_ts"]: (r["n_cur"], r["n_prev"], r["delta"])
+        for r in calendar_compare(df, ["k"], "ts", "hour", 168).collect()
+    }
+    assert got[wk] == (5, 3, 2)          # 5 this week vs 3 last week
+    assert got[wk + 7200] == (0, 2, -2)  # vanished hour
+    assert got[wk + 10800] == (4, 0, 4)  # new hour
+    assert got[0] == (3, 0, 3)           # first week has no predecessor
