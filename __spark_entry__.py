@@ -6211,6 +6211,19 @@ def q_wow_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calendar_compare(ev, ["event_type"], "ts", "hour", 168)
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout (ops/abtest.py ab_test_proportions):
+    users assigned to arms by md5 nibble (the hash_split convention),
+    success = value > 50, grouped by event_type. Four exact long counts
+    plus a z-score whose double tree the oracle mirrors node-for-node."""
+    from dads_spark.ops import ab_test_proportions
+
+    ev = _t(spark, sf_dir, "events")
+    return ab_test_proportions(
+        ev, "user_id", F.col("value") > 50, ["event_type"]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -6517,6 +6530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix": q_transition_matrix,
         "shuffle_skew_report": q_shuffle_skew_report,
         "wow_delta": q_wow_delta,
+        "ab_test": q_ab_test,
     }
 
 
@@ -9969,6 +9983,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_prev AS BIGINT) AS n_prev,
                CAST(n_cur - n_prev AS BIGINT) AS delta
         FROM j
+    """
+    d["ab_test"] = """
+        WITH b AS (
+          SELECT event_type,
+                 substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7') AS in_a,
+                 (value > 50) AS s
+          FROM events),
+        a AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_a,
+                 CAST(sum(CASE WHEN in_a AND s THEN 1 ELSE 0 END)
+                      AS BIGINT) AS x_a,
+                 CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_b,
+                 CAST(sum(CASE WHEN NOT in_a AND s THEN 1 ELSE 0 END)
+                      AS BIGINT) AS x_b
+          FROM b GROUP BY 1),
+        f AS (
+          SELECT *,
+                 CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+                 CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+                 CAST(x_a + x_b AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+          FROM a),
+        g AS (
+          SELECT *,
+                 sqrt(pool * (1.0 - pool)
+                      * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE))) AS denom
+          FROM f)
+        SELECT event_type, n_a, x_a, n_b, x_b,
+               CASE WHEN n_a > 0 THEN pa END AS rate_a,
+               CASE WHEN n_b > 0 THEN pb END AS rate_b,
+               CASE WHEN n_a > 0 AND n_b > 0 AND denom > 0
+                    THEN (pa - pb) / denom END AS z
+        FROM g
     """
     d["winnow_fingerprints"] = f"""
         SELECT doc_id, fingerprint

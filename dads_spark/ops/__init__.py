@@ -64,6 +64,7 @@ from .linkgraph import (  # noqa: F401
     triangle_counts,
     trustrank,
 )
+from .abtest import ab_test_proportions  # noqa: F401
 from .calibrate import quantile_normalize  # noqa: F401
 from .keywords import rake_keywords  # noqa: F401
 from .rangejoin import bucketed_range_join  # noqa: F401

@@ -211,3 +211,46 @@ def test_shuffle_skew_report_detects_hot_key(spark):
     assert sum(r["n_keys"] for r in rep) == 101
     assert max(r["max_key_rows"] for r in rep) == 900  # the hot key shows
     assert all(len(r["bucket"]) == 1 for r in rep)
+
+
+# ---------------------------------------------------------------- ab test
+def test_ab_test_proportions_scalar_reference(spark):
+    import hashlib
+    import math
+
+    from dads_spark.ops import ab_test_proportions
+
+    rows = [(u, "g", u % 3 == 0) for u in range(400)]
+    df = spark.createDataFrame(rows, "u long, g string, s boolean")
+    got = ab_test_proportions(df, "u", F.col("s"), ["g"]).collect()[0]
+    n_a = x_a = n_b = x_b = 0
+    for u, _, s in rows:
+        a = hashlib.md5(str(u).encode()).hexdigest()[0] in "01234567"
+        if a:
+            n_a += 1
+            x_a += s
+        else:
+            n_b += 1
+            x_b += s
+    assert (got["n_a"], got["x_a"], got["n_b"], got["x_b"]) == (
+        n_a, x_a, n_b, x_b,
+    )
+    pa, pb = x_a / n_a, x_b / n_b
+    pool = (x_a + x_b) / (n_a + n_b)
+    z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    assert got["z"] == pytest.approx(z, rel=1e-12)
+    # arm split is ~50/50 by md5 nibble
+    assert abs(n_a - n_b) < 80
+
+
+def test_ab_test_null_z_when_arm_empty(spark):
+    from dads_spark.ops import ab_test_proportions
+
+    # every md5 nibble of these units is in arm A's range? force it:
+    # a_nibbles = all 16 nibbles -> arm B empty -> z null
+    df = spark.createDataFrame([(1, "g", True), (2, "g", False)],
+                               "u long, g string, s boolean")
+    got = ab_test_proportions(
+        df, "u", F.col("s"), ["g"], a_nibbles="0123456789abcdef"
+    ).collect()[0]
+    assert got["n_b"] == 0 and got["z"] is None
