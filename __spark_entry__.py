@@ -6023,6 +6023,21 @@ def q_chimp_roundtrip_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simple8b_roundtrip_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour tier -> simple-8b word-aligned INTEGER codec (compress/
+    simple8b.py: Anh & Moffat 2010, the TimescaleDB/InfluxDB timestamp
+    layout — 4-bit selector + 60-bit payload, RLE-of-ones fast path) over
+    bucket-timestamp deltas AND doc counts -> decode -> points. Oracle is
+    the UNCOMPRESSED rollup counts: hash equality proves the third codec
+    (and the only integer one) lossless under distributed execution."""
+    from dads_spark.compress import simple8b_tier_roundtrip
+
+    ev = _t(spark, sf_dir, "events")
+    hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+    rt = simple8b_tier_roundtrip(hour, ["event_type"])
+    return rt.select("event_type", _fmt_bucket(), "doc_count")
+
+
 def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyword extraction (ops/keywords.py rake_keywords): top-5
     keyphrases per document — maximal content-word runs between
@@ -6222,6 +6237,17 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_test_proportions(
         ev, "user_id", F.col("value") > 50, ["event_type"]
     )
+
+
+def q_series_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric daily series churn (rollup/analytics.py series_churn):
+    distinct (metric, series, day) activity + a first-day window —
+    n_active / n_new / n_returning as exact longs. The TSDB
+    cardinality-explosion signal."""
+    from dads_spark.rollup import series_churn
+
+    ev = _t(spark, sf_dir, "events")
+    return series_churn(ev, "event_type", "user_id", "ts")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6521,6 +6547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "attribution": q_attribution,
         "chimp_roundtrip_hour": q_chimp_roundtrip_hour,
+        "simple8b_roundtrip_hour": q_simple8b_roundtrip_hour,
         "rake_keywords": q_rake_keywords,
         "motifs_pinned": q_motifs_pinned,
         "kcore": q_kcore,
@@ -6531,6 +6558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_skew_report": q_shuffle_skew_report,
         "wow_delta": q_wow_delta,
         "ab_test": q_ab_test,
+        "series_churn": q_series_churn,
     }
 
 
@@ -7774,6 +7802,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
                    round(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "simple8b_roundtrip_hour": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   CAST(count(*) AS BIGINT) AS doc_count
             FROM events GROUP BY 1, 2
         """,
         "rake_keywords": """
@@ -10021,6 +10055,25 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n_a > 0 AND n_b > 0 AND denom > 0
                     THEN (pa - pb) / denom END AS z
         FROM g
+    """
+    d["series_churn"] = """
+        WITH a AS (
+          SELECT DISTINCT event_type AS metric, user_id AS series,
+                 CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400
+                     AS day_sec
+          FROM events),
+        f AS (
+          SELECT *, min(day_sec) OVER (PARTITION BY metric, series)
+                        AS first_day
+          FROM a)
+        SELECT metric, day_sec,
+               CAST(count(*) AS BIGINT) AS n_active,
+               CAST(sum(CASE WHEN day_sec = first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(count(*)
+                    - sum(CASE WHEN day_sec = first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returning
+        FROM f GROUP BY 1, 2
     """
     d["winnow_fingerprints"] = f"""
         SELECT doc_id, fingerprint

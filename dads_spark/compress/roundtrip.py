@@ -59,3 +59,46 @@ def compressed_tier_roundtrip(
         return pd.DataFrame(cols)
 
     return tier_df.groupBy(*key_cols).applyInPandas(rt, out_schema)
+
+
+def simple8b_tier_roundtrip(
+    tier_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "bucket_ts",
+    count_col: str = "doc_count",
+) -> DataFrame:
+    """Integer-codec round-trip: each key's bucket timestamps (as deltas,
+    first value raw — epoch micros fit 60 bits until the year ~38000)
+    AND its integer counts go through simple-8b, decode, and come back
+    as rows. The word-aligned integer path beside the bit-granular
+    delta-of-delta; lossless by the same gate discipline."""
+    from pyspark.sql.types import LongType
+
+    from . import simple8b as s8
+
+    fields = [tier_df.schema[k] for k in key_cols]
+    out_schema = StructType(
+        fields
+        + [
+            StructField(ts_col, TimestampType()),
+            StructField(count_col, LongType()),
+        ]
+    )
+
+    def rt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        ts_us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        deltas = np.diff(ts_us, prepend=0).astype(np.uint64)
+        counts = pdf[count_col].to_numpy(np.int64).astype(np.uint64)
+        ts_dec = np.cumsum(
+            s8.decode_ints(s8.encode_ints(deltas), len(deltas)).astype(np.int64)
+        )
+        c_dec = s8.decode_ints(s8.encode_ints(counts), len(counts)).astype(
+            np.int64
+        )
+        cols = {k: np.repeat(pdf[k].iloc[0], len(ts_dec)) for k in key_cols}
+        cols[ts_col] = pd.to_datetime(ts_dec, unit="us")
+        cols[count_col] = c_dec
+        return pd.DataFrame(cols)
+
+    return tier_df.groupBy(*key_cols).applyInPandas(rt, out_schema)

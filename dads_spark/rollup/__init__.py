@@ -86,6 +86,7 @@ from .analytics import (  # noqa: F401
     seasonal_decompose,
     seasonal_naive_error,
     seasonal_outliers,
+    series_churn,
     series_cross_correlation,
     time_weighted_avg,
 )

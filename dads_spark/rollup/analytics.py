@@ -1135,3 +1135,49 @@ def calendar_compare(
         n_prev.alias("n_prev"),
         (n_cur - n_prev).alias("delta"),
     )
+
+
+def series_churn(
+    events: DataFrame,
+    metric_col: str,
+    series_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-metric series-cardinality churn by day — the TSDB capacity
+    signal (Prometheus's "series churn"): a metric whose label sets keep
+    being born faster than they recur explodes the index even when its
+    sample rate is flat. n_active = distinct series seen that day,
+    n_new = series whose FIRST day this is, n_returning = the
+    difference. All exact longs from two aggregations: distinct
+    (metric, series, day) activity, then a min-day window per series —
+    both shuffles keyed by series identity, never by raw samples.
+
+    Returns (metric, day_sec, n_active, n_new, n_returning).
+    """
+    day = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast("long") * 86400
+    )
+    active = (
+        events.select(
+            F.col(metric_col).alias("metric"),
+            F.col(series_col).alias("series"),
+            day.alias("day_sec"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("metric", "series")
+    flagged = active.withColumn(
+        "_first", F.min("day_sec").over(w)
+    )
+    return (
+        flagged.groupBy("metric", "day_sec")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(F.when(F.col("day_sec") == F.col("_first"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .withColumn(
+            "n_returning", (F.col("n_active") - F.col("n_new")).cast("long")
+        )
+    )

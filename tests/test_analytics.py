@@ -397,3 +397,29 @@ def test_calendar_compare_wow(spark):
     assert got[wk + 7200] == (0, 2, -2)  # vanished hour
     assert got[wk + 10800] == (4, 0, 4)  # new hour
     assert got[0] == (3, 0, 3)           # first week has no predecessor
+
+
+def test_series_churn_new_vs_returning(spark):
+    from dads_spark.rollup import series_churn
+
+    day = 86400
+    rows = [
+        # series u1: born day 0, returns day 1
+        ("m", "u1", 10), ("m", "u1", 20), ("m", "u1", day + 5),
+        # series u2: born day 1 only
+        ("m", "u2", day + 7),
+        # a second metric, independent first-day accounting
+        ("n", "u1", day + 9),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id string, ts_e long").withColumn(
+        "ts", F.col("ts_e").cast("timestamp")
+    )
+    got = {
+        (r["metric"], r["day_sec"]): (r["n_active"], r["n_new"], r["n_returning"])
+        for r in series_churn(df, "event_type", "user_id", "ts").collect()
+    }
+    assert got[("m", 0)] == (1, 1, 0)        # u1 born
+    assert got[("m", day)] == (2, 1, 1)      # u2 born, u1 returns
+    assert got[("n", day)] == (1, 1, 0)      # per-metric first day
+    # duplicates within a day collapse: day-0 has ONE active despite 2 events
+    assert len(got) == 3

@@ -165,3 +165,71 @@ def test_tier_roundtrip_codec_chimp(spark):
         want["value_sum"].to_numpy().view(np.uint64),
     )
     assert (out["bucket_ts"].to_numpy() == want["bucket_ts"].to_numpy()).all()
+
+# --------------------------------------------------------------- simple8b
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 60) - 1)
+        | st.sampled_from([0, 1, 1, 1, 2, 3600, 86400]),
+        max_size=600,
+    )
+)
+def test_simple8b_roundtrip_property(vals):
+    from dads_spark.compress import simple8b
+
+    v = np.array(vals, dtype=np.uint64)
+    dec = simple8b.decode_ints(simple8b.encode_ints(v), len(v))
+    assert np.array_equal(v, dec)
+
+
+def test_simple8b_rle_and_selector_paths():
+    from dads_spark.compress import simple8b
+
+    # RLE fast paths: exactly 240, exactly 120, run straddling both
+    for n in (240, 120, 359, 479, 241, 119):
+        v = np.ones(n, dtype=np.uint64)
+        enc = simple8b.encode_ints(v)
+        assert np.array_equal(simple8b.decode_ints(enc, n), v)
+    # a 240-run is ONE word; regular hour deltas after delta coding
+    assert len(simple8b.encode_ints(np.ones(240, dtype=np.uint64))) == 8
+    # touch every selector width
+    for _, bits in simple8b.MODES[2:]:
+        hi = (1 << bits) - 1
+        v = np.array([hi, 0, hi // 2] * 40, dtype=np.uint64)
+        assert np.array_equal(
+            simple8b.decode_ints(simple8b.encode_ints(v), len(v)), v
+        )
+
+
+def test_simple8b_bound_and_density():
+    from dads_spark.compress import simple8b
+
+    with pytest.raises(ValueError):
+        simple8b.encode_ints(np.array([1 << 60], dtype=np.uint64))
+    # small counts pack densely: <= ~8 bits/val for values < 2^6
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 64, 6000).astype(np.uint64)
+    assert len(simple8b.encode_ints(v)) <= 6000  # >= 8x vs raw int64
+
+
+def test_simple8b_tier_roundtrip(spark):
+    from dads_spark.compress import simple8b_tier_roundtrip
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "k": ["a"] * 60 + ["b"] * 25,
+        "bucket_ts": pd.date_range("2024-01-01", periods=60, freq="h").tolist()
+        + pd.date_range("2024-03-01", periods=25, freq="2h").tolist(),
+        "doc_count": np.random.default_rng(2).integers(1, 10_000, 85),
+    })
+    df = spark.createDataFrame(pdf)
+    out = (
+        simple8b_tier_roundtrip(df, ["k"])
+        .orderBy("k", "bucket_ts")
+        .toPandas()
+    )
+    want = pdf.sort_values(["k", "bucket_ts"]).reset_index(drop=True)
+    assert (out["doc_count"].to_numpy() == want["doc_count"].to_numpy()).all()
+    assert (out["bucket_ts"].to_numpy() == want["bucket_ts"].to_numpy()).all()
