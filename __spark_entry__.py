@@ -6239,6 +6239,51 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_quantile`` (rollup/promql.py): p90 per
+    (event_type, hour) from classic cumulative le-buckets
+    [1, 5, 25, 125, +Inf] built over ``value`` — exact integer counts,
+    then Prometheus quantile.go interpolation (first bucket reaching
+    rank = q*total; +Inf bucket falls back to the highest finite bound;
+    first-bucket lower bound is 0). The oracle mirrors the double
+    interpolation tree node-for-node."""
+    from dads_spark.rollup import histogram_quantile
+
+    les = [1.0, 5.0, 25.0, 125.0, float("inf")]
+    ev = _t(spark, sf_dir, "events")
+    buckets = (
+        ev.select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 3600).cast("long") * 3600).alias(
+                "bucket_sec"
+            ),
+            "value",
+        )
+        .withColumn("le", F.explode(F.array(*[F.lit(x) for x in les])))
+        .groupBy("event_type", "bucket_sec", "le")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("le"), 1).otherwise(0))
+            .cast("long")
+            .alias("cum_count")
+        )
+    )
+    return histogram_quantile(buckets, ["event_type", "bucket_sec"], 0.9)
+
+
+def q_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series staleness audit (rollup/analytics.py staleness_report):
+    last sample, historical silence count (inter-arrival > lookback),
+    and a stale flag vs the corpus's newest sample — PromQL absent()/
+    staleness markers as a batch report. 3-day lookback over the events
+    table; all exact integers."""
+    from dads_spark.rollup import staleness_report
+
+    ev = _t(spark, sf_dir, "events")
+    return staleness_report(
+        ev, "event_type", "user_id", "ts", lookback_s=259200
+    )
+
+
 def q_series_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-metric daily series churn (rollup/analytics.py series_churn):
     distinct (metric, series, day) activity + a first-day window —
@@ -6559,6 +6604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wow_delta": q_wow_delta,
         "ab_test": q_ab_test,
         "series_churn": q_series_churn,
+        "histogram_quantile": q_histogram_quantile,
+        "staleness_report": q_staleness_report,
     }
 
 
@@ -10074,6 +10121,68 @@ def oracle_sql() -> dict[str, str]:
                     - sum(CASE WHEN day_sec = first_day THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_returning
         FROM f GROUP BY 1, 2
+    """
+    d["histogram_quantile"] = """
+        WITH les AS (
+          SELECT unnest([1.0, 5.0, 25.0, 125.0,
+                         CAST('inf' AS DOUBLE)]) AS le),
+        b AS (
+          SELECT event_type,
+                 CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) * 3600
+                     AS bucket_sec,
+                 le,
+                 CAST(sum(CASE WHEN value <= le THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cum
+          FROM events CROSS JOIN les
+          GROUP BY 1, 2, 3),
+        w AS (
+          SELECT event_type, bucket_sec, le, cum,
+                 lag(le)  OVER win AS prev_le,
+                 lag(cum) OVER win AS prev_cum,
+                 max(cum) OVER (PARTITION BY event_type, bucket_sec)
+                     AS total
+          FROM b
+          WINDOW win AS (PARTITION BY event_type, bucket_sec ORDER BY le)),
+        s AS (
+          SELECT *, 0.9 * CAST(total AS DOUBLE) AS rnk
+          FROM w WHERE total > 0)
+        SELECT event_type, bucket_sec,
+               total AS n_obs,
+               CASE
+                 WHEN le = CAST('inf' AS DOUBLE) THEN prev_le
+                 WHEN prev_le IS NULL AND le <= 0 THEN le
+                 ELSE coalesce(prev_le, 0.0)
+                      + (le - coalesce(prev_le, 0.0))
+                        * ((rnk - CAST(coalesce(prev_cum, 0) AS DOUBLE))
+                           / (CAST(cum AS DOUBLE)
+                              - CAST(coalesce(prev_cum, 0) AS DOUBLE)))
+               END AS quantile
+        FROM s
+        WHERE CAST(cum AS DOUBLE) >= rnk
+          AND (prev_cum IS NULL OR CAST(prev_cum AS DOUBLE) < rnk)
+    """
+    d["staleness_report"] = """
+        WITH b AS (
+          SELECT event_type AS metric, user_id AS series,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+          FROM events),
+        g AS (
+          SELECT *, lag(ts_s) OVER (PARTITION BY metric, series
+                                    ORDER BY ts_s) AS prev
+          FROM b),
+        p AS (
+          SELECT metric, series,
+                 max(ts_s) AS last_ts_sec,
+                 CAST(count(*) AS BIGINT) AS n_samples,
+                 CAST(sum(CASE WHEN ts_s - prev > 259200 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_gaps
+          FROM g GROUP BY 1, 2),
+        n AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS now_s
+              FROM events)
+        SELECT metric, series, last_ts_sec, n_samples, n_gaps,
+               CAST(CASE WHEN now_s - last_ts_sec > 259200
+                         THEN 1 ELSE 0 END AS INT) AS stale
+        FROM p CROSS JOIN n
     """
     d["winnow_fingerprints"] = f"""
         SELECT doc_id, fingerprint

@@ -21,7 +21,11 @@ from .router import range_segments, route_range  # noqa: F401
 from .distinct import cascade_distinct, distinct_sketch_tier, with_estimate  # noqa: F401
 from .patterns import pattern_topk, pattern_topk_kernel  # noqa: F401
 from .resample import resample_grid  # noqa: F401
-from .promql import extrapolated_increase, predict_linear  # noqa: F401
+from .promql import (  # noqa: F401
+    extrapolated_increase,
+    histogram_quantile,
+    predict_linear,
+)
 from .reconcile import topdown_reconcile  # noqa: F401
 from .periodicity import acf_dominant_period  # noqa: F401
 from .intervals import hopping_rollup, merge_intervals  # noqa: F401
@@ -87,6 +91,7 @@ from .analytics import (  # noqa: F401
     seasonal_naive_error,
     seasonal_outliers,
     series_churn,
+    staleness_report,
     series_cross_correlation,
     time_weighted_avg,
 )

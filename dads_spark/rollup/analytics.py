@@ -1137,6 +1137,63 @@ def calendar_compare(
     )
 
 
+def staleness_report(
+    events: DataFrame,
+    metric_col: str,
+    series_col: str,
+    ts_col: str = "ts",
+    lookback_s: int = 300,
+) -> DataFrame:
+    """Per-series staleness audit — the PromQL ``absent()``/staleness-
+    marker question asked as a batch report: which (metric, series) have
+    stopped reporting, and how often did each one go quiet historically?
+    A series is STALE when its last sample is more than ``lookback_s``
+    seconds older than the corpus's newest sample (Prometheus's 5-minute
+    lookback delta is the canonical default); ``n_gaps`` counts the
+    historical silences — consecutive-sample gaps exceeding the same
+    lookback — so a series that flaps in and out of liveness is visible
+    even while currently live.
+
+    All-integer arithmetic (epoch seconds, counts): exact on any engine.
+    Shape: one lag window keyed by series identity + one groupBy on the
+    same key (a single shuffle — AQE coalesces the reuse), then the
+    corpus max-ts joined on as a broadcast scalar. Never keyed by raw
+    samples; skew follows series cardinality, not traffic.
+
+    Returns (metric, series, last_ts_sec, n_samples, n_gaps, stale).
+    """
+    ts = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    base = events.select(
+        F.col(metric_col).alias("metric"),
+        F.col(series_col).alias("series"),
+        ts.alias("_ts"),
+    )
+    w = W.partitionBy("metric", "series").orderBy("_ts")
+    gapped = base.withColumn("_prev", F.lag("_ts").over(w))
+    per_series = gapped.groupBy("metric", "series").agg(
+        F.max("_ts").alias("last_ts_sec"),
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(
+            F.when(
+                F.col("_ts") - F.col("_prev") > lookback_s, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_gaps"),
+    )
+    now = base.agg(F.max("_ts").alias("_now"))
+    return per_series.join(F.broadcast(now)).select(
+        "metric",
+        "series",
+        "last_ts_sec",
+        "n_samples",
+        "n_gaps",
+        (F.col("_now") - F.col("last_ts_sec") > lookback_s)
+        .cast("int")
+        .alias("stale"),
+    )
+
+
 def series_churn(
     events: DataFrame,
     metric_col: str,

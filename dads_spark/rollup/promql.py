@@ -157,6 +157,93 @@ def extrapolated_increase(
     )
 
 
+def histogram_quantile(
+    buckets: DataFrame,
+    key_cols: list[str],
+    q: float,
+    le_col: str = "le",
+    count_col: str = "cum_count",
+    out_col: str = "quantile",
+) -> DataFrame:
+    """Evaluate PromQL ``histogram_quantile`` over classic cumulative
+    le-buckets: one input row per (series, le) carrying the CUMULATIVE
+    observation count at upper bound ``le`` (+Inf bucket required — the
+    Prometheus histogram contract), one output row per series with the
+    q-quantile linearly interpolated inside the owning bucket.
+
+    Semantics follow Prometheus promql/quantile.go ``bucketQuantile``
+    (public source), including its edge cases:
+
+    - monotonic repair: cumulative counts forced non-decreasing by a
+      running max (scraped float counters can jitter backwards),
+    - rank = q * total; the owning bucket is the FIRST whose cumulative
+      count reaches rank,
+    - +Inf bucket owns the rank -> return the highest finite upper bound
+      (no width to interpolate into),
+    - first bucket owns it and its upper bound <= 0 -> return that bound
+      (le <= 0 buckets carry their own scale); otherwise the first
+      bucket's lower bound is 0,
+    - groups with < 2 buckets, zero observations, or no +Inf bucket
+      yield no row (Prometheus returns NaN; relationally: dropped).
+
+    Distribution shape: the bucket table is tiny relative to raw samples
+    (series x ~10 les) — one window pass ordered by le inside each
+    series, then a per-group single-row filter. No joins, no explode;
+    the expensive part (bucketing raw observations) happens upstream in
+    whatever rollup built the cumulative counts. The interpolation is a
+    fixed double expression tree the DuckDB oracle mirrors
+    node-for-node.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError("q must be in (0, 1)")
+    w_ord = W.partitionBy(*key_cols).orderBy(le_col)
+    w_all = W.partitionBy(*key_cols)
+    cum = F.max(F.col(count_col)).over(
+        w_ord.rowsBetween(W.unboundedPreceding, 0)
+    )
+    marked = buckets.select(
+        *key_cols,
+        F.col(le_col).cast("double").alias("_le"),
+        cum.cast("long").alias("_cum"),
+    ).select(
+        *key_cols,
+        "_le",
+        "_cum",
+        F.lag("_le").over(w_ord.orderBy("_le")).alias("_prev_le"),
+        F.lag("_cum").over(w_ord.orderBy("_le")).alias("_prev_cum"),
+        F.max("_cum").over(w_all).alias("_total"),
+        F.count(F.lit(1)).over(w_all).alias("_nb"),
+        F.max("_le").over(w_all).alias("_max_le"),
+    )
+    rank = F.lit(float(q)) * F.col("_total").cast("double")
+    owning = (F.col("_cum").cast("double") >= rank) & (
+        F.col("_prev_cum").isNull()
+        | (F.col("_prev_cum").cast("double") < rank)
+    )
+    valid = (
+        (F.col("_total") > 0)
+        & (F.col("_nb") >= 2)
+        & (F.col("_max_le") == F.lit(float("inf")))
+    )
+    sel = marked.filter(valid & owning)
+    prev_cum_d = F.coalesce(F.col("_prev_cum"), F.lit(0)).cast("double")
+    bucket_start = F.coalesce(F.col("_prev_le"), F.lit(0.0))
+    width = F.col("_le") - bucket_start
+    interp = bucket_start + width * (
+        (rank - prev_cum_d) / (F.col("_cum").cast("double") - prev_cum_d)
+    )
+    result = (
+        F.when(F.col("_le") == F.lit(float("inf")), F.col("_prev_le"))
+        .when(F.col("_prev_le").isNull() & (F.col("_le") <= 0), F.col("_le"))
+        .otherwise(interp)
+    )
+    return sel.select(
+        *key_cols,
+        F.col("_total").alias("n_obs"),
+        result.alias(out_col),
+    )
+
+
 def predict_linear(
     samples: DataFrame,
     key_cols: list[str],

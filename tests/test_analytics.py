@@ -423,3 +423,25 @@ def test_series_churn_new_vs_returning(spark):
     assert got[("n", day)] == (1, 1, 0)      # per-metric first day
     # duplicates within a day collapse: day-0 has ONE active despite 2 events
     assert len(got) == 3
+
+
+def test_staleness_report_gaps_and_stale_flag(spark):
+    from dads_spark.rollup import staleness_report
+
+    rows = [
+        # u1: regular until t=900, then silent while corpus runs to 2000
+        ("m", "u1", 0), ("m", "u1", 300), ("m", "u1", 900),
+        # u2: one mid-history gap (300 -> 1400 > lookback) but live at end
+        ("m", "u2", 300), ("m", "u2", 1400), ("m", "u2", 2000),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id string, ts_e long"
+    ).withColumn("ts", F.col("ts_e").cast("timestamp"))
+    got = {
+        r["series"]: (r["last_ts_sec"], r["n_samples"], r["n_gaps"], r["stale"])
+        for r in staleness_report(
+            df, "event_type", "user_id", "ts", lookback_s=600
+        ).collect()
+    }
+    assert got["u1"] == (900, 3, 0, 1)   # quiet > 600s behind corpus max
+    assert got["u2"] == (2000, 3, 1, 0)  # gapped historically, live now

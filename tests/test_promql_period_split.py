@@ -290,3 +290,57 @@ def test_predict_linear_requires_two_distinct_ts(spark):
     assert out == []  # degenerate x variance filtered, no divide-by-zero
     with pytest.raises(ValueError):
         predict_linear(df, ["k"], window_s=5000, step_s=3600)
+
+
+# ------------------------------------------------------- histogram_quantile
+def _hq(spark, rows, q):
+    from dads_spark.rollup import histogram_quantile
+
+    df = spark.createDataFrame(rows, "k string, le double, cum_count long")
+    return {
+        r["k"]: (r["n_obs"], r["quantile"])
+        for r in histogram_quantile(df, ["k"], q).collect()
+    }
+
+
+def test_histogram_quantile_interpolation(spark):
+    inf = float("inf")
+    rows = [("a", 1.0, 2), ("a", 2.0, 5), ("a", 4.0, 9), ("a", inf, 10)]
+    # rank=5 -> bucket le=2 owns it exactly: 1 + 1*(5-2)/(5-2) = 2.0
+    assert _hq(spark, rows, 0.5)["a"] == (10, 2.0)
+    # rank=9 -> bucket le=4: 2 + 2*(9-5)/(9-5) = 4.0
+    assert _hq(spark, rows, 0.9)["a"] == (10, 4.0)
+    # rank=9.5 -> +Inf bucket owns -> highest finite upper bound
+    assert _hq(spark, rows, 0.95)["a"] == (10, 4.0)
+    # rank=2.5 -> mid-bucket: 1 + 1*(2.5-2)/(5-2)
+    got = _hq(spark, rows, 0.25)["a"][1]
+    assert abs(got - (1.0 + 0.5 / 3.0)) < 1e-12
+
+
+def test_histogram_quantile_edge_cases(spark):
+    inf = float("inf")
+    # first bucket owns, positive bound -> lower bound 0 (quantile.go)
+    rows = [("a", 1.0, 8), ("a", inf, 10)]
+    assert _hq(spark, rows, 0.5)["a"][1] == 0.625  # 0 + 1*(5/8)
+    # first bucket owns, bound <= 0 -> return the bound itself
+    rows = [("b", -1.0, 3), ("b", 1.0, 4), ("b", inf, 5)]
+    assert _hq(spark, rows, 0.5)["b"][1] == -1.0
+    # monotonic repair: dip 5->3 is clamped to 5 before ranking
+    rows = [("c", 1.0, 5), ("c", 2.0, 3), ("c", 4.0, 9), ("c", inf, 10)]
+    assert _hq(spark, rows, 0.5)["c"][1] == 1.0  # rank 5 owned by le=1
+    # dropped groups: no +Inf bucket / single bucket / zero observations
+    rows = [("d", 1.0, 5), ("d", 4.0, 9)]
+    assert "d" not in _hq(spark, rows, 0.5)
+    rows = [("e", inf, 10)]
+    assert "e" not in _hq(spark, rows, 0.5)
+    rows = [("f", 1.0, 0), ("f", inf, 0)]
+    assert "f" not in _hq(spark, rows, 0.5)
+
+
+def test_histogram_quantile_rejects_bad_q():
+    import pytest as _pytest
+
+    from dads_spark.rollup import histogram_quantile
+
+    with _pytest.raises(ValueError):
+        histogram_quantile(None, ["k"], 1.0)
