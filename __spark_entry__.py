@@ -6284,6 +6284,29 @@ def q_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect/canonical chain resolution (ops/redirects.py
+    resolve_chains): a deterministic redirect map is synthesized from
+    doc_id identically in both engines — doc_id%10!=0 chains each url
+    one step down (terminals at the %10==0 base), doc_id%100==0 adds a
+    back-edge that turns that base's whole group into a 10-cycle. The
+    pointer-doubling resolver (5 fixed self-joins for the 32-hop
+    horizon) must agree with DuckDB's step-at-a-time recursive CTE:
+    same terminals, same EXACT hop counts, same unresolved cycle set."""
+    from dads_spark.ops import resolve_chains
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = lambda c: F.concat(F.lit("https://ex.com/p"), c.cast("string"))  # noqa: E731
+    chain = docs.filter(did % 10 != 0).select(
+        url(did).alias("src"), url(did - 1).alias("dst")
+    )
+    cyc = docs.filter(did % 100 == 0).select(
+        url(did).alias("src"), url(did + 9).alias("dst")
+    )
+    return resolve_chains(chain.unionByName(cyc), "src", "dst", max_hops=32)
+
+
 def q_series_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-metric daily series churn (rollup/analytics.py series_churn):
     distinct (metric, series, day) activity + a first-day window —
@@ -6606,6 +6629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_churn": q_series_churn,
         "histogram_quantile": q_histogram_quantile,
         "staleness_report": q_staleness_report,
+        "redirect_resolve": q_redirect_resolve,
     }
 
 
@@ -10160,6 +10184,30 @@ def oracle_sql() -> dict[str, str]:
         FROM s
         WHERE CAST(cum AS DOUBLE) >= rnk
           AND (prev_cum IS NULL OR CAST(prev_cum AS DOUBLE) < rnk)
+    """
+    d["redirect_resolve"] = """
+        WITH RECURSIVE e AS (
+          SELECT 'https://ex.com/p' || CAST(doc_id AS VARCHAR) AS src,
+                 'https://ex.com/p' || CAST(doc_id - 1 AS VARCHAR) AS dst
+          FROM documents WHERE doc_id % 10 <> 0
+          UNION ALL
+          SELECT 'https://ex.com/p' || CAST(doc_id AS VARCHAR),
+                 'https://ex.com/p' || CAST(doc_id + 9 AS VARCHAR)
+          FROM documents WHERE doc_id % 100 = 0),
+        m AS (SELECT src AS u, min(dst) AS p FROM e GROUP BY 1),
+        walk AS (
+          SELECT u AS src, p AS cur, CAST(1 AS BIGINT) AS hops FROM m
+          UNION ALL
+          SELECT w.src, m.p, w.hops + 1
+          FROM walk w JOIN m ON w.cur = m.u
+          WHERE w.hops < 32),
+        term AS (
+          SELECT w.src, w.cur AS terminal, w.hops
+          FROM walk w ANTI JOIN m ON w.cur = m.u)
+        SELECT m.u AS src, t.terminal, t.hops AS n_hops,
+               CAST(CASE WHEN t.src IS NULL THEN 0 ELSE 1 END AS INT)
+                   AS resolved
+        FROM m LEFT JOIN term t ON m.u = t.src
     """
     d["staleness_report"] = """
         WITH b AS (

@@ -57,3 +57,54 @@ def test_self_loops_ignored_empty_edges_ok(spark):
     assert got == {2: 2, 3: 2}
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty).count() == 0
+
+
+# ------------------------------------------------------------ resolve_chains
+def test_resolve_chains_chain_cycle_and_collapse(spark):
+    from dads_spark.ops import resolve_chains
+
+    edges = [
+        # chain a -> b -> c -> T (3 hops from a)
+        ("a", "b"), ("b", "c"), ("c", "T"),
+        # 2-cycle
+        ("x", "y"), ("y", "x"),
+        # self-loop
+        ("z", "z"),
+        # multi-out-edge source collapses to min(dst): q -> m wins over q -> n
+        ("q", "n"), ("q", "m"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["src"]: (r["terminal"], r["n_hops"], r["resolved"])
+        for r in resolve_chains(df, max_hops=8).collect()
+    }
+    assert got["a"] == ("T", 3, 1)
+    assert got["b"] == ("T", 2, 1)
+    assert got["c"] == ("T", 1, 1)
+    assert got["x"] == (None, None, 0)
+    assert got["y"] == (None, None, 0)
+    assert got["z"] == (None, None, 0)
+    assert got["q"] == ("m", 1, 1)
+    assert len(got) == 7  # one row per distinct source
+
+
+def test_resolve_chains_hop_horizon(spark):
+    from dads_spark.ops import resolve_chains
+
+    # a path of exactly 4 hops resolves at max_hops=4, not at 2
+    edges = [(f"n{i}", f"n{i+1}") for i in range(4)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ok = {r["src"]: r["resolved"] for r in resolve_chains(df, max_hops=4).collect()}
+    assert ok["n0"] == 1
+    short = {r["src"]: r["resolved"] for r in resolve_chains(df, max_hops=2).collect()}
+    assert short["n0"] == 0 and short["n2"] == 1
+
+
+def test_resolve_chains_rejects_bad_horizon():
+    import pytest as _pytest
+
+    from dads_spark.ops import resolve_chains
+
+    for bad in (0, 1, 3, 12):
+        with _pytest.raises(ValueError):
+            resolve_chains(None, max_hops=bad)
