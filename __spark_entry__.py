@@ -6023,6 +6023,25 @@ def q_chimp_roundtrip_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_alp_roundtrip_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour tier -> delta-of-delta + ALP-style decimal re-scaling
+    (compress/alp.py: Afroozeh & Boncz SIGMOD 2023 — round(v*10^e) to
+    int64 + simple-8b zigzag packing, bit-exact division decode,
+    exceptions raw) -> decode -> points. Same uncompressed rollup
+    oracle as the XOR codecs: hash equality proves the fourth codec
+    lossless under distributed execution. The lane's value_sum is
+    2-decimal — exactly the decimal shape ALP compresses ~3x past
+    Gorilla."""
+    from dads_spark.compress import compressed_tier_roundtrip
+
+    ev = _t(spark, sf_dir, "events")
+    hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+    rt = compressed_tier_roundtrip(hour, ["event_type"], codec="alp")
+    return rt.select(
+        "event_type", _fmt_bucket(), F.round("value_sum", 2).alias("value_sum")
+    )
+
+
 def q_simple8b_roundtrip_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour tier -> simple-8b word-aligned INTEGER codec (compress/
     simple8b.py: Anh & Moffat 2010, the TimescaleDB/InfluxDB timestamp
@@ -6281,6 +6300,39 @@ def q_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return staleness_report(
         ev, "event_type", "user_id", "ts", lookback_s=259200
+    )
+
+
+def q_label_index_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSDB label inverted index (rollup/labelindex.py): the series
+    catalog — distinct (event_type, user_id%8 shard, props.k%5 kband)
+    label sets — is melted into postings, then the selector
+    {event_type="click", kband="2", shard!="3"} is answered by ONE
+    filtered posting scan + count-matching intersection + an anti-join
+    for the negative matcher. Oracle = the DIRECT predicate on the
+    catalog: the index prunes, it never loses."""
+    from dads_spark.rollup import build_label_index, series_by_labels
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    cat = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 8).alias("shard"),
+            (k % 5).alias("kband"),
+        )
+        .distinct()
+        .withColumn(
+            "series_id",
+            F.concat_ws(":", "event_type", "shard", "kband"),
+        )
+    )
+    idx = build_label_index(cat, "series_id", ["event_type", "shard", "kband"])
+    sel = series_by_labels(
+        idx, {"event_type": "click", "kband": "2"}, {"shard": "3"}
+    )
+    return sel.join(cat, "series_id").select(
+        "series_id", "event_type", "shard", "kband"
     )
 
 
@@ -6616,6 +6668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "chimp_roundtrip_hour": q_chimp_roundtrip_hour,
         "simple8b_roundtrip_hour": q_simple8b_roundtrip_hour,
+        "alp_roundtrip_hour": q_alp_roundtrip_hour,
         "rake_keywords": q_rake_keywords,
         "motifs_pinned": q_motifs_pinned,
         "kcore": q_kcore,
@@ -6630,6 +6683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantile": q_histogram_quantile,
         "staleness_report": q_staleness_report,
         "redirect_resolve": q_redirect_resolve,
+        "label_index_select": q_label_index_select,
     }
 
 
@@ -7870,6 +7924,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "chimp_roundtrip_hour": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   round(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "alp_roundtrip_hour": """
             SELECT event_type,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
                    round(sum(value), 2) AS value_sum
@@ -10184,6 +10244,19 @@ def oracle_sql() -> dict[str, str]:
         FROM s
         WHERE CAST(cum AS DOUBLE) >= rnk
           AND (prev_cum IS NULL OR CAST(prev_cum AS DOUBLE) < rnk)
+    """
+    d["label_index_select"] = """
+        WITH cat AS (
+          SELECT DISTINCT event_type,
+                 user_id % 8 AS shard,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+                     AS kband
+          FROM events)
+        SELECT event_type || ':' || CAST(shard AS VARCHAR)
+                 || ':' || CAST(kband AS VARCHAR) AS series_id,
+               event_type, shard, kband
+        FROM cat
+        WHERE event_type = 'click' AND kband = 2 AND shard <> 3
     """
     d["redirect_resolve"] = """
         WITH RECURSIVE e AS (

@@ -7,5 +7,5 @@ from .roundtrip import (  # noqa: F401
     compressed_tier_roundtrip,
     simple8b_tier_roundtrip,
 )
-from . import chimp, simple8b  # noqa: F401
+from . import alp, chimp, simple8b  # noqa: F401
 from .blobstore import read_compressed_tier, write_compressed_tier  # noqa: F401

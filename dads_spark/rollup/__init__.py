@@ -21,6 +21,7 @@ from .router import range_segments, route_range  # noqa: F401
 from .distinct import cascade_distinct, distinct_sketch_tier, with_estimate  # noqa: F401
 from .patterns import pattern_topk, pattern_topk_kernel  # noqa: F401
 from .resample import resample_grid  # noqa: F401
+from .labelindex import build_label_index, series_by_labels  # noqa: F401
 from .promql import (  # noqa: F401
     extrapolated_increase,
     histogram_quantile,

@@ -233,3 +233,43 @@ def test_simple8b_tier_roundtrip(spark):
     want = pdf.sort_values(["k", "bucket_ts"]).reset_index(drop=True)
     assert (out["doc_count"].to_numpy() == want["doc_count"].to_numpy()).all()
     assert (out["bucket_ts"].to_numpy() == want["bucket_ts"].to_numpy()).all()
+
+# -------------------------------------------------------------------- alp
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64)
+        | st.integers(-10**6, 10**6).map(lambda i: i / 100.0),
+        max_size=400,
+    )
+)
+def test_alp_roundtrip_property(vals):
+    from dads_spark.compress import alp
+
+    v = np.array(vals, dtype=np.float64)
+    dec = alp.decode_values(alp.encode_values(v), len(v))
+    assert np.array_equal(v.view(np.uint64), dec.view(np.uint64))
+
+
+def test_alp_bit_exact_edge_values():
+    from dads_spark.compress import alp
+
+    v = np.array(
+        [-0.0, 0.0, np.nan, np.inf, -np.inf, 1e300, 0.1, 490.02, -3.07,
+         123456789.12, 2.0**52, 5e-324],
+        dtype=np.float64,
+    )
+    dec = alp.decode_values(alp.encode_values(v), len(v))
+    assert np.array_equal(v.view(np.uint64), dec.view(np.uint64))
+
+
+def test_alp_beats_gorilla_on_decimals():
+    from dads_spark.compress import alp, gorilla
+
+    rng = np.random.default_rng(7)
+    # 2-decimal telemetry: the data shape ALP exists for
+    v = np.round(rng.uniform(0, 500, 4000), 2)
+    a = len(alp.encode_values(v))
+    g = len(gorilla.encode_values(v))
+    assert np.array_equal(alp.decode_values(alp.encode_values(v), len(v)), v)
+    assert a * 2 < g, (a, g)  # measured ~3x on this shape
