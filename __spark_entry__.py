@@ -5314,6 +5314,46 @@ def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bmp_stats(spark.read.parquet(path))
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decoding (ops/multimodal.py png_stats):
+    an 8-bit RGB PNG is synthesized per document — pixel (r, c) channel
+    k = (doc_id*13 + r*3 + c*7 + k*17) % 256 on a 12x18 grid, each
+    scanline FORWARD-filtered with type (doc_id + r) % 5 so all five
+    PNG filters appear — then decoded back through chunk walking, zlib
+    inflate, and filter inversion. The oracle recomputes the pixel
+    formula in SQL and never sees a byte of PNG: hash equality proves
+    inflate+unfilter exactly inverts deflate+filter across the corpus."""
+    import numpy as _np2
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from dads_spark.ops import make_png, png_stats
+
+    t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = t.column("doc_id").to_pylist()
+    r = _np2.arange(12)[:, None, None]
+    c = _np2.arange(18)[None, :, None]
+    k = _np2.arange(3)[None, None, :]
+    payloads = [
+        make_png(
+            ((did * 13 + r * 3 + c * 7 + k * 17) % 256).astype(_np2.uint8),
+            [(did + y) % 5 for y in range(12)],
+        )
+        for did in ids
+    ]
+    path = _dump_path("png_src")
+    _pq.write_table(
+        _pa.table(
+            {
+                "media_id": _pa.array(ids, _pa.int64()),
+                "payload": _pa.array(payloads, _pa.binary()),
+            }
+        ),
+        path,
+    )
+    return png_stats(spark.read.parquet(path))
+
+
 def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hampel despiking (rollup/analytics.py hampel_filter): rolling
     lower-median + rolling MAD over a +-5 hourly window, spike iff
@@ -6289,6 +6329,36 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantile(buckets, ["event_type", "bucket_sec"], 0.9)
 
 
+def q_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard latency band — p50/p90/p99 per (event_type, day)
+    from ONE histogram pass (rollup/promql.py histogram_quantile with a
+    quantile list: the window pass runs once, per-quantile owning-bucket
+    selection is a bounded explode). Same Prometheus bucket semantics
+    and mirrored interpolation tree as `histogram_quantile`."""
+    from dads_spark.rollup import histogram_quantile
+
+    les = [1.0, 5.0, 25.0, 125.0, float("inf")]
+    ev = _t(spark, sf_dir, "events")
+    buckets = (
+        ev.select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 86400).cast("long") * 86400)
+            .alias("day_sec"),
+            "value",
+        )
+        .withColumn("le", F.explode(F.array(*[F.lit(x) for x in les])))
+        .groupBy("event_type", "day_sec", "le")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("le"), 1).otherwise(0))
+            .cast("long")
+            .alias("cum_count")
+        )
+    )
+    return histogram_quantile(
+        buckets, ["event_type", "day_sec"], [0.5, 0.9, 0.99]
+    )
+
+
 def q_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series staleness audit (rollup/analytics.py staleness_report):
     last sample, historical silence count (inter-arrival > lookback),
@@ -6300,6 +6370,21 @@ def q_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return staleness_report(
         ev, "event_type", "user_id", "ts", lookback_s=259200
+    )
+
+
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs metric correlation matrix (rollup/analytics.py
+    correlation_matrix): Pearson r between event types over aligned
+    hourly buckets — values quantized to integer centi-units before
+    aggregation so every moment is an exact long; the self-join fan-out
+    is bounded by the metric catalog (k^2 per bucket), never traffic.
+    Oracle mirrors the double Pearson tree node-for-node."""
+    from dads_spark.rollup import correlation_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return correlation_matrix(
+        ev, "event_type", "ts", "value", bucket_s=3600, scale=100
     )
 
 
@@ -6684,6 +6769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "staleness_report": q_staleness_report,
         "redirect_resolve": q_redirect_resolve,
         "label_index_select": q_label_index_select,
+        "correlation_matrix": q_correlation_matrix,
+        "quantile_bands": q_quantile_bands,
+        "png_decode": q_png_decode,
     }
 
 
@@ -10245,6 +10333,33 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(cum AS DOUBLE) >= rnk
           AND (prev_cum IS NULL OR CAST(prev_cum AS DOUBLE) < rnk)
     """
+    d["correlation_matrix"] = """
+        WITH g AS (
+          SELECT event_type AS m,
+                 CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) * 3600 AS b,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                     AS x
+          FROM events GROUP BY 1, 2),
+        p AS (
+          SELECT a.m AS metric_a, bb.m AS metric_b, a.x AS xa, bb.x AS xb
+          FROM g a JOIN g bb ON a.b = bb.b AND a.m < bb.m),
+        mom AS (
+          SELECT metric_a, metric_b,
+                 CAST(count(*) AS BIGINT) AS n_buckets,
+                 sum(xa) AS sx, sum(xb) AS sy, sum(xa * xb) AS sxy,
+                 sum(xa * xa) AS sxx, sum(xb * xb) AS syy
+          FROM p GROUP BY 1, 2)
+        SELECT metric_a, metric_b, n_buckets,
+               (CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   AS r
+        FROM mom
+        WHERE n_buckets * sxx <> sx * sx AND n_buckets * syy <> sy * sy
+    """
     d["label_index_select"] = """
         WITH cat AS (
           SELECT DISTINCT event_type,
@@ -10281,6 +10396,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN t.src IS NULL THEN 0 ELSE 1 END AS INT)
                    AS resolved
         FROM m LEFT JOIN term t ON m.u = t.src
+    """
+    d["quantile_bands"] = """
+        WITH les AS (
+          SELECT unnest([1.0, 5.0, 25.0, 125.0,
+                         CAST('inf' AS DOUBLE)]) AS le),
+        qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        b AS (
+          SELECT event_type,
+                 CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400
+                     AS day_sec,
+                 le,
+                 CAST(sum(CASE WHEN value <= le THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cum
+          FROM events CROSS JOIN les
+          GROUP BY 1, 2, 3),
+        w AS (
+          SELECT event_type, day_sec, le, cum,
+                 lag(le)  OVER win AS prev_le,
+                 lag(cum) OVER win AS prev_cum,
+                 max(cum) OVER (PARTITION BY event_type, day_sec) AS total
+          FROM b
+          WINDOW win AS (PARTITION BY event_type, day_sec ORDER BY le)),
+        s AS (
+          SELECT w.*, q, q * CAST(total AS DOUBLE) AS rnk
+          FROM w CROSS JOIN qs WHERE total > 0)
+        SELECT event_type, day_sec, q,
+               total AS n_obs,
+               CASE
+                 WHEN le = CAST('inf' AS DOUBLE) THEN prev_le
+                 WHEN prev_le IS NULL AND le <= 0 THEN le
+                 ELSE coalesce(prev_le, 0.0)
+                      + (le - coalesce(prev_le, 0.0))
+                        * ((rnk - CAST(coalesce(prev_cum, 0) AS DOUBLE))
+                           / (CAST(cum AS DOUBLE)
+                              - CAST(coalesce(prev_cum, 0) AS DOUBLE)))
+               END AS quantile
+        FROM s
+        WHERE CAST(cum AS DOUBLE) >= rnk
+          AND (prev_cum IS NULL OR CAST(prev_cum AS DOUBLE) < rnk)
     """
     d["staleness_report"] = """
         WITH b AS (
@@ -11163,6 +11317,24 @@ def oracle_sql() -> dict[str, str]:
         FROM s GROUP BY 1
     """
     # BMP decode round trip: channel stats from the pixel formula
+    d["png_decode"] = """
+        WITH px AS (
+            SELECT d.doc_id AS media_id,
+                   (d.doc_id * 13 + r.r * 3 + c.c * 7) % 256 AS vr,
+                   (d.doc_id * 13 + r.r * 3 + c.c * 7 + 17) % 256 AS vg,
+                   (d.doc_id * 13 + r.r * 3 + c.c * 7 + 34) % 256 AS vb
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 12)) AS r) r
+            CROSS JOIN (SELECT unnest(range(0, 18)) AS c) c)
+        SELECT media_id,
+               CAST(18 AS BIGINT) AS width,
+               CAST(12 AS BIGINT) AS height,
+               CAST(sum(vr) AS BIGINT) AS sum_r,
+               CAST(sum(vg) AS BIGINT) AS sum_g,
+               CAST(sum(vb) AS BIGINT) AS sum_b,
+               CAST(max(2 * vg + vr + vb) AS BIGINT) AS max_lum
+        FROM px GROUP BY 1
+    """
     d["bmp_decode"] = """
         WITH px AS (
             SELECT d.doc_id AS media_id,

@@ -124,7 +124,9 @@ from .multimodal import (  # noqa: F401
     bmp_stats,
     extract_features,
     make_bmp,
+    make_png,
     make_wav_pcm,
+    png_stats,
     resize_media,
     sample_frames,
     wav_pcm_stats,

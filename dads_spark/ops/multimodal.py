@@ -298,6 +298,196 @@ def bmp_stats(
     )
 
 
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """The PNG Paeth predictor (spec section 9, filter type 4), on int
+    arrays: pick whichever of left/up/upper-left is closest to
+    left + up - upper_left, ties resolved left > up > upper-left."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Invert the five PNG scanline filters. Rows None/Sub/Up are fully
+    vectorized (Sub is a per-channel prefix sum); Average/Paeth have a
+    true sequential dependency on the in-row left neighbor, so those
+    rows walk pixels with channel-vector ops (w steps/row, numpy per
+    step)."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(raw[y * (stride + 1)])
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].astype(
+            np.int64
+        )
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: prefix sum over pixels, per channel
+            rec = (np.cumsum(line.reshape(w, ch), axis=0) % 256).reshape(
+                stride
+            )
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: sequential on left neighbor
+            rec = np.zeros(stride, dtype=np.int64)
+            up = prev.reshape(w, ch)
+            cur = line.reshape(w, ch)
+            rw = rec.reshape(w, ch)
+            left = np.zeros(ch, dtype=np.int64)
+            ul = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                if f == 3:
+                    pred = (left + up[x]) // 2
+                else:
+                    pred = _paeth(left, up[x], ul)
+                rw[x] = (cur[x] + pred) % 256
+                left, ul = rw[x], up[x]
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
+def png_stats(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL compressed-image decoding — PNG's codec stack is zlib
+    (stdlib) plus per-scanline prediction filters, so unlike JPEG no
+    media library is required and the decode is still a genuine
+    entropy-coded path (inflate + filter inversion), not a raw-pixel
+    walk like BMP. Supports the common web shapes: 8-bit depth, color
+    types 2 (RGB) and 6 (RGBA, alpha ignored in the stats), interlace
+    0. Walks the chunk stream (length/type/data/crc), inflates the
+    concatenated IDAT payload, inverts all five scanline filters
+    (None/Sub/Up/Average/Paeth), and emits the same exact integer
+    channel statistics as ``bmp_stats``: (id, width, height, sum_r,
+    sum_g, sum_b, max_lum) with lum = 2*g + r + b. Malformed payloads
+    yield width = -1."""
+    import struct
+    import zlib
+
+    def run(it):
+        for pdf in it:
+            out = {
+                id_col: [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [], "max_lum": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                row = (-1, 0, 0, 0, 0, 0)
+                try:
+                    if b[:8] == b"\x89PNG\r\n\x1a\n":
+                        pos, ihdr, idat = 8, None, []
+                        while pos + 8 <= len(b):
+                            (ln,) = struct.unpack(">I", b[pos : pos + 4])
+                            typ = b[pos + 4 : pos + 8]
+                            data = b[pos + 8 : pos + 8 + ln]
+                            pos += 12 + ln  # skip crc
+                            if typ == b"IHDR":
+                                ihdr = struct.unpack(">IIBBBBB", data)
+                            elif typ == b"IDAT":
+                                idat.append(data)
+                            elif typ == b"IEND":
+                                break
+                        w, h, depth, ctype, comp, filt, inter = ihdr
+                        if (
+                            depth == 8 and ctype in (2, 6)
+                            and comp == 0 and filt == 0 and inter == 0
+                        ):
+                            ch = 3 if ctype == 2 else 4
+                            raw = np.frombuffer(
+                                zlib.decompress(b"".join(idat)), np.uint8
+                            )
+                            if len(raw) == h * (w * ch + 1):
+                                px = _png_unfilter(raw, h, w, ch)
+                                rd, gr, bl = (
+                                    px[..., 0], px[..., 1], px[..., 2],
+                                )
+                                lum = 2 * gr + rd + bl
+                                row = (
+                                    w, h,
+                                    int(rd.sum()), int(gr.sum()),
+                                    int(bl.sum()), int(lum.max()),
+                                )
+                except (struct.error, ValueError, IndexError,
+                        zlib.error, TypeError):
+                    pass
+                out[id_col].append(mid)
+                for k, v in zip(
+                    ("width", "height", "sum_r", "sum_g", "sum_b", "max_lum"),
+                    row,
+                ):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} long, width long, height long, sum_r long, sum_g long, "
+        "sum_b long, max_lum long",
+    )
+
+
+def make_png(img: np.ndarray, row_filters=None) -> bytes:
+    """Minimal PNG writer (8-bit RGB/RGBA, interlace 0) — the
+    fixture-side inverse of :func:`png_stats`. ``row_filters`` chooses
+    the filter TYPE per scanline (default all 0) and applies the
+    forward filter, so a decoder must genuinely invert Sub/Up/Average/
+    Paeth to recover the pixels."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    ctype = 2 if ch == 3 else 6
+    filters = row_filters if row_filters is not None else [0] * h
+    px = img.astype(np.int64)
+    lines = []
+    prev = np.zeros((w, ch), dtype=np.int64)
+    for y in range(h):
+        f = int(filters[y])
+        cur = px[y]
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            enc = cur.copy()
+            enc[1:] = cur[1:] - cur[:-1]
+        elif f == 2:
+            enc = cur - prev
+        elif f in (3, 4):
+            enc = np.zeros_like(cur)
+            left = np.zeros(ch, dtype=np.int64)
+            ul = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                pred = (
+                    (left + prev[x]) // 2 if f == 3
+                    else _paeth(left, prev[x], ul)
+                )
+                enc[x] = cur[x] - pred
+                left, ul = cur[x], prev[x]
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        lines.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def make_bmp(rgb: np.ndarray) -> bytes:
     """Minimal 24-bit BI_RGB BMP writer (bottom-up rows, 4-byte stride
     padding) — the fixture-side inverse of :func:`bmp_stats`."""

@@ -90,6 +90,7 @@ from .analytics import (  # noqa: F401
     rolling_quantile,
     seasonal_decompose,
     seasonal_naive_error,
+    correlation_matrix,
     seasonal_outliers,
     series_churn,
     staleness_report,

@@ -1137,6 +1137,89 @@ def calendar_compare(
     )
 
 
+def correlation_matrix(
+    events: DataFrame,
+    metric_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_s: int = 3600,
+    scale: int = 100,
+) -> DataFrame:
+    """All-pairs Pearson correlation between metrics over aligned time
+    buckets — the "which signals move together" dashboard matrix, the
+    many-series sibling of ``series_cross_correlation`` (which handles
+    one pair at lags). Values are quantized to integers
+    (floor(value*scale)) BEFORE any aggregation so every moment
+    (n, Σx, Σy, Σxy, Σx², Σy²) is an exact long summed in any order —
+    the only doubles are the final per-pair Pearson expression, a fixed
+    tree both engines evaluate identically.
+
+    Shape: one rollup to (metric, bucket) — traffic-sized shuffle, the
+    same one a tier build already pays — then a SELF-JOIN on the bucket
+    key. The join fan-out is k²/2 rows per bucket for k metrics: bounded
+    by the METRIC CATALOG, never by traffic, so at 100 TB the matrix
+    costs (buckets x k²) rows — trivially small next to the rollup.
+    Pairwise-complete semantics: a bucket contributes to a pair only
+    when BOTH metrics observed it (inner join). Overflow headroom:
+    |Σxy| < buckets x (max|bucket_sum| x scale)² — pick ``scale``/
+    ``bucket_s`` so quantized bucket sums stay under ~2^31 if the
+    window spans millions of buckets.
+
+    Returns (metric_a, metric_b, n_buckets, r) for metric_a < metric_b;
+    pairs whose variance is zero on either side are dropped (r
+    undefined).
+    """
+    q = F.floor(F.col(value_col) * scale).cast("long")
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_s).cast("long")
+        * bucket_s
+    )
+    g = (
+        events.select(
+            F.col(metric_col).alias("m"), bucket.alias("b"), q.alias("q")
+        )
+        .groupBy("m", "b")
+        .agg(F.sum("q").alias("x"))
+    )
+    a = g.select(
+        F.col("m").alias("metric_a"), "b", F.col("x").alias("xa")
+    )
+    bb = g.select(
+        F.col("m").alias("metric_b"), "b", F.col("x").alias("xb")
+    )
+    pairs = a.join(bb, "b").filter(F.col("metric_a") < F.col("metric_b"))
+    mom = pairs.groupBy("metric_a", "metric_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("xa").alias("_sx"),
+        F.sum("xb").alias("_sy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("_sxy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("_sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("_syy"),
+    )
+    n = F.col("n_buckets").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return (
+        mom.filter(
+            (F.col("n_buckets") * F.col("_sxx")
+             != F.col("_sx") * F.col("_sx"))
+            & (F.col("n_buckets") * F.col("_syy")
+               != F.col("_sy") * F.col("_sy"))
+        )
+        .select(
+            "metric_a",
+            "metric_b",
+            "n_buckets",
+            ((n * sxy - sx * sy) / F.sqrt(vx * vy)).alias("r"),
+        )
+    )
+
+
 def staleness_report(
     events: DataFrame,
     metric_col: str,

@@ -160,7 +160,7 @@ def extrapolated_increase(
 def histogram_quantile(
     buckets: DataFrame,
     key_cols: list[str],
-    q: float,
+    q: float | list[float],
     le_col: str = "le",
     count_col: str = "cum_count",
     out_col: str = "quantile",
@@ -193,9 +193,18 @@ def histogram_quantile(
     whatever rollup built the cumulative counts. The interpolation is a
     fixed double expression tree the DuckDB oracle mirrors
     node-for-node.
+
+    ``q`` may be a list (e.g. [0.5, 0.9, 0.99] — the dashboard band):
+    the window pass runs ONCE and the per-quantile owning-bucket
+    selection is a bounded explode over the already-windowed rows, so K
+    quantiles cost one extra projection, not K passes. With a list, the
+    output carries an extra ``q`` column (one row per series per
+    quantile).
     """
-    if not 0.0 < q < 1.0:
-        raise ValueError("q must be in (0, 1)")
+    qs = [q] if isinstance(q, (int, float)) else [float(x) for x in q]
+    if not qs or any(not 0.0 < x < 1.0 for x in qs):
+        raise ValueError("every q must be in (0, 1)")
+    single = isinstance(q, (int, float))
     w_ord = W.partitionBy(*key_cols).orderBy(le_col)
     w_all = W.partitionBy(*key_cols)
     cum = F.max(F.col(count_col)).over(
@@ -215,7 +224,10 @@ def histogram_quantile(
         F.count(F.lit(1)).over(w_all).alias("_nb"),
         F.max("_le").over(w_all).alias("_max_le"),
     )
-    rank = F.lit(float(q)) * F.col("_total").cast("double")
+    marked = marked.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(x)) for x in qs]))
+    )
+    rank = F.col("q") * F.col("_total").cast("double")
     owning = (F.col("_cum").cast("double") >= rank) & (
         F.col("_prev_cum").isNull()
         | (F.col("_prev_cum").cast("double") < rank)
@@ -237,8 +249,10 @@ def histogram_quantile(
         .when(F.col("_prev_le").isNull() & (F.col("_le") <= 0), F.col("_le"))
         .otherwise(interp)
     )
+    extra = [] if single else [F.col("q")]
     return sel.select(
         *key_cols,
+        *extra,
         F.col("_total").alias("n_obs"),
         result.alias(out_col),
     )

@@ -425,6 +425,47 @@ def test_series_churn_new_vs_returning(spark):
     assert len(got) == 3
 
 
+def test_correlation_matrix_perfect_anti_and_constant(spark):
+    from dads_spark.rollup import correlation_matrix
+
+    rows = []
+    for h in range(6):
+        rows.append(("up", h * 3600 + 5, float(h + 1)))       # 1..6
+        rows.append(("dbl", h * 3600 + 9, float(2 * h + 2)))  # 2..12, r=+1
+        rows.append(("down", h * 3600 + 3, float(6 - h)))     # 6..1, r=-1
+        rows.append(("flat", h * 3600 + 1, 5.0))              # zero variance
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_e long, value double"
+    ).withColumn("ts", F.col("ts_e").cast("timestamp"))
+    got = {
+        (r["metric_a"], r["metric_b"]): (r["n_buckets"], r["r"])
+        for r in correlation_matrix(df, "event_type").collect()
+    }
+    assert got[("dbl", "up")][0] == 6
+    assert abs(got[("dbl", "up")][1] - 1.0) < 1e-12
+    assert abs(got[("down", "up")][1] + 1.0) < 1e-12
+    # zero-variance metric yields no pairs at all
+    assert not any("flat" in k for k in got)
+    # canonical orientation only: (a, b) with a < b, never both
+    assert ("up", "dbl") not in got
+
+
+def test_correlation_matrix_pairwise_complete(spark):
+    from dads_spark.rollup import correlation_matrix
+
+    # metric 'y' misses bucket 2: the (x, y) pair must use only the
+    # 2 shared buckets, not zero-fill
+    rows = [
+        ("x", 0, 1.0), ("x", 3600, 2.0), ("x", 7200, 3.0),
+        ("y", 0, 10.0), ("y", 3600, 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_e long, value double"
+    ).withColumn("ts", F.col("ts_e").cast("timestamp"))
+    out = correlation_matrix(df, "event_type").collect()
+    assert len(out) == 1 and out[0]["n_buckets"] == 2
+
+
 def test_staleness_report_gaps_and_stale_flag(spark):
     from dads_spark.rollup import staleness_report
 

@@ -685,3 +685,58 @@ def test_cdc_resynchronizes_after_insertion():
     # content-defined boundaries re-align: the vast majority of chunks
     # survive a prefix insertion (fixed-size blocks would share ~none)
     assert len(ha & hb) >= 0.8 * len(ha)
+
+
+# ---------------------------------------------------------------- png
+def test_png_roundtrip_all_filters(spark):
+    import numpy as np
+
+    from dads_spark.ops import make_png, png_stats
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for mid in range(10):
+        h, w = 9, 13
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        # every scanline gets a different filter type, all five exercised
+        filt = [(mid + y) % 5 for y in range(h)]
+        rows.append((mid, bytearray(make_png(img, filt)), img))
+    df = spark.createDataFrame(
+        [(m, p) for m, p, _ in rows], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r for r in png_stats(df).collect()}
+    for mid, _, img in rows:
+        px = img.astype(np.int64)
+        r = got[mid]
+        assert (r["width"], r["height"]) == (13, 9)
+        assert r["sum_r"] == int(px[..., 0].sum())
+        assert r["sum_g"] == int(px[..., 1].sum())
+        assert r["sum_b"] == int(px[..., 2].sum())
+        assert r["max_lum"] == int(
+            (2 * px[..., 1] + px[..., 0] + px[..., 2]).max()
+        )
+
+
+def test_png_rgba_and_corrupt(spark):
+    import numpy as np
+
+    from dads_spark.ops import make_png, png_stats
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (5, 7, 4)).astype(np.uint8)  # RGBA
+    good = make_png(img, [4, 3, 2, 1, 0])
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(b"\x89PNG\r\n\x1a\ngarbage")),
+            (3, bytearray(b"not a png")),
+            (4, bytearray(good[:40])),  # truncated
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in png_stats(df).collect()}
+    px = img.astype(np.int64)
+    assert got[1]["sum_r"] == int(px[..., 0].sum())  # alpha ignored
+    assert got[1]["width"] == 7
+    for bad in (2, 3, 4):
+        assert got[bad]["width"] == -1

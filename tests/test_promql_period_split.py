@@ -337,6 +337,21 @@ def test_histogram_quantile_edge_cases(spark):
     assert "f" not in _hq(spark, rows, 0.5)
 
 
+def test_histogram_quantile_multi_q_single_pass(spark):
+    from dads_spark.rollup import histogram_quantile
+
+    inf = float("inf")
+    rows = [("a", 1.0, 2), ("a", 2.0, 5), ("a", 4.0, 9), ("a", inf, 10)]
+    df = spark.createDataFrame(rows, "k string, le double, cum_count long")
+    got = {
+        r["q"]: r["quantile"]
+        for r in histogram_quantile(df, ["k"], [0.5, 0.9, 0.95]).collect()
+    }
+    # each q matches its single-q twin exactly
+    assert got[0.5] == 2.0 and got[0.9] == 4.0 and got[0.95] == 4.0
+    assert len(got) == 3
+
+
 def test_histogram_quantile_rejects_bad_q():
     import pytest as _pytest
 
@@ -344,3 +359,7 @@ def test_histogram_quantile_rejects_bad_q():
 
     with _pytest.raises(ValueError):
         histogram_quantile(None, ["k"], 1.0)
+    with _pytest.raises(ValueError):
+        histogram_quantile(None, ["k"], [0.5, 1.0])
+    with _pytest.raises(ValueError):
+        histogram_quantile(None, ["k"], [])
