@@ -6455,6 +6455,244 @@ def q_series_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_churn(ev, "event_type", "user_id", "ts")
 
 
+def q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type sniffing (ops/multimodal.py
+    sniff_content_type): one payload per document cycling through the
+    eight detected signatures (real make_png/make_bmp/make_wav_pcm
+    outputs for the decodable formats; crafted public magic prefixes
+    for pdf/gzip/zip/gif; a whitespace-prefixed HTML doc) — classified
+    by pure-JVM hex-prefix codegen, no Python in the sniff path. The
+    oracle knows only doc_id % 8 → expected type; hash equality pins
+    the classifier on genuine format headers."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from dads_spark.ops import (
+        make_bmp,
+        make_png,
+        make_wav_pcm,
+        sniff_content_type,
+    )
+
+    t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = t.column("doc_id").to_pylist()
+    img = (np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3) * 7) % 256
+    png, bmp = make_png(img), make_bmp(img)
+    wav = make_wav_pcm(np.arange(64, dtype=np.int16))
+    fixed = {
+        3: b"%PDF-1.7\n1 0 obj\n<<>>\nendobj",
+        4: b"\x1f\x8b\x08\x00" + b"\x00" * 20,
+        5: b"PK\x03\x04\x14\x00" + b"\x00" * 20,
+        6: b"  \n\t<!DOCTYPE html><html><body>hello</body></html>",
+        7: b"GIF89a" + b"\x00" * 16,
+    }
+    payloads = [
+        {0: png, 1: bmp, 2: wav}.get(did % 8, fixed.get(did % 8, b""))
+        for did in ids
+    ]
+    path = _dump_path("sniff_src")
+    _pq.write_table(
+        _pa.table(
+            {
+                "media_id": _pa.array(ids, _pa.int64()),
+                "payload": _pa.array(payloads, _pa.binary()),
+            }
+        ),
+        path,
+    )
+    return sniff_content_type(spark.read.parquet(path)).select(
+        "media_id", "sniffed_type"
+    )
+
+
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingest + crawl reconciliation (ops/sitemaps.py): per
+    source domain a sitemap XML is RENDERED in Spark from deterministic
+    rules over documents — declared iff doc_id%3!=0 (CDATA-wrapped loc
+    on %9==1 rows, entity-escaped &amp; on all), lastmod 2025 on %5==0
+    (newer than every crawl → stale) else 2023, plus a declared-only
+    ghost URL per %7==0 doc (never crawled → gap) — then PARSED BACK by
+    regex (parse_sitemap) and reconciled against the crawl table
+    (crawled = all docs, warc_ts = 2024-01-01 + doc_id hours). The
+    oracle computes coverage straight from the rules and never sees a
+    byte of XML: hash equality proves parse∘render is identity AND the
+    gap/orphan/ok/stale semantics."""
+    from dads_spark.ops import crawl_coverage, parse_sitemap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    did = F.col("doc_id")
+    loc = F.concat(
+        F.lit("https://"),
+        "source",
+        F.lit(".example.com/p?a=1&id="),
+        did.cast("string"),
+    )
+    lastmod = F.when(did % 5 == 0, F.lit("2025-01-01T00:00:00")).otherwise(
+        F.lit("2023-06-01T00:00:00")
+    )
+    esc = lambda c: F.replace(c, F.lit("&"), F.lit("&amp;"))  # noqa: E731
+    entry_xml = F.concat(
+        F.lit("<url><loc>"),
+        F.when(
+            did % 9 == 1, F.concat(F.lit("<![CDATA["), loc, F.lit("]]>"))
+        ).otherwise(esc(loc)),
+        F.lit("</loc><lastmod>"),
+        lastmod,
+        F.lit("</lastmod></url>"),
+    )
+    ghost = F.concat(
+        F.lit("<url><loc>"), esc(loc), F.lit("-ghost</loc></url>")
+    )
+    entries = (
+        docs.filter(did % 3 != 0)
+        .select("source", entry_xml.alias("e"))
+        .unionByName(
+            docs.filter(did % 7 == 0).select("source", ghost.alias("e"))
+        )
+    )
+    xml = entries.groupBy(F.col("source").alias("host")).agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.concat_ws("", F.array_sort(F.collect_list("e"))),
+            F.lit("</urlset>"),
+        ).alias("sitemap_xml")
+    )
+    declared = parse_sitemap(xml)
+    pages = docs.select(
+        loc.alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=did.cast("int"))
+        ).alias("warc_ts"),
+    )
+    return crawl_coverage(declared, pages)
+
+
+def q_promql_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL resets()/changes() range-vector counts (rollup/promql.py
+    resets_changes): per event_type the quantized value stream is
+    evaluated hourly over a trailing 2h window — adjacent-pair drops
+    (resets) and value changes, via ONE lag pass + the shared bounded
+    grid explode, exact longs end-to-end. Oracle mirrors the pair+grid
+    construction relationally."""
+    from dads_spark.rollup import resets_changes
+
+    ev = _t(spark, sf_dir, "events")
+    samples = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_e"),
+        F.floor(F.col("value") * 10).cast("long").alias("v"),
+    )
+    return resets_changes(
+        samples,
+        ["event_type"],
+        "ts_e",
+        "v",
+        window_s=7200,
+        step_s=3600,
+        order_cols=["event_id"],
+    )
+
+
+def _redelivered_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture: events as TSDB writes with synthetic
+    re-deliveries — every user_id%3==0 event is delivered AGAIN at the
+    same (series, ts) with a higher ingest version and value+1 (the
+    retry won), and every user_id%7==0 event re-delivers with a LOWER
+    version (a late loser)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.col("user_id") % 8).alias("shard"),
+        F.unix_timestamp("ts").alias("ts_e"),
+        (F.col("event_id") * 10).alias("ver"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        "user_id",
+    )
+    retry = base.filter(F.col("user_id") % 3 == 0).select(
+        "event_type",
+        "shard",
+        "ts_e",
+        (F.col("ver") + 5).alias("ver"),
+        (F.col("v") + 1).alias("v"),
+        "user_id",
+    )
+    late = base.filter(F.col("user_id") % 7 == 0).select(
+        "event_type",
+        "shard",
+        "ts_e",
+        (F.col("ver") - 5).alias("ver"),
+        (F.col("v") - 1).alias("v"),
+        "user_id",
+    )
+    return base.unionByName(retry).unionByName(late).drop("user_id")
+
+
+def q_lww_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins ingest compaction (rollup/ingest.py lww_compact):
+    re-delivered writes (retries with higher versions, late losers with
+    lower) collapse to one sample per (series, ts) — the max-(ver,
+    value) struct wins, deterministic under duplicate versions — plus
+    the n_writes write-amplification audit. One hash agg on the same
+    (series, ts) key the tier rollup shuffles on. Oracle: window
+    row_number over (ver, value) DESC."""
+    from dads_spark.rollup import lww_compact
+
+    return lww_compact(
+        _redelivered_samples(spark, sf_dir),
+        ["event_type", "shard"],
+        "ts_e",
+        "ver",
+        "v",
+    )
+
+
+def q_ooo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order ingest health (rollup/ingest.py out_of_order_stats):
+    per series, walking writes in ingest-version order, count arrivals
+    whose timestamp <= the running max already seen (the TSDB
+    out-of-order/duplicate counter) + the max backwards jump. The
+    re-delivered fixture guarantees both duplicate-ts and
+    backwards-jump cases exist. Exact longs; oracle mirrors the
+    running-max window."""
+    from dads_spark.rollup import out_of_order_stats
+
+    return out_of_order_stats(
+        _redelivered_samples(spark, sf_dir),
+        ["event_type", "shard"],
+        "ts_e",
+        "ver",
+    )
+
+
+def q_frontcode_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front-coded string dictionary round-trip (compress/frontcode.py):
+    per source domain the DISTINCT sorted synthetic URLs are prefix-
+    encoded (vectorized adjacent-common-prefix, restart every 16) and
+    decoded again; the returned rows ARE the decoded strings, so hash
+    equality against SELECT DISTINCT proves encode∘decode = identity
+    under real partitioning. The byte accounting (suffix+8/entry vs
+    raw) is pinned by pytest."""
+    from dads_spark.compress import frontcode_roundtrip
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "source",
+        F.concat(
+            F.lit("https://www."),
+            "source",
+            F.lit(".example.com/articles/"),
+            "lang",
+            F.lit("/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("/item-"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return frontcode_roundtrip(urls, "source", "url").select("source", "url")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -6772,6 +7010,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_matrix": q_correlation_matrix,
         "quantile_bands": q_quantile_bands,
         "png_decode": q_png_decode,
+        "content_sniff": q_content_sniff,
+        "sitemap_coverage": q_sitemap_coverage,
+        "promql_resets": q_promql_resets,
+        "lww_compact": q_lww_compact,
+        "ooo_stats": q_ooo_stats,
+        "frontcode_urls": q_frontcode_urls,
     }
 
 

@@ -9,3 +9,8 @@ from .roundtrip import (  # noqa: F401
 )
 from . import alp, chimp, simple8b  # noqa: F401
 from .blobstore import read_compressed_tier, write_compressed_tier  # noqa: F401
+from .frontcode import (  # noqa: F401
+    frontcode_block,
+    frontcode_roundtrip,
+    frontdecode_block,
+)

@@ -132,3 +132,5 @@ from .multimodal import (  # noqa: F401
     wav_pcm_stats,
 )
 from .bloom import bloom_dedup  # noqa: F401
+from .sitemaps import crawl_coverage, parse_sitemap  # noqa: F401
+from .multimodal import sniff_content_type  # noqa: F401

@@ -503,3 +503,57 @@ def make_bmp(rgb: np.ndarray) -> bytes:
     off = 14 + 40
     head = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
     return head + info + data
+
+
+def sniff_content_type(
+    df: DataFrame, payload_col: str = "payload", html_probe_bytes: int = 256
+) -> DataFrame:
+    """Content-type detection by magic bytes — the ingest-side gate a
+    multimodal crawl pipeline runs on every fetched payload BEFORE
+    routing it to a decoder (served Content-Type headers are famously
+    unreliable; magic sniffing is the WHATWG/`file(1)` practice). Pure
+    JVM codegen: one uppercase-hex projection of the first 16 bytes,
+    then a longest-prefix CASE — no Python, no shuffle, the corpus
+    stays map-only.
+
+    Detected (public signatures): png, jpeg, gif, bmp, wav + avi
+    (RIFF subtypes), pdf, gzip, zip, warc (the 'WARC/' magic), html
+    (leading-whitespace-tolerant '<' probe within ``html_probe_bytes``
+    looking for <html/<!doctype, ASCII case-insensitive), else
+    'unknown'. Adds a ``sniffed_type`` column.
+    """
+    hx = F.upper(F.hex(F.substring(F.col(payload_col), 1, 16)))
+    head = F.lower(
+        # cast the probe prefix to string: invalid UTF-8 bytes decode
+        # lossily but '<html'/'<!doctype' survive whenever present
+        F.substring(F.col(payload_col), 1, html_probe_bytes).cast("string")
+    )
+    is_html = F.ltrim(head).startswith("<") & (
+        head.contains("<html") | head.contains("<!doctype")
+    )
+    sniffed = (
+        F.when(hx.startswith("89504E470D0A1A0A"), "png")
+        .when(hx.startswith("FFD8FF"), "jpeg")
+        .when(
+            hx.startswith("474946383761") | hx.startswith("474946383961"),
+            "gif",
+        )
+        .when(
+            hx.startswith("52494646")
+            & (F.substring(hx, 17, 8) == "57415645"),
+            "wav",
+        )
+        .when(
+            hx.startswith("52494646")
+            & (F.substring(hx, 17, 8) == "41564920"),
+            "avi",
+        )
+        .when(hx.startswith("25504446"), "pdf")
+        .when(hx.startswith("1F8B"), "gzip")
+        .when(hx.startswith("504B0304"), "zip")
+        .when(hx.startswith("574152432F"), "warc")
+        .when(hx.startswith("424D"), "bmp")
+        .when(is_html, "html")
+        .otherwise("unknown")
+    )
+    return df.withColumn("sniffed_type", sniffed)

@@ -1,0 +1,104 @@
+"""TSDB ingest semantics: out-of-order arrivals, duplicate samples,
+last-write-wins compaction.
+
+Real metric pipelines re-deliver: an agent retries a batch, two HA
+scrapers race, a backfill replays a day. Every production TSDB
+(Prometheus remote-write receivers, InfluxDB, TimescaleDB) therefore
+defines ingest as UPSERT-BY-TIMESTAMP — for a given (series, ts) the
+sample with the highest ingest version wins (last write wins). This
+module implements that contract relationally:
+
+- ``lww_compact``: one hash aggregation per (series, ts) keeping the
+  max-(version, value) sample — ``max(struct(...))`` so the winner is
+  deterministic even under duplicate versions (struct comparison is
+  lexicographic, identical on any engine). One shuffle keyed by
+  (series, ts): the same key the tier rollup shuffles on anyway, so at
+  100 TB compaction rides the partitioning the write path already has.
+- ``out_of_order_stats``: the ingest-health report — per series, how
+  many arrivals landed with a timestamp <= the running max already
+  ingested (the "out-of-order or duplicate" counter every TSDB
+  exports), plus the max backwards jump in seconds. One window pass in
+  arrival order; exact longs end-to-end.
+
+Reference analog: none; §2.3 north-rule suite (the ingest front door of
+the rollup engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+__all__ = ["lww_compact", "out_of_order_stats"]
+
+
+def lww_compact(
+    samples: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_epoch",
+    ver_col: str = "ingest_ver",
+    value_col: str = "value",
+) -> DataFrame:
+    """Collapse re-deliveries: per (series, ts) keep the sample whose
+    (version, value) struct is maximal. Returns
+    (*key_cols, ts, value, ingest_ver, n_writes) — n_writes is the
+    write amplification audit (how many deliveries that point saw)."""
+    win = F.max(
+        F.struct(F.col(ver_col).alias("v"), F.col(value_col).alias("x"))
+    )
+    return (
+        samples.groupBy(*key_cols, ts_col)
+        .agg(
+            win.alias("_w"),
+            F.count(F.lit(1)).cast("long").alias("n_writes"),
+        )
+        .select(
+            *key_cols,
+            ts_col,
+            F.col("_w.x").alias(value_col),
+            F.col("_w.v").alias(ver_col),
+            "n_writes",
+        )
+    )
+
+
+def out_of_order_stats(
+    samples: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_epoch",
+    arrival_col: str = "ingest_ver",
+) -> DataFrame:
+    """Per-series ingest health: walk samples in ARRIVAL order
+    (``arrival_col``) and count arrivals whose timestamp is <= the
+    running max timestamp already seen — the out-of-order/duplicate
+    counter — plus the largest backwards jump in seconds and the
+    distinct-timestamp vs arrival counts. All exact longs."""
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(arrival_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow - 1)
+    )
+    ts = F.col(ts_col).cast("long")
+    prior_max = F.max(ts).over(w)
+    flagged = samples.select(
+        *key_cols,
+        ts.alias("_ts"),
+        prior_max.alias("_pm"),
+    ).select(
+        *key_cols,
+        "_ts",
+        F.when(F.col("_pm").isNotNull() & (F.col("_ts") <= F.col("_pm")), 1)
+        .otherwise(0)
+        .alias("_ooo"),
+        F.when(
+            F.col("_pm").isNotNull() & (F.col("_ts") <= F.col("_pm")),
+            F.col("_pm") - F.col("_ts"),
+        )
+        .otherwise(0)
+        .alias("_jump"),
+    )
+    return flagged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+        F.countDistinct("_ts").cast("long").alias("n_points"),
+        F.sum("_ooo").cast("long").alias("n_out_of_order"),
+        F.max("_jump").cast("long").alias("max_backwards_s"),
+    )

@@ -328,3 +328,62 @@ def predict_linear(
         slope.alias("slope"),
         (intercept + slope * F.lit(float(horizon_s))).alias("predicted"),
     )
+
+
+def resets_changes(
+    samples: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts_epoch",
+    value_col: str = "value",
+    window_s: int = 7200,
+    step_s: int = 3600,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """PromQL ``resets(v[w])`` and ``changes(v[w])`` at every
+    ``step_s``-aligned evaluation time: over the trailing window, the
+    number of adjacent-sample pairs where the value DROPPED (a counter
+    reset) and where it changed at all (gauge flappiness) — both pure
+    counts, exact longs end-to-end.
+
+    Same execution shape as ``extrapolated_increase``: ONE lag pass
+    builds the global adjacent-pair chain (a window's pair chain is the
+    global chain restricted to it, since windows are time-contiguous),
+    then pairs replicate to their covering evaluation times via the
+    shared bounded explode (x window_s/step_s, never a range join). A
+    pair counts at eval time t iff BOTH its samples lie in
+    (t - window_s, t]. Windows with < 2 samples emit 0s (the row
+    appears whenever >= 1 sample is in the window, matching an instant
+    vector's presence semantics).
+    """
+    if window_s % step_s != 0:
+        raise ValueError("window_s must be a multiple of step_s")
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = W.partitionBy(*key_cols).orderBy(*order)
+    ts = F.col(ts_col).cast("long")
+    val = F.col(value_col).cast("long")
+    paired = samples.select(
+        *key_cols,
+        ts.alias("_ts"),
+        val.alias("_v"),
+        F.lag(ts).over(w).alias("_prev_ts"),
+        F.lag(val).over(w).alias("_prev_v"),
+    )
+    grid = _explode_to_eval_grid(paired, "_ts", window_s, step_s)
+    in_win = F.col("_prev_ts").isNotNull() & (
+        F.col("_prev_ts") > F.col("eval_ts") - window_s
+    )
+    return grid.groupBy(*key_cols, "eval_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(
+            F.when(in_win & (F.col("_v") < F.col("_prev_v")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("resets"),
+        F.sum(
+            F.when(in_win & (F.col("_v") != F.col("_prev_v")), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("changes"),
+    )
