@@ -6476,9 +6476,9 @@ def q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     ids = t.column("doc_id").to_pylist()
-    img = (np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3) * 7) % 256
+    img = (_np.arange(4 * 5 * 3, dtype=_np.uint8).reshape(4, 5, 3) * 7) % 256
     png, bmp = make_png(img), make_bmp(img)
-    wav = make_wav_pcm(np.arange(64, dtype=np.int16))
+    wav = make_wav_pcm(_np.arange(64, dtype=_np.int16))
     fixed = {
         3: b"%PDF-1.7\n1 0 obj\n<<>>\nendobj",
         4: b"\x1f\x8b\x08\x00" + b"\x00" * 20,
@@ -6565,7 +6565,15 @@ def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.make_interval(hours=did.cast("int"))
         ).alias("warc_ts"),
     )
-    return crawl_coverage(declared, pages)
+    cov = crawl_coverage(declared, pages)
+    # epoch seconds, not raw timestamp: Spark's Arrow export is tz-aware
+    # (timestamp_ltz) while DuckDB's is naive — longs are engine-neutral
+    return cov.select(
+        "url",
+        "status",
+        "lastmod",
+        F.unix_timestamp("last_crawl_ts").alias("last_crawl_epoch"),
+    )
 
 
 def q_promql_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6618,11 +6626,14 @@ def _redelivered_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v") + 1).alias("v"),
         "user_id",
     )
+    # late-loser versions are NEGATIVE event ids: globally distinct from
+    # every 10k/10k+5 base/retry version, so version order is TOTAL per
+    # series and the arrival walk is deterministic on any engine
     late = base.filter(F.col("user_id") % 7 == 0).select(
         "event_type",
         "shard",
         "ts_e",
-        (F.col("ver") - 5).alias("ver"),
+        (-(F.expr("ver DIV 10") + 1)).cast("long").alias("ver"),
         (F.col("v") - 1).alias("v"),
         "user_id",
     )
@@ -11578,6 +11589,147 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(vb) AS BIGINT) AS sum_b,
                CAST(max(2 * vg + vr + vb) AS BIGINT) AS max_lum
         FROM px GROUP BY 1
+    """
+    # magic-byte sniff: the oracle knows only the fixture's type cycle
+    d["content_sniff"] = """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 8
+                 WHEN 0 THEN 'png'  WHEN 1 THEN 'bmp'
+                 WHEN 2 THEN 'wav'  WHEN 3 THEN 'pdf'
+                 WHEN 4 THEN 'gzip' WHEN 5 THEN 'zip'
+                 WHEN 6 THEN 'html' ELSE 'gif'
+               END AS sniffed_type
+        FROM documents
+    """
+    # sitemap coverage: recomputed from the synthesis rules, no XML
+    d["sitemap_coverage"] = """
+        WITH loc AS (
+          SELECT doc_id, source,
+                 'https://' || source || '.example.com/p?a=1&id='
+                   || CAST(doc_id AS VARCHAR) AS u
+          FROM documents),
+        declared AS (
+          SELECT u AS url,
+                 CASE WHEN doc_id % 5 = 0 THEN '2025-01-01T00:00:00'
+                      ELSE '2023-06-01T00:00:00' END AS lastmod
+          FROM loc WHERE doc_id % 3 <> 0
+          UNION ALL
+          SELECT u || '-ghost' AS url, NULL AS lastmod
+          FROM loc WHERE doc_id % 7 = 0),
+        d AS (
+          SELECT url, max(lastmod) AS lastmod, TRUE AS decl
+          FROM declared GROUP BY 1),
+        p AS (
+          SELECT u AS url,
+                 max(TIMESTAMP '2024-01-01 00:00:00'
+                     + to_hours(doc_id)) AS last_crawl_ts
+          FROM loc GROUP BY 1),
+        j AS (
+          SELECT coalesce(d.url, p.url) AS url, d.lastmod, d.decl,
+                 p.last_crawl_ts
+          FROM d FULL OUTER JOIN p ON d.url = p.url)
+        SELECT url,
+               CASE
+                 WHEN last_crawl_ts IS NULL THEN 'gap'
+                 WHEN decl IS NULL THEN 'orphan'
+                 WHEN lastmod IS NOT NULL
+                      AND lastmod > strftime(last_crawl_ts,
+                                             '%Y-%m-%dT%H:%M:%S')
+                   THEN 'stale'
+                 ELSE 'ok'
+               END AS status,
+               lastmod,
+               CAST(floor(epoch(last_crawl_ts)) AS BIGINT)
+                   AS last_crawl_epoch
+        FROM j
+    """
+    # resets()/changes(): pair chain + bounded grid, mirrored
+    d["promql_resets"] = """
+        WITH s AS (
+          SELECT event_type, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_e,
+                 CAST(floor(value * 10) AS BIGINT) AS v
+          FROM events),
+        p AS (
+          SELECT *,
+                 lag(ts_e) OVER w AS prev_ts,
+                 lag(v) OVER w AS prev_v
+          FROM s
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts_e, event_id)),
+        e AS (
+          SELECT p.*,
+                 ((ts_e + 3599) // 3600) * 3600 + j.j * 3600 AS eval_ts
+          FROM p, (SELECT unnest([0, 1]) AS j) j
+          WHERE ((ts_e + 3599) // 3600) * 3600 + j.j * 3600
+                < ts_e + 7200)
+        SELECT event_type, eval_ts,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                              AND prev_ts > eval_ts - 7200
+                              AND v < prev_v THEN 1 ELSE 0 END)
+                    AS BIGINT) AS resets,
+               CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                              AND prev_ts > eval_ts - 7200
+                              AND v <> prev_v THEN 1 ELSE 0 END)
+                    AS BIGINT) AS changes
+        FROM e GROUP BY 1, 2
+    """
+    # shared re-delivery CTE for the two ingest queries
+    _redeliver = """
+        WITH base AS (
+          SELECT event_type, user_id % 8 AS shard,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_e,
+                 event_id * 10 AS ver,
+                 CAST(floor(value * 100) AS BIGINT) AS v, user_id,
+                 event_id
+          FROM events),
+        allw AS (
+          SELECT event_type, shard, ts_e, ver, v FROM base
+          UNION ALL
+          SELECT event_type, shard, ts_e, ver + 5, v + 1
+          FROM base WHERE user_id % 3 = 0
+          UNION ALL
+          SELECT event_type, shard, ts_e, -(event_id + 1), v - 1
+          FROM base WHERE user_id % 7 = 0)
+    """
+    d["lww_compact"] = _redeliver + """
+        , r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY event_type, shard, ts_e
+                                    ORDER BY ver DESC, v DESC) AS rn,
+                 count(*) OVER (PARTITION BY event_type, shard, ts_e)
+                     AS nw
+          FROM allw)
+        SELECT event_type, shard, ts_e, v, ver,
+               CAST(nw AS BIGINT) AS n_writes
+        FROM r WHERE rn = 1
+    """
+    d["ooo_stats"] = _redeliver + """
+        , o AS (
+          SELECT *,
+                 max(ts_e) OVER (PARTITION BY event_type, shard
+                                 ORDER BY ver
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS pm
+          FROM allw)
+        SELECT event_type, shard,
+               CAST(count(*) AS BIGINT) AS n_arrivals,
+               CAST(count(DISTINCT ts_e) AS BIGINT) AS n_points,
+               CAST(sum(CASE WHEN pm IS NOT NULL AND ts_e <= pm
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_out_of_order,
+               CAST(max(CASE WHEN pm IS NOT NULL AND ts_e <= pm
+                             THEN pm - ts_e ELSE 0 END) AS BIGINT)
+                   AS max_backwards_s
+        FROM o GROUP BY 1, 2
+    """
+    # frontcode roundtrip: decoded rows must equal SELECT DISTINCT
+    d["frontcode_urls"] = """
+        SELECT DISTINCT source,
+               'https://www.' || source || '.example.com/articles/'
+                 || lang || '/' || CAST(doc_id % 50 AS VARCHAR)
+                 || '/item-' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
     """
     d["bmp_decode"] = """
         WITH px AS (

@@ -528,7 +528,9 @@ def sniff_content_type(
         # lossily but '<html'/'<!doctype' survive whenever present
         F.substring(F.col(payload_col), 1, html_probe_bytes).cast("string")
     )
-    is_html = F.ltrim(head).startswith("<") & (
+    # NOT F.ltrim: Spark's ltrim strips ' ' only — HTML probes must
+    # tolerate leading \n/\t/\r too
+    is_html = F.regexp_replace(head, r"^\s+", "").startswith("<") & (
         head.contains("<html") | head.contains("<!doctype")
     )
     sniffed = (
