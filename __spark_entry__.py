@@ -6704,6 +6704,107 @@ def q_frontcode_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontcode_roundtrip(urls, "source", "url").select("source", "url")
 
 
+def q_exp_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles FROM the base-2 exponential histogram — the OTel-side
+    composition of two already-pinned operators: exp_histogram's
+    exact-integer buckets (le = 2^bucket) feed histogram_quantile's
+    owning-bucket interpolation (p50/p95 band from one window pass).
+    This is how a telemetry store answers latency quantiles without
+    ever storing raw samples; pinning the COMPOSITION guards the
+    le/cumulative handoff between the two operators."""
+    from dads_spark.rollup import exp_histogram, histogram_quantile
+
+    ev = _t(spark, sf_dir, "events")
+    h = exp_histogram(ev, ["event_type"], "value")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    finite = h.select(
+        "event_type",
+        F.pow(F.lit(2.0), F.col("bucket").cast("double")).alias("le"),
+        F.sum("n").over(w).alias("cum_count"),
+    )
+    # the +Inf bucket the Prometheus contract requires: cum = total
+    inf_row = h.groupBy("event_type").agg(
+        F.lit(float("inf")).alias("le"),
+        F.sum("n").alias("cum_count"),
+    )
+    return histogram_quantile(
+        finite.unionByName(inf_row), ["event_type"], [0.5, 0.95]
+    )
+
+
+def q_lww_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-to-tier composition pin: the re-delivered write stream is
+    LWW-compacted (rollup/ingest.py) and the WINNERS roll up to the
+    hour tier — proving compaction composes with the continuous
+    aggregate (duplicate deliveries change n_writes, never v_sum).
+    Oracle compacts with a rank window and aggregates the same rows."""
+    from dads_spark.rollup import lww_compact
+
+    winners = lww_compact(
+        _redelivered_samples(spark, sf_dir),
+        ["event_type", "shard"],
+        "ts_e",
+        "ver",
+        "v",
+    )
+    hour = (F.floor(F.col("ts_e") / 3600) * 3600).cast("long")
+    return winners.groupBy("event_type", hour.alias("hour_e")).agg(
+        F.sum("v").alias("v_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("n_writes").cast("long").alias("n_writes"),
+    )
+
+
+def q_cdx_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX(J) archive-index path (ops/cdx.py): mixed-case/ported/
+    queried URLs are SURT-keyed (surt_key, pure codegen), rendered as
+    CDXJ lines `surt ts {json}`, parsed back (parse_cdxj), and reduced
+    to per-key newest-2xx captures with content-identity collapse
+    (latest_captures: the digest's FIRST capture time survives
+    unchanged re-crawls). ~50 captures share each SURT key and digests
+    repeat mod 7, so the dedup/first-seen logic is genuinely exercised.
+    The oracle re-implements the SURT transform and the capture
+    selection in SQL from the synthesis rules — it never sees a CDXJ
+    line — pinning render∘parse identity, the SURT mirror, and the
+    selection semantics at once."""
+    from dads_spark.ops import latest_captures, parse_cdxj, surt_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://www."),
+        "source",
+        F.lit(".Example.com"),
+        F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Page/"),
+        (did % 50).cast("string"),
+        F.lit("?Ref=A"),
+    )
+    ts14 = (F.lit(20240101000000) + did).cast("string")
+    status = F.when(did % 11 == 0, F.lit("404")).otherwise(F.lit("200"))
+    digest = F.concat(F.lit("sha1:D"), (did % 7).cast("string"))
+    line = F.concat(
+        surt_key(url),
+        F.lit(" "),
+        ts14,
+        F.lit(' {"url": "'),
+        url,
+        F.lit('", "status": "'),
+        status,
+        F.lit('", "mime": "text/html", "digest": "'),
+        digest,
+        F.lit('", "length": '),
+        (did % 1000 + 100).cast("string"),
+        F.lit("}"),
+    )
+    lines = docs.select(line.alias("line"))
+    return latest_captures(parse_cdxj(lines))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -7027,6 +7128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_compact": q_lww_compact,
         "ooo_stats": q_ooo_stats,
         "frontcode_urls": q_frontcode_urls,
+        "exp_hist_quantile": q_exp_hist_quantile,
+        "lww_tier": q_lww_tier,
+        "cdx_captures": q_cdx_captures,
     }
 
 
@@ -11730,6 +11834,110 @@ def oracle_sql() -> dict[str, str]:
                  || lang || '/' || CAST(doc_id % 50 AS VARCHAR)
                  || '/item-' || CAST(doc_id AS VARCHAR) AS url
         FROM documents
+    """
+    # exp-histogram quantile band: buckets -> cum counts -> interp
+    d["exp_hist_quantile"] = """
+        WITH b AS (
+          SELECT event_type,
+                 CASE WHEN CAST(floor(value) AS BIGINT) <= 0 THEN 0
+                      ELSE length(bin(CAST(floor(value) AS BIGINT)))
+                 END AS bucket
+          FROM events),
+        h AS (
+          SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2),
+        cw0 AS (
+          SELECT event_type,
+                 power(2.0, CAST(bucket AS DOUBLE)) AS le,
+                 CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS BIGINT)
+                     AS cum
+          FROM h),
+        cw AS (
+          SELECT * FROM cw0
+          UNION ALL
+          SELECT event_type, CAST('inf' AS DOUBLE) AS le,
+                 CAST(sum(n) AS BIGINT) AS cum
+          FROM h GROUP BY event_type),
+        w AS (
+          SELECT event_type, le, cum,
+                 lag(le)  OVER win AS prev_le,
+                 lag(cum) OVER win AS prev_cum,
+                 max(cum) OVER (PARTITION BY event_type) AS total
+          FROM cw
+          WINDOW win AS (PARTITION BY event_type ORDER BY le)),
+        qs AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q),
+        s AS (
+          SELECT w.*, q, q * CAST(total AS DOUBLE) AS rnk
+          FROM w CROSS JOIN qs WHERE total > 0)
+        SELECT event_type, q, total AS n_obs,
+               CASE
+                 WHEN le = CAST('inf' AS DOUBLE) THEN prev_le
+                 WHEN prev_le IS NULL AND le <= 0 THEN le
+                 ELSE coalesce(prev_le, 0.0)
+                      + (le - coalesce(prev_le, 0.0))
+                        * ((rnk - CAST(coalesce(prev_cum, 0) AS DOUBLE))
+                           / (CAST(cum AS DOUBLE)
+                              - CAST(coalesce(prev_cum, 0) AS DOUBLE)))
+               END AS quantile
+        FROM s
+        WHERE CAST(cum AS DOUBLE) >= rnk
+          AND (prev_cum IS NULL OR CAST(prev_cum AS DOUBLE) < rnk)
+    """
+    d["lww_tier"] = _redeliver + """
+        , r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY event_type, shard, ts_e
+                                    ORDER BY ver DESC, v DESC) AS rn,
+                 count(*) OVER (PARTITION BY event_type, shard, ts_e)
+                     AS nw
+          FROM allw),
+        winners AS (SELECT * FROM r WHERE rn = 1)
+        SELECT event_type,
+               CAST(floor(ts_e / 3600) AS BIGINT) * 3600 AS hour_e,
+               CAST(sum(v) AS BIGINT) AS v_sum,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(nw) AS BIGINT) AS n_writes
+        FROM winners GROUP BY 1, 2
+    """
+    # CDX: SURT + capture selection recomputed from the rules, no CDXJ
+    d["cdx_captures"] = """
+        WITH c AS (
+          SELECT doc_id AS did, source,
+                 'https://www.' || source || '.Example.com'
+                   || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+                   || '/Page/' || CAST(doc_id % 50 AS VARCHAR)
+                   || '?Ref=A' AS url,
+                 20240101000000 + doc_id AS cdx_ts,
+                 CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS status,
+                 'sha1:D' || CAST(doc_id % 7 AS VARCHAR) AS digest
+          FROM documents),
+        surt AS (
+          SELECT c.*,
+                 array_to_string(
+                   list_reverse(
+                     string_split(lower(source) || '.example.com', '.')),
+                   ',')
+                 || ')/page/' || CAST(did % 50 AS VARCHAR) || '?ref=a'
+                     AS surt
+          FROM c),
+        ok AS (SELECT * FROM surt WHERE status BETWEEN 200 AND 299),
+        newest AS (
+          SELECT surt,
+                 CAST(count(*) AS BIGINT) AS n_captures,
+                 CAST(count(DISTINCT digest) AS BIGINT)
+                     AS n_distinct_digests,
+                 CAST(max(cdx_ts) AS BIGINT) AS last_ts,
+                 max((cdx_ts, url, digest)) AS win
+          FROM ok GROUP BY 1),
+        fs AS (
+          SELECT surt, digest, CAST(min(cdx_ts) AS BIGINT) AS first_ts
+          FROM ok GROUP BY 1, 2)
+        SELECT n.surt, n.win[2] AS url, n.win[3] AS digest,
+               fs.first_ts, n.last_ts, n.n_captures, n.n_distinct_digests
+        FROM newest n
+        JOIN fs ON n.surt = fs.surt AND n.win[3] = fs.digest
     """
     d["bmp_decode"] = """
         WITH px AS (

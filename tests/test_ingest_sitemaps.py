@@ -264,3 +264,67 @@ def test_frontcode_roundtrip_distributed(spark):
     # byte accounting: encoded < raw on URL-shaped dictionaries
     per = out.groupby("domain").first()
     assert (per["enc_bytes"] < per["raw_bytes"]).all()
+
+
+# --------------------------------------------------------------------- cdx
+
+
+def test_surt_key_transform(spark):
+    from dads_spark.ops import surt_key
+
+    cases = [
+        ("https://www.Example.COM:443/A/b?Q=1", "com,example)/a/b?q=1"),
+        ("http://sub.host.example.co.uk:80/x", "uk,co,example,host,sub)/x"),
+        ("https://example.com", "com,example)/"),
+        ("example.com/path", "com,example)/path"),  # schemeless
+        ("https://example.com:8080/p", "com,example:8080)/p"),  # non-default port kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    from pyspark.sql import functions as F2
+
+    got = [r["s"] for r in df.select(surt_key(F2.col("url")).alias("s")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_parse_cdxj_and_malformed(spark):
+    from dads_spark.ops import parse_cdxj
+
+    good = (
+        'com,a)/x 20240102030405 {"url": "https://a.com/x", "status": '
+        '"200", "mime": "text/html", "digest": "sha1:Z", "length": 42}'
+    )
+    df = spark.createDataFrame(
+        [(good,), ("not a cdx line",), ("a)/x 2024 {}",)], "line string"
+    )
+    rows = parse_cdxj(df).collect()
+    ok = [r for r in rows if r["surt"] is not None]
+    assert len(ok) == 1
+    r = ok[0]
+    assert (r["surt"], r["cdx_ts"], r["status"], r["length"]) == (
+        "com,a)/x", 20240102030405, 200, 42
+    )
+
+
+def test_latest_captures_digest_collapse(spark):
+    from dads_spark.ops import latest_captures
+
+    rows = [
+        # same surt: digest D1 at t1/t2 (re-crawl unchanged), D2 at t3
+        ("s)/", 1, "u", 200, "text/html", "D1", 10),
+        ("s)/", 2, "u", 200, "text/html", "D1", 10),
+        ("s)/", 3, "u", 200, "text/html", "D2", 10),
+        ("s)/", 4, "u", 404, "text/html", "D3", 10),  # non-2xx: ignored
+        ("t)/", 9, "v", 204, "text/html", "E", 5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "surt string, cdx_ts long, url string, status long, mime string,"
+        " digest string, length long",
+    )
+    out = {r["surt"]: r for r in latest_captures(df).collect()}
+    s = out["s)/"]
+    assert (s["digest"], s["first_ts"], s["last_ts"]) == ("D2", 3, 3)
+    assert (s["n_captures"], s["n_distinct_digests"]) == (3, 2)
+    # D1's unchanged re-crawl: if D1 were newest its first_ts would be 1
+    t = out["t)/"]
+    assert (t["digest"], t["first_ts"], t["n_captures"]) == ("E", 9, 1)
