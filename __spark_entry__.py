@@ -6805,6 +6805,73 @@ def q_cdx_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_captures(parse_cdxj(lines))
 
 
+def q_exp_hist_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exp-histogram tier MERGEABILITY pin — the property that makes
+    the sketch a rollup citizen at 100 TB: Spark builds per-(metric,
+    HOUR) exponential histograms and merges them to DAY cells by cell
+    addition (+ min/min, max/max); the oracle builds the DAY histogram
+    directly from raw events. Hash equality proves hour→day cascade ==
+    direct computation, so day/week tiers never re-read raw samples."""
+    from dads_spark.rollup import exp_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    with_keys = ev.select(
+        "event_type",
+        (F.floor(epoch / 3600).cast("long") * 3600).alias("hour_e"),
+        (F.floor(epoch / 86400).cast("long") * 86400).alias("day_e"),
+        "value",
+    )
+    hourly = exp_histogram(
+        with_keys, ["event_type", "day_e", "hour_e"], "value"
+    )
+    return hourly.groupBy("event_type", "day_e", "bucket").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.min("v_floor_min").alias("v_floor_min"),
+        F.max("v_floor_max").alias("v_floor_max"),
+    )
+
+
+def q_topk_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``topk(2, rate(counter[2h]))`` — the alerting dashboard's
+    standard composition: the pinned extrapolated rate per series at
+    every eval step, ranked within the step, top 2 kept (deterministic
+    tie-break on the series label). Pins rate∘rank composition; the
+    rank is ONE row_number window over the already-tiny eval grid."""
+    from dads_spark.rollup import extrapolated_increase
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts_e", "event_id")
+    samples = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_e"),
+        F.floor(F.col("value") * 10).cast("long").alias("_inc"),
+    ).select(
+        "event_type",
+        "event_id",
+        "ts_e",
+        (F.sum("_inc").over(w) % 100000).alias("counter"),
+    )
+    rates = extrapolated_increase(
+        samples,
+        ["event_type"],
+        "ts_e",
+        "counter",
+        window_s=7200,
+        step_s=3600,
+        order_cols=["event_id"],
+    ).select("event_type", "eval_ts", "rate")
+    rk = F.row_number().over(
+        W.partitionBy("eval_ts").orderBy(
+            F.col("rate").desc(), F.col("event_type")
+        )
+    )
+    return rates.select(
+        "eval_ts", "event_type", "rate", rk.cast("long").alias("rank")
+    ).filter(F.col("rank") <= 2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -7131,6 +7198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exp_hist_quantile": q_exp_hist_quantile,
         "lww_tier": q_lww_tier,
         "cdx_captures": q_cdx_captures,
+        "exp_hist_cascade": q_exp_hist_cascade,
+        "topk_rate": q_topk_rate,
     }
 
 
@@ -11939,6 +12008,32 @@ def oracle_sql() -> dict[str, str]:
         FROM newest n
         JOIN fs ON n.surt = fs.surt AND n.win[3] = fs.digest
     """
+    # exp-histogram cascade: oracle = DIRECT day histogram from raw
+    d["exp_hist_cascade"] = """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) * 86400
+                     AS day_e,
+                 CAST(floor(value) AS BIGINT) AS fv
+          FROM events),
+        k AS (
+          SELECT event_type, day_e, fv,
+                 CASE WHEN fv <= 0 THEN 0
+                      ELSE length(bin(fv)) END AS bucket
+          FROM b)
+        SELECT event_type, day_e, CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(fv) AS BIGINT) AS v_floor_min,
+               CAST(max(fv) AS BIGINT) AS v_floor_max
+        FROM k GROUP BY 1, 2, 3
+    """
+    d["topk_rate"] = (
+        "SELECT eval_ts, event_type, rate, "
+        "       CAST(row_number() OVER (PARTITION BY eval_ts "
+        "                ORDER BY rate DESC, event_type) AS BIGINT) AS rank "
+        "FROM (" + d["promql_rate"] + ") base "
+        "QUALIFY rank <= 2"
+    )
     d["bmp_decode"] = """
         WITH px AS (
             SELECT d.doc_id AS media_id,
