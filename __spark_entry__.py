@@ -6872,6 +6872,80 @@ def q_topk_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rank") <= 2)
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per hourly series
+    (rollup/trend.py:mann_kendall_grouped): exact integer S statistic +
+    tie-corrected variance numerator (var18 = 18*Var(S)) via an
+    O(n log n) Fenwick walk — the hypothesis-test complement of
+    ols_trend/theil_sen_trend; no float surface, hash-exact."""
+    from dads_spark.rollup import bucket_expr, mann_kendall_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    return mann_kendall_grouped(hourly, ["event_type"], "bucket_ts", "y")
+
+
+def q_duration_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact time-above-threshold under linear interpolation
+    (rollup/analytics.py:duration_above): per-segment crossing fractions
+    in integer microseconds (DIV floor division), over the hourly count
+    series per event_type with threshold 5 — the SLO 'how long were we
+    above X' question, answered bit-exactly."""
+    from dads_spark.rollup import bucket_expr, duration_above
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    return duration_above(
+        hourly, ["event_type"], threshold=5, ts_col="bucket_ts", value_col="y"
+    )
+
+
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-template mining (ops/urltools.py:url_templates): hex runs
+    -> {hex} then digit runs -> {n} per path, counted per (host,
+    template) — the crawl-trap / faceted-grid detector. URLs synthesized
+    deterministically from documents (numeric ids, md5-hex ids, dated
+    archive paths) identically on both engines."""
+    from dads_spark.ops import url_templates
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"),
+            "source",
+            F.lit(".example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("/p/"), F.col("doc_id").cast("string")),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit("/a/"),
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+                    F.lit("/view"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("/archive/20"),
+                    F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0"),
+                    F.lit("/"),
+                    F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+                    F.lit("/item"),
+                )
+            ),
+            F.lit("?lang="),
+            "lang",
+        ).alias("url")
+    )
+    return url_templates(urls)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -7200,6 +7274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_captures": q_cdx_captures,
         "exp_hist_cascade": q_exp_hist_cascade,
         "topk_rate": q_topk_rate,
+        "mann_kendall": q_mann_kendall,
+        "duration_above": q_duration_above,
+        "url_templates": q_url_templates,
     }
 
 
@@ -12150,5 +12227,98 @@ def oracle_sql() -> dict[str, str]:
                    AS share_permille
         FROM j JOIN per USING (lang)
         GROUP BY 1, 2
+    """
+    # exact-integer Mann-Kendall: the O(n^2) pair join IS the definition,
+    # fine as an oracle at sf0.01 series lengths; the engine side walks a
+    # Fenwick tree in O(n log n)
+    d["mann_kendall"] = """
+        WITH h AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600 AS b,
+                   count(*) AS y
+            FROM events GROUP BY 1, 2),
+        p AS (
+            SELECT a.event_type,
+                   SUM(CASE WHEN b.y > a.y THEN 1
+                            WHEN b.y < a.y THEN -1 ELSE 0 END) AS s,
+                   SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS ties
+            FROM h a JOIN h b
+              ON a.event_type = b.event_type AND a.b < b.b
+            GROUP BY 1),
+        n AS (SELECT event_type, count(*) AS n FROM h GROUP BY 1),
+        t AS (
+            SELECT event_type,
+                   SUM(c * (c - 1) * (2 * c + 5)) AS tie_term
+            FROM (SELECT event_type, y, count(*) AS c
+                  FROM h GROUP BY 1, 2)
+            GROUP BY 1)
+        SELECT n.event_type,
+               CAST(n.n AS BIGINT) AS n,
+               CAST(coalesce(p.s, 0) AS BIGINT) AS s_stat,
+               CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+                    - coalesce(t.tie_term, 0) AS BIGINT) AS var18,
+               CAST(coalesce(p.ties, 0) AS BIGINT) AS tie_pairs
+        FROM n LEFT JOIN p USING (event_type) LEFT JOIN t USING (event_type)
+    """
+    d["duration_above"] = """
+        WITH h AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600 AS b,
+                   count(*) AS y
+            FROM events GROUP BY 1, 2),
+        s AS (
+            SELECT event_type, b, y,
+                   lag(b) OVER w AS b0, lag(y) OVER w AS y0
+            FROM h WINDOW w AS (PARTITION BY event_type ORDER BY b)),
+        seg AS (
+            SELECT event_type,
+                   (b - b0) * 1000000 AS span_us,
+                   CASE WHEN least(y0, y) > 5 THEN (b - b0) * 1000000
+                        WHEN greatest(y0, y) <= 5 THEN 0
+                        ELSE ((greatest(y0, y) - 5) * (b - b0) * 1000000)
+                             // (greatest(y0, y) - least(y0, y))
+                   END AS above_us
+            FROM s WHERE b0 IS NOT NULL)
+        SELECT event_type,
+               CAST(sum(above_us) AS BIGINT) AS above_us,
+               CAST(sum(span_us) AS BIGINT) AS total_us,
+               CAST(count(*) AS BIGINT) AS n_segments
+        FROM seg GROUP BY 1
+    """
+    # same deterministic URL synthesis, same extraction + templating
+    # regexes (shared Java-regex/RE2 subset), hex collapsed before digits
+    d["url_templates"] = """
+        WITH u AS (
+            SELECT 'https://' || source || '.example.com' ||
+                   CASE WHEN doc_id % 3 = 0
+                            THEN '/p/' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 3 = 1
+                            THEN '/a/' ||
+                                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                                 || '/view'
+                        ELSE '/archive/20' ||
+                             lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                             || '/' ||
+                             lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                             || '/item'
+                   END || '?lang=' || lang AS url
+            FROM documents),
+        e AS (
+            SELECT regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                   regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p0
+            FROM u),
+        pth AS (
+            SELECT host,
+                   CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path
+            FROM e)
+        SELECT host,
+               regexp_replace(
+                   regexp_replace(path, '[0-9a-f]{8,}', '{hex}', 'g'),
+                   '[0-9]+', '{n}', 'g') AS template,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(count(DISTINCT path) AS BIGINT) AS n_paths
+        FROM pth GROUP BY 1, 2
     """
     return d

@@ -105,6 +105,7 @@ from .urltools import (  # noqa: F401
     host_suffixes,
     parse_urls,
     registrable_domain,
+    url_templates,
 )
 from .sketch import (  # noqa: F401
     digest,

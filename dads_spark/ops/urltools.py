@@ -203,3 +203,45 @@ def blocklist_filter(
         .filter(~F.col("blocked"))
         .drop("blocked", "matched_rule")
     )
+
+
+def url_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Mine URL path TEMPLATES: collapse volatile id-ish runs so
+    /p/123/x and /p/456/x both read /p/{n}/x, then count pages and
+    distinct raw paths per (host, template). The classic crawl-frontier
+    question — which URL *patterns* dominate a host (calendar traps,
+    session-id explosions, faceted-search grids) — is only visible after
+    templating; raw-path counts rank every page once.
+
+    Rules (order matters and is part of the contract — hex first so the
+    digits inside a hex id don't get templated piecemeal):
+      1. runs of >=8 lowercase hex chars -> ``{hex}``  (uuids, digests)
+      2. runs of decimal digits          -> ``{n}``    (ids, dates, pages)
+
+    Output: host, template, n_pages, n_paths — integers + strings only,
+    hash-exact cross-engine (both regexes are shared RE2/Java-regex
+    subset: character classes + bounded repetition, no lookaround).
+
+    Scale shape: per-row regex (codegen, no Python) + ONE groupBy on
+    (host, template) with partial aggregation — the same shape at 100 TB;
+    template cardinality is bounded by real site structure, and a skewed
+    mega-template is mergeable (counts are decomposable sums).
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    path = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    template = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "{hex}"), r"[0-9]+", "{n}"
+    )
+    return (
+        df.select(
+            host.alias("host"),
+            path.alias("_path"),
+            template.alias("template"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.countDistinct("_path").cast("long").alias("n_paths"),
+        )
+    )

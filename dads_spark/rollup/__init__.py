@@ -66,6 +66,8 @@ from .matrixprofile import (  # noqa: F401
 from .trend import (  # noqa: F401
     dtw_banded,
     dtw_pairs_grouped,
+    mann_kendall_grouped,
+    mann_kendall_stats,
     ols_trend_exact,
     theil_sen_grouped,
     theil_sen_slope,
@@ -76,6 +78,7 @@ from .analytics import (  # noqa: F401
     burst_intervals,
     calendar_compare,
     decayed_popularity,
+    duration_above,
     exp_histogram,
     gap_percentiles,
     cohort_retention,

@@ -1321,3 +1321,77 @@ def series_churn(
             "n_returning", (F.col("n_active") - F.col("n_new")).cast("long")
         )
     )
+
+
+def duration_above(
+    df: DataFrame,
+    key_cols: list[str],
+    threshold: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact time-above-threshold per series under LINEAR interpolation —
+    "how many seconds was this domain's error rate above X?", the SLO
+    question a bucketed count cannot answer at crossing points.
+
+    Per consecutive sample pair (t0,v0)->(t1,v1) (epoch-second longs,
+    integer values), the interpolated series is above ``threshold`` for
+
+        both above             : the whole span t1 - t0
+        both at-or-below       : 0
+        one crossing           : (v_hi - threshold) / (v_hi - v_lo)
+                                 of the span (linear crossing point)
+
+    "above" is strict (v > threshold). The crossing fraction is rational;
+    to stay hash-exact the per-segment contribution is emitted in
+    MICROSECONDS with integer floor division (`DIV`, NOT float `/` — the
+    packing.py lesson: long/long promotes to double and drifts past
+    2^53). Integer arithmetic end-to-end -> bit-identical on any engine.
+    Output: keys..., above_us, total_us, n_segments (all long).
+
+    Scale shape: one window shuffle on the series key (lag), then a
+    decomposable sum — all whole-stage codegen; no Python.
+    """
+    w = W.partitionBy(*key_cols).orderBy(ts_col)
+    t1 = F.col(ts_col).cast("long")
+    v1 = F.col(value_col).cast("long")
+    thr = F.lit(int(threshold)).cast("long")
+    staged = (
+        df.select(
+            *key_cols,
+            t1.alias("_t1"),
+            F.lag(t1).over(w).alias("_t0"),
+            v1.alias("_v1"),
+            F.lag(v1).over(w).alias("_v0"),
+        )
+        .where(F.col("_t0").isNotNull())
+    )
+    vhi = F.greatest(F.col("_v0"), F.col("_v1"))
+    vlo = F.least(F.col("_v0"), F.col("_v1"))
+    seg = staged.select(
+        *key_cols,
+        ((F.col("_t1") - F.col("_t0")) * F.lit(1000000).cast("long")).alias(
+            "_span_us"
+        ),
+        ((vhi - thr) * (F.col("_t1") - F.col("_t0")) * F.lit(1000000)).alias(
+            "_num"
+        ),
+        (vhi - vlo).alias("_den"),
+        (vlo > thr).alias("_both_above"),
+        (vhi <= thr).alias("_both_below"),
+    )
+    contrib = (
+        F.when(F.col("_both_above"), F.col("_span_us"))
+        .when(F.col("_both_below"), F.lit(0).cast("long"))
+        .otherwise(F.expr("_num DIV _den"))
+        .cast("long")
+    )
+    return (
+        seg.select(*key_cols, "_span_us", contrib.alias("_above_us"))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("_above_us").cast("long").alias("above_us"),
+            F.sum("_span_us").cast("long").alias("total_us"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+        )
+    )

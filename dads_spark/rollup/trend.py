@@ -237,3 +237,87 @@ def ols_trend_exact(
         .alias("icept_numer"),
         (F.col("n") * slope_d).cast("long").alias("icept_denom"),
     )
+
+
+def mann_kendall_stats(v: np.ndarray) -> tuple[int, int, int]:
+    """Exact Mann-Kendall statistics over a time-ordered value vector.
+
+        S     = sum_{i<j} sign(v_j - v_i)                 (integer)
+        var18 = n(n-1)(2n+5) - sum_g t_g(t_g-1)(2t_g+5)   (integer; the
+                tie-corrected Var(S) is var18/18 — kept as the exact
+                numerator so no float ever enters the result)
+        tie_pairs = sum_g t_g(t_g-1)/2
+
+    S is computed in O(n log n) with a Fenwick tree over compressed value
+    ranks walked in time order (smaller_before - larger_before per
+    element) — NOT the O(n^2) pair matrix, so a year of hourly points
+    (n=8760) costs ~1e5 integer ops, and memory stays O(distinct values).
+    All-integer -> bit-identical on any engine / any partitioning.
+    """
+    n = len(v)
+    if n < 2:
+        return 0, 0, 0
+    _, ranks, counts = np.unique(v, return_inverse=True, return_counts=True)
+    m = len(counts)
+    tree = [0] * (m + 1)
+    seen_eq = [0] * m
+    s = 0
+    for j, r in enumerate(ranks):
+        # smaller_before = prefix sum over ranks < r
+        i, smaller = int(r), 0  # tree is 1-based; prefix over [1..r]
+        while i > 0:
+            smaller += tree[i]
+            i -= i & (-i)
+        larger = j - smaller - seen_eq[r]
+        s += smaller - larger
+        seen_eq[r] += 1
+        i = int(r) + 1
+        while i <= m:
+            tree[i] += 1
+            i += i & (-i)
+    counts = counts.astype(np.int64)
+    tie_term = int(np.sum(counts * (counts - 1) * (2 * counts + 5)))
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    tie_pairs = int(np.sum(counts * (counts - 1) // 2))
+    return int(s), int(var18), tie_pairs
+
+
+def mann_kendall_grouped(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-series Mann-Kendall trend test (Mann 1945, Kendall 1975): the
+    standard non-parametric "is there a monotonic trend?" answer for tier
+    series, robust to outliers and distribution-free — the hypothesis-test
+    complement of ``theil_sen_grouped`` (whose slope estimates WHAT the
+    trend is; S's sign agrees with it).
+
+    Output: keys..., n, s_stat, var18, tie_pairs — all exact integers
+    (Var(S) = var18/18; callers needing a z-score compute
+    (S -+ 1)/sqrt(var18/18) from the exact parts).
+
+    Scale shape: one kernel task per POST-ROLLUP series (same layout as
+    theil_sen_grouped); O(n log n) per series, no cross-task traffic.
+    """
+    out_schema = ", ".join(
+        [f"{c} string" for c in key_cols]
+        + ["n long", "s_stat long", "var18 long", "tie_pairs long"]
+    )
+
+    def f(keys, pdf):
+        pdf = pdf.sort_values(order_col)
+        v = pdf[value_col].to_numpy(dtype=np.int64)
+        s, var18, tie_pairs = mann_kendall_stats(v)
+        return pd.DataFrame(
+            {
+                **{c: [k] for c, k in zip(key_cols, keys)},
+                "n": np.array([len(v)], dtype=np.int64),
+                "s_stat": np.array([s], dtype=np.int64),
+                "var18": np.array([var18], dtype=np.int64),
+                "tie_pairs": np.array([tie_pairs], dtype=np.int64),
+            }
+        )
+
+    return df.groupBy(*key_cols).applyInPandas(f, out_schema)
