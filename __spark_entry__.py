@@ -6946,6 +6946,88 @@ def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_templates(urls)
 
 
+def _stage_pla_oracle(sf_dir: str, eps: int = 2) -> str:
+    import numpy as _np2
+    import pyarrow as _pa
+
+    from dads_spark.oracles import hourly_counts, pla_swing_oracle
+
+    ks, si, t0s, v0s, t1s, v1s, nps = [], [], [], [], [], [], []
+    for et, (b, v) in sorted(hourly_counts(sf_dir).items()):
+        for i, (t0, v0, t1, v1, np_) in enumerate(
+            pla_swing_oracle(b, v, eps)
+        ):
+            ks.append(et)
+            si.append(i)
+            t0s.append(t0)
+            v0s.append(v0)
+            t1s.append(t1)
+            v1s.append(v1)
+            nps.append(np_)
+    return _write_dump(
+        "pla_oracle",
+        {
+            "event_type": _pa.array(ks, type=_pa.string()),
+            "seg_idx": _np2.array(si, dtype=_np2.int64),
+            "t_start": _np2.array(t0s, dtype=_np2.int64),
+            "v_start": _np2.array(v0s, dtype=_np2.int64),
+            "t_end": _np2.array(t1s, dtype=_np2.int64),
+            "v_end": _np2.array(v1s, dtype=_np2.int64),
+            "n_points": _np2.array(nps, dtype=_np2.int64),
+        },
+    )
+
+
+def q_pla_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Swing-filter bounded-error PLA (compress/pla.py): the LOSSY
+    compression tier beside Gorilla/Chimp/ALP — greedy feasible-slope
+    cone over exact integer cross-multiplication, one segment per
+    quasi-linear run of the hourly count series (eps=2). Pinned against
+    the from-scratch Fraction-arithmetic scalar oracle (staged)."""
+    from dads_spark.compress import pla_segments_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", bucket_expr("ts", "hour"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .select(
+            "event_type",
+            F.unix_seconds(F.col("bucket_ts")).alias("t"),
+            F.col("y").cast("long").alias("y"),
+        )
+    )
+    _stage_pla_oracle(sf_dir)
+    return pla_segments_grouped(hourly, ["event_type"], "t", "y", eps=2)
+
+
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl WET conversion-record assembly + member-stream byte
+    offsets (io/warc.py:wet_records): header block per the WARC 1.1 WET
+    convention, Content-Length in UTF-8 BYTES, offsets from one per-shard
+    window cumsum. Pages synthesized deterministically from documents
+    (url from source/doc_id, warc_ts from an hourly epoch grid)."""
+    from dads_spark.io.warc import wet_records
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.col("source").alias("shard"),
+        F.concat(
+            F.lit("https://"),
+            "source",
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("doc_id") * 3600
+        ).alias("warc_ts"),
+        "text",
+    )
+    return wet_records(
+        pages, url_col="url", ts_col="warc_ts", text_col="text",
+        shard_col="shard",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -7277,6 +7359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "duration_above": q_duration_above,
         "url_templates": q_url_templates,
+        "pla_segments": q_pla_segments,
+        "wet_export": q_wet_export,
     }
 
 
@@ -12320,5 +12404,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_pages,
                CAST(count(DISTINCT path) AS BIGINT) AS n_paths
         FROM pth GROUP BY 1, 2
+    """
+    d["pla_segments"] = """
+        SELECT event_type, seg_idx, t_start, v_start, t_end, v_end,
+               n_points
+        FROM read_parquet('/root/repo/.stage_cache/pla_oracle.parquet')
+    """
+    # same deterministic page synthesis; the record is assembled with
+    # explicit chr(13)||chr(10) CRLFs and BYTE lengths (octet_length over
+    # encode()), timestamps via tz-free make_timestamp epoch arithmetic
+    d["wet_export"] = """
+        WITH pages AS (
+            SELECT source AS shard,
+                   'https://' || source || '.example.com/p/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   strftime(make_timestamp(
+                       (1700000000 + doc_id * 3600) * 1000000),
+                       '%Y-%m-%dT%H:%M:%SZ') AS wdate,
+                   coalesce(text, '') AS body
+            FROM documents),
+        rec AS (
+            SELECT shard, url,
+                   'WARC/1.0' || chr(13) || chr(10) ||
+                   'WARC-Type: conversion' || chr(13) || chr(10) ||
+                   'WARC-Target-URI: ' || url || chr(13) || chr(10) ||
+                   'WARC-Date: ' || wdate || chr(13) || chr(10) ||
+                   'Content-Type: text/plain' || chr(13) || chr(10) ||
+                   'Content-Length: ' ||
+                       CAST(octet_length(encode(body)) AS VARCHAR)
+                       || chr(13) || chr(10) ||
+                   chr(13) || chr(10) ||
+                   body || chr(13) || chr(10) || chr(13) || chr(10)
+                       AS record
+            FROM pages),
+        sized AS (
+            SELECT shard, url, record,
+                   CAST(octet_length(encode(record)) AS BIGINT)
+                       AS record_len
+            FROM rec)
+        SELECT shard, url,
+               CAST(coalesce(sum(record_len) OVER (
+                   PARTITION BY shard ORDER BY url
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS offset,
+               record_len, record
+        FROM sized
     """
     return d

@@ -14,3 +14,8 @@ from .frontcode import (  # noqa: F401
     frontcode_roundtrip,
     frontdecode_block,
 )
+from .pla import (  # noqa: F401
+    pla_max_error,
+    pla_segments_grouped,
+    swing_segments,
+)

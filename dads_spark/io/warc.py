@@ -36,9 +36,14 @@ this is the §2.4/web-corpus ingestion source.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-__all__ = ["parse_warc_bytes", "read_warc", "build_warc_record"]
+__all__ = [
+    "parse_warc_bytes",
+    "read_warc",
+    "build_warc_record",
+    "wet_records",
+]
 
 _CRLF = b"\r\n"
 
@@ -144,4 +149,82 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
         "html",
         "n_bytes",
+    )
+
+
+def wet_records(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assemble Common-Crawl-style WET conversion records (the
+    extracted-text sibling of the WARC response archive: one
+    ``WARC-Type: conversion`` record per page, header block + UTF-8 text
+    body) and their byte offsets into the concatenated member stream.
+
+    Header layout per the WARC 1.1 / Common Crawl WET convention:
+
+        WARC/1.0\\r\\n
+        WARC-Type: conversion\\r\\n
+        WARC-Target-URI: <url>\\r\\n
+        WARC-Date: <ISO-8601 UTC seconds>\\r\\n
+        Content-Type: text/plain\\r\\n
+        Content-Length: <UTF-8 BYTE length of body>\\r\\n
+        \\r\\n
+        <text>\\r\\n\\r\\n
+
+    Content-Length counts BYTES of the body (octet_length, not
+    characters — the r3 warc_ingest lesson); record_len likewise.
+    ``offset`` is the running byte start of each record in url order —
+    the CDX pointer a reader seeks to. Output: url, offset, record_len,
+    record.
+
+    Scale shape: header assembly is per-row codegen (concat +
+    octet_length + date_format); the offset cumsum is ONE window over the
+    output order. At 100 TB you partition the stream into shard files and
+    run the window per shard — pass ``shard_col`` and the offset window
+    partitions by it (offsets are per-member-file in real WET output
+    anyway); without it the cumsum is a single-task window, fine only for
+    one member file.
+    """
+    body = F.coalesce(F.col(text_col), F.lit(""))
+    crlf = F.lit("\r\n")
+    record = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: conversion"), crlf,
+        F.lit("WARC-Target-URI: "), F.col(url_col), crlf,
+        F.lit("WARC-Date: "),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"), crlf,
+        F.lit("Content-Type: text/plain"), crlf,
+        F.lit("Content-Length: "),
+        F.octet_length(body).cast("string"), crlf,
+        crlf,
+        body, crlf, crlf,
+    )
+    shard_cols = [shard_col] if shard_col else []
+    staged = df.select(
+        *shard_cols, F.col(url_col).alias("url"), record.alias("record")
+    ).withColumn("record_len", F.octet_length("record").cast("long"))
+    w = (
+        Window.partitionBy(shard_col).orderBy("url")
+        if shard_col
+        else Window.orderBy("url")
+    )
+    return staged.select(
+        *shard_cols,
+        "url",
+        (
+            F.coalesce(
+                F.sum("record_len").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("offset"),
+        "record_len",
+        "record",
     )

@@ -1237,3 +1237,48 @@ def core_numbers_oracle(edges):
                     if deg[u] <= k:
                         stack.append(u)
     return core
+
+
+def pla_swing_oracle(t, v, eps: int):
+    """Scalar swing-filter PLA oracle using ``fractions.Fraction``
+    (normalized rational arithmetic — a different exactness mechanism
+    from the kernel's raw cross-multiplication) AND a from-scratch cone
+    recheck: at every step the feasible cone is recomputed over ALL
+    points since the anchor, not narrowed incrementally. O(n^2) worst
+    case; the textbook definition, shares no state mechanics with
+    compress/pla.py. Returns [(t_start, v_start, t_end, v_end,
+    n_points), ...]."""
+    from fractions import Fraction
+
+    t = [int(x) for x in t]
+    v = [int(x) for x in v]
+    n = len(t)
+    if n == 0:
+        return []
+    if n == 1:
+        return [(t[0], v[0], t[0], v[0], 1)]
+    eps = int(eps)
+
+    def cone_nonempty(a: int, end: int) -> bool:
+        # feasible slopes keeping points a+1..end within +-eps of a line
+        # anchored at (t[a], v[a]), recomputed from scratch
+        lo, hi = None, None
+        for i in range(a + 1, end + 1):
+            dt = t[i] - t[a]
+            c_lo = Fraction(v[i] - eps - v[a], dt)
+            c_hi = Fraction(v[i] + eps - v[a], dt)
+            lo = c_lo if lo is None or c_lo > lo else lo
+            hi = c_hi if hi is None or c_hi < hi else hi
+        return lo <= hi
+
+    segs = []
+    a = 0
+    i = 1
+    while i < n:
+        if not cone_nonempty(a, i):
+            segs.append((t[a], v[a], t[i - 1], v[i - 1], i - 1 - a + 1))
+            a = i - 1
+            continue
+        i += 1
+    segs.append((t[a], v[a], t[n - 1], v[n - 1], n - a))
+    return segs
