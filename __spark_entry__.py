@@ -7028,6 +7028,57 @@ def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit drift (rollup/drift.py:benford_digits): digit
+    from floor(value*1000) as an INTEGER (never from a double's decimal
+    rendering), vs the standard permille expectations — the
+    fabricated-backfill / unit-change smell test; all exact integers."""
+    from dads_spark.rollup import benford_digits
+
+    ev = _t(spark, sf_dir, "events")
+    return benford_digits(ev, ["event_type"], "value", scale=1000)
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact LOWER weighted median per lang
+    (rollup/analytics.py:weighted_median): smallest n_chars whose
+    cumulative synthetic weight (doc_id%7+1) reaches half the total —
+    rank selection, no interpolation rule, deterministic under value
+    ties (the tie group's FINAL cumulative weight is order-invariant)."""
+    from dads_spark.rollup import weighted_median
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.col("n_chars").alias("v"),
+        (F.col("doc_id") % 7 + 1).alias("w"),
+    )
+    return weighted_median(d, ["lang"], "v", "w")
+
+
+def q_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap regularity per user
+    (rollup/analytics.py:gap_regularity): exact integer gap moments +
+    the all-integer CV < 1/5 bot verdict. A synthetic metronome user
+    (60 s timer) is unioned in identically on both engines so the flag
+    is exercised, not just the moments."""
+    from dads_spark.rollup import gap_regularity
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    bot = spark.range(20).select(
+        F.lit(999999).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60).alias("ts"),
+        (F.lit(1000000000) + F.col("id")).alias("event_id"),
+    )
+    out = gap_regularity(
+        ev.unionByName(bot),
+        ["user_id"],
+        ts_col="ts",
+        order_cols=["event_id"],
+    )
+    return out.withColumn("is_bot", F.col("is_bot").cast("long"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -7361,6 +7412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "pla_segments": q_pla_segments,
         "wet_export": q_wet_export,
+        "benford_digits": q_benford_digits,
+        "weighted_median": q_weighted_median,
+        "bot_detect": q_bot_detect,
     }
 
 
@@ -12449,5 +12503,72 @@ def oracle_sql() -> dict[str, str]:
                ), 0) AS BIGINT) AS offset,
                record_len, record
         FROM sized
+    """
+    d["benford_digits"] = """
+        WITH v AS (
+            SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vi
+            FROM events WHERE floor(value * 1000) > 0),
+        per AS (
+            SELECT event_type,
+                   CAST(substr(CAST(vi AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   count(*) AS n
+            FROM v GROUP BY 1, 2),
+        tot AS (SELECT event_type, sum(n) AS n_total FROM per GROUP BY 1),
+        exp AS (SELECT * FROM (VALUES (1,301),(2,176),(3,125),(4,97),
+                (5,79),(6,67),(7,58),(8,51),(9,46)) AS t(digit, expected))
+        SELECT per.event_type, per.digit,
+               CAST(per.n AS BIGINT) AS n,
+               CAST(tot.n_total AS BIGINT) AS n_total,
+               CAST((per.n * 1000) // tot.n_total AS BIGINT)
+                   AS share_permille,
+               CAST(exp.expected AS BIGINT) AS expected_permille,
+               CAST((per.n * 1000) // tot.n_total - exp.expected AS BIGINT)
+                   AS delta_permille
+        FROM per
+        JOIN tot USING (event_type)
+        JOIN exp USING (digit)
+    """
+    d["weighted_median"] = """
+        WITH d AS (
+            SELECT lang, n_chars AS v, doc_id % 7 + 1 AS w
+            FROM documents),
+        c AS (
+            SELECT lang, v,
+                   sum(w) OVER (PARTITION BY lang ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cumw,
+                   sum(w) OVER (PARTITION BY lang) AS wt
+            FROM d)
+        SELECT lang,
+               CAST(max(wt) AS BIGINT) AS w_total,
+               CAST(min(v) AS BIGINT) AS w_median
+        FROM c WHERE cumw * 2 >= wt GROUP BY 1
+    """
+    d["bot_detect"] = """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) // 1000000 AS t, event_id
+            FROM events
+            UNION ALL
+            SELECT 999999 AS user_id, 1700000000 + i * 60 AS t,
+                   1000000000 + i AS event_id
+            FROM (SELECT unnest(range(0, 20)) AS i)),
+        g AS (
+            SELECT user_id,
+                   t - lag(t) OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id) AS g
+            FROM e),
+        a AS (
+            SELECT user_id, count(*) AS n, sum(g) AS sg,
+                   sum(g * g) AS sg2, count(DISTINCT g) AS nd
+            FROM g WHERE g IS NOT NULL GROUP BY 1)
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n_gaps,
+               CAST(sg AS BIGINT) AS gap_sum,
+               CAST(sg2 AS BIGINT) AS gap_sum2,
+               CAST(nd AS BIGINT) AS n_distinct_gaps,
+               CAST(n * sg2 - sg * sg AS BIGINT) AS var_num,
+               CAST(CASE WHEN n >= 5 AND (n * sg2 - sg * sg) * 25 < sg * sg
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+        FROM a
     """
     return d

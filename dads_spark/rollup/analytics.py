@@ -1395,3 +1395,98 @@ def duration_above(
             F.count(F.lit(1)).cast("long").alias("n_segments"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact LOWER weighted median per group: the smallest value v whose
+    cumulative weight reaches half the total (2*cumw >= W). A rank
+    selection over integer weights — an element of the value multiset,
+    reproducible on any engine with no interpolation rule (the same
+    design choice as theil_sen_grouped's lower median) — where a
+    float-weighted percentile_approx is neither exact nor portable.
+
+    Output: keys..., w_total, w_median (both long).
+
+    Scale shape: one window cumsum over (key, value) order + one min-agg;
+    both shuffle on the group key only. Weights must be non-negative
+    integers (counts, bytes).
+    """
+    w = W.partitionBy(*key_cols).orderBy(value_col)
+    cum = F.sum(F.col(weight_col).cast("long")).over(w)
+    tot = F.sum(F.col(weight_col).cast("long")).over(
+        W.partitionBy(*key_cols)
+    )
+    staged = df.select(
+        *key_cols,
+        F.col(value_col).alias("_v"),
+        cum.alias("_cumw"),
+        tot.alias("_w_total"),
+    )
+    return (
+        staged.where(F.col("_cumw") * 2 >= F.col("_w_total"))
+        .groupBy(*key_cols)
+        .agg(
+            F.max("_w_total").cast("long").alias("w_total"),
+            F.min("_v").cast("long").alias("w_median"),
+        )
+    )
+
+
+def gap_regularity(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+    min_gaps: int = 5,
+    cv_denom: int = 5,
+) -> DataFrame:
+    """Inter-arrival regularity per actor — the standard bot signal: a
+    crawler's requests tick on a timer (near-constant gaps), a human's
+    are bursty. Emits exact integer gap moments and an all-integer
+    verdict:
+
+        var_num = n * sum(g^2) - sum(g)^2        (n^2 * variance, exact)
+        is_bot  = n >= min_gaps  AND  var_num * cv_denom^2 < sum(g)^2
+
+    i.e. coefficient of variation < 1/cv_denom — scale-free (a 1 s timer
+    and a 60 s timer both trip it), and decided by integer
+    cross-multiplication so the flag is bit-reproducible.
+
+    ``order_cols`` breaks timestamp ties so lag is total-ordered.
+    Output: keys..., n_gaps, gap_sum, gap_sum2, n_distinct_gaps, var_num,
+    is_bot.
+
+    Scale shape: one window shuffle on the actor key + one agg — the
+    same shape at 100 TB; hot actors are exactly the rows this flags.
+    """
+    order = [ts_col] + list(order_cols or [])
+    w = W.partitionBy(*key_cols).orderBy(*order)
+    t = F.col(ts_col).cast("long")
+    gap = (t - F.lag(t).over(w)).alias("_g")
+    staged = df.select(*key_cols, gap).where(F.col("_g").isNotNull())
+    agg = staged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("_g").cast("long").alias("gap_sum"),
+        F.sum(F.col("_g") * F.col("_g")).cast("long").alias("gap_sum2"),
+        F.countDistinct("_g").cast("long").alias("n_distinct_gaps"),
+    )
+    var_num = F.col("n_gaps") * F.col("gap_sum2") - F.col("gap_sum") * F.col(
+        "gap_sum"
+    )
+    return agg.select(
+        *key_cols,
+        "n_gaps",
+        "gap_sum",
+        "gap_sum2",
+        "n_distinct_gaps",
+        var_num.cast("long").alias("var_num"),
+        (
+            (F.col("n_gaps") >= int(min_gaps))
+            & (var_num * F.lit(int(cv_denom) ** 2) < F.col("gap_sum") * F.col("gap_sum"))
+        ).alias("is_bot"),
+    )

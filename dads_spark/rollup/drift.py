@@ -220,3 +220,58 @@ def psi_drift(
             F.round(F.col("psi_q9") / F.lit(1e9), 6).alias("psi"),
         )
     )
+
+
+#: Benford's law first-digit shares in permille (floor(log10(1+1/d)*1000)
+#: would lose a unit on d=1; these are the standard rounded values and are
+#: part of the contract — both engines compare against the same integers).
+BENFORD_PERMILLE = (301, 176, 125, 97, 79, 67, 58, 51, 46)
+
+
+def benford_digits(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    scale: int = 1000,
+) -> DataFrame:
+    """First-significant-digit distribution per group vs Benford's law —
+    the classic fabricated-data / pipeline-bug smell test for metric
+    streams (a counter that suddenly violates Benford usually means a
+    synthetic backfill or a unit change, not traffic).
+
+    The digit is extracted from ``floor(value * scale)`` as an integer
+    (IEEE double multiply + floor are bit-identical cross-engine;
+    extracting digits from a double's decimal rendering is NOT), values
+    <= 0 are dropped. Output per (keys..., digit): n, n_total,
+    share_permille (integer floor), expected_permille, delta_permille —
+    all exact integers.
+
+    Scale shape: one codegen projection + one groupBy with <= 9 rows per
+    key — partial aggregation makes the shuffle negligible at any size.
+    """
+    v_int = F.floor(F.col(value_col) * F.lit(int(scale))).cast("long")
+    digit = F.substring(v_int.cast("string"), 1, 1).cast("long")
+    per = (
+        df.where(v_int > 0)
+        .select(*key_cols, digit.alias("digit"))
+        .groupBy(*key_cols, "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = per.groupBy(*key_cols).agg(F.sum("n").alias("n_total"))
+    expected = F.element_at(
+        F.array(*[F.lit(x) for x in BENFORD_PERMILLE]),
+        F.col("digit").cast("int"),
+    ).cast("long")
+    share = F.expr("(n * 1000) DIV n_total")
+    return (
+        per.join(totals, key_cols)
+        .select(
+            *key_cols,
+            F.col("digit"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_total").cast("long").alias("n_total"),
+            share.cast("long").alias("share_permille"),
+            expected.alias("expected_permille"),
+            (share - expected).cast("long").alias("delta_permille"),
+        )
+    )
