@@ -1240,6 +1240,105 @@ def main() -> None:
                   if "FlatMap" in l or "Exchange" in l)[:600],
     ))
 
+    # --- A66: mann_kendall — one shuffle into one Arrow kernel ---------------
+    p66 = plan_of(em.queries()["mann_kendall"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p66
+    assert "Join" not in p66 and "CartesianProduct" not in p66
+    sections.append((
+        "A66 mann_kendall: O(n log n) kernel, never the O(n^2) pair join",
+        "PASS — the trend test is one series-key shuffle into one Arrow "
+        "applyInPandas stage (the Fenwick walk); the O(n^2) pairwise "
+        "self-join exists ONLY as the DuckDB oracle definition — the "
+        "engine plan contains no join at all",
+        "\n".join(l for l in p66.splitlines()
+                  if "FlatMap" in l or "Exchange" in l or "Aggregate" in l)[:600],
+    ))
+
+    # --- A67: duration_above — window + decomposable sum, zero Python --------
+    p67 = plan_of(em.queries()["duration_above"](spark, sf_dir))
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p67, f"duration_above plan contains {py_op}"
+    assert "Window" in p67 and "Join" not in p67
+    sections.append((
+        "A67 duration_above: interpolated SLO time stays in codegen",
+        "PASS — one series-keyed lag window builds the segment pairs, the "
+        "crossing fraction is an integer DIV projection, and the total is "
+        "a partial/final sum — no Python, no join; the window and the "
+        "aggregate share the series key, so one shuffle carries the lane",
+        "\n".join(l for l in p67.splitlines()
+                  if "Window" in l or "Exchange" in l or "Aggregate" in l)[:600],
+    ))
+
+    # --- A68: url_templates — map-only regex + one bounded-key agg -----------
+    p68 = plan_of(em.queries()["url_templates"](spark, sf_dir))
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p68, f"url_templates plan contains {py_op}"
+    assert "Join" not in p68
+    n_ex68 = len(_re.findall(r"\(\d+\) Exchange\b", p68))
+    assert n_ex68 <= 2, (
+        f"url_templates: expected the two-phase distinct shape; got {n_ex68}"
+    )
+    sections.append((
+        "A68 url_templates: crawl-trap mining is one pass + bounded shuffles",
+        "PASS — host/path extraction and both templating regexes are "
+        "codegen projections over the scan; the two Exchanges are the "
+        "standard count-distinct two-phase shape ((host,template,path) "
+        "partial dedup, then (host,template) counts) — both keyed on "
+        "deduplicated values, never raw page rows; no Python, no join",
+        "\n".join(l for l in p68.splitlines()
+                  if "Exchange" in l or "Aggregate" in l or "Project" in l)[:400],
+    ))
+
+    # --- A69: pla_segments — lossy codec at the series grain -----------------
+    p69 = plan_of(em.queries()["pla_segments"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p69
+    assert "Join" not in p69
+    sections.append((
+        "A69 pla_segments: swing-filter PLA is one kernel per series",
+        "PASS — hourly rollup (map-side partial agg) feeds one "
+        "series-key shuffle into one Arrow applyInPandas stage running "
+        "the O(n) cone walk; segments out, no join, no second shuffle — "
+        "the same grouped-kernel layout as the S2G scorer",
+        "\n".join(l for l in p69.splitlines()
+                  if "FlatMap" in l or "Exchange" in l or "Aggregate" in l)[:600],
+    ))
+
+    # --- A70: wet_export — per-shard offset window, zero Python --------------
+    p70 = plan_of(em.queries()["wet_export"](spark, sf_dir))
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p70, f"wet_export plan contains {py_op}"
+    assert "Window" in p70
+    assert "SinglePartition" not in p70, (
+        "wet_export offsets must partition by shard, not collapse to one task"
+    )
+    sections.append((
+        "A70 wet_export: record assembly in codegen, offsets per shard",
+        "PASS — the WET header block is one concat/octet_length/"
+        "date_format projection; the offset cumsum window partitions by "
+        "the member-file shard (NO SinglePartition collapse), so the "
+        "export scales with shard count exactly like real WET output",
+        "\n".join(l for l in p70.splitlines()
+                  if "Window" in l or "Exchange" in l)[:400],
+    ))
+
+    # --- A71: bot_detect / weighted_median — key-local window shapes ---------
+    p71a = plan_of(em.queries()["bot_detect"](spark, sf_dir))
+    p71b = plan_of(em.queries()["weighted_median"](spark, sf_dir))
+    for p, nm in ((p71a, "bot_detect"), (p71b, "weighted_median")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "Window" in p
+    assert "CartesianProduct" not in p71a and "CartesianProduct" not in p71b
+    sections.append((
+        "A71 bot_detect + weighted_median: actor/group-keyed windows only",
+        "PASS — both lanes are lag/cumsum windows partitioned on their "
+        "group key followed by decomposable aggregates on the SAME key; "
+        "no Python, no cartesian; bot verdicts and medians are integer "
+        "projections, so the whole path is whole-stage codegen",
+        "\n".join(l for l in (p71a + "\n" + p71b).splitlines()
+                  if "Window" in l or "Exchange" in l)[:500],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
