@@ -7079,6 +7079,71 @@ def q_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("is_bot", F.col("is_bot").cast("long"))
 
 
+def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW shard routing (ops/sharding.py): per-url argmax of
+    md5(key|node) compared AS HEX (the hash_split idiom — no integer
+    conversion, bit-identical cross-engine); pure codegen projection,
+    zero shuffle. Minimal-disruption property is pytest-pinned."""
+    from dads_spark.ops import rendezvous_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return rendezvous_assign(urls, "url", ["n0", "n1", "n2", "n3"])
+
+
+def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate-driven crawl revisit scheduling
+    (ops/crawldiff.py:revisit_schedule): integer change-permille from a
+    deterministic 6-visit history (fingerprints step at doc-dependent
+    rates, so every interval bucket is populated), CASE-bucketed into
+    revisit hours — the Cho & Garcia-Molina freshness policy shape."""
+    from dads_spark.ops import revisit_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    visits = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("k"),
+    ).select(
+        "url",
+        (F.lit(1700000000) + F.col("doc_id") * 7919 + F.col("k") * 86400)
+        .alias("crawl_ts"),
+        F.expr("(k * ((doc_id % 5) + 1)) DIV 5").alias("fingerprint"),
+    )
+    return revisit_schedule(visits, "url", "crawl_ts", "fingerprint")
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (ops/linkgraph.py:link_prediction)
+    over the same deterministic h(doc_id%97) domain graph the triangle
+    lane uses: non-adjacent pairs with >=2 shared neighbors + exact
+    neighborhood-Jaccard permille — the related-site signal in pure
+    integers (no Adamic-Adar float log)."""
+    from dads_spark.ops import link_prediction
+
+    docs = _t(spark, sf_dir, "documents")
+    src = F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"))
+    edges = docs.select(
+        src.alias("src"),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 31 + 7) % 97).cast("string")
+        ).alias("dst"),
+    ).unionAll(
+        docs.select(
+            src.alias("src"),
+            F.concat(
+                F.lit("h"), ((F.col("doc_id") * 13 + 5) % 97).cast("string")
+            ).alias("dst"),
+        )
+    )
+    return link_prediction(edges, "src", "dst", min_common=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -7415,6 +7480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": q_benford_digits,
         "weighted_median": q_weighted_median,
         "bot_detect": q_bot_detect,
+        "rendezvous_shard": q_rendezvous_shard,
+        "revisit_schedule": q_revisit_schedule,
+        "link_prediction": q_link_prediction,
     }
 
 
@@ -12570,5 +12638,94 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN n >= 5 AND (n * sg2 - sg * sg) * 25 < sg * sg
                          THEN 1 ELSE 0 END AS BIGINT) AS is_bot
         FROM a
+    """
+    # HRW winner as a CASE chain over the four hex digests (md5 hex
+    # compares identically to the 128-bit value; ties are md5 collisions)
+    d["rendezvous_shard"] = """
+        WITH u AS (
+            SELECT 'https://' || source || '.example.com/p/'
+                       || CAST(doc_id AS VARCHAR) AS url
+            FROM documents),
+        h AS (
+            SELECT url,
+                   md5(url || '|n0') AS d0, md5(url || '|n1') AS d1,
+                   md5(url || '|n2') AS d2, md5(url || '|n3') AS d3
+            FROM u)
+        SELECT url,
+               CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 THEN 'n0'
+                    WHEN d1 >= d2 AND d1 >= d3 THEN 'n1'
+                    WHEN d2 >= d3 THEN 'n2'
+                    ELSE 'n3' END AS node
+        FROM h
+    """
+    d["revisit_schedule"] = """
+        WITH v AS (
+            SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                   1700000000 + doc_id * 7919 + k.k * 86400 AS crawl_ts,
+                   (k.k * ((doc_id % 5) + 1)) // 5 AS fingerprint
+            FROM documents,
+                 (SELECT unnest(range(0, 6)) AS k) k),
+        lagged AS (
+            SELECT url,
+                   CASE WHEN lag(fingerprint) OVER w IS NULL THEN 0
+                        WHEN fingerprint <> lag(fingerprint) OVER w THEN 1
+                        ELSE 0 END AS chg
+            FROM v WINDOW w AS (PARTITION BY url ORDER BY crawl_ts)),
+        a AS (
+            SELECT url, count(*) AS n_visits, sum(chg) AS n_changes
+            FROM lagged GROUP BY 1),
+        p AS (
+            SELECT url, n_visits, n_changes,
+                   CASE WHEN n_visits <= 1 THEN 0
+                        ELSE (n_changes * 1000) // (n_visits - 1)
+                   END AS change_permille
+            FROM a)
+        SELECT url,
+               CAST(n_visits AS BIGINT) AS n_visits,
+               CAST(n_changes AS BIGINT) AS n_changes,
+               CAST(change_permille AS BIGINT) AS change_permille,
+               CAST(CASE WHEN change_permille >= 500 THEN 1
+                         WHEN change_permille >= 200 THEN 4
+                         WHEN change_permille >= 50 THEN 24
+                         WHEN change_permille > 0 THEN 168
+                         ELSE 720 END AS BIGINT) AS revisit_hours
+        FROM p
+    """
+    d["link_prediction"] = """
+        WITH e0 AS (
+            SELECT concat('h', CAST(doc_id % 97 AS VARCHAR)) AS src,
+                   concat('h', CAST((doc_id * 31 + 7) % 97 AS VARCHAR))
+                       AS dst
+            FROM documents
+            UNION ALL
+            SELECT concat('h', CAST(doc_id % 97 AS VARCHAR)) AS src,
+                   concat('h', CAST((doc_id * 13 + 5) % 97 AS VARCHAR))
+                       AS dst
+            FROM documents),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e0 WHERE src <> dst),
+        adj AS (
+            SELECT a, b FROM und
+            UNION ALL SELECT b AS a, a AS b FROM und),
+        deg AS (SELECT a, count(*) AS deg FROM adj GROUP BY 1),
+        wedges AS (
+            SELECT l.a AS u, r.a AS v, count(*) AS common
+            FROM adj l JOIN adj r ON l.b = r.b AND l.a < r.a
+            GROUP BY 1, 2
+            HAVING count(*) >= 2),
+        non_edges AS (
+            SELECT w.u, w.v, w.common FROM wedges w
+            ANTI JOIN und ON und.a = w.u AND und.b = w.v)
+        SELECT n.u AS src, n.v AS dst,
+               CAST(n.common AS BIGINT) AS common,
+               CAST(ds.deg AS BIGINT) AS deg_src,
+               CAST(dd.deg AS BIGINT) AS deg_dst,
+               CAST((n.common * 1000)
+                    // (ds.deg + dd.deg - n.common) AS BIGINT)
+                   AS jaccard_permille
+        FROM non_edges n
+        JOIN deg ds ON ds.a = n.u
+        JOIN deg dd ON dd.a = n.v
     """
     return d

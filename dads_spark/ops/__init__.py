@@ -1,6 +1,11 @@
 """Web-corpus operators: dedup, text analysis, similarity, multimodal."""
 
-from .crawldiff import crawl_churn, crawl_delta, trending_terms  # noqa: F401
+from .crawldiff import (  # noqa: F401
+    crawl_churn,
+    crawl_delta,
+    revisit_schedule,
+    trending_terms,
+)
 from .dedup import (  # noqa: F401
     dedup_exact,
     dedup_exact_normalized,
@@ -60,11 +65,13 @@ from .linkgraph import (  # noqa: F401
     extract_links,
     hits,
     label_propagation,
+    link_prediction,
     pagerank,
     triangle_counts,
     trustrank,
 )
 from .abtest import ab_test_proportions  # noqa: F401
+from .sharding import rendezvous_assign, rendezvous_moves  # noqa: F401
 from .calibrate import quantile_normalize  # noqa: F401
 from .keywords import rake_keywords  # noqa: F401
 from .rangejoin import bucketed_range_join  # noqa: F401

@@ -224,3 +224,61 @@ def trending_terms(
         j.where(F.col("c_old") + F.col("c_new") >= min_count)
         .select("term", "c_old", "c_new", trend.alias("trend_q6"))
     )
+
+
+def revisit_schedule(
+    visits: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "crawl_ts",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Change-rate-driven revisit scheduling (the Cho & Garcia-Molina
+    crawl-freshness policy family): estimate each URL's change rate
+    from its visit history, bucket it into a revisit interval.
+
+        n_visits, n_changes : exact counts (change = fingerprint differs
+                              from the previous visit's, in ts order)
+        change_permille     : 1000 * n_changes DIV (n_visits - 1)
+        revisit_hours       : >=500 -> 1, >=200 -> 4, >=50 -> 24,
+                              >0 -> 168, ==0 -> 720
+
+    All integer arithmetic; the CASE thresholds are the contract (a
+    float Poisson-rate estimate adds a cross-engine log for no
+    scheduling benefit — the bucketed interval is what a frontier
+    actually consumes).
+
+    Scale shape: one lag window + one agg, both keyed on url — the
+    frontier's own key; no Python, no join.
+    """
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    changed = (
+        F.when(F.lag(F.col(fp_col)).over(w).isNull(), F.lit(0))
+        .when(F.col(fp_col) != F.lag(F.col(fp_col)).over(w), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    agg = (
+        visits.select(F.col(url_col).alias("url"), changed.alias("_chg"))
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_visits"),
+            F.sum("_chg").cast("long").alias("n_changes"),
+        )
+    )
+    permille = F.when(F.col("n_visits") <= 1, F.lit(0)).otherwise(
+        F.expr("(n_changes * 1000) DIV (n_visits - 1)")
+    )
+    staged = agg.withColumn("change_permille", permille.cast("long"))
+    hours = (
+        F.when(F.col("change_permille") >= 500, F.lit(1))
+        .when(F.col("change_permille") >= 200, F.lit(4))
+        .when(F.col("change_permille") >= 50, F.lit(24))
+        .when(F.col("change_permille") > 0, F.lit(168))
+        .otherwise(F.lit(720))
+    )
+    return staged.select(
+        "url",
+        "n_visits",
+        "n_changes",
+        "change_permille",
+        hours.cast("long").alias("revisit_hours"),
+    )
