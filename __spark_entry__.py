@@ -7144,6 +7144,63 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(edges, "src", "dst", min_common=2)
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct cascade (rollup/distinct.py:kmv_sketch_tier):
+    the exactly-pinnable sibling of the HLL cascade — the sketch state is
+    the k smallest md5 hexes, so the DAY tier here is computed THROUGH
+    the hour->day merge while the oracle sketches days DIRECTLY from
+    raw; the hash gate itself proves mergeability. k=32 with ~50-60
+    distinct users per (type, day) exercises the (k-1)*2^52 DIV v52
+    estimator; hour-tier groups sit below k, exercising the exact path
+    inside the cascade."""
+    from dads_spark.rollup import kmv_cascade, kmv_estimate, kmv_sketch_tier
+
+    ev = _t(spark, sf_dir, "events")
+    hour = kmv_sketch_tier(ev, ["event_type"], "ts", "user_id", "hour", k=32)
+    day = kmv_cascade(hour, ["event_type"], "day", k=32)
+    return kmv_estimate(day, k=32).select(
+        "event_type", _fmt_bucket(), "n_kept", "kth_hex", "est_distinct"
+    )
+
+
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment (ops/apportion.py): 997
+    crawl slots split across the 20 document sources proportional to
+    their total bytes (n_chars) — base DIV quota + remainder-ranked
+    extras, sum EXACTLY 997, all BIGINT arithmetic. The prime total
+    forces nonzero remainders so the rank path is exercised."""
+    from dads_spark.ops import apportion
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("n_bytes")
+    )
+    return apportion(weights, "source", "n_bytes", total=997)
+
+
+def q_label_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSDB cardinality explorer (rollup/labelindex.py:label_cardinality)
+    over a postings melt of the documents catalog with four labels: lang
+    (5 values), source (20), shard (50), and rid (one per doc — the
+    unbounded-label pathology this admin query exists to catch:
+    n_values == n_series flags it). Exact integers; the top value's
+    tie-break is max(struct(n, value)) mirrored by the oracle's
+    row_number ORDER BY n DESC, value DESC."""
+    from dads_spark.rollup import build_label_index, label_cardinality
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat(F.lit("s"), (F.col("doc_id") % 50).cast("string")).alias(
+            "shard"
+        ),
+        F.concat(F.lit("r"), F.col("doc_id").cast("string")).alias("rid"),
+    )
+    idx = build_label_index(docs, "doc_id", ["lang", "source", "shard", "rid"])
+    return label_cardinality(idx)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -7483,6 +7540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shard": q_rendezvous_shard,
         "revisit_schedule": q_revisit_schedule,
         "link_prediction": q_link_prediction,
+        "kmv_distinct": q_kmv_distinct,
+        "crawl_budget": q_crawl_budget,
+        "label_cardinality": q_label_cardinality,
     }
 
 
@@ -12727,5 +12787,94 @@ def oracle_sql() -> dict[str, str]:
         FROM non_edges n
         JOIN deg ds ON ds.a = n.u
         JOIN deg dd ON dd.a = n.v
+    """
+    # KMV day tier sketched DIRECTLY from raw; the Spark side arrives via
+    # the hour->day cascade, so the hash gate itself proves mergeability.
+    # v52 mirrors the Spark nibble expression with strpos; // floors like
+    # Spark's DIV on these all-positive operands.
+    _kmv_v52 = " + ".join(
+        f"((strpos('0123456789abcdef', substr(kth_hex, {i + 1}, 1))"
+        f" - CAST(1 AS BIGINT)) * {1 << (4 * (12 - i))})"
+        for i in range(13)
+    )
+    d["kmv_distinct"] = f"""
+        WITH base AS (
+            SELECT DISTINCT event_type,
+                   date_trunc('day', ts) AS bt,
+                   md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events),
+        ranked AS (
+            SELECT event_type, bt, h,
+                   row_number() OVER (PARTITION BY event_type, bt
+                                      ORDER BY h) AS rn
+            FROM base),
+        sk AS (
+            SELECT event_type, bt,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   max(h) AS kth_hex
+            FROM ranked WHERE rn <= 32 GROUP BY 1, 2)
+        SELECT event_type,
+               strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+               n_kept, kth_hex,
+               CAST(CASE WHEN n_kept < 32 THEN n_kept
+                    ELSE {31 * (1 << 52)}
+                         // greatest(CAST({_kmv_v52} AS BIGINT), 1)
+                    END AS BIGINT) AS est_distinct
+        FROM sk
+    """
+    d["crawl_budget"] = """
+        WITH w AS (
+            SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_bytes
+            FROM documents GROUP BY 1),
+        t AS (SELECT CAST(sum(n_bytes) AS BIGINT) AS tw FROM w),
+        s AS (
+            SELECT source, n_bytes,
+                   CAST(997 * n_bytes // tw AS BIGINT) AS base,
+                   CAST(997 * n_bytes % tw AS BIGINT) AS rem
+            FROM w, t),
+        l AS (SELECT CAST(997 - sum(base) AS BIGINT) AS leftover FROM s),
+        r AS (
+            SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC)
+                          AS rn
+            FROM s)
+        SELECT source, n_bytes, base,
+               CAST(CASE WHEN rn <= leftover AND rem > 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS extra,
+               base + CAST(CASE WHEN rn <= leftover AND rem > 0
+                           THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM r, l
+    """
+    d["label_cardinality"] = """
+        WITH postings AS (
+            SELECT 'lang' AS label_name, lang AS label_value,
+                   doc_id AS series_id
+            FROM documents WHERE lang IS NOT NULL
+            UNION ALL
+            SELECT 'source', source, doc_id
+            FROM documents WHERE source IS NOT NULL
+            UNION ALL
+            SELECT 'shard', 's' || CAST(doc_id % 50 AS VARCHAR), doc_id
+            FROM documents
+            UNION ALL
+            SELECT 'rid', 'r' || CAST(doc_id AS VARCHAR), doc_id
+            FROM documents),
+        pv AS (
+            SELECT label_name, label_value, count(*) AS n
+            FROM postings GROUP BY 1, 2),
+        agg AS (
+            SELECT label_name,
+                   CAST(count(*) AS BIGINT) AS n_values,
+                   CAST(sum(n) AS BIGINT) AS n_series
+            FROM pv GROUP BY 1),
+        top AS (
+            SELECT label_name, label_value AS top_value,
+                   CAST(n AS BIGINT) AS top_series,
+                   row_number() OVER (PARTITION BY label_name
+                                      ORDER BY n DESC, label_value DESC)
+                       AS rn
+            FROM pv)
+        SELECT a.label_name, n_values, n_series, top_value, top_series,
+               top_series * 1000 // n_series AS top_share_permille
+        FROM agg a JOIN top t ON a.label_name = t.label_name AND t.rn = 1
     """
     return d

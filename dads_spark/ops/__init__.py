@@ -143,3 +143,4 @@ from .bloom import bloom_dedup  # noqa: F401
 from .sitemaps import crawl_coverage, parse_sitemap  # noqa: F401
 from .multimodal import sniff_content_type  # noqa: F401
 from .cdx import latest_captures, parse_cdxj, surt_key  # noqa: F401
+from .apportion import apportion  # noqa: F401

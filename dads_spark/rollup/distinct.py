@@ -35,11 +35,18 @@ languages/users per domain per tier is the motivating rollup).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .tiers import TIER_ORDER, bucket_expr
 
-__all__ = ["distinct_sketch_tier", "cascade_distinct", "with_estimate"]
+__all__ = [
+    "distinct_sketch_tier",
+    "cascade_distinct",
+    "with_estimate",
+    "kmv_sketch_tier",
+    "kmv_cascade",
+    "kmv_estimate",
+]
 
 
 def distinct_sketch_tier(
@@ -82,3 +89,133 @@ def with_estimate(sketch_df: DataFrame, out_col: str = "approx_distinct") -> Dat
     return sketch_df.withColumn(
         out_col, F.hll_sketch_estimate("distinct_hll")
     ).drop("distinct_hll")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) bottom-k sketch — the EXACTLY-PINNABLE sibling of
+# the HLL cascade above.  HLL's register state is engine-opaque (a
+# DataSketches binary), so its lane is necessarily estimate-level; a KMV
+# sketch is just the k smallest md5(item) digests, and equal-length
+# lowercase hex compares identically to the 128-bit value on every engine
+# (the hash_split idiom) — so the ENTIRE sketch state, its merge result,
+# and its integer-quantized estimate are bit-reproducible cross-engine and
+# can sit under the oracle hash.  Beyond pinnability, KMV buys what HLL
+# cannot: the retained digests support set operations (intersection /
+# Jaccard between tiers via bottom-k of the union), per Beyer et al.,
+# "On Synopses for Distinct-Value Estimation Under Multiset Operations"
+# (SIGMOD 2007).
+#
+# Mergeability is exact by construction: any element of the bottom-k of a
+# UNION is in the bottom-k of whichever child bucket it came from, so
+# bottom-k(union of bottom-ks) == bottom-k(union of raw sets) — the same
+# argument as HLL's register-max associativity, but over an inspectable
+# state.  tests/test_compact_distinct.py pins cascade == direct bit-for-bit,
+# exactness below k, repartition invariance, and the estimate's error
+# envelope vs exact counts.
+#
+# Reference analog: none (DADS has no sketch machinery); spec source is
+# BASELINE.json:6 — continuous aggregates over retention tiers need a
+# mergeable distinct state beside each bucket, same motivation as the HLL
+# cascade, plus the tier-intersection queries HLL cannot serve.
+
+
+def kmv_sketch_tier(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    item_col: str,
+    tier: str = "hour",
+    k: int = 64,
+) -> DataFrame:
+    """Base tier: per (keys..., bucket_ts), the sorted array of the ``k``
+    smallest DISTINCT md5(item) hex digests.
+
+    Shape: one distinct shuffle on (keys, bucket, digest) — map-side
+    partial distinct applies — then a per-(keys, bucket) bottom-k window.
+    The window sort is bounded by the bucket's distinct count and spills;
+    at 100 TB the hour grain keeps groups narrow, and the cascade never
+    touches raw data again.  Memory per group in the final agg is k
+    digests (k * 32 bytes), not the distinct set — the collect_list runs
+    on the <=k survivors of the window filter.
+    """
+    h = F.md5(F.col(item_col).cast("string")).alias("_h")
+    base = df.select(*key_cols, bucket_expr(ts_col, tier), h).distinct()
+    rn = F.row_number().over(
+        W.partitionBy(*key_cols, "bucket_ts").orderBy("_h")
+    )
+    return (
+        base.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k)
+        .groupBy(*key_cols, "bucket_ts")
+        .agg(F.array_sort(F.collect_list("_h")).alias("kmv"))
+    )
+
+
+def kmv_cascade(
+    sketch_tier: DataFrame, key_cols: list[str], to_tier: str, k: int = 64
+) -> DataFrame:
+    """Merge a finer KMV tier into a coarser one WITHOUT touching raw
+    data: explode the child arrays, re-bucket, and keep the bottom-k of
+    the union (distinct first — one digest can survive in several child
+    buckets).  Bit-identical to sketching the coarse tier from raw."""
+    assert to_tier in TIER_ORDER, to_tier
+    exploded = (
+        sketch_tier.select(
+            *key_cols,
+            bucket_expr("bucket_ts", to_tier),
+            F.explode("kmv").alias("_h"),
+        )
+        .distinct()
+    )
+    rn = F.row_number().over(
+        W.partitionBy(*key_cols, "bucket_ts").orderBy("_h")
+    )
+    return (
+        exploded.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k)
+        .groupBy(*key_cols, "bucket_ts")
+        .agg(F.array_sort(F.collect_list("_h")).alias("kmv"))
+    )
+
+
+# hex -> 52-bit integer from the first 13 nibbles, as a codegen expression
+# mirrored verbatim by the oracle (the minhash_md5 nibble-position idiom).
+# Each (nibble - 1) subtracts a BIGINT literal so the per-term multiply is
+# 64-bit: the 2^28-weight term otherwise stays in checked INT arithmetic
+# (268435456 fits INT) and overflows for any nibble >= 8 under ANSI mode.
+_KMV_V52 = " + ".join(
+    f"((instr('0123456789abcdef', substr(_kth, {i + 1}, 1))"
+    f" - CAST(1 AS BIGINT)) * {1 << (4 * (12 - i))})"
+    for i in range(13)
+)
+
+
+def kmv_estimate(sketch_df: DataFrame, k: int = 64) -> DataFrame:
+    """Integer-quantized KMV estimator beside the sketch: with n_kept == k
+    the unbiased estimate is (k-1)/U(k) where U(k) is the kth smallest
+    digest mapped to (0,1); below k the sketch holds the WHOLE distinct
+    set and the count is exact.  The division runs on the digest's top 52
+    bits in pure BIGINT arithmetic — (k-1) * 2^52 DIV v52 — so the
+    estimate is bit-identical on any engine (k <= 512 keeps the product
+    under 2^62).  v52 == 0 (13 leading zero nibbles, p ~ 2^-52) guards to
+    1 rather than dividing by zero."""
+    assert k <= 512, k
+    out = sketch_df.select(
+        "*",
+        F.size("kmv").alias("n_kept"),
+        F.element_at("kmv", F.size("kmv")).alias("_kth"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("long")
+    ).otherwise(
+        F.expr(
+            f"CAST({(k - 1) * (1 << 52)} AS BIGINT)"
+            f" DIV greatest(CAST({_KMV_V52} AS BIGINT), CAST(1 AS BIGINT))"
+        )
+    )
+    return out.select(
+        *[c for c in sketch_df.columns if c != "kmv"],
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("_kth").alias("kth_hex"),
+        est.cast("long").alias("est_distinct"),
+    )

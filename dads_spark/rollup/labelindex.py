@@ -80,3 +80,48 @@ def series_by_labels(
         ).select("series_id")
         matched = matched.join(bad, "series_id", "left_anti")
     return matched
+
+
+def label_cardinality(index: DataFrame, top_permille: bool = True) -> DataFrame:
+    """Cardinality explorer over the postings table — the TSDB admin
+    query behind Prometheus's /api/v1/status (label cardinality) page:
+    per label NAME, how many distinct values it takes, how many series
+    carry it, the single value covering the most series, and that
+    value's share.  This is THE first diagnostic when a tier store's
+    series count explodes (an unbounded label — request id, pod hash —
+    shows up as n_values ~ n_series).
+
+    All exact integers: share is permille via BIGINT DIV.  Shape: one
+    (name, value) count agg with map-side partials, then a |values|-sized
+    per-name agg; the top value picks by max(struct(n, value)) where the
+    tie-break is deterministic because equal counts compare on the value
+    string itself (DESC struct order => largest count, then largest
+    value — mirrored exactly by the oracle's row_number).
+
+    Input is ``build_label_index`` output (label_name, label_value,
+    series_id), assumed deduplicated per series (one posting per
+    (series, name)); n_series counts postings under that contract.
+    """
+    per_value = index.groupBy("label_name", "label_value").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    out = per_value.groupBy("label_name").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum("_n").alias("n_series"),
+        F.max(F.struct(F.col("_n"), F.col("label_value"))).alias("_top"),
+    )
+    top_n = F.col("_top._n")
+    cols = [
+        F.col("label_name"),
+        F.col("n_values").cast("long").alias("n_values"),
+        F.col("n_series").cast("long").alias("n_series"),
+        F.col("_top.label_value").alias("top_value"),
+        top_n.cast("long").alias("top_series"),
+    ]
+    if top_permille:
+        cols.append(
+            F.expr("CAST(_top._n AS BIGINT) * 1000 DIV n_series").alias(
+                "top_share_permille"
+            )
+        )
+    return out.select(*cols)

@@ -1339,6 +1339,52 @@ def main() -> None:
                   if "Window" in l or "Exchange" in l)[:500],
     ))
 
+    # --- A72: kmv_distinct — distinct partials + bucket-keyed bottom-k ------
+    p72 = plan_of(em.queries()["kmv_distinct"](spark, sf_dir))
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p72, f"kmv_distinct plan contains {py_op}"
+    assert "Window" in p72
+    assert "SinglePartition" not in p72, (
+        "kmv bottom-k must partition by (key, bucket), never one task"
+    )
+    assert "CartesianProduct" not in p72
+    sections.append((
+        "A72 kmv_distinct: mergeable bottom-k entirely in codegen",
+        "PASS — the sketch is distinct (map-side partial) + a row_number "
+        "window PARTITIONED BY (key, bucket) (no SinglePartition "
+        "collapse) + a <=k-row collect_list; the day tier derives from "
+        "the hour arrays (explode/distinct/window again), never from "
+        "raw — the cascade property that makes the sketch a tier-store "
+        "column instead of a re-scan; zero Python anywhere",
+        "\n".join(l for l in p72.splitlines()
+                  if "Window" in l or "Exchange" in l or "Aggregate" in l
+                  or "Generate" in l)[:600],
+    ))
+
+    # --- A73: crawl_budget / label_cardinality — dimension-sized plans ------
+    p73a = plan_of(em.queries()["crawl_budget"](spark, sf_dir))
+    p73b = plan_of(em.queries()["label_cardinality"](spark, sf_dir))
+    for p, nm in ((p73a, "crawl_budget"), (p73b, "label_cardinality")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p73a, (
+        "apportion must broadcast the 1-row sum/leftover aggregates"
+    )
+    sections.append((
+        "A73 crawl_budget + label_cardinality: corpus reduced before ranking",
+        "PASS — apportion's global remainder rank runs AFTER the "
+        "per-source aggregation (a |sources|-row dimension; the corpus "
+        "contributes one map-side-partial agg), with the weight sum and "
+        "leftover count as 1-row BroadcastExchanges; label_cardinality "
+        "is a two-level agg over the postings melt (stack projection, "
+        "map-only) whose top-value pick is a max(struct) — no window "
+        "over the corpus, no Python",
+        "\n".join(l for l in (p73a + "\n" + p73b).splitlines()
+                  if "Broadcast" in l or "Aggregate" in l
+                  or "Exchange" in l)[:600],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"

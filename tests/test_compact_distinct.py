@@ -155,3 +155,92 @@ def test_hll_week_cascade_path_independent(spark):
     assert sorted(map(tuple, week_via_day.collect())) == sorted(
         map(tuple, week_via_hour.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch (rollup/distinct.py:kmv_*)
+
+
+def _kmv_events(spark, n=4000, n_items=300):
+    return spark.range(n).select(
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("key"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("id") * 137
+        ).alias("ts"),
+        ((F.col("id") * 7919 + 13) % n_items).alias("item"),
+    )
+
+
+def test_kmv_cascade_equals_direct_bitwise(spark):
+    """Mergeability: hour->day cascade == day tier sketched from raw,
+    including the retained digest arrays themselves."""
+    from dads_spark.rollup.distinct import kmv_cascade, kmv_sketch_tier
+
+    ev = _kmv_events(spark)
+    hour = kmv_sketch_tier(ev, ["key"], "ts", "item", "hour", k=24)
+    via_cascade = kmv_cascade(hour, ["key"], "day", k=24)
+    direct = kmv_sketch_tier(ev, ["key"], "ts", "item", "day", k=24)
+    a = {(r["key"], r["bucket_ts"]): r["kmv"] for r in via_cascade.collect()}
+    b = {(r["key"], r["bucket_ts"]): r["kmv"] for r in direct.collect()}
+    assert a == b and len(a) > 3
+
+
+def test_kmv_exact_below_k(spark):
+    """A bucket with fewer than k distinct items reports the EXACT count."""
+    from dads_spark.rollup.distinct import kmv_estimate, kmv_sketch_tier
+
+    ev = _kmv_events(spark, n=600, n_items=10)  # 10 distinct items << k
+    day = kmv_sketch_tier(ev, ["key"], "ts", "item", "day", k=64)
+    for r in kmv_estimate(day, k=64).collect():
+        assert r["n_kept"] <= 10
+        assert r["est_distinct"] == r["n_kept"]
+
+
+def test_kmv_estimate_error_envelope(spark):
+    """k=64 over 300 true distinct: every estimate within 4/sqrt(k) ~ 50%
+    relative error (loose envelope, deterministic data so no flake)."""
+    from dads_spark.rollup.distinct import kmv_estimate, kmv_sketch_tier
+
+    ev = _kmv_events(spark, n=8000, n_items=300).withColumn(
+        "key", F.lit("all")
+    )
+    # one giant bucket: week tier holds all rows
+    wk = kmv_sketch_tier(ev, ["key"], "ts", "item", "week", k=64)
+    rows = kmv_estimate(wk, k=64).collect()
+    assert rows
+    for r in rows:
+        if r["n_kept"] == 64:
+            true = (
+                ev.filter(
+                    F.col("ts")
+                    >= F.timestamp_seconds(F.lit(0))
+                )
+                .select("item")
+                .distinct()
+                .count()
+            )
+            assert abs(r["est_distinct"] - true) <= true // 2
+
+
+def test_kmv_repartition_invariant(spark):
+    from dads_spark.rollup.distinct import kmv_sketch_tier
+
+    ev = _kmv_events(spark)
+    a = kmv_sketch_tier(ev.repartition(1), ["key"], "ts", "item", "day", k=16)
+    b = kmv_sketch_tier(
+        ev.repartition(32, "item"), ["key"], "ts", "item", "day", k=16
+    )
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_kmv_v52_no_ansi_overflow(spark):
+    """Regression: the 2^28-weight nibble term must multiply in BIGINT —
+    a digest with a high nibble (>= 8) at position 6 overflowed checked
+    INT arithmetic before the CAST. Force a full evaluation over digests
+    covering all 16 nibble values at every position."""
+    from dads_spark.rollup.distinct import kmv_estimate, kmv_sketch_tier
+
+    ev = _kmv_events(spark, n=3000, n_items=2000)
+    day = kmv_sketch_tier(ev, ["key"], "ts", "item", "day", k=8)
+    rows = kmv_estimate(day, k=8).collect()  # would raise pre-fix
+    assert all(r["est_distinct"] >= r["n_kept"] for r in rows)
