@@ -7201,6 +7201,149 @@ def q_label_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_cardinality(idx)
 
 
+def _token_bucket_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-host request stream: 20 requests per doc, gaps of
+    13-91 s by doc, 31 hosts interleaving ~16 docs each — dense enough
+    that a 1-token-per-10s bucket (cap 3) admits AND denies."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 31).cast("string")).alias(
+            "host"
+        ),
+        F.col("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("k"),
+    ).select(
+        "host",
+        (F.col("doc_id") * 100 + F.col("k")).alias("req_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + (F.col("doc_id") % 97) * 1_000_000
+            + F.col("k") * ((F.col("doc_id") % 7) + 1) * 13_000_000
+        ).alias("ts"),
+    )
+
+
+def _stage_token_bucket_oracle(spark: SparkSession, sf_dir: str) -> None:
+    """Independent scalar recomputation of the token-bucket decisions —
+    pyarrow + plain Python over doc ids, re-synthesizing the stream from
+    the same closed-form schedule; no Spark, no shared kernel code —
+    dumped to parquet for the oracle."""
+    import pandas as _pd
+    import pyarrow.parquet as _pq
+
+    doc_ids = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    by_host: dict[str, list] = {}
+    for d in doc_ids:
+        host = f"h{d % 31}"
+        for k in range(20):
+            us = (
+                1_700_000_000_000_000
+                + (d % 97) * 1_000_000
+                + k * ((d % 7) + 1) * 13_000_000
+            )
+            by_host.setdefault(host, []).append((us, d * 100 + k))
+    out = {"key": [], "id": [], "ts_us": [], "admitted": [],
+           "tokens_after_micro": []}
+    CAP, COST = 3_000_000, 1_000_000
+    for host, evs in by_host.items():
+        evs.sort()
+        level, prev = CAP, None
+        for us, rid in evs:
+            if prev is not None:
+                level = min(CAP, level + (us - prev) * 1 // 10)
+            prev = us
+            adm = 1 if level >= COST else 0
+            if adm:
+                level -= COST
+            out["key"].append(host)
+            out["id"].append(rid)
+            out["ts_us"].append(us)
+            out["admitted"].append(adm)
+            out["tokens_after_micro"].append(level)
+    _pd.DataFrame(out).to_parquet(_dump_path("token_bucket_oracle"))
+
+
+def q_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket admission control (ops/ratelimit.py): per-host
+    sequential clamp recursion in integer micro-tokens — cap 3 tokens,
+    1 token / 10 s, bucket starts full. The oracle is an independent
+    driver-side scalar simulation (staged parquet), so the hash pins the
+    kernel's every admit/deny and post-decision level bit-for-bit."""
+    from dads_spark.ops import token_bucket
+
+    _stage_token_bucket_oracle(spark, sf_dir)
+    reqs = _token_bucket_requests(spark, sf_dir)
+    return token_bucket(
+        reqs, "host", "ts", "req_id", cap=3, rate_num=1, rate_den=10
+    )
+
+
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only delta-join view maintenance (rollup/ivm.py): the view
+    events JOIN user-dim is computed THROUGH the maintenance path (old
+    view + the three delta terms) while the oracle joins the full
+    updated tables directly — the hash gate proves the delta algebra.
+    Split: events before/after 2024-01-26, docs below/above id 400."""
+    from dads_spark.rollup import ivm_join_maintain
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 150).alias("uk"), "event_id", "event_type", "ts"
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 150).alias("uk"), "doc_id", "lang"
+    )
+    cut = F.lit("2024-01-26").cast("timestamp")
+    a_old, a_delta = ev.filter(F.col("ts") < cut), ev.filter(
+        F.col("ts") >= cut
+    )
+    b_old, b_delta = docs.filter(F.col("doc_id") < 400), docs.filter(
+        F.col("doc_id") >= 400
+    )
+    a_old = a_old.drop("ts")
+    a_delta = a_delta.drop("ts")
+    view_old = a_old.join(b_old, ["uk"])
+    return ivm_join_maintain(
+        view_old, a_old, a_delta, b_old, b_delta, ["uk"]
+    )
+
+
+def q_cache_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 freshness evaluation (ops/httpcache.py) over synthesized
+    Cache-Control headers covering every precedence branch: no-store,
+    no-cache (beats max-age), s-maxage (beats max-age), max-age, the
+    Last-Modified 10% heuristic (exact integer floor), and none."""
+    from dads_spark.ops import cache_policy
+
+    docs = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 6
+    hdrs = docs.select(
+        "doc_id",
+        F.when(v == 0, "no-store")
+        .when(v == 1, "no-cache, max-age=60")
+        .when(v == 2, "public, max-age=600")
+        .when(v == 3, "public, max-age=600, s-maxage=300")
+        .otherwise("")
+        .alias("cache_control"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ).alias("fetch_ts"),
+        F.when(
+            v == 4,
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + F.col("doc_id") * 1_000_000
+                - ((F.col("doc_id") % 1000) + 5) * 7_000_000
+            ),
+        ).alias("last_modified"),
+    )
+    return cache_policy(hdrs, "cache_control", "fetch_ts", "last_modified").select(
+        "doc_id", "cacheable", "revalidate", "ttl_sec", "expires_ts_us",
+        "policy",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -7543,6 +7686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "crawl_budget": q_crawl_budget,
         "label_cardinality": q_label_cardinality,
+        "token_bucket": q_token_bucket,
+        "ivm_join": q_ivm_join,
+        "cache_policy": q_cache_policy,
     }
 
 
@@ -12876,5 +13022,77 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.label_name, n_values, n_series, top_value, top_series,
                top_series * 1000 // n_series AS top_share_permille
         FROM agg a JOIN top t ON a.label_name = t.label_name AND t.rn = 1
+    """
+    # token_bucket's oracle is the staged independent scalar simulation
+    # (written fresh by q_token_bucket on every call)
+    d["token_bucket"] = f"""
+        SELECT key, id, ts_us, admitted, tokens_after_micro
+        FROM read_parquet('{_dump_path("token_bucket_oracle")}')
+    """
+    # ivm_join: the oracle joins the FULL updated tables directly; the
+    # Spark side arrives via old view + three delta terms
+    d["ivm_join"] = """
+        WITH a AS (
+            SELECT user_id % 150 AS uk, event_id, event_type FROM events),
+        b AS (
+            SELECT doc_id % 150 AS uk, doc_id, lang FROM documents)
+        SELECT a.uk, event_id, event_type, doc_id, lang
+        FROM a JOIN b ON a.uk = b.uk
+    """
+    d["cache_policy"] = """
+        WITH h AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 6 = 0 THEN 'no-store'
+                        WHEN doc_id % 6 = 1 THEN 'no-cache, max-age=60'
+                        WHEN doc_id % 6 = 2 THEN 'public, max-age=600'
+                        WHEN doc_id % 6 = 3
+                            THEN 'public, max-age=600, s-maxage=300'
+                        ELSE '' END AS cc,
+                   1700000000000000 + doc_id * 1000000 AS fetch_us,
+                   CASE WHEN doc_id % 6 = 4
+                        THEN 1700000000000000 + doc_id * 1000000
+                             - ((doc_id % 1000) + 5) * 7000000
+                   END AS lm_us
+            FROM documents),
+        p AS (
+            SELECT doc_id, fetch_us, lm_us,
+                   coalesce(regexp_extract(cc,
+                       '(?:^|[ ,])s-maxage=([0-9]+)', 1), '') AS smax,
+                   coalesce(regexp_extract(cc,
+                       '(?:^|[ ,])max-age=([0-9]+)', 1), '') AS mage,
+                   strpos(cc, 'no-store') > 0 AS nostore,
+                   strpos(cc, 'no-cache') > 0 AS nocache
+            FROM h),
+        q AS (
+            SELECT *,
+                   CASE WHEN nostore THEN 'no-store'
+                        WHEN nocache THEN 'no-cache'
+                        WHEN smax <> '' THEN 's-maxage'
+                        WHEN mage <> '' THEN 'max-age'
+                        WHEN lm_us IS NOT NULL AND fetch_us > lm_us
+                            THEN 'heuristic'
+                        ELSE 'none' END AS policy
+            FROM p),
+        t AS (
+            SELECT *,
+                   CAST(CASE WHEN policy = 's-maxage'
+                                 THEN CAST(smax AS BIGINT)
+                             WHEN policy = 'max-age'
+                                 THEN CAST(mage AS BIGINT)
+                             WHEN policy = 'heuristic'
+                                 THEN (fetch_us - lm_us) // 10000000
+                             ELSE 0 END AS BIGINT) AS ttl_sec
+            FROM q)
+        SELECT doc_id,
+               CAST(CASE WHEN policy = 'no-store' THEN 0 ELSE 1 END
+                    AS BIGINT) AS cacheable,
+               CAST(CASE WHEN policy = 'no-cache' THEN 1 ELSE 0 END
+                    AS BIGINT) AS revalidate,
+               ttl_sec,
+               CAST(CASE WHEN policy <> 'no-store'
+                    THEN fetch_us + ttl_sec * 1000000 END
+                    AS BIGINT) AS expires_ts_us,
+               policy
+        FROM t
     """
     return d

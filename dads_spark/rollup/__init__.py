@@ -108,3 +108,4 @@ from .ingest import lww_compact, out_of_order_stats  # noqa: F401
 from .promql import resets_changes  # noqa: F401
 from .distinct import kmv_cascade, kmv_estimate, kmv_sketch_tier  # noqa: F401
 from .labelindex import label_cardinality  # noqa: F401
+from .ivm import ivm_join_delta, ivm_join_maintain  # noqa: F401

@@ -1385,6 +1385,54 @@ def main() -> None:
                   or "Exchange" in l)[:600],
     ))
 
+    # --- A74: ivm_join — delta terms broadcast, no cartesian ---------------
+    p74 = plan_of(em.queries()["ivm_join"](spark, sf_dir))
+    assert "CartesianProduct" not in p74
+    assert "BroadcastHashJoin" in p74, (
+        "ivm_join delta terms should broadcast their small delta side"
+    )
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p74, f"ivm_join plan contains {py_op}"
+    sections.append((
+        "A74 ivm_join: maintenance cost scales with the delta",
+        "PASS — the three delta-join terms all resolve to "
+        "BroadcastHashJoins (the delta side is small by definition; at "
+        "scale Spark's size estimate keeps the broadcast on whichever "
+        "side is the delta), UNION ALL is a no-shuffle concat, and the "
+        "stored view contributes a bare scan — a refresh reads the "
+        "bases once and never re-joins |A| x |B|; no Python, no "
+        "cartesian",
+        "\n".join(l for l in p74.splitlines()
+                  if "Join" in l or "Union" in l or "Broadcast" in l)[:500],
+    ))
+
+    # --- A75: token_bucket / cache_policy — kernel vs map-only --------------
+    p75a = plan_of(em.queries()["token_bucket"](spark, sf_dir))
+    p75b = plan_of(em.queries()["cache_policy"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p75a, (
+        "token_bucket is a legitimate sequential kernel (running clamp)"
+    )
+    assert "SinglePartition" not in p75a, (
+        "token_bucket must shard by bucket key, never one task"
+    )
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p75b, f"cache_policy plan contains {py_op}"
+    assert "Exchange" not in p75b, (
+        "cache_policy must stay map-only over the corpus"
+    )
+    sections.append((
+        "A75 token_bucket kernel sharded by key; cache_policy map-only",
+        "PASS — token_bucket's running-clamp recursion (no prefix "
+        "decomposition exists) runs as ONE Arrow-batched "
+        "FlatMapGroupsInPandas behind a single hash exchange on the "
+        "bucket key (no SinglePartition anywhere); cache_policy "
+        "evaluates RFC 9111 freshness with ZERO exchanges — regex + "
+        "integer epoch arithmetic in whole-stage codegen, the "
+        "robots/blocklist map-only discipline",
+        "\n".join(l for l in (p75a + "\n" + p75b).splitlines()
+                  if "FlatMap" in l or "Exchange" in l or "Project" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
