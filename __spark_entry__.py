@@ -7344,6 +7344,73 @@ def q_cache_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set operations (rollup/distinct.py:kmv_set_ops): per-day
+    click-vs-view distinct-user overlap computed ONLY from the two KMV
+    sketches (k=32) — bottom-k of the sketch union, membership flags,
+    exact-integer Jaccard permille and intersection estimate. The oracle
+    ranks the union of the FULL distinct sets (legal by mergeability:
+    bottom-k of sketch union == bottom-k of set union), so the hash pins
+    the whole estimator path."""
+    from dads_spark.rollup import kmv_set_ops, kmv_sketch_tier
+
+    ev = _t(spark, sf_dir, "events")
+    a = kmv_sketch_tier(
+        ev.filter(F.col("event_type") == "click"), [], "ts", "user_id",
+        "day", k=32,
+    )
+    b = kmv_sketch_tier(
+        ev.filter(F.col("event_type") == "view"), [], "ts", "user_id",
+        "day", k=32,
+    )
+    out = kmv_set_ops(a, b, ["bucket_ts"], k=32)
+    return out.select(
+        _fmt_bucket(), "n_kept", "kth_hex", "n_both", "jaccard_permille",
+        "union_est", "inter_est",
+    )
+
+
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of read (rollup/bitemporal.py): 100 entities x ~25
+    versions (5 docs x 5 revisions each) with interleaved valid/tx
+    epochs; the audit question 'what governed valid day 6 as believed at
+    tx T' picks max valid_from then max tx_from among versions visible
+    under BOTH as-ofs. Pure integers; oracle mirrors the double-ordered
+    row_number."""
+    from dads_spark.rollup import bitemporal_asof
+
+    docs = _t(spark, sf_dir, "documents")
+    base = 1_700_000_000
+    versions = docs.select(
+        F.concat(F.lit("e"), (F.col("doc_id") % 100).cast("string")).alias(
+            "entity"
+        ),
+        F.col("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("k"),
+    ).select(
+        "entity",
+        (
+            F.lit(base)
+            + ((F.col("doc_id") + F.col("k")) % 10) * 86_400
+        ).alias("valid_from"),
+        # tx_from is injective over (doc_id, k) — gcd(13, 7777) = 1 and
+        # k < 13 — so entity-mates never tie on (valid_from, tx_from)
+        # and the window winner is deterministic
+        (
+            F.lit(base) + F.col("doc_id") * 13 + F.col("k") * 7_777
+        ).alias("tx_from"),
+        (F.col("doc_id") * 1_000 + F.col("k")).alias("value"),
+    )
+    return bitemporal_asof(
+        versions,
+        ["entity"],
+        "valid_from",
+        "tx_from",
+        valid_asof=base + 6 * 86_400,
+        tx_asof=base + 30_000,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -7689,6 +7756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bucket": q_token_bucket,
         "ivm_join": q_ivm_join,
         "cache_policy": q_cache_policy,
+        "kmv_intersect": q_kmv_intersect,
+        "bitemporal_asof": q_bitemporal_asof,
     }
 
 
@@ -13094,5 +13163,71 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS expires_ts_us,
                policy
         FROM t
+    """
+    # kmv_intersect: the oracle ranks the union of the FULL distinct
+    # sets (legal by mergeability); membership in a side's sketch is
+    # membership in the side, for any element of the union's bottom-k
+    _kmv_v52i = " + ".join(
+        f"((strpos('0123456789abcdef', substr(kth_hex, {i + 1}, 1))"
+        f" - CAST(1 AS BIGINT)) * {1 << (4 * (12 - i))})"
+        for i in range(13)
+    )
+    d["kmv_intersect"] = f"""
+        WITH a AS (
+            SELECT DISTINCT date_trunc('day', ts) AS bt,
+                   md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events WHERE event_type = 'click'),
+        b AS (
+            SELECT DISTINCT date_trunc('day', ts) AS bt,
+                   md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events WHERE event_type = 'view'),
+        u AS (SELECT bt, h FROM a UNION SELECT bt, h FROM b),
+        r AS (
+            SELECT bt, h,
+                   row_number() OVER (PARTITION BY bt ORDER BY h) AS rn
+            FROM u),
+        kk AS (SELECT bt, h FROM r WHERE rn <= 32),
+        m AS (
+            SELECT kk.bt,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   max(kk.h) AS kth_hex,
+                   CAST(sum(CASE WHEN ia.h IS NOT NULL
+                                  AND ib.h IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_both
+            FROM kk
+            LEFT JOIN a ia ON ia.bt = kk.bt AND ia.h = kk.h
+            LEFT JOIN b ib ON ib.bt = kk.bt AND ib.h = kk.h
+            GROUP BY kk.bt),
+        e AS (
+            SELECT *,
+                   CAST(CASE WHEN n_kept < 32 THEN n_kept
+                        ELSE {31 * (1 << 52)}
+                             // greatest(CAST({_kmv_v52i} AS BIGINT), 1)
+                        END AS BIGINT) AS union_est
+            FROM m)
+        SELECT strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+               n_kept, kth_hex, n_both,
+               CAST(1000 * n_both // n_kept AS BIGINT) AS jaccard_permille,
+               union_est,
+               CAST(union_est * n_both // n_kept AS BIGINT) AS inter_est
+        FROM e
+    """
+    d["bitemporal_asof"] = """
+        WITH v AS (
+            SELECT 'e' || CAST(doc_id % 100 AS VARCHAR) AS entity,
+                   1700000000
+                     + ((doc_id + k.k) % 10) * 86400 AS valid_from,
+                   1700000000 + doc_id * 13 + k.k * 7777 AS tx_from,
+                   doc_id * 1000 + k.k AS value
+            FROM documents, (SELECT unnest(range(0, 5)) AS k) k),
+        q AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY entity
+                       ORDER BY valid_from DESC, tx_from DESC) AS rn
+            FROM v
+            WHERE valid_from <= 1700000000 + 6 * 86400
+              AND tx_from <= 1700000000 + 30000)
+        SELECT entity, valid_from, tx_from, value FROM q WHERE rn = 1
     """
     return d

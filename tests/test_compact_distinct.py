@@ -244,3 +244,44 @@ def test_kmv_v52_no_ansi_overflow(spark):
     day = kmv_sketch_tier(ev, ["key"], "ts", "item", "day", k=8)
     rows = kmv_estimate(day, k=8).collect()  # would raise pre-fix
     assert all(r["est_distinct"] >= r["n_kept"] for r in rows)
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    """Two sets of 20/25 items with 10 shared, k=64 >> sizes: every
+    output is EXACT — union 35, intersection 10, jaccard 285 permille."""
+    from dads_spark.rollup.distinct import kmv_set_ops, kmv_sketch_tier
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.lit("g").alias("key"),
+            F.timestamp_seconds(F.lit(1_700_000_000)).alias("ts"),
+            F.col("id").alias("item"),
+        )
+
+    a = kmv_sketch_tier(mk(0, 20), ["key"], "ts", "item", "day", k=64)
+    b = kmv_sketch_tier(mk(10, 35), ["key"], "ts", "item", "day", k=64)
+    r = kmv_set_ops(a, b, ["key", "bucket_ts"], k=64).collect()[0]
+    assert r["n_kept"] == 35 and r["n_both"] == 10
+    assert r["union_est"] == 35 and r["inter_est"] == 10
+    assert r["jaccard_permille"] == 1000 * 10 // 35
+
+
+def test_kmv_set_ops_estimator_envelope(spark):
+    """600 vs 600 items with 300 shared (true J=1/3, union 900), k=128:
+    estimates within a loose 50% envelope, all integers deterministic."""
+    from dads_spark.rollup.distinct import kmv_set_ops, kmv_sketch_tier
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.lit("g").alias("key"),
+            F.timestamp_seconds(F.lit(1_700_000_000)).alias("ts"),
+            F.col("id").alias("item"),
+        )
+
+    a = kmv_sketch_tier(mk(0, 600), ["key"], "ts", "item", "day", k=128)
+    b = kmv_sketch_tier(mk(300, 900), ["key"], "ts", "item", "day", k=128)
+    r = kmv_set_ops(a, b, ["key", "bucket_ts"], k=128).collect()[0]
+    assert r["n_kept"] == 128 and 0 < r["n_both"] < 128
+    assert abs(r["union_est"] - 900) <= 450
+    assert abs(r["jaccard_permille"] - 333) <= 170
+    assert r["inter_est"] == r["union_est"] * r["n_both"] // r["n_kept"]
