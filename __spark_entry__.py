@@ -7411,6 +7411,127 @@ def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clf_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Apache combined-format lines covering every parser
+    branch: 3 months, both tz signs, 5 statuses (204 carries '-' bytes),
+    4 UA families (2 bots), a '-' referer arm, and a malformed line
+    every 97th doc."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ip = F.concat(
+        F.lit("10."), (d % 256).cast("string"), F.lit("."),
+        (d % 17).cast("string"), F.lit("."), ((d % 9) + 1).cast("string"),
+    )
+    user = F.when(d % 5 == 0, "alice").otherwise("-")
+    day = F.lpad(((d % 28) + 1).cast("string"), 2, "0")
+    mon = F.when(d % 3 == 0, "Jan").when(d % 3 == 1, "Jun").otherwise("Nov")
+    hh = F.lpad((d % 24).cast("string"), 2, "0")
+    mm = F.lpad((d % 60).cast("string"), 2, "0")
+    ss = F.lpad(((d * 7) % 60).cast("string"), 2, "0")
+    tz = F.when(d % 2 == 0, "+0000").otherwise("-0530")
+    method = F.when(d % 3 == 0, "GET").when(d % 3 == 1, "POST").otherwise(
+        "HEAD"
+    )
+    status = (
+        F.when(d % 5 == 0, "200").when(d % 5 == 1, "301")
+        .when(d % 5 == 2, "404").when(d % 5 == 3, "500").otherwise("204")
+    )
+    nbytes = F.when(d % 5 == 4, "-").otherwise((d * 13).cast("string"))
+    referer = F.when(d % 7 == 0, "-").otherwise(
+        F.concat(F.lit("https://ref.example/"), (d % 7).cast("string"))
+    )
+    ua = (
+        F.when(d % 4 == 0, "Mozilla/5.0 (X11; Linux x86_64) Gecko")
+        .when(d % 4 == 1, "Googlebot/2.1 (+http://www.google.com/bot.html)")
+        .when(d % 4 == 2, "curl/8.4.0")
+        .otherwise("SpiderX/1.0 crawler")
+    )
+    line = F.concat(
+        ip, F.lit(" - "), user, F.lit(" ["), day, F.lit("/"), mon,
+        F.lit("/2024:"), hh, F.lit(":"), mm, F.lit(":"), ss, F.lit(" "),
+        tz, F.lit('] "'), method, F.lit(" /p/"), d.cast("string"),
+        F.lit(' HTTP/1.1" '), status, F.lit(" "), nbytes, F.lit(' "'),
+        referer, F.lit('" "'), ua, F.lit('"'),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(d % 97 == 0, "malformed !! line").otherwise(line).alias(
+            "line"
+        ),
+    )
+
+
+def q_clf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined-log-format parsing (ops/weblog.py:parse_clf): one
+    anchored regex, per-group extraction, month-name CASE map, CLF '-'
+    bytes -> 0, declared-bot UA flag; malformed lines survive as
+    parsed=0 NULL rows. Map-only codegen (plan audit A77)."""
+    from dads_spark.ops import parse_clf
+
+    return parse_clf(_clf_lines(spark, sf_dir), "line").drop("line")
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (rollup/evolution.py): generation v1
+    wrote (doc_id, cnt INT, src) and v2 writes (doc_id, doc_count LONG,
+    lang); read_evolved renames cnt->doc_count, widens INT->LONG, and
+    NULL-fills each side's missing column — old files are never
+    rewritten. Oracle reads the SAME staged parquet with the mapping
+    spelled out."""
+    from dads_spark.rollup import read_evolved
+
+    docs = _t(spark, sf_dir, "documents")
+    v1_path = _dump_path("evo_v1_dir")
+    v2_path = _dump_path("evo_v2_dir")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.col("n_chars").cast("int").alias("cnt"), F.col("source").alias("src")
+    ).coalesce(1).write.mode("overwrite").parquet(v1_path)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", (F.col("n_chars") * 2).alias("doc_count"), "lang"
+    ).coalesce(1).write.mode("overwrite").parquet(v2_path)
+    target = [
+        ("doc_id", "long"), ("doc_count", "long"),
+        ("lang", "string"), ("src", "string"),
+    ]
+    return read_evolved(
+        [
+            (spark.read.parquet(v1_path), {"cnt": "doc_count"}),
+            (spark.read.parquet(v2_path), None),
+        ],
+        target,
+    )
+
+
+def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned tier read path: events written partitionBy(day),
+    then a two-day read whose day predicate becomes a PartitionFilter —
+    file listing prunes 28 of 30 partitions before any IO (plan audit
+    A77 asserts it). Counts per (day, event_type) against a direct
+    recompute oracle."""
+    ev = _t(spark, sf_dir, "events")
+    path = _dump_path("events_day_part_dir")
+    staged = ev.select(
+        "event_type", "event_id",
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+    )
+    staged.write.mode("overwrite").partitionBy("day").parquet(path)
+    part = spark.read.parquet(path)
+    # partition-type inference reads `day` back as DATE; filter on the
+    # inferred type (keeps the PartitionFilter) and cast for output
+    return (
+        part.filter(
+            F.col("day").isin(
+                F.lit("2024-01-05").cast("date"),
+                F.lit("2024-01-17").cast("date"),
+            )
+        )
+        .groupBy(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -7758,6 +7879,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_policy": q_cache_policy,
         "kmv_intersect": q_kmv_intersect,
         "bitemporal_asof": q_bitemporal_asof,
+        "clf_parse": q_clf_parse,
+        "schema_evolution": q_schema_evolution,
+        "partitioned_prune": q_partitioned_prune,
     }
 
 
@@ -13229,5 +13353,112 @@ def oracle_sql() -> dict[str, str]:
             WHERE valid_from <= 1700000000 + 6 * 86400
               AND tx_from <= 1700000000 + 30000)
         SELECT entity, valid_from, tx_from, value FROM q WHERE rn = 1
+    """
+    # clf_parse: the oracle synthesizes the identical line string and
+    # mirrors the per-group regexp extraction + derivations
+    _clf_pat = (
+        r'^(\S+) (\S+) (\S+) \[(\d{2})/([A-Za-z]{3})/(\d{4}):'
+        r'(\d{2}:\d{2}:\d{2}) ([+-]\d{4})\] "(\S+) (\S+) ([^"]*)" '
+        r'(\d{3}) (\S+) "([^"]*)" "([^"]*)"$'
+    )
+    d["clf_parse"] = f"""
+        WITH syn AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 97 = 0 THEN 'malformed !! line'
+                   ELSE
+                     '10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                       || CAST(doc_id % 17 AS VARCHAR) || '.'
+                       || CAST((doc_id % 9) + 1 AS VARCHAR)
+                     || ' - '
+                     || CASE WHEN doc_id % 5 = 0 THEN 'alice' ELSE '-' END
+                     || ' [' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                     || '/' || CASE WHEN doc_id % 3 = 0 THEN 'Jan'
+                                    WHEN doc_id % 3 = 1 THEN 'Jun'
+                                    ELSE 'Nov' END
+                     || '/2024:' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                     || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                     || ':' || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+                     || ' ' || CASE WHEN doc_id % 2 = 0 THEN '+0000'
+                                    ELSE '-0530' END
+                     || '] "' || CASE WHEN doc_id % 3 = 0 THEN 'GET'
+                                      WHEN doc_id % 3 = 1 THEN 'POST'
+                                      ELSE 'HEAD' END
+                     || ' /p/' || CAST(doc_id AS VARCHAR)
+                     || ' HTTP/1.1" '
+                     || CASE doc_id % 5 WHEN 0 THEN '200' WHEN 1 THEN '301'
+                             WHEN 2 THEN '404' WHEN 3 THEN '500'
+                             ELSE '204' END
+                     || ' ' || CASE WHEN doc_id % 5 = 4 THEN '-'
+                               ELSE CAST(doc_id * 13 AS VARCHAR) END
+                     || ' "' || CASE WHEN doc_id % 7 = 0 THEN '-'
+                                ELSE 'https://ref.example/'
+                                     || CAST(doc_id % 7 AS VARCHAR) END
+                     || '" "'
+                     || CASE doc_id % 4
+                          WHEN 0 THEN 'Mozilla/5.0 (X11; Linux x86_64) Gecko'
+                          WHEN 1 THEN
+                            'Googlebot/2.1 (+http://www.google.com/bot.html)'
+                          WHEN 2 THEN 'curl/8.4.0'
+                          ELSE 'SpiderX/1.0 crawler' END
+                     || '"'
+                   END AS line
+            FROM documents),
+        px AS (
+            SELECT doc_id,
+                   regexp_extract(line, '{_clf_pat}',
+                       ['g1','g2','g3','g4','g5','g6','g7','g8','g9',
+                        'g10','g11','g12','g13','g14','g15']) AS s
+            FROM syn),
+        p AS (SELECT doc_id, s, s.g12 <> '' AS ok FROM px)
+        SELECT doc_id,
+               CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS parsed,
+               CASE WHEN ok THEN s.g1 END AS ip,
+               CASE WHEN ok THEN
+                   s.g6 || '-'
+                   || CASE s.g5
+                        WHEN 'Jan' THEN '01' WHEN 'Feb' THEN '02'
+                        WHEN 'Mar' THEN '03' WHEN 'Apr' THEN '04'
+                        WHEN 'May' THEN '05' WHEN 'Jun' THEN '06'
+                        WHEN 'Jul' THEN '07' WHEN 'Aug' THEN '08'
+                        WHEN 'Sep' THEN '09' WHEN 'Oct' THEN '10'
+                        WHEN 'Nov' THEN '11' ELSE '12' END
+                   || '-' || s.g4 || ' ' || s.g7
+               END AS iso_ts,
+               CASE WHEN ok THEN s.g8 END AS tz,
+               CASE WHEN ok THEN s.g9 END AS method,
+               CASE WHEN ok THEN s.g10 END AS path,
+               CASE WHEN ok THEN CAST(s.g12 AS BIGINT) END AS status,
+               CASE WHEN ok THEN substr(s.g12, 1, 1) || 'xx' END
+                   AS status_class,
+               CASE WHEN ok THEN
+                   CASE WHEN s.g13 = '-' THEN 0
+                        ELSE CAST(s.g13 AS BIGINT) END
+               END AS n_bytes,
+               CASE WHEN ok THEN s.g14 END AS referer,
+               CASE WHEN ok THEN s.g15 END AS user_agent,
+               CASE WHEN ok THEN
+                   CAST(CASE WHEN strpos(lower(s.g15), 'bot') > 0
+                        OR strpos(lower(s.g15), 'crawler') > 0
+                        OR strpos(lower(s.g15), 'spider') > 0
+                        OR strpos(lower(s.g15), 'curl') > 0
+                        OR strpos(lower(s.g15), 'wget') > 0
+                        THEN 1 ELSE 0 END AS BIGINT)
+               END AS is_bot
+        FROM p
+    """
+    d["schema_evolution"] = f"""
+        SELECT doc_id, CAST(cnt AS BIGINT) AS doc_count,
+               CAST(NULL AS VARCHAR) AS lang, src
+        FROM read_parquet('{_dump_path("evo_v1_dir")}/*.parquet')
+        UNION ALL
+        SELECT doc_id, doc_count, lang, CAST(NULL AS VARCHAR) AS src
+        FROM read_parquet('{_dump_path("evo_v2_dir")}/*.parquet')
+    """
+    d["partitioned_prune"] = """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               count(*) AS n_events
+        FROM events
+        WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-05', '2024-01-17')
+        GROUP BY 1, 2
     """
     return d

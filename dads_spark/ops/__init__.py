@@ -146,3 +146,4 @@ from .cdx import latest_captures, parse_cdxj, surt_key  # noqa: F401
 from .apportion import apportion  # noqa: F401
 from .ratelimit import token_bucket  # noqa: F401
 from .httpcache import cache_policy  # noqa: F401
+from .weblog import parse_clf  # noqa: F401

@@ -110,3 +110,4 @@ from .distinct import kmv_cascade, kmv_estimate, kmv_set_ops, kmv_sketch_tier  #
 from .labelindex import label_cardinality  # noqa: F401
 from .ivm import ivm_join_delta, ivm_join_maintain  # noqa: F401
 from .bitemporal import bitemporal_asof  # noqa: F401
+from .evolution import align_to_schema, read_evolved  # noqa: F401

