@@ -7532,6 +7532,59 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC envelope collapse (rollup/ingest.py:cdc_apply): 120 entities x
+    ~17 ops (insert/update/delete by a doc-dependent formula, injective
+    sequence numbers so entity-mates never tie); highest-seq op wins,
+    winning deletes erase the key. Oracle mirrors the desc row_number +
+    delete filter."""
+    from dads_spark.rollup import cdc_apply
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ops = docs.select(
+        F.concat(F.lit("e"), (d % 120).cast("string")).alias("entity"),
+        d,
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    ).select(
+        "entity",
+        (F.col("doc_id") * 10 + F.col("k")).alias("seq"),
+        F.when((F.col("doc_id") + F.col("k")) % 11 == 0, "D")
+        .when(F.col("k") == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+        (F.col("doc_id") * 100 + F.col("k") * 7).alias("val"),
+    )
+    return cdc_apply(ops, ["entity"], "seq", "op")
+
+
+def q_merkle_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle fingerprint tree (rollup/integrity.py:merkle_tiers) over
+    the events table keyed by event_type: hour/day/key-root hashes, each
+    md5 over the concatenation of SORTED child hashes (bag semantics,
+    partition-invariant). Oracle mirrors with string_agg(ORDER BY)."""
+    from dads_spark.rollup import merkle_tiers
+
+    ev = _t(spark, sf_dir, "events")
+    return merkle_tiers(ev, "event_type", "ts", ["event_id", "user_id"])
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget curation (ops/sampling.py:
+    token_budget_select): fill each lang's 30k-char allowance by
+    descending quality (n_chars DESC proxy... quality = doc_id % 7 here
+    so ties exercise the md5 break), strict cumsum <= budget. Oracle
+    mirrors the windowed cumulative sum."""
+    from dads_spark.ops import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", (F.col("doc_id") % 7).alias("quality")
+    )
+    return token_budget_select(
+        docs, "lang", "doc_id", "n_chars", "quality", budget=30_000
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -7882,6 +7935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clf_parse": q_clf_parse,
         "schema_evolution": q_schema_evolution,
         "partitioned_prune": q_partitioned_prune,
+        "cdc_apply": q_cdc_apply,
+        "merkle_tiers": q_merkle_tiers,
+        "token_budget": q_token_budget,
     }
 
 
@@ -13460,5 +13516,61 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-05', '2024-01-17')
         GROUP BY 1, 2
+    """
+    d["cdc_apply"] = """
+        WITH ops AS (
+            SELECT 'e' || CAST(doc_id % 120 AS VARCHAR) AS entity,
+                   doc_id * 10 + k.k AS seq,
+                   CASE WHEN (doc_id + k.k) % 11 = 0 THEN 'D'
+                        WHEN k.k = 0 THEN 'I' ELSE 'U' END AS op,
+                   doc_id * 100 + k.k * 7 AS val
+            FROM documents, (SELECT unnest(range(0, 4)) AS k) k),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY entity
+                                      ORDER BY seq DESC) AS rn,
+                   count(*) OVER (PARTITION BY entity) AS n_ops
+            FROM ops)
+        SELECT entity, seq, op, val, CAST(n_ops AS BIGINT) AS n_ops
+        FROM r WHERE rn = 1 AND op <> 'D'
+    """
+    d["merkle_tiers"] = """
+        WITH rows_ AS (
+            SELECT event_type AS key,
+                   date_trunc('hour', ts) AS bh,
+                   md5(coalesce(CAST(event_id AS VARCHAR), '') || '|'
+                       || coalesce(CAST(user_id AS VARCHAR), '')) AS h
+            FROM events),
+        hour AS (
+            SELECT key, bh,
+                   md5(string_agg(h, '' ORDER BY h)) AS h
+            FROM rows_ GROUP BY 1, 2),
+        day AS (
+            SELECT key, date_trunc('day', bh) AS bd,
+                   md5(string_agg(h, '' ORDER BY h)) AS h
+            FROM hour GROUP BY 1, 2),
+        root AS (
+            SELECT key, md5(string_agg(h, '' ORDER BY h)) AS h
+            FROM day GROUP BY 1)
+        SELECT 'hour' AS level, key,
+               strftime(bh, '%Y-%m-%d %H:%M:%S') AS bucket_ts, h
+        FROM hour
+        UNION ALL
+        SELECT 'day', key, strftime(bd, '%Y-%m-%d %H:%M:%S'), h FROM day
+        UNION ALL
+        SELECT 'root', key, CAST(NULL AS VARCHAR), h FROM root
+    """
+    d["token_budget"] = """
+        WITH q AS (
+            SELECT doc_id, lang, n_chars, doc_id % 7 AS quality,
+                   sum(n_chars) OVER (
+                       PARTITION BY lang
+                       ORDER BY doc_id % 7 DESC,
+                                md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM documents)
+        SELECT doc_id, lang, n_chars, CAST(quality AS BIGINT) AS quality
+        FROM q WHERE cum <= 30000
     """
     return d

@@ -147,3 +147,4 @@ from .apportion import apportion  # noqa: F401
 from .ratelimit import token_bucket  # noqa: F401
 from .httpcache import cache_policy  # noqa: F401
 from .weblog import parse_clf  # noqa: F401
+from .sampling import token_budget_select  # noqa: F401

@@ -437,3 +437,42 @@ def dsir_importance(
         return out
     w = W.orderBy(F.col("lw_q6").desc(), id_col)
     return out.withColumn("selected", F.row_number().over(w) <= top_n)
+
+
+def token_budget_select(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    quality_col: str,
+    budget: int,
+) -> DataFrame:
+    """Quality-first selection under a per-group TOKEN budget — the
+    curation step every training-mix recipe ends with: each language
+    (or source) gets a token allowance, filled by descending quality
+    until the allowance is spent.  ``cap_per_group`` bounds COUNT;
+    training mixes are specified in tokens, and document lengths vary by
+    100x, so the budget must be a running SUM: keep rows whose cumulative
+    token count (in quality-desc order, md5(id) then id breaking ties)
+    stays <= budget.  Strict semantics — the first document that would
+    overshoot is EXCLUDED, so the output never exceeds the allowance and
+    is engine-exact (pure BIGINT cumsum, no float shares).
+
+    One ranking window per group, same single-shuffle shape as
+    cap_per_group; the cumsum reuses the ranking window's sort.  At
+    100 TB the per-group sort is the curation cost itself and pays once.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    h = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy(group_col).orderBy(
+        F.col(quality_col).desc(), h, F.col(id_col)
+    )
+    cum = F.sum(F.col(tokens_col).cast("long")).over(
+        w.rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("_cum", cum)
+        .filter(F.col("_cum") <= budget)
+        .drop("_cum")
+    )

@@ -111,3 +111,5 @@ from .labelindex import label_cardinality  # noqa: F401
 from .ivm import ivm_join_delta, ivm_join_maintain  # noqa: F401
 from .bitemporal import bitemporal_asof  # noqa: F401
 from .evolution import align_to_schema, read_evolved  # noqa: F401
+from .ingest import cdc_apply  # noqa: F401
+from .integrity import merkle_tiers  # noqa: F401

@@ -102,3 +102,39 @@ def out_of_order_stats(
         F.sum("_ooo").cast("long").alias("n_out_of_order"),
         F.max("_jump").cast("long").alias("max_backwards_s"),
     )
+
+
+def cdc_apply(
+    ops: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a change-data-capture stream to reach final state: per key,
+    the op with the HIGHEST sequence number wins; a winning delete erases
+    the key entirely.  Covers the replication-ingest shape lww_compact
+    (upserts only) cannot: upstream deletions must erase, not linger.
+
+    Ordering contract: ``seq_col`` must be a total order per key (a
+    replication log LSN); ties would be nondeterministic, so callers with
+    coarse timestamps should pass (ts, log_offset) composed into one
+    sequence.  One shuffle keyed by the entity; row_number + filter is
+    the whole plan — at 100 TB the op stream partitions by key and the
+    final state is append-free.
+
+    Output: one row per surviving key, the winning row's columns plus
+    ``n_ops`` (write-amplification audit, deletes included).
+
+    Reference analog: none; spec source BASELINE.json:6 (out-of-order
+    ingest — the replication/CDC half; lww_compact above handles sample
+    re-delivery). Public semantics: Debezium-style envelope collapse.
+    """
+    w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    n = W.partitionBy(*key_cols)
+    return (
+        ops.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count(F.lit(1)).over(n))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn")
+    )

@@ -1477,6 +1477,29 @@ def main() -> None:
                   if "PartitionFilters" in l or "FileScan" in l)[:400],
     ))
 
+    # --- A78: cdc_apply / merkle_tiers / token_budget ------------------------
+    p78a = plan_of(em.queries()["cdc_apply"](spark, sf_dir))
+    p78b = plan_of(em.queries()["merkle_tiers"](spark, sf_dir))
+    p78c = plan_of(em.queries()["token_budget"](spark, sf_dir))
+    for p, nm in ((p78a, "cdc_apply"), (p78b, "merkle_tiers"),
+                  (p78c, "token_budget")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p
+        assert "SinglePartition" not in p, f"{nm} collapses to one task"
+    sections.append((
+        "A78 cdc/merkle/budget: key-local windows and bounded combines",
+        "PASS — cdc_apply is one entity-keyed window (desc row_number + "
+        "count) and a filter; merkle_tiers is three grouped aggregates "
+        "whose combine inputs are bounded by the tier fan-in (rows/hour, "
+        "hours/day, days/key) — the hash tree builds bottom-up with "
+        "map-side partials, no global state; token_budget reuses ONE "
+        "per-group ranking window for both the order and the cumulative "
+        "sum; no Python, no single-task collapse anywhere",
+        "\n".join(l for l in (p78a + "\n" + p78b + "\n" + p78c).splitlines()
+                  if "Window" in l or "Aggregate" in l or "Exchange" in l)[:500],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
