@@ -7585,6 +7585,54 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight equi-join cardinality statistics (ops/profile.py:
+    join_size_estimate): exact sum of cntA(k)*cntB(k) from the two
+    per-key histograms, bucketed by md5 prefix so the report shows WHERE
+    the blowup lives — the CBO input behind broadcast/salt decisions,
+    priced at histogram size instead of running the join."""
+    from dads_spark.ops import join_size_estimate
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 150).alias("uk")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 150).alias("uk")
+    )
+    return join_size_estimate(ev, docs, ["uk"], n_hex=1)
+
+
+def q_range_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth range-partition boundaries (ops/sampling.py:
+    range_splits): split i = the row of global rank ceil(i*n/8) in
+    (n_chars, doc_id) order — deterministic, unlike Spark's sampled
+    repartitionByRange boundaries; rank arithmetic in BIGINT
+    cross-multiplication. Oracle mirrors the ceil-rank selection."""
+    from dads_spark.ops import range_splits
+
+    docs = _t(spark, sf_dir, "documents").select("n_chars", "doc_id")
+    return range_splits(docs, ["n_chars", "doc_id"], n_parts=8)
+
+
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host link reciprocity (ops/linkgraph.py:link_reciprocity)
+    over the deterministic h(doc%97) domain graph plus reversed copies
+    for every third doc — so the permille spectrum is populated; the
+    link-farm smell metric beside trustrank."""
+    from dads_spark.ops import link_reciprocity
+
+    docs = _t(spark, sf_dir, "documents")
+    src = F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"))
+    dst = F.concat(
+        F.lit("h"), ((F.col("doc_id") * 31 + 7) % 97).cast("string")
+    )
+    fwd = docs.select(src.alias("src"), dst.alias("dst"))
+    back = docs.filter(F.col("doc_id") % 3 == 0).select(
+        dst.alias("src"), src.alias("dst")
+    )
+    return link_reciprocity(fwd.unionAll(back))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -7938,6 +7986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "merkle_tiers": q_merkle_tiers,
         "token_budget": q_token_budget,
+        "join_size_estimate": q_join_size_estimate,
+        "range_splits": q_range_splits,
+        "link_reciprocity": q_link_reciprocity,
     }
 
 
@@ -13572,5 +13623,61 @@ def oracle_sql() -> dict[str, str]:
             FROM documents)
         SELECT doc_id, lang, n_chars, CAST(quality AS BIGINT) AS quality
         FROM q WHERE cum <= 30000
+    """
+    d["join_size_estimate"] = """
+        WITH ha AS (
+            SELECT md5(CAST(user_id % 150 AS VARCHAR)) AS h,
+                   CAST(count(*) AS BIGINT) AS na
+            FROM events GROUP BY 1),
+        hb AS (
+            SELECT md5(CAST(doc_id % 150 AS VARCHAR)) AS h,
+                   CAST(count(*) AS BIGINT) AS nb
+            FROM documents GROUP BY 1),
+        j AS (SELECT ha.h, na, nb FROM ha JOIN hb ON ha.h = hb.h)
+        SELECT substr(h, 1, 1) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_keys_both,
+               CAST(sum(na * nb) AS BIGINT) AS est_rows,
+               CAST(max(na * nb) AS BIGINT) AS max_key_rows
+        FROM j GROUP BY 1
+    """
+    d["range_splits"] = """
+        WITH r AS (
+            SELECT n_chars, doc_id,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+                   count(*) OVER () AS n
+            FROM documents),
+        s AS (
+            SELECT r.*, i.i
+            FROM r, (SELECT unnest(range(1, 8)) AS i) i
+            WHERE rk = (i.i * n + 7) // 8),
+        dedup AS (
+            SELECT rk, n_chars, doc_id,
+                   CAST(min(i) AS BIGINT) AS split_idx
+            FROM s GROUP BY 1, 2, 3)
+        SELECT split_idx, n_chars, doc_id FROM dedup
+    """
+    d["link_reciprocity"] = """
+        WITH fwd AS (
+            SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS src,
+                   'h' || CAST((doc_id * 31 + 7) % 97 AS VARCHAR) AS dst
+            FROM documents),
+        back AS (
+            SELECT 'h' || CAST((doc_id * 31 + 7) % 97 AS VARCHAR) AS src,
+                   'h' || CAST(doc_id % 97 AS VARCHAR) AS dst
+            FROM documents WHERE doc_id % 3 = 0),
+        e AS (
+            SELECT DISTINCT src AS a, dst AS b
+            FROM (SELECT * FROM fwd UNION ALL SELECT * FROM back)
+            WHERE src <> dst),
+        rev AS (SELECT b AS a, a AS b, 1 AS r FROM e),
+        f AS (
+            SELECT e.a, coalesce(rev.r, 0) AS r
+            FROM e LEFT JOIN rev ON e.a = rev.a AND e.b = rev.b)
+        SELECT a AS src,
+               CAST(count(*) AS BIGINT) AS n_out,
+               CAST(sum(r) AS BIGINT) AS n_recip,
+               CAST(1000 * sum(r) // count(*) AS BIGINT)
+                   AS recip_permille
+        FROM f GROUP BY 1
     """
     return d

@@ -148,3 +148,6 @@ from .ratelimit import token_bucket  # noqa: F401
 from .httpcache import cache_policy  # noqa: F401
 from .weblog import parse_clf  # noqa: F401
 from .sampling import token_budget_select  # noqa: F401
+from .profile import join_size_estimate  # noqa: F401
+from .sampling import range_splits  # noqa: F401
+from .linkgraph import link_reciprocity  # noqa: F401

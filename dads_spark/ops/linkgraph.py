@@ -693,3 +693,40 @@ def link_prediction(
         "deg_dst",
         jac.cast("long").alias("jaccard_permille"),
     )
+
+
+def link_reciprocity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-host link reciprocity — the classic link-farm smell: organic
+    sites link asymmetrically (news -> source), while paid link rings
+    reciprocate densely, so a host whose out-edges are mostly returned
+    is the first candidate for the spam queue (the degree-level
+    complement of trustrank's propagation view).
+
+    Exact integers per src host: n_out (distinct out-edges, self-loops
+    excluded), n_recip (those whose reverse edge exists), and
+    recip_permille = 1000 * n_recip DIV n_out.  One distinct + one
+    self-equi-join on the reversed pair + one agg — the join keys on the
+    (dst, src) pair, so the shuffle is edge-sized, never host-squared.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    flagged = e.join(
+        rev.withColumn("_r", F.lit(1)), ["a", "b"], "left"
+    )
+    return flagged.groupBy(F.col("a").alias("src")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_out"),
+        F.sum(F.coalesce(F.col("_r"), F.lit(0))).cast("long").alias(
+            "n_recip"
+        ),
+    ).withColumn(
+        "recip_permille",
+        F.expr("CAST(1000 * n_recip AS BIGINT) DIV n_out"),
+    )

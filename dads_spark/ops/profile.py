@@ -202,3 +202,49 @@ def shuffle_skew_report(
             F.max("_n").cast("long").alias("max_key_rows"),
         )
     )
+
+
+def join_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    n_hex: int = 2,
+) -> DataFrame:
+    """Pre-flight equi-join output-size statistics — the cost-based-
+    optimizer input behind every broadcast/shuffle/salt decision.  For
+    an inner equi-join, |A JOIN B| = sum over keys of cntA(k) * cntB(k);
+    this computes that sum EXACTLY from the two per-key histograms
+    (their own map-side aggregates), grouped by md5-prefix bucket so the
+    report also shows WHERE the blowup lives (the same portable bucket
+    scheme as shuffle_skew_report — a 16^n_hex-row answer about a
+    petabyte join).
+
+    Per bucket: n_keys_both (matching keys), est_rows (exact join
+    cardinality), max_key_rows (the worst single key's output — the
+    salt-or-broadcast trigger).  All BIGINT; overflow only past 2^63
+    output rows, at which point the report IS the answer.
+
+    Reference analog: none; the planning sibling of shuffle_skew_report
+    (plan audits pin both as dimension-sized).
+    """
+    def hist(df: DataFrame) -> DataFrame:
+        key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+        return (
+            df.select(F.md5(key).alias("_h"))
+            .groupBy("_h")
+            .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        )
+
+    ha = hist(a).withColumnRenamed("_n", "_na")
+    hb = hist(b).withColumnRenamed("_n", "_nb")
+    joined = ha.join(hb, "_h")
+    return (
+        joined.groupBy(F.substring("_h", 1, n_hex).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys_both"),
+            F.sum(F.col("_na") * F.col("_nb")).cast("long").alias("est_rows"),
+            F.max(F.col("_na") * F.col("_nb")).cast("long").alias(
+                "max_key_rows"
+            ),
+        )
+    )

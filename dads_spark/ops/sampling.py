@@ -476,3 +476,54 @@ def token_budget_select(
         .filter(F.col("_cum") <= budget)
         .drop("_cum")
     )
+
+
+def range_splits(
+    df: DataFrame,
+    order_cols: list[str],
+    n_parts: int,
+) -> DataFrame:
+    """EXACT equi-depth split points for range partitioning — the
+    planning step behind repartitionByRange / range-clustered writes,
+    computed deterministically instead of by Spark's reservoir sampling
+    (whose boundaries vary run to run and cannot be oracle-pinned).
+    Split i (1..n_parts-1) is the row of global rank ceil(i * n / n_parts)
+    in ``order_cols`` order: assigning rows to parts by boundary
+    comparison yields parts whose sizes differ by at most the tie mass.
+
+    Shape: one ranking pass (a global sort — this runs on the PLANNING
+    sample or a dimension, not the full corpus; for a 100 TB table feed
+    it a deterministic hash sample and the boundaries converge at
+    1/sqrt(sample)) then an n_parts-row filter by exact rank arithmetic:
+    rank * n_parts is compared against i * n in pure BIGINT cross-
+    multiplication — no division, no floats.
+
+    Output: (split_idx, order value columns...) — n_parts - 1 rows.
+    """
+    if n_parts < 2:
+        raise ValueError(f"n_parts must be >= 2, got {n_parts}")
+    w = W.orderBy(*[F.col(c) for c in order_cols])
+    ranked = df.select(*order_cols).withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    total = ranked.agg(F.max("_rk").alias("_n"))
+    # row _rk is split i iff _rk == ceil(i*n/p) for some i in 1..p-1:
+    # i = floor(_rk * p / n) works when _rk is the FIRST rank with
+    # _rk * p >= i * n; test both neighbors in exact integer arithmetic
+    out = ranked.crossJoin(F.broadcast(total))
+    # when n < n_parts several boundaries coincide; the chain keeps the
+    # smallest split_idx for a shared rank (documented collapse)
+    matches = None
+    for i in range(1, n_parts):
+        # ceil(i*n/p) = (i*n + p - 1) DIV p
+        cond = F.expr(
+            f"_rk = (CAST({i} AS BIGINT) * _n + {n_parts - 1})"
+            f" DIV {n_parts}"
+        )
+        m = F.when(cond, F.lit(i))
+        matches = m if matches is None else matches.when(cond, F.lit(i))
+    return (
+        out.withColumn("_si", matches)
+        .filter(F.col("_si").isNotNull())
+        .select(F.col("_si").cast("long").alias("split_idx"), *order_cols)
+    )

@@ -1500,6 +1500,28 @@ def main() -> None:
                   if "Window" in l or "Aggregate" in l or "Exchange" in l)[:500],
     ))
 
+    # --- A79: join stats priced at histogram size; reciprocity edge-keyed ---
+    p79a = plan_of(em.queries()["join_size_estimate"](spark, sf_dir))
+    p79b = plan_of(em.queries()["link_reciprocity"](spark, sf_dir))
+    for p, nm in ((p79a, "join_size_estimate"), (p79b, "link_reciprocity")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p
+    assert p79a.count("HashAggregate") >= 4, (
+        "join stats must aggregate each histogram before the join"
+    )
+    sections.append((
+        "A79 join-size stats join HISTOGRAMS, reciprocity keys on pairs",
+        "PASS — join_size_estimate aggregates each side to its per-key "
+        "histogram (map-side partials) BEFORE the equi-join, so the "
+        "answer about a petabyte join is priced at |keys|, and the "
+        "output is 16^n_hex rows; link_reciprocity's self-join keys on "
+        "the reversed (dst, src) pair — edge-sized shuffle, never "
+        "host-squared; both pure codegen",
+        "\n".join(l for l in (p79a + "\n" + p79b).splitlines()
+                  if "Aggregate" in l or "Join" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
