@@ -7633,6 +7633,112 @@ def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_reciprocity(fwd.unionAll(back))
 
 
+def _stage_sq8_oracle(spark: SparkSession, sf_dir: str) -> "object":
+    """Independent scalar SQ8 recomputation: plain Python loops (per-dim
+    min/max, floor(x*255/span + 0.5) codes, integer dots, top-10 by
+    (-score, id)) over pyarrow-read embeddings — no NumPy vectorization
+    shared with the kernel, no Spark. Dumps the expected top-k AND
+    returns (lo, hi, queries) for the Spark side."""
+    import pandas as _pd
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = [list(map(float, v)) for v in t["embedding"].to_pylist()]
+    dim = len(vecs[0])
+    lo = [min(v[i] for v in vecs) for i in range(dim)]
+    hi = [max(v[i] for v in vecs) for i in range(dim)]
+
+    def code(v):
+        out = []
+        for i in range(dim):
+            span = (hi[i] - lo[i]) if hi[i] > lo[i] else 1.0
+            import math
+            q = math.floor((v[i] - lo[i]) * 255.0 / span + 0.5)
+            out.append(max(0, min(255, int(q))))
+        return out
+
+    codes = {vid: code(v) for vid, v in zip(ids, vecs)}
+    by_id = dict(zip(ids, vecs))
+    qids = [1, 2, 3]
+    rows = {"query_id": [], "rank": [], "vec_id": [], "score": []}
+    for qi, qid in enumerate(qids):
+        qc = code(by_id[qid])
+        scored = sorted(
+            ((-sum(a * b for a, b in zip(codes[vid], qc)), vid)
+             for vid in ids)
+        )[:10]
+        for rk, (neg, vid) in enumerate(scored, start=1):
+            rows["query_id"].append(qi)
+            rows["rank"].append(rk)
+            rows["vec_id"].append(vid)
+            rows["score"].append(-neg)
+    _pd.DataFrame(rows).to_parquet(_dump_path("sq8_oracle"))
+    import numpy as _np3
+
+    return (
+        _np3.array(lo), _np3.array(hi),
+        _np3.array([by_id[q] for q in qids]),
+    )
+
+
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (ops/quantize.py:sq8_*): exact per-dim
+    min/max codec (no sampling), 4x-compressed codes tier via one
+    mapInPandas, PURE-BIGINT dot-product scan with per-batch partial
+    top-k — every rank and score pins bitwise against an independent
+    scalar simulation (staged parquet oracle, the PQ lanes'
+    discipline)."""
+    from dads_spark.ops import ann_sq8, sq8_encode, sq8_train
+
+    _, _, queries = _stage_sq8_oracle(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    # Spark derives its OWN codec bounds — the oracle's scalar min/max
+    # must agree exactly (min/max are order-invariant), so the gate also
+    # pins sq8_train
+    lo, hi = sq8_train(emb, "embedding", dim=64)
+    codes = sq8_encode(emb, lo, hi)
+    return ann_sq8(codes, queries, lo, hi, k=10)
+
+
+def q_watermark_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay tuning (rollup/ingest.py:watermark_tuning): replay
+    events in synthesized arrival order (delay = (event_id%13)^2
+    minutes — a heavy deterministic late tail) and count drops per
+    (event_type, candidate delay) for delays 0/10m/1h/3h — one keyed
+    window shared by all four candidates."""
+    from dads_spark.rollup import watermark_tuning
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000"
+        ).alias("ev_s"),
+    ).withColumn(
+        "ar_s",
+        F.col("ev_s")
+        + (F.col("event_id") % 13) * (F.col("event_id") % 13) * 60,
+    )
+    return watermark_tuning(
+        ev, "event_type", "ev_s", "ar_s", "event_id",
+        delays_sec=[0, 600, 3600, 10800],
+    )
+
+
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding advisor (ops/profile.py:encoding_advisor) over
+    four documents columns in doc_id write order: exact n/ndv/runs/width
+    stats + the dict/rle/plain recommendation."""
+    from dads_spark.ops import encoding_advisor
+
+    docs = _t(spark, sf_dir, "documents")
+    return encoding_advisor(
+        docs, ["lang", "source", "doc_id", "n_chars"], "doc_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -7989,6 +8095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         "range_splits": q_range_splits,
         "link_reciprocity": q_link_reciprocity,
+        "ann_sq8": q_ann_sq8,
+        "watermark_tuning": q_watermark_tuning,
+        "encoding_advisor": q_encoding_advisor,
     }
 
 
@@ -13679,5 +13788,85 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000 * sum(r) // count(*) AS BIGINT)
                    AS recip_permille
         FROM f GROUP BY 1
+    """
+    d["ann_sq8"] = f"""
+        SELECT query_id, rank, vec_id, score
+        FROM read_parquet('{_dump_path("sq8_oracle")}')
+    """
+    d["watermark_tuning"] = """
+        WITH s AS (
+            SELECT event_type AS key, event_id,
+                   epoch_us(ts) // 1000000 AS ev_s,
+                   epoch_us(ts) // 1000000
+                     + (event_id % 13) * (event_id % 13) * 60 AS ar_s
+            FROM events),
+        w AS (
+            SELECT key, ev_s,
+                   max(ev_s) OVER (
+                       PARTITION BY key ORDER BY ar_s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS wm
+            FROM s),
+        per_key AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN wm IS NOT NULL
+                                  AND ev_s < wm - 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d0,
+                   CAST(sum(CASE WHEN wm IS NOT NULL
+                                  AND ev_s < wm - 600 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d600,
+                   CAST(sum(CASE WHEN wm IS NOT NULL
+                                  AND ev_s < wm - 3600 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d3600,
+                   CAST(sum(CASE WHEN wm IS NOT NULL
+                                  AND ev_s < wm - 10800 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d10800
+            FROM w GROUP BY 1)
+        SELECT key, CAST(dl.delay_sec AS BIGINT) AS delay_sec, n_total,
+               CAST(CASE dl.delay_sec WHEN 0 THEN d0 WHEN 600 THEN d600
+                    WHEN 3600 THEN d3600 ELSE d10800 END AS BIGINT)
+                   AS n_dropped,
+               CAST(1000 * (CASE dl.delay_sec WHEN 0 THEN d0
+                    WHEN 600 THEN d600 WHEN 3600 THEN d3600
+                    ELSE d10800 END) // n_total AS BIGINT)
+                   AS dropped_permille
+        FROM per_key,
+             (SELECT unnest([0, 600, 3600, 10800]) AS delay_sec) dl
+    """
+    d["encoding_advisor"] = """
+        WITH cols AS (
+            SELECT 'lang' AS column_name, CAST(lang AS VARCHAR) AS v,
+                   doc_id AS o FROM documents
+            UNION ALL
+            SELECT 'source', CAST(source AS VARCHAR), doc_id
+            FROM documents
+            UNION ALL
+            SELECT 'doc_id', CAST(doc_id AS VARCHAR), doc_id
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', CAST(n_chars AS VARCHAR), doc_id
+            FROM documents),
+        runs AS (
+            SELECT column_name, v,
+                   CASE WHEN lag(coalesce(v, chr(0))) OVER w IS NULL
+                            THEN 1
+                        WHEN lag(coalesce(v, chr(0))) OVER w
+                             <> coalesce(v, chr(0)) THEN 1
+                        ELSE 0 END AS new_run
+            FROM cols
+            WINDOW w AS (PARTITION BY column_name ORDER BY o)),
+        agg AS (
+            SELECT column_name AS "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+                   CAST(sum(new_run) AS BIGINT) AS n_runs,
+                   CAST(100 * sum(length(coalesce(v, '')))
+                        // count(*) AS BIGINT) AS avg_len_centichars
+            FROM runs GROUP BY 1)
+        SELECT *,
+               CASE WHEN ndv * 20 <= n_rows THEN 'dict'
+                    WHEN n_runs * 10 <= n_rows THEN 'rle'
+                    ELSE 'plain' END AS recommendation
+        FROM agg
     """
     return d

@@ -151,3 +151,5 @@ from .sampling import token_budget_select  # noqa: F401
 from .profile import join_size_estimate  # noqa: F401
 from .sampling import range_splits  # noqa: F401
 from .linkgraph import link_reciprocity  # noqa: F401
+from .quantize import ann_sq8, sq8_encode, sq8_train  # noqa: F401
+from .profile import encoding_advisor  # noqa: F401

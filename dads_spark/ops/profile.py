@@ -27,7 +27,7 @@ monitoring beside the rollup engine).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 __all__ = ["profile_table"]
 
@@ -247,4 +247,70 @@ def join_size_estimate(
                 "max_key_rows"
             ),
         )
+    )
+
+
+def encoding_advisor(
+    df: DataFrame,
+    cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Columnar-encoding advisor: per column, the exact statistics a
+    writer needs to choose parquet encodings — n_rows, distinct count,
+    run count in ``order_col`` order (the layout the file will be
+    written in; runs are what RLE sees), and average stringified width
+    in centichars — plus the standard recommendation: DICT when the
+    dictionary would be <=5% of rows, RLE when runs compress >=10x,
+    PLAIN otherwise.  This is the ANALYZE step behind the blobstore /
+    compaction write paths: choosing encodings from measured stats
+    instead of defaults is routinely a 2-5x size delta at tier scale.
+
+    One pass per column (bounded by the column list, map-side partials;
+    the run count is a lag window in the declared write order).  All
+    exact integers.
+
+    The write-order lag window is a single global sort: like
+    ``range_splits`` this is a PLANNING op — run it on the ANALYZE
+    sample or one representative file's rows, never the full corpus
+    (run counts converge fast; the recommendation only needs ratios).
+    """
+    out = None
+    w = W.orderBy(F.col(order_col))
+    for c in cols:
+        v = F.col(c).cast("string")
+        # NULLs map to a sentinel for RUN counting only (so a NULL run is
+        # one run, and lag-null means first-row unambiguously); ndv and
+        # width keep SQL NULL semantics
+        r = F.coalesce(v, F.lit("\x00"))
+        runs = (
+            df.select(v.alias("_v"), r.alias("_r"), F.col(order_col))
+            .withColumn(
+                "_new",
+                F.coalesce(
+                    (F.lag("_r").over(w) != F.col("_r")), F.lit(True)
+                ).cast("long"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("_v").alias("ndv"),
+                F.sum("_new").alias("n_runs"),
+                F.sum(F.length(F.coalesce(F.col("_v"), F.lit(""))))
+                .alias("_len"),
+            )
+            .select(
+                F.lit(c).alias("column"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("ndv").cast("long").alias("ndv"),
+                F.col("n_runs").cast("long").alias("n_runs"),
+                F.expr("CAST(100 * _len AS BIGINT) DIV n_rows").alias(
+                    "avg_len_centichars"
+                ),
+            )
+        )
+        out = runs if out is None else out.unionByName(runs)
+    return out.withColumn(
+        "recommendation",
+        F.when(F.expr("ndv * 20 <= n_rows"), "dict")
+        .when(F.expr("n_runs * 10 <= n_rows"), "rle")
+        .otherwise("plain"),
     )

@@ -113,3 +113,4 @@ from .bitemporal import bitemporal_asof  # noqa: F401
 from .evolution import align_to_schema, read_evolved  # noqa: F401
 from .ingest import cdc_apply  # noqa: F401
 from .integrity import merkle_tiers  # noqa: F401
+from .ingest import watermark_tuning  # noqa: F401

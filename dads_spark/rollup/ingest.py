@@ -138,3 +138,69 @@ def cdc_apply(
         .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
         .drop("_rn")
     )
+
+
+def watermark_tuning(
+    df: DataFrame,
+    key_col: str,
+    event_ts_col: str,
+    arrival_ts_col: str,
+    id_col: str,
+    delays_sec: list[int],
+) -> DataFrame:
+    """Watermark-delay tuning: replay the stream in ARRIVAL order and
+    count, per source and candidate delay, how many events a watermark
+    of (max event time seen so far) - delay would have dropped — the
+    accounting that picks a streaming watermark BEFORE deploying it
+    (too small silently drops the late tail; too large holds state).
+
+    Semantics match Structured Streaming's per-source view: an event is
+    late iff its event time < (the running max event time over all
+    STRICTLY EARLIER arrivals) - delay, evaluated per key (sources track
+    their own watermark before the global min; arrival ties break on the
+    id column so the replay is a total order).  One keyed window shared
+    by every candidate delay — the delays differ only in the final
+    comparison, so tuning N candidates costs one pass, not N.
+
+    Output per (key, delay_sec): n_total, n_dropped, dropped_permille —
+    exact integers over epoch seconds.
+    """
+    w = (
+        W.partitionBy("key")
+        .orderBy(F.col("_ar"), F.col("_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    staged = df.select(
+        F.col(key_col).alias("key"),
+        F.col(event_ts_col).alias("_ev"),
+        F.col(arrival_ts_col).alias("_ar"),
+        F.col(id_col).alias("_id"),
+    ).withColumn("_wm", F.max("_ev").over(w))
+    aggs = []
+    for d in delays_sec:
+        dropped = (
+            F.col("_wm").isNotNull()
+            & (F.col("_ev") < F.col("_wm") - F.lit(int(d)))
+        ).cast("long")
+        aggs.append(F.sum(dropped).alias(f"_d{d}"))
+    per_key = staged.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_total"), *aggs
+    )
+    rows = [
+        F.struct(
+            F.lit(int(d)).cast("long").alias("delay_sec"),
+            F.col(f"_d{d}").cast("long").alias("n_dropped"),
+        )
+        for d in delays_sec
+    ]
+    return per_key.select(
+        "key", "n_total", F.explode(F.array(*rows)).alias("r")
+    ).select(
+        "key",
+        F.col("r.delay_sec").alias("delay_sec"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("r.n_dropped").alias("n_dropped"),
+        F.expr("CAST(1000 * r.n_dropped AS BIGINT) DIV n_total").alias(
+            "dropped_permille"
+        ),
+    )

@@ -1522,6 +1522,27 @@ def main() -> None:
                   if "Aggregate" in l or "Join" in l)[:400],
     ))
 
+    # --- A80: ann_sq8 / watermark_tuning -------------------------------------
+    p80a = plan_of(em.queries()["ann_sq8"](spark, sf_dir))
+    p80b = plan_of(em.queries()["watermark_tuning"](spark, sf_dir))
+    assert "MapInPandas" in p80a, "sq8 encode/scan are Arrow-batch kernels"
+    assert "CartesianProduct" not in p80a
+    assert "Window" in p80a and "SinglePartition" not in p80b
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p80b, f"watermark_tuning plan contains {py_op}"
+    sections.append((
+        "A80 sq8 partial top-k; watermark tuning shares one keyed window",
+        "PASS — ann_sq8 is two Arrow-batch mapInPandas stages (encode "
+        "once -> the 4x tier; scan emits per-batch partial top-k) and a "
+        "final window over batches x k survivors — the knn_bruteforce "
+        "contract at a quarter the bytes; watermark_tuning evaluates "
+        "ALL candidate delays against ONE per-source running-max window "
+        "(tuning N candidates costs one pass), no Python, no "
+        "single-task collapse",
+        "\n".join(l for l in (p80a + "\n" + p80b).splitlines()
+                  if "MapInPandas" in l or "Window" in l or "Exchange" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
