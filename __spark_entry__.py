@@ -7739,6 +7739,132 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merkle_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-driven incremental refresh (rollup/integrity.py:
+    merkle_changed composed with the splice): an upstream backfill
+    replaced data and the late rows are UNKNOWN — diff the hour-level
+    Merkle fingerprints of old vs new state, recompute ONLY the moved
+    buckets, splice over the stale tier. The oracle recomputes the whole
+    tier from scratch with refreshed = bucket-contains-late-rows, so the
+    hash gate proves the diff found exactly the right buckets."""
+    from dads_spark.rollup import merkle_changed, merkle_tiers
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-26").cast("timestamp")
+    base, full = ev.filter(F.col("ts") < cut), ev
+
+    def hour_tree(df):
+        return merkle_tiers(df, "event_type", "ts", ["event_id", "user_id"]).filter(
+            F.col("level") == "hour"
+        ).select(F.col("key").alias("event_type"), "bucket_ts", "h")
+
+    changed = merkle_changed(
+        hour_tree(base), hour_tree(full), ["event_type", "bucket_ts"]
+    ).select("event_type", "bucket_ts")
+
+    def tier(df):
+        return df.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+            F.count(F.lit(1)).alias("n_events")
+        ).select("event_type", _fmt_bucket(), "n_events")
+
+    stale = tier(base)
+    kept = stale.join(
+        F.broadcast(changed), ["event_type", "bucket_ts"], "left_anti"
+    ).withColumn("refreshed", F.lit(0).cast("long"))
+    recomputed = tier(full).join(
+        F.broadcast(changed), ["event_type", "bucket_ts"], "left_semi"
+    ).withColumn("refreshed", F.lit(1).cast("long"))
+    return kept.unionByName(recomputed)
+
+
+def q_kmv_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users per (event_type, hour) from the HOUR
+    KMV sketch tier alone (rollup/distinct.py:kmv_sliding) — the
+    'active users, sliding window, every hour' query without re-scanning
+    raw data; exact mergeability makes each window's bottom-k equal the
+    raw-scan sketch, which is precisely what the oracle computes."""
+    from dads_spark.rollup import kmv_estimate, kmv_sketch_tier, kmv_sliding
+
+    ev = _t(spark, sf_dir, "events")
+    hour = kmv_sketch_tier(ev, ["event_type"], "ts", "user_id", "hour", k=32)
+    win = kmv_sliding(hour, ["event_type"], window_hours=24, k=32)
+    out = kmv_estimate(
+        win.withColumnRenamed("window_end", "bucket_ts"), k=32
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", _TS_FMT).alias("window_end"),
+        "n_kept", "kth_hex", "est_distinct",
+    )
+
+
+def q_fetch_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl-scheduler gate: robots longest-match (WHETHER)
+    x RFC 9111 freshness (WHETHER AGAIN, cheaper) -> per-URL decision
+    blocked / fresh / revalidate / fetch, evaluated at a fixed revisit
+    time. Components are individually hash-green (robots_policy,
+    cache_policy); this pins their interaction. Corpus stays map-only:
+    rules broadcast, headers parse in codegen."""
+    from dads_spark.ops import cache_policy, parse_robots, robots_annotate
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    hosts = spark.range(13).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.when(
+            F.col("id") % 2 == 0,
+            "User-agent: *\nDisallow: /private\nAllow: /private/ok",
+        )
+        .otherwise("User-agent: *\nDisallow: /tmp")
+        .alias("robots_txt"),
+    )
+    rules = parse_robots(hosts)
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (d % 13).cast("string")).alias("host"),
+        F.when(d % 3 == 0, F.concat(F.lit("/private/x"), d.cast("string")))
+        .when(d % 3 == 1, F.concat(F.lit("/private/ok/"), d.cast("string")))
+        .otherwise(F.concat(F.lit("/pub/"), d.cast("string")))
+        .alias("path"),
+        F.when(d % 6 == 0, "no-store")
+        .when(d % 6 == 1, "no-cache, max-age=60")
+        .when(d % 6 == 2, "public, max-age=600")
+        .when(d % 6 == 3, "public, max-age=99999, s-maxage=300")
+        .otherwise("")
+        .alias("cache_control"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + d * 1_000_000
+        ).alias("fetch_ts"),
+        F.when(
+            d % 6 == 4,
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + d * 1_000_000
+                - ((d % 100) + 1) * 40_000_000
+            ),
+        ).alias("last_modified"),
+    )
+    annotated = robots_annotate(pages, rules)
+    pol = cache_policy(
+        annotated, "cache_control", "fetch_ts", "last_modified"
+    )
+    t_us = 1_700_000_000_000_000 + 800 * 1_000_000  # revisit at base+800s
+    decision = (
+        F.when(~F.col("crawl_allowed"), "blocked")
+        .when(F.col("cacheable") == 0, "fetch")
+        .when(
+            (F.col("revalidate") == 0)
+            & (F.col("expires_ts_us") >= F.lit(t_us)),
+            "fresh",
+        )
+        .otherwise("revalidate")
+    )
+    return pol.select(
+        "doc_id", "host", "path", "policy",
+        F.col("crawl_allowed").cast("long").alias("crawl_allowed"),
+        decision.alias("decision"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -8098,6 +8224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8": q_ann_sq8,
         "watermark_tuning": q_watermark_tuning,
         "encoding_advisor": q_encoding_advisor,
+        "merkle_refresh": q_merkle_refresh,
+        "kmv_sliding": q_kmv_sliding,
+        "fetch_decision": q_fetch_decision,
     }
 
 
@@ -13868,5 +13997,95 @@ def oracle_sql() -> dict[str, str]:
                     WHEN n_runs * 10 <= n_rows THEN 'rle'
                     ELSE 'plain' END AS recommendation
         FROM agg
+    """
+    d["merkle_refresh"] = """
+        WITH t AS (
+            SELECT event_type, date_trunc('hour', ts) AS bt,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-26'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS refreshed
+            FROM events GROUP BY 1, 2)
+        SELECT event_type,
+               strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+               n_events, refreshed
+        FROM t
+    """
+    _kmv_v52w = " + ".join(
+        f"((strpos('0123456789abcdef', substr(kth_hex, {i + 1}, 1))"
+        f" - CAST(1 AS BIGINT)) * {1 << (4 * (12 - i))})"
+        for i in range(13)
+    )
+    d["kmv_sliding"] = f"""
+        WITH base AS (
+            SELECT DISTINCT event_type, date_trunc('hour', ts) AS bh,
+                   md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events),
+        hrs AS (SELECT DISTINCT event_type, bh FROM base),
+        ends AS (
+            SELECT DISTINCT event_type,
+                   bh + k.k * INTERVAL 1 HOUR AS we
+            FROM hrs, (SELECT unnest(range(0, 24)) AS k) k),
+        member AS (
+            SELECT DISTINCT e.event_type, e.we, b.h
+            FROM ends e
+            JOIN base b ON b.event_type = e.event_type
+                       AND b.bh <= e.we
+                       AND b.bh >= e.we - INTERVAL 23 HOUR),
+        ranked AS (
+            SELECT event_type, we, h,
+                   row_number() OVER (PARTITION BY event_type, we
+                                      ORDER BY h) AS rn
+            FROM member),
+        sk AS (
+            SELECT event_type, we,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   max(h) AS kth_hex
+            FROM ranked WHERE rn <= 32 GROUP BY 1, 2)
+        SELECT event_type,
+               strftime(we, '%Y-%m-%d %H:%M:%S') AS window_end,
+               n_kept, kth_hex,
+               CAST(CASE WHEN n_kept < 32 THEN n_kept
+                    ELSE {31 * (1 << 52)}
+                         // greatest(CAST({_kmv_v52w} AS BIGINT), 1)
+                    END AS BIGINT) AS est_distinct
+        FROM sk
+    """
+    d["fetch_decision"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   'h' || CAST(doc_id % 13 AS VARCHAR) AS host,
+                   (doc_id % 13) % 2 = 0 AS strict_host,
+                   CASE WHEN doc_id % 3 = 0
+                            THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 3 = 1
+                            THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+                        ELSE '/pub/' || CAST(doc_id AS VARCHAR) END AS path,
+                   CASE WHEN doc_id % 6 = 0 THEN 'no-store'
+                        WHEN doc_id % 6 = 1 THEN 'no-cache'
+                        WHEN doc_id % 6 = 2 THEN 'max-age'
+                        WHEN doc_id % 6 = 3 THEN 's-maxage'
+                        WHEN doc_id % 6 = 4 THEN 'heuristic'
+                        ELSE 'none' END AS policy,
+                   CASE WHEN doc_id % 6 = 2 THEN 600
+                        WHEN doc_id % 6 = 3 THEN 300
+                        WHEN doc_id % 6 = 4 THEN ((doc_id % 100) + 1) * 4
+                        ELSE 0 END AS ttl_sec
+            FROM documents),
+        a AS (
+            SELECT *,
+                   CASE WHEN NOT strict_host THEN TRUE
+                        WHEN path NOT LIKE '/private%' THEN TRUE
+                        WHEN path LIKE '/private/ok%' THEN TRUE
+                        ELSE FALSE END AS crawl_allowed
+            FROM p)
+        SELECT doc_id, host, path, policy,
+               CAST(CASE WHEN crawl_allowed THEN 1 ELSE 0 END AS BIGINT)
+                   AS crawl_allowed,
+               CASE WHEN NOT crawl_allowed THEN 'blocked'
+                    WHEN policy = 'no-store' THEN 'fetch'
+                    WHEN policy <> 'no-cache'
+                         AND doc_id + ttl_sec >= 800 THEN 'fresh'
+                    ELSE 'revalidate' END AS decision
+        FROM a
     """
     return d

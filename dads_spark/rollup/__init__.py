@@ -106,11 +106,11 @@ from .slo import DEFAULT_RULES, alert_hysteresis, slo_burn_rates  # noqa: F401
 from .refresh import invalidate_and_refresh, invalidation_set  # noqa: F401
 from .ingest import lww_compact, out_of_order_stats  # noqa: F401
 from .promql import resets_changes  # noqa: F401
-from .distinct import kmv_cascade, kmv_estimate, kmv_set_ops, kmv_sketch_tier  # noqa: F401
+from .distinct import kmv_cascade, kmv_estimate, kmv_set_ops, kmv_sketch_tier, kmv_sliding  # noqa: F401
 from .labelindex import label_cardinality  # noqa: F401
 from .ivm import ivm_join_delta, ivm_join_maintain  # noqa: F401
 from .bitemporal import bitemporal_asof  # noqa: F401
 from .evolution import align_to_schema, read_evolved  # noqa: F401
 from .ingest import cdc_apply  # noqa: F401
-from .integrity import merkle_tiers  # noqa: F401
+from .integrity import merkle_changed, merkle_tiers  # noqa: F401
 from .ingest import watermark_tuning  # noqa: F401

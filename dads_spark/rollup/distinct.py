@@ -47,6 +47,7 @@ __all__ = [
     "kmv_cascade",
     "kmv_estimate",
     "kmv_set_ops",
+    "kmv_sliding",
 ]
 
 
@@ -290,4 +291,53 @@ def kmv_set_ops(
     return out.withColumn(
         "inter_est",
         F.expr("CAST(union_est * n_both AS BIGINT) DIV n_kept"),
+    )
+
+
+def kmv_sliding(
+    sketch_hour: DataFrame,
+    key_cols: list[str],
+    window_hours: int = 24,
+    k: int = 64,
+) -> DataFrame:
+    """Sliding-window distinct estimates from the HOUR sketch tier — the
+    'active users, trailing 24 h, every hour' query answered WITHOUT
+    re-scanning raw data: each hour sketch contributes to the
+    ``window_hours`` window ends it falls inside (a bounded explode of
+    the sketch tier, never the item stream), and each window re-takes
+    the bottom-k of its members' union — exact mergeability again, so
+    the result equals sketching the window from raw.  Feed the output to
+    :func:`kmv_estimate` for the integer estimates.
+
+    Cost: |hour tier| x window_hours sketch rows into one keyed
+    bottom-k — at 100 TB that is ~10^5x smaller than the raw-scan
+    alternative, which is the entire point of keeping sketches beside
+    buckets.
+    """
+    hour_us = 3_600_000_000
+    ends = F.explode(
+        F.sequence(
+            F.unix_micros(F.col("bucket_ts")),
+            F.unix_micros(F.col("bucket_ts"))
+            + F.lit((window_hours - 1) * hour_us),
+            F.lit(hour_us),
+        )
+    )
+    member = (
+        sketch_hour.select(*key_cols, ends.alias("_w_us"), "kmv")
+        .select(
+            *key_cols,
+            F.timestamp_micros(F.col("_w_us")).alias("window_end"),
+            F.explode("kmv").alias("_h"),
+        )
+        .distinct()
+    )
+    rn = F.row_number().over(
+        W.partitionBy(*key_cols, "window_end").orderBy("_h")
+    )
+    return (
+        member.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k)
+        .groupBy(*key_cols, "window_end")
+        .agg(F.array_sort(F.collect_list("_h")).alias("kmv"))
     )

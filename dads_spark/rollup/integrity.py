@@ -77,3 +77,36 @@ def merkle_tiers(
             )
         )
     )
+
+
+def merkle_changed(
+    old_level: DataFrame, new_level: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Buckets whose content fingerprint differs between two table
+    states — the invalidation set for hash-driven incremental refresh.
+    ``old_level``/``new_level`` are same-grain merkle level tables
+    (key cols + ``h``); a bucket is changed when it is new, gone, or its
+    hash moved.  Full outer join on the (bounded, tier-sized) level
+    tables; output = key cols + change ('added'|'removed'|'changed').
+
+    This is the refresh trigger refresh.py's invalidation_set cannot
+    provide when the LATE ROWS ARE UNKNOWN — e.g. an upstream backfill
+    replaced whole files: diff the hour-level fingerprints of old vs new
+    state and recompute exactly the moved buckets.
+    """
+    o = old_level.select(*key_cols, F.col("h").alias("_ho"))
+    n = new_level.select(*key_cols, F.col("h").alias("_hn"))
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_ho").isNull(), "added")
+        .when(F.col("_hn").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        j.filter(
+            F.col("_ho").isNull()
+            | F.col("_hn").isNull()
+            | (F.col("_ho") != F.col("_hn"))
+        )
+        .select(*key_cols, change.alias("change"))
+    )

@@ -1543,6 +1543,34 @@ def main() -> None:
                   if "MapInPandas" in l or "Window" in l or "Exchange" in l)[:400],
     ))
 
+    # --- A81: merkle_refresh / kmv_sliding / fetch_decision ------------------
+    p81a = plan_of(em.queries()["merkle_refresh"](spark, sf_dir))
+    p81b = plan_of(em.queries()["kmv_sliding"](spark, sf_dir))
+    p81c = plan_of(em.queries()["fetch_decision"](spark, sf_dir))
+    for p, nm in ((p81a, "merkle_refresh"), (p81b, "kmv_sliding"),
+                  (p81c, "fetch_decision")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p81a, (
+        "merkle invalidation set must broadcast into the splice"
+    )
+    assert "BroadcastHashJoin" in p81c or "BroadcastNestedLoopJoin" in p81c, (
+        "robots rules must broadcast; the corpus never shuffles"
+    )
+    sections.append((
+        "A81 merkle-diff refresh, sketch-only sliding windows, fetch gate",
+        "PASS — merkle_refresh broadcasts the hour-level diff into both "
+        "the anti-join (kept) and semi-join (pruned rescan) sides, so "
+        "refresh cost tracks the CHANGED buckets even when the late "
+        "rows are unknown; kmv_sliding explodes the hour SKETCH tier "
+        "(never raw) into window memberships and re-takes bottom-k per "
+        "keyed window; fetch_decision keeps the corpus map-only with "
+        "broadcast robots rules and codegen header parsing",
+        "\n".join(l for l in (p81a + "\n" + p81c).splitlines()
+                  if "Broadcast" in l or "Join" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"

@@ -125,3 +125,20 @@ def test_token_budget_zero_and_negative(spark):
     ).count() == 0
     with pytest.raises(ValueError):
         token_budget_select(_docs(spark), "lang", "doc_id", "tok", "q", -1)
+
+
+def test_merkle_changed_classification(spark):
+    old = spark.createDataFrame(
+        [("a", "t1", "h1"), ("a", "t2", "h2"), ("a", "t3", "h3")],
+        "key string, bucket_ts string, h string",
+    )
+    new = spark.createDataFrame(
+        [("a", "t1", "h1"), ("a", "t2", "hX"), ("a", "t4", "h4")],
+        "key string, bucket_ts string, h string",
+    )
+    from dads_spark.rollup import merkle_changed
+
+    out = {(r["bucket_ts"]): r["change"] for r in merkle_changed(
+        old, new, ["key", "bucket_ts"]
+    ).collect()}
+    assert out == {"t2": "changed", "t3": "removed", "t4": "added"}

@@ -285,3 +285,37 @@ def test_kmv_set_ops_estimator_envelope(spark):
     assert abs(r["union_est"] - 900) <= 450
     assert abs(r["jaccard_permille"] - 333) <= 170
     assert r["inter_est"] == r["union_est"] * r["n_both"] // r["n_kept"]
+
+
+def test_kmv_sliding_equals_raw_window_sketch(spark):
+    """Each sliding window's bottom-k from hour sketches must equal the
+    bottom-k sketched directly from the raw rows of that window."""
+    from dads_spark.rollup.distinct import kmv_sketch_tier, kmv_sliding
+
+    ev = _kmv_events(spark, n=3000, n_items=200)
+    hour = kmv_sketch_tier(ev, ["key"], "ts", "item", "hour", k=16)
+    win = {(r["key"], r["window_end"]): r["kmv"] for r in kmv_sliding(
+        hour, ["key"], window_hours=6, k=16
+    ).collect()}
+    # direct: for a few window ends, sketch raw rows in (we-5h, we]
+    import datetime as dt
+
+    raw = ev.collect()
+    from collections import defaultdict
+    import hashlib
+
+    by_kw = defaultdict(set)
+    for r in raw:
+        ts = r["ts"]
+        bh = ts.replace(minute=0, second=0, microsecond=0)
+        h = hashlib.md5(str(r["item"]).encode()).hexdigest()
+        for k in range(6):
+            by_kw[(r["key"], bh + dt.timedelta(hours=k))].add(h)
+    checked = 0
+    for (key, we), hs in by_kw.items():
+        got = win.get((key, we))
+        if got is None:
+            continue
+        assert got == sorted(hs)[:16]
+        checked += 1
+    assert checked > 20

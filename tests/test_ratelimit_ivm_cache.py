@@ -170,3 +170,28 @@ def test_cache_policy_none_and_no_store_fields(spark):
     )
     r = _hdr(spark, "no-store")
     assert r["cacheable"] == 0 and r["expires_ts_us"] is None
+
+
+def test_fetch_decision_boundaries(spark):
+    """Composed robots x freshness decision at the fresh/revalidate
+    boundary (gated lane q_fetch_decision; here the exact edge)."""
+    import __spark_entry__ as em
+
+    out = {r["doc_id"]: r for r in em.queries()["fetch_decision"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()}
+    for r in out.values():
+        if r["crawl_allowed"] == 0:
+            assert r["decision"] == "blocked"
+        elif r["policy"] == "no-store":
+            assert r["decision"] == "fetch"
+        elif r["policy"] == "no-cache":
+            assert r["decision"] == "revalidate"
+    # doc 200: policy max-age=600, fetch at base+200 -> expires base+800
+    # == revisit time exactly -> fresh (>= boundary)
+    if 200 in out and out[200]["crawl_allowed"] == 1:
+        assert out[200]["decision"] == "fresh"
+    # doc 206: same arm, expires base+806 > 800 -> fresh; doc 194 is the
+    # other side only when allowed
+    if 194 in out and out[194]["crawl_allowed"] == 1:
+        assert out[194]["decision"] == "revalidate"
