@@ -7865,6 +7865,100 @@ def q_fetch_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap temporal join (ops/rangejoin.py
+    bucketed_interval_join): deterministic session intervals x incident
+    intervals, overlap matched via the bucketed equi-join with the
+    greatest(lo)-anchor dedup (no DISTINCT pass), aggregated to a
+    per-session overlap count + total closed-interval overlap length.
+    Pinned hash-equal to the direct nested-loop oracle."""
+    from dads_spark.ops import bucketed_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    left = ev.select(
+        F.col("event_id").alias("l_id"),
+        sec.alias("lo"),
+        (sec + F.col("event_id") % 7919).alias("hi"),
+    )
+    right = ev.filter(F.col("event_id") % 211 == 0).select(
+        F.col("event_id").alias("r_id"),
+        (sec - 1800).alias("r_lo"),
+        (sec + F.col("event_id") % 12289).alias("r_hi"),
+    )
+    pairs = bucketed_interval_join(left, right, bucket=4096)
+    ovl = (
+        F.least(F.col("hi"), F.col("r_hi"))
+        - F.greatest(F.col("lo"), F.col("r_lo"))
+        + 1
+    )
+    return pairs.groupBy(F.col("l_id").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.sum(ovl).alias("overlap_len"),
+    )
+
+
+def q_delta_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-delta dimension attribution (rollup/rootcause.py
+    delta_attribution): event-count delta between Jan 1-15 and
+    Jan 16-30 decomposed per (event_type, user_id%10) dimension value
+    in ONE melted pass (explode -> map-side partials -> one hash agg);
+    exact integer deltas, micro-unit topline share, per-dimension
+    ranking on |delta| with value tiebreak."""
+    from dads_spark.rollup import delta_attribution
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    sec = F.unix_timestamp("ts")
+    split = 1705363200  # 2024-01-16 00:00:00 UTC
+    return delta_attribution(
+        ev,
+        ["event_type", "user_bucket"],
+        F.lit(1).cast("long"),
+        sec < split,
+        sec >= split,
+        top_k=5,
+    )
+
+
+def q_log_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed log-observability flagship: CLF access-log parsing
+    (ops/weblog.py parse_clf) -> per-status-class hourly tier rollup ->
+    hysteresis alert episodes (rollup/slo.py alert_hysteresis, 1.1x
+    baseline, fire at 2nd consecutive breach / clear at 2nd quiet
+    bucket), summarized per status class so every stage of the chain is
+    numerically pinned: hit/byte/bot totals (parse), distinct hourly
+    buckets (rollup), episode count + first fire time (alerting)."""
+    from dads_spark.ops import parse_clf
+    from dads_spark.rollup import alert_hysteresis
+
+    parsed = parse_clf(_clf_lines(spark, sf_dir), "line")
+    ok = parsed.filter(F.col("parsed") == 1).withColumn(
+        "ts", F.to_timestamp("iso_ts")
+    )
+    episodes = alert_hysteresis(
+        ok, ["status_class"], "ts", tier="hour",
+        baseline_days=7, fire_n=2, clear_m=2, num=11, den=10,
+    )
+    eps = episodes.groupBy("status_class").agg(
+        F.count(F.lit(1)).alias("n_episodes"),
+        F.min(F.unix_timestamp("fired_ts")).alias("first_fired_s"),
+    )
+    sec = F.unix_timestamp("ts")
+    roll = ok.groupBy("status_class").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.sum("is_bot").alias("n_bot"),
+        F.countDistinct(sec - sec % 3600).alias("n_buckets"),
+    )
+    return roll.join(eps, "status_class", "left").select(
+        "status_class", "n_hits", "sum_bytes", "n_bot", "n_buckets",
+        F.coalesce(F.col("n_episodes"), F.lit(0)).alias("n_episodes"),
+        "first_fired_s",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -8227,6 +8321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merkle_refresh": q_merkle_refresh,
         "kmv_sliding": q_kmv_sliding,
         "fetch_decision": q_fetch_decision,
+        "interval_join": q_interval_join,
+        "delta_attribution": q_delta_attribution,
+        "log_observability": q_log_observability,
     }
 
 
@@ -13790,6 +13887,132 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS BIGINT)
                END AS is_bot
         FROM p
+    """
+
+    # interval_join: direct nested-loop overlap join as the oracle for
+    # the bucketed+anchored equi-join plan
+    d["interval_join"] = """
+        WITH l AS (
+            SELECT event_id AS l_id,
+                   epoch_us(ts) // 1000000 AS lo,
+                   epoch_us(ts) // 1000000 + event_id % 7919 AS hi
+            FROM events),
+        r AS (
+            SELECT event_id AS r_id,
+                   epoch_us(ts) // 1000000 - 1800 AS r_lo,
+                   epoch_us(ts) // 1000000 + event_id % 12289 AS r_hi
+            FROM events WHERE event_id % 211 = 0)
+        SELECT l.l_id AS event_id,
+               count(*) AS n_overlap,
+               CAST(sum(least(l.hi, r.r_hi) - greatest(l.lo, r.r_lo) + 1)
+                    AS BIGINT) AS overlap_len
+        FROM l JOIN r ON l.lo <= r.r_hi AND r.r_lo <= l.hi
+        GROUP BY 1
+    """
+    # delta_attribution: UNION-ALL melt + per-dimension rank, identical
+    # integer deltas and micro-unit share quantization
+    d["delta_attribution"] = """
+        WITH e AS (
+            SELECT event_type, user_id % 10 AS user_bucket,
+                   CASE WHEN epoch_us(ts) // 1000000 < 1705363200
+                        THEN 1 ELSE 0 END AS p0,
+                   CASE WHEN epoch_us(ts) // 1000000 >= 1705363200
+                        THEN 1 ELSE 0 END AS p1
+            FROM events),
+        m AS (
+            SELECT 'event_type' AS dimension, event_type AS dim_value,
+                   p0, p1 FROM e
+            UNION ALL
+            SELECT 'user_bucket', CAST(user_bucket AS VARCHAR), p0, p1
+            FROM e),
+        a AS (
+            SELECT dimension, dim_value,
+                   CAST(sum(p0) AS BIGINT) AS v0,
+                   CAST(sum(p1) AS BIGINT) AS v1
+            FROM m GROUP BY 1, 2),
+        t AS (SELECT CAST(sum(v1) - sum(v0) AS BIGINT) AS td FROM a
+              WHERE dimension = 'event_type'),
+        r AS (
+            SELECT a.*, t.td,
+                   row_number() OVER (
+                       PARTITION BY dimension
+                       ORDER BY abs(v1 - v0) DESC, dim_value ASC) AS rnk
+            FROM a, t)
+        SELECT dimension, dim_value, v0, v1, v1 - v0 AS delta,
+               CASE WHEN td <> 0 THEN
+                   CAST(sign(1e6 * (v1 - v0) / td)
+                        * floor(abs(1e6 * (v1 - v0) / td) + 0.5)
+                        AS BIGINT)
+               END AS share_q6,
+               rnk
+        FROM r WHERE rnk <= 5
+    """
+    # log_observability: independent derivation — fields computed from
+    # doc_id arithmetic (not the regex), hourly rollup, 7-day baseline,
+    # fire-at-2nd / clear-at-2nd hysteresis episode algebra
+    d["log_observability"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   CASE doc_id % 5 WHEN 1 THEN '3xx' WHEN 2 THEN '4xx'
+                        WHEN 3 THEN '5xx' ELSE '2xx' END AS status_class,
+                   CASE WHEN doc_id % 5 = 4 THEN 0
+                        ELSE doc_id * 13 END AS n_bytes,
+                   CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS is_bot,
+                   epoch_us(make_timestamp(
+                       2024,
+                       CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 6
+                            ELSE 11 END,
+                       (doc_id % 28) + 1, doc_id % 24, doc_id % 60,
+                       CAST((doc_id * 7) % 60 AS DOUBLE))) // 1000000
+                       AS sec
+            FROM documents WHERE doc_id % 97 <> 0),
+        h AS (SELECT status_class, (sec // 3600) * 3600 AS b_s,
+                     count(*) AS doc_count
+              FROM p GROUP BY 1, 2),
+        t0 AS (SELECT status_class, min(b_s) AS t0_s FROM h GROUP BY 1),
+        base AS (
+            SELECT h.status_class, count(*) AS b, sum(doc_count) AS s
+            FROM h JOIN t0 USING (status_class)
+            WHERE h.b_s < t0.t0_s + 7 * 86400 GROUP BY 1),
+        fl AS (
+            SELECT h.status_class, h.b_s,
+                   (10 * base.b * h.doc_count > 11 * base.s) AS breach,
+                   row_number() OVER (PARTITION BY h.status_class
+                                      ORDER BY h.b_s) AS rn
+            FROM h JOIN base USING (status_class)),
+        fl2 AS (
+            SELECT *, rn - row_number() OVER (
+                       PARTITION BY status_class, breach
+                       ORDER BY b_s) AS grp
+            FROM fl),
+        ev AS (
+            SELECT status_class, b_s, breach,
+                   row_number() OVER (PARTITION BY status_class, breach,
+                                      grp ORDER BY b_s) AS pos
+            FROM fl2),
+        evf AS (
+            SELECT status_class, b_s, breach FROM ev WHERE pos = 2),
+        alt AS (
+            SELECT *, lag(breach) OVER (PARTITION BY status_class
+                                        ORDER BY b_s) AS prev
+            FROM evf),
+        kept AS (
+            SELECT status_class, b_s, breach FROM alt
+            WHERE prev IS NULL OR prev <> breach),
+        epi AS (
+            SELECT status_class, count(*) AS n_episodes,
+                   CAST(min(b_s) AS BIGINT) AS first_fired_s
+            FROM kept WHERE breach GROUP BY 1),
+        roll AS (
+            SELECT status_class, count(*) AS n_hits,
+                   CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+                   CAST(sum(is_bot) AS BIGINT) AS n_bot,
+                   count(DISTINCT (sec // 3600) * 3600) AS n_buckets
+            FROM p GROUP BY 1)
+        SELECT r.status_class, r.n_hits, r.sum_bytes, r.n_bot,
+               r.n_buckets,
+               COALESCE(e.n_episodes, 0) AS n_episodes, e.first_fired_s
+        FROM roll r LEFT JOIN epi e USING (status_class)
     """
     d["schema_evolution"] = f"""
         SELECT doc_id, CAST(cnt AS BIGINT) AS doc_count,

@@ -212,6 +212,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         # + map-side probe)
         "late_refresh",
         "bloom_dedup",
+        # r4 session 8: interval-overlap temporal join (bucketed +
+        # anchored equi-join) and the composed log-observability
+        # flagship (CLF parse -> hourly tiers -> hysteresis episodes)
+        "interval_join",
+        "log_observability",
     ]
     for name in suite:
         t0 = _now()

@@ -74,7 +74,7 @@ from .abtest import ab_test_proportions  # noqa: F401
 from .sharding import rendezvous_assign, rendezvous_moves  # noqa: F401
 from .calibrate import quantile_normalize  # noqa: F401
 from .keywords import rake_keywords  # noqa: F401
-from .rangejoin import bucketed_range_join  # noqa: F401
+from .rangejoin import bucketed_interval_join, bucketed_range_join  # noqa: F401
 from .redirects import resolve_chains  # noqa: F401
 from .trigram import trigram_postings, trigram_search  # noqa: F401
 from .contamination import contamination_report  # noqa: F401

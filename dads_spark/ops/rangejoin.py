@@ -58,3 +58,64 @@ def bucketed_range_join(
         )
         .drop("_b")
     )
+
+
+def bucketed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str = "lo",
+    left_hi: str = "hi",
+    right_lo: str = "r_lo",
+    right_hi: str = "r_hi",
+    bucket: int = 1 << 24,
+) -> DataFrame:
+    """Interval-OVERLAP join (temporal join): all (left, right) pairs
+    with ``left_lo <= right_hi AND right_lo <= left_hi`` (closed
+    intervals), as a bucketed EQUI-join.
+
+    The session-x-incident / downtime-x-deploy shape. A bare overlap
+    predicate is a nested-loop in every SQL engine; bucketing both
+    interval sets to fixed-width cells turns it into a hash join whose
+    cost is O((|L| + |R|) * avg_span/bucket). A pair sharing several
+    cells would join once per shared cell, so each pair is ANCHORED at
+    the single cell containing ``greatest(l.lo, r.lo)`` — the overlap
+    region's start, which both intervals cover whenever they overlap —
+    making the output exactly the distinct overlap pairs with no
+    DISTINCT pass. Integer bounds only (``div`` stays exact at any
+    magnitude); column names must be disjoint across the two inputs.
+
+    Reference analog: none in DADS; SURVEY §2.4 temporal-join row. The
+    gate pins the plan hash-equal to the direct nested-loop oracle.
+    """
+    if bucket <= 0:
+        raise ValueError("bucket must be positive")
+    l2 = left.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.expr(f"{left_lo} div {bucket}"),
+                F.expr(f"{left_hi} div {bucket}"),
+            )
+        ),
+    )
+    r2 = right.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.expr(f"{right_lo} div {bucket}"),
+                F.expr(f"{right_hi} div {bucket}"),
+            )
+        ),
+    )
+    return (
+        l2.join(r2, "_b")
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            & (
+                F.col("_b")
+                == F.expr(f"greatest({left_lo}, {right_lo}) div {bucket}")
+            )
+        )
+        .drop("_b")
+    )

@@ -103,6 +103,7 @@ from .analytics import (  # noqa: F401
     time_weighted_avg,
 )
 from .slo import DEFAULT_RULES, alert_hysteresis, slo_burn_rates  # noqa: F401
+from .rootcause import delta_attribution  # noqa: F401
 from .refresh import invalidate_and_refresh, invalidation_set  # noqa: F401
 from .ingest import lww_compact, out_of_order_stats  # noqa: F401
 from .promql import resets_changes  # noqa: F401

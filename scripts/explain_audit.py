@@ -1571,6 +1571,42 @@ def main() -> None:
                   if "Broadcast" in l or "Join" in l)[:400],
     ))
 
+    # --- A82: interval_join / delta_attribution / log_observability ---------
+    p82a = plan_of(em.queries()["interval_join"](spark, sf_dir))
+    p82b = plan_of(em.queries()["delta_attribution"](spark, sf_dir))
+    p82c = plan_of(em.queries()["log_observability"](spark, sf_dir))
+    for p, nm in ((p82a, "interval_join"), (p82b, "delta_attribution"),
+                  (p82c, "log_observability")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p82a, (
+        "overlap predicate must hash-join on the bucket, never nested-loop"
+    )
+    assert "Generate" in p82b and "HashAggregate" in p82b, (
+        "attribution melts via explode then hash-aggregates"
+    )
+    assert "BroadcastNestedLoopJoin" in p82b, (
+        "the single-row topline must reach every rank row as a broadcast"
+    )
+    assert "SinglePartition" not in p82c, (
+        "hysteresis windows must stay keyed on status_class"
+    )
+    sections.append((
+        "A82 overlap join hash-keyed, attribution one-pass, episodes keyed",
+        "PASS — interval_join buckets BOTH interval sets and equi-joins "
+        "on the cell (greatest-lo anchor dedups without DISTINCT), so "
+        "the temporal join never degenerates to the nested-loop every "
+        "bare overlap predicate produces; delta_attribution melts "
+        "dimensions map-side (Generate) into ONE hash aggregation with "
+        "partial combine and broadcasts the SINGLE-ROW topline (a "
+        "one-row broadcast nested loop, the right plan for a scalar); "
+        "log_observability's hysteresis window algebra stays partitioned "
+        "by status_class end-to-end — no single-partition collapse",
+        "\n".join(l for l in (p82a + "\n" + p82b).splitlines()
+                  if "Join" in l or "Generate" in l or "Aggregate" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
