@@ -7959,6 +7959,62 @@ def q_log_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution (rollup/analytics.py
+    linear_attribution): every click/view in the purchase/signup's
+    trailing 6h window shares the credit in exact-integer micro-units,
+    largest-remainder to the most recent touches so each conversion
+    sums to exactly 1e6. User-keyed equi-join; no range join."""
+    from dads_spark.rollup import linear_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return linear_attribution(
+        ev, "user_id", "ts", "event_type", "event_id",
+        source_types=["click", "view"],
+        conversion_types=["purchase", "signup"],
+        lookback_s=21600,
+    )
+
+
+def q_survival_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival risk table for URL lifetimes (ops/
+    crawldiff.py survival_risk_table) over a deterministic 8-crawl
+    presence synthesis (first = doc_id%5, span = doc_id*7%9, an
+    interior hole every 11th doc to exercise gap robustness). Exact
+    integer (duration, n_at_risk, n_events, n_censored) — the KM curve
+    derives client-side, keeping ln/exp out of the gate."""
+    from dads_spark.ops import survival_risk_table
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    first = d % 5
+    last = F.least(F.lit(7), first + (d * 7) % 9)
+    presence = (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(first, last)).alias("crawl"),
+            first.alias("_f"),
+        )
+        .filter(
+            ~((F.col("crawl") == F.col("_f") + 1) & (d % 11 == 0))
+        )
+        .select("doc_id", "crawl")
+    )
+    return survival_risk_table(presence, "doc_id", "crawl", max_crawl=7)
+
+
+def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration/diversity indices (ops/concentration.py
+    concentration_metrics): per event_type over its per-user visit
+    counts — HHI, top-1 share and rank-formula Gini as exact-integer
+    numerators + micro-unit ratios; the measurement twin of the
+    mixture_balance/domain_cap enforcement lanes."""
+    from dads_spark.ops import concentration_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    return concentration_metrics(ev, ["event_type"], "user_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -8324,6 +8380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "delta_attribution": q_delta_attribution,
         "log_observability": q_log_observability,
+        "multi_touch": q_multi_touch,
+        "survival_risk": q_survival_risk,
+        "concentration": q_concentration,
     }
 
 
@@ -14013,6 +14072,102 @@ def oracle_sql() -> dict[str, str]:
                r.n_buckets,
                COALESCE(e.n_episodes, 0) AS n_episodes, e.first_fired_s
         FROM roll r LEFT JOIN epi e USING (status_class)
+    """
+
+    # multi_touch: user-keyed self-join + rank + largest-remainder
+    # integer apportionment (credits per conversion sum to exactly 1e6)
+    d["multi_touch"] = """
+        WITH b AS (
+            SELECT user_id AS "user", event_id AS eid, event_type AS etype,
+                   epoch_us(ts) // 1000000 AS s
+            FROM events),
+        conv AS (SELECT "user", eid AS conv_id, s AS conv_ts FROM b
+                 WHERE etype IN ('purchase', 'signup')),
+        src AS (SELECT "user", eid AS src_id, etype AS src_type,
+                       s AS src_ts
+                FROM b WHERE etype IN ('click', 'view')),
+        p AS (
+            SELECT c."user", c.conv_id, c.conv_ts, s.src_id, s.src_type,
+                   s.src_ts
+            FROM conv c JOIN src s USING ("user")
+            WHERE s.src_ts >= c.conv_ts - 21600
+              AND (s.src_ts < c.conv_ts
+                   OR (s.src_ts = c.conv_ts AND s.src_id < c.conv_id))),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY "user", conv_id
+                                      ORDER BY src_ts DESC, src_id DESC)
+                       AS touch_rank,
+                   count(*) OVER (PARTITION BY "user", conv_id)
+                       AS n_touches
+            FROM p)
+        SELECT "user", conv_id, conv_ts, src_id, src_type, src_ts,
+               touch_rank, n_touches,
+               1000000 // n_touches
+               + CASE WHEN touch_rank <= 1000000 % n_touches
+                      THEN 1 ELSE 0 END AS credit_micro
+        FROM r
+    """
+    # survival_risk: identical presence synthesis, lifetimes from
+    # min/max, reverse-cumulative at-risk counts — all exact integers
+    d["survival_risk"] = """
+        WITH pres AS (
+            SELECT doc_id,
+                   unnest(range(doc_id % 5,
+                                least(7, doc_id % 5 + (doc_id * 7) % 9)
+                                + 1)) AS crawl
+            FROM documents),
+        pres2 AS (
+            SELECT doc_id, crawl FROM pres
+            WHERE NOT (crawl = doc_id % 5 + 1 AND doc_id % 11 = 0)),
+        lives AS (
+            SELECT doc_id, max(crawl) - min(crawl) + 1 AS duration,
+                   CASE WHEN max(crawl) < 7 THEN 1 ELSE 0 END AS died
+            FROM pres2 GROUP BY 1),
+        per_d AS (
+            SELECT duration,
+                   CAST(sum(died) AS BIGINT) AS n_events,
+                   CAST(count(*) - sum(died) AS BIGINT) AS n_censored
+            FROM lives GROUP BY 1)
+        SELECT duration,
+               CAST(sum(n_events + n_censored) OVER (
+                   ORDER BY duration DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_at_risk,
+               n_events, n_censored
+        FROM per_d
+    """
+    # concentration: rank-formula Gini (tie-invariant), HHI and top-1
+    # share as integer numerators + micro-unit quantized ratios
+    d["concentration"] = """
+        WITH c AS (
+            SELECT event_type, user_id AS item, count(*) AS cnt
+            FROM events GROUP BY 1, 2),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY cnt ASC, item ASC) AS i
+            FROM c),
+        a AS (
+            SELECT event_type,
+                   count(*) AS k_items,
+                   CAST(sum(cnt) AS BIGINT) AS n_total,
+                   CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
+                   CAST(max(cnt) AS BIGINT) AS top1,
+                   CAST(sum((2 * i - 1) * cnt) AS BIGINT) AS g2i
+            FROM r GROUP BY 1)
+        SELECT event_type, k_items, n_total, sum_sq,
+               CAST(floor(1e6 * CAST(sum_sq AS DOUBLE)
+                          / (CAST(n_total AS DOUBLE)
+                             * CAST(n_total AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS hhi_q6,
+               CAST(floor(1e6 * CAST(top1 AS DOUBLE)
+                          / CAST(n_total AS DOUBLE) + 0.5)
+                    AS BIGINT) AS top_share_q6,
+               CAST(floor(1e6 * CAST(g2i - k_items * n_total AS DOUBLE)
+                          / (CAST(k_items AS DOUBLE)
+                             * CAST(n_total AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS gini_q6
+        FROM a
     """
     d["schema_evolution"] = f"""
         SELECT doc_id, CAST(cnt AS BIGINT) AS doc_count,

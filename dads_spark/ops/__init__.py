@@ -4,6 +4,7 @@ from .crawldiff import (  # noqa: F401
     crawl_churn,
     crawl_delta,
     revisit_schedule,
+    survival_risk_table,
     trending_terms,
 )
 from .dedup import (  # noqa: F401
@@ -75,6 +76,7 @@ from .sharding import rendezvous_assign, rendezvous_moves  # noqa: F401
 from .calibrate import quantile_normalize  # noqa: F401
 from .keywords import rake_keywords  # noqa: F401
 from .rangejoin import bucketed_interval_join, bucketed_range_join  # noqa: F401
+from .concentration import concentration_metrics  # noqa: F401
 from .redirects import resolve_chains  # noqa: F401
 from .trigram import trigram_postings, trigram_search  # noqa: F401
 from .contamination import contamination_report  # noqa: F401

@@ -282,3 +282,68 @@ def revisit_schedule(
         "change_permille",
         hours.cast("long").alias("revisit_hours"),
     )
+
+
+def survival_risk_table(
+    presence: DataFrame,
+    id_col: str,
+    crawl_col: str,
+    max_crawl: int,
+) -> DataFrame:
+    """Kaplan-Meier RISK TABLE for page lifetimes across crawl
+    snapshots: how long does a URL live before it disappears?
+
+    ``presence`` holds one row per (url, crawl_index) observation (holes
+    are fine — lifetime is first-seen..last-seen). A url whose last
+    observation is the final crawl (``max_crawl``) is CENSORED (still
+    alive when observation ended); any other url DIED at duration
+    ``last - first + 1`` crawls. The output is the standard survival
+    risk table, one row per observed duration::
+
+        (duration, n_at_risk, n_events, n_censored)
+
+    n_at_risk(d) = urls with lifetime >= d, n_events(d) = deaths at
+    exactly d, n_censored(d) = censorings at exactly d. Every column is
+    an exact integer — the KM survival curve S(d) = prod_{d' <= d}
+    (1 - events/at_risk) derives client-side, keeping the gate free of
+    cross-engine ln/exp rounding (the unigram_logprob lesson).
+
+    Scale shape: one hash aggregation collapses the presence stream to
+    per-url (first, last) — map-side partials do the heavy lifting — a
+    second keys on (duration, died) — at most 2x|crawls| rows — and the
+    reverse-cumulative n_at_risk window runs over those few rows on a
+    single partition BY CONSTRUCTION (|durations| <= |crawls|, hundreds
+    at most; documented, not accidental).
+
+    Reference analog: none; SURVEY §2.4 crawl-lifecycle suite — the
+    longevity companion to crawl_delta's churn classification.
+    """
+    lives = (
+        presence.groupBy(F.col(id_col).alias("_id"))
+        .agg(
+            F.min(F.col(crawl_col)).alias("_first"),
+            F.max(F.col(crawl_col)).alias("_last"),
+        )
+        .select(
+            (F.col("_last") - F.col("_first") + 1).alias("duration"),
+            (F.col("_last") < F.lit(int(max_crawl)))
+            .cast("long")
+            .alias("_died"),
+        )
+    )
+    per_d = lives.groupBy("duration").agg(
+        F.sum("_died").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum("_died")).alias("n_censored"),
+    )
+    w = (
+        Window.orderBy(F.col("duration").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_d.select(
+        "duration",
+        F.sum(F.col("n_events") + F.col("n_censored"))
+        .over(w)
+        .alias("n_at_risk"),
+        "n_events",
+        "n_censored",
+    )

@@ -87,6 +87,7 @@ from .analytics import (  # noqa: F401
     counter_rate,
     hampel_filter,
     last_touch_attribution,
+    linear_attribution,
     session_patterns,
     transition_matrix,
     mad_outliers,

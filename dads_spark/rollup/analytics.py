@@ -1057,6 +1057,89 @@ def last_touch_attribution(
     )
 
 
+def linear_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    source_types: list[str],
+    conversion_types: list[str],
+    lookback_s: int = 86400,
+) -> DataFrame:
+    """Multi-touch LINEAR conversion attribution: every source event in
+    the conversion's trailing ``lookback_s`` window shares the credit —
+    the complement of :func:`last_touch_attribution` when the question
+    is "which channels participated", not "which closed".
+
+    Credit is exact-integer micro-units apportioned largest-remainder:
+    each of the n touches gets ``1e6 div n``, and the ``1e6 mod n``
+    leftover units go to the MOST RECENT touches (rank order), so every
+    conversion's credits sum to exactly 1,000,000 — no float credit, no
+    drift when re-aggregated by channel.
+
+    Scale shape: sources join conversions on the USER equi-key (the
+    window predicate is a post-join filter), so the shuffle is
+    user-keyed — the same key every sessionization pass already uses —
+    and the pair count is bounded by the lookback window, not the
+    user's history. Strictly-prior semantics match last-touch: a source
+    sharing the conversion's timestamp participates only if its id
+    orders earlier.
+
+    Returns one row per (conversion, touch): (user, conv_id, conv_ts,
+    src_id, src_type, src_ts, touch_rank, n_touches, credit_micro)
+    with touch_rank 1 = most recent.
+    """
+    ts = F.unix_timestamp(F.col(ts_col)).cast("long")
+    base = events.select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("etype"),
+        ts.alias("_ts"),
+    )
+    conv = base.filter(F.col("etype").isin(list(conversion_types))).select(
+        "user",
+        F.col("eid").alias("conv_id"),
+        F.col("_ts").alias("conv_ts"),
+    )
+    src = base.filter(F.col("etype").isin(list(source_types))).select(
+        "user",
+        F.col("eid").alias("src_id"),
+        F.col("etype").alias("src_type"),
+        F.col("_ts").alias("src_ts"),
+    )
+    pairs = conv.join(src, "user").filter(
+        (F.col("src_ts") >= F.col("conv_ts") - lookback_s)
+        & (
+            (F.col("src_ts") < F.col("conv_ts"))
+            | (
+                (F.col("src_ts") == F.col("conv_ts"))
+                & (F.col("src_id") < F.col("conv_id"))
+            )
+        )
+    )
+    w = W.partitionBy("user", "conv_id").orderBy(
+        F.col("src_ts").desc(), F.col("src_id").desc()
+    )
+    wn = W.partitionBy("user", "conv_id")
+    return (
+        pairs.withColumn("touch_rank", F.row_number().over(w))
+        .withColumn("n_touches", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "credit_micro",
+            F.expr("1000000 div n_touches")
+            + F.when(
+                F.col("touch_rank") <= F.lit(1_000_000) % F.col("n_touches"),
+                1,
+            ).otherwise(0),
+        )
+        .select(
+            "user", "conv_id", "conv_ts", "src_id", "src_type", "src_ts",
+            "touch_rank", "n_touches", "credit_micro",
+        )
+    )
+
+
 def transition_matrix(
     events: DataFrame,
     user_col: str,

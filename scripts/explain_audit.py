@@ -1607,6 +1607,39 @@ def main() -> None:
                   if "Join" in l or "Generate" in l or "Aggregate" in l)[:400],
     ))
 
+    # --- A83: multi_touch / survival_risk / concentration --------------------
+    p83a = plan_of(em.queries()["multi_touch"](spark, sf_dir))
+    p83b = plan_of(em.queries()["survival_risk"](spark, sf_dir))
+    p83c = plan_of(em.queries()["concentration"](spark, sf_dir))
+    for p, nm in ((p83a, "multi_touch"), (p83b, "survival_risk"),
+                  (p83c, "concentration")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p83a, (
+        "touch pairing must equi-join on user; the window is a filter"
+    )
+    assert p83b.count("HashAggregate") >= 4, (
+        "survival must collapse presence to lifetimes BEFORE the window"
+    )
+    assert "SinglePartition" not in p83c, (
+        "concentration ranks within group-keyed windows"
+    )
+    sections.append((
+        "A83 touches equi-join on user, survival windows tiny, indices keyed",
+        "PASS — multi_touch joins sources to conversions on the USER "
+        "hash key (the lookback is a post-join filter, never a "
+        "nested-loop range predicate) and apportions integer "
+        "micro-credits in rank windows on pair rows; survival_risk "
+        "reduces the presence stream to per-url lifetimes via map-side "
+        "partial aggregation, so its single-partition at-risk window "
+        "runs over <= |crawls| rows by construction; concentration's "
+        "rank window is keyed per group over (group, item) aggregate "
+        "rows — the corpus never reaches a window",
+        "\n".join(l for l in (p83a + "\n" + p83c).splitlines()
+                  if "Join" in l or "Window" in l or "Aggregate" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
