@@ -8015,6 +8015,59 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_metrics(ev, ["event_type"], "user_id")
 
 
+def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation battery (ops/raneval.py ranking_metrics): nDCG@10
+    / MRR / P@10 / R@10 per query over a deterministic ranked synthesis
+    (query = doc_id%10, score = doc_id*31%101, graded rel =
+    {2,1,0} by doc_id*7%5). Position discounts are injected as literal
+    doubles — no engine log in the value."""
+    from dads_spark.ops import ranking_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ranked = docs.select(
+        (d % 10).alias("qid"),
+        ((d * 31) % 101).alias("_score"),
+        d.alias("_id"),
+        F.when((d * 7) % 5 == 0, 2)
+        .when((d * 7) % 5 == 1, 1)
+        .otherwise(0)
+        .alias("rel"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(
+                F.col("_score").desc(), F.col("_id").asc()
+            )
+        ),
+    )
+    return ranking_metrics(ranked, "qid", "rank", "rel", k=10)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage estimators (ops/textstats.py
+    vocab_coverage): per-language frequency spectrum -> Good-Turing
+    unseen mass + bias-corrected Chao1 richness; exact integer spectrum
+    columns, single-division micro-unit estimates. The crawl-budget
+    signal: high gt_unseen = the slice still yields new vocabulary."""
+    from dads_spark.ops import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, ["lang"], "text")
+
+
+def q_term_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness (ops/textstats.py term_dispersion):
+    per-term integer moments over per-doc counts -> mean-when-present
+    and Fano index of dispersion, top-50 terms by total count. The
+    topical-vs-function-word separation signal for stopword lists and
+    quality scoring."""
+    from dads_spark.ops import term_dispersion
+
+    docs = _t(spark, sf_dir, "documents")
+    return term_dispersion(docs, "text", "doc_id", top_n=50)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -8383,6 +8436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_touch": q_multi_touch,
         "survival_risk": q_survival_risk,
         "concentration": q_concentration,
+        "ranking_eval": q_ranking_eval,
+        "vocab_coverage": q_vocab_coverage,
+        "term_dispersion": q_term_dispersion,
     }
 
 
@@ -14168,6 +14224,112 @@ def oracle_sql() -> dict[str, str]:
                              * CAST(n_total AS DOUBLE)) + 0.5)
                     AS BIGINT) AS gini_q6
         FROM a
+    """
+
+    # ranking_eval: identical literal discounts (generated from the
+    # same Python log2 table), bit-shift gains, single-division metrics
+    d["ranking_eval"] = """
+        WITH ranked AS (
+            SELECT doc_id % 10 AS qid,
+                   row_number() OVER (
+                       PARTITION BY doc_id % 10
+                       ORDER BY (doc_id * 31) % 101 DESC, doc_id ASC)
+                       AS rnk,
+                   CASE (doc_id * 7) % 5 WHEN 0 THEN 2 WHEN 1 THEN 1
+                        ELSE 0 END AS rel
+            FROM documents),
+        w AS (
+            SELECT qid, rnk, rel,
+                   CAST((1 << rel) - 1 AS DOUBLE) AS gain,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY rel DESC, rnk ASC)
+                       AS irank
+            FROM ranked),
+        a AS (
+            SELECT qid AS query,
+                   count(*) AS n_results,
+                   CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rel,
+                   CAST(sum(CASE WHEN rel > 0 AND rnk <= 10
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                   min(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+                   sum(gain * CASE rnk WHEN 1 THEN 1.0 WHEN 2 THEN 0.6309297535714575 WHEN 3 THEN 0.5 WHEN 4 THEN 0.43067655807339306 WHEN 5 THEN 0.38685280723454163 WHEN 6 THEN 0.3562071871080222 WHEN 7 THEN 0.3333333333333333 WHEN 8 THEN 0.31546487678572877 WHEN 9 THEN 0.3010299956639812 WHEN 10 THEN 0.2890648263178879 ELSE 0.0 END) AS dcg,
+                   sum(gain * CASE irank WHEN 1 THEN 1.0 WHEN 2 THEN 0.6309297535714575 WHEN 3 THEN 0.5 WHEN 4 THEN 0.43067655807339306 WHEN 5 THEN 0.38685280723454163 WHEN 6 THEN 0.3562071871080222 WHEN 7 THEN 0.3333333333333333 WHEN 8 THEN 0.31546487678572877 WHEN 9 THEN 0.3010299956639812 WHEN 10 THEN 0.2890648263178879 ELSE 0.0 END) AS idcg
+            FROM w GROUP BY 1)
+        SELECT query, n_results, n_rel,
+               CAST(floor(abs(1e6 * CAST(hits AS DOUBLE) / 10.0) + 0.5)
+                    AS BIGINT) AS p_at_k_q6,
+               CASE WHEN n_rel > 0 THEN
+                   CAST(floor(abs(1e6 * CAST(hits AS DOUBLE)
+                                  / CAST(n_rel AS DOUBLE)) + 0.5)
+                        AS BIGINT) END AS r_at_k_q6,
+               CASE WHEN first_rel IS NOT NULL THEN
+                   CAST(floor(abs(1e6 / CAST(first_rel AS DOUBLE)) + 0.5)
+                        AS BIGINT) END AS mrr_q6,
+               CASE WHEN idcg > 0 THEN
+                   CAST(floor(abs(1e6 * dcg / idcg) + 0.5) AS BIGINT)
+               END AS ndcg_at_k_q6
+        FROM a
+    """
+    # vocab_coverage: spectrum from two cascaded aggs; Chao1 /
+    # Good-Turing as the same single-division expression trees
+    d["vocab_coverage"] = """
+        WITH t AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+        c AS (SELECT lang, w, count(*) AS c FROM t GROUP BY 1, 2),
+        a AS (
+            SELECT lang,
+                   count(*) AS vocab,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1_hapax,
+                   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n2_dis
+            FROM c GROUP BY 1)
+        SELECT lang, vocab, n_tokens, n1_hapax, n2_dis,
+               CAST(floor(abs(1e6 * CAST(n1_hapax AS DOUBLE)
+                              / CAST(n_tokens AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS gt_unseen_q6,
+               CAST(floor(abs(1e6 * (CAST(vocab AS DOUBLE)
+                   + CAST(n1_hapax AS DOUBLE)
+                     * (CAST(n1_hapax AS DOUBLE) - 1.0)
+                     / (2.0 * (CAST(n2_dis AS DOUBLE) + 1.0)))) + 0.5)
+                    AS BIGINT) AS chao1_q6
+        FROM a
+    """
+    # term_dispersion: integer moments + the corrected two-pass
+    # variance identity, identical parenthesization
+    d["term_dispersion"] = """
+        WITH p AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+        pd AS (SELECT term, doc_id, count(*) AS c FROM p GROUP BY 1, 2),
+        pt AS (
+            SELECT term, count(*) AS doc_freq,
+                   CAST(sum(c) AS BIGINT) AS total_count,
+                   CAST(sum(c * c) AS BIGINT) AS sum_sq
+            FROM pd GROUP BY 1),
+        nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        top AS (
+            SELECT pt.*, nd.n,
+                   row_number() OVER (ORDER BY total_count DESC,
+                                      term ASC) AS r
+            FROM pt, nd)
+        SELECT term, doc_freq, total_count, sum_sq,
+               CAST(n AS BIGINT) AS n_docs,
+               CAST(floor(abs(1e6 * CAST(total_count AS DOUBLE)
+                              / CAST(doc_freq AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS burst_q6,
+               CASE WHEN n > 1 THEN
+               CAST(floor(abs(1e6 * ((CAST(sum_sq AS DOUBLE)
+                       - CAST(total_count AS DOUBLE)
+                         * CAST(total_count AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0))
+                   / (CAST(total_count AS DOUBLE) / CAST(n AS DOUBLE)))
+                   + 0.5) AS BIGINT) END AS fano_q6
+        FROM top WHERE r <= 50
     """
     d["schema_evolution"] = f"""
         SELECT doc_id, CAST(cnt AS BIGINT) AS doc_count,

@@ -51,8 +51,10 @@ from .textstats import (  # noqa: F401
     pmi_collocations,
     repetition_stats,
     text_quality,
+    term_dispersion,
     token_counts,
     token_entropy,
+    vocab_coverage,
     top_terms,
     unigram_logprob,
     vocab_oov,
@@ -77,6 +79,7 @@ from .calibrate import quantile_normalize  # noqa: F401
 from .keywords import rake_keywords  # noqa: F401
 from .rangejoin import bucketed_interval_join, bucketed_range_join  # noqa: F401
 from .concentration import concentration_metrics  # noqa: F401
+from .raneval import ranking_metrics  # noqa: F401
 from .redirects import resolve_chains  # noqa: F401
 from .trigram import trigram_postings, trigram_search  # noqa: F401
 from .contamination import contamination_report  # noqa: F401

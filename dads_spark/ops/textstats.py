@@ -694,3 +694,128 @@ def langid_confusion(
             ),
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-coverage estimators per corpus slice: how saturated is
+    the vocabulary, and how much unseen mass remains?
+
+    From the term-frequency spectrum (frequency-of-frequencies): N1 =
+    hapax legomena, N2 = dis legomena, k = observed vocabulary, N =
+    token count. Emits the two standard estimators — Good-Turing unseen
+    probability mass ``N1/N`` and the bias-corrected Chao1 richness
+    ``k + N1(N1-1)/(2(N2+1))`` (defined even when N2 = 0) — as half-up
+    micro-unit quantities over exact integer inputs; a single division
+    each, no ln/exp surface.
+
+    Scale shape: tokenization is a map-side explode, then TWO cascaded
+    hash aggregations — (group, term) counts, then the per-group
+    spectrum summary — both with map-side partials; output is one row
+    per group. The guidance-for-crawling use: a slice whose gt_unseen
+    stays high keeps yielding new vocabulary and is worth more crawl
+    budget.
+
+    Reference analog: none; SURVEY §2.4 curation suite (Gale & Sampson
+    1995 Good-Turing; Chao 1984 richness — public methods).
+    """
+    terms = docs.select(
+        *group_cols,
+        F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+    )
+    counts = terms.groupBy(*group_cols, "_w").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    agg = counts.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("_c").alias("n_tokens"),
+        F.sum((F.col("_c") == 1).cast("long")).alias("n1_hapax"),
+        F.sum((F.col("_c") == 2).cast("long")).alias("n2_dis"),
+    )
+    n1 = F.col("n1_hapax").cast("double")
+    chao1 = F.col("vocab").cast("double") + n1 * (n1 - 1.0) / (
+        2.0 * (F.col("n2_dis").cast("double") + 1.0)
+    )
+    gt = 1e6 * n1 / F.col("n_tokens").cast("double")
+    q6 = lambda x: (F.signum(x) * F.floor(F.abs(x) + F.lit(0.5))).cast(  # noqa: E731
+        "long"
+    )
+    return agg.select(
+        *group_cols,
+        "vocab",
+        "n_tokens",
+        "n1_hapax",
+        "n2_dis",
+        q6(gt).alias("gt_unseen_q6"),
+        q6(1e6 * chao1).alias("chao1_q6"),
+    )
+
+
+def term_dispersion(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 50,
+) -> DataFrame:
+    """Per-term burstiness and dispersion over per-document counts —
+    the Church-Gale separation of topical terms (bursty: rare docs,
+    high in-doc counts) from function words (dispersed: everywhere,
+    flat counts).
+
+    For each term: df = documents containing it, S = total count, SS =
+    sum of squared per-doc counts, over the N-document slice (absent
+    docs contribute zero). Emits exact integers plus two micro-unit
+    ratios: ``burst_q6`` = S/df (mean count WHEN present; 1.0 = never
+    repeats) and ``fano_q6`` = var/mean over all N docs (the index of
+    dispersion; 1.0 = Poisson, >1 = bursty), variance the corrected
+    two-pass identity (SS - S^2/N)/(N-1) — integer moments, two
+    divisions. Output bounded to the ``top_n`` terms by S (ties on
+    term) so the result is a report, not a second corpus.
+
+    Scale shape: one (term, doc) aggregation absorbed by map-side
+    partials, one per-term aggregation of integer moments, a global
+    top-n rank over |vocab| aggregate rows. N travels as a literal-free
+    single-row broadcast.
+    """
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("_d"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .groupBy("term", "_d")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_term = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("_c").alias("total_count"),
+        F.sum(F.col("_c") * F.col("_c")).alias("sum_sq"),
+    )
+    n_docs = docs.select(
+        F.countDistinct(F.col(id_col)).alias("_n")
+    )
+    w = W.orderBy(F.col("total_count").desc(), F.col("term").asc())
+    top = (
+        per_term.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= top_n)
+        .crossJoin(F.broadcast(n_docs))
+    )
+    s = F.col("total_count").cast("double")
+    ss = F.col("sum_sq").cast("double")
+    n = F.col("_n").cast("double")
+    mean = s / n
+    var = (ss - s * s / n) / (n - 1.0)
+    q6 = lambda x: (F.signum(x) * F.floor(F.abs(x) + F.lit(0.5))).cast(  # noqa: E731
+        "long"
+    )
+    return top.select(
+        "term",
+        "doc_freq",
+        "total_count",
+        "sum_sq",
+        F.col("_n").alias("n_docs"),
+        q6(1e6 * s / F.col("doc_freq").cast("double")).alias("burst_q6"),
+        F.when(F.col("_n") > 1, q6(1e6 * var / mean)).alias("fano_q6"),
+    )

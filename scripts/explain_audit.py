@@ -1640,6 +1640,39 @@ def main() -> None:
                   if "Join" in l or "Window" in l or "Aggregate" in l)[:400],
     ))
 
+    # --- A84: ranking_eval / vocab_coverage / term_dispersion ----------------
+    p84a = plan_of(em.queries()["ranking_eval"](spark, sf_dir))
+    p84b = plan_of(em.queries()["vocab_coverage"](spark, sf_dir))
+    p84c = plan_of(em.queries()["term_dispersion"](spark, sf_dir))
+    for p, nm in ((p84a, "ranking_eval"), (p84b, "vocab_coverage"),
+                  (p84c, "term_dispersion")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p
+    assert p84a.count("Exchange hashpartitioning") <= 2, (
+        "ranker + ideal windows and the final agg must share the "
+        "query-keyed exchange"
+    )
+    assert p84b.count("HashAggregate") >= 4, (
+        "coverage is two CASCADED aggs, both with map-side partials"
+    )
+    assert "BroadcastNestedLoopJoin" in p84c or "Broadcast" in p84c, (
+        "n_docs attaches as a single-row broadcast"
+    )
+    sections.append((
+        "A84 eval windows share one exchange, spectrum aggs cascade",
+        "PASS — ranking_eval computes the ideal-order rank window and "
+        "the per-query metric aggregation on the SAME query-keyed "
+        "exchange (no second shuffle for nDCG's ideal ordering), with "
+        "log2 discounts as driver-injected literals so no engine log "
+        "enters the value; vocab_coverage cascades (group, term) "
+        "counts into the per-group spectrum — both aggs map-side "
+        "partial; term_dispersion ranks |vocab| aggregate rows and "
+        "broadcasts the single-row doc count",
+        "\n".join(l for l in (p84a + "\n" + p84b).splitlines()
+                  if "Exchange" in l or "Aggregate" in l or "Window" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
