@@ -8068,6 +8068,99 @@ def q_term_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_dispersion(docs, "text", "doc_id", top_n=50)
 
 
+def _stage_isotonic_oracle(sf_dir: str) -> None:
+    """Minimax-characterization isotonic oracle (oracles.py
+    isotonic_minimax_oracle — max-min averages with exact Fractions, an
+    algorithm independent of the engine's PAV stack), staged to
+    parquet over the same (event_type, score, label) synthesis."""
+    import numpy as _np2
+    import pyarrow.parquet as _pq
+
+    from dads_spark.oracles import isotonic_minimax_oracle
+
+    t = _pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    eid = t.column("event_id").to_numpy()
+    etype = _np2.asarray(t.column("event_type").to_pylist())
+    x = (eid * 13) % 50
+    y = ((eid * 7) % 3 == 0).astype(_np2.int64)
+    rows = {k: [] for k in (
+        "event_type", "x", "n", "y_sum", "yhat_num", "yhat_den", "yhat_q6"
+    )}
+    for g in sorted(set(etype.tolist())):
+        sel = etype == g
+        gx, gy = x[sel], y[sel]
+        levels = sorted(set(gx.tolist()))
+        ns = [int((gx == lv).sum()) for lv in levels]
+        ss = [int(gy[gx == lv].sum()) for lv in levels]
+        fit = isotonic_minimax_oracle(ns, ss)
+        for lv, n, s, (num, den) in zip(levels, ns, ss, fit):
+            rows["event_type"].append(g)
+            rows["x"].append(lv)
+            rows["n"].append(n)
+            rows["y_sum"].append(s)
+            rows["yhat_num"].append(num)
+            rows["yhat_den"].append(den)
+            q = 10**6 * num
+            rows["yhat_q6"].append(
+                q // den + (1 if q % den * 2 >= den else 0)
+            )
+    _write_dump(
+        "isotonic_oracle",
+        {k: _np2.asarray(v) for k, v in rows.items()},
+    )
+
+
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic PAV calibration (ops/calibrate.py isotonic_fit): per
+    event_type, the monotone outcome-rate step function over a
+    synthetic 50-level score — exact integer pooling, reduced-fraction
+    fitted values. Gated against the staged MINIMAX-characterization
+    oracle (a different algorithm: max-min exact-Fraction averages)."""
+    from dads_spark.ops import isotonic_fit
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.col("event_id") * 13) % 50).alias("score"),
+        ((F.col("event_id") * 7) % 3 == 0).cast("long").alias("label"),
+    )
+    _stage_isotonic_oracle(sf_dir)
+    return isotonic_fit(ev, ["event_type"], "score", "label")
+
+
+def q_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth (ops/textstats.py heaps_growth):
+    doc-id prefix checkpoints (powers of two) -> tokens seen vs
+    distinct vocabulary, as conditional sums in two single-row aggs —
+    no global sort, no per-checkpoint rescans."""
+    from dads_spark.ops import heaps_growth
+
+    docs = _t(spark, sf_dir, "documents")
+    cuts = [16, 32, 64, 128, 256, 512, 1024, 1 << 40]
+    return heaps_growth(docs, cuts, "text", "doc_id")
+
+
+def q_pref_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-preference readout (ops/abtest.py preference_winrate):
+    canonical model pairs, win/loss/tie counts, win rate + Wilson 95%
+    lower bound (shared z literal; +,-,*,/,sqrt only — all correctly
+    rounded, so q6 is bit-identical cross-engine)."""
+    from dads_spark.ops import preference_winrate
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.col("event_id")
+    prefs = ev.select(
+        F.concat(F.lit("m"), (d % 7).cast("string")).alias("ma"),
+        F.concat(F.lit("m"), ((d * 3 + 1) % 7).cast("string")).alias("mb"),
+        F.when((d * 5) % 3 == 0, "a")
+        .when((d * 5) % 3 == 1, "b")
+        .otherwise("tie")
+        .alias("w"),
+    )
+    return preference_winrate(prefs, "ma", "mb", "w")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -8439,6 +8532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_eval": q_ranking_eval,
         "vocab_coverage": q_vocab_coverage,
         "term_dispersion": q_term_dispersion,
+        "isotonic": q_isotonic,
+        "heaps_growth": q_heaps_growth,
+        "pref_winrate": q_pref_winrate,
     }
 
 
@@ -14330,6 +14426,90 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(total_count AS DOUBLE) / CAST(n AS DOUBLE)))
                    + 0.5) AS BIGINT) END AS fano_q6
         FROM top WHERE r <= 50
+    """
+
+    # isotonic: the staged minimax-characterization fit (exact
+    # Fractions; independent of the engine's PAV stack)
+    d["isotonic"] = f"""
+        SELECT event_type, x, n, y_sum, yhat_num, yhat_den, yhat_q6
+        FROM read_parquet('{_dump_path("isotonic_oracle")}')
+    """
+    # heaps_growth: per-cutoff conditional sums over docs and over the
+    # per-term first-occurrence ids
+    d["heaps_growth"] = """
+        WITH cuts AS (
+            SELECT unnest([16, 32, 64, 128, 256, 512, 1024,
+                           1099511627776]) AS cutoff),
+        d AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS toks
+            FROM documents),
+        w AS (
+            SELECT unnest(string_split(text, ' ')) AS term, doc_id
+            FROM documents),
+        firsts AS (SELECT term, min(doc_id) AS first_id FROM w GROUP BY 1),
+        dd AS (
+            SELECT c.cutoff,
+                   CAST(sum(CASE WHEN d.doc_id <= c.cutoff THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN d.doc_id <= c.cutoff THEN d.toks
+                                 ELSE 0 END) AS BIGINT) AS n_tokens
+            FROM cuts c, d GROUP BY 1),
+        vv AS (
+            SELECT c.cutoff,
+                   CAST(sum(CASE WHEN f.first_id <= c.cutoff THEN 1
+                                 ELSE 0 END) AS BIGINT) AS vocab
+            FROM cuts c, firsts f GROUP BY 1)
+        SELECT dd.cutoff, dd.n_docs, dd.n_tokens, vv.vocab
+        FROM dd JOIN vv USING (cutoff)
+    """
+    # pref_winrate: identical canonicalization + Wilson with the same
+    # shared z literal (all operations correctly rounded)
+    d["pref_winrate"] = """
+        WITH pr AS (
+            SELECT 'm' || CAST(event_id % 7 AS VARCHAR) AS ma,
+                   'm' || CAST((event_id * 3 + 1) % 7 AS VARCHAR) AS mb,
+                   CASE (event_id * 5) % 3 WHEN 0 THEN 'a'
+                        WHEN 1 THEN 'b' ELSE 'tie' END AS w
+            FROM events),
+        canon AS (
+            SELECT least(ma, mb) AS model_a, greatest(ma, mb) AS model_b,
+                   CASE WHEN ma <= mb THEN w
+                        WHEN w = 'a' THEN 'b'
+                        WHEN w = 'b' THEN 'a' ELSE 'tie' END AS w
+            FROM pr WHERE least(ma, mb) <> greatest(ma, mb)),
+        a AS (
+            SELECT model_a, model_b,
+                   CAST(sum(CASE WHEN w = 'a' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a_wins,
+                   CAST(sum(CASE WHEN w = 'b' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b_wins,
+                   CAST(sum(CASE WHEN w = 'tie' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ties
+            FROM canon GROUP BY 1, 2),
+        f AS (
+            SELECT *,
+                   CAST(a_wins + b_wins AS DOUBLE) AS n,
+                   1.959963984540054 AS z,
+                   1.959963984540054 * 1.959963984540054 AS z2,
+                   CAST(a_wins AS DOUBLE)
+                       / CAST(a_wins + b_wins AS DOUBLE) AS p
+            FROM a)
+        SELECT model_a, model_b, a_wins, b_wins, ties,
+               CASE WHEN n > 0 THEN
+                   CAST(floor(abs(1e6 * p) + 0.5) AS BIGINT)
+               END AS winrate_q6,
+               CASE WHEN n > 0 THEN
+                   CAST(CASE WHEN (p + z2 / (2.0 * n)
+                         - z * sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n))
+                        / (1.0 + z2 / n) >= 0 THEN
+                       floor(abs(1e6 * ((p + z2 / (2.0 * n)
+                         - z * sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n))
+                        / (1.0 + z2 / n))) + 0.5)
+                   ELSE -floor(abs(1e6 * ((p + z2 / (2.0 * n)
+                         - z * sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n))
+                        / (1.0 + z2 / n))) + 0.5) END AS BIGINT)
+               END AS wilson_lb_q6
+        FROM f
     """
     d["schema_evolution"] = f"""
         SELECT doc_id, CAST(cnt AS BIGINT) AS doc_count,

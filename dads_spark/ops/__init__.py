@@ -51,6 +51,7 @@ from .textstats import (  # noqa: F401
     pmi_collocations,
     repetition_stats,
     text_quality,
+    heaps_growth,
     term_dispersion,
     token_counts,
     token_entropy,
@@ -73,9 +74,9 @@ from .linkgraph import (  # noqa: F401
     triangle_counts,
     trustrank,
 )
-from .abtest import ab_test_proportions  # noqa: F401
+from .abtest import ab_test_proportions, preference_winrate  # noqa: F401
 from .sharding import rendezvous_assign, rendezvous_moves  # noqa: F401
-from .calibrate import quantile_normalize  # noqa: F401
+from .calibrate import isotonic_fit, quantile_normalize  # noqa: F401
 from .keywords import rake_keywords  # noqa: F401
 from .rangejoin import bucketed_interval_join, bucketed_range_join  # noqa: F401
 from .concentration import concentration_metrics  # noqa: F401

@@ -71,3 +71,72 @@ def ab_test_proportions(
         F.when(F.col("n_b") > 0, pb).alias("rate_b"),
         z.alias("z"),
     )
+
+
+#: z for a 95% one-sided Wilson bound; injected as ONE literal on both
+#: engines so no erf/quantile implementation enters the value.
+WILSON_Z_95 = 1.959963984540054
+
+
+def preference_winrate(
+    prefs: DataFrame,
+    a_col: str,
+    b_col: str,
+    winner_col: str,
+) -> DataFrame:
+    """Pairwise-preference readout: per unordered model pair, win/loss/
+    tie counts, the win rate, and the Wilson 95% lower bound — the
+    standard 'is A actually better than B or is it sample noise' gate
+    over human/LLM preference data.
+
+    ``winner_col`` is 'a', 'b' or 'tie' relative to the row's (a, b)
+    order; pairs are canonicalized to a < b (flipping the winner), so
+    each unordered pair aggregates once. Ties are excluded from the
+    rate (the standard convention). Every input to the Wilson formula
+    is an exact integer; the formula itself uses only +,-,*,/ and
+    sqrt — ALL correctly-rounded IEEE operations — with z as a shared
+    literal, so the q6 result is bit-identical on any engine evaluating
+    the same expression tree.
+
+    Scale shape: one hash aggregation keyed on the canonical pair; the
+    preference stream never joins anything.
+
+    Reference analog: none; SURVEY §2.4 curation/eval suite — the
+    preference-data companion to ab_test_proportions.
+    """
+    a, b, w = F.col(a_col), F.col(b_col), F.col(winner_col)
+    canon = prefs.select(
+        F.least(a, b).alias("model_a"),
+        F.greatest(a, b).alias("model_b"),
+        F.when(
+            a <= b, w
+        ).otherwise(
+            F.when(w == "a", F.lit("b")).when(w == "b", F.lit("a"))
+            .otherwise(F.lit("tie"))
+        ).alias("_w"),
+    ).filter(F.col("model_a") != F.col("model_b"))
+    agg = canon.groupBy("model_a", "model_b").agg(
+        F.sum((F.col("_w") == "a").cast("long")).alias("a_wins"),
+        F.sum((F.col("_w") == "b").cast("long")).alias("b_wins"),
+        F.sum((F.col("_w") == "tie").cast("long")).alias("ties"),
+    )
+    z = F.lit(WILSON_Z_95)
+    z2 = z * z
+    n = (F.col("a_wins") + F.col("b_wins")).cast("double")
+    p = F.col("a_wins").cast("double") / n
+    lb = (
+        p + z2 / (2.0 * n)
+        - z * F.sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n)
+    ) / (1.0 + z2 / n)
+    q6 = lambda x: (F.signum(x) * F.floor(F.abs(x) + F.lit(0.5))).cast(  # noqa: E731
+        "long"
+    )
+    return agg.select(
+        "model_a",
+        "model_b",
+        "a_wins",
+        "b_wins",
+        "ties",
+        F.when(n > 0, q6(1e6 * p)).alias("winrate_q6"),
+        F.when(n > 0, q6(1e6 * lb)).alias("wilson_lb_q6"),
+    )

@@ -88,3 +88,97 @@ def quantile_normalize(
         "target_rank",
         "normalized",
     )
+
+
+def _pav_blocks(xs, ns, ss):
+    """Pool-adjacent-violators over tie-pooled (x, n, sum_y) triples in
+    x order — EXACT integer pooling: means compared by cross-
+    multiplication, never divided. Returns per input triple the pooled
+    block's (num, den). Shared by the Spark kernel and the test brute
+    force (the gate's independence comes from the staged minimax
+    oracle, a different characterization entirely)."""
+    blocks: list[list[int]] = []  # [n, s]
+    for n, s in zip(ns, ss):
+        blocks.append([int(n), int(s)])
+        # violation: prev_mean > cur_mean  <=>  s_p * n_c > s_c * n_p
+        while (
+            len(blocks) >= 2
+            and blocks[-2][1] * blocks[-1][0]
+            > blocks[-1][1] * blocks[-2][0]
+        ):
+            n2, s2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += s2
+    # expand back to one (num, den) per input triple
+    expanded = []
+    i = 0
+    for n, s in blocks:
+        covered = 0
+        while covered < n:
+            covered += int(ns[i])
+            expanded.append((s, n))
+            i += 1
+    return expanded
+
+
+def isotonic_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Isotonic (PAV) calibration per group: the monotone step function
+    mapping a raw score to an outcome rate — the standard calibration
+    for quality-classifier scores before thresholding them corpus-wide.
+
+    Exact integer construction end-to-end: ties on x pool first (one
+    hash aggregation), then pool-adjacent-violators runs per group in
+    an Arrow batch with means compared by CROSS-MULTIPLICATION (never
+    divided), so the fitted value of each x is an exact rational
+    (yhat_num / yhat_den) plus its half-up micro-unit quantize. Output
+    one row per distinct (group, x).
+
+    Scale shape: the corpus collapses to |group| x |distinct scores|
+    aggregate rows BEFORE the Python stage; PAV is O(levels) per group
+    over that small frame (the legitimate applyInPandas case: an
+    order-dependent sequential fit per group). Gated against a staged
+    oracle computing the minimax characterization ``max_{j<=i}
+    min_{k>=i} avg(y[j..k])`` — a different algorithm entirely.
+
+    Reference analog: none; SURVEY §2.4 curation suite (Barlow et al.
+    1972 PAV; public method).
+    """
+    import pandas as pd
+
+    pooled = df.groupBy(
+        *group_cols, F.col(x_col).cast("long").alias("x")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(y_col).cast("long")).alias("y_sum"),
+    )
+    schema = (
+        ", ".join(f"{c} string" for c in group_cols)
+        + ", x long, n long, y_sum long, yhat_num long, yhat_den long,"
+        " yhat_q6 long"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("x").reset_index(drop=True)
+        pairs = _pav_blocks(
+            pdf["x"].tolist(), pdf["n"].tolist(), pdf["y_sum"].tolist()
+        )
+        # lowest terms, so the representation matches the minimax
+        # oracle's reduced fractions exactly
+        red = [(s // math.gcd(s, n) if s else 0,
+                n // math.gcd(s, n) if s else 1) for s, n in pairs]
+        pdf["yhat_num"] = [p[0] for p in red]
+        pdf["yhat_den"] = [p[1] for p in red]
+        pdf["yhat_q6"] = [
+            int((10**6 * s) // n + (1 if (10**6 * s) % n * 2 >= n else 0))
+            for s, n in red
+        ]
+        return pdf
+
+    return pooled.groupBy(*group_cols).applyInPandas(fit, schema=schema)

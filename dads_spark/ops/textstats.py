@@ -819,3 +819,61 @@ def term_dispersion(
         q6(1e6 * s / F.col("doc_freq").cast("double")).alias("burst_q6"),
         F.when(F.col("_n") > 1, q6(1e6 * var / mean)).alias("fano_q6"),
     )
+
+
+def heaps_growth(
+    docs: DataFrame,
+    cutoffs: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct vocabulary vs tokens
+    seen at corpus-prefix checkpoints — is the corpus vocabulary
+    saturating, and how fast?
+
+    ``cutoffs`` are inclusive ``id_col`` upper bounds defining the
+    prefixes (explicit values, NOT quantiles: ranking the corpus to cut
+    it into equal parts would cost a global sort; id-value checkpoints
+    keep the whole operator two map-side-partial aggregations). For
+    each cutoff: n_docs and n_tokens from one pass over docs, vocab
+    from the per-term first-occurrence ids (min over the term stream) —
+    all as CONDITIONAL SUMS inside a single aggregate per side (k
+    cutoffs = k sum columns, one row), unpivoted to (cutoff, n_docs,
+    n_tokens, vocab) at the end. Exact integers; the Heaps exponent
+    fit, needing logs, is left to the client.
+
+    Reference analog: none; SURVEY §2.4 curation suite — the growth
+    companion to vocab_coverage's point-in-time estimators.
+    """
+    cuts = sorted(set(int(c) for c in cutoffs))
+    did = F.col(id_col)
+    toks = F.size(F.split(F.col(text_col), " "))
+    doc_aggs = []
+    for c in cuts:
+        doc_aggs += [
+            F.sum((did <= c).cast("long")).alias(f"_d{c}"),
+            F.sum(F.when(did <= c, toks).otherwise(0)).alias(f"_t{c}"),
+        ]
+    docs_row = docs.agg(*doc_aggs)
+    first = (
+        docs.select(did.alias("_id"),
+                    F.explode(F.split(F.col(text_col), " ")).alias("_w"))
+        .groupBy("_w")
+        .agg(F.min("_id").alias("_first"))
+    )
+    vocab_row = first.agg(
+        *[
+            F.sum((F.col("_first") <= c).cast("long")).alias(f"_v{c}")
+            for c in cuts
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({c} AS BIGINT), _d{c}, _t{c}, _v{c}" for c in cuts
+    )
+    return (
+        docs_row.crossJoin(vocab_row)
+        .selectExpr(
+            f"stack({len(cuts)}, {stack}) AS "
+            "(cutoff, n_docs, n_tokens, vocab)"
+        )
+    )

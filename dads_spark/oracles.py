@@ -1282,3 +1282,33 @@ def pla_swing_oracle(t, v, eps: int):
         i += 1
     segs.append((t[a], v[a], t[n - 1], v[n - 1], n - a))
     return segs
+
+
+def isotonic_minimax_oracle(ns, ss):
+    """Isotonic regression via the MINIMAX characterization — an
+    algorithm independent of the engine's pool-adjacent-violators
+    stack: for tie-pooled level i, yhat_i = max_{j<=i} min_{k>=i}
+    mean(y[j..k]), evaluated with exact Fractions over integer
+    (count, sum) prefix arrays. O(L^2) over the L distinct levels —
+    oracle-side only. Returns one reduced (num, den) per level."""
+    from fractions import Fraction
+
+    L = len(ns)
+    pn = [0] * (L + 1)
+    ps = [0] * (L + 1)
+    for i in range(L):
+        pn[i + 1] = pn[i] + int(ns[i])
+        ps[i + 1] = ps[i] + int(ss[i])
+    out = []
+    for i in range(L):
+        best = None
+        for j in range(i + 1):
+            inner = None
+            for k in range(i, L):
+                m = Fraction(ps[k + 1] - ps[j], pn[k + 1] - pn[j])
+                if inner is None or m < inner:
+                    inner = m
+            if best is None or inner > best:
+                best = inner
+        out.append((best.numerator, best.denominator))
+    return out

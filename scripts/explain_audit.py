@@ -1673,6 +1673,40 @@ def main() -> None:
                   if "Exchange" in l or "Aggregate" in l or "Window" in l)[:400],
     ))
 
+    # --- A85: isotonic / heaps_growth / pref_winrate -------------------------
+    p85a = plan_of(em.queries()["isotonic"](spark, sf_dir))
+    p85b = plan_of(em.queries()["heaps_growth"](spark, sf_dir))
+    p85c = plan_of(em.queries()["pref_winrate"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p85a, (
+        "PAV is the legitimate applyInPandas case (sequential per-group fit)"
+    )
+    # explain prints top-down: the Python stage must sit ABOVE (i.e.
+    # execute after) the aggregation that collapses the corpus
+    assert p85a.index("FlatMapGroupsInPandas") < p85a.index("HashAggregate"), (
+        "the corpus must collapse to (group, level) aggregates BEFORE Python"
+    )
+    for p, nm in ((p85b, "heaps_growth"), (p85c, "pref_winrate")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p
+    assert p85b.count("Exchange hashpartitioning") <= 1, (
+        "growth checkpoints are conditional sums, not per-cutoff rescans"
+    )
+    sections.append((
+        "A85 PAV after aggregation, growth as conditional sums, pairs keyed",
+        "PASS — isotonic pools score ties in a hash aggregation FIRST, "
+        "so the Arrow PAV stage sees |groups| x |levels| rows, not the "
+        "corpus (the one legitimate applyInPandas shape: an "
+        "order-dependent sequential fit per group); heaps_growth "
+        "computes every checkpoint as conditional sums inside two "
+        "single-row aggregates (k cutoffs = k columns, one doc pass + "
+        "one term pass, no global sort, no rescans) and unpivots at "
+        "the end; pref_winrate is one hash agg on the canonical pair "
+        "with the Wilson bound in pure codegen",
+        "\n".join(l for l in (p85a + "\n" + p85b).splitlines()
+                  if "Aggregate" in l or "FlatMap" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
