@@ -8161,6 +8161,123 @@ def q_pref_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference_winrate(prefs, "ma", "mb", "w")
 
 
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wang-Smith-Hyndman seasonal strength (rollup/analytics.py
+    seasonal_strength): 1 - Var(residual)/Var(detrended) over the
+    seasonal_decompose components, per event_type — the forecaster-
+    routing score (send strongly-seasonal series to Holt-Winters,
+    the rest to Holt/Theta)."""
+    from dads_spark.rollup import seasonal_strength
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_strength(ev, "event_type", "ts", "value", "hour", 12)
+
+
+def _stage_croston_oracle(sf_dir: str) -> None:
+    """Scalar replay of the Croston recursion (same IEEE-double
+    sequence as the engine's Arrow kernel — the holt_pinned bitwise-
+    twin pattern), staged to parquet."""
+    import numpy as _np2
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "user_id", "ts"],
+    )
+    et = _np2.asarray(t.column("event_type").to_pylist())
+    sel = et == "purchase"
+    uid = t.column("user_id").to_numpy()[sel]
+    ts = t.column("ts").to_numpy()[sel].astype("datetime64[us]").astype(
+        _np2.int64
+    )
+    day = ts // (86_400_000_000)
+    series = uid % 29
+    rows = {k: [] for k in (
+        "series", "n_demands", "size_level", "interval_level", "forecast"
+    )}
+    for g in sorted(set(series.tolist())):
+        m = series == g
+        days, counts = _np2.unique(day[m], return_counts=True)
+        if len(days) < 2:
+            continue
+        iv = _np2.diff(days).astype(_np2.float64)
+        s = float(counts[0])
+        v = float(iv[0])
+        for i in range(1, len(counts)):
+            s = 0.1 * float(counts[i]) + (1.0 - 0.1) * s
+        for j in range(1, len(iv)):
+            v = 0.1 * float(iv[j]) + (1.0 - 0.1) * v
+        rows["series"].append(str(g))
+        rows["n_demands"].append(len(days))
+        rows["size_level"].append(s)
+        rows["interval_level"].append(v)
+        rows["forecast"].append(s / v)
+    _write_dump(
+        "croston_oracle", {k: _np2.asarray(v) for k, v in rows.items()}
+    )
+
+
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast (rollup/forecast.py
+    croston_grouped): per user-bucket daily purchase series, smoothed
+    demand sizes / inter-demand intervals (alpha 0.1) -> demand rate.
+    Empty days are implicit zeros (the sparse-series contract: state
+    scales with NONZERO buckets). Bitwise vs the staged scalar replay."""
+    from dads_spark.rollup import croston_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    demands = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.col("user_id") % 29).cast("string").alias("series"),
+            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("demand"))
+    )
+    _stage_croston_oracle(sf_dir)
+    return croston_grouped(demands, ["series"], "day", "demand", alpha=0.1)
+
+
+def _html_table_doc(d) -> "F.Column":
+    """Deterministic table-bearing HTML per doc: 2-3 col header, two
+    data rows (one cell carries inner tags + ragged whitespace), a
+    second single-cell table every 7th doc, NO table every 5th doc."""
+    row2 = F.concat(
+        F.lit('<tr><td>a'), d.cast("string"), F.lit("</td><td> <b>v"),
+        (d * 3).cast("string"), F.lit("</b>\n &amp; more </td></tr>"),
+    )
+    t1 = F.concat(
+        F.lit('<table class="data"><tr><th>name</th><th> value </th></tr>'),
+        F.lit("<tr><td>k"), (d % 13).cast("string"),
+        F.lit("</td><td>"), (d * 7 % 1000).cast("string"),
+        F.lit("</td></tr>"), row2, F.lit("</table>"),
+    )
+    t2 = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit("<TABLE><tr><td>only"), d.cast("string"),
+            F.lit("</td></tr></TABLE>"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.when(
+        d % 5 == 0, F.lit("<p>no tables here</p>")
+    ).otherwise(F.concat(F.lit("<html><body>"), t1, t2, F.lit("</body>")))
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (ops/htmltext.py html_tables): one row per
+    cell at three regex nesting levels (table/tr/td-th, case-insensitive
+    dotall, posexplode ordinals), inner tags stripped, whitespace
+    collapsed — map-only codegen over the corpus."""
+    from dads_spark.ops import html_tables
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", _html_table_doc(F.col("doc_id")).alias("html")
+    )
+    return html_tables(pages, "html", "doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -8535,6 +8652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic": q_isotonic,
         "heaps_growth": q_heaps_growth,
         "pref_winrate": q_pref_winrate,
+        "seasonal_strength": q_seasonal_strength,
+        "croston": q_croston,
+        "html_tables": q_html_tables,
     }
 
 
@@ -14510,6 +14630,103 @@ def oracle_sql() -> dict[str, str]:
                         / (1.0 + z2 / n))) + 0.5) END AS BIGINT)
                END AS wilson_lb_q6
         FROM f
+    """
+
+    # seasonal_strength: same decomposition CTE as seasonal_decompose,
+    # explicit sum-of-squares variances, identical parenthesization,
+    # the documented 1e-9 tie shift
+    d["seasonal_strength"] = """
+        WITH b AS (
+            SELECT event_type, date_trunc('hour', ts) AS bt,
+                   sum(value) AS v
+            FROM events GROUP BY 1, 2),
+        t AS (SELECT event_type, bt, v,
+                     avg(v) OVER (PARTITION BY event_type ORDER BY bt
+                                  ROWS BETWEEN 12 PRECEDING
+                                  AND 12 FOLLOWING) AS trend
+              FROM b),
+        s AS (SELECT event_type, v - trend AS dd,
+                     (v - trend) - avg(v - trend) OVER (
+                         PARTITION BY event_type, date_part('hour', bt))
+                         AS rr
+              FROM t),
+        a AS (SELECT event_type,
+                     count(*) AS n_buckets,
+                     sum(rr) AS sr, sum(rr * rr) AS srr,
+                     sum(dd) AS sd, sum(dd * dd) AS sdd
+              FROM s GROUP BY 1),
+        f AS (SELECT event_type, n_buckets,
+                     srr / n - (sr / n) * (sr / n) AS var_r,
+                     sdd / n - (sd / n) * (sd / n) AS var_d
+              FROM (SELECT *, CAST(n_buckets AS DOUBLE) AS n FROM a)),
+        g AS (SELECT event_type, n_buckets, var_d,
+                     greatest(0.0, 1.0 - var_r / var_d) - 1e-9 AS st
+              FROM f)
+        SELECT event_type, n_buckets,
+               CASE WHEN var_d > 0 THEN
+                   greatest(0, CAST(CASE WHEN st >= 0
+                       THEN floor(abs(1e6 * st) + 0.5)
+                       ELSE -floor(abs(1e6 * st) + 0.5) END AS BIGINT))
+               END AS strength_q6
+        FROM g
+    """
+    d["croston"] = f"""
+        SELECT series, n_demands, size_level, interval_level, forecast
+        FROM read_parquet('{_dump_path("croston_oracle")}')
+    """
+    # html_tables: identical synthesis + 3-level non-greedy extraction
+    # via the index-unnest pattern
+    d["html_tables"] = """
+        WITH pages AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN '<p>no tables here</p>'
+                   ELSE '<html><body>'
+                     || '<table class="data"><tr><th>name</th>'
+                     || '<th> value </th></tr>'
+                     || '<tr><td>k' || CAST(doc_id % 13 AS VARCHAR)
+                     || '</td><td>' || CAST(doc_id * 7 % 1000 AS VARCHAR)
+                     || '</td></tr>'
+                     || '<tr><td>a' || CAST(doc_id AS VARCHAR)
+                     || '</td><td> <b>v' || CAST(doc_id * 3 AS VARCHAR)
+                     || '</b>' || chr(10) || ' &amp; more </td></tr>'
+                     || '</table>'
+                     || CASE WHEN doc_id % 7 = 0 THEN
+                          '<TABLE><tr><td>only' || CAST(doc_id AS VARCHAR)
+                          || '</td></tr></TABLE>'
+                        ELSE '' END
+                     || '</body>'
+                   END AS html
+            FROM documents),
+        t0 AS (
+            SELECT doc_id,
+                   regexp_extract_all(html,
+                       '(?is)<table[^>]*>(.*?)</table>', 1) AS tbls
+            FROM pages),
+        t1 AS (
+            SELECT doc_id, i - 1 AS table_idx, tbls[i] AS tbl
+            FROM t0, unnest(range(1, len(tbls) + 1)) AS u(i)),
+        r0 AS (
+            SELECT doc_id, table_idx,
+                   regexp_extract_all(tbl,
+                       '(?is)<tr[^>]*>(.*?)</tr>', 1) AS rws
+            FROM t1),
+        r1 AS (
+            SELECT doc_id, table_idx, i - 1 AS row_idx, rws[i] AS rw
+            FROM r0, unnest(range(1, len(rws) + 1)) AS u(i)),
+        c0 AS (
+            SELECT doc_id, table_idx, row_idx,
+                   regexp_extract_all(rw,
+                       '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1) AS cls
+            FROM r1),
+        c1 AS (
+            SELECT doc_id, table_idx, row_idx, i - 1 AS col_idx,
+                   cls[i] AS cell
+            FROM c0, unnest(range(1, len(cls) + 1)) AS u(i))
+        SELECT doc_id, table_idx, row_idx, col_idx,
+               trim(regexp_replace(
+                   regexp_replace(cell, '<[^>]*>', '', 'g'),
+                   '\s+', ' ', 'g')) AS cell_text
+        FROM c1
     """
     d["schema_evolution"] = f"""
         SELECT doc_id, CAST(cnt AS BIGINT) AS doc_count,

@@ -99,7 +99,7 @@ from .sampling import (  # noqa: F401
     stratified_sample,
 )
 from .heavyhitters import heavy_hitters  # noqa: F401
-from .htmltext import html_metadata, html_to_text  # noqa: F401
+from .htmltext import html_metadata, html_tables, html_to_text  # noqa: F401
 from .packing import pack_sequences  # noqa: F401
 from .profile import (  # noqa: F401
     data_contract_audit,

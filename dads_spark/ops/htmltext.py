@@ -122,3 +122,52 @@ def html_metadata(
         noindex.alias("noindex"),
         n_jsonld.alias("n_jsonld"),
     )
+
+
+def html_tables(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Structured table extraction from HTML: one row per CELL —
+    (doc, table_idx, row_idx, col_idx, cell_text) — the regex-tier
+    counterpart of html_to_text for the tabular content that text
+    extraction destroys (specs, rankings, stats pages are where much of
+    the web's structured data lives).
+
+    Same engineering contract as the rest of this module: anchored
+    non-greedy regexes inside whole-stage codegen (regexp_extract_all
+    at three nesting levels via posexplode — table, tr, td/th), inner
+    tags stripped from the cell, whitespace collapsed and trimmed.
+    Documents without tables contribute nothing (the explode drops
+    them). Map-only: zero shuffles, linear in corpus bytes, and the
+    per-level extraction is bounded by the document's own tag counts.
+
+    Reference analog: none; SURVEY §2.4 web-ingest suite.
+    """
+    tables = F.expr(
+        f"regexp_extract_all({html_col}, '(?is)<table[^>]*>(.*?)</table>', 1)"
+    )
+    rows = F.expr(
+        "regexp_extract_all(_tbl, '(?is)<tr[^>]*>(.*?)</tr>', 1)"
+    )
+    cells = F.expr(
+        "regexp_extract_all(_row, '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1)"
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_cell"), "<[^>]*>", ""),
+            "\\s+",
+            " ",
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.posexplode(tables).alias("table_idx", "_tbl"))
+        .select(id_col, "table_idx", F.posexplode(rows).alias("row_idx", "_row"))
+        .select(
+            id_col, "table_idx", "row_idx",
+            F.posexplode(cells).alias("col_idx", "_cell"),
+        )
+        .select(
+            id_col, "table_idx", "row_idx", "col_idx",
+            clean.alias("cell_text"),
+        )
+    )

@@ -52,6 +52,7 @@ from .forecast import (  # noqa: F401
     holt_forecast,
     holt_residuals_grouped,
     holt_winters,
+    croston_grouped,
     holt_winters_grouped,
     rolling_backtest,
 )
@@ -95,6 +96,7 @@ from .analytics import (  # noqa: F401
     rolling_active_users,
     rolling_quantile,
     seasonal_decompose,
+    seasonal_strength,
     seasonal_naive_error,
     correlation_matrix,
     seasonal_outliers,

@@ -1573,3 +1573,63 @@ def gap_regularity(
             & (var_num * F.lit(int(cv_denom) ** 2) < F.col("gap_sum") * F.col("gap_sum"))
         ).alias("is_bot"),
     )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tier: str = "hour",
+    ma_halfwidth: int = 12,
+) -> DataFrame:
+    """Seasonal-strength score per series (Wang-Smith-Hyndman, the
+    `tsfeatures` standard): ``max(0, 1 - Var(residual) /
+    Var(detrended))`` over the same additive decomposition
+    :func:`seasonal_decompose` emits — 1.0 = perfectly periodic,
+    0 = the daily cycle explains nothing. The one-number answer to
+    "does this domain's traffic have a real daily rhythm", used to
+    route series between seasonal and non-seasonal forecasters.
+
+    Same plan shape as the decomposition (tier rollup -> two keyed
+    windows -> per-key aggregate); variances use the explicit
+    sum-of-squares identity with identical parenthesization in the SQL
+    twin, and the quantize carries the decomposition's documented 1e-9
+    tie shift (window float sums accumulate in engine-specific orders).
+    """
+    from .tiers import bucket_expr
+
+    bucketed = df.groupBy(key_col, bucket_expr(ts_col, tier)).agg(
+        F.sum(value_col).alias("v")
+    )
+    w_ma = (
+        W.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(-ma_halfwidth, ma_halfwidth)
+    )
+    hod = F.hour("bucket_ts")
+    with_trend = bucketed.withColumn("trend", F.avg("v").over(w_ma))
+    det = F.col("v") - F.col("trend")
+    comp = with_trend.withColumn("d", det).withColumn(
+        "r", det - F.avg(det).over(W.partitionBy(key_col, hod))
+    )
+    agg = comp.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("r").alias("_sr"),
+        F.sum(F.col("r") * F.col("r")).alias("_srr"),
+        F.sum("d").alias("_sd"),
+        F.sum(F.col("d") * F.col("d")).alias("_sdd"),
+    )
+    n = F.col("n_buckets").cast("double")
+    var_r = F.col("_srr") / n - (F.col("_sr") / n) * (F.col("_sr") / n)
+    var_d = F.col("_sdd") / n - (F.col("_sd") / n) * (F.col("_sd") / n)
+    strength = F.greatest(F.lit(0.0), 1.0 - var_r / var_d)
+    q6 = (
+        F.signum(strength - 1e-9)
+        * F.floor(F.abs(1e6 * (strength - 1e-9)) + F.lit(0.5))
+    ).cast("long")
+    return agg.select(
+        key_col,
+        "n_buckets",
+        F.when(var_d > 0, F.greatest(F.lit(0), q6)).alias("strength_q6"),
+    )

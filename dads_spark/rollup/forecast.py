@@ -321,3 +321,82 @@ def rolling_backtest(
         "sae_persist",
         skill.alias("skill_q6"),
     )
+
+
+def croston(
+    q: np.ndarray, d: np.ndarray, alpha: float = 0.1
+) -> tuple[float, float, float]:
+    """Croston's method for INTERMITTENT demand (Croston 1972): smooth
+    the nonzero demand sizes and the inter-demand intervals separately
+    with the same alpha, forecast = size / interval (demand per bucket).
+
+    ``q`` = demand at each nonzero bucket, ``d`` = the bucket indices
+    (zeros between them are implicit — the interval sequence is the
+    diff, so empty buckets never materialize). Initialized the standard
+    way: S_1 = q_1, V_1 = d_1 - start_offset... here V seeds from the
+    first observed interval (needs >= 2 demand points). Returns
+    (size_level, interval_level, forecast).
+    """
+    q = np.asarray(q, dtype=np.float64)
+    d = np.asarray(d, dtype=np.int64)
+    if len(q) < 2:
+        return (float("nan"),) * 3
+    iv = np.diff(d).astype(np.float64)
+    s = float(q[0])  # size level seeds from the first demand
+    v = float(iv[0])  # interval level seeds from the first interval
+    for i in range(1, len(q)):
+        s = alpha * float(q[i]) + (1.0 - alpha) * s
+    for j in range(1, len(iv)):
+        v = alpha * float(iv[j]) + (1.0 - alpha) * v
+    return s, v, s / v
+
+
+def croston_grouped(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    demand_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-series Croston intermittent-demand levels over (bucket index,
+    demand) rows — empty buckets are implicit zeros, so the sparse
+    series is stored and processed at its nonzero size. Series with a
+    single demand point yield no row. Same grouped-kernel scale shape
+    as holt_winters_grouped: the corpus collapses to per-series nonzero
+    buckets before the Arrow stage; the recursion is Python floats in
+    both the engine and the staged oracle, hence bit-identical.
+
+    Returns (keys..., n_demands, size_level, interval_level, forecast).
+    """
+    out_schema = ", ".join(
+        [f"{c} string" for c in key_cols]
+        + [
+            "n_demands long",
+            "size_level double",
+            "interval_level double",
+            "forecast double",
+        ]
+    )
+
+    def f(keys, pdf):
+        pdf = pdf.sort_values(bucket_col)
+        s, v, fc = croston(
+            pdf[demand_col].to_numpy(), pdf[bucket_col].to_numpy(), alpha
+        )
+        if not np.isfinite(fc):
+            return pd.DataFrame(
+                {c: [] for c in
+                 [*key_cols, "n_demands", "size_level",
+                  "interval_level", "forecast"]}
+            )
+        return pd.DataFrame(
+            {
+                **{c: [v2] for c, v2 in zip(key_cols, keys)},
+                "n_demands": [len(pdf)],
+                "size_level": [s],
+                "interval_level": [v],
+                "forecast": [fc],
+            }
+        )
+
+    return df.groupBy(*key_cols).applyInPandas(f, out_schema)
