@@ -8278,6 +8278,141 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_tables(pages, "html", "doc_id")
 
 
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (rollup/analytics.py windowed_funnel):
+    view -> click within 2h -> purchase within 6h of the click,
+    greedy-earliest chain per user — the gap-bounded counts the
+    unconstrained funnel_steps lane overstates."""
+    from dads_spark.rollup import windowed_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_funnel(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], [7200, 21600],
+    )
+
+
+def q_retention_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy pricing (rollup/retention.py
+    retention_cost_plan): bucket counts per tier, the subset inside
+    each tier's horizon back from max ts, and their byte cost at
+    measured encoding rates — the sizing companion to
+    enforce_retention, exact integers throughout."""
+    from dads_spark.rollup import retention_cost_plan
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cost_plan(
+        ev, ["event_type"], "ts",
+        {"hour": (7, 14), "day": (90, 16), "week": (730, 18)},
+    )
+
+
+_S2G_EVAL_SERIES = 6
+_S2G_EVAL_N = 3000
+
+
+def _s2g_eval_frame(spark: SparkSession) -> DataFrame:
+    import numpy as _np2
+
+    from dads_spark.fixtures import benchmark_series
+
+    rows = []
+    for sid in range(_S2G_EVAL_SERIES):
+        x = benchmark_series(_S2G_EVAL_N, seed=sid)
+        rows += [
+            (sid, i, float(v)) for i, v in enumerate(_np2.asarray(x))
+        ]
+    return spark.createDataFrame(rows, "sid long, t long, value double")
+
+
+def _s2g_eval_metrics(scores, m: int, ell: int = 75):
+    """Detection metrics from a score vector: top-1 window and
+    precision@10 against the PLANTED discord ranges (splice at 0.3n
+    len 75, spike at 0.7n len 30 — fixtures/series.py). A window
+    counts as a hit inside (start - m - ell, start + len): path scores
+    are running-mean smoothed over ell windows, so elevated scores
+    LEAD the anomaly by up to ell, plus the window extent m."""
+    import numpy as _np2
+
+    n = _S2G_EVAL_N
+    ranges = [(int(n * 0.3), 75), (int(n * 0.7), 30)]
+
+    def planted(w):
+        return any(s - m - ell < w < s + ln for s, ln in ranges)
+
+    order = _np2.lexsort((_np2.arange(len(scores)), -scores))
+    top1 = int(order[0])
+    hits = sum(1 for w in order[:10] if planted(int(w)))
+    return top1, int(planted(top1)), hits * 100_000
+
+
+def _stage_s2g_eval_oracle() -> None:
+    import numpy as _np2
+
+    from dads_spark.fixtures import benchmark_series
+    from dads_spark.s2g import s2g_oracle
+    from dads_spark.s2g.core import S2GParams
+
+    params = S2GParams(m=50, c=16, S=50, ell=75)
+    rows = {k: [] for k in (
+        "sid", "n_windows", "top1_idx", "top1_planted", "p_at_10_q6"
+    )}
+    for sid in range(_S2G_EVAL_SERIES):
+        x = _np2.asarray(benchmark_series(_S2G_EVAL_N, seed=sid))
+        scores = s2g_oracle(x, params, n_slices=1).scores
+        top1, hit, p10 = _s2g_eval_metrics(scores, params.m)
+        rows["sid"].append(sid)
+        rows["n_windows"].append(len(scores))
+        rows["top1_idx"].append(top1)
+        rows["top1_planted"].append(hit)
+        rows["p_at_10_q6"].append(p10)
+    _write_dump(
+        "s2g_eval_oracle", {k: _np2.asarray(v) for k, v in rows.items()}
+    )
+
+
+def q_s2g_detection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2G detection SELF-EVALUATION: score six fixture series with
+    PLANTED discords (random-walk splice at 0.3n, amplitude spike at
+    0.7n) through the grouped Spark path and report, per series, the
+    top-scoring window and precision@10 against the planted ranges —
+    pinning not just numeric parity but that the engine FINDS the
+    anomalies it exists to find. Oracle: the single-process NumPy
+    pipeline (bit-identical scores by the engine's core invariant)
+    computing the same metrics, staged to parquet."""
+    import pandas as _pd2
+
+    from dads_spark.s2g.core import S2GParams
+    from dads_spark.s2g.pipeline import score_series_grouped
+
+    params = S2GParams(m=50, c=16, S=50, ell=75)
+    df = _s2g_eval_frame(spark)
+    scored = score_series_grouped(df, ["sid"], "t", "value", params)
+    _stage_s2g_eval_oracle()
+
+    def metrics(pdf: _pd2.DataFrame) -> _pd2.DataFrame:
+        import numpy as _np2
+
+        pdf = pdf.sort_values("window_idx")
+        scores = pdf["score"].to_numpy(dtype=_np2.float64)
+        top1, hit, p10 = _s2g_eval_metrics(scores, 50)
+        return _pd2.DataFrame(
+            {
+                "sid": [int(pdf["sid"].iloc[0])],
+                "n_windows": [len(scores)],
+                "top1_idx": [top1],
+                "top1_planted": [hit],
+                "p_at_10_q6": [p10],
+            }
+        )
+
+    return scored.groupBy("sid").applyInPandas(
+        metrics,
+        "sid long, n_windows long, top1_idx long, top1_planted long,"
+        " p_at_10_q6 long",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -8655,6 +8790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_strength": q_seasonal_strength,
         "croston": q_croston,
         "html_tables": q_html_tables,
+        "funnel_windowed": q_funnel_windowed,
+        "retention_cost": q_retention_cost,
+        "s2g_detection_eval": q_s2g_detection_eval,
     }
 
 
@@ -14727,6 +14865,58 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(cell, '<[^>]*>', '', 'g'),
                    '\s+', ' ', 'g')) AS cell_text
         FROM c1
+    """
+
+    # funnel_windowed: same greedy-earliest chain with gap bounds
+    d["funnel_windowed"] = """
+        WITH e AS (
+            SELECT user_id AS u, event_type AS t,
+                   epoch_us(ts) // 1000000 AS s
+            FROM events),
+        s1 AS (SELECT u, min(s) AS t1 FROM e WHERE t = 'view' GROUP BY 1),
+        s2 AS (SELECT e.u, min(e.s) AS t2 FROM e JOIN s1 ON e.u = s1.u
+               WHERE e.t = 'click' AND e.s > s1.t1
+                 AND e.s <= s1.t1 + 7200 GROUP BY 1),
+        s3 AS (SELECT e.u, min(e.s) AS t3 FROM e JOIN s2 ON e.u = s2.u
+               WHERE e.t = 'purchase' AND e.s > s2.t2
+                 AND e.s <= s2.t2 + 21600 GROUP BY 1)
+        SELECT 1 AS step, 'view' AS event_type, count(*) AS users FROM s1
+        UNION ALL
+        SELECT 2, 'click', count(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', count(*) FROM s3
+    """
+    # retention_cost: per-tier bucket grids (hour/day epoch-aligned,
+    # week Monday-aligned), horizon back from each grid's max
+    d["retention_cost"] = """
+        WITH raw AS (
+            SELECT event_type, epoch_us(ts) AS us FROM events),
+        grids AS (
+            SELECT 'hour' AS tier, 7 AS days, 14 AS bpr,
+                   3600000000 AS unit, 0 AS off FROM (VALUES (1))
+            UNION ALL SELECT 'day', 90, 16, 86400000000, 0
+            UNION ALL SELECT 'week', 730, 18, 604800000000, 345600000000),
+        b AS (
+            SELECT g.tier, g.days, g.bpr,
+                   ((raw.us - g.off) // g.unit) * g.unit + g.off AS b_us
+            FROM raw, grids g
+            GROUP BY 1, 2, 3, raw.event_type, 4),
+        m AS (SELECT tier, max(b_us) AS mx FROM b GROUP BY 1)
+        SELECT b.tier,
+               count(*) AS total_buckets,
+               CAST(sum(CASE WHEN b.b_us >= m.mx - b.days * 86400000000
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS retained_buckets,
+               CAST(sum(CASE WHEN b.b_us >= m.mx - b.days * 86400000000
+                             THEN 1 ELSE 0 END) * b.bpr AS BIGINT)
+                   AS retained_bytes,
+               CAST(b.days AS BIGINT) AS retention_days
+        FROM b JOIN m USING (tier)
+        GROUP BY 1, b.days, b.bpr
+    """
+    d["s2g_detection_eval"] = f"""
+        SELECT sid, n_windows, top1_idx, top1_planted, p_at_10_q6
+        FROM read_parquet('{_dump_path("s2g_eval_oracle")}')
     """
     d["schema_evolution"] = f"""
         SELECT doc_id, CAST(cnt AS BIGINT) AS doc_count,

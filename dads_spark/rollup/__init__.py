@@ -36,6 +36,7 @@ from .retention import (  # noqa: F401
     downsample_on_expiry,
     enforce_policy,
     enforce_retention,
+    retention_cost_plan,
 )
 from .downsample import (  # noqa: F401
     ewma_smooth,
@@ -89,6 +90,7 @@ from .analytics import (  # noqa: F401
     hampel_filter,
     last_touch_attribution,
     linear_attribution,
+    windowed_funnel,
     session_patterns,
     transition_matrix,
     mad_outliers,

@@ -128,3 +128,58 @@ def downsample_on_expiry(
     fine = shape(hour_df, "hour", lambda u, c: u >= c)
     coarse = shape(day_df, "day", lambda u, c: u < c)
     return fine.unionByName(coarse)
+
+
+def retention_cost_plan(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    policy: dict[str, tuple[int, int]],
+) -> DataFrame:
+    """Price a retention policy BEFORE enforcing it: for each tier,
+    how many bucket-rows exist, how many survive the tier's retention
+    horizon (measured back from the data's max timestamp), and the
+    storage bytes they cost at the tier's measured encoding rate.
+
+    ``policy`` maps tier name -> (retention_days, bytes_per_row);
+    bytes_per_row comes from measured blobstore/encoding-advisor stats
+    — this operator does the exact integer arithmetic, not the
+    estimation. One pass per tier over TIER-sized aggregates (the raw
+    stream collapses in the first rollup); the global max-ts is a
+    single-row broadcast. The sizing companion to enforce_retention:
+    the same horizon rule, priced instead of applied.
+
+    Returns (tier, total_buckets, retained_buckets, retained_bytes,
+    retention_days).
+    """
+    from .tiers import rollup_from_raw
+
+    frames = []
+    for tier, (days, bpr) in sorted(policy.items()):
+        t = rollup_from_raw(df, key_cols, ts_col, None, tier).select(
+            F.unix_micros(F.col("bucket_ts")).alias("_us")
+        )
+        mx = t.agg(F.max("_us").alias("_mx"))
+        horizon_us = int(days) * 86_400_000_000
+        frames.append(
+            t.crossJoin(F.broadcast(mx)).agg(
+                F.lit(tier).alias("tier"),
+                F.count(F.lit(1)).alias("total_buckets"),
+                F.sum(
+                    (F.col("_us") >= F.col("_mx") - horizon_us).cast("long")
+                ).alias("retained_buckets"),
+                (
+                    F.sum(
+                        (F.col("_us") >= F.col("_mx") - horizon_us).cast(
+                            "long"
+                        )
+                    )
+                    * int(bpr)
+                ).alias("retained_bytes"),
+                F.lit(int(days)).alias("retention_days"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -1739,6 +1739,32 @@ def main() -> None:
                   if "FlatMap" in l or "Aggregate" in l or "Generate" in l)[:400],
     ))
 
+    # --- A87: funnel_windowed / retention_cost --------------------------------
+    p87a = plan_of(em.queries()["funnel_windowed"](spark, sf_dir))
+    p87b = plan_of(em.queries()["retention_cost"](spark, sf_dir))
+    for p, nm in ((p87a, "funnel_windowed"), (p87b, "retention_cost")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type," in p87a, (
+        "each funnel step's type filter must reach the parquet scan"
+    )
+    assert "Window" not in p87a, (
+        "the windowed funnel is aggregation+join algebra, no raw-stream window"
+    )
+    sections.append((
+        "A87 funnel steps scan-filtered, retention priced on tier grids",
+        "PASS — funnel_windowed pushes each step's event-type equality "
+        "into the parquet scan (per-step input is the step's events, "
+        "not the corpus), chains conditional min-aggregations on the "
+        "one user key with the gap bound as a join filter; "
+        "retention_cost rolls the raw stream to per-tier bucket grids "
+        "(map-side partials), broadcasts each grid's single-row max, "
+        "and prices horizons in exact integer arithmetic",
+        "\n".join(l for l in p87a.splitlines()
+                  if "PushedFilters" in l or "Join" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
