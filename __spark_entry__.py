@@ -8413,6 +8413,105 @@ def q_s2g_detection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitmap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-packed set algebra (ops/bitmapindex.py): two selective doc
+    sets packed 64-per-row, intersected with a bitwise AND on the
+    block equi-join, decoded back to ids — conjunctive filtering at
+    1/64th the row count, sign bit (bit 63) included. Pinned against
+    the direct row-level intersection."""
+    from dads_spark.ops import bitmap_combine, bitmap_decode, build_bitmap
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("lang") == "en").select(
+        F.lit("s").alias("k"), F.col("doc_id").alias("id")
+    )
+    b = docs.filter((F.col("doc_id") * 7) % 3 == 0).select(
+        F.lit("s").alias("k"), F.col("doc_id").alias("id")
+    )
+    ba = build_bitmap(a, ["k"], "id")
+    bb = build_bitmap(b, ["k"], "id")
+    return bitmap_decode(bitmap_combine(ba, bb, "and"))
+
+
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (ops/raneval.py rank_biased_overlap):
+    ranker drift between two deterministic scorers per query bucket,
+    p=0.9 k=20, suffix-sum weights injected as shared literals."""
+    from dads_spark.ops import rank_biased_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def ranked(score):
+        return docs.select(
+            (d % 10).alias("qid"), d.alias("id"), score.alias("_s")
+        ).withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    F.col("_s").desc(), F.col("id").asc()
+                )
+            ),
+        )
+
+    a = ranked((d * 31) % 101)
+    b = ranked((d * 37) % 103)
+    return rank_biased_overlap(a, b, "qid", "id", "rank", p=0.9, k=20)
+
+
+def _stage_zlib_oracle(sf_dir: str) -> None:
+    """Scalar zlib replay (same CPython zlib as the Arrow kernel)."""
+    import zlib as _zlib
+
+    import numpy as _np2
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = t.column("doc_id").to_numpy()
+    texts = t.column("text").to_pylist()
+    nr, nz, q6 = [], [], []
+    for s in texts:
+        raw = s.encode("utf-8") if isinstance(s, str) else b""
+        r, z = len(raw), len(_zlib.compress(
+            s.encode("utf-8") if isinstance(s, str) else b"", 6
+        ))
+        nr.append(r)
+        nz.append(z)
+        q6.append(
+            (10**6 * z) // r + (1 if (10**6 * z) % r * 2 >= r else 0)
+            if r else None
+        )
+    _write_dump(
+        "zlib_oracle",
+        {
+            "doc_id": _np2.asarray(ids),
+            "n_raw_bytes": _np2.asarray(nr, dtype=_np2.int64),
+            "n_zlib_bytes": _np2.asarray(nz, dtype=_np2.int64),
+            "ratio_q6": _np2.asarray(
+                [x if x is not None else -1 for x in q6], dtype=_np2.int64
+            ),
+        },
+    )
+
+
+def q_zlib_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (ops/quality.py zlib_ratio):
+    DEFLATE-6 bytes / raw UTF-8 bytes per doc — the published
+    repetition/boilerplate filter; Arrow-batched, bitwise vs the
+    staged scalar zlib replay."""
+    from dads_spark.ops import zlib_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    _stage_zlib_oracle(sf_dir)
+    out = zlib_ratio(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_raw_bytes", "n_zlib_bytes",
+        F.coalesce(F.col("ratio_q6"), F.lit(-1)).alias("ratio_q6"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -8793,6 +8892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_windowed": q_funnel_windowed,
         "retention_cost": q_retention_cost,
         "s2g_detection_eval": q_s2g_detection_eval,
+        "bitmap_filter": q_bitmap_filter,
+        "rbo": q_rbo,
+        "zlib_ratio": q_zlib_ratio,
     }
 
 
@@ -14814,7 +14916,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # html_tables: identical synthesis + 3-level non-greedy extraction
     # via the index-unnest pattern
-    d["html_tables"] = """
+    d["html_tables"] = r"""
         WITH pages AS (
             SELECT doc_id,
                    CASE WHEN doc_id % 5 = 0 THEN '<p>no tables here</p>'
@@ -14917,6 +15019,46 @@ def oracle_sql() -> dict[str, str]:
     d["s2g_detection_eval"] = f"""
         SELECT sid, n_windows, top1_idx, top1_planted, p_at_10_q6
         FROM read_parquet('{_dump_path("s2g_eval_oracle")}')
+    """
+
+    # rbo: the SAME suffix-sum weight table, computed by the same
+    # Python loop and injected as literals on both engines
+    _rbo_w = [0.0] * 22
+    for _d in range(20, 0, -1):
+        _rbo_w[_d] = _rbo_w[_d + 1] + (0.9 ** (_d - 1)) / _d
+    _rbo_case = " ".join(
+        f"WHEN {m} THEN {(1.0 - 0.9) * _rbo_w[m]!r}"
+        for m in range(1, 21)
+    )
+    d["rbo"] = f"""
+        WITH ra AS (
+            SELECT doc_id % 10 AS qid, doc_id AS id,
+                   row_number() OVER (PARTITION BY doc_id % 10
+                       ORDER BY (doc_id * 31) % 101 DESC, doc_id ASC)
+                       AS rank
+            FROM documents),
+        rb AS (
+            SELECT doc_id % 10 AS qid, doc_id AS id,
+                   row_number() OVER (PARTITION BY doc_id % 10
+                       ORDER BY (doc_id * 37) % 103 DESC, doc_id ASC)
+                       AS rank
+            FROM documents),
+        p AS (
+            SELECT ra.qid, greatest(ra.rank, rb.rank) AS m
+            FROM ra JOIN rb ON ra.qid = rb.qid AND ra.id = rb.id
+            WHERE ra.rank <= 20 AND rb.rank <= 20)
+        SELECT qid AS query, count(*) AS n_common,
+               CAST(floor(abs(1e6 * sum(CASE m {{_rbo_case}} ELSE 0.0 END))
+                          + 0.5) AS BIGINT) AS rbo_q6
+        FROM p GROUP BY 1
+    """.replace("{_rbo_case}", _rbo_case)
+    d["bitmap_filter"] = """
+        SELECT doc_id AS id FROM documents
+        WHERE lang = 'en' AND (doc_id * 7) % 3 = 0
+    """
+    d["zlib_ratio"] = f"""
+        SELECT doc_id, n_raw_bytes, n_zlib_bytes, ratio_q6
+        FROM read_parquet('{_dump_path("zlib_oracle")}')
     """
     d["schema_evolution"] = f"""
         SELECT doc_id, CAST(cnt AS BIGINT) AS doc_count,

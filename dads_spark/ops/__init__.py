@@ -35,6 +35,7 @@ from .quality import (  # noqa: F401
     perplexity_buckets,
     readability_scores,
     semdedup,
+    zlib_ratio,
 )
 from .components import (  # noqa: F401
     connected_components,
@@ -80,7 +81,8 @@ from .calibrate import isotonic_fit, quantile_normalize  # noqa: F401
 from .keywords import rake_keywords  # noqa: F401
 from .rangejoin import bucketed_interval_join, bucketed_range_join  # noqa: F401
 from .concentration import concentration_metrics  # noqa: F401
-from .raneval import ranking_metrics  # noqa: F401
+from .raneval import rank_biased_overlap, ranking_metrics  # noqa: F401
+from .bitmapindex import bitmap_combine, bitmap_decode, build_bitmap  # noqa: F401
 from .redirects import resolve_chains  # noqa: F401
 from .trigram import trigram_postings, trigram_search  # noqa: F401
 from .contamination import contamination_report  # noqa: F401

@@ -352,3 +352,53 @@ def readability_scores(
         n_syllables.cast("int").alias("n_syllables"),
         q3.alias("flesch_q3"),
     )
+
+
+def zlib_ratio(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Compression-ratio quality signal: DEFLATE level-6 bytes over
+    raw UTF-8 bytes per document — the classic cheap proxy used by
+    published web-corpus pipelines to drop boilerplate/templated text
+    (compresses far below prose) and binary-ish noise (doesn't
+    compress at all). Thresholds are corpus policy; this emits the
+    measurements.
+
+    Arrow-batched mapInPandas (zlib is CPython's zlib in both the
+    engine and the staged oracle — byte-identical output lengths), one
+    map-only pass, no shuffle. Returns (doc, n_raw_bytes,
+    n_zlib_bytes, ratio_q6) with ratio = compressed/raw (small = very
+    repetitive), NULL for empty docs.
+
+    Reference analog: none; SURVEY §2.4 quality suite (Gopher/
+    RefinedWeb-style repetition filters; public heuristic).
+    """
+    import pandas as pd
+
+    schema = f"{id_col} long, n_raw_bytes long, n_zlib_bytes long, ratio_q6 long"
+
+    def run(it):
+        import zlib
+
+        for pdf in it:
+            raw = [
+                t.encode("utf-8") if isinstance(t, str) else b""
+                for t in pdf[text_col]
+            ]
+            nr = [len(x) for x in raw]
+            nz = [len(zlib.compress(x, 6)) for x in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_raw_bytes": nr,
+                    "n_zlib_bytes": nz,
+                    "ratio_q6": [
+                        (10**6 * z) // r + (1 if (10**6 * z) % r * 2 >= r
+                                            else 0)
+                        if r else None
+                        for z, r in zip(nz, nr)
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)

@@ -121,3 +121,54 @@ def ranking_metrics(
             _q6(1e6 * F.col("_dcg") / F.col("_idcg")),
         ).alias("ndcg_at_k_q6"),
     )
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    query_col: str,
+    id_col: str,
+    rank_col: str,
+    p: float = 0.9,
+    k: int = 20,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between two rankers'
+    top-k lists, per query — the ranker-drift metric: "did the new
+    index/model change what users actually see", weighted toward the
+    top of the list.
+
+    Truncated form RBO@k = (1-p) * sum_{d=1..k} p^(d-1) * |A_d ∩ B_d|/d.
+    A doc present in BOTH lists at ranks (ra, rb) contributes to every
+    depth d >= max(ra, rb), so its total weight is the SUFFIX SUM
+    W(m) = sum_{d=m..k} p^(d-1)/d — precomputed driver-side and
+    injected as double literals (the ranking_metrics discount
+    pattern; no engine pow/log in the value). One equi-join on
+    (query, doc) + one aggregation.
+
+    Returns (query, n_common, rbo_q6).
+    """
+    w = [0.0] * (k + 2)
+    for d in range(k, 0, -1):
+        w[d] = w[d + 1] + (p ** (d - 1)) / d
+    expr = F.lit(0.0)
+    for m in range(1, k + 1):
+        expr = F.when(F.col("_m") == m, F.lit((1.0 - p) * w[m])).otherwise(
+            expr
+        )
+    a2 = a.select(
+        F.col(query_col).alias("query"),
+        F.col(id_col).alias("_id"),
+        F.col(rank_col).alias("_ra"),
+    ).filter(F.col("_ra") <= k)
+    b2 = b.select(
+        F.col(query_col).alias("query"),
+        F.col(id_col).alias("_id"),
+        F.col(rank_col).alias("_rb"),
+    ).filter(F.col("_rb") <= k)
+    pairs = a2.join(b2, ["query", "_id"]).withColumn(
+        "_m", F.greatest(F.col("_ra"), F.col("_rb"))
+    )
+    return pairs.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        _q6(1e6 * F.sum(expr)).alias("rbo_q6"),
+    )

@@ -1765,6 +1765,33 @@ def main() -> None:
                   if "PushedFilters" in l or "Join" in l)[:400],
     ))
 
+    # --- A88: bitmap_filter / rbo / zlib_ratio --------------------------------
+    p88a = plan_of(em.queries()["bitmap_filter"](spark, sf_dir))
+    p88b = plan_of(em.queries()["rbo"](spark, sf_dir))
+    p88c = plan_of(em.queries()["zlib_ratio"](spark, sf_dir))
+    for p, nm in ((p88a, "bitmap_filter"), (p88b, "rbo")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p
+    assert "partial_bit_or" in p88a, (
+        "bitmap build must be a bit_or aggregate with map-side partials"
+    )
+    assert "MapInPandas" in p88c, "zlib runs as an Arrow batch kernel"
+    assert "Exchange" not in p88c, "zlib_ratio is map-only (no shuffle)"
+    sections.append((
+        "A88 set algebra at 1/64 rows, drift joined on (query,doc), zlib map-only",
+        "PASS — bitmap_filter packs each doc set with bit_or into "
+        "64-per-row blocks (one keyed agg each), intersects with a "
+        "bitwise AND on the block equi-join and decodes only SET bits "
+        "— conjunctive filtering pays 1/64th the rows of the id-level "
+        "join; rbo joins the two top-k lists on (query, doc) and sums "
+        "driver-injected suffix-sum literals (no engine pow); "
+        "zlib_ratio is a single Arrow mapInPandas pass with zero "
+        "exchanges",
+        "\n".join(l for l in (p88a + "\n" + p88c).splitlines()
+                  if "bit" in l.lower() or "MapInPandas" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
