@@ -8512,6 +8512,62 @@ def q_zlib_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV sketch store (streaming/kmvstream.py): four
+    micro-batches fold per-key bottom-64 digest sketches into an
+    on-disk store with NO ledger — KMV merge is idempotent, so replay
+    converges for free (the contrast with the counting backfill tier).
+    Hash equality vs the batch bottom-k SQL proves the incrementally-
+    maintained sketch equals a from-scratch sketch of the full
+    history, bit for bit."""
+    import shutil as _sh
+
+    from dads_spark.rollup import kmv_estimate
+    from dads_spark.streaming.kmvstream import run_kmv_stream
+
+    ev = _t(spark, sf_dir, "events")
+    src = _stage_backfill_src(spark, sf_dir)
+    base = _stage_dir("kmv_stream_run", sf_dir)
+    _sh.rmtree(base, ignore_errors=True)
+    run_kmv_stream(
+        spark, src, ev.schema, ["event_type"], "user_id",
+        f"{base}/store", f"{base}/ckpt", k=64, max_files_per_trigger=1,
+    )
+    store = spark.read.parquet(f"{base}/store")
+    return kmv_estimate(store, k=64)
+
+
+def q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-politeness audit over access logs (composed: parse_clf
+    -> per-(bot UA family, ip) request cadence): request counts, the
+    min inter-request gap (ordered by timestamp with path tiebreak),
+    and how many consecutive gaps violate a 1-second crawl delay —
+    the server-side view of the frontier scheduler's contract."""
+    from dads_spark.ops import parse_clf
+
+    p = parse_clf(_clf_lines(spark, sf_dir), "line")
+    ok = p.filter((F.col("parsed") == 1) & (F.col("is_bot") == 1))
+    sec = F.unix_timestamp(F.to_timestamp("iso_ts"))
+    base = ok.select(
+        F.col("user_agent").alias("ua"),
+        # crawler fleets rotate addresses inside a block: audit at /16
+        F.substring_index(F.col("ip"), ".", 2).alias("ip16"),
+        sec.alias("s"),
+        F.col("path"),
+    )
+    w = W.partitionBy("ua", "ip16").orderBy("s", "path")
+    gaps = base.withColumn(
+        "_gap", F.col("s") - F.lag("s").over(w)
+    )
+    return gaps.groupBy("ua", "ip16").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.min("_gap").alias("min_gap_s"),
+        F.sum(
+            F.when(F.col("_gap") < 1, 1).otherwise(0)
+        ).alias("n_violations"),
+    ).filter(F.col("n_requests") >= 2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -8895,6 +8951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_filter": q_bitmap_filter,
         "rbo": q_rbo,
         "zlib_ratio": q_zlib_ratio,
+        "streaming_kmv": q_streaming_kmv,
+        "politeness_audit": q_politeness_audit,
     }
 
 
@@ -15059,6 +15117,69 @@ def oracle_sql() -> dict[str, str]:
     d["zlib_ratio"] = f"""
         SELECT doc_id, n_raw_bytes, n_zlib_bytes, ratio_q6
         FROM read_parquet('{_dump_path("zlib_oracle")}')
+    """
+
+    # streaming_kmv: the BATCH bottom-k sketch of the full history —
+    # hash equality proves the streaming store's mergeability
+    _skmv_v52 = " + ".join(
+        f"((strpos('0123456789abcdef', substr(kth_hex, {i + 1}, 1))"
+        f" - CAST(1 AS BIGINT)) * {1 << (4 * (12 - i))})"
+        for i in range(13)
+    )
+    d["streaming_kmv"] = f"""
+        WITH base AS (
+            SELECT DISTINCT event_type,
+                   md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events),
+        ranked AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h) AS rn
+            FROM base),
+        sk AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+                   max(h) AS kth_hex
+            FROM ranked WHERE rn <= 64 GROUP BY 1)
+        SELECT event_type, n_kept, kth_hex,
+               CAST(CASE WHEN n_kept < 64 THEN n_kept
+                    ELSE {63 * (1 << 52)}
+                         // greatest(CAST({_skmv_v52} AS BIGINT), 1)
+                    END AS BIGINT) AS est_distinct
+        FROM sk
+    """
+    # politeness_audit: bot cadence from the doc_id arithmetic (the
+    # log_observability independent-derivation pattern)
+    d["politeness_audit"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 1 THEN
+                       'Googlebot/2.1 (+http://www.google.com/bot.html)'
+                     WHEN 2 THEN 'curl/8.4.0'
+                     ELSE 'SpiderX/1.0 crawler' END AS ua,
+                   '10.' || CAST(doc_id % 256 AS VARCHAR) AS ip16,
+                   epoch_us(make_timestamp(
+                       2024,
+                       CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 6
+                            ELSE 11 END,
+                       (doc_id % 28) + 1, doc_id % 24, doc_id % 60,
+                       CAST((doc_id * 7) % 60 AS DOUBLE))) // 1000000
+                       AS s,
+                   '/p/' || CAST(doc_id AS VARCHAR) AS path
+            FROM documents
+            WHERE doc_id % 97 <> 0 AND doc_id % 4 <> 0),
+        g AS (
+            SELECT ua, ip16, s,
+                   s - lag(s) OVER (PARTITION BY ua, ip16
+                                    ORDER BY s, path) AS gap
+            FROM p),
+        a AS (
+            SELECT ua, ip16, count(*) AS n_requests,
+                   min(gap) AS min_gap_s,
+                   CAST(sum(CASE WHEN gap < 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations
+            FROM g GROUP BY 1, 2)
+        SELECT * FROM a WHERE n_requests >= 2
     """
     d["schema_evolution"] = f"""
         SELECT doc_id, CAST(cnt AS BIGINT) AS doc_count,

@@ -24,6 +24,7 @@ from .stateful import (  # noqa: F401
     streaming_sessionize,
     streaming_zscore,
 )
+from .kmvstream import run_kmv_stream  # noqa: F401
 from .backfill import (  # noqa: F401
     read_backfill_tier,
     run_tier_backfill_stream,

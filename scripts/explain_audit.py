@@ -1792,6 +1792,28 @@ def main() -> None:
                   if "bit" in l.lower() or "MapInPandas" in l)[:400],
     ))
 
+    # --- A89: streaming_kmv / politeness_audit --------------------------------
+    p89b = plan_of(em.queries()["politeness_audit"](spark, sf_dir))
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p89b, f"politeness_audit plan contains {py_op}"
+    assert "SinglePartition" not in p89b, (
+        "cadence windows stay keyed on (ua, ip16)"
+    )
+    # streaming_kmv is a foreachBatch maintenance run (no single plan to
+    # audit); its per-batch merge shape is the batch KMV plan already
+    # asserted, and its idempotence/resume contract is pinned by
+    # tests/test_kmvstream.py + the driver hash vs the batch oracle.
+    sections.append((
+        "A89 politeness cadence keyed per crawler block",
+        "PASS — politeness_audit parses logs in codegen, windows the "
+        "per-(bot, /16) request stream on its own key (no global "
+        "sort), and aggregates gap violations map-side; the streaming "
+        "KMV store needs NO ledger — merge idempotence (pinned "
+        "stream==batch by the gate) is the exactly-once argument",
+        "\n".join(l for l in p89b.splitlines()
+                  if "Window" in l or "Aggregate" in l)[:300],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
