@@ -8568,6 +8568,58 @@ def q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_requests") >= 2)
 
 
+def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed LLM-curation flagship: Gopher quality gate -> exact
+    dedup (min doc_id per content digest) -> whitespace token counts ->
+    512-token context packing, summarized per language so EVERY stage's
+    survivor count, token total and bin layout land in one hash —
+    the training-data funnel as a single oracle-gated query (the
+    curation sibling of e2e_web_ingest)."""
+    from dads_spark.ops import gopher_rules, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_rules(docs, "text", "doc_id", min_words=30)
+    # language-NEUTRAL rule subset: the stopword gate is English-only
+    # (CCNet applies per-language lists; this corpus is multilingual)
+    lang_neutral = (
+        F.col("flag_word_count") & F.col("flag_mean_word_len")
+        & F.col("flag_symbol_ratio") & F.col("flag_bullet_lines")
+        & F.col("flag_ellipsis_lines") & F.col("flag_alpha_words")
+    )
+    kept = docs.join(
+        g.filter(lang_neutral).select("doc_id"), "doc_id"
+    )
+    first = kept.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    uniq = kept.join(first.select("doc_id"), "doc_id")
+    toks = uniq.select(
+        "lang", "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    packed = pack_sequences(toks, ["lang"], "doc_id", "n_tok", 512)
+    s_in = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_input"))
+    s_q = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_quality"))
+    s_p = packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum(F.col("spans_boundary").cast("long")).alias("n_spanning"),
+    )
+    return (
+        s_in.join(s_q, "lang", "left")
+        .join(s_p, "lang", "left")
+        .select(
+            "lang", "n_input",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("total_tokens", F.lit(0)).alias("total_tokens"),
+            F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
+            F.coalesce("n_spanning", F.lit(0)).alias("n_spanning"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -8953,6 +9005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zlib_ratio": q_zlib_ratio,
         "streaming_kmv": q_streaming_kmv,
         "politeness_audit": q_politeness_audit,
+        "e2e_curation": q_e2e_curation,
     }
 
 
@@ -15180,6 +15233,76 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_violations
             FROM g GROUP BY 1, 2)
         SELECT * FROM a WHERE n_requests >= 2
+    """
+
+    # e2e_curation: the full funnel mirrored stage by stage — gopher
+    # integer-inequality flags (min_words=10), digest dedup, 512-token
+    # integer packing
+    d["e2e_curation"] = """
+        WITH b AS (
+          SELECT doc_id, lang, text,
+                 string_split(text, ' ') AS toks,
+                 string_split(text, chr(10)) AS lns,
+                 length(text) AS l,
+                 length(replace(text, '#', '')) AS lh,
+                 length(replace(text, '...', '')) AS le
+          FROM documents),
+        m AS (
+          SELECT doc_id, lang, text,
+                 len(toks) AS n_words,
+                 l - (len(toks) - 1) AS swc,
+                 CAST((l - lh) + (l - le) / 3 AS BIGINT) AS n_symbols,
+                 len(lns) AS n_lines,
+                 len(list_filter(lns, x -> x LIKE '- %' OR x LIKE '* %'
+                                        OR x LIKE '• %')) AS n_bullet,
+                 len(list_filter(lns, x -> x LIKE '%...')) AS n_ell,
+                 len(list_filter(toks,
+                                 x -> regexp_matches(x, '[A-Za-z]')))
+                     AS n_alpha,
+                 (CAST(list_contains(toks, 'the') AS INT)
+                  + CAST(list_contains(toks, 'be') AS INT)
+                  + CAST(list_contains(toks, 'to') AS INT)
+                  + CAST(list_contains(toks, 'of') AS INT)
+                  + CAST(list_contains(toks, 'and') AS INT)
+                  + CAST(list_contains(toks, 'that') AS INT)
+                  + CAST(list_contains(toks, 'have') AS INT)
+                  + CAST(list_contains(toks, 'with') AS INT)) AS sw
+          FROM b),
+        kept AS (
+          SELECT doc_id, lang, text, n_words FROM m
+          WHERE (n_words >= 30 AND n_words <= 100000)
+            AND (swc >= 3 * n_words AND swc <= 10 * n_words)
+            AND (10 * n_symbols <= n_words)
+            AND (10 * n_bullet < 9 * n_lines)
+            AND (10 * n_ell <= 3 * n_lines)
+            AND (5 * n_alpha >= 4 * n_words)),
+        uniq AS (
+          SELECT doc_id, lang, n_words FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+            FROM kept) WHERE rn = 1),
+        packed AS (
+          SELECT lang, doc_id, n_words,
+                 sum(n_words) OVER (PARTITION BY lang ORDER BY doc_id)
+                     - n_words AS st
+          FROM uniq),
+        sp AS (
+          SELECT lang, count(*) AS n_unique,
+                 CAST(sum(n_words) AS BIGINT) AS total_tokens,
+                 count(DISTINCT st // 512) AS n_bins,
+                 CAST(sum(CASE WHEN st % 512 + n_words > 512
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_spanning
+          FROM packed GROUP BY 1),
+        si AS (SELECT lang, count(*) AS n_input FROM documents GROUP BY 1),
+        sq AS (SELECT lang, count(*) AS n_quality FROM kept GROUP BY 1)
+        SELECT si.lang, si.n_input,
+               COALESCE(sq.n_quality, 0) AS n_quality,
+               COALESCE(sp.n_unique, 0) AS n_unique,
+               COALESCE(sp.total_tokens, 0) AS total_tokens,
+               COALESCE(sp.n_bins, 0) AS n_bins,
+               COALESCE(sp.n_spanning, 0) AS n_spanning
+        FROM si LEFT JOIN sq USING (lang) LEFT JOIN sp USING (lang)
     """
     d["schema_evolution"] = f"""
         SELECT doc_id, CAST(cnt AS BIGINT) AS doc_count,

@@ -213,10 +213,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "late_refresh",
         "bloom_dedup",
         # r4 session 8: interval-overlap temporal join (bucketed +
-        # anchored equi-join) and the composed log-observability
-        # flagship (CLF parse -> hourly tiers -> hysteresis episodes)
+        # anchored equi-join), the composed log-observability flagship
+        # (CLF parse -> hourly tiers -> hysteresis episodes) and the
+        # composed LLM-curation funnel (quality -> dedup -> packing)
         "interval_join",
         "log_observability",
+        "e2e_curation",
     ]
     for name in suite:
         t0 = _now()

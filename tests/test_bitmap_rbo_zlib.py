@@ -87,3 +87,18 @@ def test_zlib_ratio_repetitive_vs_prose(spark):
     assert out[1].n_raw_bytes == 1000
     assert out[1].n_zlib_bytes == len(zlib.compress(rep.encode(), 6))
     assert out[3].ratio_q6 is None  # empty doc
+
+
+def test_e2e_curation_funnel_monotone(spark):
+    import __spark_entry__ as em
+
+    rows = em.queries()["e2e_curation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        # survivors can only shrink stage to stage
+        assert r.n_input >= r.n_quality >= r.n_unique >= 0
+        # packing accounting: bins cover the tokens
+        assert r.n_bins * 512 >= r.total_tokens - 511
+        assert r.n_spanning <= r.n_unique
