@@ -8620,6 +8620,64 @@ def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (ops/redact.py k_anonymity_audit): equivalence
+    -class size histogram over the (event_type, user_id%50, hour-of-
+    day) quasi-identifier combo, k=5 — the re-identification readout
+    run before publishing a derived table."""
+    from dads_spark.ops import k_anonymity_audit
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 50).alias("age_band"),
+        F.hour("ts").alias("hod"),
+    )
+    return k_anonymity_audit(ev, ["event_type", "age_band", "hod"], k=5)
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition (ops/textstats.py script_mix): per-doc
+    Latin/Han/Cyrillic/Arabic/digit counts over a deterministic
+    mixed-script synthesis (every 3rd doc gains CJK, every 5th
+    Cyrillic, every 7th Arabic digits+text), dominant script with the
+    fixed tie order, mixed flag — pure codegen, map-only."""
+    from dads_spark.ops import script_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit(" 数据 处理 引擎")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" данные поток")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" بيانات ٢٠٢٤")).otherwise(F.lit("")),
+    )
+    return script_mix(docs.select("doc_id", text.alias("text")))
+
+
+def q_counter_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter monotonicity repair (rollup/analytics.py counter_repair):
+    an hourly cumulative counter wrapped at 5000 (injected resets) is
+    rebuilt into the monotone series rate()/tiers should ingest —
+    exact integer window algebra, seeded at the first sample."""
+    from dads_spark.rollup import counter_repair
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    hourly = ev.groupBy(
+        "event_type", (sec - sec % 3600).alias("bucket_s")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wrapped = hourly.select(
+        "event_type", "bucket_s",
+        (F.sum("n").over(wc) % 5000).alias("raw"),
+    )
+    return counter_repair(wrapped, ["event_type"], "bucket_s", "raw")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -9006,6 +9064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kmv": q_streaming_kmv,
         "politeness_audit": q_politeness_audit,
         "e2e_curation": q_e2e_curation,
+        "k_anonymity": q_k_anonymity,
+        "script_mix": q_script_mix,
+        "counter_repair": q_counter_repair,
     }
 
 
@@ -15303,6 +15364,82 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(sp.n_bins, 0) AS n_bins,
                COALESCE(sp.n_spanning, 0) AS n_spanning
         FROM si LEFT JOIN sq USING (lang) LEFT JOIN sp USING (lang)
+    """
+
+    d["k_anonymity"] = """
+        WITH q AS (
+            SELECT event_type, user_id % 50 AS age_band,
+                   date_part('hour', ts) AS hod, count(*) AS n
+            FROM events GROUP BY 1, 2, 3)
+        SELECT n AS class_size,
+               count(*) AS n_classes,
+               CAST(n * count(*) AS BIGINT) AS n_rows,
+               (n < 5) AS violates
+        FROM q GROUP BY 1
+    """
+    # script_mix: RE2's spelling of the same Unicode script classes
+    d["script_mix"] = """
+        WITH syn AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' 数据 处理 引擎' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' данные поток' ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' بيانات ٢٠٢٤' ELSE '' END AS t
+            FROM documents),
+        c AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '\\p{Latin}')) AS n_latin,
+                   len(regexp_extract_all(t, '\\p{Han}')) AS n_han,
+                   len(regexp_extract_all(t, '\\p{Cyrillic}'))
+                       AS n_cyrillic,
+                   len(regexp_extract_all(t, '\\p{Arabic}')) AS n_arabic,
+                   len(regexp_extract_all(t, '[0-9]')) AS n_digit
+            FROM syn)
+        SELECT doc_id, n_latin, n_han, n_cyrillic, n_arabic, n_digit,
+               CASE WHEN greatest(n_latin, n_han, n_cyrillic, n_arabic)
+                         = 0 THEN 'none'
+                    WHEN n_latin >= n_han AND n_latin >= n_cyrillic
+                         AND n_latin >= n_arabic THEN 'latin'
+                    WHEN n_han >= n_cyrillic AND n_han >= n_arabic
+                         THEN 'han'
+                    WHEN n_cyrillic >= n_arabic THEN 'cyrillic'
+                    ELSE 'arabic' END AS dominant,
+               ((CASE WHEN n_latin > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_han > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_arabic > 0 THEN 1 ELSE 0 END)) >= 2
+                   AS mixed
+        FROM c
+    """
+    d["counter_repair"] = """
+        WITH h AS (
+            SELECT event_type,
+                   epoch_us(ts) // 1000000
+                       - (epoch_us(ts) // 1000000) % 3600 AS bucket_s,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2),
+        wrapped AS (
+            SELECT event_type, bucket_s,
+                   CAST(sum(n) OVER (PARTITION BY event_type
+                                ORDER BY bucket_s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) % 5000 AS BIGINT) AS raw
+            FROM h),
+        d2 AS (
+            SELECT event_type, bucket_s, raw,
+                   raw - lag(raw) OVER (PARTITION BY event_type
+                                        ORDER BY bucket_s) AS delta
+            FROM wrapped)
+        SELECT event_type, bucket_s, raw,
+               CAST(sum(CASE WHEN delta IS NULL THEN raw
+                             ELSE greatest(delta, 0) END)
+                    OVER (PARTITION BY event_type ORDER BY bucket_s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS corrected
+        FROM d2
     """
     d["schema_evolution"] = f"""
         SELECT doc_id, CAST(cnt AS BIGINT) AS doc_count,

@@ -53,6 +53,7 @@ from .textstats import (  # noqa: F401
     repetition_stats,
     text_quality,
     heaps_growth,
+    script_mix,
     term_dispersion,
     token_counts,
     token_entropy,
@@ -110,7 +111,7 @@ from .profile import (  # noqa: F401
     shuffle_skew_report,
 )
 from .quantize import ann_pq_adc, pq_encode, train_pq_codebooks  # noqa: F401
-from .redact import pii_counts, redact_pii  # noqa: F401
+from .redact import k_anonymity_audit, pii_counts, redact_pii  # noqa: F401
 from .robots import parse_robots, robots_annotate, robots_filter  # noqa: F401
 from .boilerplate import boilerplate_lines, remove_boilerplate  # noqa: F401
 from .urltools import (  # noqa: F401

@@ -62,3 +62,38 @@ def pii_counts(
         )
         col = F.regexp_replace(col, pat, token)
     return docs.select(*out)
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: how many
+    rows sit in equivalence classes smaller than ``k`` — the standard
+    re-identification risk readout run BEFORE publishing a derived
+    dataset (Sweeney 2002; public method).
+
+    One hash aggregation to class sizes (map-side partials absorb the
+    table), then a class-size histogram: (class_size, n_classes,
+    n_rows, violates) with violates = class_size < k. The publish gate
+    is ``sum(n_rows WHERE violates) == 0``; the histogram shows how far
+    generalization must coarsen if not.
+
+    Reference analog: none; SURVEY §2.4 privacy suite — the
+    measurement companion to redact_pii (which removes direct
+    identifiers; THIS catches the quasi-identifier joins).
+    """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        classes.groupBy(F.col("_n").alias("class_size"))
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
+            (F.col("class_size") < k).alias("violates"),
+        )
+    )

@@ -877,3 +877,48 @@ def heaps_growth(
             "(cutoff, n_docs, n_tokens, vocab)"
         )
     )
+
+
+def script_mix(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-script composition per document: Latin / Han / Cyrillic
+    / Arabic / digit character counts, the dominant script, and a
+    mixed-script flag — the multilingual-curation signal language_id's
+    n-gram heuristic cannot give (it names ONE language; this catches
+    the mixed-script spam/boilerplate and the wrongly-routed CJK).
+
+    Pure codegen: one ``regexp_count`` per script class (Java
+    ``\\p{script=...}`` properties — the oracle uses RE2's spelling of
+    the same classes), integer counts, deterministic dominance order
+    (count desc, then the fixed script-name order breaks ties).
+    Map-only, zero shuffles.
+    """
+    t = F.col(text_col)
+    scripts = [
+        ("latin", r"\p{script=Latin}"),
+        ("han", r"\p{script=Han}"),
+        ("cyrillic", r"\p{script=Cyrillic}"),
+        ("arabic", r"\p{script=Arabic}"),
+    ]
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)) for name, pat in scripts
+    }
+    n_digit = F.regexp_count(t, F.lit("[0-9]"))
+    # dominant: max count, ties broken by the fixed list order
+    dom = F.lit("none")
+    best = F.lit(0)
+    for name, _ in reversed(scripts):
+        c = counts[name]
+        dom = F.when(c >= best, F.lit(name)).otherwise(dom)
+        best = F.greatest(best, c)
+    n_scripts = sum(
+        (counts[n] > 0).cast("int") for n, _ in scripts
+    )
+    return docs.select(
+        F.col(id_col),
+        *[counts[n].cast("long").alias(f"n_{n}") for n, _ in scripts],
+        n_digit.cast("long").alias("n_digit"),
+        F.when(best > 0, dom).otherwise(F.lit("none")).alias("dominant"),
+        (n_scripts >= 2).alias("mixed"),
+    )

@@ -89,6 +89,7 @@ from .analytics import (  # noqa: F401
     counter_rate,
     hampel_filter,
     last_touch_attribution,
+    counter_repair,
     linear_attribution,
     windowed_funnel,
     session_patterns,

@@ -1702,3 +1702,41 @@ def windowed_funnel(
     for r in out_rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def counter_repair(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Rebuild a MONOTONE cumulative counter from a reset-prone raw
+    counter series — the materialized form of what PromQL's rate()
+    does implicitly: a counter that drops (process restart, 32-bit
+    wrap) contributes its post-reset level as a fresh increment, never
+    a negative delta.
+
+    corrected(t) = running sum of max(delta, 0), seeded at the first
+    sample's raw value. Exact integer window algebra, one keyed
+    exchange + sort per series; the repaired column is what the tier
+    rollups and dashboards should ingest so resets stop showing as
+    cliffs.
+
+    Returns the key columns + order + raw + corrected.
+    """
+    w = W.partitionBy(*key_cols).orderBy(order_col)
+    wc = (
+        W.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    delta = F.col(value_col) - F.lag(value_col).over(w)
+    inc = F.when(delta.isNull(), F.col(value_col)).otherwise(
+        F.greatest(delta, F.lit(0))
+    )
+    return df.select(
+        *key_cols,
+        F.col(order_col),
+        F.col(value_col).alias("raw"),
+        F.sum(inc).over(wc).alias("corrected"),
+    )

@@ -1814,6 +1814,36 @@ def main() -> None:
                   if "Window" in l or "Aggregate" in l)[:300],
     ))
 
+    # --- A90: k_anonymity / script_mix / counter_repair ----------------------
+    p90a = plan_of(em.queries()["k_anonymity"](spark, sf_dir))
+    p90b = plan_of(em.queries()["script_mix"](spark, sf_dir))
+    p90c = plan_of(em.queries()["counter_repair"](spark, sf_dir))
+    for p, nm in ((p90a, "k_anonymity"), (p90b, "script_mix"),
+                  (p90c, "counter_repair")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p
+    assert p90a.count("HashAggregate") >= 4, (
+        "k-anonymity is two cascaded aggs, both map-side partial"
+    )
+    assert "Exchange" not in p90b and "Join" not in p90b, (
+        "script_mix is map-only codegen"
+    )
+    assert "SinglePartition" not in p90c, (
+        "counter repair windows stay keyed per series"
+    )
+    sections.append((
+        "A90 privacy audit cascades, scripts map-only, repair keyed",
+        "PASS — k_anonymity collapses the table to equivalence-class "
+        "sizes then to the size histogram (two cascaded map-side-"
+        "partial aggs: the corpus never reaches the histogram); "
+        "script_mix is regexp_count codegen with zero exchanges; "
+        "counter_repair runs both windows (lag + running sum) on one "
+        "series-keyed exchange",
+        "\n".join(l for l in (p90a + "\n" + p90c).splitlines()
+                  if "Aggregate" in l or "Window" in l)[:300],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
