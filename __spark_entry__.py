@@ -8678,6 +8678,46 @@ def q_counter_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counter_repair(wrapped, ["event_type"], "bucket_s", "raw")
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (ops/skewjoin.py salted_join): the events
+    fact (5 hot event_type keys — exactly the single-reducer shape
+    salting exists for) joined to a tiny weight dim through an 8-way
+    salt, aggregated post-join. Hash equality vs the PLAIN join proves
+    the transformation is semantics-preserving; the deterministic
+    xxhash64 salt keeps retries/speculation from double-counting."""
+    from dads_spark.ops import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    dim = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("purchase", 5), ("signup", 3),
+         ("error", 7)],
+        "event_type string, weight long",
+    )
+    joined = salted_join(ev, dim, ["event_type"], n_salt=8, how="inner")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id") * F.col("weight")).alias("weighted_sum"),
+    )
+
+
+def q_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson totals from a deterministic Poisson sample
+    (ops/sampling.py ht_estimate): per event_type, props-length totals
+    estimated from the 1/4-1/16 md5-thresholded subset — exact integer
+    inverse-probability weighting, stable under repartition."""
+    from dads_spark.ops import ht_estimate
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "plen", F.length("props")
+    )
+    return ht_estimate(
+        ev, ["event_type"], "event_id", "plen",
+        {"click": 4, "error": 16}, default_denom=8,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -9067,6 +9107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "script_mix": q_script_mix,
         "counter_repair": q_counter_repair,
+        "salted_join": q_salted_join,
+        "ht_estimate": q_ht_estimate,
     }
 
 
@@ -15440,6 +15482,33 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING
                           AND CURRENT ROW) AS BIGINT) AS corrected
         FROM d2
+    """
+
+    d["salted_join"] = """
+        WITH dim(event_type, weight) AS (
+            VALUES ('view', 1), ('click', 2), ('purchase', 5),
+                   ('signup', 3), ('error', 7))
+        SELECT e.event_type, count(*) AS n_rows,
+               CAST(sum(e.user_id * d.weight) AS BIGINT) AS weighted_sum
+        FROM events e JOIN dim d USING (event_type)
+        GROUP BY 1
+    """
+    d["ht_estimate"] = """
+        WITH s AS (
+            SELECT event_type, length(props) AS plen,
+                   md5(CAST(event_id AS VARCHAR)) AS h,
+                   CASE event_type WHEN 'click' THEN 4
+                        WHEN 'error' THEN 16 ELSE 8 END AS denom,
+                   CASE event_type
+                        WHEN 'click' THEN '4' || repeat('0', 31)
+                        WHEN 'error' THEN '1' || repeat('0', 31)
+                        ELSE '2' || repeat('0', 31) END AS thr
+            FROM events)
+        SELECT event_type, CAST(denom AS BIGINT) AS denom,
+               count(*) AS n_sampled,
+               CAST(sum(plen * denom) AS BIGINT) AS ht_total,
+               CAST(sum(denom) AS BIGINT) AS ht_count
+        FROM s WHERE h < thr GROUP BY 1, 2
     """
     d["schema_evolution"] = f"""
         SELECT doc_id, CAST(cnt AS BIGINT) AS doc_count,

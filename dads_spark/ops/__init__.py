@@ -83,6 +83,7 @@ from .keywords import rake_keywords  # noqa: F401
 from .rangejoin import bucketed_interval_join, bucketed_range_join  # noqa: F401
 from .concentration import concentration_metrics  # noqa: F401
 from .raneval import rank_biased_overlap, ranking_metrics  # noqa: F401
+from .skewjoin import salted_join  # noqa: F401
 from .bitmapindex import bitmap_combine, bitmap_decode, build_bitmap  # noqa: F401
 from .redirects import resolve_chains  # noqa: F401
 from .trigram import trigram_postings, trigram_search  # noqa: F401
@@ -97,6 +98,7 @@ from .sampling import (  # noqa: F401
     deterministic_sample,
     dsir_importance,
     hash_split,
+    ht_estimate,
     temporal_split,
     weighted_sample,
     stratified_sample,

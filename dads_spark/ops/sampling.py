@@ -527,3 +527,56 @@ def range_splits(
         .filter(F.col("_si").isNotNull())
         .select(F.col("_si").cast("long").alias("split_idx"), *order_cols)
     )
+
+
+def ht_estimate(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    value_col: str,
+    rate_denoms: dict[str, int],
+    default_denom: int = 8,
+) -> DataFrame:
+    """Horvitz-Thompson estimation from a DETERMINISTIC Poisson sample:
+    per-stratum totals estimated from the cheap md5-thresholded subset
+    — "corpus statistics without scanning the corpus", the survey-
+    sampling standard with exact reproducibility.
+
+    Inclusion: md5(id) lexicographically below the stratum's hex-prefix
+    threshold (the hash_split idiom — a plain string compare, identical
+    in every engine). Denominators must divide 16 ({2, 4, 8, 16}), so
+    every threshold is one hex nibble + 31 zeros and every inclusion
+    probability is an exact unit fraction — which is why the HT total
+    ``sum(v * denom)`` stays EXACT integer arithmetic.
+
+    Returns (strata..., denom, n_sampled, ht_total, ht_count); ht_count
+    is the value estimator with v = 1. Strata absent from
+    ``rate_denoms`` use ``default_denom``.
+
+    Reference analog: none; SURVEY §2.4 sampling suite — the
+    ESTIMATION face of deterministic_sample (which only selects).
+    """
+    def _thr(dnm: int) -> str:
+        if 16 % dnm != 0 or dnm < 2:
+            raise ValueError("denominators must be in {2, 4, 8, 16}")
+        return format(16 // dnm, "x") + "0" * 31
+
+    denom = F.lit(default_denom)
+    thr = F.lit(_thr(default_denom))
+    for stratum, dnm in sorted(rate_denoms.items()):
+        cond = F.col(strata_cols[0]) == stratum
+        denom = F.when(cond, F.lit(int(dnm))).otherwise(denom)
+        thr = F.when(cond, F.lit(_thr(int(dnm)))).otherwise(thr)
+    h = F.md5(F.col(id_col).cast("string"))
+    sampled = df.withColumn("_denom", denom).filter(h < thr)
+    return (
+        sampled.groupBy(*strata_cols, "_denom")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(
+                F.col(value_col).cast("long") * F.col("_denom")
+            ).alias("ht_total"),
+            F.sum(F.col("_denom")).alias("ht_count"),
+        )
+        .withColumnRenamed("_denom", "denom")
+    )

@@ -1844,6 +1844,31 @@ def main() -> None:
                   if "Aggregate" in l or "Window" in l)[:300],
     ))
 
+    # --- A91: salted_join / ht_estimate ---------------------------------------
+    p91a = plan_of(em.queries()["salted_join"](spark, sf_dir))
+    p91b = plan_of(em.queries()["ht_estimate"](spark, sf_dir))
+    for p, nm in ((p91a, "salted_join"), (p91b, "ht_estimate")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p
+    assert "xxhash64" in p91a and "rand" not in p91a.lower().replace(
+        "brand", ""
+    ), "the salt must be a deterministic hash, never rand()"
+    assert "Generate" in p91a, "the small side replicates via explode"
+    assert "PushedFilters" in p91b, "the sample filter reads the scan"
+    sections.append((
+        "A91 deterministic salt spreads hot keys, HT sample filters early",
+        "PASS — salted_join salts the big side with xxhash64 (stable "
+        "under task retries — a rand() salt re-rolls under speculative "
+        "execution and double-counts) and replicates the SMALL side "
+        "once per salt via explode, so the hot key's rows spread "
+        "across n_salt reducers; ht_estimate's hex-prefix inclusion "
+        "filter runs at the scan and only the 1/denom sample reaches "
+        "the aggregation",
+        "\n".join(l for l in p91a.splitlines()
+                  if "xxhash" in l or "Generate" in l or "Join" in l)[:300],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
