@@ -8718,6 +8718,24 @@ def q_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square homogeneity drift (rollup/drift.py
+    chi2_drift): per (event_type, day) vs the first-week baseline over
+    the SAME grid as tv/psi — the third finalizer, the one monitoring
+    stacks threshold against chi2 critical values; exact integer cross
+    terms, baseline-unsupported bins excluded with dof reported."""
+    from dads_spark.rollup import chi2_drift
+
+    ev = _t(spark, sf_dir, "events")
+    out = chi2_drift(ev, ["event_type"], "ts", "value",
+                     baseline_days=7, period="day", bins=10)
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket_ts").alias("ws"),
+        "n_total", "dof", "chi2_q6",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -9109,6 +9127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_repair": q_counter_repair,
         "salted_join": q_salted_join,
         "ht_estimate": q_ht_estimate,
+        "chi2_drift": q_chi2_drift,
     }
 
 
@@ -15509,6 +15528,69 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(plen * denom) AS BIGINT) AS ht_total,
                CAST(sum(denom) AS BIGINT) AS ht_count
         FROM s WHERE h < thr GROUP BY 1, 2
+    """
+
+    # chi2_drift: the tv/psi grid with the chi-square finalizer —
+    # exact long cross term d, squared in double, supported bins only
+    d["chi2_drift"] = """
+        WITH b AS (
+            SELECT event_type, min(epoch_us(ts)) AS t0 FROM events GROUP BY 1),
+        ev AS (
+            SELECT e.event_type, e.value, epoch_us(e.ts) AS t_us,
+                   (epoch_us(e.ts) < b.t0 + 604800000000) AS is_base
+            FROM events e JOIN b USING (event_type)),
+        bs AS (
+            SELECT event_type, min(value) AS v_lo, max(value) AS v_hi
+            FROM ev WHERE is_base GROUP BY 1),
+        binned AS (
+            SELECT ev.*,
+                   CASE WHEN v_hi = v_lo THEN 0
+                        ELSE least(9, greatest(0, CAST(floor(
+                            (value - v_lo) / ((v_hi - v_lo) / 10.0))
+                            AS INT)))
+                   END AS bin
+            FROM ev JOIN bs USING (event_type)),
+        mh AS (
+            SELECT event_type, bin, count(*) AS m_i
+            FROM binned WHERE is_base GROUP BY 1, 2),
+        mt AS (SELECT event_type, sum(m_i) AS m_total FROM mh GROUP BY 1),
+        nh AS (
+            SELECT event_type, (t_us // 86400000000) * 86400 AS ws, bin,
+                   count(*) AS n_i
+            FROM binned WHERE NOT is_base GROUP BY 1, 2, 3),
+        nt AS (
+            SELECT event_type, ws, sum(n_i) AS n_total
+            FROM nh GROUP BY 1, 2),
+        grid AS (
+            SELECT nt.event_type, nt.ws, nt.n_total, g.bin
+            FROM nt, (SELECT unnest(range(0, 10)) AS bin) g),
+        j AS (
+            SELECT grid.event_type, grid.ws,
+                   CAST(grid.n_total AS BIGINT) AS n_total,
+                   CAST(mt.m_total AS BIGINT) AS m_total,
+                   CAST(coalesce(nh.n_i, 0) AS BIGINT) AS n_i,
+                   CAST(coalesce(mh.m_i, 0) AS BIGINT) AS m_i
+            FROM grid
+            LEFT JOIN nh ON nh.event_type = grid.event_type
+                        AND nh.ws = grid.ws AND nh.bin = grid.bin
+            LEFT JOIN mh ON mh.event_type = grid.event_type
+                        AND mh.bin = grid.bin
+            JOIN mt ON mt.event_type = grid.event_type),
+        t AS (
+            SELECT event_type, ws, n_total,
+                   CASE WHEN m_i > 0 THEN 1 ELSE 0 END AS supported,
+                   CASE WHEN m_i > 0 THEN
+                       CAST(n_i * m_total - m_i * n_total AS DOUBLE)
+                       * CAST(n_i * m_total - m_i * n_total AS DOUBLE)
+                       / (CAST(m_i AS DOUBLE) * CAST(n_total AS DOUBLE)
+                          * CAST(m_total AS DOUBLE))
+                   ELSE 0.0 END AS term
+            FROM j)
+        SELECT event_type, CAST(ws AS BIGINT) AS ws, n_total,
+               CAST(sum(supported) - 1 AS BIGINT) AS dof,
+               CAST(floor(abs(1e6 * sum(term)) + 0.5) AS BIGINT)
+                   AS chi2_q6
+        FROM t GROUP BY 1, 2, 3
     """
     d["schema_evolution"] = f"""
         SELECT doc_id, CAST(cnt AS BIGINT) AS doc_count,

@@ -275,3 +275,64 @@ def benford_digits(
             (share - expected).cast("long").alias("delta_permille"),
         )
     )
+
+
+def chi2_drift(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    baseline_days: int = 7,
+    period: str = "day",
+    bins: int = 16,
+) -> DataFrame:
+    """Pearson chi-square homogeneity drift per (key, period) vs the
+    baseline histogram — the classical test statistic beside tv_drift's
+    distance and psi_drift's information measure (three finalizers,
+    one shared grid; chi-square is what monitoring stacks threshold
+    against chi2 critical values).
+
+    chi2 = sum over baseline-supported bins of (n_i - E_i)^2 / E_i with
+    E_i = n_total * m_i / m_total, computed as
+    d^2 / (m_i * n_total * m_total) with the EXACT integer cross term
+    d = n_i * m_total - m_i * n_total (longs; squared in double —
+    d^2 can pass 2^63). Bins the baseline never saw are excluded (the
+    standard convention: expected must be positive) and reported via
+    ``dof`` = supported_bins - 1 so the consumer can pick the right
+    critical value.
+    """
+    grid = _drift_grid(
+        df, key_cols, ts_col, value_col, baseline_days, period, bins
+    )
+    d = (
+        F.col("n_i") * F.col("m_total") - F.col("m_i") * F.col("n_total")
+    ).cast("long")
+    term = (
+        d.cast("double")
+        * d.cast("double")
+        / (
+            F.col("m_i").cast("double")
+            * F.col("n_total").cast("double")
+            * F.col("m_total").cast("double")
+        )
+    )
+    q6 = lambda x: (F.signum(x) * F.floor(F.abs(x) + F.lit(0.5))).cast(  # noqa: E731
+        "long"
+    )
+    return (
+        grid.groupBy(*key_cols, "bucket_ts")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.sum((F.col("m_i") > 0).cast("long")).alias("_supported"),
+            F.sum(F.when(F.col("m_i") > 0, term).otherwise(0.0)).alias(
+                "_chi2"
+            ),
+        )
+        .select(
+            *key_cols,
+            "bucket_ts",
+            "n_total",
+            (F.col("_supported") - 1).alias("dof"),
+            q6(1e6 * F.col("_chi2")).alias("chi2_q6"),
+        )
+    )

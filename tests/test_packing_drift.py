@@ -158,3 +158,44 @@ def test_psi_drift_partition_invariant(spark):
     a = sorted(tuple(r) for r in psi_drift(src.repartition(1), ["event_type"], "ts", "value").collect())
     b = sorted(tuple(r) for r in psi_drift(src.repartition(13), ["event_type"], "ts", "value").collect())
     assert a == b
+
+
+def test_chi2_drift_zero_when_identical(spark):
+    from pyspark.sql import functions as F
+
+    from dads_spark.rollup import chi2_drift
+
+    # same value distribution in baseline and period -> chi2 == 0
+    rows = []
+    for day in range(14):
+        for i in range(100):
+            rows.append(("k", f"2024-01-{day+1:02d} 00:{i % 60:02d}:00",
+                         float(i % 10)))
+    df = spark.createDataFrame(rows, "k string, ts string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    out = chi2_drift(df, ["k"], "ts", "value", baseline_days=7,
+                     period="day", bins=10).collect()
+    assert out and all(r.chi2_q6 == 0 for r in out)
+    assert all(r.dof == 9 for r in out)
+
+
+def test_chi2_drift_detects_shift(spark):
+    from pyspark.sql import functions as F
+
+    from dads_spark.rollup import chi2_drift
+
+    rows = []
+    for day in range(7):  # baseline: uniform 0..9
+        for i in range(100):
+            rows.append(("k", f"2024-01-{day+1:02d} 00:{i % 60:02d}:00",
+                         float(i % 10)))
+    for day in range(7, 10):  # period: all mass at 9
+        for i in range(100):
+            rows.append(("k", f"2024-01-{day+1:02d} 00:{i % 60:02d}:00",
+                         9.0))
+    df = spark.createDataFrame(rows, "k string, ts string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    out = chi2_drift(df, ["k"], "ts", "value", baseline_days=7,
+                     period="day", bins=10).collect()
+    # total shift: chi2 = n * (k - 1) = 100 * 9 = 900 for 10 equal bins
+    assert all(r.chi2_q6 == 900_000_000 for r in out)
