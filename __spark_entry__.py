@@ -8736,6 +8736,76 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
+
+
+def _stage_drag_tiers_oracle(sf_dir: str) -> str:
+    """DRAG ranges per RETENTION TIER from the brute-force z-norm
+    oracle over tier-grain gap-filled series (the north rule's
+    'matching discord ranges at every retention tier', made a hard
+    per-tier signal)."""
+    import numpy as _np2
+    import pyarrow as _pa
+
+    from dads_spark.oracles import drag_oracle, q6, tier_counts_gapfilled
+
+    tiers, ets, ss, es, pq_ = [], [], [], [], []
+    for tier, unit, m in _DRAG_TIER_SPECS:
+        for et, x in tier_counts_gapfilled(sf_dir, unit).items():
+            for s, e, peak in drag_oracle(x, m):
+                tiers.append(tier)
+                ets.append(et)
+                ss.append(s)
+                es.append(e)
+                pq_.append(int(q6(_np2.array([peak]))[0]))
+    return _write_dump(
+        "drag_tiers_oracle",
+        {
+            "tier": _pa.array(tiers, type=_pa.string()),
+            "event_type": _pa.array(ets, type=_pa.string()),
+            "range_start": _pa.array(ss, type=_pa.int64()),
+            "range_end": _pa.array(es, type=_pa.int64()),
+            "peak_q6": _pa.array(pq_, type=_pa.int64()),
+        },
+    )
+
+
+def q_drag_discords_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRAG discord ranges at EVERY retention tier (hour m=24, day
+    m=7): the north rule's per-tier discord clause as one hash — each
+    tier's gap-filled series scored by the same candidate+refine
+    pipeline, union-tagged, pinned against the brute-force z-norm
+    oracle computed per tier. The hour rows reproduce the
+    drag_discords lane; the day rows extend the pin up the cascade."""
+    from dads_spark.s2g.discord import discord_series_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    parts = []
+    for tier, unit, m in _DRAG_TIER_SPECS:
+        t = ev.groupBy(
+            "event_type", bucket_expr("ts", tier)
+        ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+        filled = gap_fill_linear(
+            t, ["event_type"], "bucket_ts", ["v"], unit
+        )
+        out = discord_series_grouped(
+            filled, ["event_type"], "bucket_ts", "v", m=m,
+            decision_quantum=1e-6,
+        )
+        parts.append(
+            _q6_cols(
+                out,
+                ["event_type", "range_start", "range_end"],
+                {"peak_nn_dist": "peak_q6"},
+            ).select(F.lit(tier).alias("tier"), "*")
+        )
+    _stage_drag_tiers_oracle(sf_dir)
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -9128,6 +9198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "ht_estimate": q_ht_estimate,
         "chi2_drift": q_chi2_drift,
+        "drag_discords_tiers": q_drag_discords_tiers,
     }
 
 
@@ -15591,6 +15662,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(abs(1e6 * sum(term)) + 0.5) AS BIGINT)
                    AS chi2_q6
         FROM t GROUP BY 1, 2, 3
+    """
+
+    d["drag_discords_tiers"] = f"""
+        SELECT tier, event_type, range_start, range_end, peak_q6
+        FROM read_parquet('{_dump_path("drag_tiers_oracle")}')
     """
     d["schema_evolution"] = f"""
         SELECT doc_id, CAST(cnt AS BIGINT) AS doc_count,

@@ -1312,3 +1312,31 @@ def isotonic_minimax_oracle(ns, ss):
                 best = inner
         out.append((best.numerator, best.denominator))
     return out
+
+
+def tier_counts_gapfilled(sf_dir: str, unit_s: int) -> "dict[str, np.ndarray]":
+    """hourly_counts_gapfilled generalized to any tier grain: per-type
+    count series on the dense ``unit_s``-second grid with linear
+    interpolation over gaps (np.interp reproduces Spark's
+    gap_fill_linear bit-for-bit — the established staged-twin result)."""
+    import pyarrow.parquet as pq
+
+    raw = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    sec = raw["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 10**9
+    counts = (
+        pd.DataFrame(
+            {"event_type": raw["event_type"], "b": (sec // unit_s) * unit_s}
+        )
+        .groupby(["event_type", "b"])
+        .size()
+    )
+    out: dict[str, np.ndarray] = {}
+    for et in sorted(counts.index.get_level_values(0).unique()):
+        s = counts.loc[et]
+        b = s.index.to_numpy(dtype=np.int64)
+        v = s.to_numpy(dtype=np.float64)
+        dense = np.arange(b[0], b[-1] + 1, unit_s)
+        out[et] = np.interp(dense, b, v)
+    return out

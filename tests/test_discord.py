@@ -85,3 +85,16 @@ def test_discord_series_grouped(spark):
         assert row.peak_nn_dist > 0
     hit = out[(out.range_start <= 530) & (out.range_end >= 400)]
     assert len(hit) >= 1, f"no range near the planted splice: {out}"
+
+
+def test_drag_tiers_lane_covers_both_tiers(spark):
+    import __spark_entry__ as em
+
+    rows = em.queries()["drag_discords_tiers"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    tiers = {r.tier for r in rows}
+    assert tiers == {"hour", "day"}
+    for r in rows:
+        assert r.range_end >= r.range_start >= 0
+        assert r.peak_q6 > 0
