@@ -8736,6 +8736,53 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift (rollup/drift.py
+    ks_drift): per (event_type, day) vs the first-week baseline, raw
+    ECDFs (binning-free — catches shifts inside one histogram bin of
+    the tv/psi/chi2 grid). All-integer: ks_numer = max |cn*M - cm*N|
+    over the union of observed values; the float D is a projection the
+    lane does not emit."""
+    from dads_spark.rollup import ks_drift
+
+    ev = _t(spark, sf_dir, "events")
+    out = ks_drift(ev, ["event_type"], "ts", "value",
+                   baseline_days=7, period="day")
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket_ts").alias("ws"),
+        "ks_numer", "n_period", "n_baseline",
+    )
+
+
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential mean-shift detector (rollup/drift.py
+    page_hinkley): per event_type over the (ts, event_id)-ordered value
+    stream, per-term nano-quantized integer arithmetic (the psi/pmi
+    discipline) — cumulative deviation-from-running-mean minus its
+    running minimum, alarms where it exceeds lambda."""
+    from dads_spark.rollup import page_hinkley
+
+    ev = _t(spark, sf_dir, "events")
+    return page_hinkley(
+        ev, ["event_type"], "ts", "value",
+        order_cols=["event_id"], delta=0.0, lam=50.0,
+    )
+
+
+def q_ts_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series feature battery (rollup/features.py ts_features):
+    tsfresh-canonical shape descriptors — crossings, longest strike
+    above mean, first-max location, absolute sum of changes — all in
+    exact q6 longs (above-mean via v_q6*n > sum_q6, no division)."""
+    from dads_spark.rollup import ts_features
+
+    ev = _t(spark, sf_dir, "events")
+    return ts_features(
+        ev, ["event_type"], "ts", "value", order_cols=["event_id"]
+    )
+
+
 _DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
 
 
@@ -9199,6 +9246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ht_estimate": q_ht_estimate,
         "chi2_drift": q_chi2_drift,
         "drag_discords_tiers": q_drag_discords_tiers,
+        # -- round-4 session-9 additions (next rotation's candidates) --
+        "ks_drift": q_ks_drift,
+        "page_hinkley": q_page_hinkley,
+        "ts_features": q_ts_features,
     }
 
 
@@ -15964,5 +16015,162 @@ def oracle_sql() -> dict[str, str]:
                          AND doc_id + ttl_sec >= 800 THEN 'fresh'
                     ELSE 'revalidate' END AS decision
         FROM a
+    """
+
+    # ks_drift: exact integer KS numerator over union-of-values ECDFs —
+    # baseline value-histogram replicated onto each period bucket
+    d["ks_drift"] = """
+        WITH b AS (
+            SELECT event_type, min(epoch_us(ts)) AS t0 FROM events GROUP BY 1),
+        ev AS (
+            SELECT e.event_type, e.value, epoch_us(e.ts) AS t_us,
+                   (epoch_us(e.ts) < b.t0 + 604800000000) AS is_base
+            FROM events e JOIN b USING (event_type)),
+        bvc AS (
+            SELECT event_type, value AS v, count(*) AS nb
+            FROM ev WHERE is_base GROUP BY 1, 2),
+        dvc AS (
+            SELECT event_type, (t_us // 86400000000) * 86400 AS ws,
+                   value AS v, count(*) AS nd
+            FROM ev WHERE NOT is_base GROUP BY 1, 2, 3),
+        bk AS (SELECT DISTINCT event_type, ws FROM dvc),
+        rep AS (
+            SELECT bk.event_type, bk.ws, bvc.v, bvc.nb
+            FROM bk JOIN bvc USING (event_type)),
+        pts AS (
+            SELECT coalesce(dvc.event_type, rep.event_type) AS event_type,
+                   coalesce(dvc.ws, rep.ws) AS ws,
+                   coalesce(dvc.v, rep.v) AS v,
+                   CAST(coalesce(dvc.nd, 0) AS BIGINT) AS nd,
+                   CAST(coalesce(rep.nb, 0) AS BIGINT) AS nb
+            FROM dvc FULL JOIN rep
+              ON dvc.event_type = rep.event_type
+             AND dvc.ws = rep.ws AND dvc.v = rep.v),
+        cum AS (
+            SELECT event_type, ws,
+                   sum(nd) OVER (PARTITION BY event_type, ws ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+                   sum(nb) OVER (PARTITION BY event_type, ws ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+                   sum(nd) OVER (PARTITION BY event_type, ws) AS n,
+                   sum(nb) OVER (PARTITION BY event_type, ws) AS m
+            FROM pts)
+        SELECT event_type, CAST(ws AS BIGINT) AS ws,
+               CAST(max(abs(cn * m - cm * n)) AS BIGINT) AS ks_numer,
+               CAST(max(n) AS BIGINT) AS n_period,
+               CAST(max(m) AS BIGINT) AS n_baseline
+        FROM cum GROUP BY 1, 2
+    """
+
+    # page_hinkley: per-term nano-quantized integer PH — half-up integer
+    # division (operands non-negative, so // == DIV)
+    d["page_hinkley"] = """
+        WITH x AS (
+            SELECT event_type, ts, event_id,
+                   CAST(CASE WHEN value >= 0
+                        THEN floor(abs(value) * 1e6 + 0.5)
+                        ELSE -floor(abs(value) * 1e6 + 0.5) END
+                        AS BIGINT) AS xq
+            FROM events),
+        s AS (
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS t,
+                   xq * row_number() OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id)
+                   - sum(xq) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS d
+            FROM x),
+        dev AS (
+            SELECT event_type, t,
+                   (CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END)
+                   * ((abs(d) * 1000 + t // 2) // t) AS term
+            FROM s),
+        m AS (
+            SELECT event_type, t,
+                   sum(term) OVER (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ms
+            FROM dev),
+        ph AS (
+            SELECT event_type, t,
+                   ms - min(ms) OVER (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS p
+            FROM m)
+        SELECT event_type,
+               CAST(max(t) AS BIGINT) AS n,
+               CAST(max(p) AS BIGINT) AS max_ph_nano,
+               CAST(sum(CASE WHEN p > 50000000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_alarms,
+               CAST(coalesce(min(CASE WHEN p > 50000000000 THEN t END), 0)
+                    AS BIGINT) AS first_alarm_pos
+        FROM ph GROUP BY 1
+    """
+
+    # ts_features: exact q6 battery — above-mean via xq*n > sum_q6,
+    # runs via flip-cumsum islands
+    d["ts_features"] = """
+        WITH x AS (
+            SELECT event_type, ts, event_id,
+                   CAST(CASE WHEN value >= 0
+                        THEN floor(abs(value) * 1e6 + 0.5)
+                        ELSE -floor(abs(value) * 1e6 + 0.5) END
+                        AS BIGINT) AS xq
+            FROM events),
+        s AS (
+            SELECT event_type, xq,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS t,
+                   lag(xq) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS prev
+            FROM x),
+        tot AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(xq) AS BIGINT) AS sum_q6,
+                   CAST(min(xq) AS BIGINT) AS min_q6,
+                   CAST(max(xq) AS BIGINT) AS max_q6,
+                   CAST(count(DISTINCT xq) AS BIGINT) AS n_distinct_q6,
+                   CAST(coalesce(sum(abs(xq - prev)), 0) AS BIGINT)
+                       AS abs_change_sum_q6
+            FROM s GROUP BY 1),
+        r AS (
+            SELECT s.event_type, s.t,
+                   (s.xq * tot.n > tot.sum_q6) AS above,
+                   (s.prev * tot.n > tot.sum_q6) AS pabove,
+                   (s.xq = tot.max_q6) AS ismax,
+                   (s.prev IS NULL) AS fst
+            FROM s JOIN tot USING (event_type)),
+        f AS (
+            SELECT *, CASE WHEN NOT fst AND above <> pabove
+                           THEN 1 ELSE 0 END AS flip
+            FROM r),
+        g AS (
+            SELECT *, sum(flip) OVER (PARTITION BY event_type ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM f),
+        run AS (
+            SELECT event_type, CAST(max(cnt) AS BIGINT) AS longest_above
+            FROM (SELECT event_type, island, count(*) AS cnt
+                  FROM g WHERE above GROUP BY 1, 2)
+            GROUP BY 1),
+        agg AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_above,
+                   CAST(sum(flip) AS BIGINT) AS n_cross,
+                   CAST(min(CASE WHEN ismax THEN t END) AS BIGINT)
+                       AS first_max_pos
+            FROM g GROUP BY 1)
+        SELECT tot.event_type, tot.n, tot.sum_q6, tot.min_q6, tot.max_q6,
+               agg.n_above, agg.n_cross,
+               CAST(coalesce(run.longest_above, 0) AS BIGINT)
+                   AS longest_above,
+               agg.first_max_pos, tot.abs_change_sum_q6, tot.n_distinct_q6
+        FROM tot JOIN agg USING (event_type)
+        LEFT JOIN run USING (event_type)
     """
     return d

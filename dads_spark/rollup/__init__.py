@@ -15,7 +15,15 @@ from .gapfill import TIER_SECONDS, gap_fill_linear, gap_fill_locf  # noqa: F401
 from .compact import compact_tier, file_stats  # noqa: F401
 from .changepoint import auto_penalty, pelt_changepoints, pelt_grouped  # noqa: F401
 from .zorder import zorder_write, zvalue, zvalue_sql  # noqa: F401
-from .drift import benford_digits, chi2_drift, psi_drift, tv_drift  # noqa: F401
+from .drift import (  # noqa: F401
+    benford_digits,
+    chi2_drift,
+    ks_drift,
+    page_hinkley,
+    psi_drift,
+    tv_drift,
+)
+from .features import ts_features  # noqa: F401
 from .freqsketch import cm_build_tier, cm_cascade, cm_estimate  # noqa: F401
 from .router import range_segments, route_range  # noqa: F401
 from .distinct import cascade_distinct, distinct_sketch_tier, with_estimate  # noqa: F401

@@ -34,11 +34,11 @@ over time) + BASELINE.json:6 (per-tier series diagnostics).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .tiers import bucket_expr
 
-__all__ = ["tv_drift", "psi_drift"]
+__all__ = ["tv_drift", "psi_drift", "ks_drift", "page_hinkley"]
 
 
 def _drift_grid(
@@ -335,4 +335,194 @@ def chi2_drift(
             (F.col("_supported") - 1).alias("dof"),
             q6(1e6 * F.col("_chi2")).alias("chi2_q6"),
         )
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    baseline_days: int = 7,
+    period: str = "day",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift per (keys..., period
+    bucket) vs the key's baseline window (its first ``baseline_days``
+    days) — the binning-free companion to the tv/psi/chi2 grid: KS
+    compares raw ECDFs, so it catches shifts that land inside one
+    histogram bin.
+
+    The statistic is computed in EXACT INTEGER form.  With N = period
+    count, M = baseline count, and cumulative counts cn(x), cm(x) over
+    the union of observed values,
+
+        D = max_x | cn(x)/N - cm(x)/M |
+          = max_x | cn(x)*M - cm(x)*N |  /  (N*M)
+
+    ``ks_numer`` (the integer max) and the totals pin the metric
+    bit-for-bit; the float quotient is a display projection.  ECDFs are
+    right-continuous, so evaluating at each distinct observed value is
+    exhaustive (between observations both ECDFs are constant).
+
+    Spark shape: raw values collapse to (key, side, value) COUNT rows
+    first (map-side partials — the shuffle never carries raw rows), the
+    per-key baseline value histogram is broadcast onto the per-period
+    value histograms, and the max is one windowed cumsum over the small
+    distinct-value grid.  At 100 TB the distinct-value grid per
+    (key, period) is the only state, bounded by value cardinality.
+
+    Reference analog: none; spec source is §2.4 (corpus-quality
+    monitoring over time) + BASELINE.json:6 (per-tier diagnostics).
+    """
+    us_per_day = 86_400_000_000
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bounds = df.groupBy(*key_cols).agg(F.min(t_us).alias("t0_us"))
+    with_t = df.join(F.broadcast(bounds), key_cols).withColumn("_t_us", t_us)
+    is_base = F.col("_t_us") < F.col("t0_us") + F.lit(
+        baseline_days * us_per_day
+    )
+
+    # value-level histograms: baseline per key, and per (key, period)
+    base_vc = (
+        with_t.filter(is_base)
+        .groupBy(*key_cols, F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    per_vc = (
+        with_t.filter(~is_base)
+        .groupBy(*key_cols, bucket_expr(ts_col, period), F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_nd"))
+    )
+    buckets = per_vc.select(*key_cols, "bucket_ts").distinct()
+
+    # union of evaluation points: period values + the baseline histogram
+    # replicated onto each of the key's period buckets (broadcast — the
+    # baseline histogram is (keys x distinct values), sketch-sized)
+    pts = (
+        per_vc.join(
+            buckets.join(F.broadcast(base_vc), key_cols),
+            [*key_cols, "bucket_ts", "_v"],
+            "full",
+        )
+        .withColumn("_nd", F.coalesce("_nd", F.lit(0)).cast("long"))
+        .withColumn("_nb", F.coalesce("_nb", F.lit(0)).cast("long"))
+    )
+    w = (
+        W.partitionBy(*key_cols, "bucket_ts")
+        .orderBy("_v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy(*key_cols, "bucket_ts").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = pts.select(
+        *key_cols,
+        "bucket_ts",
+        F.sum("_nd").over(w).alias("_cn"),
+        F.sum("_nb").over(w).alias("_cm"),
+        F.sum("_nd").over(wall).alias("_n"),
+        F.sum("_nb").over(wall).alias("_m"),
+    )
+    return (
+        cum.groupBy(*key_cols, "bucket_ts")
+        .agg(
+            F.max("_n").alias("n_period"),
+            F.max("_m").alias("n_baseline"),
+            F.max(
+                F.abs(F.col("_cn") * F.col("_m") - F.col("_cm") * F.col("_n"))
+            ).alias("ks_numer"),
+        )
+        .select(
+            *key_cols,
+            "bucket_ts",
+            F.col("ks_numer").cast("long").alias("ks_numer"),
+            "n_period",
+            "n_baseline",
+            F.round(
+                F.col("ks_numer")
+                / (F.col("n_period") * F.col("n_baseline")).cast("double"),
+                6,
+            ).alias("ks"),
+        )
+    )
+
+
+def page_hinkley(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+    delta: float = 0.0,
+    lam: float = 50.0,
+) -> DataFrame:
+    """Page-Hinkley sequential mean-shift detection per key, in
+    per-term-quantized integer arithmetic (the psi_drift / pmi nano-unit
+    discipline — no float accumulation, so the statistic is pinned
+    bit-for-bit cross-engine).
+
+    Classic PH over the ordered sequence x_1..x_T with inclusive running
+    mean: m_T = sum_t (x_t - mean(x_1..x_t) - delta); alarm when
+    m_T - min_{s<=T} m_s > lambda.  Here x is quantized to q6 longs, the
+    per-step deviation t*(x_t - mean_t) = x_q6*t - cumsum(x_q6) is an
+    EXACT long, and the division by t is quantized to nano-units of the
+    original value via half-up INTEGER division
+
+        dev_nano = sign(d) * ((|d| * 1000 + t DIV 2) DIV t)
+
+    (``DIV`` truncates toward zero = floor on the non-negative operands
+    both engines see), before the exact integer cumsum / running-min.
+
+    Output per key: n, max_ph_nano (the peak of m_t - min_s m_s),
+    n_alarms (rows strictly above lambda), first_alarm_pos (1-based,
+    0 = never).  One window pass per key — at scale, keys partition the
+    work and each series streams through its executor in ts order.
+
+    Reference analog: none; spec source is §2.3 (drift/anomaly battery
+    beside CUSUM at rollup/forecast.py:202).
+    """
+    order_cols = order_cols or []
+    q6v = (
+        F.signum(F.col(value_col))
+        * F.floor(F.abs(F.col(value_col)) * 1e6 + F.lit(0.5))
+    ).cast("long")
+    delta_nano = int(round(delta * 1e9))
+    lam_nano = int(round(lam * 1e9))
+
+    ws = W.partitionBy(*key_cols).orderBy(F.col(ts_col), *[F.col(c) for c in order_cols])
+    wc = ws.rowsBetween(W.unboundedPreceding, W.currentRow)
+    staged = df.select(*key_cols, ts_col, *order_cols, q6v.alias("_xq")).select(
+        *key_cols,
+        F.row_number().over(ws).alias("_t"),
+        (F.col("_xq") * F.row_number().over(ws) - F.sum("_xq").over(wc)).alias(
+            "_d"
+        ),
+    )
+    dev = (
+        F.signum(F.col("_d")).cast("long")
+        * F.expr("(abs(_d) * 1000L + _t DIV 2) DIV _t")
+    ).cast("long")
+    terms = staged.select(
+        *key_cols, "_t", (dev - F.lit(delta_nano)).alias("_term")
+    )
+    wrun = (
+        W.partitionBy(*key_cols)
+        .orderBy("_t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    m = terms.select(
+        *key_cols, "_t", F.sum("_term").over(wrun).alias("_m")
+    ).select(
+        *key_cols,
+        "_t",
+        (F.col("_m") - F.min("_m").over(wrun)).alias("_ph"),
+    )
+    return m.groupBy(*key_cols).agg(
+        F.max("_t").alias("n"),
+        F.max("_ph").alias("max_ph_nano"),
+        F.sum((F.col("_ph") > F.lit(lam_nano)).cast("long")).alias("n_alarms"),
+        F.coalesce(
+            F.min(F.when(F.col("_ph") > F.lit(lam_nano), F.col("_t"))),
+            F.lit(0),
+        ).cast("long").alias("first_alarm_pos"),
     )

@@ -1,0 +1,155 @@
+"""Per-series time-series feature battery, integer-exact.
+
+Feature-store / series-triage pipelines (tsfresh, catch22, Prometheus
+recording-rule "series profiles") extract a fixed vector of shape
+descriptors per series to cluster, route, or screen millions of series
+cheaply before any expensive per-series model runs.  This module
+computes the canonical battery in EXACT INTEGER form so every feature is
+oracle-pinnable bit-for-bit:
+
+- values quantize to q6 longs (``v_q6 = sign * floor(|v|*1e6 + 0.5)``,
+  the repo-wide convention) and everything downstream is long
+  arithmetic;
+- "above the mean" avoids the division entirely: with n = count and
+  S = sum(v_q6), ``v > mean  <=>  v_q6 * n > S`` (longs; v_q6 <= ~5.6e8
+  on the events scale x n <= ~1e6 stays far under 2^63);
+- mean itself is reported as the exact pair (sum_q6, n), not a float.
+
+Features per key (all BIGINT):
+  n, sum_q6, min_q6, max_q6,
+  n_above          — #points strictly above the series mean,
+  n_cross          — #sign changes of the above-mean indicator between
+                     consecutive points (tsfresh ``number_crossing_m``
+                     at m = mean),
+  longest_above    — longest run of consecutive above-mean points
+                     (tsfresh ``longest_strike_above_mean``),
+  first_max_pos    — 1-based position of the first maximum
+                     (``first_location_of_maximum``),
+  abs_change_sum_q6 — sum |x_t - x_{t-1}| in q6 units
+                     (``absolute_sum_of_changes``),
+  n_distinct_q6    — distinct quantized values.
+
+Spark shape: one window pass per key (rows stream through their
+executor in ts order) plus a key-level aggregate broadcast back — the
+shuffle carries each row once, keyed by the series key, which is exactly
+how the work partitions on a 1000-executor cluster; no per-row Python.
+
+Reference analog: none; spec source is §2.3 (per-series diagnostics
+battery beside paa_sax / seasonal_strength) + BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+__all__ = ["ts_features"]
+
+
+def ts_features(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """The per-key feature battery (module docstring).  ``order_cols``
+    break ts ties deterministically (pass the event id)."""
+    order_cols = order_cols or []
+    q6v = (
+        F.signum(F.col(value_col))
+        * F.floor(F.abs(F.col(value_col)) * 1e6 + F.lit(0.5))
+    ).cast("long")
+
+    ws = W.partitionBy(*key_cols).orderBy(
+        F.col(ts_col), *[F.col(c) for c in order_cols]
+    )
+    staged = df.select(*key_cols, ts_col, *order_cols, q6v.alias("_xq")).select(
+        *key_cols,
+        "_xq",
+        F.row_number().over(ws).alias("_t"),
+        F.lag("_xq").over(ws).alias("_prev"),
+    )
+    totals = staged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_xq").alias("sum_q6"),
+        F.min("_xq").alias("min_q6"),
+        F.max("_xq").alias("max_q6"),
+        F.count_distinct("_xq").alias("n_distinct_q6"),
+        F.sum(F.abs(F.col("_xq") - F.col("_prev"))).alias(
+            "abs_change_sum_q6"
+        ),
+    )
+    rows = staged.join(F.broadcast(totals), key_cols).select(
+        *key_cols,
+        "_t",
+        "n",
+        "sum_q6",
+        "min_q6",
+        "max_q6",
+        "n_distinct_q6",
+        "abs_change_sum_q6",
+        # exact: v > mean  <=>  v_q6 * n > sum_q6
+        (F.col("_xq") * F.col("n") > F.col("sum_q6")).alias("_above"),
+        (F.col("_prev") * F.col("n") > F.col("sum_q6")).alias("_pabove"),
+        (F.col("_xq") == F.col("max_q6")).alias("_ismax"),
+        F.col("_prev").isNull().alias("_first"),
+    )
+    # island id for above-mean runs: cumulative count of indicator flips
+    wrun = (
+        W.partitionBy(*key_cols)
+        .orderBy("_t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flip = (
+        (~F.col("_first"))
+        & (F.col("_above") != F.col("_pabove"))
+    ).cast("long")
+    islands = rows.select(
+        *key_cols,
+        "_t",
+        "n",
+        "sum_q6",
+        "min_q6",
+        "max_q6",
+        "n_distinct_q6",
+        "abs_change_sum_q6",
+        "_above",
+        "_ismax",
+        flip.alias("_flip"),
+        F.sum(flip).over(wrun).alias("_island"),
+    )
+    run_len = (
+        islands.filter("_above")
+        .groupBy(*key_cols, "_island")
+        .agg(F.count(F.lit(1)).alias("_len"))
+        .groupBy(*key_cols)
+        .agg(F.max("_len").alias("longest_above"))
+    )
+    per_key = islands.groupBy(*key_cols).agg(
+        F.max("n").alias("n"),
+        F.max("sum_q6").alias("sum_q6"),
+        F.max("min_q6").alias("min_q6"),
+        F.max("max_q6").alias("max_q6"),
+        F.max("n_distinct_q6").alias("n_distinct_q6"),
+        F.coalesce(F.max("abs_change_sum_q6"), F.lit(0)).alias(
+            "abs_change_sum_q6"
+        ),
+        F.sum(F.col("_above").cast("long")).alias("n_above"),
+        F.sum("_flip").alias("n_cross"),
+        F.min(F.when(F.col("_ismax"), F.col("_t"))).alias("first_max_pos"),
+    )
+    return per_key.join(F.broadcast(run_len), key_cols, "left").select(
+        *key_cols,
+        "n",
+        "sum_q6",
+        "min_q6",
+        "max_q6",
+        "n_above",
+        "n_cross",
+        F.coalesce("longest_above", F.lit(0)).cast("long").alias(
+            "longest_above"
+        ),
+        F.col("first_max_pos").cast("long").alias("first_max_pos"),
+        "abs_change_sum_q6",
+        "n_distinct_q6",
+    )

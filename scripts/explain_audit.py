@@ -1869,6 +1869,41 @@ def main() -> None:
                   if "xxhash" in l or "Generate" in l or "Join" in l)[:300],
     ))
 
+    # --- A92: ks_drift / page_hinkley / ts_features ---------------------------
+    p92a = plan_of(em.queries()["ks_drift"](spark, sf_dir))
+    p92b = plan_of(em.queries()["page_hinkley"](spark, sf_dir))
+    p92c = plan_of(em.queries()["ts_features"](spark, sf_dir))
+    for p, nm in ((p92a, "ks_drift"), (p92b, "page_hinkley"),
+                  (p92c, "ts_features")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p
+        assert "SinglePartition" not in p, (
+            f"{nm} must stay keyed per series — no global window"
+        )
+    assert "BroadcastHashJoin" in p92a, (
+        "the baseline value-histogram replicates via broadcast"
+    )
+    assert p92a.count("HashAggregate") >= 4, (
+        "raw values collapse to value-count rows map-side before any join"
+    )
+    assert "BroadcastHashJoin" in p92c, (
+        "ts_features joins the key-level totals back via broadcast"
+    )
+    sections.append((
+        "A92 KS on value histograms, PH/features windows stay keyed",
+        "PASS — ks_drift never shuffles raw rows: values collapse to "
+        "(key, side, value) COUNT rows with map-side partials, the "
+        "per-key baseline histogram broadcasts onto the period buckets, "
+        "and the ECDF max is one windowed cumsum over the distinct-value "
+        "grid; page_hinkley and ts_features run every window on the "
+        "series key (no SinglePartition anywhere) with the feature "
+        "totals broadcast back",
+        "\n".join(l for l in p92a.splitlines()
+                  if "Aggregate" in l or "Broadcast" in l or "Window" in l
+                  )[:300],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
