@@ -8783,6 +8783,59 @@ def q_ts_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_peak_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks + topographic prominence (rollup/peaks.py peak_prominence)
+    over each event_type's hourly request-count series — find_peaks
+    semantics in exact q6 longs (counts are exact integers, so every
+    height/base/prominence is exact). Peaks on the OBSERVED bucket
+    sequence; only peaks rising >= 3 events above their higher flanking
+    valley survive."""
+    from dads_spark.rollup import peak_prominence
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+        ).alias("hw"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    return peak_prominence(
+        hourly, ["event_type"], "hw", "cnt", min_prom_q6=3_000_000
+    )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed degree assortativity (ops/linkgraph.py
+    degree_assortativity) of the deterministic synthetic domain graph
+    the pagerank/triangle lanes use — exact long Pearson moments over
+    the (out-degree of src, in-degree of dst) edge pairs plus the
+    engine-independent q6 correlation."""
+    from dads_spark.ops import degree_assortativity
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 31 + 7) % 97).cast("string")
+        ).alias("dst"),
+    )
+    return degree_assortativity(edges)
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf exponent (ops/textstats.py zipf_slope): OLS slope of
+    ln(freq) on ln(rank) over the top-500 unigram types, q3-quantized
+    logs of exact counts, exact long moments, one correctly-rounded
+    float division for slope_q6 — the corpus-level template/boilerplate
+    gauge beside the per-doc gopher/repetition rules."""
+    from dads_spark.ops import zipf_slope
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_slope(docs, top_v=500)
+
+
 _DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
 
 
@@ -9250,6 +9303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "page_hinkley": q_page_hinkley,
         "ts_features": q_ts_features,
+        "peak_prominence": q_peak_prominence,
+        "degree_assortativity": q_degree_assortativity,
+        "zipf_slope": q_zipf_slope,
     }
 
 
@@ -16172,5 +16228,123 @@ def oracle_sql() -> dict[str, str]:
                agg.first_max_pos, tot.abs_change_sum_q6, tot.n_distinct_q6
         FROM tot JOIN agg USING (event_type)
         LEFT JOIN run USING (event_type)
+    """
+
+    # peak_prominence: exact q6 find_peaks-with-prominence over hourly
+    # count series — strict local maxima, nearest-higher bounds, valley
+    # minima, prom = h - max(left_base, right_base)
+    d["peak_prominence"] = """
+        WITH s0 AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS hw,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+        s AS (
+            SELECT event_type, c * 1000000 AS xq,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY hw) AS t
+            FROM s0),
+        n AS (SELECT event_type, max(t) AS nn FROM s GROUP BY 1),
+        lagd AS (
+            SELECT event_type, t, xq,
+                   lag(xq) OVER (PARTITION BY event_type ORDER BY t) AS lo,
+                   lead(xq) OVER (PARTITION BY event_type ORDER BY t) AS hi
+            FROM s),
+        p AS (
+            SELECT event_type, t AS tp, xq AS h
+            FROM lagd WHERE xq > lo AND xq > hi),
+        b AS (
+            SELECT p.event_type, p.tp, p.h,
+                   coalesce(max(CASE WHEN s.t < p.tp AND s.xq > p.h
+                                     THEN s.t END), 0) AS lb,
+                   coalesce(min(CASE WHEN s.t > p.tp AND s.xq > p.h
+                                     THEN s.t END),
+                            any_value(n.nn) + 1) AS rb
+            FROM p JOIN s USING (event_type) JOIN n USING (event_type)
+            GROUP BY 1, 2, 3),
+        m AS (
+            SELECT b.event_type, b.tp, b.h,
+                   min(CASE WHEN s.t > b.lb AND s.t < b.tp
+                            THEN s.xq END) AS bl,
+                   min(CASE WHEN s.t > b.tp AND s.t < b.rb
+                            THEN s.xq END) AS br
+            FROM b JOIN s USING (event_type) GROUP BY 1, 2, 3)
+        SELECT event_type, CAST(tp AS BIGINT) AS peak_pos,
+               CAST(h AS BIGINT) AS height_q6,
+               CAST(h - greatest(bl, br) AS BIGINT) AS prominence_q6
+        FROM m WHERE h - greatest(bl, br) >= 3000000
+    """
+
+    # degree_assortativity: exact long Pearson moments over
+    # (out-degree(src), in-degree(dst)) edge pairs of the synthetic
+    # domain graph; r_q6 via sqrt(dx)*sqrt(dy) exactly as the Spark side
+    d["degree_assortativity"] = """
+        WITH e AS (
+            SELECT DISTINCT
+                   'h' || CAST(doc_id % 97 AS VARCHAR) AS src,
+                   'h' || CAST((doc_id * 31 + 7) % 97 AS VARCHAR) AS dst
+            FROM documents
+            WHERE (doc_id % 97) <> ((doc_id * 31 + 7) % 97)),
+        dout AS (SELECT src, count(*) AS x FROM e GROUP BY 1),
+        din AS (SELECT dst, count(*) AS y FROM e GROUP BY 1),
+        ed AS (
+            SELECT dout.x, din.y
+            FROM e JOIN dout USING (src) JOIN din USING (dst)),
+        mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM ed)
+        SELECT m, sx, sy, sxy, sxx, syy,
+               CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+                    THEN CAST(
+                      (CASE WHEN m * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)
+                      * floor(abs(
+                          (m * sxy - sx * sy)
+                          / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+                        ) * 1e6 + 0.5) AS BIGINT)
+                    ELSE 0 END AS r_q6
+        FROM mom
+    """
+
+    # zipf_slope: q3-quantized logs of exact counts/ranks, exact long
+    # moments, one correctly-rounded double division for slope_q6
+    d["zipf_slope"] = """
+        WITH t AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        vc AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS c
+            FROM t WHERE w <> '' GROUP BY 1),
+        r AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk
+            FROM vc QUALIFY rk <= 500),
+        q AS (
+            SELECT c,
+                   CAST(floor(ln(rk) * 1000 + 0.5) AS BIGINT) AS x,
+                   CAST(floor(ln(c) * 1000 + 0.5) AS BIGINT) AS y
+            FROM r),
+        mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS v,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM q)
+        SELECT v, n_tokens,
+               CAST(v * sxy - sx * sy AS BIGINT) AS num,
+               CAST(v * sxx - sx * sx AS BIGINT) AS den,
+               CASE WHEN v * sxx - sx * sx > 0
+                    THEN CAST(
+                      (CASE WHEN v * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)
+                      * floor(abs(
+                          CAST(v * sxy - sx * sy AS DOUBLE)
+                          / CAST(v * sxx - sx * sx AS DOUBLE)
+                        ) * 1e6 + 0.5) AS BIGINT)
+                    ELSE 0 END AS slope_q6
+        FROM mom
     """
     return d

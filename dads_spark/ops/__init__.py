@@ -164,3 +164,5 @@ from .sampling import range_splits  # noqa: F401
 from .linkgraph import link_reciprocity  # noqa: F401
 from .quantize import ann_sq8, sq8_encode, sq8_train  # noqa: F401
 from .profile import encoding_advisor  # noqa: F401
+from .linkgraph import degree_assortativity  # noqa: F401
+from .textstats import zipf_slope  # noqa: F401

@@ -922,3 +922,71 @@ def script_mix(
         F.when(best > 0, dom).otherwise(F.lit("none")).alias("dominant"),
         (n_scripts >= 2).alias("mixed"),
     )
+
+
+def zipf_slope(
+    docs: DataFrame, text_col: str = "text", top_v: int = 1000
+) -> DataFrame:
+    """Zipf-law exponent of the corpus unigram distribution — the OLS
+    slope of ln(frequency) on ln(rank) over the top ``top_v`` types.
+    Natural text sits near -1; boilerplate-heavy or template-spam
+    corpora flatten the head (slope drifts toward 0) and OCR noise
+    steepens the tail, so the scalar is a standing corpus-quality gauge
+    (Gopher's repetition rules measure the same pathology per-doc; this
+    is the corpus-level view).
+
+    Engine-independent arithmetic: ranks and counts are exact integers,
+    each regression coordinate is quantized to q3 (x = floor(ln(rank)
+    * 1e3 + 0.5), y likewise on the count — ln of an exact BIGINT, the
+    pmi_collocations discipline), the five moments are EXACT LONG sums,
+    and slope_q6 quantizes num/den where num = n*Sxy - Sx*Sy and den =
+    n*Sxx - Sx^2 are exact longs below 2^53 (top_v <= 10k guarantees
+    it), so the single float division is correctly rounded on any
+    engine.
+
+    Scale shape: one corpus explode+count shuffle (map-side partials),
+    a top_v global head on the skinny type table, one 5-long reduce.
+    Returns one row (v, n_tokens, num, den, slope_q6).
+    """
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ranked = vc.select(
+        "c",
+        F.row_number()
+        .over(W.orderBy(F.col("c").desc(), F.col("w")))
+        .alias("r"),
+    ).filter(F.col("r") <= top_v)
+    xq = F.floor(F.log(F.col("r").cast("double")) * 1e3 + F.lit(0.5)).cast(
+        "long"
+    )
+    yq = F.floor(F.log(F.col("c").cast("double")) * 1e3 + F.lit(0.5)).cast(
+        "long"
+    )
+    pts = ranked.select(
+        F.col("c").alias("_c"), xq.alias("_x"), yq.alias("_y")
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+    )
+    num = F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ratio = num.cast("double") / den.cast("double")
+    slope_q6 = F.when(
+        den > 0,
+        F.signum(ratio).cast("long")
+        * F.floor(F.abs(ratio) * 1e6 + F.lit(0.5)),
+    ).otherwise(F.lit(0))
+    return mom.select(
+        "v",
+        "n_tokens",
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        slope_q6.cast("long").alias("slope_q6"),
+    )

@@ -129,3 +129,4 @@ from .evolution import align_to_schema, read_evolved  # noqa: F401
 from .ingest import cdc_apply  # noqa: F401
 from .integrity import merkle_changed, merkle_tiers  # noqa: F401
 from .ingest import watermark_tuning  # noqa: F401
+from .peaks import peak_prominence  # noqa: F401

@@ -1904,6 +1904,40 @@ def main() -> None:
                   )[:300],
     ))
 
+    # --- A93: peak_prominence / degree_assortativity / zipf_slope -------------
+    p93a = plan_of(em.queries()["peak_prominence"](spark, sf_dir))
+    p93b = plan_of(em.queries()["degree_assortativity"](spark, sf_dir))
+    p93c = plan_of(em.queries()["zipf_slope"](spark, sf_dir))
+    for p, nm in ((p93a, "peak_prominence"), (p93b, "degree_assortativity"),
+                  (p93c, "zipf_slope")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p, nm
+    assert "SinglePartition" not in p93a, (
+        "peak bounds/bases join on the series key — never a global window"
+    )
+    assert p93a.count("HashAggregate") >= 4, (
+        "hourly counts + bounds + bases are all hash aggregates"
+    )
+    # the final 6-long reduce IS a SinglePartition exchange (partial ->
+    # final, KB-sized); what must stay keyed are the degree aggregations
+    assert "hashpartitioning(src" in p93b and "hashpartitioning(dst" in p93b, (
+        "assortativity degree aggs must shuffle edge-sized on host keys"
+    )
+    sections.append((
+        "A93 peaks/assortativity/zipf stay keyed, corpus touched once",
+        "PASS — peak_prominence joins peaks back to the staged TIER "
+        "series on the series key (two conditional-agg joins, no "
+        "cartesian, no global window); degree_assortativity's degree "
+        "aggs shuffle edge-sized on host keys with one 6-long global "
+        "reduce; zipf_slope explodes the corpus once into a map-side "
+        "partial count and every later stage runs on the skinny type "
+        "table",
+        "\n".join(l for l in p93a.splitlines()
+                  if "Aggregate" in l or "Join" in l or "Window" in l
+                  )[:300],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
