@@ -8836,6 +8836,51 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_slope(docs, top_v=500)
 
 
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour Pearson correlation (rollup/analytics.py
+    rolling_corr) between each event_type's hourly event count and
+    hourly distinct-user count — the correlation-BREAKDOWN monitor:
+    both series stay coupled until a bot flood or broken deploy
+    decouples them. All five moments are exact long frame sums; r_q6
+    is one correctly-rounded sqrt+divide, engine-independent."""
+    from dads_spark.rollup import rolling_corr
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+        ).alias("hw"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    return rolling_corr(
+        hourly, ["event_type"], "hw", "n_events", "n_users", window_n=24
+    )
+
+
+def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via rescaled-range analysis (rollup/trend.py
+    hurst_rs) over each event_type's observed hourly count series —
+    the long-range-dependence gauge (H>0.5 persistent: trends feed
+    themselves, capacity planning must overprovision). Exact long
+    cumulative deviations scaled by n, one correctly-rounded sqrt per
+    segment, q3 logs of exact longs into the exact-moment OLS slope."""
+    from dads_spark.rollup import hurst_rs
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+        ).alias("hw"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return hurst_rs(
+        hourly, ["event_type"], "hw", "cnt", sizes=(16, 32, 64, 128)
+    )
+
+
 _DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
 
 
@@ -9306,6 +9351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_prominence": q_peak_prominence,
         "degree_assortativity": q_degree_assortativity,
         "zipf_slope": q_zipf_slope,
+        "rolling_corr": q_rolling_corr,
+        "hurst_rs": q_hurst_rs,
     }
 
 
@@ -16346,5 +16393,117 @@ def oracle_sql() -> dict[str, str]:
                         ) * 1e6 + 0.5) AS BIGINT)
                     ELSE 0 END AS slope_q6
         FROM mom
+    """
+
+    # rolling_corr: 24h rolling Pearson r between hourly event count
+    # and hourly distinct-user count — exact long frame moments, one
+    # correctly-rounded sqrt+divide, partial head frames dropped
+    d["rolling_corr"] = """
+        WITH h AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS hw,
+                   CAST(count(*) AS BIGINT) AS x,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        f AS (
+            SELECT event_type, hw,
+                   count(*) OVER w AS n,
+                   sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                   sum(x * y) OVER w AS sxy,
+                   sum(x * x) OVER w AS sxx,
+                   sum(y * y) OVER w AS syy
+            FROM h
+            WINDOW w AS (PARTITION BY event_type ORDER BY hw
+                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        SELECT event_type, hw,
+               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                    THEN CAST(
+                      (CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                            WHEN n * sxy - sx * sy < 0 THEN -1
+                            ELSE 0 END)
+                      * floor(abs(
+                          (n * sxy - sx * sy)
+                          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                        ) * 1e6 + 0.5) AS BIGINT)
+                    ELSE 0 END AS r_q6
+        FROM f WHERE n = 24
+    """
+
+    # hurst_rs: classical R/S Hurst exponent over hourly count series —
+    # exact long scaled cumulative deviations (c_i = n*cumsum - i*S),
+    # one sqrt per segment, half-up integer mean, q3 logs of exact
+    # longs into the exact-moment OLS slope
+    d["hurst_rs"] = """
+        WITH h AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS hw,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        s AS (
+            SELECT event_type, x,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY hw) AS t
+            FROM h),
+        sized AS (
+            SELECT event_type, v.n, x, t,
+                   (t - 1) // v.n AS seg, (t - 1) % v.n + 1 AS i
+            FROM s CROSS JOIN
+                 (SELECT unnest([16, 32, 64, 128]) AS n) v),
+        segstat AS (
+            SELECT event_type, n, seg,
+                   CAST(sum(x) AS BIGINT) AS S,
+                   CAST(sum(x * x) AS BIGINT) AS Q
+            FROM sized GROUP BY 1, 2, 3 HAVING count(*) = n),
+        cum AS (
+            SELECT z.event_type, z.n, z.seg, g.S, g.Q,
+                   z.n * sum(z.x) OVER (PARTITION BY z.event_type, z.n,
+                                        z.seg ORDER BY z.t)
+                   - z.i * g.S AS c
+            FROM sized z JOIN segstat g USING (event_type, n, seg)),
+        seg_rs AS (
+            SELECT event_type, n, seg, S, Q, max(c) - min(c) AS r
+            FROM cum GROUP BY 1, 2, 3, 4, 5),
+        rsq AS (
+            SELECT event_type, n,
+                   CAST(floor(r / sqrt(CAST(n * Q - S * S AS DOUBLE))
+                              * 1e6 + 0.5) AS BIGINT) AS rs_q6
+            FROM seg_rs WHERE n * Q - S * S > 0),
+        per_n AS (
+            SELECT event_type, n,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST((2 * sum(rs_q6) + count(*))
+                        // (2 * count(*)) AS BIGINT) AS mean_rs_q6
+            FROM rsq GROUP BY 1, 2),
+        pts AS (
+            SELECT event_type, n, n_segments, mean_rs_q6,
+                   CAST(floor(ln(n) * 1000 + 0.5) AS BIGINT) AS xq,
+                   CAST((CASE WHEN ln(mean_rs_q6) - ln(1e6) > 0 THEN 1
+                              WHEN ln(mean_rs_q6) - ln(1e6) < 0 THEN -1
+                              ELSE 0 END)
+                        * floor(abs(ln(mean_rs_q6) - ln(1e6)) * 1000
+                                + 0.5) AS BIGINT) AS yq
+            FROM per_n WHERE mean_rs_q6 > 0),
+        mom AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(xq) AS BIGINT) AS sx,
+                   CAST(sum(yq) AS BIGINT) AS sy,
+                   CAST(sum(xq * yq) AS BIGINT) AS sxy,
+                   CAST(sum(xq * xq) AS BIGINT) AS sxx
+            FROM pts GROUP BY 1),
+        slope AS (
+            SELECT event_type,
+                   CASE WHEN k * sxx - sx * sx > 0
+                        THEN CAST(
+                          (CASE WHEN k * sxy - sx * sy > 0 THEN 1
+                                WHEN k * sxy - sx * sy < 0 THEN -1
+                                ELSE 0 END)
+                          * floor(abs(
+                              CAST(k * sxy - sx * sy AS DOUBLE)
+                              / CAST(k * sxx - sx * sx AS DOUBLE)
+                            ) * 1e6 + 0.5) AS BIGINT)
+                        ELSE 0 END AS hurst_q6
+            FROM mom)
+        SELECT p.event_type, CAST(p.n AS BIGINT) AS seg_len,
+               p.n_segments, p.mean_rs_q6, sl.hurst_q6
+        FROM pts p JOIN slope sl USING (event_type)
     """
     return d

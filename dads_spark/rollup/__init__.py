@@ -130,3 +130,5 @@ from .ingest import cdc_apply  # noqa: F401
 from .integrity import merkle_changed, merkle_tiers  # noqa: F401
 from .ingest import watermark_tuning  # noqa: F401
 from .peaks import peak_prominence  # noqa: F401
+from .analytics import rolling_corr  # noqa: F401
+from .trend import hurst_rs  # noqa: F401

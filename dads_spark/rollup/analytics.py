@@ -1740,3 +1740,64 @@ def counter_repair(
         F.col(value_col).alias("raw"),
         F.sum(inc).over(wc).alias("corrected"),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window_n: int = 24,
+) -> DataFrame:
+    """Rolling-window Pearson correlation between two aligned integer
+    series — the correlation-BREAKDOWN monitor: clicks and views track
+    each other until a broken deploy decouples them, and the alarm is
+    the windowed r collapsing, not either series alone (series_xcorr
+    answers "at what lag do they align"; this answers "are they still
+    coupled right now").
+
+    x/y must be exact-integer-valued (counts, q-scaled longs).  All
+    five Pearson moments are EXACT LONG frame sums over the trailing
+    ``window_n`` rows; r_q6 = sign * floor(|num / (sqrt(dx)*sqrt(dy))|
+    * 1e6 + 0.5) with num = n*Sxy - Sx*Sy — exact-integer operands into
+    correctly-rounded IEEE sqrt/divide, so the quantized value is
+    engine-independent.  Degenerate frames (either side constant) emit
+    r_q6 = 0; partial head frames are dropped.  Caller bound:
+    |x|,|y| < sqrt(2^63 / window_n) keeps every moment in long range.
+
+    One window pass per key (the series streams through its executor in
+    order) — the shuffle carries each row once, keyed by the series key.
+    """
+    wf = (
+        W.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(window_n - 1), W.currentRow)
+    )
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    framed = df.select(
+        *key_cols,
+        order_col,
+        F.count(F.lit(1)).over(wf).alias("_n"),
+        F.sum(x).over(wf).alias("_sx"),
+        F.sum(y).over(wf).alias("_sy"),
+        F.sum(x * y).over(wf).alias("_sxy"),
+        F.sum(x * x).over(wf).alias("_sxx"),
+        F.sum(y * y).over(wf).alias("_syy"),
+    ).filter(F.col("_n") == window_n)
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    r = num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double")))
+    return framed.select(
+        *key_cols,
+        order_col,
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.signum(r).cast("long")
+            * F.floor(F.abs(r) * 1e6 + F.lit(0.5)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r_q6"),
+    )

@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def theil_sen_slope(t_sec: np.ndarray, v: np.ndarray) -> tuple[float, int]:
@@ -321,3 +321,151 @@ def mann_kendall_grouped(
         )
 
     return df.groupBy(*key_cols).applyInPandas(f, out_schema)
+
+
+def hurst_rs(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    sizes: tuple[int, ...] = (16, 32, 64, 128),
+) -> DataFrame:
+    """Hurst exponent via classical rescaled-range (R/S) analysis —
+    the long-range-dependence gauge (Hurst 1951; tsfresh/catch22
+    canon): H ~ 0.5 is memoryless, H > 0.5 persistent (trends feed
+    themselves — capacity planning must overprovision), H < 0.5
+    mean-reverting.  Computed per key over the ``order_col``-ordered
+    integer series, ENTIRELY in engine-independent arithmetic:
+
+    - for each segment of length n the centered cumulative deviation is
+      scaled by n:  c_i = n*cumsum(x)_i - i*S  (EXACT long; note
+      c_n = 0, so the zero anchor is always in the max/min set);
+    - R/S = (max c - min c) / sqrt(n*Q - S^2) with Q = sum x^2 — one
+      exact-long radicand into one correctly-rounded sqrt + divide,
+      quantized to rs_q6; zero-variance segments are skipped;
+    - per size: k segments average via half-up integer division
+      (2*sum + k) DIV (2*k);
+    - H = OLS slope of ln(mean R/S) on ln(n) over the sizes, with both
+      logs quantized to q3 (ln of exact longs, the pmi/zipf
+      discipline) and the slope's one float division on exact-long
+      moments, emitted as hurst_q6 on every output row.
+
+    Caller bound: |x| < 2^31.5 / max(sizes) keeps n*Q in long range —
+    hour-tier counts by construction; pre-scale anything larger.
+
+    Output: one row per (keys..., seg_len) with (n_segments,
+    mean_rs_q6, hurst_q6).  Scale shape: every aggregate and window is
+    keyed by (keys, size, segment) — segment grids partition the work;
+    the only global step is the per-key <=len(sizes)-row regression.
+    """
+    ws = W.partitionBy(*key_cols).orderBy(order_col)
+    x = F.col(value_col).cast("long")
+    s = df.select(
+        *key_cols, x.alias("_x"), F.row_number().over(ws).alias("_t")
+    )
+    sized = s.select(
+        *key_cols,
+        "_x",
+        "_t",
+        F.explode(F.array(*[F.lit(int(n)) for n in sizes])).alias("_n"),
+    ).select(
+        *key_cols,
+        "_n",
+        "_x",
+        "_t",
+        ((F.col("_t") - 1).cast("long") / F.col("_n")).cast("long").alias(
+            "_seg"
+        ),
+        ((F.col("_t") - 1) % F.col("_n") + 1).alias("_i"),
+    )
+    segstat = sized.groupBy(*key_cols, "_n", "_seg").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_q"),
+    ).filter(F.col("_cnt") == F.col("_n"))
+    wc = (
+        W.partitionBy(*key_cols, "_n", "_seg")
+        .orderBy("_t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        sized.join(segstat, [*key_cols, "_n", "_seg"])
+        .select(
+            *key_cols,
+            "_n",
+            "_seg",
+            "_s",
+            "_q",
+            (
+                F.col("_n") * F.sum("_x").over(wc)
+                - F.col("_i") * F.col("_s")
+            ).alias("_c"),
+        )
+    )
+    seg_rs = (
+        cum.groupBy(*key_cols, "_n", "_seg", "_s", "_q")
+        .agg((F.max("_c") - F.min("_c")).alias("_r"))
+        .withColumn(
+            "_d", F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+        )
+        .filter(F.col("_d") > 0)
+        .select(
+            *key_cols,
+            "_n",
+            F.floor(
+                F.col("_r") / F.sqrt(F.col("_d").cast("double")) * 1e6
+                + F.lit(0.5)
+            ).cast("long").alias("_rs_q6"),
+        )
+    )
+    per_n = seg_rs.groupBy(*key_cols, "_n").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.expr("(2 * sum(_rs_q6) + count(1)) DIV (2 * count(1))").alias(
+            "mean_rs_q6"
+        ),
+    )
+    xq = F.floor(F.log(F.col("_n").cast("double")) * 1e3 + F.lit(0.5)).cast(
+        "long"
+    )
+    lny = F.log(F.col("mean_rs_q6").cast("double")) - F.log(F.lit(1e6))
+    yq = (
+        F.signum(lny).cast("long")
+        * F.floor(F.abs(lny) * 1e3 + F.lit(0.5))
+    ).cast("long")
+    pts = per_n.filter(F.col("mean_rs_q6") > 0).select(
+        *key_cols, "_n", "n_segments", "mean_rs_q6",
+        xq.alias("_xq"), yq.alias("_yq"),
+    )
+    mom = pts.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_xq").alias("_sx"),
+        F.sum("_yq").alias("_sy"),
+        F.sum(F.col("_xq") * F.col("_yq")).alias("_sxy"),
+        F.sum(F.col("_xq") * F.col("_xq")).alias("_sxx"),
+    )
+    hnum = F.col("_k") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    hden = F.col("_k") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    hr = hnum.cast("double") / hden.cast("double")
+    slope = mom.select(
+        *key_cols,
+        F.when(
+            hden > 0,
+            F.signum(hr).cast("long")
+            * F.floor(F.abs(hr) * 1e6 + F.lit(0.5)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("hurst_q6"),
+    )
+    join_on = list(key_cols) if key_cols else []
+    if join_on:
+        out = pts.join(slope, join_on)
+    else:
+        out = pts.crossJoin(F.broadcast(slope))
+    return out.select(
+        *key_cols,
+        F.col("_n").cast("long").alias("seg_len"),
+        F.col("n_segments").cast("long").alias("n_segments"),
+        "mean_rs_q6",
+        "hurst_q6",
+    )
