@@ -1938,6 +1938,39 @@ def main() -> None:
                   )[:300],
     ))
 
+    # --- A94: rolling_corr / hurst_rs -----------------------------------------
+    p94a = plan_of(em.queries()["rolling_corr"](spark, sf_dir))
+    p94b = plan_of(em.queries()["hurst_rs"](spark, sf_dir))
+    for p, nm in ((p94a, "rolling_corr"), (p94b, "hurst_rs")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p, nm
+    assert "SinglePartition" not in p94a, (
+        "rolling corr is one window pass per series key — never global"
+    )
+    assert p94a.count("+- Window (") == 1, (
+        "all five Pearson moments ride ONE window frame, not five"
+    )
+    assert "SinglePartition" not in p94b, (
+        "hurst segments/regression all key on event_type — never global"
+    )
+    assert "hashpartitioning(event_type" in p94b, (
+        "segment stats shuffle on the series key"
+    )
+    sections.append((
+        "A94 rolling corr one keyed window, hurst keyed to the end",
+        "PASS — rolling_corr computes all five exact-long Pearson "
+        "moments in a single keyed window frame (one Exchange on the "
+        "series key, one Window node, no Python, no global sort); "
+        "hurst_rs explodes each point into its four segment grids and "
+        "every aggregate/window after that is keyed by (key, size, "
+        "segment) or (key) — the per-key 4-point OLS slope joins back "
+        "on the key, so no stage ever collapses to a single partition",
+        "\n".join(l for l in (p94a + p94b).splitlines()
+                  if "Window" in l or "Exchange" in l or "Join" in l
+                  )[:300],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
