@@ -8881,6 +8881,47 @@ def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy (rollup/features.py sample_entropy, m=2 r=2)
+    over each event_type's hourly count series — the regularity gauge
+    (low SampEn = the series repeats its own templates). A and B are
+    EXACT longs from ONE band-bucketed self-join (bucket = x DIV 3,
+    3 probe buckets — no O(n^2) all-pairs); sampen_q3 is two logs of
+    exact longs, the repo's pmi/zipf discipline. Oracle is the naive
+    unbanded O(n^2) join — an independent check that banding loses no
+    pair."""
+    from dads_spark.rollup import sample_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+        ).alias("hw"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return sample_entropy(hourly, ["event_type"], "hw", "cnt", r=2)
+
+
+def q_dft_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal-cycle strength (rollup/periodicity.py dft_daily): the
+    24-hour DFT bin + harmonics k=1..4 of each event_type's hourly
+    count series. Every angle lands on the literal 15-degree q6 trig
+    table (no libm cos at query time), Fourier sums are exact long dot
+    products, amp_q6 is one correctly-rounded sqrt chain — the 'how
+    much of the signal is daily' twin of acf_period's 'what period
+    repeats'."""
+    from dads_spark.rollup import dft_daily
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+        ).alias("hw"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return dft_daily(hourly, ["event_type"], "hw", "cnt")
+
+
 _DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
 
 
@@ -9353,6 +9394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "rolling_corr": q_rolling_corr,
         "hurst_rs": q_hurst_rs,
+        "sample_entropy": q_sample_entropy,
+        "dft_daily": q_dft_daily,
     }
 
 
@@ -16505,5 +16548,92 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.event_type, CAST(p.n AS BIGINT) AS seg_len,
                p.n_segments, p.mean_rs_q6, sl.hurst_q6
         FROM pts p JOIN slope sl USING (event_type)
+    """
+
+    # sample_entropy: naive UNBANDED O(n^2) template self-join — an
+    # independent oracle for the Spark side's band-bucketed join (proves
+    # banding loses no pair); exact long counts, q3 log ratio
+    d["sample_entropy"] = """
+        WITH h AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS hw,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        s AS (
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY hw) AS t,
+                   x AS x0,
+                   lead(x, 1) OVER (PARTITION BY event_type
+                                    ORDER BY hw) AS x1,
+                   lead(x, 2) OVER (PARTITION BY event_type
+                                    ORDER BY hw) AS x2
+            FROM h),
+        tpl AS (SELECT * FROM s WHERE x2 IS NOT NULL),
+        p AS (
+            SELECT a.event_type,
+                   CAST(count(*) FILTER (
+                       WHERE abs(a.x0 - b.x0) <= 2
+                         AND abs(a.x1 - b.x1) <= 2) AS BIGINT)
+                       AS b_count,
+                   CAST(count(*) FILTER (
+                       WHERE abs(a.x0 - b.x0) <= 2
+                         AND abs(a.x1 - b.x1) <= 2
+                         AND abs(a.x2 - b.x2) <= 2) AS BIGINT)
+                       AS a_count
+            FROM tpl a JOIN tpl b
+              ON a.event_type = b.event_type AND a.t < b.t
+            GROUP BY 1),
+        n AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_templates
+            FROM tpl GROUP BY 1)
+        SELECT n.event_type, n.n_templates,
+               COALESCE(p.b_count, 0) AS b_count,
+               COALESCE(p.a_count, 0) AS a_count,
+               CASE WHEN p.a_count > 0 AND p.b_count > 0
+                    THEN CAST(floor(
+                        (ln(p.b_count) - ln(p.a_count)) * 1000 + 0.5
+                      ) AS BIGINT)
+               END AS sampen_q3
+        FROM n LEFT JOIN p USING (event_type)
+    """
+
+    # dft_daily: 24-point DFT bin + harmonics from the SAME literal
+    # 15-degree q6 trig table (sin = cos shifted +18) — exact long
+    # Fourier sums, one correctly-rounded sqrt chain for amp_q6
+    d["dft_daily"] = """
+        WITH cosq AS (
+            SELECT a, c FROM (VALUES
+              (0, 1000000), (1, 965926), (2, 866025), (3, 707107),
+              (4, 500000), (5, 258819), (6, 0), (7, -258819),
+              (8, -500000), (9, -707107), (10, -866025), (11, -965926),
+              (12, -1000000), (13, -965926), (14, -866025),
+              (15, -707107), (16, -500000), (17, -258819), (18, 0),
+              (19, 258819), (20, 500000), (21, 707107), (22, 866025),
+              (23, 965926)) AS t(a, c)),
+        h AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS hw,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        e AS (
+            SELECT event_type, hw, x, k,
+                   (k * (hw % 24)) % 24 AS a
+            FROM h CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k)),
+        terms AS (
+            SELECT e.event_type, e.k,
+                   e.x * cc.c AS xc, e.x * cs.c AS xs
+            FROM e JOIN cosq cc ON cc.a = e.a
+                   JOIN cosq cs ON cs.a = (e.a + 18) % 24),
+        agg AS (
+            SELECT event_type, CAST(k AS BIGINT) AS harmonic,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(sum(xc) AS BIGINT) AS sc,
+                   CAST(sum(xs) AS BIGINT) AS ss
+            FROM terms GROUP BY 1, 2)
+        SELECT event_type, harmonic, n_points, sc, ss,
+               CAST(floor(
+                   sqrt(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                        + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                   * 2 / n_points + 0.5) AS BIGINT) AS amp_q6
+        FROM agg
     """
     return d

@@ -23,7 +23,7 @@ from .drift import (  # noqa: F401
     psi_drift,
     tv_drift,
 )
-from .features import ts_features  # noqa: F401
+from .features import sample_entropy, ts_features  # noqa: F401
 from .freqsketch import cm_build_tier, cm_cascade, cm_estimate  # noqa: F401
 from .router import range_segments, route_range  # noqa: F401
 from .distinct import cascade_distinct, distinct_sketch_tier, with_estimate  # noqa: F401
@@ -36,7 +36,7 @@ from .promql import (  # noqa: F401
     predict_linear,
 )
 from .reconcile import topdown_reconcile  # noqa: F401
-from .periodicity import acf_dominant_period  # noqa: F401
+from .periodicity import acf_dominant_period, dft_daily  # noqa: F401
 from .intervals import hopping_rollup, merge_intervals  # noqa: F401
 from .series import domain_hourly_series, text_identity_fingerprint, with_domain  # noqa: F401
 from .retention import (  # noqa: F401

@@ -153,3 +153,105 @@ def ts_features(
         "abs_change_sum_q6",
         "n_distinct_q6",
     )
+
+
+def sample_entropy(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    r: int = 2,
+) -> DataFrame:
+    """Sample entropy (SampEn, m=2) per series over a NONNEGATIVE
+    integer series — the regularity/complexity gauge (Richman &
+    Moorman 2000; the physionet/tsfresh canon): low SampEn means the
+    series repeats its own templates (predictable, compressible),
+    high SampEn means new patterns keep appearing (bursty, hard to
+    forecast).  Counts are EXACT:
+
+    - templates are the (x_t, x_{t+1}) pairs (m=2) and (x_t, x_{t+1},
+      x_{t+2}) triples, both over t = 1..N-2 (the Richman-Moorman
+      index set, so B >= A always);
+    - B = #{unordered template pairs with Chebyshev distance <= r on
+      the first two components}, A = same with the third component
+      too — exact longs from a band-bucketed self-join;
+    - sampen_q3 = floor((ln(B) - ln(A)) * 1000 + 0.5) — two logs of
+      exact longs (the pmi/zipf discipline), NULL when A = 0.
+
+    Scale shape: the naive SampEn self-join is O(n^2) per series; here
+    the join is banded on bucket = x DIV (r+1) with 3 probe buckets
+    per template ({-1,0,+1}), so only value-close candidate pairs meet
+    — the shuffle is keyed by (series, bucket) and a hot bucket is a
+    value plateau, bounded by the series' own repetitiveness (exactly
+    the regime where SampEn matters).  Both A and B come out of ONE
+    join pass (A is a conditional sum over B's matches).
+
+    Caller bound: values must be nonnegative integers (counts; DIV
+    truncation == floor only for x >= 0) and n*r moments small enough
+    that pair counts stay in long range — always true for pair counts.
+    """
+    ws = W.partitionBy(*key_cols).orderBy(order_col)
+    x = F.col(value_col).cast("long")
+    base = (
+        df.select(
+            *key_cols,
+            x.alias("_x0"),
+            F.lead(x, 1).over(ws).alias("_x1"),
+            F.lead(x, 2).over(ws).alias("_x2"),
+            F.row_number().over(ws).alias("_t"),
+        )
+        .filter(F.col("_x2").isNotNull())
+        .withColumn("_b", F.expr(f"_x0 DIV {int(r) + 1}"))
+    )
+    left = base.select(
+        *key_cols,
+        F.col("_t").alias("_tl"),
+        F.col("_x0").alias("_l0"),
+        F.col("_x1").alias("_l1"),
+        F.col("_x2").alias("_l2"),
+        F.explode(
+            F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1)
+        ).alias("_pb"),
+    )
+    rq = F.lit(int(r))
+    pairs = left.join(
+        base, [*key_cols] if key_cols else None, "inner"
+    ).filter(
+        (F.col("_pb") == F.col("_b"))
+        & (F.col("_tl") < F.col("_t"))
+        & (F.abs(F.col("_l0") - F.col("_x0")) <= rq)
+        & (F.abs(F.col("_l1") - F.col("_x1")) <= rq)
+    )
+    counts = pairs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("b_count"),
+        F.sum(
+            F.when(
+                F.abs(F.col("_l2") - F.col("_x2")) <= rq, F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("a_count"),
+    )
+    n_templates = base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_templates")
+    )
+    joined = (
+        n_templates.join(counts, list(key_cols), "left")
+        if key_cols
+        else n_templates.crossJoin(counts)
+    )
+    sampen = F.floor(
+        (
+            F.log(F.col("b_count").cast("double"))
+            - F.log(F.col("a_count").cast("double"))
+        )
+        * 1000
+        + F.lit(0.5)
+    ).cast("long")
+    return joined.select(
+        *key_cols,
+        "n_templates",
+        F.coalesce(F.col("b_count"), F.lit(0)).alias("b_count"),
+        F.coalesce(F.col("a_count"), F.lit(0)).alias("a_count"),
+        F.when(
+            (F.col("a_count") > 0) & (F.col("b_count") > 0), sampen
+        ).alias("sampen_q3"),
+    )
