@@ -8922,6 +8922,78 @@ def q_dft_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dft_daily(hourly, ["event_type"], "hw", "cnt")
 
 
+def q_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (rollup/features.py perm_entropy, Bandt-
+    Pompe m=3) per event_type hourly count series — ordinal-pattern
+    complexity, amplitude-blind (level shifts don't break it). Six
+    pattern counts are EXACT longs with the stable tie rule; the
+    entropy finalizer quantizes per-pattern BEFORE summing so the sum
+    is order-free long addition; ln only sees exact longs."""
+    from dads_spark.rollup import perm_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+        ).alias("hw"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return perm_entropy(hourly, ["event_type"], "hw", "cnt")
+
+
+def q_nonlinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tsfresh c3 + time-reversal asymmetry (rollup/features.py
+    nonlinearity_stats) per (event_type, lag in {1,24}) over hourly
+    counts — multiplicative-dynamics and sawtooth-shape gauges. The
+    whole operator is exact long arithmetic (numerator sums + signed
+    half-up integer-division means); no float anywhere. Oracle joins
+    on row_number instead of lead — an independent construction."""
+    from dads_spark.rollup import nonlinearity_stats
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+        ).alias("hw"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return nonlinearity_stats(
+        hourly, ["event_type"], "hw", "cnt", lags=(1, 24)
+    )
+
+
+def q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical directory drilldown (ops/urltools.py
+    path_prefix_rollup): every page counts under each ancestor
+    directory of its path (depth <= 4), weighted by text chars — the
+    classic web-analytics section rollup, computed in ONE bounded
+    explode + ONE keyed aggregate (not one scan per level). URLs are
+    deterministically synthesized from documents columns in BOTH
+    engines (the url_canonicalize staging idiom)."""
+    from dads_spark.ops import path_prefix_rollup
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://www."),
+            "source",
+            F.lit(".example.com/s-"),
+            "lang",
+            F.lit("/d"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/p"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit("/doc-"),
+            F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        "n_chars",
+    )
+    return path_prefix_rollup(
+        urls, "url", weight_col="n_chars", max_depth=4
+    )
+
+
 _DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
 
 
@@ -9396,6 +9468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hurst_rs": q_hurst_rs,
         "sample_entropy": q_sample_entropy,
         "dft_daily": q_dft_daily,
+        "perm_entropy": q_perm_entropy,
+        "nonlinearity": q_nonlinearity,
+        "path_rollup": q_path_rollup,
     }
 
 
@@ -16635,5 +16710,160 @@ def oracle_sql() -> dict[str, str]:
                         + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
                    * 2 / n_points + 0.5) AS BIGINT) AS amp_q6
         FROM agg
+    """
+
+    # perm_entropy: Bandt-Pompe m=3 ordinal patterns, stable tie rule;
+    # six exact pattern counts, per-pattern q3 terms quantized BEFORE
+    # the cross-pattern sum so the entropy finalizer is integer-only
+    d["perm_entropy"] = """
+        WITH h AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS hw,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        s AS (
+            SELECT event_type, x AS x0,
+                   lead(x, 1) OVER (PARTITION BY event_type
+                                    ORDER BY hw) AS x1,
+                   lead(x, 2) OVER (PARTITION BY event_type
+                                    ORDER BY hw) AS x2
+            FROM h),
+        tpl AS (
+            SELECT event_type,
+                   (CASE WHEN x1 < x0 THEN 1 ELSE 0 END
+                    + CASE WHEN x2 < x0 THEN 1 ELSE 0 END) * 9
+                   + (CASE WHEN x0 <= x1 THEN 1 ELSE 0 END
+                      + CASE WHEN x2 < x1 THEN 1 ELSE 0 END) * 3
+                   + (CASE WHEN x0 <= x2 THEN 1 ELSE 0 END
+                      + CASE WHEN x1 <= x2 THEN 1 ELSE 0 END) AS pid
+            FROM s WHERE x2 IS NOT NULL),
+        c AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_templates,
+                   CAST(sum(CASE WHEN pid = 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c012,
+                   CAST(sum(CASE WHEN pid = 7 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c021,
+                   CAST(sum(CASE WHEN pid = 11 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c102,
+                   CAST(sum(CASE WHEN pid = 15 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c120,
+                   CAST(sum(CASE WHEN pid = 19 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c201,
+                   CAST(sum(CASE WHEN pid = 21 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c210
+            FROM tpl GROUP BY 1),
+        t AS (
+            SELECT *,
+                   (CASE WHEN c012 > 0 THEN CAST(floor(
+                        c012 * ln(c012) * 1000 + 0.5) AS BIGINT)
+                        ELSE 0 END)
+                   + (CASE WHEN c021 > 0 THEN CAST(floor(
+                        c021 * ln(c021) * 1000 + 0.5) AS BIGINT)
+                        ELSE 0 END)
+                   + (CASE WHEN c102 > 0 THEN CAST(floor(
+                        c102 * ln(c102) * 1000 + 0.5) AS BIGINT)
+                        ELSE 0 END)
+                   + (CASE WHEN c120 > 0 THEN CAST(floor(
+                        c120 * ln(c120) * 1000 + 0.5) AS BIGINT)
+                        ELSE 0 END)
+                   + (CASE WHEN c201 > 0 THEN CAST(floor(
+                        c201 * ln(c201) * 1000 + 0.5) AS BIGINT)
+                        ELSE 0 END)
+                   + (CASE WHEN c210 > 0 THEN CAST(floor(
+                        c210 * ln(c210) * 1000 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS sum_t
+            FROM c)
+        SELECT event_type, n_templates, c012, c021, c102, c120, c201,
+               c210,
+               CAST(floor(ln(n_templates) * 1000 + 0.5)
+                    - (2 * sum_t + n_templates) // (2 * n_templates)
+                 AS BIGINT) AS pe_q3
+        FROM t
+    """
+
+    # nonlinearity: c3 + time-reversal asymmetry — exact long numerator
+    # sums, signed half-up integer-division means; oracle aligns t,
+    # t+lag, t+2lag via row_number self-joins (independent of lead)
+    d["nonlinearity"] = """
+        WITH h AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS hw,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        s AS (
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY hw) AS t,
+                   x
+            FROM h),
+        lv AS (SELECT unnest([1, 24]) AS lag),
+        j AS (
+            SELECT a.event_type, l.lag, a.x AS x0, b.x AS xl,
+                   c.x AS x2l
+            FROM s a CROSS JOIN lv l
+            JOIN s b ON b.event_type = a.event_type
+                    AND b.t = a.t + l.lag
+            JOIN s c ON c.event_type = a.event_type
+                    AND c.t = a.t + 2 * l.lag),
+        agg AS (
+            SELECT event_type, CAST(lag AS BIGINT) AS "lag",
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x0 * xl * x2l) AS BIGINT) AS c3_num,
+                   CAST(sum(x2l * x2l * xl - xl * x0 * x0)
+                        AS BIGINT) AS trev_num
+            FROM j GROUP BY 1, 2)
+        SELECT event_type, "lag", n, c3_num, trev_num,
+               CAST((CASE WHEN c3_num < 0 THEN -1 ELSE 1 END)
+                    * ((2 * abs(c3_num) + n) // (2 * n))
+                 AS BIGINT) AS c3_mean,
+               CAST((CASE WHEN trev_num < 0 THEN -1 ELSE 1 END)
+                    * ((2 * abs(trev_num) + n) // (2 * n))
+                 AS BIGINT) AS trev_mean
+        FROM agg
+    """
+
+    # path_rollup: hierarchical directory drilldown over URLs both
+    # engines synthesize identically from documents columns; bounded
+    # prefix explode (depth <= 4), exact counts + char-volume sums
+    d["path_rollup"] = """
+        WITH u AS (
+            SELECT 'https://www.' || source || '.example.com/s-'
+                   || lang || '/d' || CAST(doc_id % 7 AS VARCHAR)
+                   || '/p' || CAST(doc_id % 97 AS VARCHAR)
+                   || '/doc-' || CAST(doc_id AS VARCHAR) || '.html'
+                       AS url,
+                   n_chars
+            FROM documents),
+        parsed AS (
+            SELECT lower(regexp_extract(
+                       url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1))
+                       AS host,
+                   regexp_extract(
+                       url,
+                       '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1)
+                       AS path,
+                   n_chars
+            FROM u),
+        segged AS (
+            SELECT host,
+                   list_filter(string_split(path, '/'),
+                               s -> s <> '') AS segs,
+                   n_chars
+            FROM parsed),
+        lv AS (
+            SELECT host, segs, n_chars,
+                   unnest(generate_series(
+                       1, least(len(segs), 4))) AS depth
+            FROM segged
+            WHERE len(segs) > 0),
+        pre AS (
+            SELECT host, CAST(depth AS BIGINT) AS depth,
+                   '/' || array_to_string(segs[1:depth], '/')
+                       AS prefix,
+                   n_chars
+            FROM lv)
+        SELECT host, prefix, depth,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(n_chars) AS BIGINT) AS sum_weight
+        FROM pre GROUP BY 1, 2, 3
     """
     return d

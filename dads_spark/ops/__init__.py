@@ -122,6 +122,7 @@ from .urltools import (  # noqa: F401
     canonicalize_urls,
     host_suffixes,
     parse_urls,
+    path_prefix_rollup,
     registrable_domain,
     url_templates,
 )

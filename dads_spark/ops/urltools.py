@@ -245,3 +245,64 @@ def url_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.countDistinct("_path").cast("long").alias("n_paths"),
         )
     )
+
+
+def path_prefix_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+    weight_col: str | None = None,
+    max_depth: int = 4,
+) -> DataFrame:
+    """Hierarchical directory drilldown — the classic web-analytics
+    rollup: every page contributes one row to EACH ancestor directory
+    of its URL path up to ``max_depth`` levels, so /docs/api/v2/intro
+    counts under /docs, /docs/api and /docs/api/v2.  The site operator
+    reads it top-down ("which sections are growing"); the crawler
+    reads it bottom-up ("which subtrees are worth re-fetching").
+
+    Per (host, prefix, depth): n_pages (exact), and sum_weight (exact
+    long sum of ``weight_col`` — pass text bytes for volume rollups).
+
+    Scale shape: the prefix explode is BOUNDED (<= max_depth rows per
+    page, a constant), aggregation is ONE keyed exchange with map-side
+    partials — the hierarchy is computed in a single pass, not one
+    scan per level (the CUBE trap).  No join, no Python; segments come
+    from codegen string ops.
+    """
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    path = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1)
+    segs = F.filter(
+        F.split(path, "/"), lambda s: s != F.lit("")
+    )
+    depth_n = F.least(F.size(segs), F.lit(int(max_depth)))
+    weight = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    staged = df.select(
+        host.alias("host"),
+        segs.alias("_segs"),
+        depth_n.alias("_nd"),
+        weight.alias("_w"),
+    ).filter(F.col("_nd") > 0)
+    exploded = staged.select(
+        "host",
+        "_w",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_nd")),
+                lambda i: F.struct(
+                    i.cast("long").alias("depth"),
+                    F.concat(
+                        F.lit("/"),
+                        F.array_join(F.slice("_segs", F.lit(1), i), "/"),
+                    ).alias("prefix"),
+                ),
+            )
+        ).alias("_p"),
+    ).select("host", F.col("_p.depth"), F.col("_p.prefix"), "_w")
+    return exploded.groupBy("host", "prefix", "depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum("_w").alias("sum_weight"),
+    )

@@ -23,7 +23,12 @@ from .drift import (  # noqa: F401
     psi_drift,
     tv_drift,
 )
-from .features import sample_entropy, ts_features  # noqa: F401
+from .features import (  # noqa: F401
+    nonlinearity_stats,
+    perm_entropy,
+    sample_entropy,
+    ts_features,
+)
 from .freqsketch import cm_build_tier, cm_cascade, cm_estimate  # noqa: F401
 from .router import range_segments, route_range  # noqa: F401
 from .distinct import cascade_distinct, distinct_sketch_tier, with_estimate  # noqa: F401

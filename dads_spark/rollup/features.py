@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-__all__ = ["ts_features"]
+__all__ = ["ts_features", "sample_entropy", "perm_entropy", "nonlinearity_stats"]
 
 
 def ts_features(
@@ -254,4 +254,176 @@ def sample_entropy(
         F.when(
             (F.col("a_count") > 0) & (F.col("b_count") > 0), sampen
         ).alias("sampen_q3"),
+    )
+
+
+# the six stable ordinal patterns of a length-3 window, keyed by
+# id = 9*r0 + 3*r1 + r2 where r_i is the STABLE rank of position i
+# (ties broken by position, earlier wins) — fixed output column order
+_PERM3_IDS: tuple[tuple[int, str], ...] = (
+    (5, "c012"),   # x0 <= x1 <= x2   (ranks 0,1,2)
+    (7, "c021"),   # x0 <= x2 <  x1   (ranks 0,2,1)
+    (11, "c102"),  # x1 <  x0 <= x2   (ranks 1,0,2)
+    (15, "c120"),  # x2 <  x0 <= x1   (ranks 1,2,0)
+    (19, "c201"),  # x1 <= x2 <  x0   (ranks 2,0,1)
+    (21, "c210"),  # x2 <= x1 <  x0   (ranks 2,1,0)
+)
+
+
+def perm_entropy(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Permutation entropy (Bandt & Pompe 2002, m=3) per series — the
+    ordinal-pattern complexity gauge beside ``sample_entropy``: SampEn
+    asks "do value templates recur", PE asks "how evenly are the six
+    up/down SHAPES distributed" (a pure trend uses 1 of 6 patterns,
+    PE=0; white noise uses all 6 evenly, PE=ln 6).  Amplitude-blind by
+    construction, so it survives level shifts that break value-based
+    gauges.
+
+    Exactness: the six pattern counts are EXACT longs.  Ties use the
+    STABLE rule (rank of position i = #{j : x_j < x_i or (x_j = x_i
+    and j < i)}) so constant runs deterministically land in c012 on
+    any engine.  The entropy finalizer quantizes per-pattern BEFORE
+    summing — t_p = floor(c_p * ln(c_p) * 1000 + 0.5) — so the
+    cross-pattern sum is long addition (order-free) and
+
+        pe_q3 = floor(ln(n)*1000 + 0.5) - (2*sum_t + n) DIV (2*n)
+
+    is integer arithmetic on exact operands; ln only ever sees an
+    exact long (the pmi/zipf/hurst q3-log discipline).
+
+    Scale shape: one keyed window pass (two leads), then the keyed
+    conditional aggregate reuses the SAME hash partitioning — a
+    single exchange end-to-end, no join, no Python.
+    """
+    ws = W.partitionBy(*key_cols).orderBy(order_col)
+    x = F.col(value_col).cast("long")
+    base = df.select(
+        *key_cols,
+        x.alias("_x0"),
+        F.lead(x, 1).over(ws).alias("_x1"),
+        F.lead(x, 2).over(ws).alias("_x2"),
+    ).filter(F.col("_x2").isNotNull())
+    x0, x1, x2 = F.col("_x0"), F.col("_x1"), F.col("_x2")
+    as_int = lambda c: c.cast("int")  # noqa: E731
+    r0 = as_int(x1 < x0) + as_int(x2 < x0)
+    r1 = as_int(x0 <= x1) + as_int(x2 < x1)
+    r2 = as_int(x0 <= x2) + as_int(x1 <= x2)
+    pid = (r0 * 9 + r1 * 3 + r2).alias("_pid")
+    patt = base.select(*key_cols, pid)
+    aggs = [
+        F.sum(F.when(F.col("_pid") == v, 1).otherwise(0))
+        .cast("long")
+        .alias(nm)
+        for v, nm in _PERM3_IDS
+    ]
+    counted = patt.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_templates"), *aggs
+    )
+    t_term = lambda nm: F.when(  # noqa: E731
+        F.col(nm) > 0,
+        F.floor(
+            F.col(nm).cast("double") * F.log(F.col(nm).cast("double"))
+            * 1000
+            + F.lit(0.5)
+        ),
+    ).otherwise(F.lit(0))
+    sum_t = t_term("c012")
+    for _, nm in _PERM3_IDS[1:]:
+        sum_t = sum_t + t_term(nm)
+    n = F.col("n_templates")
+    pe = (
+        F.floor(F.log(n.cast("double")) * 1000 + F.lit(0.5))
+        - F.expr(
+            "(2 * _sum_t + n_templates) DIV (2 * n_templates)"
+        )
+    ).cast("long")
+    return (
+        counted.withColumn("_sum_t", sum_t.cast("long"))
+        .withColumn("pe_q3", pe)
+        .drop("_sum_t")
+    )
+
+
+def nonlinearity_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 24),
+) -> DataFrame:
+    """tsfresh-canon nonlinearity pair per (series, lag), EXACT:
+
+    - c3 (Schreiber & Schmitz 1997 higher-order autocovariance):
+      num_c3 = sum_t x_t * x_{t+lag} * x_{t+2lag} — a linear Gaussian
+      process drives it to ~mean^3; excess signals multiplicative
+      dynamics (traffic cascades, retry storms).
+    - trev (time-reversal asymmetry): num_trev = sum_t
+      x_{t+2lag}^2 * x_{t+lag} - x_{t+lag} * x_t^2 — time-symmetric
+      processes (any linear Gaussian) give ~0; sawtooth load patterns
+      (slow ramp, sharp drop) show up signed.
+
+    Both numerators are exact long sums; the means are signed HALF-UP
+    integer divisions sign*((2*|num| + n) DIV (2*n)) — no float
+    anywhere in the operator, so any engine reproduces it bit-for-bit.
+
+    Caller bound: |x|^3 * n < 2^63 — hourly/daily tier counts by
+    construction (x ~ 1e4, n ~ 1e4 -> 1e16).
+
+    Scale shape: ONE keyed window pass computes the leads for every
+    lag, the lag axis explodes (x len(lags)), and the keyed aggregate
+    reuses the window's partitioning — no join, no Python.
+    """
+    ws = W.partitionBy(*key_cols).orderBy(order_col)
+    x = F.col(value_col).cast("long")
+    lead_cols = []
+    for lag in lags:
+        lead_cols.append(F.lead(x, int(lag)).over(ws).alias(f"_xl_{lag}"))
+        lead_cols.append(
+            F.lead(x, 2 * int(lag)).over(ws).alias(f"_x2l_{lag}")
+        )
+    with_leads = df.select(*key_cols, x.alias("_x0"), *lead_cols)
+    per_lag = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(lag)).cast("long").alias("lag"),
+                    F.col(f"_xl_{lag}").alias("xl"),
+                    F.col(f"_x2l_{lag}").alias("x2l"),
+                )
+                for lag in lags
+            ]
+        )
+    ).alias("_s")
+    rows = (
+        with_leads.select(*key_cols, "_x0", per_lag)
+        .select(*key_cols, "_x0", "_s.lag", "_s.xl", "_s.x2l")
+        .filter(F.col("x2l").isNotNull())
+    )
+    agg = rows.groupBy(*key_cols, "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_x0") * F.col("xl") * F.col("x2l")).alias("c3_num"),
+        F.sum(
+            F.col("x2l") * F.col("x2l") * F.col("xl")
+            - F.col("xl") * F.col("_x0") * F.col("_x0")
+        ).alias("trev_num"),
+    )
+    def half_up(name: str) -> F.Column:
+        return (
+            F.when(F.col(name) < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(f"(2 * abs({name}) + n) DIV (2 * n)")
+        ).cast("long")
+
+    return agg.select(
+        *key_cols,
+        "lag",
+        "n",
+        "c3_num",
+        "trev_num",
+        half_up("c3_num").alias("c3_mean"),
+        half_up("trev_num").alias("trev_mean"),
     )

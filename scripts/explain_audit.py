@@ -2007,6 +2007,47 @@ def main() -> None:
                   or "keys" in l)[:400],
     ))
 
+    # --- A96: perm_entropy / nonlinearity / path_rollup -----------------------
+    p96a = plan_of(em.queries()["perm_entropy"](spark, sf_dir))
+    p96b = plan_of(em.queries()["nonlinearity"](spark, sf_dir))
+    p96c = plan_of(em.queries()["path_rollup"](spark, sf_dir))
+    for p, nm in ((p96a, "perm_entropy"), (p96b, "nonlinearity"),
+                  (p96c, "path_rollup")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "Join" not in p, f"{nm} needs no join"
+        assert "SinglePartition" not in p, nm
+    for p, nm in ((p96a, "perm_entropy"), (p96b, "nonlinearity")):
+        assert p.count("+- Exchange") == 2, (
+            f"{nm}: hourly rollup + window key only — the pattern/lag "
+            "aggregate must REUSE the window's hash partitioning "
+            "(grouping keys contain the partition key), not re-shuffle"
+        )
+        assert p.count("+- Window (") == 1, nm
+    assert "Generate" in p96b, "lag axis explodes inside the keyed pass"
+    assert "Window" not in p96c and "Generate" in p96c, (
+        "path_rollup is a bounded prefix explode, no window"
+    )
+    assert p96c.count("+- Exchange") == 1 and "partial_sum" in p96c, (
+        "the whole hierarchy aggregates in ONE keyed exchange with "
+        "map-side partials — not one scan per level"
+    )
+    sections.append((
+        "A96 PE/c3 aggregates reuse the window key, path rollup one pass",
+        "PASS — perm_entropy and nonlinearity each run scan -> hourly "
+        "rollup -> ONE keyed window pass, and their final aggregates "
+        "(pattern counts; per-lag moment sums after the bounded lag "
+        "explode) reuse the window's hash partitioning — two exchanges "
+        "end-to-end, no join, no Python, entropy/mean finalizers are "
+        "integer expressions in codegen. path_rollup explodes each "
+        "page into <= max_depth ancestor-directory rows and aggregates "
+        "the whole hierarchy in ONE keyed exchange with map-side "
+        "partials — the single-pass alternative to per-level scans",
+        "\n".join(l for l in (p96a + p96b + p96c).splitlines()
+                  if "Exchange" in l or "Window" in l or "Generate" in l
+                  )[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
