@@ -8994,6 +8994,56 @@ def q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-mirror detection (ops/mirrors.py mirror_hosts): hosts
+    whose distinct content-fingerprint sets overlap are one logical
+    site — the host-granularity sibling of minhash_lsh, with the same
+    hot-key discipline (a fingerprint on more hosts than the cap is
+    boilerplate, excluded identically in both engines). Staging plants
+    real mirrors: every doc lives on www.<source>.com and every third
+    doc ALSO on mirror.<source>.com, fingerprint = md5(text). All
+    ratios are half-up integer divisions of exact longs."""
+    from dads_spark.ops import mirror_hosts
+
+    docs = _t(spark, sf_dir, "documents")
+    primary = docs.select(
+        F.concat(F.lit("www."), "source", F.lit(".com")).alias("host"),
+        F.md5("text").alias("fp"),
+    )
+    mirrored = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("mirror."), "source", F.lit(".com")).alias(
+            "host"
+        ),
+        F.md5("text").alias("fp"),
+    )
+    return mirror_hosts(
+        primary.unionAll(mirrored),
+        "host",
+        "fp",
+        min_shared=2,
+        max_hosts_per_fp=16,
+    )
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of the events value column per event_type
+    (rollup/features.py trimmed_mean) — the robust center between
+    mean and median: bot bursts and timeout spikes fall in the
+    trimmed tails. q6 quantization, exact count-based cut
+    k = (n*trim) DIV 1e6, long kept-sum, signed half-up division —
+    no float; the rank window and the final aggregate share one
+    exchange."""
+    from dads_spark.rollup import trimmed_mean
+
+    ev = _t(spark, sf_dir, "events")
+    return trimmed_mean(
+        ev.select("event_type", "value"),
+        ["event_type"],
+        "value",
+        trim_q6=100_000,
+    )
+
+
 _DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
 
 
@@ -9471,6 +9521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perm_entropy": q_perm_entropy,
         "nonlinearity": q_nonlinearity,
         "path_rollup": q_path_rollup,
+        "mirror_hosts": q_mirror_hosts,
+        "trimmed_mean": q_trimmed_mean,
     }
 
 
@@ -16865,5 +16917,79 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_pages,
                CAST(sum(n_chars) AS BIGINT) AS sum_weight
         FROM pre GROUP BY 1, 2, 3
+    """
+
+    # mirror_hosts: host-level containment from distinct md5 content
+    # fingerprints; the ubiquity cap (fp on > 16 hosts = boilerplate)
+    # applies identically; ratios are half-up integer divisions
+    d["mirror_hosts"] = """
+        WITH occ AS (
+            SELECT 'www.' || source || '.com' AS host,
+                   md5(text) AS fp
+            FROM documents
+            UNION ALL
+            SELECT 'mirror.' || source || '.com' AS host,
+                   md5(text) AS fp
+            FROM documents WHERE doc_id % 3 = 0),
+        d AS (SELECT DISTINCT host, fp FROM occ),
+        sizes AS (
+            SELECT host, CAST(count(*) AS BIGINT) AS n
+            FROM d GROUP BY 1),
+        fpc AS (SELECT fp FROM d GROUP BY fp HAVING count(*) <= 16),
+        pair AS (
+            SELECT a.host AS host_a, b.host AS host_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM d a
+            JOIN fpc f ON f.fp = a.fp
+            JOIN d b ON b.fp = a.fp AND a.host < b.host
+            GROUP BY 1, 2
+            HAVING count(*) >= 2)
+        SELECT host_a, host_b, n_shared,
+               sa.n AS n_a, sb.n AS n_b,
+               CAST((2 * 1000000 * n_shared
+                     + (sa.n + sb.n - n_shared))
+                    // (2 * (sa.n + sb.n - n_shared))
+                 AS BIGINT) AS jaccard_q6,
+               CAST((2 * 1000000 * n_shared + least(sa.n, sb.n))
+                    // (2 * least(sa.n, sb.n))
+                 AS BIGINT) AS containment_q6
+        FROM pair
+        JOIN sizes sa ON sa.host = pair.host_a
+        JOIN sizes sb ON sb.host = pair.host_b
+    """
+
+    # trimmed_mean: 10% symmetric trim per event_type — q6 values,
+    # exact count cut k = (n*trim) DIV 1e6, long kept-sum, signed
+    # half-up division; rows tied at the cut carry equal q6 values so
+    # the kept sum needs no tiebreaker
+    d["trimmed_mean"] = """
+        WITH q AS (
+            SELECT event_type,
+                   CAST((CASE WHEN value < 0 THEN -1 ELSE 1 END)
+                        * floor(abs(value) * 1e6 + 0.5) AS BIGINT)
+                       AS xq
+            FROM events),
+        r AS (
+            SELECT event_type, xq,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY xq) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM q),
+        k AS (SELECT *, (n * 100000) // 1000000 AS k FROM r),
+        kept AS (
+            SELECT event_type, xq, n, k
+            FROM k WHERE rn > k AND rn <= n - k),
+        agg AS (
+            SELECT event_type,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(max(k) AS BIGINT) AS n_trimmed_each_side,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(xq) AS BIGINT) AS sum_kept_q6
+            FROM kept GROUP BY 1)
+        SELECT event_type, n, n_trimmed_each_side, n_kept, sum_kept_q6,
+               CAST((CASE WHEN sum_kept_q6 < 0 THEN -1 ELSE 1 END)
+                    * ((2 * abs(sum_kept_q6) + n_kept)
+                       // (2 * n_kept)) AS BIGINT) AS tmean_q6
+        FROM agg
     """
     return d

@@ -116,6 +116,7 @@ from .quantize import ann_pq_adc, pq_encode, train_pq_codebooks  # noqa: F401
 from .redact import k_anonymity_audit, pii_counts, redact_pii  # noqa: F401
 from .robots import parse_robots, robots_annotate, robots_filter  # noqa: F401
 from .boilerplate import boilerplate_lines, remove_boilerplate  # noqa: F401
+from .mirrors import mirror_hosts  # noqa: F401
 from .urltools import (  # noqa: F401
     blocklist_annotate,
     blocklist_filter,

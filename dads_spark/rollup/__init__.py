@@ -27,6 +27,7 @@ from .features import (  # noqa: F401
     nonlinearity_stats,
     perm_entropy,
     sample_entropy,
+    trimmed_mean,
     ts_features,
 )
 from .freqsketch import cm_build_tier, cm_cascade, cm_estimate  # noqa: F401

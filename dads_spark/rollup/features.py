@@ -42,7 +42,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-__all__ = ["ts_features", "sample_entropy", "perm_entropy", "nonlinearity_stats"]
+__all__ = [
+    "ts_features",
+    "sample_entropy",
+    "perm_entropy",
+    "nonlinearity_stats",
+    "trimmed_mean",
+]
 
 
 def ts_features(
@@ -426,4 +432,72 @@ def nonlinearity_stats(
         "trev_num",
         half_up("c3_num").alias("c3_mean"),
         half_up("trev_num").alias("trev_mean"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    trim_q6: int = 100_000,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Symmetric trimmed mean per key — the robust location gauge
+    between the mean (trim 0) and the median (trim 0.5): drop the k
+    lowest and k highest values, average the rest.  Monitoring uses it
+    where a handful of bot bursts or timeouts should not move the
+    center (the p-trimmed mean is the textbook robust estimator with a
+    tunable breakdown point).
+
+    Exact: values quantize to q6 longs (repo convention),
+    k = (n * trim_q6) DIV 1e6 exactly, the kept-rank sum is a long,
+    and tmean_q6 is a signed half-up integer division — no float.
+    Tie handling needs no tiebreaker column for correctness: ranks cut
+    by COUNT, and rows tied at the cut boundary carry equal q6 values,
+    so the kept SUM is identical whichever tied row is dropped.
+
+    Scale shape: one keyed window pass (rank + per-key count ride the
+    same partitioning), and the final aggregate reuses that
+    partitioning — a single exchange end-to-end.
+    """
+    order_cols = order_cols or []
+    q6v = (
+        F.signum(F.col(value_col))
+        * F.floor(F.abs(F.col(value_col)) * 1e6 + F.lit(0.5))
+    ).cast("long")
+    ws = W.partitionBy(*key_cols).orderBy("_xq", *order_cols)
+    wn = W.partitionBy(*key_cols)
+    staged = (
+        df.select(*key_cols, *order_cols, q6v.alias("_xq"))
+        .select(
+            *key_cols,
+            "_xq",
+            F.row_number().over(ws).alias("_r"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        .withColumn(
+            "_k", F.expr(f"(_n * {int(trim_q6)}) DIV 1000000")
+        )
+        .filter(
+            (F.col("_r") > F.col("_k"))
+            & (F.col("_r") <= F.col("_n") - F.col("_k"))
+        )
+    )
+    agg = staged.groupBy(*key_cols).agg(
+        F.max("_n").alias("n"),
+        F.max("_k").alias("n_trimmed_each_side"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("_xq").alias("sum_kept_q6"),
+    )
+    tmean = (
+        F.when(F.col("sum_kept_q6") < 0, F.lit(-1)).otherwise(F.lit(1))
+        * F.expr("(2 * abs(sum_kept_q6) + n_kept) DIV (2 * n_kept)")
+    ).cast("long")
+    return agg.select(
+        *key_cols,
+        "n",
+        "n_trimmed_each_side",
+        "n_kept",
+        "sum_kept_q6",
+        tmean.alias("tmean_q6"),
     )

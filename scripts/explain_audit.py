@@ -2048,6 +2048,46 @@ def main() -> None:
                   )[:400],
     ))
 
+    # --- A97: mirror_hosts / trimmed_mean -------------------------------------
+    df97a = em.queries()["mirror_hosts"](spark, sf_dir)
+    df97a.collect()  # AQE applies exchange reuse at runtime; audit the final plan
+    p97a = plan_of(df97a)
+    p97b = plan_of(em.queries()["trimmed_mean"](spark, sf_dir))
+    for p, nm in ((p97a, "mirror_hosts"), (p97b, "trimmed_mean")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p, nm
+        assert "BroadcastNestedLoopJoin" not in p, nm
+    assert "Generate" in p97a, (
+        "host pairs expand from the capped per-fp host ARRAY (<= C(cap,2) "
+        "pairs per fingerprint) — bounded by contract, never a corpus join"
+    )
+    assert "ReusedExchange" in p97a, (
+        "the distinct(host,fp)+inverted-index subtree must be shared across "
+        "the pair and size consumers at runtime, not recomputed per branch"
+    )
+    assert "Join" not in p97b and p97b.count("+- Exchange") == 1, (
+        "trimmed_mean: rank + per-key count ride ONE keyed sort/exchange "
+        "and the final aggregate reuses that partitioning"
+    )
+    assert p97b.count("+- Window") == 2 and p97b.count("+- Sort") == 1, (
+        "both windows share the single keyed sort"
+    )
+    sections.append((
+        "A97 mirror pairs bounded+subtree-reused, trimmed mean one exchange",
+        "PASS — mirror_hosts builds the fp->hosts inverted index once "
+        "(AQE ReusedExchange at runtime), expands pairs only from "
+        "fingerprints under the ubiquity cap (boilerplate checksums "
+        "never join), and every join is equi-keyed. trimmed_mean ranks "
+        "and counts in one keyed sort (two Window nodes, one Sort, one "
+        "Exchange) and its final aggregate reuses the partitioning — "
+        "quantization, cut and half-up mean are integer codegen "
+        "expressions",
+        "\n".join(l for l in (p97a + p97b).splitlines()
+                  if "Exchange" in l or "Window" in l or "Generate" in l
+                  or "Join" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
