@@ -9044,6 +9044,44 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov entropy rate H(Y|X) of event-type navigation per user
+    cohort (rollup/analytics.py markov_entropy_rate) — completes the
+    entropy triple (SampEn: value templates, PE: shapes, this: symbol
+    transitions). Exact transition/row counts; each cell's
+    c*(ln c_x - ln c_xy) quantizes to q3 BEFORE the cross-cell sum
+    (order-free long addition); rate is a half-up integer division.
+    Chains are scoped per user — transitions never cross users."""
+    from dads_spark.rollup import markov_entropy_rate
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 3).cast("long")
+    )
+    return markov_entropy_rate(
+        ev, ["cohort"], "user_id", "ts", "event_type", "event_id"
+    )
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma-mu)/(sigma+mu) of each
+    user's inter-event gaps (rollup/analytics.py burstiness) — the
+    bot-vs-human single gauge: metronomic gaps (B -> -1) are
+    automation however plausible each event looks. Exact long moments
+    (n, sum, sum of squares) carry the pin; b_q6 is one fixed-shape
+    float chain on exact operands. Epoch seconds are staged
+    numerically so both engines share the identical arithmetic."""
+    from dads_spark.rollup import burstiness
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000"
+        ).alias("sec"),
+    )
+    return burstiness(ev, ["user_id"], "sec", "event_id")
+
+
 _DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
 
 
@@ -9523,6 +9561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_rollup": q_path_rollup,
         "mirror_hosts": q_mirror_hosts,
         "trimmed_mean": q_trimmed_mean,
+        "markov_entropy": q_markov_entropy,
+        "burstiness": q_burstiness,
     }
 
 
@@ -16991,5 +17031,76 @@ def oracle_sql() -> dict[str, str]:
                     * ((2 * abs(sum_kept_q6) + n_kept)
                        // (2 * n_kept)) AS BIGINT) AS tmean_q6
         FROM agg
+    """
+
+    # markov_entropy: H(Y|X) of per-user event-type chains by cohort —
+    # exact cell/row counts, per-cell q3 quantization BEFORE the sum,
+    # half-up integer division; ln only sees exact longs
+    d["markov_entropy"] = """
+        WITH p AS (
+            SELECT user_id % 3 AS cohort, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id % 3, user_id
+                       ORDER BY ts, event_id) AS prev
+            FROM events),
+        cells AS (
+            SELECT cohort, prev AS x, event_type AS y,
+                   CAST(count(*) AS BIGINT) AS c_xy
+            FROM p WHERE prev IS NOT NULL GROUP BY 1, 2, 3),
+        wr AS (
+            SELECT *, sum(c_xy) OVER (PARTITION BY cohort, x) AS c_x
+            FROM cells),
+        t AS (
+            SELECT cohort, c_xy, x,
+                   CAST(floor(c_xy * (ln(c_x) - ln(c_xy)) * 1000
+                              + 0.5) AS BIGINT) AS tq
+            FROM wr),
+        a AS (
+            SELECT cohort,
+                   CAST(sum(c_xy) AS BIGINT) AS n_transitions,
+                   CAST(count(DISTINCT x) AS BIGINT) AS n_states,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(tq) AS BIGINT) AS sum_t
+            FROM t GROUP BY 1)
+        SELECT CAST(cohort AS BIGINT) AS cohort, n_transitions,
+               n_states, n_pairs,
+               CAST((2 * sum_t + n_transitions)
+                    // (2 * n_transitions) AS BIGINT) AS rate_q3
+        FROM a
+    """
+
+    # burstiness: Goh-Barabasi B per user from exact gap moments; the
+    # q6 value is one fixed-shape float chain on exact-long operands
+    d["burstiness"] = """
+        WITH e AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts) // 1000000 AS sec
+            FROM events),
+        g AS (
+            SELECT user_id,
+                   sec - lag(sec) OVER (PARTITION BY user_id
+                                        ORDER BY sec, event_id) AS gap
+            FROM e),
+        a AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap,
+                   CAST(sum(gap * gap) AS BIGINT) AS sum_gap2
+            FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        SELECT user_id, n_gaps, sum_gap, sum_gap2,
+               CASE WHEN sum_gap > 0 THEN
+                 CAST((CASE WHEN
+                         sqrt(CAST(n_gaps * sum_gap2
+                                   - sum_gap * sum_gap AS DOUBLE))
+                         - sum_gap < 0 THEN -1 ELSE 1 END)
+                      * floor(abs(
+                          (sqrt(CAST(n_gaps * sum_gap2
+                                     - sum_gap * sum_gap AS DOUBLE))
+                           - sum_gap)
+                          / (sqrt(CAST(n_gaps * sum_gap2
+                                       - sum_gap * sum_gap AS DOUBLE))
+                             + sum_gap)) * 1e6 + 0.5) AS BIGINT)
+               END AS b_q6
+        FROM a
     """
     return d

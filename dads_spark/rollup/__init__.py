@@ -92,7 +92,9 @@ from .analytics import (  # noqa: F401
     anomaly_ensemble,
     autocorrelation,
     burst_intervals,
+    burstiness,
     calendar_compare,
+    markov_entropy_rate,
     decayed_popularity,
     duration_above,
     exp_histogram,

@@ -1801,3 +1801,151 @@ def rolling_corr(
         .cast("long")
         .alias("r_q6"),
     )
+
+
+def markov_entropy_rate(
+    events: DataFrame,
+    key_cols: list[str],
+    chain_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Entropy rate of the first-order Markov chain over event types,
+    per key — the navigation-predictability gauge that completes the
+    entropy triple (sample_entropy: value templates; perm_entropy:
+    shape patterns; this: SYMBOL transitions): H(Y|X) ~ 0 means users
+    follow one funnel (or a bot replays one loop); high H(Y|X) means
+    the next step is genuinely uncertain.  ``chain_col`` scopes the
+    chains (transitions never cross users/sessions).
+
+        H(Y|X) = (1/N) * sum_xy c_xy * (ln c_x - ln c_xy)
+
+    with c_xy the exact transition counts, c_x the row totals, N total
+    transitions.  Exactness discipline: ln only ever sees an exact
+    long; each cell quantizes BEFORE the cross-cell sum —
+    t_xy = floor(c_xy * (ln(c_x) - ln(c_xy)) * 1000 + 0.5), always
+    >= 0 since c_x >= c_xy — so the sum is order-free long addition
+    and rate_q3 = (2*sum_t + N) DIV (2*N) is a half-up integer
+    division.
+
+    Scale shape: one keyed window pass pairs each event with its
+    predecessor, one aggregate to (key, x, y) cells; the row totals
+    ride a tiny post-aggregation window over the CELL relation
+    (|types|^2 rows per key, not events), and the final per-key
+    aggregate is cell-sized.  Returns (keys..., n_transitions,
+    n_states, n_pairs, rate_q3).
+    """
+    wchain = W.partitionBy(*key_cols, chain_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            *key_cols,
+            F.col(type_col).alias("_y"),
+            F.lag(type_col).over(wchain).alias("_x"),
+        )
+        .filter(F.col("_x").isNotNull())
+    )
+    cells = pairs.groupBy(*key_cols, "_x", "_y").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+    rowt = W.partitionBy(*key_cols, "_x")
+    with_row = cells.withColumn("c_x", F.sum("c_xy").over(rowt))
+    t_cell = F.floor(
+        F.col("c_xy").cast("double")
+        * (
+            F.log(F.col("c_x").cast("double"))
+            - F.log(F.col("c_xy").cast("double"))
+        )
+        * 1000
+        + F.lit(0.5)
+    ).cast("long")
+    per_key = with_row.select(
+        *key_cols, "c_xy", t_cell.alias("_t"), "_x", "_y"
+    ).groupBy(*key_cols).agg(
+        F.sum("c_xy").alias("n_transitions"),
+        F.count_distinct("_x").alias("n_states"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_t").alias("_sum_t"),
+    )
+    rate = F.expr(
+        "(2 * _sum_t + n_transitions) DIV (2 * n_transitions)"
+    ).cast("long")
+    return per_key.select(
+        *key_cols,
+        "n_transitions",
+        "n_states",
+        "n_pairs",
+        rate.alias("rate_q3"),
+    )
+
+
+def burstiness(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Goh-Barabasi burstiness index per key over inter-arrival gaps:
+
+        B = (sigma - mu) / (sigma + mu)   in (-1, 1)
+
+    B -> -1 periodic (heartbeat/cron), B ~ 0 Poisson, B -> +1 bursty
+    (human/incident traffic) — THE single-number gauge the crawl
+    scheduler and bot detector both read (a "user" whose gaps are
+    metronomic is automation, however plausible each event looks).
+
+    Exactness: gaps are exact long seconds; moments (n, sum_g,
+    sum_g2) are exact longs, and with A = n*sum_g2 - sum_g^2 (exact),
+    B = (sqrt(A) - sum_g) / (sqrt(A) + sum_g) — sqrt(A)/n = sigma and
+    sum_g/n = mu, the n cancels.  b_q6 is that one fixed-shape float
+    chain on exact-long operands, identical on any engine; the exact
+    moments are emitted alongside so the float never carries the pin
+    alone.
+
+    Caller bound: n * sum(g^2) < 2^63 — gaps in seconds over real
+    event streams by construction.
+
+    Scale shape: one keyed window pass (lag ts), the moment aggregate
+    reuses the window partitioning — a single exchange.
+
+    ``ts_col`` may be a timestamp (converted via unix_timestamp) or an
+    already-numeric epoch-seconds column (used as-is — pass this form
+    when an oracle twin must share the exact epoch arithmetic).
+    """
+    from pyspark.sql.types import NumericType
+
+    ws = W.partitionBy(*key_cols).orderBy(ts_col, id_col)
+    if isinstance(events.schema[ts_col].dataType, NumericType):
+        sec = F.col(ts_col).cast("long")
+    else:
+        sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    gaps = (
+        events.select(
+            *key_cols,
+            (sec - F.lag(sec).over(ws)).alias("_g"),
+        )
+        .filter(F.col("_g").isNotNull())
+    )
+    agg = gaps.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("_g").alias("sum_gap"),
+        F.sum(F.col("_g") * F.col("_g")).alias("sum_gap2"),
+    )
+    a = (
+        F.col("n_gaps") * F.col("sum_gap2")
+        - F.col("sum_gap") * F.col("sum_gap")
+    ).cast("double")
+    num = F.sqrt(a) - F.col("sum_gap").cast("double")
+    den = F.sqrt(a) + F.col("sum_gap").cast("double")
+    ratio = num / den
+    b_q6 = (
+        F.when(ratio < 0, F.lit(-1)).otherwise(F.lit(1))
+        * F.floor(F.abs(ratio) * 1e6 + F.lit(0.5))
+    ).cast("long")
+    return agg.select(
+        *key_cols,
+        "n_gaps",
+        "sum_gap",
+        "sum_gap2",
+        F.when(F.col("sum_gap") > 0, b_q6).alias("b_q6"),
+    )

@@ -2088,6 +2088,35 @@ def main() -> None:
                   or "Join" in l)[:400],
     ))
 
+    # --- A98: markov_entropy / burstiness -------------------------------------
+    p98a = plan_of(em.queries()["markov_entropy"](spark, sf_dir))
+    p98b = plan_of(em.queries()["burstiness"](spark, sf_dir))
+    for p, nm in ((p98a, "markov_entropy"), (p98b, "burstiness")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "Join" not in p and "SinglePartition" not in p, nm
+    assert p98a.count("+- Window (") == 2, (
+        "markov: one event-sized lag window (per chain) + one CELL-sized "
+        "row-total window — the second runs on the |types|^2 aggregate, "
+        "never on events"
+    )
+    assert p98b.count("+- Exchange") == 1 and p98b.count("+- Window (") == 1, (
+        "burstiness: lag window and moment aggregate share ONE keyed "
+        "exchange"
+    )
+    sections.append((
+        "A98 markov row-totals on cells not events, burstiness one exchange",
+        "PASS — markov_entropy pairs events in one chain-keyed lag "
+        "window, reduces to (cohort, x, y) cells, and only THEN runs "
+        "the row-total window over the tiny cell relation; the per-key "
+        "aggregate is cell-sized. burstiness computes gaps in one "
+        "user-keyed lag window and its exact moment aggregate reuses "
+        "the same partitioning — a single exchange, with the B index a "
+        "fixed-shape float chain on exact-long operands in codegen",
+        "\n".join(l for l in (p98a + p98b).splitlines()
+                  if "Exchange" in l or "Window" in l)[:300],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
