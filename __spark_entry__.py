@@ -9082,6 +9082,29 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burstiness(ev, ["user_id"], "sec", "event_id")
 
 
+_BLOCKWORD_CATEGORIES = {
+    "joins": ["join", "merge"],
+    "scans": ["scan", "filter"],
+    "streaming": ["stream", "window"],
+}
+
+
+def q_blockword_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category word-blocklist scanner (ops/quality.py blockword_scan)
+    — the C4 'bad words' pass generalized to per-category counts so
+    curation can drop/down-weight/route instead of a binary kill.
+    One regexp_count per category in a single map-only codegen
+    projection (zero shuffles at 100 TB); integer flag threshold.
+    Demo categories use the synthetic corpus vocabulary."""
+    from dads_spark.ops import blockword_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    return blockword_scan(
+        docs, "text", _BLOCKWORD_CATEGORIES, ["doc_id"],
+        flag_per_10k=600,
+    )
+
+
 _DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
 
 
@@ -9563,6 +9586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": q_trimmed_mean,
         "markov_entropy": q_markov_entropy,
         "burstiness": q_burstiness,
+        "blockword_scan": q_blockword_scan,
     }
 
 
@@ -17102,5 +17126,39 @@ def oracle_sql() -> dict[str, str]:
                              + sum_gap)) * 1e6 + 0.5) AS BIGINT)
                END AS b_q6
         FROM a
+    """
+
+    # blockword_scan: per-category whole-word blocklist counts — one
+    # regexp count per category, RE2/Java-identical '(?i)\\b(...)\\b'
+    # subset, integer flag threshold 10000*hits > 600*tokens
+    d["blockword_scan"] = """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(
+                   text, '(?i)\\b(join|merge)\\b')) AS BIGINT)
+                   AS n_joins,
+               CAST(len(regexp_extract_all(
+                   text, '(?i)\\b(filter|scan)\\b')) AS BIGINT)
+                   AS n_scans,
+               CAST(len(regexp_extract_all(
+                   text, '(?i)\\b(stream|window)\\b')) AS BIGINT)
+                   AS n_streaming,
+               CAST(len(regexp_extract_all(
+                       text, '(?i)\\b(join|merge)\\b'))
+                    + len(regexp_extract_all(
+                       text, '(?i)\\b(filter|scan)\\b'))
+                    + len(regexp_extract_all(
+                       text, '(?i)\\b(stream|window)\\b'))
+                 AS BIGINT) AS n_blocked_total,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                 AS BIGINT) AS n_tokens,
+               10000 * (len(regexp_extract_all(
+                            text, '(?i)\\b(join|merge)\\b'))
+                        + len(regexp_extract_all(
+                            text, '(?i)\\b(filter|scan)\\b'))
+                        + len(regexp_extract_all(
+                            text, '(?i)\\b(stream|window)\\b')))
+                 > 600 * len(regexp_split_to_array(trim(text), '\\s+'))
+                 AS flagged
+        FROM documents
     """
     return d

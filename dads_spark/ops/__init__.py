@@ -30,6 +30,7 @@ from .bpe import (  # noqa: F401
 from .embpca import embedding_pca, pca_components  # noqa: F401
 from .fuzzyjoin import fuzzy_pairs  # noqa: F401
 from .quality import (  # noqa: F401
+    blockword_scan,
     c4_clean,
     gopher_rules,
     perplexity_buckets,

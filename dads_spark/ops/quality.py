@@ -402,3 +402,57 @@ def zlib_ratio(
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def blockword_scan(
+    df: DataFrame,
+    text_col: str,
+    categories: dict[str, list[str]],
+    id_cols: list[str],
+    flag_per_10k: int = 20,
+) -> DataFrame:
+    """Category word-blocklist scanner — the C4 "bad words" pass
+    (Raffel et al. 2020 §2.2 dropped any page matching the public
+    blocklist) generalized to CATEGORY COUNTS: per document, the exact
+    number of blocklisted-term hits per category, the total, the token
+    count, and a flag when hits exceed ``flag_per_10k`` per 10k tokens
+    — so downstream can drop, down-weight, or route per category
+    instead of a binary kill.
+
+    Matching: case-insensitive whole words (``(?i)\\b(w1|w2|...)\\b``;
+    terms are regex-escaped, so lists stay plain words).  Both RE2 and
+    Java regex implement this subset identically — the boilerplate /
+    script_mix cross-engine discipline.  The flag threshold is integer:
+    ``10000 * total_hits > flag_per_10k * n_tokens``.
+
+    Scale shape: the lists compile into ONE regexp_count per category
+    inside a single map-only codegen projection over the scan — zero
+    shuffles, zero Python, zero joins at 100 TB; the blocklists ride
+    the plan as literals (the broadcast-rules shape of
+    domain_blocklist/robots, degenerated to constants).
+    """
+    import re as _re
+
+    cols = [F.col(c) for c in id_cols]
+    total = None
+    cat_cols = []
+    for cat in sorted(categories):
+        terms = sorted(categories[cat])
+        pat = "(?i)\\b(" + "|".join(_re.escape(t) for t in terms) + ")\\b"
+        c = F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        cat_cols.append(c.alias(f"n_{cat}"))
+        total = c if total is None else total + c
+    n_tokens = F.size(
+        F.split(F.trim(F.col(text_col)), r"\s+")
+    ).cast("long")
+    staged = df.select(
+        *cols,
+        *cat_cols,
+        total.cast("long").alias("n_blocked_total"),
+        n_tokens.alias("n_tokens"),
+    )
+    flagged = (
+        F.lit(10_000) * F.col("n_blocked_total")
+        > F.lit(int(flag_per_10k)) * F.col("n_tokens")
+    ).alias("flagged")
+    return staged.select(*[c for c in staged.columns], flagged)

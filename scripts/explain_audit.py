@@ -2117,6 +2117,27 @@ def main() -> None:
                   if "Exchange" in l or "Window" in l)[:300],
     ))
 
+    # --- A99: blockword_scan ---------------------------------------------------
+    p99 = plan_of(em.queries()["blockword_scan"](spark, sf_dir))
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p99, f"blockword_scan plan contains {py_op}"
+    assert "Exchange" not in p99 and "Join" not in p99, (
+        "blockword_scan is MAP-ONLY: all category regexp counts + the "
+        "integer flag fold into one codegen projection over the scan"
+    )
+    assert "codegen id" in p99, "counts must ride codegen"
+    sections.append((
+        "A99 blockword scanner map-only, lists ride the plan as literals",
+        "PASS — blockword_scan compiles every category list into one "
+        "regexp_count inside a single map-only WholeStageCodegen "
+        "projection: zero exchanges, zero joins, zero Python — the "
+        "corpus-wide C4-style blocklist pass costs exactly one scan at "
+        "100 TB (the broadcast-rules shape degenerated to literals)",
+        "\n".join(l for l in p99.splitlines()
+                  if "Scan" in l or "Project" in l
+                  or "WholeStageCodegen" in l)[:250],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
