@@ -9105,6 +9105,64 @@ def q_blockword_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_series_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-series TRIAGE PROFILE flagship — the feature-store
+    vector a series router reads before any per-series model runs,
+    assembled from five independent gauges over the SAME hourly
+    series: sample entropy (value-template regularity), permutation
+    entropy (shape complexity), 24h DFT amplitude (diurnal strength),
+    Hurst exponent (persistence), c3/trev at lag 24 (nonlinearity /
+    time-asymmetry). One row per series; every column carries its
+    operator's exact-integer pin, and the oracle composes the five
+    oracle queries verbatim — the composition itself is what this
+    entry certifies."""
+    from dads_spark.rollup import (
+        dft_daily,
+        hurst_rs,
+        nonlinearity_stats,
+        perm_entropy,
+        sample_entropy,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+        ).alias("hw"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    se = sample_entropy(hourly, ["event_type"], "hw", "cnt", r=2).select(
+        "event_type", "sampen_q3"
+    )
+    pe = perm_entropy(hourly, ["event_type"], "hw", "cnt").select(
+        "event_type", "pe_q3"
+    )
+    d1 = (
+        dft_daily(hourly, ["event_type"], "hw", "cnt")
+        .filter(F.col("harmonic") == 1)
+        .select("event_type", F.col("amp_q6").alias("amp24_q6"))
+    )
+    hu = (
+        hurst_rs(
+            hourly, ["event_type"], "hw", "cnt", sizes=(16, 32, 64, 128)
+        )
+        .select("event_type", "hurst_q6")
+        .distinct()
+    )
+    nl = (
+        nonlinearity_stats(
+            hourly, ["event_type"], "hw", "cnt", lags=(24,)
+        )
+        .select("event_type", "c3_mean", "trev_mean")
+    )
+    return (
+        se.join(pe, "event_type")
+        .join(d1, "event_type")
+        .join(hu, "event_type")
+        .join(nl, "event_type")
+    )
+
+
 _DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
 
 
@@ -9587,6 +9645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_entropy": q_markov_entropy,
         "burstiness": q_burstiness,
         "blockword_scan": q_blockword_scan,
+        "series_triage": q_series_triage,
     }
 
 
@@ -17161,4 +17220,23 @@ def oracle_sql() -> dict[str, str]:
                  AS flagged
         FROM documents
     """
+
+    # series_triage: the composed per-series profile — the five gauge
+    # oracles embedded VERBATIM as derived tables and joined on the
+    # series key; certifies the composition, not new math
+    d["series_triage"] = (
+        "SELECT se.event_type, se.sampen_q3, pe.pe_q3, d1.amp24_q6,\n"
+        "       hu.hurst_q6, nl.c3_mean, nl.trev_mean\n"
+        "FROM (" + d["sample_entropy"] + ") se\n"
+        "JOIN (" + d["perm_entropy"] + ") pe USING (event_type)\n"
+        "JOIN (SELECT event_type, amp_q6 AS amp24_q6 FROM ("
+        + d["dft_daily"]
+        + ") WHERE harmonic = 1) d1 USING (event_type)\n"
+        "JOIN (SELECT DISTINCT event_type, hurst_q6 FROM ("
+        + d["hurst_rs"]
+        + ")) hu USING (event_type)\n"
+        "JOIN (SELECT event_type, c3_mean, trev_mean FROM ("
+        + d["nonlinearity"]
+        + ') WHERE "lag" = 24) nl USING (event_type)'
+    )
     return d

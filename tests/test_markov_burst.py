@@ -132,3 +132,29 @@ def test_burstiness_matches_scalar_replica(spark):
     want = sgn * math.floor(abs(ratio) * 1e6 + 0.5)
     assert (r["n_gaps"], r["sum_gap"], r["sum_gap2"]) == (n, sg, sg2)
     assert r["b_q6"] == want
+
+
+def test_series_triage_composition_matches_components(spark):
+    """The composed triage profile must equal the component gauges
+    computed independently on the same staged series."""
+    import __spark_entry__ as em
+    from dads_spark.rollup import perm_entropy, sample_entropy
+
+    sf = "/root/testdata/sf0.001"
+    triage = {r["event_type"]: r for r in
+              em.queries()["series_triage"](spark, sf).collect()}
+    assert len(triage) == 5
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    from pyspark.sql import functions as F
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000")
+        .alias("hw"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    se = {r["event_type"]: r["sampen_q3"] for r in
+          sample_entropy(hourly, ["event_type"], "hw", "cnt").collect()}
+    pe = {r["event_type"]: r["pe_q3"] for r in
+          perm_entropy(hourly, ["event_type"], "hw", "cnt").collect()}
+    for k, row in triage.items():
+        assert row["sampen_q3"] == se[k]
+        assert row["pe_q3"] == pe[k]
