@@ -9163,6 +9163,40 @@ def q_series_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA communities over the synthetic
+    crawl's domain graph (ops/linkgraph.py modularity) — LPA finds
+    the communities, this SCORES them: Q is the exact integer
+    fraction sum_c(4*m*e_c - d_c^2) / (4*m^2), emitted per community
+    with the exact (e_intra, d_sum, m_edges) operands plus the
+    signed half-up q6 of the global Q. The oracle embeds the full
+    label_propagation oracle verbatim for the labels."""
+    from dads_spark.ops import (
+        domain_edges,
+        extract_links,
+        label_propagation,
+        modularity,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example.com")).alias("src_domain"),
+        F.concat(
+            F.lit('<p><a href="https://h'),
+            ((F.col("doc_id") * 31 + 7) % 97).cast("string"),
+            F.lit('.example.com/x">l</a> <a href=\'http://h'),
+            ((F.col("doc_id") * 5 + 3) % 11).cast("string"),
+            F.lit(".org/y'>m</a></p>"),
+        ).alias("html"),
+    )
+    links = extract_links(pages, "html", "doc_id", keep=("src_domain",))
+    edges = domain_edges(links, "src_domain", "link_url")
+    labels = label_propagation(edges, rounds=3)
+    return modularity(edges, labels)
+
+
 _DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
 
 
@@ -9646,6 +9680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness": q_burstiness,
         "blockword_scan": q_blockword_scan,
         "series_triage": q_series_triage,
+        "modularity": q_modularity,
     }
 
 
@@ -17238,5 +17273,78 @@ def oracle_sql() -> dict[str, str]:
         "JOIN (SELECT event_type, c3_mean, trev_mean FROM ("
         + d["nonlinearity"]
         + ') WHERE "lag" = 24) nl USING (event_type)'
+    )
+
+    # modularity: exact Q fraction of the LPA communities — the full
+    # label_propagation oracle embedded verbatim supplies the labels;
+    # staging CTEs repeated for the undirected edge list
+    d["modularity"] = (
+        """
+        WITH pages AS (
+            SELECT doc_id,
+                   'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com'
+                       AS src_domain,
+                   '<p><a href="https://h'
+                   || CAST((doc_id * 31 + 7) % 97 AS VARCHAR)
+                   || '.example.com/x">l</a> <a href=''http://h'
+                   || CAST((doc_id * 5 + 3) % 11 AS VARCHAR)
+                   || '.org/y''>m</a></p>' AS html
+            FROM documents),
+        l0x AS (
+            SELECT src_domain,
+                   unnest(regexp_extract_all(
+                       html,
+                       'href=["'']((?:https?)://[^"''\\s>]+)["'']', 1))
+                       AS link_url
+            FROM pages),
+        edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src_domain AS src,
+                       lower(regexp_extract(
+                           link_url, '^https?://([^/]+)', 1)) AS dst
+                FROM l0x)
+            WHERE dst IS NOT NULL AND dst <> '' AND dst <> src),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst),
+        lab AS (SELECT node, label FROM ("""
+        + d["label_propagation"]
+        + """) ),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS node FROM und
+                UNION ALL SELECT b FROM und)
+            GROUP BY 1),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM und),
+        percom AS (
+            SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(d.d) AS BIGINT) AS d_sum
+            FROM lab l JOIN deg d USING (node) GROUP BY 1),
+        intra AS (
+            SELECT la.label, CAST(count(*) AS BIGINT) AS e_intra
+            FROM und u
+            JOIN lab la ON la.node = u.a
+            JOIN lab lb ON lb.node = u.b
+            WHERE la.label = lb.label GROUP BY 1),
+        com AS (
+            SELECT p.label, p.n_nodes,
+                   CAST(COALESCE(i.e_intra, 0) AS BIGINT) AS e_intra,
+                   p.d_sum
+            FROM percom p LEFT JOIN intra i USING (label)),
+        g AS (
+            SELECT CAST(sum(4 * mm.m_edges * c.e_intra
+                            - c.d_sum * c.d_sum) AS BIGINT) AS num,
+                   CAST(max(4 * mm.m_edges * mm.m_edges) AS BIGINT)
+                       AS den
+            FROM com c CROSS JOIN mm),
+        q AS (
+            SELECT CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                        * ((2 * 1000000 * abs(num) + den)
+                           // (2 * den)) AS BIGINT) AS q_q6
+            FROM g)
+        SELECT c.label, c.n_nodes, c.e_intra, c.d_sum,
+               mm.m_edges, q.q_q6
+        FROM com c CROSS JOIN mm CROSS JOIN q
+    """
     )
     return d

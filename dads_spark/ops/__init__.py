@@ -73,6 +73,7 @@ from .linkgraph import (  # noqa: F401
     hits,
     label_propagation,
     link_prediction,
+    modularity,
     pagerank,
     triangle_counts,
     trustrank,
