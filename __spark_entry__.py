@@ -9197,6 +9197,29 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(edges, labels)
 
 
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% prediction intervals for the seasonal-naive
+    (t-168h) forecaster per event_type (rollup/forecast.py
+    conformal_interval) — distribution-free calibrated alert bands:
+    half-width = the ceil((n+1)*0.9)-th smallest calibration
+    |residual|, an exact order statistic; held-out coverage emitted
+    as the exact (n_covered, n_test) pair. Gap-safe wall-clock
+    seasonal join; integer rank arithmetic end to end."""
+    from dads_spark.rollup import conformal_interval
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+        ).alias("hw"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return conformal_interval(
+        hourly, ["event_type"], "hw", "cnt", season=168,
+        alpha_q6=100_000,
+    )
+
+
 _DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
 
 
@@ -9681,6 +9704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockword_scan": q_blockword_scan,
         "series_triage": q_series_triage,
         "modularity": q_modularity,
+        "conformal_interval": q_conformal_interval,
     }
 
 
@@ -17347,4 +17371,56 @@ def oracle_sql() -> dict[str, str]:
         FROM com c CROSS JOIN mm CROSS JOIN q
     """
     )
+
+    # conformal_interval: split-conformal 90% bands for the seasonal-
+    # naive forecaster — exact order-statistic half-width, integer
+    # rank arithmetic, exact held-out coverage pair
+    d["conformal_interval"] = """
+        WITH h AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS hw,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        elig AS (
+            SELECT a.event_type, a.hw, abs(a.x - b.x) AS r
+            FROM h a JOIN h b ON b.event_type = a.event_type
+                             AND b.hw = a.hw - 168),
+        sp AS (
+            SELECT event_type, hw, r,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY hw) AS pos,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM elig),
+        sp2 AS (
+            SELECT *, (2 * n) // 3 AS ncal,
+                   (pos <= (2 * n) // 3) AS is_cal
+            FROM sp),
+        cal AS (
+            SELECT event_type, r, ncal,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY r, hw) AS rrank
+            FROM sp2 WHERE is_cal),
+        width AS (
+            SELECT event_type, CAST(ncal AS BIGINT) AS n_cal,
+                   CAST(least(ncal,
+                        ((ncal + 1) * 900000 + 999999) // 1000000)
+                     AS BIGINT) AS k_rank,
+                   CAST(r AS BIGINT) AS halfwidth
+            FROM cal
+            WHERE rrank = least(ncal,
+                  ((ncal + 1) * 900000 + 999999) // 1000000)),
+        tst AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_test
+            FROM sp2 WHERE NOT is_cal GROUP BY 1),
+        cov AS (
+            SELECT s.event_type,
+                   CAST(sum(CASE WHEN s.r <= w.halfwidth
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+            FROM sp2 s JOIN width w USING (event_type)
+            WHERE NOT s.is_cal GROUP BY 1)
+        SELECT w.event_type, w.n_cal, w.k_rank, w.halfwidth,
+               t.n_test, COALESCE(c.n_covered, 0) AS n_covered
+        FROM width w
+        JOIN tst t USING (event_type)
+        LEFT JOIN cov c USING (event_type)
+    """
     return d

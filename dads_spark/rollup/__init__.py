@@ -62,6 +62,7 @@ from .downsample import (  # noqa: F401
     ohlc_bars,
 )
 from .forecast import (  # noqa: F401
+    conformal_interval,
     cusum_changepoints,
     cusum_grouped,
     holt_forecast,

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def holt_forecast(
@@ -400,3 +400,121 @@ def croston_grouped(
         )
 
     return df.groupBy(*key_cols).applyInPandas(f, out_schema)
+
+
+def conformal_interval(
+    buckets: DataFrame,
+    key_cols: list[str],
+    hw_col: str,
+    value_col: str,
+    season: int = 168,
+    alpha_q6: int = 100_000,
+) -> DataFrame:
+    """Split-conformal prediction intervals for the seasonal-naive
+    forecaster, per series — the DISTRIBUTION-FREE way to turn a point
+    forecast into a calibrated band (Vovk et al.; the modern
+    uncertainty standard): the (1-alpha) interval half-width is the
+    ceil((n+1)(1-alpha))-th smallest calibration residual, and the
+    guarantee needs NO model or distribution assumption.  Monitoring
+    reads it as "how wide must the alert band be to page at most
+    alpha of the time".
+
+    Exact, end to end:
+    - prediction = value at bucket (hw - season), a WALL-CLOCK
+      equi-join (gap-safe where a row lag would misalign — the
+      rolling_backtest discipline); buckets without a seasonal
+      predecessor are ineligible;
+    - eligible buckets split by exact row position per series:
+      calibration = first (2*n_elig) DIV 3, test = rest;
+    - half-width = the k-th smallest |residual| with
+      k = min(n_cal, ceil((n_cal+1) * (1e6-alpha_q6) / 1e6)) — an
+      order statistic of exact longs (rank arithmetic in integers);
+    - coverage on the held-out test rows is the exact pair
+      (n_covered, n_test): |residual| <= half-width.
+
+    Returns (keys..., n_cal, k_rank, halfwidth, n_test, n_covered).
+
+    Scale shape: one self equi-join on (key, hw-season) — shifted
+    integers, no range logic; two keyed window passes (position split,
+    residual rank) and a final keyed aggregate, all on the series key.
+    """
+    x = F.col(value_col).cast("long")
+    base = buckets.select(
+        *key_cols, F.col(hw_col).cast("long").alias("_hw"), x.alias("_x")
+    )
+    pred = base.select(
+        *key_cols,
+        (F.col("_hw") + F.lit(int(season))).alias("_hw"),
+        F.col("_x").alias("_pred"),
+    )
+    elig = base.join(pred, [*key_cols, "_hw"]).select(
+        *key_cols,
+        "_hw",
+        F.abs(F.col("_x") - F.col("_pred")).alias("_r"),
+    )
+    wpos = W.partitionBy(*key_cols).orderBy("_hw")
+    wn = W.partitionBy(*key_cols)
+    split = (
+        elig.select(
+            *key_cols,
+            "_hw",
+            "_r",
+            F.row_number().over(wpos).alias("_pos"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        .withColumn("_ncal", F.expr("(2 * _n) DIV 3"))
+        .withColumn("_is_cal", F.col("_pos") <= F.col("_ncal"))
+    )
+    wrank = W.partitionBy(*key_cols).orderBy("_r", "_hw")
+    cal = split.filter("_is_cal").select(
+        *key_cols,
+        "_r",
+        F.row_number().over(wrank).alias("_rrank"),
+        F.col("_ncal").alias("n_cal"),
+    )
+    k = F.least(
+        F.col("n_cal"),
+        F.expr(
+            f"((n_cal + 1) * (1000000 - {int(alpha_q6)}) + 999999)"
+            " DIV 1000000"
+        ),
+    )
+    width = (
+        cal.withColumn("_k", k)
+        .filter(F.col("_rrank") == F.col("_k"))
+        .select(
+            *key_cols,
+            "n_cal",
+            F.col("_k").alias("k_rank"),
+            F.col("_r").alias("halfwidth"),
+        )
+    )
+    test = (
+        split.filter(~F.col("_is_cal"))
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_test"))
+    )
+    covered = (
+        split.filter(~F.col("_is_cal"))
+        .join(width, list(key_cols))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(
+                F.when(F.col("_r") <= F.col("halfwidth"), 1).otherwise(0)
+            ).cast("long").alias("n_covered")
+        )
+    )
+    return (
+        width.join(test, list(key_cols))
+        .join(covered, list(key_cols), "left")
+        .select(
+            *key_cols,
+            "n_cal",
+            "k_rank",
+            "halfwidth",
+            "n_test",
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias(
+                "n_covered"
+            ),
+        )
+    )

