@@ -9220,6 +9220,38 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maxmin_fair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) fetch-slot allocation
+    (ops/apportion.py maxmin_fair): per-host page counts as demands
+    against a capacity of 300 slots — small hosts satisfied in full,
+    the residue split evenly (integer water level + MOD leftover in
+    (demand, key) order). Pure BIGINT DIV/MOD/rank arithmetic; the
+    exact complement of the Hamilton proportional split."""
+    from dads_spark.ops import maxmin_fair
+
+    docs = _t(spark, sf_dir, "documents")
+    dem = docs.groupBy(
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string"))
+        .alias("grp")
+    ).agg(F.count(F.lit(1)).alias("demand"))
+    return maxmin_fair(dem, capacity=300)
+
+
+def q_topk_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-capped categorical rollup (rollup/analytics.py
+    topk_other): top-10 users per event_type kept exactly, the tail
+    collapsed into one __other__ bucket that PRESERVES totals — the
+    dashboard/tier materialization standard for high-cardinality
+    dimensions. Deterministic (weight DESC, category ASC) boundary;
+    the rank window and re-aggregate run on the category relation."""
+    from dads_spark.rollup import topk_other
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("user")
+    )
+    return topk_other(ev, ["event_type"], "user", k=10)
+
+
 _DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
 
 
@@ -9705,6 +9737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_triage": q_series_triage,
         "modularity": q_modularity,
         "conformal_interval": q_conformal_interval,
+        "maxmin_fair": q_maxmin_fair,
+        "topk_other": q_topk_other,
     }
 
 
@@ -17422,5 +17456,72 @@ def oracle_sql() -> dict[str, str]:
         FROM width w
         JOIN tst t USING (event_type)
         LEFT JOIN cov c USING (event_type)
+    """
+
+    # maxmin_fair: water-filling allocation — exact integer prefix
+    # feasibility (monotone in sorted order), water level = DIV, the
+    # MOD leftover handed out in (demand, key) order
+    d["maxmin_fair"] = """
+        WITH dem AS (
+            SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS grp,
+                   CAST(count(*) AS BIGINT) AS demand
+            FROM documents GROUP BY 1),
+        s AS (
+            SELECT grp, demand,
+                   row_number() OVER (ORDER BY demand, grp) AS i,
+                   sum(demand) OVER (ORDER BY demand, grp
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS prefix,
+                   count(*) OVER () AS n
+            FROM dem),
+        f AS (
+            SELECT *, (prefix + (n - i) * demand <= 300) AS ok
+            FROM s),
+        kk AS (
+            SELECT COALESCE(max(CASE WHEN ok THEN i END), 0) AS k,
+                   COALESCE(max(CASE WHEN ok THEN prefix END), 0)
+                       AS pk,
+                   max(n) AS nn
+            FROM f),
+        lv AS (
+            SELECT k,
+                   CASE WHEN nn - k > 0
+                        THEN (300 - pk) // (nn - k) ELSE 0 END AS lvl,
+                   CASE WHEN nn - k > 0
+                        THEN (300 - pk) % (nn - k) ELSE 0 END AS extra
+            FROM kk)
+        SELECT grp, demand, allocated,
+               allocated = demand AS satisfied
+        FROM (
+            SELECT f.grp, f.demand,
+                   CAST(CASE WHEN f.i <= lv.k THEN f.demand
+                        ELSE lv.lvl + CASE WHEN f.i - lv.k <= lv.extra
+                                      THEN 1 ELSE 0 END
+                        END AS BIGINT) AS allocated
+            FROM f CROSS JOIN lv)
+    """
+
+    # topk_other: top-10 users per event_type kept exactly, tail
+    # collapsed into __other__ preserving totals; deterministic
+    # (weight DESC, category ASC) boundary
+    d["topk_other"] = """
+        WITH pc AS (
+            SELECT event_type, CAST(user_id AS VARCHAR) AS category,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM events GROUP BY 1, 2),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY weight DESC, category) AS rk
+            FROM pc),
+        rl AS (
+            SELECT event_type,
+                   CASE WHEN rk <= 10 THEN category
+                        ELSE '__other__' END AS category,
+                   weight
+            FROM r)
+        SELECT event_type, category,
+               CAST(sum(weight) AS BIGINT) AS weight,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM rl GROUP BY 1, 2
     """
     return d

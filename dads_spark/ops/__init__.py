@@ -158,7 +158,7 @@ from .bloom import bloom_dedup  # noqa: F401
 from .sitemaps import crawl_coverage, parse_sitemap  # noqa: F401
 from .multimodal import sniff_content_type  # noqa: F401
 from .cdx import latest_captures, parse_cdxj, surt_key  # noqa: F401
-from .apportion import apportion  # noqa: F401
+from .apportion import apportion, maxmin_fair  # noqa: F401
 from .ratelimit import token_bucket  # noqa: F401
 from .httpcache import cache_policy  # noqa: F401
 from .weblog import parse_clf  # noqa: F401

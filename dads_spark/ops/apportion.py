@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-__all__ = ["apportion"]
+__all__ = ["apportion", "maxmin_fair"]
 
 
 def apportion(
@@ -106,3 +106,102 @@ def apportion(
         )
         .withColumn("alloc", F.col("base") + F.col("extra"))
     )
+
+
+def maxmin_fair(
+    demands: DataFrame,
+    capacity: int,
+    group_col: str = "grp",
+    demand_col: str = "demand",
+) -> DataFrame:
+    """Max-min fair (water-filling) allocation of an integer capacity
+    across groups with integer demands — the OTHER canonical fair
+    division beside Hamilton proportionality: bandwidth schedulers,
+    crawl politeness budgets and fetch-slot arbiters use max-min so
+    small demands are satisfied in full and the remainder splits
+    evenly among the big ones (no group can gain without a
+    smaller-allocated group losing).
+
+    Exact integer construction over demands sorted (d asc, key asc):
+    k = the largest prefix where prefix_sum_k + (n-k)*d_k <= C (those
+    k groups are FULLY satisfied); the residue R = C - prefix_sum_k
+    splits among the u = n-k unsatisfied groups as the integer water
+    level L = R DIV u, with the R MOD u leftover slots handed one
+    each to the unsatisfied groups in (d asc, key asc) order.  Every
+    step is BIGINT DIV/MOD/rank arithmetic — allocations never exceed
+    demands (d_{k+1} > R/u forces d >= L+1), and they sum to
+    min(C, sum d) exactly.
+
+    Scale shape: the input is a per-group demand table (a dimension,
+    not the corpus), so the single-partition sort ranks |groups| rows
+    — the same bounded-dimension concession as ``apportion``; the
+    scalar water-level row travels as a 1-row broadcast.
+
+    Returns (group, demand, allocated, satisfied) — satisfied means
+    allocated == demand.
+    """
+    cap = int(capacity)
+    d = demands.select(
+        F.col(group_col).alias("grp"),
+        F.col(demand_col).cast("long").alias("demand"),
+    )
+    wo = W.orderBy(F.col("demand").asc(), F.col("grp").asc())
+    staged = d.select(
+        "grp",
+        "demand",
+        F.row_number().over(wo).alias("_i"),
+        F.sum("demand").over(
+            wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("_prefix"),
+        F.count(F.lit(1)).over(
+            wo.rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    feasible = staged.withColumn(
+        "_ok",
+        F.col("_prefix")
+        + (F.col("_n") - F.col("_i")) * F.col("demand")
+        <= F.lit(cap),
+    )
+    krow = feasible.agg(
+        F.max(F.when(F.col("_ok"), F.col("_i"))).alias("_k"),
+        F.max(F.when(F.col("_ok"), F.col("_prefix"))).alias("_pk"),
+        F.max("_n").alias("_nn"),
+    ).select(
+        F.coalesce("_k", F.lit(0)).alias("_k"),
+        F.coalesce("_pk", F.lit(0)).alias("_pk"),
+        "_nn",
+    ).select(
+        "_k",
+        (F.lit(cap) - F.col("_pk")).alias("_r"),
+        (F.col("_nn") - F.col("_k")).alias("_u"),
+    ).select(
+        "_k",
+        F.when(F.col("_u") > 0, F.expr("_r DIV _u"))
+        .otherwise(F.lit(0)).alias("_lvl"),
+        F.when(F.col("_u") > 0, F.expr("_r % _u"))
+        .otherwise(F.lit(0)).alias("_extra"),
+    )
+    alloc = (
+        feasible.crossJoin(F.broadcast(krow))
+        .select(
+            "grp",
+            "demand",
+            F.when(F.col("_i") <= F.col("_k"), F.col("demand"))
+            .otherwise(
+                F.col("_lvl")
+                + F.when(
+                    F.col("_i") - F.col("_k") <= F.col("_extra"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("allocated"),
+        )
+        .withColumn(
+            "satisfied", F.col("allocated") == F.col("demand")
+        )
+    )
+    return alloc

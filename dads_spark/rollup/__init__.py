@@ -96,6 +96,7 @@ from .analytics import (  # noqa: F401
     burstiness,
     calendar_compare,
     markov_entropy_rate,
+    topk_other,
     decayed_popularity,
     duration_above,
     exp_histogram,

@@ -1949,3 +1949,54 @@ def burstiness(
         "sum_gap2",
         F.when(F.col("sum_gap") > 0, b_q6).alias("b_q6"),
     )
+
+
+def topk_other(
+    df: DataFrame,
+    group_cols: list[str],
+    cat_col: str,
+    weight_col: str | None = None,
+    k: int = 10,
+    other_label: str = "__other__",
+) -> DataFrame:
+    """Cardinality-capped categorical rollup — the dashboard standard:
+    keep the top-k categories per group EXACTLY and collapse the long
+    tail into one ``__other__`` bucket that PRESERVES the totals (a
+    chart that silently truncates the tail lies about the total; this
+    never does).  Also the safe materialization shape for
+    high-cardinality dimensions in tiers: bounded rows per group, no
+    information loss at the aggregate level.
+
+    Deterministic: rank by (weight DESC, category ASC) — ties at the
+    k boundary cut by category name, engine-independent.  Exact
+    longs; ``weight_col`` None counts rows.
+
+    Returns (groups..., category, weight, n_members) where n_members
+    is how many original categories the row covers (1 for kept rows).
+
+    Scale shape: corpus -> per-(group, category) aggregate (one keyed
+    exchange, map-side partials), then the rank window and the
+    re-aggregate both run on the CATEGORY relation and reuse its
+    partitioning.
+    """
+    w = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1)
+    )
+    per_cat = df.groupBy(
+        *group_cols, F.col(cat_col).alias("category")
+    ).agg(F.sum(w).alias("weight"))
+    wr = W.partitionBy(*group_cols).orderBy(
+        F.col("weight").desc(), F.col("category").asc()
+    )
+    ranked = per_cat.withColumn("_rk", F.row_number().over(wr))
+    relabeled = ranked.select(
+        *group_cols,
+        F.when(F.col("_rk") <= F.lit(int(k)), F.col("category"))
+        .otherwise(F.lit(other_label))
+        .alias("category"),
+        "weight",
+    )
+    return relabeled.groupBy(*group_cols, "category").agg(
+        F.sum("weight").cast("long").alias("weight"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )

@@ -2194,6 +2194,35 @@ def main() -> None:
                   )[:300],
     ))
 
+    # --- A102: maxmin_fair / topk_other ---------------------------------------
+    p102a = plan_of(em.queries()["maxmin_fair"](spark, sf_dir))
+    p102b = plan_of(em.queries()["topk_other"](spark, sf_dir))
+    for p, nm in ((p102a, "maxmin_fair"), (p102b, "topk_other")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p, nm
+    assert "SinglePartition" not in p102b and "Join" not in p102b, (
+        "topk_other: the rank window and re-aggregate run keyed on the "
+        "group — no global stage, no join"
+    )
+    assert p102b.count("+- Exchange") == 2, (
+        "corpus->category aggregate, then one group-keyed exchange the "
+        "window and re-aggregate share"
+    )
+    sections.append((
+        "A102 water-filling on the dimension, topk+other group-keyed",
+        "PASS — maxmin_fair runs its sort/prefix windows on the per-"
+        "group DEMAND table (a dimension, the apportion concession) "
+        "and broadcasts only the 1-row water-level scalar; topk_other "
+        "reduces the corpus to the category relation in one keyed "
+        "exchange and runs the boundary rank + __other__ re-aggregate "
+        "on that relation with no global stage and no join — totals "
+        "preserved by construction",
+        "\n".join(l for l in (p102a + p102b).splitlines()
+                  if "Exchange" in l or "Window" in l or "Join" in l
+                  )[:300],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
