@@ -9252,6 +9252,31 @@ def q_topk_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_other(ev, ["event_type"], "user", k=10)
 
 
+def q_doc_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-DOCUMENT triage profile flagship — the curation
+    twin of series_triage: the quality vector a mixture/filter stage
+    reads per doc, assembled from five independent gauges (lexical
+    quality score, n-gram repetition, Flesch readability, token
+    entropy, blocklist hits+flag) joined on doc_id. Every column
+    carries its operator's pin; the oracle embeds the five oracle
+    queries verbatim — the entry certifies the COMPOSITION."""
+    tq = q_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    rep = q_repetition_stats(spark, sf_dir).select(
+        "doc_id", "dup_ngram_frac", "top_ngram_frac"
+    )
+    rd = q_readability(spark, sf_dir).select("doc_id", "flesch_q3")
+    te = q_token_entropy(spark, sf_dir).select("doc_id", "entropy")
+    bw = q_blockword_scan(spark, sf_dir).select(
+        "doc_id", "n_blocked_total", "flagged"
+    )
+    return (
+        tq.join(rep, "doc_id")
+        .join(rd, "doc_id")
+        .join(te, "doc_id")
+        .join(bw, "doc_id")
+    )
+
+
 _DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
 
 
@@ -9739,6 +9764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_interval": q_conformal_interval,
         "maxmin_fair": q_maxmin_fair,
         "topk_other": q_topk_other,
+        "doc_triage": q_doc_triage,
     }
 
 
@@ -17524,4 +17550,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_members
         FROM rl GROUP BY 1, 2
     """
+
+    # doc_triage: the composed per-document profile — the five gauge
+    # oracles embedded VERBATIM and joined on doc_id; certifies the
+    # composition, not new math
+    d["doc_triage"] = (
+        "SELECT tq.doc_id, tq.quality_score, rep.dup_ngram_frac,\n"
+        "       rep.top_ngram_frac, rd.flesch_q3, te.entropy,\n"
+        "       bw.n_blocked_total, bw.flagged\n"
+        "FROM (" + d["text_quality"] + ") tq\n"
+        "JOIN (" + d["repetition_stats"] + ") rep USING (doc_id)\n"
+        "JOIN (" + d["readability"] + ") rd USING (doc_id)\n"
+        "JOIN (" + d["token_entropy"] + ") te USING (doc_id)\n"
+        "JOIN (" + d["blockword_scan"] + ") bw USING (doc_id)"
+    )
     return d
