@@ -9277,6 +9277,26 @@ def q_doc_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-season additive decomposition (rollup/periodicity.py
+    multi_seasonal_profile): hour-of-day AND day-of-week effects per
+    event_type fitted sequentially in exact q6 integer arithmetic —
+    the MSTL-style answer to web traffic's superimposed daily+weekly
+    cycles that single-period seasonal_decompose cannot separate.
+    Every residual is bit-exact (integer half-up divisions only);
+    effect tables are 24/7 rows per key and broadcast back."""
+    from dads_spark.rollup import multi_seasonal_profile
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+        ).alias("hw"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return multi_seasonal_profile(hourly, ["event_type"], "hw", "cnt")
+
+
 _DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
 
 
@@ -9765,6 +9785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxmin_fair": q_maxmin_fair,
         "topk_other": q_topk_other,
         "doc_triage": q_doc_triage,
+        "multi_seasonal": q_multi_seasonal,
     }
 
 
@@ -17564,4 +17585,51 @@ def oracle_sql() -> dict[str, str]:
         "JOIN (" + d["token_entropy"] + ") te USING (doc_id)\n"
         "JOIN (" + d["blockword_scan"] + ") bw USING (doc_id)"
     )
+
+    # multi_seasonal: sequential hod-then-dow additive fit — every
+    # stage quantizes to q6 via signed half-up integer division BEFORE
+    # the next consumes it, so residuals are bit-exact
+    d["multi_seasonal"] = """
+        WITH h AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS hw,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        b AS (
+            SELECT event_type, hw, x,
+                   hw % 24 AS hod, (hw // 24 + 4) % 7 AS dow
+            FROM h),
+        g AS (
+            SELECT event_type,
+                   CAST((CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END)
+                        * ((2 * abs(1000000 * sum(x)) + count(*))
+                           // (2 * count(*))) AS BIGINT) AS base_q6
+            FROM b GROUP BY 1),
+        hodt AS (
+            SELECT b.event_type, b.hod,
+                   CAST((CASE WHEN sum(b.x) < 0 THEN -1 ELSE 1 END)
+                        * ((2 * abs(1000000 * sum(b.x)) + count(*))
+                           // (2 * count(*)))
+                        - max(g.base_q6) AS BIGINT) AS hod_eff_q6
+            FROM b JOIN g USING (event_type)
+            GROUP BY 1, 2),
+        wh AS (
+            SELECT b.event_type, b.hw, b.x, b.hod, b.dow,
+                   ht.hod_eff_q6,
+                   1000000 * b.x - g.base_q6 - ht.hod_eff_q6 AS r
+            FROM b
+            JOIN g USING (event_type)
+            JOIN hodt ht ON ht.event_type = b.event_type
+                        AND ht.hod = b.hod),
+        dowt AS (
+            SELECT event_type, dow,
+                   CAST((CASE WHEN sum(r) < 0 THEN -1 ELSE 1 END)
+                        * ((2 * abs(sum(r)) + count(*))
+                           // (2 * count(*))) AS BIGINT) AS dow_eff_q6
+            FROM wh GROUP BY 1, 2)
+        SELECT wh.event_type, wh.hw, wh.x, wh.hod, wh.dow,
+               wh.hod_eff_q6, dt.dow_eff_q6,
+               CAST(wh.r - dt.dow_eff_q6 AS BIGINT) AS resid_q6
+        FROM wh JOIN dowt dt ON dt.event_type = wh.event_type
+                            AND dt.dow = wh.dow
+    """
     return d

@@ -42,7 +42,11 @@ from .promql import (  # noqa: F401
     predict_linear,
 )
 from .reconcile import topdown_reconcile  # noqa: F401
-from .periodicity import acf_dominant_period, dft_daily  # noqa: F401
+from .periodicity import (  # noqa: F401
+    acf_dominant_period,
+    dft_daily,
+    multi_seasonal_profile,
+)
 from .intervals import hopping_rollup, merge_intervals  # noqa: F401
 from .series import domain_hourly_series, text_identity_fingerprint, with_domain  # noqa: F401
 from .retention import (  # noqa: F401

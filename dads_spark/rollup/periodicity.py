@@ -184,3 +184,113 @@ def dft_daily(
         "ss",
         amp.alias("amp_q6"),
     )
+
+
+def multi_seasonal_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    hour_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-season additive decomposition per series over an
+    (epoch-hour, integer value) grid:
+
+        x ~ base + hod(h mod 24) + dow((h div 24 + 4) mod 7) + resid
+
+    — hour-of-day AND day-of-week effects fitted SEQUENTIALLY (hod
+    first, then dow on the hod-removed residual), the MSTL-style
+    answer to web traffic's two superimposed cycles that the
+    single-period seasonal_decompose cannot separate (epoch day 0 =
+    Thursday, hence the +4).
+
+    Exactness discipline: every stage quantizes to q6 BEFORE the next
+    consumes it —
+
+        base_q6   = half-up(1e6 * S / n)
+        hod_q6(h) = half-up(1e6 * S_h / n_h) - base_q6
+        r_t       = 1e6*x_t - base_q6 - hod_q6(h_t)   (exact long)
+        dow_q6(d) = half-up(S_r,d / n_d)
+        resid_q6  = r_t - dow_q6(d_t)
+
+    so the whole fit is integer half-up divisions of exact longs; any
+    engine reproduces every residual bit-for-bit.
+
+    Scale shape: three keyed aggregates (key; key,hod; key,dow on the
+    residual) — the effect tables are 1/24/7 rows per key and join
+    back as broadcasts; the bucket grid is touched twice, never the
+    raw corpus.
+
+    Returns (keys..., hw, x, hod, dow, hod_eff_q6, dow_eff_q6,
+    resid_q6).
+    """
+    def half_up_pair(num_expr: str, den_expr: str) -> str:
+        return (
+            f"(CASE WHEN ({num_expr}) < 0 THEN -1 ELSE 1 END)"
+            f" * ((2 * abs({num_expr}) + ({den_expr}))"
+            f" DIV (2 * ({den_expr})))"
+        )
+
+    x = F.col(value_col).cast("long")
+    hw = F.col(hour_col).cast("long")
+    base_rows = df.select(
+        *key_cols,
+        hw.alias("hw"),
+        x.alias("x"),
+        (hw % 24).alias("hod"),
+        ((F.expr(f"CAST({hour_col} AS LONG) DIV 24") + 4) % 7).alias(
+            "dow"
+        ),
+    )
+    glob = base_rows.groupBy(*key_cols).agg(
+        F.sum("x").alias("_s"), F.count(F.lit(1)).alias("_n")
+    ).withColumn(
+        "base_q6",
+        F.expr(half_up_pair("1000000 * _s", "_n")).cast("long"),
+    ).select(*key_cols, "base_q6")
+    hod = (
+        base_rows.groupBy(*key_cols, "hod")
+        .agg(F.sum("x").alias("_sh"), F.count(F.lit(1)).alias("_nh"))
+        .join(F.broadcast(glob), list(key_cols))
+        .withColumn(
+            "hod_eff_q6",
+            (
+                F.expr(half_up_pair("1000000 * _sh", "_nh")).cast(
+                    "long"
+                )
+                - F.col("base_q6")
+            ),
+        )
+        .select(*key_cols, "hod", "hod_eff_q6")
+    )
+    with_hod = (
+        base_rows.join(F.broadcast(glob), list(key_cols))
+        .join(F.broadcast(hod), [*key_cols, "hod"])
+        .withColumn(
+            "_r",
+            F.lit(1_000_000) * F.col("x")
+            - F.col("base_q6")
+            - F.col("hod_eff_q6"),
+        )
+    )
+    dow = (
+        with_hod.groupBy(*key_cols, "dow")
+        .agg(F.sum("_r").alias("_sr"), F.count(F.lit(1)).alias("_nd"))
+        .withColumn(
+            "dow_eff_q6",
+            F.expr(half_up_pair("_sr", "_nd")).cast("long"),
+        )
+        .select(*key_cols, "dow", "dow_eff_q6")
+    )
+    return (
+        with_hod.join(F.broadcast(dow), [*key_cols, "dow"])
+        .select(
+            *key_cols,
+            "hw",
+            "x",
+            "hod",
+            "dow",
+            "hod_eff_q6",
+            "dow_eff_q6",
+            (F.col("_r") - F.col("dow_eff_q6")).alias("resid_q6"),
+        )
+    )

@@ -1,0 +1,84 @@
+"""Two-season (hour-of-day x day-of-week) exact decomposition."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dads_spark.rollup import multi_seasonal_profile
+
+
+def _df(spark, series):
+    rows = [(k, int(h), int(v)) for k, hv in series.items()
+            for h, v in hv]
+    return spark.createDataFrame(rows, "k string, hw long, cnt long")
+
+
+def test_multiseasonal_identity_holds_exactly(spark):
+    rng = np.random.default_rng(7)
+    hv = [(h, int(v)) for h, v in
+          enumerate(rng.poisson(40, 24 * 7 * 4))]
+    rows = multi_seasonal_profile(
+        _df(spark, {"s": hv}), ["k"], "hw", "cnt"
+    ).collect()
+    assert len(rows) == len(hv)
+    # reconstruct base from any row: 1e6*x - hod - dow - resid
+    bases = {1_000_000 * r["x"] - r["hod_eff_q6"] - r["dow_eff_q6"]
+             - r["resid_q6"] for r in rows}
+    assert len(bases) == 1   # the additive identity is exact per row
+
+
+def test_multiseasonal_recovers_planted_cycles(spark):
+    # x = 100 + 12 at hour 9 + 7 on dow 0, over 8 complete weeks
+    hv = []
+    for h in range(24 * 7 * 8):
+        hod, dow = h % 24, (h // 24 + 4) % 7
+        hv.append((h, 100 + (12 if hod == 9 else 0)
+                   + (7 if dow == 0 else 0)))
+    out = multi_seasonal_profile(
+        _df(spark, {"p": hv}), ["k"], "hw", "cnt"
+    ).collect()
+    by_hod = {}
+    by_dow = {}
+    for r in out:
+        by_hod[r["hod"]] = r["hod_eff_q6"]
+        by_dow[r["dow"]] = r["dow_eff_q6"]
+    # hour-9 effect ~ +12e6 relative to the others, dow-0 ~ +7e6
+    others_h = [v for h, v in by_hod.items() if h != 9]
+    assert by_hod[9] - max(others_h) > 11_000_000
+    others_d = [v for d, v in by_dow.items() if d != 0]
+    assert by_dow[0] - max(others_d) > 6_000_000
+    # complete balanced grid: residuals vanish up to rounding
+    assert max(abs(r["resid_q6"]) for r in out) <= 2
+
+
+def test_multiseasonal_matches_scalar_replica(spark):
+    rng = np.random.default_rng(55)
+    hv = [(int(h), int(v)) for h, v in
+          zip(sorted(rng.choice(5000, 600, replace=False)),
+              rng.integers(0, 300, 600))]
+    out = {r["hw"]: r for r in multi_seasonal_profile(
+        _df(spark, {"r": hv}), ["k"], "hw", "cnt"
+    ).collect()}
+
+    def hup(num, den):
+        s = -1 if num < 0 else 1
+        return s * ((2 * abs(num) + den) // (2 * den))
+
+    n = len(hv)
+    s = sum(v for _, v in hv)
+    base = hup(1_000_000 * s, n)
+    hod_groups, dow_groups = {}, {}
+    for h, v in hv:
+        hod_groups.setdefault(h % 24, []).append(v)
+    hod_eff = {h: hup(1_000_000 * sum(vs), len(vs)) - base
+               for h, vs in hod_groups.items()}
+    for h, v in hv:
+        r = 1_000_000 * v - base - hod_eff[h % 24]
+        dow_groups.setdefault((h // 24 + 4) % 7, []).append((h, r))
+    dow_eff = {d: hup(sum(r for _, r in rs), len(rs))
+               for d, rs in dow_groups.items()}
+    for h, v in hv:
+        r = 1_000_000 * v - base - hod_eff[h % 24]
+        want = r - dow_eff[(h // 24 + 4) % 7]
+        assert out[h]["resid_q6"] == want, h
+        assert out[h]["hod_eff_q6"] == hod_eff[h % 24], h
