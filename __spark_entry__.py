@@ -9297,7 +9297,14 @@ def q_multi_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_seasonal_profile(hourly, ["event_type"], "hw", "cnt")
 
 
-_DRAG_TIER_SPECS = (("hour", 3600, 24), ("day", 86400, 7))
+# (tier, bucket seconds, DRAG window m, grid offset seconds) — the
+# week tier anchors on Monday (rollup/tiers.py _OFFSET_US), so its
+# staged oracle grid must share the same origin
+_DRAG_TIER_SPECS = (
+    ("hour", 3600, 24, 0),
+    ("day", 86400, 7, 0),
+    ("week", 604_800, 4, 345_600),
+)
 
 
 def _stage_drag_tiers_oracle(sf_dir: str) -> str:
@@ -9311,8 +9318,8 @@ def _stage_drag_tiers_oracle(sf_dir: str) -> str:
     from dads_spark.oracles import drag_oracle, q6, tier_counts_gapfilled
 
     tiers, ets, ss, es, pq_ = [], [], [], [], []
-    for tier, unit, m in _DRAG_TIER_SPECS:
-        for et, x in tier_counts_gapfilled(sf_dir, unit).items():
+    for tier, unit, m, off in _DRAG_TIER_SPECS:
+        for et, x in tier_counts_gapfilled(sf_dir, unit, off).items():
             for s, e, peak in drag_oracle(x, m):
                 tiers.append(tier)
                 ets.append(et)
@@ -9333,16 +9340,17 @@ def _stage_drag_tiers_oracle(sf_dir: str) -> str:
 
 def q_drag_discords_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DRAG discord ranges at EVERY retention tier (hour m=24, day
-    m=7): the north rule's per-tier discord clause as one hash — each
-    tier's gap-filled series scored by the same candidate+refine
+    m=7, week m=4 — the full hour/day/week cascade of the north rule):
+    each tier's gap-filled series scored by the same candidate+refine
     pipeline, union-tagged, pinned against the brute-force z-norm
-    oracle computed per tier. The hour rows reproduce the
-    drag_discords lane; the day rows extend the pin up the cascade."""
+    oracle computed per tier on the SAME grid (the week grid shares
+    the Monday anchor). The hour rows reproduce the drag_discords
+    lane; day and week extend the pin up the cascade."""
     from dads_spark.s2g.discord import discord_series_grouped
 
     ev = _t(spark, sf_dir, "events")
     parts = []
-    for tier, unit, m in _DRAG_TIER_SPECS:
+    for tier, unit, m, _off in _DRAG_TIER_SPECS:
         t = ev.groupBy(
             "event_type", bucket_expr("ts", tier)
         ).agg(F.count(F.lit(1)).cast("double").alias("v"))

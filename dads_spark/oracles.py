@@ -1314,11 +1314,15 @@ def isotonic_minimax_oracle(ns, ss):
     return out
 
 
-def tier_counts_gapfilled(sf_dir: str, unit_s: int) -> "dict[str, np.ndarray]":
+def tier_counts_gapfilled(
+    sf_dir: str, unit_s: int, offset_s: int = 0
+) -> "dict[str, np.ndarray]":
     """hourly_counts_gapfilled generalized to any tier grain: per-type
     count series on the dense ``unit_s``-second grid with linear
     interpolation over gaps (np.interp reproduces Spark's
-    gap_fill_linear bit-for-bit — the established staged-twin result)."""
+    gap_fill_linear bit-for-bit — the established staged-twin result).
+    ``offset_s`` shifts the grid origin (the week tier's Monday
+    anchor, rollup/tiers.py _OFFSET_US)."""
     import pyarrow.parquet as pq
 
     raw = pq.read_table(
@@ -1327,7 +1331,10 @@ def tier_counts_gapfilled(sf_dir: str, unit_s: int) -> "dict[str, np.ndarray]":
     sec = raw["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 10**9
     counts = (
         pd.DataFrame(
-            {"event_type": raw["event_type"], "b": (sec // unit_s) * unit_s}
+            {
+                "event_type": raw["event_type"],
+                "b": ((sec - offset_s) // unit_s) * unit_s + offset_s,
+            }
         )
         .groupby(["event_type", "b"])
         .size()
