@@ -9297,6 +9297,36 @@ def q_multi_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_seasonal_profile(hourly, ["event_type"], "hw", "cnt")
 
 
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction (ops/bloom.py bloom_semijoin) — the
+    runtime-filter pattern: the events fact is pre-filtered map-side
+    through an m-bit broadcast Bloom of a selective user set BEFORE
+    the exact join, so the shuffle carries only the selected users' rows. The pin
+    is SEMANTICS EQUIVALENCE (the salted_join discipline): the oracle
+    is the plain join — false positives are eliminated by the exact
+    join, so only the plan changes. Values aggregate as exact q2
+    longs."""
+    from dads_spark.ops import bloom_semijoin
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uk"),
+        (
+            F.signum("value")
+            * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+        ).cast("long").alias("vq2"),
+    )
+    small = (
+        ev.select("uk")
+        .distinct()
+        .filter(F.expr("CAST(uk AS LONG) % 7 = 0"))
+    )
+    reduced = bloom_semijoin(ev, small, "uk")
+    return reduced.join(small, "uk").groupBy("uk").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vq2").alias("sum_v_q2"),
+    )
+
+
 # (tier, bucket seconds, DRAG window m, grid offset seconds) — the
 # week tier anchors on Monday (rollup/tiers.py _OFFSET_US), so its
 # staged oracle grid must share the same origin
@@ -9794,6 +9824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_other": q_topk_other,
         "doc_triage": q_doc_triage,
         "multi_seasonal": q_multi_seasonal,
+        "bloom_semijoin": q_bloom_semijoin,
     }
 
 
@@ -17639,5 +17670,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(wh.r - dt.dow_eff_q6 AS BIGINT) AS resid_q6
         FROM wh JOIN dowt dt ON dt.event_type = wh.event_type
                             AND dt.dow = wh.dow
+    """
+
+    # bloom_semijoin: the pin is semantics equivalence — the oracle is
+    # the PLAIN join/filter; the Bloom pre-filter may only change the
+    # plan, never the rows (no false negatives; FPs die in the join)
+    d["bloom_semijoin"] = """
+        SELECT CAST(user_id AS VARCHAR) AS uk,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST((CASE WHEN value < 0 THEN -1 ELSE 1 END)
+                        * floor(abs(value) * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS sum_v_q2
+        FROM events WHERE user_id % 7 = 0
+        GROUP BY 1
     """
     return d

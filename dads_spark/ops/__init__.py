@@ -154,7 +154,7 @@ from .multimodal import (  # noqa: F401
     sample_frames,
     wav_pcm_stats,
 )
-from .bloom import bloom_dedup  # noqa: F401
+from .bloom import bloom_dedup, bloom_semijoin  # noqa: F401
 from .sitemaps import crawl_coverage, parse_sitemap  # noqa: F401
 from .multimodal import sniff_content_type  # noqa: F401
 from .cdx import latest_captures, parse_cdxj, surt_key  # noqa: F401

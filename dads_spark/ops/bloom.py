@@ -114,3 +114,67 @@ def bloom_dedup(
             .otherwise(F.lit("new")),
         )
     )
+
+
+def bloom_semijoin(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom SEMI-JOIN reduction — the runtime-filter pattern behind
+    every modern warehouse join: before shuffling the BIG side for a
+    join against a selective small side, probe a broadcast Bloom
+    summary of the small side's keys map-side and drop the rows that
+    cannot possibly match.  No false negatives, so the reduction is
+    SEMANTICS-PRESERVING: the subsequent exact join over the surviving
+    rows returns exactly the rows the plain join would — only the
+    shuffle volume changes (by 1 - selectivity, minus the FPR).
+
+    Returns ``big`` filtered to rows whose ``key_col`` passes the
+    Bloom probe (a superset of the true semi-join, FPR-bounded).
+    Callers follow with the exact join; the equivalence is the gate
+    (the ``salted_join`` discipline: an optimization must prove it
+    changes nothing but the plan).
+
+    Scale shape: the filter is m bits broadcast (independent of the
+    small side's row count), the probe is one Arrow-batched
+    mapInPandas composed with the scan — ZERO added shuffles; the
+    only shuffle left is the exact join over the reduced relation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = big.sparkSession
+    set_bits = (
+        small.select(
+            F.explode(_positions(F.col(key_col), m_bits, k)).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros(m_bits, dtype=bool)
+    bitmap[[r["p"] for r in set_bits]] = True
+    bc = spark.sparkContext.broadcast(np.packbits(bitmap))
+
+    cols = big.columns
+    probe = big.withColumn(
+        "_pos", _positions(F.col(key_col), m_bits, k)
+    )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in big.schema.fields
+    )
+
+    def test(batches):
+        bits = np.unpackbits(bc.value).astype(bool)
+        for pdf in batches:
+            if len(pdf):
+                pos = np.stack(pdf["_pos"].to_numpy())
+                keep = bits[pos].all(axis=1)
+                yield pdf.loc[keep, cols]
+            else:
+                yield pd.DataFrame({c: pdf[c] for c in cols})
+
+    return probe.mapInPandas(test, schema)

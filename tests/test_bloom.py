@@ -45,3 +45,34 @@ def test_tiny_filter_saturates_to_all_hits(spark):
     out = bloom_dedup(docs, seen, "text", "doc_id", m_bits=8, k=3).collect()
     assert all(r["bloom_hit"] for r in out)
     assert {r["status"] for r in out} == {"seen", "false_positive"}
+
+
+def test_bloom_semijoin_equivalence_and_reduction(spark):
+    """The Bloom pre-filter must keep a SUPERSET of the true matches
+    (no false negatives) and the follow-up exact join must equal the
+    plain join row-for-row."""
+    from dads_spark.ops import bloom_semijoin
+
+    big = spark.createDataFrame(
+        [(f"k{i % 97}", i) for i in range(2000)], "uk string, v long"
+    )
+    small = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 97, 13)], "uk string"
+    )
+    reduced = bloom_semijoin(big, small, "uk")
+    plain = {tuple(r) for r in big.join(small, "uk").collect()}
+    via_bloom = {tuple(r) for r in reduced.join(small, "uk").collect()}
+    assert via_bloom == plain
+    # superset of true matches, subset of the input
+    n_red = reduced.count()
+    assert len(plain) <= n_red <= big.count()
+    # with 8 selected keys of 97 the filter must actually reduce
+    assert n_red < big.count()
+
+
+def test_bloom_semijoin_empty_small_side(spark):
+    from dads_spark.ops import bloom_semijoin
+
+    big = spark.createDataFrame([("a", 1), ("b", 2)], "uk string, v long")
+    small = spark.createDataFrame([], "uk string")
+    assert bloom_semijoin(big, small, "uk").count() == 0
