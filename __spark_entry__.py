@@ -9297,6 +9297,25 @@ def q_multi_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_seasonal_profile(hourly, ["event_type"], "hw", "cnt")
 
 
+def q_series_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series health scorecard (rollup/analytics.py series_health)
+    over each (event_type, user cohort) hourly grid — completeness
+    fill_ppm, largest missing-bucket run, staleness vs the corpus
+    head: the observability series-health page and the backfill
+    planner's triage input, all exact integers."""
+    from dads_spark.rollup import series_health
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.col("user_id") % 5).cast("long").alias("cohort"),
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+        ).alias("hw"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return series_health(hourly, ["event_type", "cohort"], "hw")
+
+
 def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom semi-join reduction (ops/bloom.py bloom_semijoin) — the
     runtime-filter pattern: the events fact is pre-filtered map-side
@@ -9825,6 +9844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_triage": q_doc_triage,
         "multi_seasonal": q_multi_seasonal,
         "bloom_semijoin": q_bloom_semijoin,
+        "series_health": q_series_health,
     }
 
 
@@ -17683,5 +17703,33 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT) AS sum_v_q2
         FROM events WHERE user_id % 7 = 0
         GROUP BY 1
+    """
+
+    # series_health: completeness/gap/staleness scorecard — integer
+    # arithmetic, corpus-max staleness anchor
+    d["series_health"] = """
+        WITH h AS (
+            SELECT event_type, user_id % 5 AS cohort,
+                   epoch_us(ts) // 3600000000 AS hw
+            FROM events GROUP BY 1, 2, 3),
+        g AS (
+            SELECT event_type, cohort, hw,
+                   hw - lag(hw) OVER (PARTITION BY event_type, cohort
+                                      ORDER BY hw) - 1 AS gap
+            FROM h),
+        a AS (
+            SELECT event_type, CAST(cohort AS BIGINT) AS cohort,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   min(hw) AS lo, max(hw) AS hi,
+                   CAST(COALESCE(max(gap), 0) AS BIGINT) AS largest_gap
+            FROM g GROUP BY 1, 2),
+        m AS (SELECT max(hi) AS gmax FROM a)
+        SELECT a.event_type, a.cohort, a.n_obs,
+               CAST(a.hi - a.lo + 1 AS BIGINT) AS span,
+               CAST((2 * 1000000 * a.n_obs + (a.hi - a.lo + 1))
+                    // (2 * (a.hi - a.lo + 1)) AS BIGINT) AS fill_ppm,
+               a.largest_gap,
+               CAST(m.gmax - a.hi AS BIGINT) AS staleness
+        FROM a CROSS JOIN m
     """
     return d

@@ -100,6 +100,7 @@ from .analytics import (  # noqa: F401
     burstiness,
     calendar_compare,
     markov_entropy_rate,
+    series_health,
     topk_other,
     decayed_popularity,
     duration_above,

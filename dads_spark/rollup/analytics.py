@@ -2000,3 +2000,62 @@ def topk_other(
         F.sum("weight").cast("long").alias("weight"),
         F.count(F.lit(1)).cast("long").alias("n_members"),
     )
+
+
+def series_health(
+    buckets: DataFrame,
+    key_cols: list[str],
+    hw_col: str,
+) -> DataFrame:
+    """Per-series health scorecard over a bucket grid — the scalar
+    summary every observability product shows on its series-health
+    page, and the triage input for backfill planning: which series
+    are complete, which are gappy, which went stale.
+
+    Per key (all exact):
+      n_obs       — observed buckets
+      span        — hw_max - hw_min + 1 (expected buckets)
+      fill_ppm    — half-up 1e6 * n_obs / span (1e6 = gap-free)
+      largest_gap — max missing-bucket run between consecutive
+                    observations (0 = dense)
+      staleness   — corpus_max_hw - hw_max (buckets since this series
+                    last reported; 0 = current)
+
+    Scale shape: one keyed lag window for gaps, one keyed aggregate
+    reusing its partitioning, and the 1-row corpus-max scalar
+    broadcast back — integer arithmetic end to end.
+    """
+    hw = F.col(hw_col).cast("long")
+    ws = W.partitionBy(*key_cols).orderBy(hw_col)
+    gaps = buckets.select(
+        *key_cols,
+        hw.alias("_hw"),
+        (hw - F.lag(hw).over(ws) - 1).alias("_gap"),
+    )
+    agg = gaps.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.min("_hw").alias("_lo"),
+        F.max("_hw").alias("_hi"),
+        F.coalesce(F.max("_gap"), F.lit(0)).cast("long").alias(
+            "largest_gap"
+        ),
+    )
+    glob = agg.agg(F.max("_hi").alias("_gmax"))
+    span = F.col("_hi") - F.col("_lo") + 1
+    fill = F.expr(
+        "(2 * 1000000 * n_obs + (_hi - _lo + 1))"
+        " DIV (2 * (_hi - _lo + 1))"
+    )
+    return (
+        agg.crossJoin(F.broadcast(glob))
+        .select(
+            *key_cols,
+            "n_obs",
+            span.cast("long").alias("span"),
+            fill.cast("long").alias("fill_ppm"),
+            "largest_gap",
+            (F.col("_gmax") - F.col("_hi")).cast("long").alias(
+                "staleness"
+            ),
+        )
+    )

@@ -82,3 +82,29 @@ def test_multiseasonal_matches_scalar_replica(spark):
         want = r - dow_eff[(h // 24 + 4) % 7]
         assert out[h]["resid_q6"] == want, h
         assert out[h]["hod_eff_q6"] == hod_eff[h % 24], h
+
+
+def test_series_health_hand_case(spark):
+    from dads_spark.rollup import series_health
+
+    rows = [("a", h) for h in [0, 1, 2, 5, 6, 9]]          # gaps 2,2
+    rows += [("b", h) for h in [0, 1, 2, 3]]               # dense, stale
+    df = spark.createDataFrame(rows, "k string, hw long")
+    out = {r["k"]: r for r in
+           series_health(df, ["k"], "hw").collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_obs"], a["span"], a["largest_gap"]) == (6, 10, 2)
+    assert a["fill_ppm"] == 600_000
+    assert a["staleness"] == 0            # a holds the corpus head (9)
+    assert (b["n_obs"], b["span"], b["largest_gap"]) == (4, 4, 0)
+    assert b["fill_ppm"] == 1_000_000
+    assert b["staleness"] == 6            # corpus head 9 - last hw 3
+
+
+def test_series_health_single_point(spark):
+    from dads_spark.rollup import series_health
+
+    df = spark.createDataFrame([("s", 7)], "k string, hw long")
+    r = series_health(df, ["k"], "hw").collect()[0]
+    assert (r["n_obs"], r["span"], r["fill_ppm"]) == (1, 1, 1_000_000)
+    assert r["largest_gap"] == 0 and r["staleness"] == 0
