@@ -2249,6 +2249,39 @@ def main() -> None:
                   if "Join" in l or "Exchange" in l)[:300],
     ))
 
+    # --- A104: bloom_semijoin / series_health / doc_triage --------------------
+    p104a = plan_of(em.queries()["bloom_semijoin"](spark, sf_dir))
+    p104b = plan_of(em.queries()["series_health"](spark, sf_dir))
+    p104c = plan_of(em.queries()["doc_triage"](spark, sf_dir))
+    assert p104a.count("MapInPandas") == 2, (  # 1 tree node + its detail header
+        "the Bloom probe is ONE Arrow-batched mapInPandas composed "
+        "with the scan — the deliberate Python stage; everything else "
+        "stays JVM-side"
+    )
+    assert "CartesianProduct" not in p104a
+    for p, nm in ((p104b, "series_health"), (p104c, "doc_triage")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+    assert p104b.count("+- Window") == 1, (
+        "series_health: one keyed lag window; the aggregate reuses its "
+        "partitioning and only the 1-row corpus-max broadcasts back"
+    )
+    assert "SortMergeJoin" in p104c or "BroadcastHashJoin" in p104c, (
+        "doc_triage joins its five gauges equi-keyed on doc_id"
+    )
+    sections.append((
+        "A104 bloom probe one Arrow stage, health/triage stay keyed",
+        "PASS — bloom_semijoin's only Python is the single Arrow-"
+        "batched bitmap probe (m bits broadcast, zero added shuffles); "
+        "series_health runs one keyed lag window + a partition-reusing "
+        "aggregate + a 1-row scalar broadcast; doc_triage composes the "
+        "five per-doc gauges with doc_id-keyed joins — no global "
+        "stages anywhere",
+        "\n".join(l for l in (p104a + p104b + p104c).splitlines()
+                  if "MapInPandas" in l or "Window" in l or "Join" in l
+                  )[:300],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
