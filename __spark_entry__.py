@@ -9316,6 +9316,29 @@ def q_series_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series_health(hourly, ["event_type", "cohort"], "hw")
 
 
+def q_seasonal_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrated seasonal alert band — the composition the two new
+    pieces exist for: the two-season hod x dow fit's bit-exact
+    residuals (multi_seasonal_profile) fed into the generic split-
+    conformal band (conformal_band). The result is a per-series
+    alert half-width that accounts for BOTH cycles and pages at most
+    ~10% of the time by construction — distribution-free. The oracle
+    embeds the multi_seasonal oracle verbatim under the band SQL."""
+    from dads_spark.rollup import conformal_band, multi_seasonal_profile
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+        ).alias("hw"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    prof = multi_seasonal_profile(hourly, ["event_type"], "hw", "cnt")
+    return conformal_band(
+        prof, ["event_type"], "hw", "resid_q6", alpha_q6=100_000
+    )
+
+
 def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom semi-join reduction (ops/bloom.py bloom_semijoin) — the
     runtime-filter pattern: the events fact is pre-filtered map-side
@@ -9845,6 +9868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_seasonal": q_multi_seasonal,
         "bloom_semijoin": q_bloom_semijoin,
         "series_health": q_series_health,
+        "seasonal_conformal": q_seasonal_conformal,
     }
 
 
@@ -17732,4 +17756,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(m.gmax - a.hi AS BIGINT) AS staleness
         FROM a CROSS JOIN m
     """
+
+    # seasonal_conformal: the multi_seasonal oracle embedded VERBATIM,
+    # its |resid_q6| fed through the generic split-conformal band SQL
+    d["seasonal_conformal"] = (
+        "WITH prof AS (" + d["multi_seasonal"] + """),
+        base AS (
+            SELECT event_type, hw, abs(resid_q6) AS r FROM prof),
+        sp AS (
+            SELECT event_type, hw, r,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY hw) AS pos,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM base),
+        sp2 AS (
+            SELECT *, (2 * n) // 3 AS ncal,
+                   (pos <= (2 * n) // 3) AS is_cal
+            FROM sp),
+        cal AS (
+            SELECT event_type, r, ncal,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY r, hw) AS rrank
+            FROM sp2 WHERE is_cal),
+        width AS (
+            SELECT event_type, CAST(ncal AS BIGINT) AS n_cal,
+                   CAST(least(ncal,
+                        ((ncal + 1) * 900000 + 999999) // 1000000)
+                     AS BIGINT) AS k_rank,
+                   CAST(r AS BIGINT) AS halfwidth
+            FROM cal
+            WHERE rrank = least(ncal,
+                  ((ncal + 1) * 900000 + 999999) // 1000000)),
+        tst AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_test
+            FROM sp2 WHERE NOT is_cal GROUP BY 1),
+        cov AS (
+            SELECT s.event_type,
+                   CAST(sum(CASE WHEN s.r <= w.halfwidth
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+            FROM sp2 s JOIN width w USING (event_type)
+            WHERE NOT s.is_cal GROUP BY 1)
+        SELECT w.event_type, w.n_cal, w.k_rank, w.halfwidth,
+               t.n_test, COALESCE(c.n_covered, 0) AS n_covered
+        FROM width w
+        JOIN tst t USING (event_type)
+        LEFT JOIN cov c USING (event_type)
+    """
+    )
     return d

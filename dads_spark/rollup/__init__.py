@@ -66,6 +66,7 @@ from .downsample import (  # noqa: F401
     ohlc_bars,
 )
 from .forecast import (  # noqa: F401
+    conformal_band,
     conformal_interval,
     cusum_changepoints,
     cusum_grouped,

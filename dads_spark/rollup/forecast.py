@@ -518,3 +518,94 @@ def conformal_interval(
             ),
         )
     )
+
+
+def conformal_band(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    resid_col: str,
+    alpha_q6: int = 100_000,
+) -> DataFrame:
+    """Split-conformal band over a PRECOMPUTED residual column — the
+    generic second half of ``conformal_interval``, so ANY forecaster's
+    residuals (seasonal-naive, Holt, the two-season hod x dow fit)
+    can be turned into a calibrated alert band: first 2/3 of each
+    series calibrates, the half-width is the exact
+    ceil((n+1)(1-alpha))-th smallest |residual| order statistic, and
+    held-out coverage is emitted as the exact (n_covered, n_test)
+    pair.  Integer rank arithmetic end to end; same output contract
+    as conformal_interval.
+    """
+    r = F.abs(F.col(resid_col).cast("long"))
+    base = df.select(
+        *key_cols,
+        F.col(order_col).cast("long").alias("_o"),
+        r.alias("_r"),
+    )
+    wpos = W.partitionBy(*key_cols).orderBy("_o")
+    wn = W.partitionBy(*key_cols)
+    split = (
+        base.select(
+            *key_cols,
+            "_o",
+            "_r",
+            F.row_number().over(wpos).alias("_pos"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        .withColumn("_ncal", F.expr("(2 * _n) DIV 3"))
+        .withColumn("_is_cal", F.col("_pos") <= F.col("_ncal"))
+    )
+    wrank = W.partitionBy(*key_cols).orderBy("_r", "_o")
+    cal = split.filter("_is_cal").select(
+        *key_cols,
+        "_r",
+        F.row_number().over(wrank).alias("_rrank"),
+        F.col("_ncal").alias("n_cal"),
+    )
+    k = F.least(
+        F.col("n_cal"),
+        F.expr(
+            f"((n_cal + 1) * (1000000 - {int(alpha_q6)}) + 999999)"
+            " DIV 1000000"
+        ),
+    )
+    width = (
+        cal.withColumn("_k", k)
+        .filter(F.col("_rrank") == F.col("_k"))
+        .select(
+            *key_cols,
+            "n_cal",
+            F.col("_k").alias("k_rank"),
+            F.col("_r").alias("halfwidth"),
+        )
+    )
+    test = (
+        split.filter(~F.col("_is_cal"))
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_test"))
+    )
+    covered = (
+        split.filter(~F.col("_is_cal"))
+        .join(width, list(key_cols))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(
+                F.when(F.col("_r") <= F.col("halfwidth"), 1).otherwise(0)
+            ).cast("long").alias("n_covered")
+        )
+    )
+    return (
+        width.join(test, list(key_cols))
+        .join(covered, list(key_cols), "left")
+        .select(
+            *key_cols,
+            "n_cal",
+            "k_rank",
+            "halfwidth",
+            "n_test",
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias(
+                "n_covered"
+            ),
+        )
+    )

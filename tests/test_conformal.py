@@ -79,3 +79,38 @@ def test_conformal_coverage_near_nominal_on_iid(spark):
     ).collect()[0]
     cov = r["n_covered"] / r["n_test"]
     assert 0.84 <= cov <= 0.96
+
+
+def test_conformal_band_equals_interval_on_seasonal_naive_residuals(spark):
+    """conformal_band on precomputed |x - x_pred| residuals must agree
+    with conformal_interval computing the same thing internally."""
+    from dads_spark.rollup import conformal_band
+
+    rng = np.random.default_rng(77)
+    hv = [(t, int(v)) for t, v in enumerate(rng.poisson(25, 300))]
+    df = _df(spark, {"s": hv})
+    via_interval = conformal_interval(
+        df, ["k"], "hw", "cnt", season=24, alpha_q6=100_000
+    ).collect()[0]
+    d = dict(hv)
+    resid = [(hw, v - d[hw - 24]) for hw, v in hv if hw - 24 in d]
+    rdf = spark.createDataFrame(
+        [("s", hw, r) for hw, r in resid], "k string, hw long, r long"
+    )
+    via_band = conformal_band(
+        rdf, ["k"], "hw", "r", alpha_q6=100_000
+    ).collect()[0]
+    for c in ("n_cal", "k_rank", "halfwidth", "n_test", "n_covered"):
+        assert via_band[c] == via_interval[c], c
+
+
+def test_seasonal_conformal_composition_runs(spark):
+    import __spark_entry__ as em
+
+    rows = em.queries()["seasonal_conformal"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_cal"] > 0 and r["halfwidth"] >= 0
+        assert 0 <= r["n_covered"] <= r["n_test"]
