@@ -9297,6 +9297,20 @@ def q_multi_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_seasonal_profile(hourly, ["event_type"], "hw", "cnt")
 
 
+def q_wow_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week Poisson significance (rollup/analytics.py
+    poisson_delta_significance over calendar_compare): is each hour's
+    change REAL or count noise — z = delta/sqrt(n_cur+n_prev), with
+    the alert flag decided in pure integers ((a-b)^2 > 9(a+b)) so the
+    paging decision is engine-exact before any float. The missing
+    test behind every raw-delta dashboard."""
+    from dads_spark.rollup import calendar_compare, poisson_delta_significance
+
+    ev = _t(spark, sf_dir, "events")
+    cmpd = calendar_compare(ev, ["event_type"], "ts", "hour", 168)
+    return poisson_delta_significance(cmpd, "n_cur", "n_prev", 3)
+
+
 def q_series_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series health scorecard (rollup/analytics.py series_health)
     over each (event_type, user cohort) hourly grid — completeness
@@ -9869,6 +9883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin": q_bloom_semijoin,
         "series_health": q_series_health,
         "seasonal_conformal": q_seasonal_conformal,
+        "wow_significance": q_wow_significance,
     }
 
 
@@ -17801,6 +17816,27 @@ def oracle_sql() -> dict[str, str]:
         FROM width w
         JOIN tst t USING (event_type)
         LEFT JOIN cov c USING (event_type)
+    """
+    )
+
+    # wow_significance: the wow_delta oracle embedded verbatim + the
+    # Poisson significance finalizer — flag in pure integers, z_q6 one
+    # fixed float chain on exact longs
+    d["wow_significance"] = (
+        "WITH cmp AS (" + d["wow_delta"] + """)
+        SELECT event_type, bucket_ts, n_cur, n_prev, delta,
+               CASE WHEN n_cur + n_prev > 0 THEN
+                 CAST((CASE WHEN n_cur - n_prev < 0 THEN -1 ELSE 1 END)
+                      * floor(abs(
+                          CAST(n_cur - n_prev AS DOUBLE)
+                          / sqrt(CAST(n_cur + n_prev AS DOUBLE)))
+                        * 1e6 + 0.5) AS BIGINT)
+               END AS z_q6,
+               CASE WHEN n_cur + n_prev > 0 THEN
+                 (n_cur - n_prev) * (n_cur - n_prev)
+                   > 9 * (n_cur + n_prev)
+               END AS significant
+        FROM cmp
     """
     )
     return d

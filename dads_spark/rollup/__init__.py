@@ -101,6 +101,7 @@ from .analytics import (  # noqa: F401
     burstiness,
     calendar_compare,
     markov_entropy_rate,
+    poisson_delta_significance,
     series_health,
     topk_other,
     decayed_popularity,

@@ -2059,3 +2059,45 @@ def series_health(
             ),
         )
     )
+
+
+def poisson_delta_significance(
+    compared: DataFrame,
+    cur_col: str = "n_cur",
+    prev_col: str = "n_prev",
+    z_threshold: int = 3,
+) -> DataFrame:
+    """Significance finalizer for count comparisons (week-over-week,
+    A/B buckets, crawl-over-crawl): under the Poisson null the
+    difference of two counts a, b has variance a + b, so
+
+        z = (a - b) / sqrt(a + b)
+
+    answers "is this change real or count noise" — the missing test
+    behind every raw-delta dashboard (a +40 delta is an incident on a
+    base of 50 and dust on a base of 50,000).
+
+    The FLAG is pure integer — |z| > t  <=>  (a-b)^2 > t^2 * (a+b) —
+    so alerting decisions are engine-exact even before the z value;
+    z_q6 itself is one fixed-shape float chain on exact-long operands
+    (the burstiness discipline). Both are NULL when a + b = 0.
+
+    Map-only: adds (z_q6, significant) to the input relation inside
+    codegen — zero shuffles on top of the comparison.
+    """
+    a = F.col(cur_col).cast("long")
+    b = F.col(prev_col).cast("long")
+    tot = a + b
+    diff = a - b
+    ratio = diff.cast("double") / F.sqrt(tot.cast("double"))
+    z_q6 = (
+        F.when(ratio < 0, F.lit(-1)).otherwise(F.lit(1))
+        * F.floor(F.abs(ratio) * 1e6 + F.lit(0.5))
+    ).cast("long")
+    t2 = int(z_threshold) * int(z_threshold)
+    sig = diff * diff > F.lit(t2) * tot
+    return compared.select(
+        *compared.columns,
+        F.when(tot > 0, z_q6).alias("z_q6"),
+        F.when(tot > 0, sig).alias("significant"),
+    )

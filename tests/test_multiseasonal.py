@@ -108,3 +108,28 @@ def test_series_health_single_point(spark):
     r = series_health(df, ["k"], "hw").collect()[0]
     assert (r["n_obs"], r["span"], r["fill_ppm"]) == (1, 1, 1_000_000)
     assert r["largest_gap"] == 0 and r["staleness"] == 0
+
+
+def test_poisson_significance_flag_is_integer_exact(spark):
+    from dads_spark.rollup import poisson_delta_significance
+
+    rows = [
+        ("big_base", 50_040, 50_000),   # +40 on 100k: z ~ 0.13, quiet
+        ("small_base", 90, 50),         # +40 on 140: z ~ 3.38, pages
+        ("boundary", 18, 0),            # z^2 = 18 exactly = 9*(a+b)/.. 18^2=324 > 9*18=162 -> sig
+        ("zero", 0, 0),                 # undefined -> NULLs
+        ("drop", 10, 100),              # negative z, significant
+    ]
+    df = spark.createDataFrame(rows, "k string, n_cur long, n_prev long")
+    out = {r["k"]: r for r in
+           poisson_delta_significance(df).collect()}
+    assert out["big_base"]["significant"] is False
+    assert out["small_base"]["significant"] is True
+    assert out["zero"]["z_q6"] is None and out["zero"]["significant"] is None
+    assert out["drop"]["z_q6"] < 0 and out["drop"]["significant"] is True
+    import math
+    for k, a, b in [(r[0], r[1], r[2]) for r in rows if r[1] + r[2] > 0]:
+        z = (a - b) / math.sqrt(a + b)
+        want = (-1 if z < 0 else 1) * math.floor(abs(z) * 1e6 + 0.5)
+        assert out[k]["z_q6"] == want, k
+        assert out[k]["significant"] == ((a - b) ** 2 > 9 * (a + b)), k
