@@ -9297,6 +9297,28 @@ def q_multi_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_seasonal_profile(hourly, ["event_type"], "hw", "cnt")
 
 
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U drift (rollup/drift.py mannwhitney_drift)
+    of each event_type's daily value distribution vs its first-week
+    baseline — the rank companion to ks_drift: robust to outliers,
+    tests stochastic dominance rather than max ECDF gap. Doubled
+    midranks keep u2 and the tie term exact longs; z_q6 is one fixed
+    float chain on exact operands."""
+    from dads_spark.rollup import mannwhitney_drift
+
+    ev = _t(spark, sf_dir, "events")
+    out = mannwhitney_drift(ev, ["event_type"], "ts", "value")
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket_ts").alias("ws"),
+        "n_period",
+        "n_baseline",
+        "u2",
+        "tie_term",
+        "z_q6",
+    )
+
+
 def q_wow_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week Poisson significance (rollup/analytics.py
     poisson_delta_significance over calendar_compare): is each hour's
@@ -9884,6 +9906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_health": q_series_health,
         "seasonal_conformal": q_seasonal_conformal,
         "wow_significance": q_wow_significance,
+        "mannwhitney_drift": q_mannwhitney,
     }
 
 
@@ -17839,4 +17862,77 @@ def oracle_sql() -> dict[str, str]:
         FROM cmp
     """
     )
+
+    # mannwhitney_drift: exact rank-sum drift on the ks_drift grid —
+    # doubled midranks (2C + t + 1) keep u2/tie_term exact; z one
+    # fixed float chain; NULL when all values tied
+    d["mannwhitney_drift"] = """
+        WITH b AS (
+            SELECT event_type, min(epoch_us(ts)) AS t0 FROM events GROUP BY 1),
+        ev AS (
+            SELECT e.event_type, e.value, epoch_us(e.ts) AS t_us,
+                   (epoch_us(e.ts) < b.t0 + 604800000000) AS is_base
+            FROM events e JOIN b USING (event_type)),
+        bvc AS (
+            SELECT event_type, value AS v, count(*) AS nb
+            FROM ev WHERE is_base GROUP BY 1, 2),
+        dvc AS (
+            SELECT event_type, (t_us // 86400000000) * 86400 AS ws,
+                   value AS v, count(*) AS nd
+            FROM ev WHERE NOT is_base GROUP BY 1, 2, 3),
+        bk AS (SELECT DISTINCT event_type, ws FROM dvc),
+        rep AS (
+            SELECT bk.event_type, bk.ws, bvc.v, bvc.nb
+            FROM bk JOIN bvc USING (event_type)),
+        pts AS (
+            SELECT coalesce(dvc.event_type, rep.event_type) AS event_type,
+                   coalesce(dvc.ws, rep.ws) AS ws,
+                   coalesce(dvc.v, rep.v) AS v,
+                   CAST(coalesce(dvc.nd, 0) AS BIGINT) AS nd,
+                   CAST(coalesce(rep.nb, 0) AS BIGINT) AS nb
+            FROM dvc FULL JOIN rep
+              ON dvc.event_type = rep.event_type
+             AND dvc.ws = rep.ws AND dvc.v = rep.v),
+        cum AS (
+            SELECT event_type, ws, nd, nb, nd + nb AS t,
+                   sum(nd + nb) OVER (PARTITION BY event_type, ws
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS ct
+            FROM pts),
+        agg AS (
+            SELECT event_type, CAST(ws AS BIGINT) AS ws,
+                   CAST(sum(nd) AS BIGINT) AS n_period,
+                   CAST(sum(nb) AS BIGINT) AS n_baseline,
+                   CAST(sum(nd * (2 * ct - t + 1)) AS BIGINT) AS r2,
+                   CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+            FROM cum GROUP BY 1, 2)
+        SELECT event_type, ws, n_period, n_baseline,
+               CAST(r2 - n_period * (n_period + 1) AS BIGINT) AS u2,
+               tie_term,
+               CASE WHEN n_period > 0 AND n_baseline > 0 AND
+                 ((n_period + n_baseline) * (n_period + n_baseline)
+                  * (n_period + n_baseline)
+                  - (n_period + n_baseline)) > tie_term
+               THEN
+                 CAST((CASE WHEN
+                        (r2 - n_period * (n_period + 1))
+                        - n_period * n_baseline < 0
+                       THEN -1 ELSE 1 END)
+                      * floor(abs(
+                          CAST((r2 - n_period * (n_period + 1))
+                               - n_period * n_baseline AS DOUBLE)
+                          / sqrt(
+                              CAST(n_period * n_baseline
+                                   * (((n_period + n_baseline)
+                                       * (n_period + n_baseline)
+                                       * (n_period + n_baseline)
+                                       - (n_period + n_baseline))
+                                      - tie_term) AS DOUBLE)
+                              / CAST(3 * (n_period + n_baseline)
+                                     * (n_period + n_baseline - 1)
+                                  AS DOUBLE)))
+                        * 1e6 + 0.5) AS BIGINT)
+               END AS z_q6
+        FROM agg
+    """
     return d

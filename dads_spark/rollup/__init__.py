@@ -19,6 +19,7 @@ from .drift import (  # noqa: F401
     benford_digits,
     chi2_drift,
     ks_drift,
+    mannwhitney_drift,
     page_hinkley,
     psi_drift,
     tv_drift,

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .tiers import bucket_expr
 
-__all__ = ["tv_drift", "psi_drift", "ks_drift", "page_hinkley"]
+__all__ = ["tv_drift", "psi_drift", "ks_drift", "mannwhitney_drift", "page_hinkley"]
 
 
 def _drift_grid(
@@ -525,4 +525,124 @@ def page_hinkley(
             F.min(F.when(F.col("_ph") > F.lit(lam_nano), F.col("_t"))),
             F.lit(0),
         ).cast("long").alias("first_alarm_pos"),
+    )
+
+
+def mannwhitney_drift(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    baseline_days: int = 7,
+    period: str = "day",
+) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) drift per (keys...,
+    period bucket) vs the key's baseline window — the RANK companion
+    to ks_drift: KS tests the maximum ECDF gap, U tests whether one
+    sample is stochastically larger, is robust to outliers, and is
+    the standard "did the latency/quality distribution shift" test.
+
+    Exact integers end to end:
+    - doubled midranks kill the half-integer: for a tie group of size
+      t with C items below it, 2*midrank = 2C + t + 1, so
+      u2 = 2*U = sum_v nd_v * (2*cum_t_v - t_v + 1) - n*(n+1)
+      is an exact long;
+    - the tie term T = sum_v (t^3 - t) is exact;
+    - z_q6 quantizes z = (2U - n*m) / sqrt(n*m*((N^3-N) - T) /
+      (3*N*(N-1))) — one fixed-shape float chain on exact-long
+      operands (NULL when the variance is 0: all values tied).
+
+    Caller bound: n*m*(N^3-N) < 2^63 — N up to ~40k rows per
+    (key, bucket) at the tier grain; beyond that, pre-bucket values.
+
+    Spark shape: identical to ks_drift — raw rows collapse map-side to
+    value-count histograms, the per-key baseline histogram broadcasts
+    onto period buckets, one windowed cumsum over the merged
+    distinct-value grid, one keyed aggregate.
+    """
+    us_per_day = 86_400_000_000
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bounds = df.groupBy(*key_cols).agg(F.min(t_us).alias("t0_us"))
+    with_t = df.join(F.broadcast(bounds), key_cols).withColumn("_t_us", t_us)
+    is_base = F.col("_t_us") < F.col("t0_us") + F.lit(
+        baseline_days * us_per_day
+    )
+    base_vc = (
+        with_t.filter(is_base)
+        .groupBy(*key_cols, F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    per_vc = (
+        with_t.filter(~is_base)
+        .groupBy(
+            *key_cols, bucket_expr(ts_col, period),
+            F.col(value_col).alias("_v"),
+        )
+        .agg(F.count(F.lit(1)).alias("_nd"))
+    )
+    buckets = per_vc.select(*key_cols, "bucket_ts").distinct()
+    pts = (
+        per_vc.join(
+            buckets.join(F.broadcast(base_vc), key_cols),
+            [*key_cols, "bucket_ts", "_v"],
+            "full",
+        )
+        .withColumn("_nd", F.coalesce("_nd", F.lit(0)).cast("long"))
+        .withColumn("_nb", F.coalesce("_nb", F.lit(0)).cast("long"))
+        .withColumn("_t", F.col("_nd") + F.col("_nb"))
+    )
+    w = (
+        W.partitionBy(*key_cols, "bucket_ts")
+        .orderBy("_v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = pts.select(
+        *key_cols,
+        "bucket_ts",
+        "_nd",
+        "_nb",
+        "_t",
+        F.sum("_t").over(w).alias("_ct"),
+    )
+    agg = cum.groupBy(*key_cols, "bucket_ts").agg(
+        F.sum("_nd").alias("n_period"),
+        F.sum("_nb").alias("n_baseline"),
+        F.sum(
+            F.col("_nd")
+            * (F.lit(2) * F.col("_ct") - F.col("_t") + F.lit(1))
+        ).alias("_r2"),
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("tie_term"),
+    )
+    n, m = F.col("n_period"), F.col("n_baseline")
+    nn = n + m
+    u2 = (F.col("_r2") - n * (n + F.lit(1))).alias("u2")
+    var_num = (n * m * ((nn * nn * nn - nn) - F.col("tie_term"))).cast(
+        "double"
+    )
+    var_den = (F.lit(3) * nn * (nn - F.lit(1))).cast("double")
+    zr = (F.col("u2") - n * m).cast("double") / F.sqrt(
+        var_num / var_den
+    )
+    z_q6 = (
+        F.when(zr < 0, F.lit(-1)).otherwise(F.lit(1))
+        * F.floor(F.abs(zr) * 1e6 + F.lit(0.5))
+    ).cast("long")
+    return (
+        agg.select(*key_cols, "bucket_ts", "n_period", "n_baseline",
+                   u2, "tie_term")
+        .select(
+            *key_cols,
+            "bucket_ts",
+            "n_period",
+            "n_baseline",
+            "u2",
+            "tie_term",
+            F.when(
+                (n > 0) & (m > 0)
+                & ((nn * nn * nn - nn) > F.col("tie_term")),
+                z_q6,
+            ).alias("z_q6"),
+        )
     )
