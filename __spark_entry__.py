@@ -9507,7 +9507,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-confirmed). Past 50: r2/r3-green entries (freshest evidence),
     rows-only sketch/S2G ops (weaker checks anyway), and the cheapest
     twice-stable document-suite tail. Every displaced entry remains in
-    the full local sweep artifact."""
+    the full local sweep artifact.
+
+    ROUND-5 ROTATION NOTE (for the next builder): after the r04 gate
+    drains the r3 backlog above, positions 1-50 should rotate to the
+    round-4 additions that have never received a driver row — every
+    entry tagged r4s5..r4s13 in SURVEY §2 (~130 names; the freshest
+    full-sweep artifact CORRECTNESS_LOCAL_r4s13b_full.json lists them
+    all local-green). Lead with the composed flagships
+    (series_triage, doc_triage, seasonal_conformal, log_observability,
+    e2e_curation), then the drift/statistics family (ks/mw/chi2/psi,
+    wow_significance), then alphabetical."""
     return {
         # -- (1) never driver-checked (r3 backlog), positions 1-32 --
         "tier_snapshots": q_tier_snapshots,

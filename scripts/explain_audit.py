@@ -2282,6 +2282,39 @@ def main() -> None:
                   )[:300],
     ))
 
+    # --- A105: mannwhitney_drift / wow_significance / seasonal_conformal ------
+    p105a = plan_of(em.queries()["mannwhitney_drift"](spark, sf_dir))
+    p105b = plan_of(em.queries()["wow_significance"](spark, sf_dir))
+    p105c = plan_of(em.queries()["seasonal_conformal"](spark, sf_dir))
+    for p, nm in ((p105a, "mannwhitney"), (p105b, "wow_sig"),
+                  (p105c, "seasonal_conformal")):
+        for py_op in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython"):
+            assert py_op not in p, f"{nm} plan contains {py_op}"
+        assert "CartesianProduct" not in p, nm
+        assert "SinglePartition" not in p, nm
+    assert "BroadcastHashJoin" in p105a, (
+        "the baseline value-histogram replicates onto period buckets "
+        "as a broadcast — the ks_drift shape (A92) reused by the rank "
+        "test"
+    )
+    assert p105b.count("+- Window") == 0, (
+        "the Poisson finalizer is map-only on the comparison join — "
+        "the significance columns fold into codegen"
+    )
+    sections.append((
+        "A105 rank drift rides the ks grid, significance is map-only",
+        "PASS — mannwhitney_drift reuses ks_drift's audited shape "
+        "(map-side value histograms, broadcast baseline, one windowed "
+        "cumsum over the merged distinct-value grid) with the doubled-"
+        "midrank aggregate in codegen; wow_significance adds its "
+        "integer alert flag and z chain as a pure projection over the "
+        "calendar comparison; seasonal_conformal stacks the conformal "
+        "band's series-keyed windows on the two-season fit's broadcast "
+        "joins — every stage keyed, no Python anywhere",
+        "\n".join(l for l in (p105a + p105b + p105c).splitlines()
+                  if "Join" in l or "Window" in l)[:300],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
