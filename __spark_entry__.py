@@ -9483,6 +9483,25 @@ def q_drag_discords_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western-Electric / Nelson control-chart rule flags over hourly
+    count series (rollup/controlchart.py control_chart_flags): R1
+    3-sigma point, R2 nine-run same side of mean, R3 six-run monotone,
+    R4 two-of-three beyond 2-sigma. Every sigma test is an exact
+    integer comparison ((n*v - s)^2 vs k^2*(n*q - s^2)) — no floats
+    exist anywhere in the operator or the oracle."""
+    from dads_spark.rollup import control_chart_flags
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "hb"
+        ),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return control_chart_flags(hourly, ["event_type"], "hb", "v")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -9917,6 +9936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_conformal": q_seasonal_conformal,
         "wow_significance": q_wow_significance,
         "mannwhitney_drift": q_mannwhitney,
+        # -- (2e) r4s14 additions ------------------------------------
+        "control_chart": q_control_chart,
     }
 
 
@@ -17944,5 +17965,61 @@ def oracle_sql() -> dict[str, str]:
                         * 1e6 + 0.5) AS BIGINT)
                END AS z_q6
         FROM agg
+    """
+
+    # control_chart: WE/Nelson rules — every sigma test an exact
+    # integer comparison on (n, s, q) long moments; run rules are
+    # window counts of exact sign indicators. No floats anywhere.
+    d["control_chart"] = """
+        WITH h AS (
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS t,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2),
+        m AS (
+            SELECT event_type, t, v,
+                   CAST(count(*) OVER w AS BIGINT) AS n,
+                   CAST(sum(v) OVER w AS BIGINT) AS s,
+                   CAST(sum(v * v) OVER w AS BIGINT) AS q
+            FROM h WINDOW w AS (PARTITION BY event_type)),
+        b AS (
+            SELECT event_type, t, v,
+                   n * v - s AS dev,
+                   n * q - s * s AS a,
+                   CASE WHEN lag(v) OVER o IS NULL THEN 0
+                        WHEN v > lag(v) OVER o THEN 1 ELSE 0 END AS inc,
+                   CASE WHEN lag(v) OVER o IS NULL THEN 0
+                        WHEN v < lag(v) OVER o THEN 1 ELSE 0 END AS dec
+            FROM m WINDOW o AS (PARTITION BY event_type ORDER BY t)),
+        r AS (
+            SELECT event_type, t, v, dev, a,
+                   CASE WHEN dev * dev > 9 * a THEN 1 ELSE 0 END AS r1,
+                   CASE WHEN sum(CASE WHEN dev > 0 THEN 1 ELSE 0 END)
+                            OVER w9 = 9
+                          OR sum(CASE WHEN dev < 0 THEN 1 ELSE 0 END)
+                            OVER w9 = 9
+                        THEN 1 ELSE 0 END AS r2,
+                   CASE WHEN sum(inc) OVER w5 = 5
+                          OR sum(dec) OVER w5 = 5
+                        THEN 1 ELSE 0 END AS r3,
+                   CASE WHEN sum(CASE WHEN dev > 0
+                                       AND dev * dev > 4 * a
+                                      THEN 1 ELSE 0 END) OVER w3 >= 2
+                          OR sum(CASE WHEN dev < 0
+                                       AND dev * dev > 4 * a
+                                      THEN 1 ELSE 0 END) OVER w3 >= 2
+                        THEN 1 ELSE 0 END AS r4
+            FROM b WINDOW
+                w9 AS (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+                w5 AS (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                w3 AS (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        SELECT event_type, t, v, dev, a,
+               CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+               CAST(r3 AS BIGINT) AS r3, CAST(r4 AS BIGINT) AS r4
+        FROM r
+        WHERE r1 = 1 OR r2 = 1 OR r3 = 1 OR r4 = 1
     """
     return d

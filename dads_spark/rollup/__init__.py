@@ -150,3 +150,4 @@ from .ingest import watermark_tuning  # noqa: F401
 from .peaks import peak_prominence  # noqa: F401
 from .analytics import rolling_corr  # noqa: F401
 from .trend import hurst_rs  # noqa: F401
+from .controlchart import control_chart_flags  # noqa: F401
