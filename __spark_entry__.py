@@ -9502,6 +9502,35 @@ def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return control_chart_flags(hourly, ["event_type"], "hb", "v")
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances from a trusted seed set over the
+    deterministic synthetic domain graph the pagerank/trustrank lanes
+    share (ops/linkgraph.py bfs_hops): frontier joins + anti-join
+    against the settled set, work per round ∝ newly-reached nodes.
+    Exact integer hop counts; the oracle is the textbook WITH RECURSIVE
+    walk with min(d) per node."""
+    from dads_spark.ops import bfs_hops, domain_edges, extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example.com")).alias("src_domain"),
+        F.concat(
+            F.lit('<p><a href="https://h'),
+            ((F.col("doc_id") * 31 + 7) % 97).cast("string"),
+            F.lit('.example.com/x">l</a> <a href=\'http://h'),
+            ((F.col("doc_id") * 5 + 3) % 11).cast("string"),
+            F.lit(".org/y'>m</a></p>"),
+        ).alias("html"),
+    )
+    links = extract_links(pages, "html", "doc_id", keep=("src_domain",))
+    edges = domain_edges(links, "src_domain", "link_url")
+    return bfs_hops(
+        edges, ["h0.example.com", "h50.example.com"], max_hops=15
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rollup -> gap-fill -> S2G anomaly scores at sf0.001."""
     return q_s2g_hourly_scores(spark, "/root/testdata/sf0.001")
@@ -9938,6 +9967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mannwhitney_drift": q_mannwhitney,
         # -- (2e) r4s14 additions ------------------------------------
         "control_chart": q_control_chart,
+        "bfs_hops": q_bfs_hops,
     }
 
 
@@ -18021,5 +18051,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(r3 AS BIGINT) AS r3, CAST(r4 AS BIGINT) AS r4
         FROM r
         WHERE r1 = 1 OR r2 = 1 OR r3 = 1 OR r4 = 1
+    """
+
+    # bfs_hops: multi-source BFS = the textbook recursive walk with
+    # min(d); the edge CTEs are verbatim the link_pagerank fixture
+    d["bfs_hops"] = """
+        WITH RECURSIVE pages AS (
+            SELECT doc_id,
+                   'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com'
+                       AS src_domain,
+                   '<p><a href="https://h'
+                   || CAST((doc_id * 31 + 7) % 97 AS VARCHAR)
+                   || '.example.com/x">l</a> <a href=''http://h'
+                   || CAST((doc_id * 5 + 3) % 11 AS VARCHAR)
+                   || '.org/y''>m</a></p>' AS html
+            FROM documents),
+        l0 AS (
+            SELECT src_domain,
+                   unnest(regexp_extract_all(
+                       html,
+                       'href=["'']((?:https?)://[^"''\\s>]+)["'']', 1))
+                       AS link_url
+            FROM pages),
+        edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src_domain AS src,
+                       lower(regexp_extract(
+                           link_url, '^https?://([^/]+)', 1)) AS dst
+                FROM l0)
+            WHERE dst IS NOT NULL AND dst <> '' AND dst <> src),
+        walk AS (
+            SELECT node, 0 AS d
+            FROM (VALUES ('h0.example.com'),
+                         ('h50.example.com')) v(node)
+            UNION
+            SELECT e.dst, w.d + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.d < 15)
+        SELECT node, CAST(min(d) AS BIGINT) AS hops
+        FROM walk GROUP BY node
     """
     return d

@@ -170,3 +170,4 @@ from .quantize import ann_sq8, sq8_encode, sq8_train  # noqa: F401
 from .profile import encoding_advisor  # noqa: F401
 from .linkgraph import degree_assortativity  # noqa: F401
 from .textstats import zipf_slope  # noqa: F401
+from .linkgraph import bfs_hops  # noqa: F401

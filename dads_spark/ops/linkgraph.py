@@ -897,3 +897,53 @@ def modularity(
             "label", "n_nodes", "e_intra", "d_sum", "m_edges", "q_q6"
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: list[str],
+    max_hops: int = 15,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS: (node, hops) = the minimum hop count from any
+    seed domain, for every node reachable within ``max_hops``.
+
+    The crawl-scheduler / spam-containment primitive ("how far is this
+    host from the trusted core?" — TrustRank's hard-radius cousin) and
+    the reachability half of link-graph hygiene audits.
+
+    Frontier algorithm, exact integers end to end: round k joins ONLY
+    the hop-(k-1) frontier against the edge list, anti-joins the
+    already-settled set, and settles the survivors at hop k. Work per
+    round ∝ newly-reached nodes (never the settled set, never the
+    corpus); rounds stop at the first empty frontier or ``max_hops``.
+    Each round localCheckpoints the (small, node-sized) settled set to
+    cut lineage — the same discipline as :func:`pagerank`. The per-round
+    ``isEmpty`` driver sync reads one boolean, matching BFS's inherent
+    level-synchronous barrier.
+
+    Equivalent ANSI form (the oracle): WITH RECURSIVE walk(node, d)
+    UNION-deduped with d < max_hops, then min(d) per node — bitwise
+    identical because hop counts are exact longs.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    settled = spark.createDataFrame(
+        [(s, 0) for s in sorted(set(seeds))], "node string, hops long"
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(settled, "node", "left_anti")
+            .select("node", F.lit(k).cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return settled
