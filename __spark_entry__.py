@@ -3738,7 +3738,8 @@ def _stage_ewma_oracle(sf_dir: str, alpha: float = 0.3) -> str:
 
 
 def _stage_holt_oracle(
-    sf_dir: str, alpha: float = 0.3, beta: float = 0.1, n_sigma: float = 4.0
+    sf_dir: str, alpha: float = 0.3, beta: float = 0.1, n_sigma: float = 4.0,
+    phi: float = 1.0, dump: str = "holt_oracle",
 ) -> str:
     import numpy as _np2
 
@@ -3746,7 +3747,9 @@ def _stage_holt_oracle(
 
     ets, idxs, vals, fq, rq = [], [], [], [], []
     for et, (_, v) in hourly_counts(sf_dir).items():
-        idx, val, fc, resid = holt_outliers_oracle(v, alpha, beta, n_sigma)
+        idx, val, fc, resid = holt_outliers_oracle(
+            v, alpha, beta, n_sigma, phi
+        )
         ets.extend([et] * len(idx))
         idxs.extend(idx.tolist())
         vals.extend(val.tolist())
@@ -3755,7 +3758,7 @@ def _stage_holt_oracle(
     import pyarrow as _pa
 
     return _write_dump(
-        "holt_oracle",
+        dump,
         {
             "event_type": _pa.array(ets, type=_pa.string()),
             "idx": _np2.array(idxs, dtype=_np2.int64),
@@ -9502,6 +9505,29 @@ def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return control_chart_flags(hourly, ["event_type"], "hb", "v")
 
 
+def q_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gardner-McKenzie DAMPED-trend Holt residual outliers (phi=0.85)
+    over hourly count series — the plateau-safe variant of holt_pinned
+    (an undamped trend extrapolates forever and over-alarms on series
+    that level off). Same staged-scalar-oracle pin, phi threaded
+    through both recurrences in identical expression positions."""
+    from dads_spark.rollup import holt_residuals_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    out = holt_residuals_grouped(
+        hourly, ["event_type"], "bucket_ts", "v", n_sigma=4.0, phi=0.85
+    )
+    _stage_holt_oracle(sf_dir, phi=0.85, dump="holt_damped_oracle")
+    return _q6_cols(
+        out,
+        ["event_type", "idx", "value"],
+        {"forecast": "fc_q6", "residual": "resid_q6"},
+    )
+
+
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distances from a trusted seed set over the
     deterministic synthetic domain graph the pagerank/trustrank lanes
@@ -9968,6 +9994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (2e) r4s14 additions ------------------------------------
         "control_chart": q_control_chart,
         "bfs_hops": q_bfs_hops,
+        "holt_damped": q_holt_damped,
     }
 
 
@@ -13288,6 +13315,10 @@ def oracle_sql() -> dict[str, str]:
     d["holt_pinned"] = f"""
         SELECT event_type, idx, value, fc_q6, resid_q6
         FROM read_parquet('{_dump_path("holt_oracle")}')
+    """
+    d["holt_damped"] = f"""
+        SELECT event_type, idx, value, fc_q6, resid_q6
+        FROM read_parquet('{_dump_path("holt_damped_oracle")}')
     """
     d["cusum_pinned"] = f"""
         SELECT event_type, idx, direction

@@ -158,12 +158,14 @@ def ewma_oracle(v: np.ndarray, alpha: float) -> np.ndarray:
 # Holt linear smoothing — scalar recurrence from the standard formulation
 # ---------------------------------------------------------------------------
 
-def holt_oracle(x: np.ndarray, alpha: float, beta: float):
+def holt_oracle(x: np.ndarray, alpha: float, beta: float, phi: float = 1.0):
     """(forecast, residual) via the standard double-exponential recurrence,
     written as plain Python-float scalar steps (IEEE double, identical
     expression tree to any faithful implementation):
-    level_0 = x_0, trend_0 = x_1 - x_0; f_t = level + trend;
-    level' = a x_t + (1-a) f_t; trend' = b (level'-level) + (1-b) trend."""
+    level_0 = x_0, trend_0 = x_1 - x_0; f_t = level + phi*trend;
+    level' = a x_t + (1-a) f_t; trend' = b (level'-level) + (1-b)(phi*trend).
+    phi = 1.0 is classic Holt (IEEE multiply-by-one identity); phi < 1 is
+    Gardner-McKenzie damped trend."""
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
     f = [float("nan")] * n
@@ -172,22 +174,23 @@ def holt_oracle(x: np.ndarray, alpha: float, beta: float):
     level = float(x[0])
     trend = float(x[1]) - float(x[0])
     for t in range(1, n):
-        ft = level + trend
+        ft = level + phi * trend
         f[t] = ft
         new_level = alpha * float(x[t]) + (1 - alpha) * ft
-        trend = beta * (new_level - level) + (1 - beta) * trend
+        trend = beta * (new_level - level) + (1 - beta) * (phi * trend)
         level = new_level
     fa = np.array(f, dtype=np.float64)
     return fa, x - fa
 
 
 def holt_outliers_oracle(
-    x: np.ndarray, alpha: float, beta: float, n_sigma: float
+    x: np.ndarray, alpha: float, beta: float, n_sigma: float,
+    phi: float = 1.0,
 ):
     """Outlier selection mirroring the production contract: residual sigma
     over finite residuals (np.std for reduction-order parity), flag
     |resid| > n_sigma * sigma. Returns (idx, value, forecast, residual)."""
-    fc, resid = holt_oracle(x, alpha, beta)
+    fc, resid = holt_oracle(x, alpha, beta, phi)
     ok = np.isfinite(resid)
     sd = float(resid[ok].std()) if ok.any() else 0.0
     if sd > 0:

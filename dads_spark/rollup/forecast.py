@@ -20,15 +20,21 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def holt_forecast(
-    x: np.ndarray, alpha: float = 0.3, beta: float = 0.1
+    x: np.ndarray, alpha: float = 0.3, beta: float = 0.1, phi: float = 1.0
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Holt's linear (double exponential) smoothing.
+    """Holt's linear (double exponential) smoothing, optionally damped.
 
     level_0 = x_0, trend_0 = x_1 - x_0; for t >= 1:
-      forecast_t = level_{t-1} + trend_{t-1}
+      forecast_t = level_{t-1} + phi trend_{t-1}
       level_t    = alpha x_t + (1-alpha) forecast_t
-      trend_t    = beta (level_t - level_{t-1}) + (1-beta) trend_{t-1}
+      trend_t    = beta (level_t - level_{t-1}) + (1-beta) phi trend_{t-1}
     Returns (forecast, residual) arrays; index 0 has no forecast (nan).
+
+    ``phi`` < 1 is Gardner-McKenzie damping — the trend decays
+    geometrically instead of extrapolating forever, the standard fix
+    for Holt's runaway long-horizon trend on plateauing series.
+    ``phi`` = 1.0 is EXACTLY classic Holt (multiplying by 1.0 is an
+    IEEE identity, so existing bit-level pins are unchanged).
     """
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
@@ -37,9 +43,9 @@ def holt_forecast(
         return f, np.full(n, np.nan)
     level, trend = x[0], x[1] - x[0]
     for t in range(1, n):
-        f[t] = level + trend
+        f[t] = level + phi * trend
         new_level = alpha * x[t] + (1 - alpha) * f[t]
-        trend = beta * (new_level - level) + (1 - beta) * trend
+        trend = beta * (new_level - level) + (1 - beta) * (phi * trend)
         level = new_level
     return f, x - f
 
@@ -170,10 +176,12 @@ def holt_residuals_grouped(
     alpha: float = 0.3,
     beta: float = 0.1,
     n_sigma: float = 3.0,
+    phi: float = 1.0,
 ) -> DataFrame:
     """Per-series Holt forecast residual outliers:
     (keys..., idx, value, forecast, residual) for |residual| >
-    n_sigma * residual sigma of the series."""
+    n_sigma * residual sigma of the series. ``phi`` < 1 damps the
+    trend (Gardner-McKenzie); 1.0 is classic Holt."""
     out_schema = ", ".join(
         [f"{c} string" for c in key_cols]
         + ["idx long", "value double", "forecast double", "residual double"]
@@ -182,7 +190,7 @@ def holt_residuals_grouped(
     def f(keys, pdf):
         pdf = pdf.sort_values(order_col)
         x = pdf[value_col].to_numpy(dtype=np.float64)
-        fc, resid = holt_forecast(x, alpha, beta)
+        fc, resid = holt_forecast(x, alpha, beta, phi)
         ok = np.isfinite(resid)
         sd = resid[ok].std() if ok.any() else 0.0
         sel = ok & (np.abs(resid) > n_sigma * sd) if sd > 0 else np.zeros(len(x), bool)

@@ -118,3 +118,41 @@ def test_rolling_backtest_gap_safe_seasonal_join(spark):
     assert all(r["sae_seasonal"] == 0 for r in out.values())
     # exactly 6 held-out buckets lack their t-168h twin
     assert sum(24 - r["n_scored"] for r in out.values()) == 6
+
+
+def test_damped_phi1_is_bitwise_classic_holt():
+    import numpy as np
+
+    from dads_spark.rollup.forecast import holt_forecast
+
+    x = np.array([3.0, 7.0, 5.0, 11.0, 2.0, 9.0, 9.0, 4.0])
+    f0, r0 = holt_forecast(x, 0.3, 0.1)
+    f1, r1 = holt_forecast(x, 0.3, 0.1, phi=1.0)
+    assert np.array_equal(f0[1:], f1[1:]) and np.array_equal(r0[1:], r1[1:])
+
+
+def test_damped_trend_decays_on_plateau():
+    import numpy as np
+
+    from dads_spark.rollup.forecast import holt_forecast
+
+    # ramp then hard plateau: the damped forecast must hug the plateau
+    # tighter than the undamped one (smaller |residual| tail)
+    x = np.concatenate([np.arange(0, 50, 2.0), np.full(30, 48.0)])
+    _, r_plain = holt_forecast(x, 0.3, 0.1)
+    _, r_damp = holt_forecast(x, 0.3, 0.1, phi=0.8)
+    tail_plain = float(np.abs(r_plain[-20:]).sum())
+    tail_damp = float(np.abs(r_damp[-20:]).sum())
+    assert tail_damp < tail_plain
+
+
+def test_damped_matches_scalar_oracle_bitwise():
+    import numpy as np
+
+    from dads_spark.oracles import holt_oracle
+    from dads_spark.rollup.forecast import holt_forecast
+
+    x = np.array([5.0, 1.0, 8.0, 8.0, 2.0, 14.0, 3.0, 3.0, 21.0])
+    fp, rp = holt_forecast(x, 0.3, 0.1, phi=0.85)
+    fo, ro = holt_oracle(x, 0.3, 0.1, phi=0.85)
+    assert np.array_equal(fp[1:], fo[1:]) and np.array_equal(rp[1:], ro[1:])
