@@ -9505,6 +9505,64 @@ def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return control_chart_flags(hourly, ["event_type"], "hb", "v")
 
 
+def _stage_esd_oracle(sf_dir: str, season: int = 24, k: int = 8) -> str:
+    import numpy as _np2
+    import pyarrow as _pa
+
+    from dads_spark.oracles import hourly_counts, seasonal_esd_oracle
+
+    ets, ss, ts, vs, us, ms = [], [], [], [], [], []
+    sus, nas, gs = [], [], []
+    for et, (b, v) in hourly_counts(sf_dir).items():
+        rows = seasonal_esd_oracle(b // 3600, v, season=season, k=k)
+        for s, ti, vi, ui, mdi, su, na, sig in rows:
+            ets.append(et)
+            ss.append(s)
+            ts.append(ti)
+            vs.append(vi)
+            us.append(ui)
+            ms.append(mdi)
+            sus.append(su)
+            nas.append(na)
+            gs.append(sig)
+    return _write_dump(
+        "esd_oracle",
+        {
+            "event_type": _pa.array(ets, type=_pa.string()),
+            "step": _np2.array(ss, dtype=_np2.int64),
+            "t": _np2.array(ts, dtype=_np2.int64),
+            "v": _np2.array(vs, dtype=_np2.int64),
+            "u": _np2.array(us, dtype=_np2.int64),
+            "md": _np2.array(ms, dtype=_np2.int64),
+            "sum_u": _np2.array(sus, dtype=_np2.int64),
+            "n_active": _np2.array(nas, dtype=_np2.int64),
+            "significant": _np2.array(gs, dtype=_np2.int64),
+        },
+    )
+
+
+def q_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-hybrid generalized ESD (rollup/esd.py): per-phase
+    2*median seasonal removal, then the median/MAD ESD walk whose
+    every test is the integer comparison 2*u*1e6 > lambda_q6*md —
+    catches MULTIPLE masked outliers that single-pass sigma rules
+    miss. The lambda_q6 critical values are published-table constants
+    (t-quantile via pure-Python incomplete beta, anchored by t-table
+    unit tests). Pinned against the plain-scalar re-derivation in
+    oracles.py (sorted-list medians, no numpy)."""
+    from dads_spark.rollup import seasonal_esd_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "hb"
+        ),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    _stage_esd_oracle(sf_dir)
+    return seasonal_esd_grouped(hourly, ["event_type"], "hb", "v")
+
+
 def q_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gardner-McKenzie DAMPED-trend Holt residual outliers (phi=0.85)
     over hourly count series — the plateau-safe variant of holt_pinned
@@ -9995,6 +10053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "control_chart": q_control_chart,
         "bfs_hops": q_bfs_hops,
         "holt_damped": q_holt_damped,
+        "seasonal_esd": q_seasonal_esd,
     }
 
 
@@ -13319,6 +13378,11 @@ def oracle_sql() -> dict[str, str]:
     d["holt_damped"] = f"""
         SELECT event_type, idx, value, fc_q6, resid_q6
         FROM read_parquet('{_dump_path("holt_damped_oracle")}')
+    """
+    d["seasonal_esd"] = f"""
+        SELECT event_type, step, t, v, u, md, sum_u, n_active,
+               significant
+        FROM read_parquet('{_dump_path("esd_oracle")}')
     """
     d["cusum_pinned"] = f"""
         SELECT event_type, idx, direction

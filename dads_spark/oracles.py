@@ -1350,3 +1350,63 @@ def tier_counts_gapfilled(
         dense = np.arange(b[0], b[-1] + 1, unit_s)
         out[et] = np.interp(dense, b, v)
     return out
+
+
+def seasonal_esd_oracle(t, v, season: int = 24, k: int = 8,
+                        alpha: float = 0.05):
+    """S-H-ESD by its direct definition in plain scalar Python: per-phase
+    2*median seasonal component, then the generalized ESD walk on
+    median/MAD with the integer decision 2*u*1e6 > lambda_q6 * md. The
+    lambda_q6 critical values are published-table constants (from
+    esd_lambdas_q6 — a shared INPUT, anchored independently by the
+    t-table unit tests), not shared arithmetic. Returns rows
+    (step, t, v, u, md, significant)."""
+    from dads_spark.rollup.esd import esd_lambdas_q6
+
+    t = [int(x) for x in t]
+    v = [int(x) for x in v]
+    n = len(v)
+
+    def med2(sorted_list):
+        m = len(sorted_list)
+        h = m // 2
+        if m % 2 == 1:
+            return 2 * sorted_list[h]
+        return sorted_list[h - 1] + sorted_list[h]
+
+    by_phase: dict[int, list[int]] = {}
+    for ti, vi in zip(t, v):
+        by_phase.setdefault(ti % season, []).append(vi)
+    sm2 = {ph: med2(sorted(vals)) for ph, vals in by_phase.items()}
+    r2 = [2 * vi - sm2[ti % season] for ti, vi in zip(t, v)]
+
+    lambdas = esd_lambdas_q6(n, k, alpha)
+    active = [True] * n
+    steps = []
+    for step, lam in enumerate(lambdas, start=1):
+        idxs = [i for i in range(n) if active[i]]
+        if len(idxs) < 3:
+            break
+        m4 = med2(sorted(r2[i] for i in idxs))
+        u = {i: abs(2 * r2[i] - m4) for i in idxs}
+        md = med2(sorted(u.values()))
+        sum_u = sum(u.values())
+        n_act = len(idxs)
+        if md == 0 and sum_u == 0:
+            break
+        cand, best = None, -1
+        for i in idxs:  # index order => smallest-index tie-break
+            if u[i] > best:
+                cand, best = i, u[i]
+        if md > 0:
+            passed = 2 * best * 1_000_000 > lam * md
+        else:  # MeanAD fallback (Leys et al.): u*L*1e6 > lam*sum_u
+            passed = best * n_act * 1_000_000 > lam * sum_u
+        steps.append((step, t[cand], v[cand], best, md, sum_u, n_act,
+                      passed))
+        active[cand] = False
+    last_pass = max((s[0] for s in steps if s[7]), default=0)
+    return [
+        (s, ti, vi, ui, mdi, su, na, 1 if s <= last_pass else 0)
+        for s, ti, vi, ui, mdi, su, na, _p in steps
+    ]

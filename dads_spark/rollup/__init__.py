@@ -151,3 +151,4 @@ from .peaks import peak_prominence  # noqa: F401
 from .analytics import rolling_corr  # noqa: F401
 from .trend import hurst_rs  # noqa: F401
 from .controlchart import control_chart_flags  # noqa: F401
+from .esd import esd_lambdas_q6, seasonal_esd_grouped, t_quantile  # noqa: F401
