@@ -9505,6 +9505,19 @@ def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return control_chart_flags(hourly, ["event_type"], "hb", "v")
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style hashed linear classifier scoring over documents
+    (ops/quality.py hashed_linear_score): md5-bucket unigram features,
+    exact integer logit = sum of broadcast bucket weights, threshold
+    keep flag. The deterministic Knuth-multiplicative weight fixture
+    stands in for a trained model; the pinned mechanism — hash,
+    explode, broadcast join, integer sum — is what scales."""
+    from dads_spark.ops import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, n_buckets=256, threshold=0)
+
+
 def _stage_esd_oracle(sf_dir: str, season: int = 24, k: int = 8) -> str:
     import numpy as _np2
     import pyarrow as _pa
@@ -10054,6 +10067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "holt_damped": q_holt_damped,
         "seasonal_esd": q_seasonal_esd,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -13383,6 +13397,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, step, t, v, u, md, sum_u, n_active,
                significant
         FROM read_parquet('{_dump_path("esd_oracle")}')
+    """
+
+    # quality_classifier: hashed linear scoring — md5-prefix buckets
+    # (the dsir discipline), Knuth-multiplicative weight fixture,
+    # exact integer logits, threshold keep flag
+    d["quality_classifier"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substring(md5(w), 1, 13)) AS BIGINT)
+                     % 256 AS b
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents)),
+        per_doc AS (
+            SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2),
+        wt AS (
+            SELECT b, (b * 2654435761) % 2001 - 1000 AS w
+            FROM (SELECT unnest(range(256)) AS b)),
+        doc AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(sum(c * w) AS BIGINT) AS logit
+            FROM per_doc JOIN wt USING (b) GROUP BY 1)
+        SELECT doc_id, n_tokens, logit, logit > 0 AS keep
+        FROM doc
     """
     d["cusum_pinned"] = f"""
         SELECT event_type, idx, direction

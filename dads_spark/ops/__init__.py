@@ -171,3 +171,4 @@ from .profile import encoding_advisor  # noqa: F401
 from .linkgraph import degree_assortativity  # noqa: F401
 from .textstats import zipf_slope  # noqa: F401
 from .linkgraph import bfs_hops  # noqa: F401
+from .quality import hashed_linear_score  # noqa: F401

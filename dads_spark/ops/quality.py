@@ -456,3 +456,68 @@ def blockword_scan(
         > F.lit(int(flag_per_10k)) * F.col("n_tokens")
     ).alias("flagged")
     return staged.select(*[c for c in staged.columns], flagged)
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    weights: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    threshold: int = 0,
+) -> DataFrame:
+    """FastText-style hashed linear classifier scoring — the quality /
+    domain filter shape used by DCLM, CCNet and RedPajama pipelines:
+    tokens hash into ``n_buckets`` feature buckets, a document's logit
+    is the sum of the (integer) bucket weights of its tokens, and the
+    keep decision is a threshold on the logit.
+
+    ``weights`` is a (b long, w long) table of integer micro-weights —
+    in production the broadcast output of an offline trainer. ``None``
+    uses a deterministic Knuth-multiplicative fixture
+    ``w(b) = (b * 2654435761) % 2001 - 1000`` so the SCORING MECHANISM
+    (hashing, explode, broadcast join, exact integer sum, threshold)
+    is pinnable without shipping a model.
+
+    Exactness: md5-prefix bucketing (engine-portable, the dsir bucket
+    discipline) and exact long sums — no floats anywhere.
+
+    Scale shape: corpus -> one explode pass -> per-(doc, bucket)
+    counts (shuffle bounded by doc length) -> broadcast join against
+    the <= n_buckets-row weight table -> one keyed agg back to docs.
+    The corpus is never joined against anything non-broadcast.
+    """
+    spark = docs.sparkSession
+    if weights is None:
+        weights = spark.createDataFrame(
+            [(b, (b * 2654435761) % 2001 - 1000) for b in range(n_buckets)],
+            "_b long, _w long",
+        )
+    else:
+        weights = weights.toDF("_b", "_w")
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("_t"),
+    ).select(
+        id_col,
+        (
+            F.conv(F.substring(F.md5(F.col("_t")), 1, 13), 16, 10)
+            .cast("long")
+            % n_buckets
+        ).alias("_b"),
+    )
+    per_doc = tok.groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        per_doc.join(F.broadcast(weights), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.sum(F.col("_c") * F.col("_w")).alias("logit"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "logit",
+            (F.col("logit") > F.lit(threshold)).alias("keep"),
+        )
+    )

@@ -261,3 +261,38 @@ def test_readability_no_punctuation_min_one_sentence(spark):
     ).first()
     easy = readability_scores(_docs(spark, [(1, "the cat sat on a mat.")])).first()
     assert hard["flesch_q3"] < easy["flesch_q3"]
+
+
+def test_hashed_linear_score_exact_logit(spark):
+    from dads_spark.ops import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "cc")], "doc_id long, text string"
+    )
+    # explicit 1-bucket weight table: every token maps somewhere in
+    # [0, 256) — use a full table with weight 7 to make the logit
+    # trivially checkable: logit = 7 * n_tokens
+    wt = spark.createDataFrame(
+        [(b, 7) for b in range(256)], "b long, w long"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in hashed_linear_score(docs, weights=wt, threshold=20).collect()
+    }
+    assert rows[1]["n_tokens"] == 3 and rows[1]["logit"] == 21
+    assert rows[2]["n_tokens"] == 1 and rows[2]["logit"] == 7
+    assert rows[1]["keep"] is True and rows[2]["keep"] is False
+
+
+def test_hashed_linear_default_fixture_is_deterministic(spark):
+    from dads_spark.ops import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["logit"]
+         for r in hashed_linear_score(docs).collect()}
+    b = {r["doc_id"]: r["logit"]
+         for r in hashed_linear_score(docs).collect()}
+    assert a == b and set(a) == {1, 2}
