@@ -9505,6 +9505,58 @@ def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return control_chart_flags(hourly, ["event_type"], "hb", "v")
 
 
+def _stage_vopt_oracle(sf_dir: str, b: int = 6) -> str:
+    import numpy as _np2
+    import pyarrow as _pa
+
+    from dads_spark.oracles import hourly_counts, vopt_oracle
+
+    ets, bks, t0, t1, ns, svs, s2s, cs = [], [], [], [], [], [], [], []
+    for et, (bsec, v) in hourly_counts(sf_dir).items():
+        hb = bsec // 3600
+        for bi, s, e, length, sv, s2, c in vopt_oracle(v, b):
+            ets.append(et)
+            bks.append(bi)
+            t0.append(int(hb[s]))
+            t1.append(int(hb[e - 1]))
+            ns.append(length)
+            svs.append(sv)
+            s2s.append(s2)
+            cs.append(c)
+    return _write_dump(
+        "vopt_oracle",
+        {
+            "event_type": _pa.array(ets, type=_pa.string()),
+            "bucket": _np2.array(bks, dtype=_np2.int64),
+            "t_start": _np2.array(t0, dtype=_np2.int64),
+            "t_end": _np2.array(t1, dtype=_np2.int64),
+            "n": _np2.array(ns, dtype=_np2.int64),
+            "sum_v": _np2.array(svs, dtype=_np2.int64),
+            "sum2_v": _np2.array(s2s, dtype=_np2.int64),
+            "cost_q3": _np2.array(cs, dtype=_np2.int64),
+        },
+    )
+
+
+def q_vopt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal histogram per hourly count series (rollup/vopt.py):
+    the Jagadish et al. DP over a floor-q3 integer SSE objective —
+    ANALYZE-grade optimal bucket boundaries with exact moment columns,
+    pinned against the plain O(B n^2) scalar DP (arbitrary-precision
+    ints, strict-< smallest-split tie rule)."""
+    from dads_spark.rollup import vopt_histogram_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "hb"
+        ),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    _stage_vopt_oracle(sf_dir)
+    return vopt_histogram_grouped(hourly, ["event_type"], "hb", "v", b=6)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FastText-style hashed linear classifier scoring over documents
     (ops/quality.py hashed_linear_score): md5-bucket unigram features,
@@ -10068,6 +10120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_damped": q_holt_damped,
         "seasonal_esd": q_seasonal_esd,
         "quality_classifier": q_quality_classifier,
+        "vopt_histogram": q_vopt_histogram,
     }
 
 
@@ -13397,6 +13450,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, step, t, v, u, md, sum_u, n_active,
                significant
         FROM read_parquet('{_dump_path("esd_oracle")}')
+    """
+    d["vopt_histogram"] = f"""
+        SELECT event_type, bucket, t_start, t_end, n, sum_v, sum2_v,
+               cost_q3
+        FROM read_parquet('{_dump_path("vopt_oracle")}')
     """
 
     # quality_classifier: hashed linear scoring — md5-prefix buckets

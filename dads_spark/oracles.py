@@ -1410,3 +1410,60 @@ def seasonal_esd_oracle(t, v, season: int = 24, k: int = 8,
         (s, ti, vi, ui, mdi, su, na, 1 if s <= last_pass else 0)
         for s, ti, vi, ui, mdi, su, na, _p in steps
     ]
+
+
+def vopt_oracle(v, b: int = 6):
+    """V-optimal histogram boundaries by the direct O(B n^2) dynamic
+    program in plain scalar Python (arbitrary-precision ints), over the
+    same floor-q3 integer SSE objective: c = (1000*(len*sum2 - sum^2))
+    // len. Strict '<' keeps the smallest split index on ties. Returns
+    [(bucket, start, end, n, sum, sum2, cost_q3)] with end exclusive."""
+    v = [int(x) for x in v]
+    n = len(v)
+    b = min(b, n)
+    if n == 0:
+        return []
+    ps = [0] * (n + 1)
+    ps2 = [0] * (n + 1)
+    for i, x in enumerate(v):
+        ps[i + 1] = ps[i] + x
+        ps2[i + 1] = ps2[i] + x * x
+
+    def cost(i, j):  # segment [i, j] inclusive
+        length = j + 1 - i
+        s = ps[j + 1] - ps[i]
+        s2 = ps2[j + 1] - ps2[i]
+        return (1000 * (length * s2 - s * s)) // length
+
+    INF = float("inf")
+    dp = [[INF] * n for _ in range(b + 1)]
+    back = [[0] * n for _ in range(b + 1)]
+    for j in range(n):
+        dp[1][j] = cost(0, j)
+    for k in range(2, b + 1):
+        for j in range(k - 1, n):
+            best, bi = INF, None
+            for i in range(k - 1, j + 1):
+                tot = dp[k - 1][i - 1] + cost(i, j)
+                if tot < best:
+                    best, bi = tot, i
+            dp[k][j] = best
+            back[k][j] = bi
+    starts = []
+    j = n - 1
+    for k in range(b, 1, -1):
+        i = back[k][j]
+        starts.append(i)
+        j = i - 1
+    starts.append(0)
+    starts = starts[::-1]
+    ends = starts[1:] + [n]
+    out = []
+    for bi, (s, e) in enumerate(zip(starts, ends), start=1):
+        seg = v[s:e]
+        length = e - s
+        sv = sum(seg)
+        s2 = sum(x * x for x in seg)
+        out.append((bi, s, e, length, sv, s2,
+                    (1000 * (length * s2 - sv * sv)) // length))
+    return out

@@ -152,3 +152,4 @@ from .analytics import rolling_corr  # noqa: F401
 from .trend import hurst_rs  # noqa: F401
 from .controlchart import control_chart_flags  # noqa: F401
 from .esd import esd_lambdas_q6, seasonal_esd_grouped, t_quantile  # noqa: F401
+from .vopt import vopt_boundaries, vopt_histogram_grouped  # noqa: F401
