@@ -3441,6 +3441,59 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT purchase_id, click_id FROM {qname}")
 
 
+def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT-OUTER join: purchases with no
+    click in the preceding hour emit a null row once the watermark
+    proves no match can arrive. Inner matches emit eagerly (pinned
+    equal to the batch range join); null emission is gated by state
+    cleanup, so the trailing no-data micro-batch is REQUIRED here
+    (contrast the inner lane, which skips it) and the batch oracle
+    mirrors the cutoff exactly: unmatched purchases with
+    p_ts < min(max p_ts, max c_ts) - 2h (the final global watermark —
+    the min across both sides' watermark operators)."""
+    import hashlib as _hl
+
+    src = _events_stream_src(spark, sf_dir)
+    schema = _t(spark, sf_dir, "events").schema
+
+    def _side(et: str, prefix: str):
+        return (
+            spark.readStream.schema(schema).format("parquet").load(src)
+            .select("event_id", "user_id", "ts", "event_type")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == et)
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    joined = _side("purchase", "p").join(
+        _side("click", "c"),
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR"
+            " AND c_ts < p_ts"
+        ),
+        "leftOuter",
+    )
+    qname = f"q_slj_{_hl.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    from dads_spark.streaming import sized_state_partitions
+
+    with sized_state_partitions(spark, 8, no_data_batches=True):
+        q = (
+            joined.select("p_id", "c_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.sql(f"SELECT p_id, c_id FROM {qname}")
+
+
 def q_retention_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tier retention enforcement against the hour tier's watermark
     (hour kept 7 days, day 30 days, week forever); output = one summary row
@@ -10121,6 +10174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_esd": q_seasonal_esd,
         "quality_classifier": q_quality_classifier,
         "vopt_histogram": q_vopt_histogram,
+        "streaming_left_join": q_streaming_left_join,
     }
 
 
@@ -13455,6 +13509,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, bucket, t_start, t_end, n, sum_v, sum2_v,
                cost_q3
         FROM read_parquet('{_dump_path("vopt_oracle")}')
+    """
+
+    # streaming_left_join: stream==batch with the final-watermark null
+    # cutoff mirrored relationally (see q_streaming_left_join)
+    d["streaming_left_join"] = """
+        WITH p AS (
+            SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'),
+        c AS (
+            SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+            FROM events WHERE event_type = 'click'),
+        wm AS (
+            SELECT least((SELECT max(p_ts) FROM p),
+                         (SELECT max(c_ts) FROM c))
+                   - INTERVAL 2 HOUR AS w),
+        j AS (
+            SELECT p.p_id, p.p_ts, c.c_id
+            FROM p LEFT JOIN c
+              ON p_user = c_user
+             AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts)
+        SELECT p_id, c_id FROM j WHERE c_id IS NOT NULL
+        UNION ALL
+        SELECT p_id, CAST(NULL AS BIGINT) AS c_id
+        FROM j WHERE c_id IS NULL AND p_ts < (SELECT w FROM wm)
     """
 
     # quality_classifier: hashed linear scoring — md5-prefix buckets
