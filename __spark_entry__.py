@@ -3494,6 +3494,52 @@ def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT p_id, c_id FROM {qname}")
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static ENRICHMENT join — the canonical dimension-lookup
+    shape: the events stream broadcast-joined to the static nation dim
+    (user_id % 25 as the foreign key), rolled up per region in
+    complete mode. Completes the streaming join matrix (stream-stream
+    inner + left-outer, stream-static). The static side never holds
+    state — Spark re-plans it per micro-batch as an ordinary broadcast
+    hash join; the oracle is the identical batch SQL (exact longs)."""
+    import hashlib as _hl
+
+    src = _events_stream_src(spark, sf_dir)
+    schema = _t(spark, sf_dir, "events").schema
+    dim = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"),
+        F.col("n_regionkey").cast("long").alias("region"),
+    )
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(src)
+        .select(
+            (F.col("user_id") % 25).cast("long").alias("nk"),
+            F.col("user_id").cast("long").alias("uid"),
+        )
+        .join(F.broadcast(dim), "nk")
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("uid").alias("uid_sum"),
+        )
+    )
+    qname = f"q_senr_{_hl.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    from dads_spark.streaming import sized_state_partitions
+
+    with sized_state_partitions(spark, 8, no_data_batches=False):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.sql(
+        f"SELECT region, n_events, uid_sum FROM {qname}"
+    )
+
+
 def q_retention_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tier retention enforcement against the hour tier's watermark
     (hour kept 7 days, day 30 days, week forever); output = one summary row
@@ -10175,6 +10221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "vopt_histogram": q_vopt_histogram,
         "streaming_left_join": q_streaming_left_join,
+        "streaming_enrich": q_streaming_enrich,
     }
 
 
@@ -13533,6 +13580,16 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT p_id, CAST(NULL AS BIGINT) AS c_id
         FROM j WHERE c_id IS NULL AND p_ts < (SELECT w FROM wm)
+    """
+
+    # streaming_enrich: stream-static broadcast enrichment == batch SQL
+    d["streaming_enrich"] = """
+        SELECT CAST(n.n_regionkey AS BIGINT) AS region,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(e.user_id) AS BIGINT) AS uid_sum
+        FROM events e
+        JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        GROUP BY 1
     """
 
     # quality_classifier: hashed linear scoring — md5-prefix buckets
