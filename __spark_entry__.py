@@ -6184,6 +6184,27 @@ def q_alp_roundtrip_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rle_roundtrip_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour tier -> delta-of-delta + RUN-LENGTH value codec
+    (compress/rle.py: bit-pattern runs, struct-of-arrays layout — the
+    flat-series fast path the columnar-encoding advisor picks for
+    stepwise gauges) over the DOC COUNT column (counts repeat; sums
+    don't) -> decode -> points. Oracle is the uncompressed rollup:
+    hash equality proves the fifth codec lossless under distributed
+    execution."""
+    from dads_spark.compress import compressed_tier_roundtrip
+
+    ev = _t(spark, sf_dir, "events")
+    hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+    rt = compressed_tier_roundtrip(
+        hour, ["event_type"], value_col="doc_count", codec="rle"
+    )
+    return rt.select(
+        "event_type", _fmt_bucket(),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
 def q_simple8b_roundtrip_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour tier -> simple-8b word-aligned INTEGER codec (compress/
     simple8b.py: Anh & Moffat 2010, the TimescaleDB/InfluxDB timestamp
@@ -10222,6 +10243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vopt_histogram": q_vopt_histogram,
         "streaming_left_join": q_streaming_left_join,
         "streaming_enrich": q_streaming_enrich,
+        "rle_roundtrip_hour": q_rle_roundtrip_hour,
     }
 
 
@@ -11474,6 +11496,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "simple8b_roundtrip_hour": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   CAST(count(*) AS BIGINT) AS doc_count
+            FROM events GROUP BY 1, 2
+        """,
+        "rle_roundtrip_hour": """
             SELECT event_type,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
                    CAST(count(*) AS BIGINT) AS doc_count

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import DoubleType, StructField, StructType, TimestampType
 
-from . import alp, chimp, gorilla
+from . import alp, chimp, gorilla, rle
 from .deltadelta import decode_timestamps, encode_timestamps
 
 #: pluggable value codecs: name -> (encode, decode)
@@ -28,6 +28,7 @@ VALUE_CODECS = {
     "gorilla": (gorilla.encode_values, gorilla.decode_values),
     "chimp": (chimp.encode_values, chimp.decode_values),
     "alp": (alp.encode_values, alp.decode_values),
+    "rle": (rle.encode_values, rle.decode_values),
 }
 
 

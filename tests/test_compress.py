@@ -273,3 +273,51 @@ def test_alp_beats_gorilla_on_decimals():
     g = len(gorilla.encode_values(v))
     assert np.array_equal(alp.decode_values(alp.encode_values(v), len(v)), v)
     assert a * 2 < g, (a, g)  # measured ~3x on this shape
+
+
+def test_rle_roundtrip_bitexact():
+    import numpy as np
+
+    from dads_spark.compress.rle import decode_values, encode_values
+
+    x = np.array(
+        [1.0, 1.0, 1.0, -0.0, 0.0, 0.0, np.nan, np.nan, 2.5, 2.5, 2.5]
+    )
+    out = decode_values(encode_values(x), len(x))
+    assert np.array_equal(
+        x.view(np.uint64), out.view(np.uint64)
+    ), "bit patterns must survive (NaN runs, signed zeros)"
+
+
+def test_rle_empty_and_single():
+    import numpy as np
+
+    from dads_spark.compress.rle import decode_values, encode_values
+
+    assert len(decode_values(encode_values(np.empty(0)), 0)) == 0
+    one = np.array([7.25])
+    assert decode_values(encode_values(one), 1)[0] == 7.25
+
+
+def test_rle_compresses_stepwise_series():
+    import numpy as np
+
+    from dads_spark.compress.rle import decode_values, encode_values
+
+    x = np.repeat(np.arange(10, dtype=np.float64), 100)  # 10 runs
+    blob = encode_values(x)
+    assert len(blob) == 4 + 10 * 12  # header + (u32 + u64) per run
+    assert np.array_equal(decode_values(blob, len(x)), x)
+
+
+def test_rle_random_roundtrip_property():
+    import numpy as np
+
+    from dads_spark.compress.rle import decode_values, encode_values
+
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        n = int(rng.integers(1, 400))
+        vals = rng.choice([0.0, 1.5, -3.25, 7.0], size=n)
+        out = decode_values(encode_values(vals), n)
+        assert np.array_equal(out, vals)
