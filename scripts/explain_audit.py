@@ -2315,6 +2315,58 @@ def main() -> None:
                   if "Join" in l or "Window" in l)[:300],
     ))
 
+    # --- A106: control_chart / seasonal_esd / vopt_histogram ------------------
+    p106a = plan_of(em.queries()["control_chart"](spark, sf_dir))
+    p106b = plan_of(em.queries()["seasonal_esd"](spark, sf_dir))
+    p106c = plan_of(em.queries()["vopt_histogram"](spark, sf_dir))
+    def n_exchanges(p: str) -> int:
+        return len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+
+    assert "Window" in p106a and "CartesianProduct" not in p106a
+    assert n_exchanges(p106a) <= 2, (
+        "chart rules must ride the rollup exchange + one keyed window "
+        "exchange, not re-shuffle per rule"
+    )
+    assert "BatchEvalPython" not in p106a, (
+        "the integer rule tests are pure codegen — no Python"
+    )
+    for p, name in ((p106b, "seasonal_esd"), (p106c, "vopt_histogram")):
+        assert "FlatMapGroupsInPandas" in p, f"{name}: not Arrow-grouped"
+        assert "BatchEvalPython" not in p, f"{name}: per-row Python leaked"
+        assert n_exchanges(p) <= 2, f"{name}: too many shuffles"
+    sections.append((
+        "A106 chart rules codegen-only; ESD/V-opt one Arrow task per series",
+        "PASS — control_chart's four rule tests are integer window "
+        "predicates inside codegen over ONE keyed window exchange after "
+        "the rollup; seasonal_esd and vopt_histogram are single "
+        "FlatMapGroupsInPandas stages (one series = one Arrow task, the "
+        "grouped-S2G discipline), zero per-row Python anywhere",
+        "\n".join(l for l in (p106a + p106b + p106c).splitlines()
+                  if "Exchange" in l or "FlatMapGroups" in l
+                  or "Window" in l)[:600],
+    ))
+
+    # --- A107: quality_classifier broadcast scoring ----------------------------
+    p107 = plan_of(em.queries()["quality_classifier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p107, (
+        "weight table must broadcast — the corpus never shuffles for "
+        "the join"
+    )
+    assert "SortMergeJoin" not in p107
+    assert p107.count("HashAggregate") >= 4, (
+        "both aggs (per-doc-bucket counts, per-doc logit) must plan "
+        "partial+final"
+    )
+    sections.append((
+        "A107 hashed classifier: broadcast weights, partial aggs",
+        "PASS — the <=256-row weight table broadcasts; the corpus-side "
+        "explode feeds map-side partial aggregation on (doc, bucket) "
+        "and the logit re-agg; no sort-merge join, no Python (md5 "
+        "bucketing is JVM expression work)",
+        "\n".join(l for l in p107.splitlines()
+                  if "Join" in l or "HashAggregate" in l)[:500],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
