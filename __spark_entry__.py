@@ -9677,6 +9677,40 @@ def q_vopt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vopt_histogram_grouped(hourly, ["event_type"], "hb", "v", b=6)
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-tiered compaction planner (rollup/compact.py
+    compaction_plan) over the REAL file layout of a written hour tier:
+    files bucket into power-of-two size tiers by row count (tier =
+    max k with 2^k <= rows via a broadcast powers join — no floating
+    log2 anywhere) and a tier merges when it holds >= 4 files. The
+    per-file stats are staged so the oracle applies the identical
+    policy in SQL over the same footprint."""
+    import os as _os
+
+    from dads_spark.rollup import compaction_plan, file_stats
+
+    src = _stage_dir("compactplan_tier", sf_dir)
+    if not _os.path.exists(f"{src}/_SUCCESS"):
+        ev = _t(spark, sf_dir, "events")
+        hour = rollup_from_raw(ev, ["event_type"], "ts", "value", "hour")
+        from dads_spark.rollup import write_tier
+
+        write_tier(hour, src)
+    stats = file_stats(spark, src, ["bucket_ts"]).select("n_rows")
+    import numpy as _np2
+
+    _write_dump(
+        "compactplan_stats",
+        {
+            "n_rows": _np2.array(
+                sorted(r["n_rows"] for r in stats.collect()),
+                dtype=_np2.int64,
+            )
+        },
+    )
+    return compaction_plan(stats, min_files=4)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FastText-style hashed linear classifier scoring over documents
     (ops/quality.py hashed_linear_score): md5-bucket unigram features,
@@ -10244,6 +10278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_left_join": q_streaming_left_join,
         "streaming_enrich": q_streaming_enrich,
         "rle_roundtrip_hour": q_rle_roundtrip_hour,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -13608,6 +13643,28 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT p_id, CAST(NULL AS BIGINT) AS c_id
         FROM j WHERE c_id IS NULL AND p_ts < (SELECT w FROM wm)
+    """
+
+    # compaction_plan: size-tiered policy over the staged per-file
+    # stats — tier = max(k : 2^k <= rows) via the powers join, merge
+    # when a tier holds >= 4 files
+    d["compaction_plan"] = f"""
+        WITH s AS (
+            SELECT row_number() OVER () AS fid, n_rows
+            FROM read_parquet('{_dump_path("compactplan_stats")}')),
+        p AS (SELECT unnest(range(41)) AS k),
+        t AS (
+            SELECT fid, n_rows, CAST(max(k) AS BIGINT) AS size_tier
+            FROM s JOIN p ON (CAST(1 AS BIGINT) << k) <= n_rows
+            GROUP BY 1, 2)
+        SELECT size_tier,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(n_rows) AS BIGINT) AS total_rows,
+               CAST(min(n_rows) AS BIGINT) AS min_rows,
+               CAST(max(n_rows) AS BIGINT) AS max_rows,
+               CAST(CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS BIGINT)
+                   AS compact
+        FROM t GROUP BY 1
     """
 
     # streaming_enrich: stream-static broadcast enrichment == batch SQL

@@ -153,3 +153,4 @@ from .trend import hurst_rs  # noqa: F401
 from .controlchart import control_chart_flags  # noqa: F401
 from .esd import esd_lambdas_q6, seasonal_esd_grouped, t_quantile  # noqa: F401
 from .vopt import vopt_boundaries, vopt_histogram_grouped  # noqa: F401
+from .compact import compaction_plan  # noqa: F401

@@ -70,3 +70,61 @@ def file_stats(spark: SparkSession, path: str, range_cols: list[str]) -> DataFra
         .groupBy("file")
         .agg(*aggs)
     )
+
+
+def compaction_plan(
+    stats: DataFrame,
+    rows_col: str = "n_rows",
+    min_files: int = 4,
+    max_tier: int = 40,
+) -> DataFrame:
+    """Size-tiered compaction PLANNER over a file-stats table — the
+    LSM-style policy (Cassandra/RocksDB size-tiered, HBase minor
+    compaction): bucket files into power-of-two size tiers by row
+    count and schedule a merge for every tier holding >= ``min_files``
+    files. Separating the plan from the rewrite makes the policy
+    auditable and cheap: the planner reads footer statistics only;
+    ``compact_tier`` executes the chosen rewrites.
+
+    Exactness: the size tier is floor(log2(rows)) computed WITHOUT
+    floating log — a broadcast join against the 41-row powers-of-two
+    table takes max(k : 2^k <= rows), so tier assignment can never
+    flip on a libm boundary. All outputs are exact longs.
+
+    Output: one row per size tier — (size_tier, n_files, total_rows,
+    min_rows, max_rows, compact) with ``compact`` = 1 when the tier
+    merges. Scale shape: the stats table is one row per FILE (footer
+    metadata, not data); the join broadcasts the tiny powers table and
+    the rollup is one bounded-key aggregate.
+    """
+    spark = stats.sparkSession
+    pows = spark.createDataFrame(
+        [(k, 1 << k) for k in range(max_tier + 1)], "k long, p long"
+    )
+    tiered = (
+        stats.select(F.col(rows_col).cast("long").alias("_r"))
+        .join(F.broadcast(pows), F.col("p") <= F.col("_r"))
+        .groupBy("_r")
+        .agg(F.max("k").alias("size_tier"))
+        .join(stats.select(F.col(rows_col).cast("long").alias("_r")), "_r")
+    )
+    return (
+        tiered.groupBy("size_tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("_r").alias("total_rows"),
+            F.min("_r").alias("min_rows"),
+            F.max("_r").alias("max_rows"),
+        )
+        .select(
+            "size_tier",
+            "n_files",
+            "total_rows",
+            "min_rows",
+            "max_rows",
+            F.when(F.col("n_files") >= min_files, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("compact"),
+        )
+    )

@@ -319,3 +319,35 @@ def test_kmv_sliding_equals_raw_window_sketch(spark):
         assert got == sorted(hs)[:16]
         checked += 1
     assert checked > 20
+
+
+def test_compaction_plan_size_tiers(spark):
+    from dads_spark.rollup import compaction_plan
+
+    stats = spark.createDataFrame(
+        [(f"f{i}", n) for i, n in enumerate([1, 1, 3, 3, 3, 3, 100, 130])],
+        "file string, n_rows long",
+    )
+    plan = {r["size_tier"]: r for r in compaction_plan(stats).collect()}
+    # 1 -> tier 0 (2 files); 3 -> tier 1 (4 files, merges);
+    # 100 -> tier 6, 130 -> tier 7 (128 <= 130)
+    assert plan[0]["n_files"] == 2 and plan[0]["compact"] == 0
+    assert plan[1]["n_files"] == 4 and plan[1]["compact"] == 1
+    assert plan[6]["n_files"] == 1 and plan[6]["compact"] == 0
+    assert plan[7]["n_files"] == 1 and plan[7]["min_rows"] == 130
+    assert plan[1]["total_rows"] == 12
+
+
+def test_compaction_plan_exact_power_boundaries(spark):
+    from dads_spark.rollup import compaction_plan
+
+    stats = spark.createDataFrame(
+        [("a", 1024), ("b", 1023), ("c", 1025), ("d", 2048)],
+        "file string, n_rows long",
+    )
+    plan = {r["size_tier"]: r["n_files"]
+            for r in compaction_plan(stats).collect()}
+    # 1023 -> tier 9; 1024,1025 -> tier 10; 2048 -> tier 11 — the
+    # boundary cannot flip on a libm log2 rounding because there is no
+    # floating log anywhere
+    assert plan == {9: 1, 10: 2, 11: 1}
