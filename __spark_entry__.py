@@ -9677,6 +9677,56 @@ def q_vopt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vopt_histogram_grouped(hourly, ["event_type"], "hb", "v", b=6)
 
 
+def _stage_haar_oracle(sf_dir: str, k: int = 12) -> str:
+    import numpy as _np2
+    import pyarrow as _pa
+
+    from dads_spark.oracles import haar_topk_oracle, hourly_counts
+
+    ets, rks, lvs, ps, cs, es = [], [], [], [], [], []
+    for et, (_b, v) in hourly_counts(sf_dir).items():
+        for r, (lv, pos, coef, en) in enumerate(
+            haar_topk_oracle(v, k), start=1
+        ):
+            ets.append(et)
+            rks.append(r)
+            lvs.append(lv)
+            ps.append(pos)
+            cs.append(coef)
+            es.append(en)
+    return _write_dump(
+        "haar_oracle",
+        {
+            "event_type": _pa.array(ets, type=_pa.string()),
+            "rank": _np2.array(rks, dtype=_np2.int64),
+            "level": _np2.array(lvs, dtype=_np2.int64),
+            "pos": _np2.array(ps, dtype=_np2.int64),
+            "coef": _np2.array(cs, dtype=_np2.int64),
+            "energy": _np2.array(es, dtype=_np2.int64),
+        },
+    )
+
+
+def q_haar_synopsis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-12 Haar wavelet synopsis per hourly count series
+    (rollup/wavelet.py): unnormalized integer pairwise sum/difference
+    transform over the dyadic prefix, exact top-k by the integer
+    energy key d^2 * 2^(J-j) — the Matias-Vitter-Wang optimizer
+    synopsis beside vopt_histogram. Pinned against the plain scalar
+    halving walk in oracles.py."""
+    from dads_spark.rollup import haar_topk_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "hb"
+        ),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    _stage_haar_oracle(sf_dir)
+    return haar_topk_grouped(hourly, ["event_type"], "hb", "v", k=12)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-tiered compaction planner (rollup/compact.py
     compaction_plan) over the REAL file layout of a written hour tier:
@@ -10279,6 +10329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich": q_streaming_enrich,
         "rle_roundtrip_hour": q_rle_roundtrip_hour,
         "compaction_plan": q_compaction_plan,
+        "haar_synopsis": q_haar_synopsis,
     }
 
 
@@ -13619,6 +13670,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, bucket, t_start, t_end, n, sum_v, sum2_v,
                cost_q3
         FROM read_parquet('{_dump_path("vopt_oracle")}')
+    """
+    d["haar_synopsis"] = f"""
+        SELECT event_type, rank, level, pos, coef, energy
+        FROM read_parquet('{_dump_path("haar_oracle")}')
     """
 
     # streaming_left_join: stream==batch with the final-watermark null

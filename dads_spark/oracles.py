@@ -1467,3 +1467,31 @@ def vopt_oracle(v, b: int = 6):
         out.append((bi, s, e, length, sv, s2,
                     (1000 * (length * s2 - sv * sv)) // length))
     return out
+
+
+def haar_topk_oracle(v, k: int = 12):
+    """Haar synopsis by its direct definition in plain scalar Python:
+    pairwise sum/difference halvings over the largest power-of-two
+    prefix, integer energy keys e = d^2 * 2^(J-j), ties (energy desc,
+    level asc, pos asc). Returns the top-k (level, pos, coef, energy)."""
+    n = len(v)
+    m = 1
+    while m * 2 <= n:
+        m *= 2
+    s = [int(x) for x in v[:m]]
+    if not s:
+        return []
+    j_max = m.bit_length() - 1
+    out = []
+    for j in range(1, j_max + 1):
+        d, ns = [], []
+        for i in range(0, len(s), 2):
+            d.append(s[i] - s[i + 1])
+            ns.append(s[i] + s[i + 1])
+        s = ns
+        for pos, di in enumerate(d):
+            out.append((j, pos, di, di * di * (1 << (j_max - j))))
+    total = s[0]
+    out.append((0, 0, total, total * total))
+    out.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return out[:k]

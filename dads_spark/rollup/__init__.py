@@ -154,3 +154,4 @@ from .controlchart import control_chart_flags  # noqa: F401
 from .esd import esd_lambdas_q6, seasonal_esd_grouped, t_quantile  # noqa: F401
 from .vopt import vopt_boundaries, vopt_histogram_grouped  # noqa: F401
 from .compact import compaction_plan  # noqa: F401
+from .wavelet import haar_coefficients, haar_topk_grouped  # noqa: F401
