@@ -1567,6 +1567,26 @@ def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D earth mover's distance per (event_type, day) vs the first-
+    week baseline (rollup/drift.py wasserstein_drift): the cumulative-
+    histogram identity makes W1 an exact integer numerator
+    sum |CN_i*M - CM_i*N| over tv_drift's audited grid — TV says how
+    much mass moved, W1 says how far."""
+    from dads_spark.rollup import wasserstein_drift
+
+    ev = _t(spark, sf_dir, "events")
+    out = wasserstein_drift(ev, ["event_type"], "ts", "value",
+                            baseline_days=7, period="day", bins=10)
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket_ts").alias("ws"),
+        "w1_numer",
+        "n_period",
+        "n_baseline",
+    )
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index per (event_type, day) vs the type's
     first-week baseline over the SAME binned grid as tv_drift — the
@@ -10330,6 +10350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rle_roundtrip_hour": q_rle_roundtrip_hour,
         "compaction_plan": q_compaction_plan,
         "haar_synopsis": q_haar_synopsis,
+        "wasserstein_drift": q_wasserstein_drift,
     }
 
 
@@ -12302,6 +12323,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_total AS BIGINT) AS n_period,
                    CAST(m_total AS BIGINT) AS n_baseline
             FROM j GROUP BY event_type, ws, n_total, m_total
+        """,
+        "wasserstein_drift": """
+            WITH b AS (
+                SELECT event_type, min(epoch_us(ts)) AS t0 FROM events GROUP BY 1),
+            ev AS (
+                SELECT e.event_type, e.value, epoch_us(e.ts) AS t_us,
+                       (epoch_us(e.ts) < b.t0 + 604800000000) AS is_base
+                FROM events e JOIN b USING (event_type)),
+            bs AS (
+                SELECT event_type, min(value) AS v_lo, max(value) AS v_hi
+                FROM ev WHERE is_base GROUP BY 1),
+            binned AS (
+                SELECT ev.*,
+                       CASE WHEN v_hi = v_lo THEN 0
+                            ELSE least(9, greatest(0, CAST(floor(
+                                (value - v_lo) / ((v_hi - v_lo) / 10.0))
+                                AS INT)))
+                       END AS bin
+                FROM ev JOIN bs USING (event_type)),
+            mh AS (
+                SELECT event_type, bin, count(*) AS m_i
+                FROM binned WHERE is_base GROUP BY 1, 2),
+            mt AS (SELECT event_type, sum(m_i) AS m_total FROM mh GROUP BY 1),
+            nh AS (
+                SELECT event_type, (t_us // 86400000000) * 86400 AS ws, bin,
+                       count(*) AS n_i
+                FROM binned WHERE NOT is_base GROUP BY 1, 2, 3),
+            nt AS (
+                SELECT event_type, ws, sum(n_i) AS n_total
+                FROM nh GROUP BY 1, 2),
+            grid AS (
+                SELECT nt.event_type, nt.ws, nt.n_total, g.bin
+                FROM nt, (SELECT unnest(range(0, 10)) AS bin) g),
+            j AS (
+                SELECT grid.event_type, grid.ws, grid.n_total, mt.m_total,
+                       grid.bin,
+                       coalesce(nh.n_i, 0) AS n_i, coalesce(mh.m_i, 0) AS m_i
+                FROM grid
+                LEFT JOIN nh ON nh.event_type = grid.event_type
+                            AND nh.ws = grid.ws AND nh.bin = grid.bin
+                LEFT JOIN mh ON mh.event_type = grid.event_type
+                            AND mh.bin = grid.bin
+                JOIN mt ON mt.event_type = grid.event_type),
+            wj AS (
+                SELECT *,
+                       sum(n_i) OVER (PARTITION BY event_type, ws
+                                      ORDER BY bin) AS cn,
+                       sum(m_i) OVER (PARTITION BY event_type, ws
+                                      ORDER BY bin) AS cm
+                FROM j)
+            SELECT event_type, CAST(ws AS BIGINT) AS ws,
+                   CAST(sum(abs(cn * m_total - cm * n_total)) AS BIGINT)
+                       AS w1_numer,
+                   CAST(n_total AS BIGINT) AS n_period,
+                   CAST(m_total AS BIGINT) AS n_baseline
+            FROM wj GROUP BY event_type, ws, n_total, m_total
         """,
         "domain_blocklist": """
             WITH hosts AS (

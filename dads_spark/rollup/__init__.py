@@ -155,3 +155,4 @@ from .esd import esd_lambdas_q6, seasonal_esd_grouped, t_quantile  # noqa: F401
 from .vopt import vopt_boundaries, vopt_histogram_grouped  # noqa: F401
 from .compact import compaction_plan  # noqa: F401
 from .wavelet import haar_coefficients, haar_topk_grouped  # noqa: F401
+from .drift import wasserstein_drift  # noqa: F401

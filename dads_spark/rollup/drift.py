@@ -646,3 +646,59 @@ def mannwhitney_drift(
             ).alias("z_q6"),
         )
     )
+
+
+def wasserstein_drift(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    baseline_days: int = 7,
+    period: str = "day",
+    bins: int = 10,
+) -> DataFrame:
+    """1-D earth mover's distance (Wasserstein-1) per (keys..., period
+    bucket) vs the key's baseline window, over the SAME grid as
+    tv_drift — completing the drift family (TV counts how much mass
+    differs; W1 also counts how FAR it moved, the metric that
+    distinguishes a one-bin jitter from a cross-range regime shift).
+
+    The 1-D identity makes it exact: W1 = sum_i |CN_i/N - CM_i/M| in
+    bin-width units, where CN/CM are cumulative histogram counts — so
+    the numerator  sum_i |CN_i*M - CM_i*N|  is an exact integer, and
+    the float w1 = numer/(N*M) is a display projection.
+
+    Plan shape: tv_drift's audited grid plus ONE window cumsum over
+    the (key, period, bin) relation — bins x periods rows, never the
+    raw table.
+    """
+    joined = _drift_grid(
+        df, key_cols, ts_col, value_col, baseline_days, period, bins
+    )
+    w = W.partitionBy(*key_cols, "bucket_ts").orderBy("_bin")
+    cn = F.sum(F.col("n_i").cast("long")).over(w)
+    cm = F.sum(F.col("m_i").cast("long")).over(w)
+    term = F.abs(
+        cn * F.col("m_total").cast("long")
+        - cm * F.col("n_total").cast("long")
+    )
+    return (
+        joined.select(
+            *key_cols, "bucket_ts", "n_total", "m_total",
+            term.alias("_t"),
+        )
+        .groupBy(*key_cols, "bucket_ts", "m_total", "n_total")
+        .agg(F.sum("_t").alias("w1_numer"))
+        .select(
+            *key_cols,
+            "bucket_ts",
+            F.col("w1_numer").cast("long").alias("w1_numer"),
+            F.col("n_total").cast("long").alias("n_period"),
+            F.col("m_total").cast("long").alias("n_baseline"),
+            F.round(
+                F.col("w1_numer")
+                / (F.col("n_total").cast("double") * F.col("m_total")),
+                6,
+            ).alias("w1_bins"),
+        )
+    )

@@ -199,3 +199,42 @@ def test_chi2_drift_detects_shift(spark):
                      period="day", bins=10).collect()
     # total shift: chi2 = n * (k - 1) = 100 * 9 = 900 for 10 equal bins
     assert all(r.chi2_q6 == 900_000_000 for r in out)
+
+
+def test_wasserstein_vs_scalar_definition(spark):
+    import numpy as np
+
+    from dads_spark.rollup import wasserstein_drift
+
+    # one key; baseline = first 7 days (value ~ N-ish ints), then one
+    # shifted day — W1 must exceed 0 and equal the cumulative identity
+    rows = []
+    us = 86_400_000_000
+    for d in range(7):
+        for i in range(50):
+            rows.append(("k", (d * us + i * 1000) // 1000, float(i % 10)))
+    for i in range(50):
+        rows.append(("k", (8 * us + i * 1000) // 1000, float(i % 10 + 3)))
+    df = spark.createDataFrame(
+        [(k, t, v) for k, t, v in rows],
+        "event_type string, tms long, value double",
+    ).select(
+        "event_type",
+        F.timestamp_micros(F.col("tms") * 1000).alias("ts"),
+        "value",
+    )
+    out = wasserstein_drift(df, ["event_type"], "ts", "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    # scalar re-derivation: baseline = 7 days x 5 per value 0..9
+    # (bin width 0.9 maps each integer value to its own bin, 9 clamps);
+    # period day values 3..12 -> bins 3..8 get 5 each, bin 9 gets
+    # 9/10/11/12 = 20
+    m = [35] * 10
+    n = [0, 0, 0, 5, 5, 5, 5, 5, 5, 20]
+    N, M = sum(n), sum(m)
+    cn = np.cumsum(n)
+    cm = np.cumsum(m)
+    want = int(np.abs(cn * M - cm * N).sum())
+    assert r["w1_numer"] == want and r["n_period"] == N
+    assert r["n_baseline"] == M
