@@ -9697,6 +9697,72 @@ def q_vopt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vopt_histogram_grouped(hourly, ["event_type"], "hb", "v", b=6)
 
 
+def q_anomaly_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-series anomaly SCORECARD — the ops dashboard row
+    that fuses this session's three detector families over the same
+    hourly count series: Western-Electric rule violation counts
+    (levels/runs), seasonal-hybrid ESD anomalies (masked multi-
+    outliers), and damped-Holt residual outliers (trend breaks). The
+    oracle embeds the control-chart SQL verbatim and aggregates the
+    two staged scalar dumps — a detector disagreeing anywhere breaks
+    the composed hash."""
+    from dads_spark.rollup import (
+        control_chart_flags,
+        holt_residuals_grouped,
+        seasonal_esd_grouped,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly_l = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "hb"
+        ),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    cc = (
+        control_chart_flags(hourly_l, ["event_type"], "hb", "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("r1").alias("n_r1"),
+            F.sum("r2").alias("n_r2"),
+            F.sum("r3").alias("n_r3"),
+            F.sum("r4").alias("n_r4"),
+        )
+    )
+    esd = (
+        seasonal_esd_grouped(hourly_l, ["event_type"], "hb", "v")
+        .filter(F.col("significant") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_esd"))
+    )
+    hourly_d = ev.groupBy("event_type", bucket_expr("ts", "hour")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    holt = (
+        holt_residuals_grouped(
+            hourly_d, ["event_type"], "bucket_ts", "v",
+            n_sigma=4.0, phi=0.85,
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_holt"))
+    )
+    _stage_esd_oracle(sf_dir)
+    _stage_holt_oracle(sf_dir, phi=0.85, dump="holt_damped_oracle")
+    base = ev.select("event_type").distinct()
+    out = (
+        base.join(cc, "event_type", "left")
+        .join(esd, "event_type", "left")
+        .join(holt, "event_type", "left")
+    )
+    return out.select(
+        "event_type",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("n_r1", "n_r2", "n_r3", "n_r4", "n_esd", "n_holt")
+        ],
+    )
+
+
 def _stage_haar_oracle(sf_dir: str, k: int = 12) -> str:
     import numpy as _np2
     import pyarrow as _pa
@@ -10351,6 +10417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "haar_synopsis": q_haar_synopsis,
         "wasserstein_drift": q_wasserstein_drift,
+        "anomaly_scorecard": q_anomaly_scorecard,
     }
 
 
@@ -13751,6 +13818,83 @@ def oracle_sql() -> dict[str, str]:
     d["haar_synopsis"] = f"""
         SELECT event_type, rank, level, pos, coef, energy
         FROM read_parquet('{_dump_path("haar_oracle")}')
+    """
+
+    # anomaly_scorecard: the composed detector fusion — the chart SQL
+    # verbatim (as in d["control_chart"]) + the two staged dumps
+    d["anomaly_scorecard"] = f"""
+        WITH h AS (
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS t,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2),
+        m AS (
+            SELECT event_type, t, v,
+                   CAST(count(*) OVER w AS BIGINT) AS n,
+                   CAST(sum(v) OVER w AS BIGINT) AS s,
+                   CAST(sum(v * v) OVER w AS BIGINT) AS q
+            FROM h WINDOW w AS (PARTITION BY event_type)),
+        b AS (
+            SELECT event_type, t, v,
+                   n * v - s AS dev,
+                   n * q - s * s AS a,
+                   CASE WHEN lag(v) OVER o IS NULL THEN 0
+                        WHEN v > lag(v) OVER o THEN 1 ELSE 0 END AS inc,
+                   CASE WHEN lag(v) OVER o IS NULL THEN 0
+                        WHEN v < lag(v) OVER o THEN 1 ELSE 0 END AS dec
+            FROM m WINDOW o AS (PARTITION BY event_type ORDER BY t)),
+        r AS (
+            SELECT event_type,
+                   CASE WHEN dev * dev > 9 * a THEN 1 ELSE 0 END AS r1,
+                   CASE WHEN sum(CASE WHEN dev > 0 THEN 1 ELSE 0 END)
+                            OVER w9 = 9
+                          OR sum(CASE WHEN dev < 0 THEN 1 ELSE 0 END)
+                            OVER w9 = 9
+                        THEN 1 ELSE 0 END AS r2,
+                   CASE WHEN sum(inc) OVER w5 = 5
+                          OR sum(dec) OVER w5 = 5
+                        THEN 1 ELSE 0 END AS r3,
+                   CASE WHEN sum(CASE WHEN dev > 0
+                                       AND dev * dev > 4 * a
+                                      THEN 1 ELSE 0 END) OVER w3 >= 2
+                          OR sum(CASE WHEN dev < 0
+                                       AND dev * dev > 4 * a
+                                      THEN 1 ELSE 0 END) OVER w3 >= 2
+                        THEN 1 ELSE 0 END AS r4
+            FROM b WINDOW
+                w9 AS (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+                w5 AS (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                w3 AS (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+        cc AS (
+            SELECT event_type,
+                   CAST(sum(r1) AS BIGINT) AS n_r1,
+                   CAST(sum(r2) AS BIGINT) AS n_r2,
+                   CAST(sum(r3) AS BIGINT) AS n_r3,
+                   CAST(sum(r4) AS BIGINT) AS n_r4
+            FROM r GROUP BY 1),
+        esd AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_esd
+            FROM read_parquet('{_dump_path("esd_oracle")}')
+            WHERE significant = 1 GROUP BY 1),
+        ho AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_holt
+            FROM read_parquet('{_dump_path("holt_damped_oracle")}')
+            GROUP BY 1),
+        base AS (SELECT DISTINCT event_type FROM events)
+        SELECT base.event_type,
+               coalesce(cc.n_r1, 0) AS n_r1,
+               coalesce(cc.n_r2, 0) AS n_r2,
+               coalesce(cc.n_r3, 0) AS n_r3,
+               coalesce(cc.n_r4, 0) AS n_r4,
+               coalesce(esd.n_esd, 0) AS n_esd,
+               coalesce(ho.n_holt, 0) AS n_holt
+        FROM base
+        LEFT JOIN cc USING (event_type)
+        LEFT JOIN esd USING (event_type)
+        LEFT JOIN ho USING (event_type)
     """
 
     # streaming_left_join: stream==batch with the final-watermark null
