@@ -9697,6 +9697,18 @@ def q_vopt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vopt_histogram_grouped(hourly, ["event_type"], "hb", "v", b=6)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG document chunking (ops/packing.py chunk_documents): 64-token
+    windows with 16-token overlap, fully relational (posexplode ->
+    covering-chunk sequence explode -> order-pinned md5 reassembly),
+    trailing stubs that add no new token dropped. The md5 column pins
+    the exact reassembled chunk text without shipping it."""
+    from dads_spark.ops import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
 def q_anomaly_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed per-series anomaly SCORECARD — the ops dashboard row
     that fuses this session's three detector families over the same
@@ -10418,6 +10430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haar_synopsis": q_haar_synopsis,
         "wasserstein_drift": q_wasserstein_drift,
         "anomaly_scorecard": q_anomaly_scorecard,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -13941,6 +13954,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS BIGINT)
                    AS compact
         FROM t GROUP BY 1
+    """
+
+    # chunk_documents: 64-token / 16-overlap windows, md5-pinned
+    # reassembly, stub chunks dropped — stride 48
+    d["chunk_documents"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) - 1
+                       AS p
+            FROM documents),
+        a AS (
+            SELECT doc_id, p, w,
+                   unnest(range(
+                       greatest(0, CAST(ceil((p - 63) / 48.0)
+                                        AS BIGINT)),
+                       (p // 48) + 1)) AS chunk_id
+            FROM tok),
+        f AS (
+            SELECT * FROM a
+            WHERE p >= chunk_id * 48 AND p < chunk_id * 48 + 64),
+        g AS (
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(min(p) AS BIGINT) AS first_pos,
+                   CAST(max(p) AS BIGINT) AS last_pos,
+                   md5(string_agg(w, ' ' ORDER BY p)) AS chunk_md5
+            FROM f GROUP BY 1, 2)
+        SELECT doc_id, chunk_id, n_tokens, first_pos, last_pos,
+               chunk_md5
+        FROM g
+        WHERE chunk_id = 0 OR last_pos >= (chunk_id - 1) * 48 + 64
     """
 
     # streaming_enrich: stream-static broadcast enrichment == batch SQL

@@ -172,3 +172,4 @@ from .linkgraph import degree_assortativity  # noqa: F401
 from .textstats import zipf_slope  # noqa: F401
 from .linkgraph import bfs_hops  # noqa: F401
 from .quality import hashed_linear_score  # noqa: F401
+from .packing import chunk_documents  # noqa: F401

@@ -238,3 +238,48 @@ def test_wasserstein_vs_scalar_definition(spark):
     want = int(np.abs(cn * M - cm * N).sum())
     assert r["w1_numer"] == want and r["n_period"] == N
     assert r["n_baseline"] == M
+
+
+def test_chunk_documents_overlap_and_stubs(spark):
+    import hashlib
+
+    from dads_spark.ops import chunk_documents
+
+    words = [f"w{i}" for i in range(100)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(
+            docs, chunk_tokens=64, overlap=16
+        ).collect()
+    }
+    # doc 1: chunk 0 = tokens 0..63; chunk 1 = tokens 48..99 (52 toks);
+    # chunk 2 would cover 96..99 -- all inside chunk 1 -> dropped
+    assert set(out) == {(1, 0), (1, 1), (2, 0)}
+    c0, c1 = out[(1, 0)], out[(1, 1)]
+    assert (c0["first_pos"], c0["last_pos"], c0["n_tokens"]) == (0, 63, 64)
+    assert (c1["first_pos"], c1["last_pos"], c1["n_tokens"]) == (48, 99, 52)
+    want = hashlib.md5(" ".join(words[:64]).encode()).hexdigest()
+    assert c0["chunk_md5"] == want
+    # short doc: single chunk with everything
+    s = out[(2, 0)]
+    assert s["n_tokens"] == 3
+    assert s["chunk_md5"] == hashlib.md5(b"a b c").hexdigest()
+
+
+def test_chunk_documents_full_coverage(spark):
+    from dads_spark.ops import chunk_documents
+
+    n = 150
+    docs = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(n)))],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    covered = set()
+    for r in rows:
+        covered |= set(range(r["first_pos"], r["last_pos"] + 1))
+    assert covered == set(range(n)), "every token in some chunk"
