@@ -9859,6 +9859,50 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(stats, min_files=4)
 
 
+def q_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality deletes on the versioned tier store
+    (checkpoint/snapshots.py delete_keys_mor): v0 = full hour tier;
+    v1 = MOR delete of every 7th hour bucket (metadata + key sidecar
+    only — the base data directory is shared, pinned by
+    test_snapshots); v2 = major compaction folding the sidecar into a
+    rewritten base. The oracle recomputes all three states
+    relationally — v1 == v2 totals prove compaction changes layout,
+    never content; v0 unchanged proves time travel survives deletes."""
+    import shutil as _sh
+
+    from dads_spark.checkpoint import SnapshotStore
+    from dads_spark.rollup import rollup_from_raw
+
+    base = _stage_dir("mor_store_run", sf_dir)
+    _sh.rmtree(base, ignore_errors=True)
+    store = SnapshotStore(spark, base)
+    ev = _t(spark, sf_dir, "events")
+    v0 = store.commit(
+        "hour", rollup_from_raw(ev, ["event_type"], "ts", None, "hour")
+    )
+    tier = store.read("hour", v0)
+    keys = tier.filter(
+        F.expr("unix_micros(bucket_ts) DIV 3600000000") % 7 == 0
+    ).select("event_type", "bucket_ts")
+    v1 = store.delete_keys_mor("hour", keys, ["event_type", "bucket_ts"])
+    v2 = store.compact_deletes("hour")
+    parts = []
+    for v in (v0, v1, v2):
+        parts.append(
+            store.read("hour", v)
+            .groupBy()
+            .agg(
+                F.lit(v).cast("long").alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("doc_count").cast("long").alias("events_total"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FastText-style hashed linear classifier scoring over documents
     (ops/quality.py hashed_linear_score): md5-bucket unigram features,
@@ -10431,6 +10475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_drift": q_wasserstein_drift,
         "anomaly_scorecard": q_anomaly_scorecard,
         "chunk_documents": q_chunk_documents,
+        "mor_deletes": q_mor_deletes,
     }
 
 
@@ -13147,6 +13192,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
                    CAST(sum(dc) AS BIGINT)
             FROM v1
+        """,
+        "mor_deletes": """
+            WITH b AS (
+                SELECT event_type,
+                       epoch_us(ts) // 3600000000 AS hb
+                FROM events),
+            tier AS (
+                SELECT event_type, hb, count(*) AS dc FROM b GROUP BY 1, 2),
+            kept AS (
+                SELECT * FROM tier WHERE hb % 7 != 0)
+            SELECT CAST(0 AS BIGINT) AS version,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(dc) AS BIGINT) AS events_total
+            FROM tier
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+                   CAST(sum(dc) AS BIGINT)
+            FROM kept
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+                   CAST(sum(dc) AS BIGINT)
+            FROM kept
         """,
         "ols_trend": """
             WITH h AS (

@@ -158,7 +158,15 @@ class SnapshotStore:
             raise ValueError(
                 f"snapshot {table!r} v{version} was vacuumed (data gone)"
             )
-        return self.spark.read.parquet(path)
+        df = self.spark.read.parquet(path)
+        if entries[0].get("delete_path"):
+            from pyspark.sql import functions as F
+
+            dels = self.spark.read.parquet(entries[0]["delete_path"])
+            df = df.join(
+                F.broadcast(dels), entries[0]["delete_keys"], "left_anti"
+            )
+        return df
 
     def diff(
         self,
@@ -237,6 +245,82 @@ class SnapshotStore:
         base = self.read(table)
         return self.commit(table, base.filter(~predicate), note=note)
 
+    def delete_keys_mor(
+        self, table: str, keys: DataFrame, key_cols: list[str],
+        note: str = "",
+    ) -> int:
+        """MERGE-ON-READ equality deletes (the Iceberg-v2 format
+        contract, complementing :meth:`delete_where`'s copy-on-write):
+        publish a new version that references the SAME immutable base
+        data plus a tiny key sidecar; :meth:`read` anti-joins the
+        broadcast sidecar at scan time. Metadata + keys only — a
+        takedown on a 10^12-row tier writes kilobytes, not the tier.
+
+        Consecutive MOR deletes FOLD: the new sidecar is the union of
+        the base version's pending keys and ``keys``, so a read always
+        applies exactly one broadcast anti-join regardless of how many
+        delete commits stacked. :meth:`compact_deletes` is the major
+        compaction that materializes the survivors and drops the
+        sidecar reference.
+        """
+        from pyspark.sql import functions as F
+
+        prev = self.latest_version(table)
+        if prev is None:
+            raise ValueError(f"no snapshots for table {table!r}")
+        entry = [
+            s for s in self.history()
+            if s["table"] == table and s["version"] == prev
+        ][0]
+        if entry.get("delete_path") and entry["delete_keys"] != key_cols:
+            raise ValueError("stacked MOR deletes must share key columns")
+        pending = keys.select(*key_cols).distinct()
+        if entry.get("delete_path"):
+            pending = (
+                pending.unionByName(
+                    self.spark.read.parquet(entry["delete_path"])
+                ).distinct()
+            )
+        floor = -1 if prev is None else prev
+        version = max([floor] + self._stray_versions(table)) + 1
+        sidecar = os.path.join(self.root, table, f"_deletes_v{version}")
+        pending.write.mode("errorifexists").parquet(sidecar)
+        base = self.spark.read.parquet(entry["path"])
+        survivors = base.join(
+            F.broadcast(self.spark.read.parquet(sidecar)),
+            key_cols,
+            "left_anti",
+        ).count()
+        self._append(
+            {
+                "table": table,
+                "version": version,
+                "path": entry["path"],
+                "row_count": survivors,
+                "partition_rows": {},
+                "note": note,
+                "committed_at": time.time(),
+                "delete_path": sidecar,
+                "delete_keys": list(key_cols),
+            }
+        )
+        return version
+
+    def compact_deletes(self, table: str, note: str = "") -> int:
+        """Major compaction for MOR deletes: materialize the current
+        read (anti-join applied) as a plain copy-on-write version with
+        no sidecar reference. Readers see identical rows before and
+        after; the fold means subsequent reads stop paying the
+        anti-join."""
+        latest = self.latest_version(table)
+        entry = [
+            s for s in self.history()
+            if s["table"] == table and s["version"] == latest
+        ][0]
+        if not entry.get("delete_path"):
+            return latest
+        return self.commit(table, self.read(table), note=note)
+
     def rollback(self, table: str, version: int, note: str = "") -> int:
         """Re-publish an OLDER version's data as the new latest snapshot
         (Iceberg rollback semantics): metadata-only — a new log entry
@@ -280,6 +364,11 @@ class SnapshotStore:
         versions = sorted(s["version"] for s in entries)
         kept = set(versions[-keep_last:])
         kept_paths = {s["path"] for s in entries if s["version"] in kept}
+        kept_sidecars = {
+            s.get("delete_path")
+            for s in entries
+            if s["version"] in kept and s.get("delete_path")
+        }
         removed = []
         for s in entries:
             if s["version"] in kept or s["path"] in kept_paths:
@@ -287,4 +376,7 @@ class SnapshotStore:
             if os.path.exists(s["path"]):
                 shutil.rmtree(s["path"])
                 removed.append(s["version"])
+            sc = s.get("delete_path")
+            if sc and sc not in kept_sidecars and os.path.exists(sc):
+                shutil.rmtree(sc)
         return removed

@@ -203,3 +203,69 @@ def test_diff_rejects_schema_drift(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="identical schemas"):
         store.diff("t", v0, v1, ["k"])
+
+
+def test_mor_deletes_match_copy_on_write(spark, tmp_path):
+    a = SnapshotStore(spark, str(tmp_path / "mor"))
+    b = SnapshotStore(spark, str(tmp_path / "cow"))
+    a.commit("t", _df(spark, 10, "x"))
+    b.commit("t", _df(spark, 10, "x"))
+    keys = spark.createDataFrame([(2,), (5,), (7,)], "k long")
+    a.delete_keys_mor("t", keys, ["k"])
+    b.delete_where("t", F.col("k").isin(2, 5, 7))
+    got = sorted(tuple(r) for r in a.read("t").collect())
+    want = sorted(tuple(r) for r in b.read("t").collect())
+    assert got == want and len(got) == 7
+    # MOR wrote no new base data: v1 shares v0's path
+    hist = {h["version"]: h for h in a.history()}
+    assert hist[1]["path"] == hist[0]["path"]
+    assert hist[1]["row_count"] == 7
+
+
+def test_mor_deletes_stack_and_fold(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "s"))
+    store.commit("t", _df(spark, 10, "x"))
+    store.delete_keys_mor("t", spark.createDataFrame([(1,)], "k long"), ["k"])
+    store.delete_keys_mor("t", spark.createDataFrame([(3,)], "k long"), ["k"])
+    assert {r["k"] for r in store.read("t").collect()} == (
+        set(range(10)) - {1, 3}
+    )
+    # time travel: v1 has only the first delete; v0 has none
+    assert {r["k"] for r in store.read("t", 1).collect()} == (
+        set(range(10)) - {1}
+    )
+    assert store.read("t", 0).count() == 10
+
+
+def test_compact_deletes_materializes_and_clears(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "s"))
+    store.commit("t", _df(spark, 8, "x"))
+    store.delete_keys_mor(
+        "t", spark.createDataFrame([(0,), (4,)], "k long"), ["k"]
+    )
+    before = sorted(r["k"] for r in store.read("t").collect())
+    v = store.compact_deletes("t")
+    after = sorted(r["k"] for r in store.read("t").collect())
+    assert before == after
+    hist = {h["version"]: h for h in store.history()}
+    assert "delete_path" not in hist[v]
+    assert hist[v]["path"] != hist[0]["path"]  # real rewrite
+    # idempotent: compacting again is a no-op version-wise
+    assert store.compact_deletes("t") == v
+
+
+def test_vacuum_reclaims_orphaned_sidecars(spark, tmp_path):
+    import os
+
+    store = SnapshotStore(spark, str(tmp_path / "s"))
+    store.commit("t", _df(spark, 6, "x"))
+    store.delete_keys_mor(
+        "t", spark.createDataFrame([(1,)], "k long"), ["k"]
+    )
+    hist = {h["version"]: h for h in store.history()}
+    sidecar = hist[1]["delete_path"]
+    store.compact_deletes("t")
+    store.commit("t", _df(spark, 2, "y"))
+    store.vacuum("t", keep_last=2)
+    assert not os.path.exists(sidecar)
+    assert store.read("t").count() == 2
