@@ -9859,6 +9859,21 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(stats, min_files=4)
 
 
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation over document
+    strata (ops/sampling.py neyman_allocation): weight = exact integer
+    sqrt of N_h*q_h - s_h^2 (float sqrt corrected by two integer
+    comparisons — a libm ulp cannot flip the floor), seats dealt by
+    the exact Hamilton largest-remainder rule. 500 audit probes across
+    lang strata by text-length variance."""
+    from dads_spark.ops import neyman_allocation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.length("text").alias("n_chars")
+    )
+    return neyman_allocation(docs, "lang", "n_chars", 500)
+
+
 def q_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read equality deletes on the versioned tier store
     (checkpoint/snapshots.py delete_keys_mor): v0 = full hour tier;
@@ -10476,6 +10491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_scorecard": q_anomaly_scorecard,
         "chunk_documents": q_chunk_documents,
         "mor_deletes": q_mor_deletes,
+        "neyman_allocation": q_neyman_allocation,
     }
 
 
@@ -14021,6 +14037,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS BIGINT)
                    AS compact
         FROM t GROUP BY 1
+    """
+
+    # neyman_allocation: isqrt(N*q - s^2) weights + Hamilton seats —
+    # the float sqrt is corrected by two integer comparisons on both
+    # engines, so the floor can never flip on a libm ulp
+    d["neyman_allocation"] = """
+        WITH m AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(length(text)) AS BIGINT) AS s,
+                   CAST(sum(CAST(length(text) AS BIGINT)
+                            * length(text)) AS BIGINT) AS q
+            FROM documents GROUP BY 1),
+        aw AS (
+            SELECT lang, n_rows, n_rows * q - s * s AS a FROM m),
+        w0 AS (
+            SELECT *, CAST(floor(sqrt(CAST(a AS DOUBLE))) AS BIGINT)
+                       AS c0
+            FROM aw),
+        w1 AS (
+            SELECT *, CASE WHEN (c0 + 1) * (c0 + 1) <= a THEN c0 + 1
+                           ELSE c0 END AS c1
+            FROM w0),
+        wt AS (
+            SELECT lang, n_rows, a,
+                   CASE WHEN c1 * c1 > a THEN c1 - 1 ELSE c1 END AS w
+            FROM w1),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wt),
+        st AS (
+            SELECT lang, n_rows, a, w,
+                   CAST(500 * w // tw AS BIGINT) AS base,
+                   CAST(500 * w % tw AS BIGINT) AS rem
+            FROM wt, tot),
+        lv AS (SELECT 500 - CAST(sum(base) AS BIGINT) AS leftn FROM st),
+        rk AS (
+            SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC)
+                       AS rn
+            FROM st)
+        SELECT lang, n_rows, a, w, base,
+               CAST(CASE WHEN rn <= (SELECT leftn FROM lv)
+                          AND rem > 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS extra,
+               base + CAST(CASE WHEN rn <= (SELECT leftn FROM lv)
+                                 AND rem > 0 THEN 1 ELSE 0 END
+                           AS BIGINT) AS alloc
+        FROM rk
     """
 
     # chunk_documents: 64-token / 16-overlap windows, md5-pinned

@@ -173,3 +173,4 @@ from .textstats import zipf_slope  # noqa: F401
 from .linkgraph import bfs_hops  # noqa: F401
 from .quality import hashed_linear_score  # noqa: F401
 from .packing import chunk_documents  # noqa: F401
+from .sampling import neyman_allocation  # noqa: F401

@@ -580,3 +580,61 @@ def ht_estimate(
         )
         .withColumnRenamed("_denom", "denom")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    n_total: int,
+) -> DataFrame:
+    """Neyman OPTIMAL stratified-sample allocation: sample size per
+    stratum proportional to N_h * sigma_h — the textbook
+    minimum-variance design for a fixed budget (survey sampling /
+    corpus quality audits: high-variance strata earn more probes than
+    proportional allocation gives them).
+
+    Exactness: with exact long moments (N_h, s_h, q_h) the weight
+    N_h * sigma_h = sqrt(N_h * q_h - s_h^2) — the n cancels — so the
+    weight is ``isqrt(A_h)`` with A_h = N_h*q_h - s_h^2, computed as a
+    CORRECTLY-FLOORED integer square root (float sqrt then two integer
+    comparison corrections, so a libm ulp can never flip the floor).
+    Seats are then dealt by the exact Hamilton largest-remainder rule
+    (:func:`dads_spark.ops.apportion.apportion`), which this composes.
+
+    Caller bound: N_h * q_h < 2^63 (integer-valued metrics — token or
+    byte counts per doc).
+
+    Output: (stratum, n_rows, a, w, base, extra, alloc) with
+    sum(alloc) == n_total exactly. Constant strata (A_h = 0) weigh 0
+    and allocate 0 — auditing a constant stratum needs one probe at
+    most, which the caller can overlay.
+
+    Scale shape: one keyed aggregate to the stratum relation (map-side
+    partials), then apportion's broadcast-total arithmetic on that
+    tiny table.
+    """
+    from .apportion import apportion
+
+    v = F.col(value_col).cast("long")
+    m = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_q"),
+    )
+    a = (F.col("n_rows") * F.col("_q") - F.col("_s") * F.col("_s"))
+    c0 = F.floor(F.sqrt(a.cast("double"))).cast("long")
+    c1 = F.when((c0 + 1) * (c0 + 1) <= a, c0 + 1).otherwise(c0)
+    w = F.when(c1 * c1 > a, c1 - 1).otherwise(c1)
+    weighted = m.select(
+        stratum_col,
+        "n_rows",
+        a.alias("a"),
+        w.alias("w"),
+    )
+    out = apportion(weighted, stratum_col, "w", n_total)
+    return out.join(
+        weighted.select(stratum_col, "n_rows", "a"), stratum_col
+    ).select(
+        stratum_col, "n_rows", "a", "w", "base", "extra", "alloc"
+    )

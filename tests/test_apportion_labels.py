@@ -91,3 +91,44 @@ def test_label_cardinality_share_is_integer_permille(spark):
     idx = build_label_index(_series_catalog(spark), "sid", ["pod"])
     row = label_cardinality(idx).collect()[0]
     assert row["top_share_permille"] == row["top_series"] * 1000 // row["n_series"]
+
+
+def test_neyman_allocation_favors_variance(spark):
+    from dads_spark.ops import neyman_allocation
+
+    rows = []
+    # stratum 'flat': 100 rows of constant 50 -> sigma 0 -> alloc 0
+    rows += [("flat", 50)] * 100
+    # stratum 'wild': 100 rows alternating 0/100 -> big sigma
+    rows += [("wild", 0 if i % 2 == 0 else 100) for i in range(100)]
+    # stratum 'mild': 100 rows alternating 49/51
+    rows += [("mild", 49 if i % 2 == 0 else 51) for i in range(100)]
+    df = spark.createDataFrame(rows, "stratum string, v long")
+    out = {r["stratum"]: r for r in
+           neyman_allocation(df, "stratum", "v", 100).collect()}
+    assert out["flat"]["alloc"] == 0 and out["flat"]["w"] == 0
+    assert out["wild"]["alloc"] > out["mild"]["alloc"]
+    assert sum(r["alloc"] for r in out.values()) == 100
+    # exact isqrt check: A = N*q - s^2, w = floor(sqrt(A))
+    import math
+
+    for name in ("wild", "mild"):
+        r = out[name]
+        assert r["w"] == math.isqrt(r["a"])
+
+
+def test_neyman_isqrt_exact_at_perfect_squares(spark):
+    from dads_spark.ops import neyman_allocation
+
+    # engineer A to be a perfect square: 2 rows (0, 2k) -> A = 2*4k^2
+    # - 4k^2 = 4k^2, w = 2k exactly
+    import math
+
+    for k in (3, 1 << 20, (1 << 26) + 123):
+        df = spark.createDataFrame(
+            [("s", 0), ("s", 2 * k), ("o", 1), ("o", 2)],
+            "stratum string, v long",
+        )
+        out = {r["stratum"]: r for r in
+               neyman_allocation(df, "stratum", "v", 10).collect()}
+        assert out["s"]["w"] == 2 * k == math.isqrt(out["s"]["a"])
