@@ -25,6 +25,7 @@ from .compress import encode_timestamps, encode_values
 from .metrics import StageMetricsCollector
 from .ops.sketch import digest, digest_quantiles, merge_digests
 from .rollup import bucket_expr, cascade, gap_fill_linear, pelt_grouped
+from .rollup.controlchart import control_chart_flags
 from .rollup.analytics import seasonal_naive_error
 from .rollup.drift import tv_drift
 from .rollup.distinct import cascade_distinct, distinct_sketch_tier, with_estimate
@@ -291,6 +292,26 @@ class PagesRollupJob:
                 "value",
                 baseline_days=7,
                 period="day",
+            ),
+        )
+        # SPC chart rules over the committed hour tier: out-of-control
+        # LEVELS and RUNS per domain (integer-exact WE/Nelson tests)
+        # beside the S2G/discord SHAPE anomalies — the 15th stage, also
+        # checkpoint-resumable and published through WAP when enabled.
+        out["chart_rules"] = self._stage(
+            "chart_rules",
+            fp,
+            lambda: control_chart_flags(
+                out["hour"].select(
+                    "domain",
+                    F.expr("unix_micros(bucket_ts) DIV 3600000000").alias(
+                        "hb"
+                    ),
+                    F.col("doc_count").alias("v"),
+                ),
+                ["domain"],
+                "hb",
+                "v",
             ),
         )
         if self.ran_stages:  # pure-resume reruns keep the prior metrics table

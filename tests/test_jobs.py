@@ -27,7 +27,7 @@ def test_full_pipeline_and_resume(spark, pages, tmp_path_factory):
 
     job = PagesRollupJob(spark, root, s2g_params=params)
     out = job.run(pages, desc)
-    assert len(job.ran_stages) == 14 and not job.skipped_stages
+    assert len(job.ran_stages) == 15 and not job.skipped_stages
 
     # tiers conserve totals
     hour_total = out["hour"].agg(F.sum("doc_count")).collect()[0][0]
@@ -109,7 +109,7 @@ def test_full_pipeline_and_resume(spark, pages, tmp_path_factory):
     # resume: everything committed -> all skipped
     job2 = PagesRollupJob(spark, root, s2g_params=params)
     job2.run(pages, desc)
-    assert len(job2.skipped_stages) == 14 and not job2.ran_stages
+    assert len(job2.skipped_stages) == 15 and not job2.ran_stages
 
 
 def test_wap_publish_rollback_and_resume(spark, pages, tmp_path_factory):
@@ -123,7 +123,7 @@ def test_wap_publish_rollback_and_resume(spark, pages, tmp_path_factory):
 
     job = PagesRollupJob(spark, f"{root}/ckpt", s2g_params=params, publish_root=pub)
     out = job.run(pages, desc)
-    assert len(job.published_stages) == 14
+    assert len(job.published_stages) == 15
     # published latest == the stage output, row for row
     assert job.read_published("tier_day").count() == out["day"].count()
     v0 = job.store.latest_version("tier_day")
@@ -144,7 +144,7 @@ def test_wap_publish_rollback_and_resume(spark, pages, tmp_path_factory):
     # rollback is NOT clobbered
     job2 = PagesRollupJob(spark, f"{root}/ckpt", s2g_params=params, publish_root=pub)
     job2.run(pages, desc)
-    assert len(job2.skipped_stages) == 14 and not job2.ran_stages
+    assert len(job2.skipped_stages) == 15 and not job2.ran_stages
     assert not job2.published_stages
     assert job2.store.latest_version("tier_day") == v2
 
@@ -222,3 +222,33 @@ def test_apply_late_equals_full_rerun(spark, tmp_path_factory):
         job2.skipped_stages
     )
     assert not job2.ran_stages
+
+
+def test_chart_rules_stage_matches_direct_call(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dads_spark.jobs import PagesRollupJob
+    from dads_spark.rollup import control_chart_flags
+    from dads_spark.rollup.series import domain_hourly_series
+
+    pages = pages_table(spark, 3000)
+    job = PagesRollupJob(spark, str(tmp_path / "ck"))
+    out = job.run(pages, {"fixture": "chart", "n": 3000})
+    got = sorted(
+        tuple(r) for r in out["chart_rules"].collect()
+    )
+    hour = domain_hourly_series(pages)
+    want = sorted(
+        tuple(r)
+        for r in control_chart_flags(
+            hour.select(
+                "domain",
+                F.expr("unix_micros(bucket_ts) DIV 3600000000").alias("hb"),
+                F.col("doc_count").alias("v"),
+            ),
+            ["domain"],
+            "hb",
+            "v",
+        ).collect()
+    )
+    assert got == want
