@@ -9859,6 +9859,46 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(stats, min_files=4)
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per event_type between hourly event
+    counts and hourly distinct users (rollup/analytics.py
+    spearman_corr) — the monotone-association gauge beside Pearson:
+    tie-averaged ranks carried as exact DOUBLED midranks (the
+    mannwhitney discipline), exact long Pearson moments over them
+    carry the pin, rho_q6 one fixed-shape float chain."""
+    from dads_spark.rollup import spearman_corr
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "hb"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.countDistinct("user_id").alias("y"),
+    )
+    return spearman_corr(hourly, ["event_type"], "x", "y")
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per hourly count series
+    (rollup/controlchart.py runs_test): exact 2x-order-statistic
+    median, exact run/side counts carry the pin, z_q6 one fixed-shape
+    float chain on exact longs — the whole-series randomness gauge
+    beside the per-point chart rules."""
+    from dads_spark.rollup import runs_test
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "hb"
+        ),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return runs_test(hourly, ["event_type"], "hb", "v")
+
+
 def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman optimal stratified-sample allocation over document
     strata (ops/sampling.py neyman_allocation): weight = exact integer
@@ -10492,6 +10532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "mor_deletes": q_mor_deletes,
         "neyman_allocation": q_neyman_allocation,
+        "spearman_corr": q_spearman_corr,
+        "runs_test": q_runs_test,
     }
 
 
@@ -14037,6 +14079,125 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS BIGINT)
                    AS compact
         FROM t GROUP BY 1
+    """
+
+    # spearman_corr: doubled-midrank Spearman — exact long moments
+    # carry the pin, rho_q6 one fixed-shape float (sqrt factored)
+    d["spearman_corr"] = """
+        WITH h AS (
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS hb,
+                   CAST(count(*) AS BIGINT) AS x,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        r AS (
+            SELECT event_type,
+                   CAST(2 * rank() OVER (PARTITION BY event_type
+                                         ORDER BY x)
+                        + count(*) OVER (PARTITION BY event_type, x)
+                        - 1 AS BIGINT) AS ra,
+                   CAST(2 * rank() OVER (PARTITION BY event_type
+                                         ORDER BY y)
+                        + count(*) OVER (PARTITION BY event_type, y)
+                        - 1 AS BIGINT) AS rb
+            FROM h),
+        m AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(ra) AS BIGINT) AS sa,
+                   CAST(sum(rb) AS BIGINT) AS sb,
+                   CAST(sum(ra * rb) AS BIGINT) AS sab,
+                   CAST(sum(ra * ra) AS BIGINT) AS saa,
+                   CAST(sum(rb * rb) AS BIGINT) AS sbb
+            FROM r GROUP BY 1),
+        f AS (
+            SELECT event_type, n,
+                   n * sab - sa * sb AS num,
+                   n * saa - sa * sa AS var_a,
+                   n * sbb - sb * sb AS var_b
+            FROM m)
+        SELECT event_type, n, num, var_a, var_b,
+               CASE WHEN var_a > 0 AND var_b > 0 THEN
+                   CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                        * floor(abs(CAST(num AS DOUBLE)
+                                    / (sqrt(CAST(var_a AS DOUBLE))
+                                       * sqrt(CAST(var_b AS DOUBLE))))
+                                * 1e6 + 0.5) AS BIGINT)
+               END AS rho_q6
+        FROM f
+    """
+
+    # runs_test: Wald-Wolfowitz above/below-median runs — exact R,
+    # n1, n0 carry the pin; z_q6 fixed-shape on exact longs
+    d["runs_test"] = """
+        WITH h AS (
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS t,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2),
+        rk AS (
+            SELECT event_type, t, v,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY v, t) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM h),
+        mid AS (
+            SELECT event_type,
+                   CASE WHEN count(*) = 1 THEN 2 * sum(v)
+                        ELSE sum(v) END AS med2
+            FROM rk
+            WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+            GROUP BY 1),
+        sided AS (
+            SELECT rk.event_type, rk.t,
+                   CASE WHEN 2 * rk.v > mid.med2 THEN 1 ELSE 0 END
+                       AS side
+            FROM rk JOIN mid USING (event_type)
+            WHERE 2 * rk.v != mid.med2),
+        runs AS (
+            SELECT event_type, side,
+                   CASE WHEN lag(side) OVER (PARTITION BY event_type
+                                             ORDER BY t) IS NULL
+                         OR lag(side) OVER (PARTITION BY event_type
+                                            ORDER BY t) != side
+                        THEN 1 ELSE 0 END AS new_run
+            FROM sided),
+        agg AS (
+            SELECT event_type,
+                   CAST(sum(new_run) AS BIGINT) AS n_runs,
+                   CAST(sum(side) AS BIGINT) AS n_above,
+                   CAST(count(*) - sum(side) AS BIGINT) AS n_below
+            FROM runs GROUP BY 1)
+        SELECT event_type, n_runs, n_above, n_below,
+               CASE WHEN n_above > 0 AND n_below > 0
+                     AND n_above + n_below > 1 THEN
+                   CAST((CASE WHEN CAST(n_runs AS DOUBLE)
+                                   - (1 + CAST(2 * n_above * n_below
+                                               AS DOUBLE)
+                                          / CAST(n_above + n_below
+                                                 AS DOUBLE)) < 0
+                              THEN -1 ELSE 1 END)
+                        * floor(abs(
+                            (CAST(n_runs AS DOUBLE)
+                             - (1 + CAST(2 * n_above * n_below
+                                         AS DOUBLE)
+                                    / CAST(n_above + n_below
+                                           AS DOUBLE)))
+                            / sqrt(CAST(2 * n_above * n_below
+                                        AS DOUBLE)
+                                   * (CAST(2 * n_above * n_below
+                                           AS DOUBLE)
+                                      - CAST(n_above + n_below
+                                             AS DOUBLE))
+                                   / (CAST(n_above + n_below
+                                           AS DOUBLE)
+                                      * CAST(n_above + n_below
+                                             AS DOUBLE)
+                                      * (CAST(n_above + n_below
+                                              AS DOUBLE) - 1))))
+                          * 1e6 + 0.5) AS BIGINT)
+               END AS z_q6
+        FROM agg
     """
 
     # neyman_allocation: isqrt(N*q - s^2) weights + Hamilton seats —

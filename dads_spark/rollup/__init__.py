@@ -156,3 +156,5 @@ from .vopt import vopt_boundaries, vopt_histogram_grouped  # noqa: F401
 from .compact import compaction_plan  # noqa: F401
 from .wavelet import haar_coefficients, haar_topk_grouped  # noqa: F401
 from .drift import wasserstein_drift  # noqa: F401
+from .controlchart import runs_test  # noqa: F401
+from .analytics import spearman_corr  # noqa: F401

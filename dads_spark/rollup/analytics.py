@@ -2101,3 +2101,67 @@ def poisson_delta_significance(
         F.when(tot > 0, z_q6).alias("z_q6"),
         F.when(tot > 0, sig).alias("significant"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation per key between two integer-valued
+    metrics — the monotone-association gauge beside Pearson
+    (:func:`rolling_corr`): rank-based, so one outlying hour cannot
+    saturate it, and nonlinear-but-monotone coupling still reads ~1.
+
+    Exactness (the mannwhitney doubled-midrank discipline): tie-
+    averaged ranks are carried as exact integer DOUBLED midranks
+    (2*rank_min + ties - 1); all Pearson moments over them are exact
+    longs and carry the pin. rho_q6 is one fixed-shape float chain
+    (sqrt(A)*sqrt(B) — factored so the product never leaves double
+    range) on exact operands.
+
+    Caller bound: n * (2n)^2 * n < 2^63, i.e. n <~ 10^4 ranked points
+    per key — tier series by construction.
+
+    Scale shape: two rank windows + the moment aggregate all ride ONE
+    keyed exchange.
+    """
+    kw = W.partitionBy(*key_cols)
+
+    def dmid(c):
+        return (
+            2 * F.rank().over(kw.orderBy(c))
+            + F.count(F.lit(1)).over(kw.orderBy(c).rangeBetween(0, 0))
+            - 1
+        ).cast("long")
+
+    ranked = df.select(
+        *key_cols,
+        dmid(F.col(x_col).cast("long")).alias("_ra"),
+        dmid(F.col(y_col).cast("long")).alias("_rb"),
+    )
+    m = ranked.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_ra").alias("sa"),
+        F.sum("_rb").alias("sb"),
+        F.sum(F.col("_ra") * F.col("_rb")).alias("sab"),
+        F.sum(F.col("_ra") * F.col("_ra")).alias("saa"),
+        F.sum(F.col("_rb") * F.col("_rb")).alias("sbb"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+    va = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+    vb = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+    den = F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))
+    rho_q6 = (
+        F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
+        * F.floor(F.abs(num.cast("double") / den) * 1e6 + F.lit(0.5))
+    ).cast("long")
+    return m.select(
+        *key_cols,
+        "n",
+        num.cast("long").alias("num"),
+        va.cast("long").alias("var_a"),
+        vb.cast("long").alias("var_b"),
+        F.when((va > 0) & (vb > 0), rho_q6).alias("rho_q6"),
+    )

@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-__all__ = ["control_chart_flags"]
+__all__ = ["control_chart_flags", "runs_test"]
 
 
 def control_chart_flags(
@@ -128,3 +128,92 @@ def control_chart_flags(
         | (F.col("r4") == 1)
     )
     return flagged.filter(anyrule)
+
+
+def runs_test(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per series: is the sequence of
+    above/below-median points RANDOM, or does it cluster (trend,
+    regime stickiness) / alternate (oscillation, load-balancer
+    flapping)? The randomness companion to the chart rules: R2/R3
+    flag individual runs, this scores the WHOLE series.
+
+    Exactness: the median is carried as the exact 2x order-statistic
+    sum; points equal to the median drop (the standard convention);
+    run count R and side counts (n1, n0) are exact longs and carry
+    the pin. z_q6 = (R - mu)/sigma is one fixed-shape float chain on
+    exact operands: mu = 1 + 2*n1*n0/n and
+    sigma^2 = 2*n1*n0*(2*n1*n0 - n) / (n^2*(n-1)).
+
+    Scale shape: the order-statistic selection, the lag pass and the
+    final aggregate all ride ONE keyed exchange.
+    """
+    kw = W.partitionBy(*key_cols)
+    ow = kw.orderBy(F.col(value_col).cast("long"), order_col)
+    ranked = df.select(
+        *key_cols,
+        F.col(order_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+        F.row_number().over(ow).alias("_rn"),
+        F.count(F.lit(1)).over(kw).alias("_n"),
+    )
+    mid = ranked.filter(
+        (F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+        | (F.col("_rn") == F.expr("_n DIV 2 + 1"))
+    ).groupBy(*key_cols).agg(
+        F.when(F.count(F.lit(1)) == 1, 2 * F.sum("_v"))
+        .otherwise(F.sum("_v"))
+        .alias("_med2")
+    )
+    sided = (
+        ranked.join(mid, key_cols)
+        .filter(2 * F.col("_v") != F.col("_med2"))
+        .select(
+            *key_cols,
+            "_t",
+            F.when(2 * F.col("_v") > F.col("_med2"), 1)
+            .otherwise(0)
+            .alias("_side"),
+        )
+    )
+    tw = W.partitionBy(*key_cols).orderBy("_t")
+    runs = sided.select(
+        *key_cols,
+        "_side",
+        F.when(
+            F.lag("_side").over(tw).isNull()
+            | (F.lag("_side").over(tw) != F.col("_side")),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new_run"),
+    )
+    agg = runs.groupBy(*key_cols).agg(
+        F.sum("_new_run").alias("n_runs"),
+        F.sum("_side").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("_side")).alias("n_below"),
+    )
+    n = (F.col("n_above") + F.col("n_below")).cast("double")
+    p2 = (2 * F.col("n_above") * F.col("n_below")).cast("double")
+    mu = 1 + p2 / n
+    var = p2 * (p2 - n) / (n * n * (n - 1))
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    z_q6 = (
+        F.when(z < 0, F.lit(-1)).otherwise(F.lit(1))
+        * F.floor(F.abs(z) * 1e6 + F.lit(0.5))
+    ).cast("long")
+    return agg.select(
+        *key_cols,
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.col("n_above").cast("long").alias("n_above"),
+        F.col("n_below").cast("long").alias("n_below"),
+        F.when(
+            (F.col("n_above") > 0) & (F.col("n_below") > 0)
+            & (F.col("n_above") + F.col("n_below") > 1),
+            z_q6,
+        ).alias("z_q6"),
+    )
