@@ -2367,6 +2367,30 @@ def main() -> None:
                   if "Join" in l or "HashAggregate" in l)[:500],
     ))
 
+    # --- A108: spearman / runs_test / neyman / mor read ------------------------
+    p108a = plan_of(em.queries()["spearman_corr"](spark, sf_dir))
+    p108b = plan_of(em.queries()["runs_test"](spark, sf_dir))
+    p108c = plan_of(em.queries()["neyman_allocation"](spark, sf_dir))
+    for p, name in ((p108a, "spearman_corr"), (p108b, "runs_test")):
+        assert "BatchEvalPython" not in p and "PythonUDF" not in p, (
+            f"{name}: rank statistics are pure codegen"
+        )
+        assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p108c and "SortMergeJoin" not in p108c, (
+        "neyman: the powers table and Hamilton totals must broadcast"
+    )
+    assert "BatchEvalPython" not in p108c
+    sections.append((
+        "A108 rank stats codegen-only; Neyman broadcasts its constants",
+        "PASS — spearman's doubled-midrank windows and runs_test's "
+        "order-statistic median selection are pure JVM window/aggregate "
+        "work (no Python, no cartesian); neyman_allocation joins only "
+        "broadcast relations (41-row powers table, 1-row totals) — the "
+        "stratum relation never shuffles against anything non-broadcast",
+        "\n".join(l for l in (p108a + p108b + p108c).splitlines()
+                  if "Join" in l or "Window" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
