@@ -9859,6 +9859,79 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(stats, min_files=4)
 
 
+def q_polite_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed web-ingest politeness: RAW robots.txt text (with
+    badbot groups, comments, decimal delays) -> crawl_delays (RFC 9309
+    group walk, exact millis) -> per-host delay coalesced with the 1 s
+    crawler default -> frontier_schedule with per-host spacing. The
+    oracle derives each host's delay by the synthesis rule directly
+    (never re-parsing), so agreement pins the PARSER + the scheduler
+    composition end to end."""
+    from dads_spark.ops import crawl_delays, frontier_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = (
+        docs.select("source")
+        .distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+        )
+        .withColumn(
+            "_m",
+            F.expr(
+                "(locate(substring(md5(host), 1, 1), '0123456789abcdef')"
+                " - 1) % 3"
+            ),
+        )
+    )
+    robots = hosts.select(
+        "host",
+        F.when(
+            F.col("_m") == 0,
+            F.lit(
+                "User-agent: badbot\nCrawl-delay: 99\n\n"
+                "User-agent: *\nDisallow: /tmp"
+            ),
+        )
+        .when(
+            F.col("_m") == 1,
+            F.lit(
+                "User-agent: badbot\nCrawl-delay: 99\n\n"
+                "User-agent: *\nCrawl-delay: 2\nDisallow: /tmp"
+            ),
+        )
+        .otherwise(
+            F.lit(
+                "# crawl policy\nUser-agent: *\nCrawl-delay: 0.5\n"
+                "Allow: /"
+            )
+        )
+        .alias("robots_txt"),
+    )
+    delays = crawl_delays(robots).select(
+        "host", F.coalesce("delay_ms", F.lit(1000)).alias("delay_ms")
+    )
+    frontier = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 10).cast("long").alias("priority"),
+        F.expr(
+            "(locate(substring(md5(concat(source, '.example.com')), 1, 1), "
+            "'0123456789abcdef') - 1) % 4"
+        ).alias("wk"),
+    ).join(F.broadcast(delays), "host")
+    return frontier_schedule(
+        frontier, n_workers=4, worker_col="wk", delay_ms_col="delay_ms"
+    ).select(
+        "host", "url",
+        F.col("worker").cast("long").alias("worker"),
+        "fetch_offset_ms", "fetch_order",
+    )
+
+
 def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation per event_type between hourly event
     counts and hourly distinct users (rollup/analytics.py
@@ -10534,6 +10607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": q_neyman_allocation,
         "spearman_corr": q_spearman_corr,
         "runs_test": q_runs_test,
+        "polite_schedule": q_polite_schedule,
     }
 
 
@@ -14079,6 +14153,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS BIGINT)
                    AS compact
         FROM t GROUP BY 1
+    """
+
+    # polite_schedule: per-host Crawl-delay politeness — the oracle
+    # derives delays from the synthesis rule (md5 digit % 3), never
+    # re-parsing, so agreement pins the parser + scheduler composition
+    d["polite_schedule"] = """
+        WITH h AS (
+            SELECT DISTINCT concat(source, '.example.com') AS host
+            FROM documents),
+        dl AS (
+            SELECT host,
+                   CASE (instr('0123456789abcdef',
+                               substring(md5(host), 1, 1)) - 1) % 3
+                        WHEN 0 THEN 1000
+                        WHEN 1 THEN 2000
+                        ELSE 500 END AS delay_ms
+            FROM h),
+        f AS (
+            SELECT concat(source, '.example.com') AS host,
+                   concat('https://', source, '.example.com/p/',
+                          CAST(doc_id AS VARCHAR)) AS url,
+                   CAST(doc_id % 10 AS BIGINT) AS priority,
+                   (instr('0123456789abcdef',
+                          substring(md5(concat(source, '.example.com')),
+                                    1, 1)) - 1) % 4 AS worker
+            FROM documents),
+        staged AS (
+            SELECT f.host, f.url, f.priority, f.worker,
+                   CAST((row_number() OVER
+                         (PARTITION BY f.host
+                          ORDER BY f.priority DESC, f.url) - 1)
+                        * dl.delay_ms AS BIGINT) AS fetch_offset_ms
+            FROM f JOIN dl ON dl.host = f.host)
+        SELECT host, url, CAST(worker AS BIGINT) AS worker,
+               fetch_offset_ms,
+               CAST(row_number() OVER
+                    (PARTITION BY worker
+                     ORDER BY fetch_offset_ms, priority DESC, url)
+                    AS BIGINT) AS fetch_order
+        FROM staged
     """
 
     # spearman_corr: doubled-midrank Spearman — exact long moments

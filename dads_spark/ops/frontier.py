@@ -37,6 +37,7 @@ def frontier_schedule(
     url_col: str = "url",
     priority_col: str = "priority",
     worker_col: str | None = None,
+    delay_ms_col: str | None = None,
 ) -> DataFrame:
     """(host, url, priority) -> (host, url, worker, fetch_offset_sec,
     fetch_order) with per-host politeness spacing and a total per-worker
@@ -45,7 +46,14 @@ def frontier_schedule(
     ties on url. Pass ``worker_col`` to plug an externally computed
     host->worker sharding (consistent-hash ring, locality map, or a
     cross-engine hash for oracle gating) — it must be host-functional
-    (one worker per host) for politeness to hold."""
+    (one worker per host) for politeness to hold.
+
+    ``delay_ms_col`` switches to PER-HOST politeness (a host-functional
+    millisecond column — robots.txt ``Crawl-delay`` via
+    :func:`dads_spark.ops.robots.crawl_delays`, coalesced with the
+    crawler's default): offsets become ``fetch_offset_ms`` =
+    (rank-1) * that host's delay, the per-host generalization of the
+    uniform ``delay_sec`` spacing."""
     w_host = W.partitionBy(host_col).orderBy(
         F.col(priority_col).desc(), F.col(url_col)
     )
@@ -54,17 +62,25 @@ def frontier_schedule(
         if worker_col
         else F.pmod(F.xxhash64(F.col(host_col)), F.lit(n_workers)).cast("int")
     )
+    if delay_ms_col:
+        offset_col = "fetch_offset_ms"
+        offset = (
+            (F.row_number().over(w_host) - 1) * F.col(delay_ms_col)
+        ).cast("long")
+    else:
+        offset_col = "fetch_offset_sec"
+        offset = ((F.row_number().over(w_host) - 1) * delay_sec).cast(
+            "long"
+        )
     staged = frontier.select(
         F.col(host_col),
         F.col(url_col),
         F.col(priority_col),
         worker.alias("worker"),
-        ((F.row_number().over(w_host) - 1) * delay_sec)
-        .cast("long")
-        .alias("fetch_offset_sec"),
+        offset.alias(offset_col),
     )
     w_worker = W.partitionBy("worker").orderBy(
-        F.col("fetch_offset_sec"),
+        F.col(offset_col),
         F.col(priority_col).desc(),
         F.col(url_col),
     )
@@ -72,6 +88,6 @@ def frontier_schedule(
         host_col,
         url_col,
         "worker",
-        "fetch_offset_sec",
+        offset_col,
         F.row_number().over(w_worker).cast("long").alias("fetch_order"),
     )

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["parse_robots", "robots_annotate", "robots_filter"]
+__all__ = ["crawl_delays", "parse_robots", "robots_annotate", "robots_filter"]
 
 
 def parse_robots(
@@ -156,4 +156,65 @@ def robots_filter(
         robots_annotate(docs, rules, host_col, path_col)
         .filter(F.col("crawl_allowed"))
         .drop("crawl_allowed")
+    )
+
+
+def crawl_delays(
+    robots: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) -> (host, delay_ms): the ``Crawl-delay`` of
+    the ``User-agent: *`` group, as exact integer MILLISECONDS (the
+    directive allows decimals — "0.5" is half a second; Bing/Yandex
+    semantics, first applicable value wins). Hosts whose star group
+    declares no parseable delay emit NULL — the caller supplies its
+    politeness default.
+
+    Group membership reuses :func:`parse_robots`'s RFC 9309 walk (a
+    ``Crawl-delay`` inside a non-star group never applies), and the
+    millisecond conversion is a decimal(12,3) cast times 1000 — exact
+    integer arithmetic, no float parsing.
+    """
+    lines = F.split(F.col(txt_col), "\n")
+    init = F.struct(
+        F.lit(False).alias("in_star"),
+        F.lit(True).alias("fresh_group"),
+        F.lit(None).cast("long").alias("delay_ms"),
+    )
+
+    def step(acc, raw):
+        line = F.trim(F.regexp_replace(raw, "#.*$", ""))
+        low = F.lower(line)
+        is_agent = low.startswith("user-agent:")
+        agent = F.trim(F.regexp_replace(line, "(?i)^user-agent:", ""))
+        in_star = (
+            F.when(is_agent & acc.fresh_group, (agent == "*") | acc.in_star)
+            .when(is_agent, agent == "*")
+            .otherwise(acc.in_star)
+        )
+        is_delay = low.startswith("crawl-delay:")
+        value = F.trim(F.regexp_replace(line, "(?i)^crawl-delay:", ""))
+        ms = (value.try_cast("decimal(12,3)") * 1000).cast("long")
+        new_delay = (
+            F.when(
+                acc.delay_ms.isNull()
+                & acc.in_star
+                & is_delay
+                & ms.isNotNull(),
+                ms,
+            )
+            .otherwise(acc.delay_ms)
+        )
+        return F.struct(
+            in_star.alias("in_star"),
+            (is_agent | (acc.fresh_group & (line == ""))).alias(
+                "fresh_group"
+            ),
+            new_delay.alias("delay_ms"),
+        )
+
+    return robots.select(
+        F.col(host_col).alias("host"),
+        F.aggregate(lines, init, step).getField("delay_ms").alias(
+            "delay_ms"
+        ),
     )

@@ -114,3 +114,43 @@ def test_corpus_side_stays_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _delays(spark, txt):
+    from dads_spark.ops import crawl_delays
+
+    df = spark.createDataFrame(
+        [("h.example.com", txt)], "host string, robots_txt string"
+    )
+    return crawl_delays(df).collect()[0]["delay_ms"]
+
+
+def test_crawl_delay_star_group(spark):
+    assert _delays(
+        spark, "User-agent: *\nCrawl-delay: 2\nDisallow: /x"
+    ) == 2000
+
+
+def test_crawl_delay_decimal_is_exact_millis(spark):
+    assert _delays(spark, "User-agent: *\nCrawl-delay: 0.5") == 500
+    assert _delays(spark, "User-agent: *\nCrawl-delay: 1.25") == 1250
+
+
+def test_crawl_delay_other_group_does_not_apply(spark):
+    txt = "User-agent: badbot\nCrawl-delay: 99\n\nUser-agent: *\nDisallow: /x"
+    assert _delays(spark, txt) is None
+
+
+def test_crawl_delay_first_applicable_wins(spark):
+    txt = "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 7"
+    assert _delays(spark, txt) == 3000
+
+
+def test_crawl_delay_unparseable_ignored(spark):
+    assert _delays(spark, "User-agent: *\nCrawl-delay: soon") is None
+
+
+def test_crawl_delay_comment_stripped(spark):
+    assert _delays(
+        spark, "User-agent: * # all bots\nCrawl-delay: 4 # secs"
+    ) == 4000
