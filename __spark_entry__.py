@@ -10183,12 +10183,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROUND-5 ROTATION NOTE (for the next builder): after the r04 gate
     drains the r3 backlog above, positions 1-50 should rotate to the
     round-4 additions that have never received a driver row — every
-    entry tagged r4s5..r4s13 in SURVEY §2 (~130 names; the freshest
-    full-sweep artifact CORRECTNESS_LOCAL_r4s13b_full.json lists them
-    all local-green). Lead with the composed flagships
-    (series_triage, doc_triage, seasonal_conformal, log_observability,
-    e2e_curation), then the drift/statistics family (ks/mw/chi2/psi,
-    wow_significance), then alphabetical."""
+    entry tagged r4s5..r4s14 in SURVEY §2 (~150 names; the freshest
+    full-sweep artifacts CORRECTNESS_LOCAL_r4s13b_full.json +
+    CORRECTNESS_LOCAL_r4s14_full.json list them all local-green).
+    Lead with the composed flagships (series_triage, doc_triage,
+    seasonal_conformal, log_observability, e2e_curation,
+    anomaly_scorecard, polite_schedule), then the storage contracts
+    (mor_deletes, compaction_plan, rle_roundtrip_hour), the streaming
+    joins (streaming_left_join, streaming_enrich), the detector/
+    statistics family (control_chart, seasonal_esd, runs_test,
+    spearman_corr, wasserstein_drift, vopt_histogram, haar_synopsis),
+    then alphabetical."""
     return {
         # -- (1) never driver-checked (r3 backlog), positions 1-32 --
         "tier_snapshots": q_tier_snapshots,
