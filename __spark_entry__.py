@@ -9859,6 +9859,20 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(stats, min_files=4)
 
 
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment sketch per event_type over user_id
+    (ops/sketch.py ams_f2): the self-join-size estimator a planner
+    consults before picking an equi-join strategy. Linear sketch —
+    partials ADD, merge-order independent, hence exactly pinnable
+    (unlike t-digest); md5-parity eps signs are engine-portable;
+    median-of-means over 5 groups x 16 estimators, all integer; the
+    row carries the integer estimate AND the exact F2."""
+    from dads_spark.ops import ams_f2
+
+    ev = _t(spark, sf_dir, "events")
+    return ams_f2(ev, ["event_type"], "user_id")
+
+
 def q_polite_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed web-ingest politeness: RAW robots.txt text (with
     badbot groups, comments, decimal delays) -> crawl_delays (RFC 9309
@@ -10613,6 +10627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_corr": q_spearman_corr,
         "runs_test": q_runs_test,
         "polite_schedule": q_polite_schedule,
+        "ams_f2": q_ams_f2,
     }
 
 
@@ -14158,6 +14173,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS BIGINT)
                    AS compact
         FROM t GROUP BY 1
+    """
+
+    # ams_f2: linear second-moment sketch — md5-parity eps signs,
+    # exact integer sums/squares/floor-division; exact F2 alongside
+    d["ams_f2"] = """
+        WITH js AS (SELECT unnest(range(80)) AS j),
+        sk AS (
+            SELECT event_type, js.j,
+                   CAST(sum(1 - 2 * ((instr('0123456789abcdef',
+                        substring(md5(concat(CAST(js.j AS VARCHAR), ':',
+                                             CAST(user_id AS VARCHAR))),
+                                  1, 1)) - 1) % 2)) AS BIGINT) AS s
+            FROM events, js GROUP BY 1, 2),
+        gm AS (
+            SELECT event_type, j // 16 AS g,
+                   CAST(sum(s * s) // 16 AS BIGINT) AS gmean
+            FROM sk GROUP BY 1, 2),
+        est AS (
+            SELECT event_type, gmean AS f2_est
+            FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                ORDER BY gmean, g) AS rn
+                  FROM gm)
+            WHERE rn = 3),
+        ex AS (
+            SELECT event_type,
+                   CAST(sum(f * f) AS BIGINT) AS f2_exact,
+                   CAST(sum(f) AS BIGINT) AS n_rows
+            FROM (SELECT event_type, CAST(user_id AS VARCHAR) AS v,
+                         count(*) AS f
+                  FROM events GROUP BY 1, 2)
+            GROUP BY 1)
+        SELECT event_type, n_rows, f2_est, f2_exact
+        FROM est JOIN ex USING (event_type)
     """
 
     # polite_schedule: per-host Crawl-delay politeness — the oracle

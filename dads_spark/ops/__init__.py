@@ -175,3 +175,4 @@ from .quality import hashed_linear_score  # noqa: F401
 from .packing import chunk_documents  # noqa: F401
 from .sampling import neyman_allocation  # noqa: F401
 from .robots import crawl_delays  # noqa: F401
+from .sketch import ams_f2  # noqa: F401

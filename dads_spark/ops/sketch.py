@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def _cluster(values: np.ndarray, weights: np.ndarray, c: int) -> tuple[np.ndarray, np.ndarray]:
@@ -171,4 +171,94 @@ def quantile_digest(
     """
     return digest_quantiles(
         digest(df, key_cols, value_col, compression), key_cols, probs
+    )
+
+
+def ams_f2(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    groups: int = 5,
+    per_group: int = 16,
+) -> DataFrame:
+    """AMS second-moment (F2) sketch per key (Alon-Matias-Szegedy,
+    STOC 1996): estimate ``sum_v f_v^2`` — the SELF-JOIN SIZE of the
+    value column, the quantity a cost-based planner wants before
+    committing to an equi-join strategy (composes with ops/profile.py's
+    per-key histogram cardinality estimates).
+
+    The sketch is LINEAR: estimator j keeps S_j = sum over rows of
+    eps_j(value) with eps in {-1, +1}, so partial sketches ADD —
+    merge-order independent by construction, which is what makes it
+    exactly pinnable where t-digest is rows-only. eps_j derives from an
+    md5 hex digit of (j, value) — engine-portable, the dsir bucket
+    discipline. The estimate is the canonical MEDIAN-OF-MEANS: the
+    ``groups * per_group`` estimators split into ``groups`` (odd)
+    groups, each group's mean of S_j^2 is an exact floor division, and
+    the estimate is the single middle order statistic of the group
+    means — all integers, no float anywhere. The EXACT F2 is computed
+    alongside so the row carries estimate and truth together.
+
+    Scale shape: the eps expansion is a k-row broadcast cross join
+    evaluated map-side; both aggregations (per-(key, j) sums, exact
+    per-(key, value) counts) plan partial+final. Shuffle carries
+    k rows per key + one row per distinct value.
+    """
+    if groups % 2 == 0:
+        raise ValueError("groups must be odd (single-element median)")
+    k = groups * per_group
+    spark = df.sparkSession
+    js = spark.range(k).select(F.col("id").cast("long").alias("_j"))
+    v = F.col(value_col).cast("string")
+    eps = (
+        1
+        - 2
+        * (
+            (
+                F.expr(
+                    "locate(substring(md5(concat(CAST(_j AS STRING), ':', "
+                    f"CAST({value_col} AS STRING))), 1, 1), "
+                    "'0123456789abcdef') - 1"
+                )
+            )
+            % 2
+        )
+    ).cast("long")
+    from pyspark.sql import Window as _W
+
+    gmeans = (
+        df.select(*key_cols, v.alias(value_col))
+        .crossJoin(F.broadcast(js))
+        .select(*key_cols, "_j", eps.alias("_e"))
+        .groupBy(*key_cols, "_j")
+        .agg(F.sum("_e").alias("_s"))
+        .groupBy(*key_cols, F.expr(f"_j DIV {per_group}").alias("_g"))
+        .agg(
+            F.expr(
+                f"sum(_s * _s) DIV {per_group}"
+            ).alias("_gm")
+        )
+    )
+    mid = groups // 2 + 1
+    sk = (
+        gmeans.withColumn(
+            "_rn",
+            F.row_number().over(
+                _W.partitionBy(*key_cols).orderBy("_gm", "_g")
+            ),
+        )
+        .filter(F.col("_rn") == mid)
+        .select(*key_cols, F.col("_gm").alias("f2_est"))
+    )
+    exact = (
+        df.groupBy(*key_cols, v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(F.col("_f") * F.col("_f")).alias("f2_exact"),
+            F.sum("_f").alias("n_rows"),
+        )
+    )
+    return sk.join(exact, key_cols).select(
+        *key_cols, "n_rows", "f2_est", "f2_exact"
     )

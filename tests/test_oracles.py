@@ -108,3 +108,40 @@ def test_winnow_oracle_known_properties():
     assert winnow_oracle("aaaaaaaaaaaaaaaaaaaaaaaa")  # all-tie windows
     assert winnow_oracle("") == []
     assert winnow_oracle("short") == []  # below k-gram length
+
+
+def test_ams_f2_linearity_and_accuracy(spark):
+    from pyspark.sql import functions as F
+
+    from dads_spark.ops import ams_f2
+
+    df = spark.range(4000).select(
+        F.lit("k").alias("key"),
+        (F.pmod(F.hash("id"), F.lit(200))).cast("long").alias("v"),
+    )
+    r = ams_f2(df, ["key"], "v").collect()[0]
+    assert r["n_rows"] == 4000
+    # median of 5 group-means of 16 estimators: concentration is tight
+    # (deterministic signs — either always passes or never)
+    assert abs(r["f2_est"] - r["f2_exact"]) <= r["f2_exact"] * 0.5
+    # linearity: sketch of a 2x-duplicated stream has every S_j
+    # doubled, so S_j^2 quadruples EXACTLY; the only slack is the
+    # per-group floor division (< 4 absolute after scaling, + a
+    # possible near-tie median-group flip bounded by the same)
+    r2 = ams_f2(df.union(df), ["key"], "v").collect()[0]
+    assert r2["f2_exact"] == 4 * r["f2_exact"]
+    assert abs(r2["f2_est"] - 4 * r["f2_est"]) <= 8
+
+
+def test_ams_f2_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from dads_spark.ops import ams_f2
+
+    df = spark.range(1000).select(
+        F.lit("k").alias("key"),
+        F.pmod(F.hash("id"), F.lit(50)).cast("long").alias("v"),
+    )
+    a = ams_f2(df.repartition(1), ["key"], "v").collect()[0]
+    b = ams_f2(df.repartition(13), ["key"], "v").collect()[0]
+    assert tuple(a) == tuple(b)
