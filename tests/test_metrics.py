@@ -87,6 +87,7 @@ def test_mid_pipeline_resume_recomputes_only_missing_stage(spark, tmp_path):
         "distinct_hour", "distinct_day",
         "gapfill_hour", "compress_hour", "s2g_scores", "discord_ranges",
         "changepoints", "forecast_baselines", "count_drift",
+        "chart_rules",
     }
     day2 = out2["day"].toPandas().sort_values(["domain", "bucket_ts"])
     assert day1.reset_index(drop=True).equals(day2.reset_index(drop=True))
@@ -99,5 +100,6 @@ def test_mid_pipeline_resume_recomputes_only_missing_stage(spark, tmp_path):
         "distinct_hour", "distinct_day",
         "gapfill_hour", "compress_hour", "s2g_scores", "discord_ranges",
         "changepoints", "forecast_baselines", "count_drift",
+        "chart_rules",
     }
-    assert len(persisted) == 14
+    assert len(persisted) == 15
