@@ -9859,6 +9859,22 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(stats, min_files=4)
 
 
+def q_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with an EXCLUSION step (rollup/analytics.py
+    funnel_with_exclusion): click -> purchase within 2 h with no error
+    strictly between — the MATCH_RECOGNIZE-shaped semantics plain
+    funnels can't express. One user-keyed window pass; exact micro-
+    second longs decide conversion/blocked/timeout."""
+    from dads_spark.rollup import funnel_with_exclusion
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_with_exclusion(
+        ev, "user_id", "ts", "event_type",
+        step_a="click", step_b="purchase", excluded="error",
+        within_sec=7200,
+    )
+
+
 def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS second-moment sketch per event_type over user_id
     (ops/sketch.py ams_f2): the self-join-size estimator a planner
@@ -10628,6 +10644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": q_runs_test,
         "polite_schedule": q_polite_schedule,
         "ams_f2": q_ams_f2,
+        "funnel_exclusion": q_funnel_exclusion,
     }
 
 
@@ -14173,6 +14190,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN count(*) >= 4 THEN 1 ELSE 0 END AS BIGINT)
                    AS compact
         FROM t GROUP BY 1
+    """
+
+    # funnel_exclusion: next-B/next-X min-over-following frames with
+    # the (t, type) tiebreak mirrored exactly
+    d["funnel_exclusion"] = """
+        WITH b AS (
+            SELECT user_id AS u, event_type AS ty, epoch_us(ts) AS t
+            FROM events
+            WHERE event_type IN ('click', 'purchase', 'error')),
+        a AS (
+            SELECT u, ty, t,
+                   min(CASE WHEN ty = 'purchase' THEN t END)
+                       OVER (PARTITION BY u ORDER BY t, ty
+                             ROWS BETWEEN 1 FOLLOWING
+                               AND UNBOUNDED FOLLOWING) AS nb,
+                   min(CASE WHEN ty = 'error' THEN t END)
+                       OVER (PARTITION BY u ORDER BY t, ty
+                             ROWS BETWEEN 1 FOLLOWING
+                               AND UNBOUNDED FOLLOWING) AS nx
+            FROM b),
+        ar AS (SELECT * FROM a WHERE ty = 'click'),
+        fl AS (
+            SELECT u,
+                   (nb IS NOT NULL
+                    AND nb - t <= CAST(7200 AS BIGINT) * 1000000)
+                       AS in_time,
+                   (nx IS NULL OR nx > nb) AS clean
+            FROM ar)
+        SELECT u AS user_id,
+               CAST(count(*) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN in_time AND clean THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_converted,
+               CAST(sum(CASE WHEN in_time AND NOT clean THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_blocked,
+               CAST(sum(CASE WHEN NOT in_time THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_timeout
+        FROM fl GROUP BY 1
     """
 
     # ams_f2: linear second-moment sketch — md5-parity eps signs,

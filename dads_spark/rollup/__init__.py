@@ -158,3 +158,4 @@ from .wavelet import haar_coefficients, haar_topk_grouped  # noqa: F401
 from .drift import wasserstein_drift  # noqa: F401
 from .controlchart import runs_test  # noqa: F401
 from .analytics import spearman_corr  # noqa: F401
+from .analytics import funnel_with_exclusion  # noqa: F401

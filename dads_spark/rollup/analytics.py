@@ -2165,3 +2165,80 @@ def spearman_corr(
         vb.cast("long").alias("var_b"),
         F.when((va > 0) & (vb > 0), rho_q6).alias("rho_q6"),
     )
+
+
+def funnel_with_exclusion(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    step_a: str,
+    step_b: str,
+    excluded: str,
+    within_sec: int,
+) -> DataFrame:
+    """A -> B conversion WITH AN EXCLUSION STEP: for each ``step_a``
+    event, it converts iff a ``step_b`` follows within ``within_sec``
+    AND no ``excluded`` event falls strictly between them — the
+    MATCH_RECOGNIZE-shaped semantics plain funnels can't express
+    ("purchased after view with no support-ticket in between").
+
+    Relational construction, exact integers end to end: one keyed
+    window pass computes, for every A event, the time of the NEXT B
+    and the NEXT excluded event (min-over-following-frame on
+    conditional epoch micros); the conversion predicate compares the
+    two exact longs. Per-user output rows: n_a, n_converted,
+    n_blocked (a B arrived in time but an exclusion preceded it),
+    n_timeout.
+
+    Scale shape: one exchange keyed on the user; both "next event"
+    frames ride the same sort. The events relation is filtered to the
+    three step types BEFORE the window (map-side), so the frame never
+    scans unrelated traffic.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.filter(
+        F.col(type_col).isin(step_a, step_b, excluded)
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_ty"),
+        us.alias("_t"),
+    )
+    # deterministic frame membership under equal timestamps: the
+    # secondary type sort is mirrored by the oracle, so an equal-time
+    # B counts as "following" iff its type sorts after A's
+    w = (
+        W.partitionBy("_u")
+        .orderBy("_t", "_ty")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    next_b = F.min(F.when(F.col("_ty") == step_b, F.col("_t"))).over(w)
+    next_x = F.min(
+        F.when(F.col("_ty") == excluded, F.col("_t"))
+    ).over(w)
+    a_rows = (
+        base.select(
+            "_u",
+            "_ty",
+            "_t",
+            next_b.alias("_nb"),
+            next_x.alias("_nx"),
+        )
+        .filter(F.col("_ty") == step_a)
+    )
+    in_time = F.col("_nb").isNotNull() & (
+        F.col("_nb") - F.col("_t") <= within_sec * 1_000_000
+    )
+    clean = F.col("_nx").isNull() | (F.col("_nx") > F.col("_nb"))
+    return a_rows.groupBy(F.col("_u").alias(user_col)).agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum(F.when(in_time & clean, 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+        F.sum(F.when(in_time & ~clean, 1).otherwise(0))
+        .cast("long")
+        .alias("n_blocked"),
+        F.sum(F.when(~in_time, 1).otherwise(0))
+        .cast("long")
+        .alias("n_timeout"),
+    )

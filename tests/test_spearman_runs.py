@@ -94,3 +94,54 @@ def test_runs_z_matches_textbook_formula(spark):
     var = 2 * n1 * n0 * (2 * n1 * n0 - n) / (n * n * (n - 1))
     z = (R - mu) / math.sqrt(var)
     assert abs(r["z_q6"] / 1e6 - z) < 2e-6
+
+
+def _fx(spark, rows):
+    # rows: (user, sec, type)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "user_id long, sec long, event_type string")
+    return df.select(
+        "user_id", F.timestamp_seconds("sec").alias("ts"), "event_type"
+    )
+
+
+def test_funnel_exclusion_semantics(spark):
+    from dads_spark.rollup import funnel_with_exclusion
+
+    rows = [
+        # u1: clean conversion (click -> purchase, no error between)
+        (1, 100, "click"), (1, 200, "purchase"),
+        # u2: blocked (error strictly between)
+        (2, 100, "click"), (2, 150, "error"), (2, 200, "purchase"),
+        # u3: timeout (purchase too late)
+        (3, 100, "click"), (3, 100 + 8000, "purchase"),
+        # u4: error AFTER the purchase does not block
+        (4, 100, "click"), (4, 200, "purchase"), (4, 300, "error"),
+        # u5: no purchase at all
+        (5, 100, "click"),
+    ]
+    out = {
+        r["user_id"]: (r["n_a"], r["n_converted"], r["n_blocked"],
+                       r["n_timeout"])
+        for r in funnel_with_exclusion(
+            _fx(spark, rows), "user_id", "ts", "event_type",
+            "click", "purchase", "error", within_sec=3600,
+        ).collect()
+    }
+    assert out[1] == (1, 1, 0, 0)
+    assert out[2] == (1, 0, 1, 0)
+    assert out[3] == (1, 0, 0, 1)
+    assert out[4] == (1, 1, 0, 0)
+    assert out[5] == (1, 0, 0, 1)
+
+
+def test_funnel_exclusion_multiple_as_share_b(spark):
+    from dads_spark.rollup import funnel_with_exclusion
+
+    rows = [(1, 100, "click"), (1, 150, "click"), (1, 200, "purchase")]
+    out = funnel_with_exclusion(
+        _fx(spark, rows), "user_id", "ts", "event_type",
+        "click", "purchase", "error", within_sec=3600,
+    ).collect()[0]
+    assert (out["n_a"], out["n_converted"]) == (2, 2)
