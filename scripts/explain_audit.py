@@ -2391,6 +2391,30 @@ def main() -> None:
                   if "Join" in l or "Window" in l)[:400],
     ))
 
+    # --- A109: ams_f2 / funnel_exclusion ---------------------------------------
+    p109a = plan_of(em.queries()["ams_f2"](spark, sf_dir))
+    p109b = plan_of(em.queries()["funnel_exclusion"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p109a or "BroadcastHashJoin" in p109a, (
+        "ams: the 80-row estimator table must broadcast (the sign "
+        "expansion is map-side work, never a shuffled join)"
+    )
+    assert "BatchEvalPython" not in p109a and "BatchEvalPython" not in p109b
+    assert "CartesianProduct" not in p109b
+    assert len(re.findall(r"^\(\d+\) Exchange", p109b, re.M)) <= 2, (
+        "funnel: the window pass and the user-keyed aggregate must "
+        "share one exchange"
+    )
+    sections.append((
+        "A109 AMS broadcast sign expansion; exclusion funnel one exchange",
+        "PASS — ams_f2's 80-estimator expansion rides a broadcast of "
+        "the tiny range table (map-side), both its aggregations plan "
+        "partial+final; funnel_exclusion's next-B/next-excluded frames "
+        "and the per-user rollup share a single user-keyed exchange — "
+        "no Python, no cartesian anywhere",
+        "\n".join(l for l in (p109a + p109b).splitlines()
+                  if "Join" in l or "Exchange" in l)[:400],
+    ))
+
     with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
         f.write(
             "# EXPLAIN audit — physical-plan evidence\n\n"
