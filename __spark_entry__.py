@@ -10191,41 +10191,237 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order IS the driver gate's execution order; the gate
-    samples exactly the first 50 entries per round. Round-4 ordering
-    policy (continuing the rotation the r2/r3 docstrings established):
-    (1) positions 1-32 — every entry that has NEVER received a driver
-    row (the full r3s3/r3s4 backlog the r3 verdict itemized), led by the
-    families judges weight most: the versioned tier store
-    (tier_snapshots, snapshot_upsert_delete), the web-ingest spine
-    (warc_ingest, html_extract, robots_policy), the billion-scale ANN
-    path (ann_pq, ann_ivf_pq), the profiler/drift suite, then the rest
-    alphabetically; (2) positions 33-36 — entries whose IMPLEMENTATION
-    changed this round and whose prior rows no longer certify the code:
-    the new serving-path composition flagship (serving_path_range),
-    minhash_lsh (sampled probe gate), pack_sequences (integer DIV),
-    streaming_tier_backfill (atomic ledger); (3) positions 37-50 —
-    r1-green entries with no row since r1 (oldest evidence,
-    re-confirmed). Past 50: r2/r3-green entries (freshest evidence),
-    rows-only sketch/S2G ops (weaker checks anyway), and the cheapest
-    twice-stable document-suite tail. Every displaced entry remains in
-    the full local sweep artifact.
+    samples exactly the first 50 entries per round. ROUND-5 ordering
+    policy (executing the r4 docstring's rotation note and the r4
+    verdict's "Next round #1" directive): positions 1-50 are drawn
+    exclusively from the 197 registry entries that had NEVER received
+    a driver row through r4 (the union of CORRECTNESS_r01-r04 keys),
+    family-weighted in the verdict's stated order -- composed flagship
+    pins first, then the storage contracts, the codec family, the
+    PromQL family, the ingest family, the graph additions, the
+    streaming joins, the r4s12-s14 statistics battery, then the first
+    ten of the remainder alphabetically. The registry is FROZEN at 378
+    this round (verdict directive: drain, don't grow).
 
-    ROUND-5 ROTATION NOTE (for the next builder): after the r04 gate
-    drains the r3 backlog above, positions 1-50 should rotate to the
-    round-4 additions that have never received a driver row — every
-    entry tagged r4s5..r4s14 in SURVEY §2 (~150 names; the freshest
-    full-sweep artifacts CORRECTNESS_LOCAL_r4s13b_full.json +
-    CORRECTNESS_LOCAL_r4s14_full.json list them all local-green).
-    Lead with the composed flagships (series_triage, doc_triage,
-    seasonal_conformal, log_observability, e2e_curation,
-    anomaly_scorecard, polite_schedule), then the storage contracts
-    (mor_deletes, compaction_plan, rle_roundtrip_hour), the streaming
-    joins (streaming_left_join, streaming_enrich), the detector/
-    statistics family (control_chart, seasonal_esd, runs_test,
-    spearman_corr, wasserstein_drift, vopt_histogram, haar_synopsis),
-    then alphabetical."""
+    ROUND-6 ROTATION NOTE (for the next builder): positions 51-197
+    below are the 147 still-never-driver-checked entries in
+    alphabetical order -- the r6 gate window should be exactly
+    positions 51-100 promoted to 1-50 (they are already ordered), and
+    r7 drains the final 97. Positions 198+ are the 184 entries with
+    r1-r4 driver rows (freshest evidence last to need re-confirmation),
+    kept in their r4 relative order. Every displaced entry remains in
+    the full local sweep artifacts (both sf0.001 and sf0.01 grids,
+    committed per round as the compensating control)."""
     return {
-        # -- (1) never driver-checked (r3 backlog), positions 1-32 --
+        # -- r5 gate window: flagship compositions --
+        "doc_triage": q_doc_triage,
+        "series_triage": q_series_triage,
+        "log_observability": q_log_observability,
+        "fetch_decision": q_fetch_decision,
+        "e2e_curation": q_e2e_curation,
+        "exp_hist_cascade": q_exp_hist_cascade,
+        "topk_rate": q_topk_rate,
+        "lww_tier": q_lww_tier,
+        "seasonal_conformal": q_seasonal_conformal,
+        "anomaly_scorecard": q_anomaly_scorecard,
+        "polite_schedule": q_polite_schedule,
+        # -- r5 gate window: storage contracts --
+        "mor_deletes": q_mor_deletes,
+        "compaction_plan": q_compaction_plan,
+        "rle_roundtrip_hour": q_rle_roundtrip_hour,
+        # -- r5 gate window: codec family --
+        "chimp_roundtrip_hour": q_chimp_roundtrip_hour,
+        "alp_roundtrip_hour": q_alp_roundtrip_hour,
+        "simple8b_roundtrip_hour": q_simple8b_roundtrip_hour,
+        "frontcode_urls": q_frontcode_urls,
+        "pla_segments": q_pla_segments,
+        # -- r5 gate window: PromQL family --
+        "promql_rate": q_promql_rate,
+        "predict_linear": q_predict_linear,
+        "histogram_quantile": q_histogram_quantile,
+        "promql_resets": q_promql_resets,
+        # -- r5 gate window: ingest family --
+        "lww_compact": q_lww_compact,
+        "cdc_apply": q_cdc_apply,
+        "watermark_tuning": q_watermark_tuning,
+        "ooo_stats": q_ooo_stats,
+        # -- r5 gate window: graph family --
+        "trustrank": q_trustrank,
+        "label_propagation": q_label_propagation,
+        "kcore": q_kcore,
+        "modularity": q_modularity,
+        # -- r5 gate window: streaming joins --
+        "streaming_left_join": q_streaming_left_join,
+        "streaming_enrich": q_streaming_enrich,
+        # -- r5 gate window: statistics battery --
+        "control_chart": q_control_chart,
+        "seasonal_esd": q_seasonal_esd,
+        "runs_test": q_runs_test,
+        "spearman_corr": q_spearman_corr,
+        "wasserstein_drift": q_wasserstein_drift,
+        "vopt_histogram": q_vopt_histogram,
+        "haar_synopsis": q_haar_synopsis,
+        # -- r5 gate window: alphabetical remainder head --
+        "ab_test": q_ab_test,
+        "acf_period": q_acf_period,
+        "alert_hysteresis": q_alert_hysteresis,
+        "ams_f2": q_ams_f2,
+        "anchor_text": q_anchor_text,
+        "ann_sq8": q_ann_sq8,
+        "asap_smooth": q_asap_smooth,
+        "attribution": q_attribution,
+        "benford_digits": q_benford_digits,
+        "bfs_hops": q_bfs_hops,
+        # ---- position 50 ends here ---------------------------------
+        # -- r6 backlog: never-driver-checked, alphabetical ----------
+        "bitemporal_asof": q_bitemporal_asof,
+        "bitmap_filter": q_bitmap_filter,
+        "blockword_scan": q_blockword_scan,
+        "bloom_dedup": q_bloom_dedup,
+        "bloom_semijoin": q_bloom_semijoin,
+        "bmp_decode": q_bmp_decode,
+        "bot_detect": q_bot_detect,
+        "bpe_encode": q_bpe_encode,
+        "bpe_train": q_bpe_train,
+        "burstiness": q_burstiness,
+        "c4_clean": q_c4_clean,
+        "cache_policy": q_cache_policy,
+        "cdc_chunking": q_cdc_chunking,
+        "cdx_captures": q_cdx_captures,
+        "chi2_drift": q_chi2_drift,
+        "chunk_documents": q_chunk_documents,
+        "clf_parse": q_clf_parse,
+        "concentration": q_concentration,
+        "conformal_interval": q_conformal_interval,
+        "content_sniff": q_content_sniff,
+        "correlation_matrix": q_correlation_matrix,
+        "counter_repair": q_counter_repair,
+        "covisitation": q_covisitation,
+        "crawl_budget": q_crawl_budget,
+        "croston": q_croston,
+        "curriculum_order": q_curriculum_order,
+        "data_contract": q_data_contract,
+        "decayed_popularity": q_decayed_popularity,
+        "degree_assortativity": q_degree_assortativity,
+        "delta_attribution": q_delta_attribution,
+        "dft_daily": q_dft_daily,
+        "drag_discords_tiers": q_drag_discords_tiers,
+        "duration_above": q_duration_above,
+        "embedding_pca": q_embedding_pca,
+        "encoding_advisor": q_encoding_advisor,
+        "exp_hist_quantile": q_exp_hist_quantile,
+        "exp_histogram": q_exp_histogram,
+        "forecast_reconcile": q_forecast_reconcile,
+        "funnel_exclusion": q_funnel_exclusion,
+        "funnel_windowed": q_funnel_windowed,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "gopher_rules": q_gopher_rules,
+        "hampel_filter": q_hampel_filter,
+        "heaps_growth": q_heaps_growth,
+        "hits_scores": q_hits_scores,
+        "holt_damped": q_holt_damped,
+        "ht_estimate": q_ht_estimate,
+        "html_metadata": q_html_metadata,
+        "html_tables": q_html_tables,
+        "hurst_rs": q_hurst_rs,
+        "index_delta_merge": q_index_delta_merge,
+        "interval_join": q_interval_join,
+        "ip_range_lookup": q_ip_range_lookup,
+        "isotonic": q_isotonic,
+        "ivm_join": q_ivm_join,
+        "jaccard_join": q_jaccard_join,
+        "join_size_estimate": q_join_size_estimate,
+        "k_anonymity": q_k_anonymity,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_intersect": q_kmv_intersect,
+        "kmv_sliding": q_kmv_sliding,
+        "ks_drift": q_ks_drift,
+        "label_cardinality": q_label_cardinality,
+        "label_index_select": q_label_index_select,
+        "langid_confusion": q_langid_confusion,
+        "late_refresh": q_late_refresh,
+        "link_prediction": q_link_prediction,
+        "link_reciprocity": q_link_reciprocity,
+        "mann_kendall": q_mann_kendall,
+        "mannwhitney_drift": q_mannwhitney,
+        "markov_entropy": q_markov_entropy,
+        "maxmin_fair": q_maxmin_fair,
+        "merkle_refresh": q_merkle_refresh,
+        "merkle_tiers": q_merkle_tiers,
+        "mirror_hosts": q_mirror_hosts,
+        "motifs_pinned": q_motifs_pinned,
+        "multi_seasonal": q_multi_seasonal,
+        "multi_touch": q_multi_touch,
+        "neyman_allocation": q_neyman_allocation,
+        "nonlinearity": q_nonlinearity,
+        "ohlc_bars": q_ohlc_bars,
+        "page_hinkley": q_page_hinkley,
+        "partitioned_prune": q_partitioned_prune,
+        "path_rollup": q_path_rollup,
+        "peak_prominence": q_peak_prominence,
+        "perm_entropy": q_perm_entropy,
+        "perplexity_buckets": q_perplexity_buckets,
+        "phrase_search_pos": q_phrase_search,
+        "pmi_collocations": q_pmi_collocations,
+        "png_decode": q_png_decode,
+        "politeness_audit": q_politeness_audit,
+        "pref_winrate": q_pref_winrate,
+        "pruning_stats": q_pruning_stats,
+        "psi_drift": q_psi_drift,
+        "quality_classifier": q_quality_classifier,
+        "quantile_bands": q_quantile_bands,
+        "quantile_normalize": q_quantile_normalize,
+        "rake_keywords": q_rake_keywords,
+        "range_splits": q_range_splits,
+        "ranking_eval": q_ranking_eval,
+        "rbo": q_rbo,
+        "readability": q_readability,
+        "redirect_resolve": q_redirect_resolve,
+        "rendezvous_shard": q_rendezvous_shard,
+        "retention_cost": q_retention_cost,
+        "revisit_schedule": q_revisit_schedule,
+        "rolling_backtest": q_rolling_backtest,
+        "rolling_corr": q_rolling_corr,
+        "s2g_detection_eval": q_s2g_detection_eval,
+        "salted_join": q_salted_join,
+        "sample_entropy": q_sample_entropy,
+        "scd2_asof_join": q_scd2_asof_join,
+        "schema_evolution": q_schema_evolution,
+        "script_mix": q_script_mix,
+        "seasonal_strength": q_seasonal_strength,
+        "semdedup": q_semdedup,
+        "series_churn": q_series_churn,
+        "series_health": q_series_health,
+        "session_patterns": q_session_patterns,
+        "shuffle_skew_report": q_shuffle_skew_report,
+        "sitemap_coverage": q_sitemap_coverage,
+        "snapshot_diff": q_snapshot_diff,
+        "staleness_report": q_staleness_report,
+        "streaming_cusum": q_streaming_cusum,
+        "streaming_kmv": q_streaming_kmv,
+        "streaming_zscore": q_streaming_zscore,
+        "survival_risk": q_survival_risk,
+        "temporal_split": q_temporal_split,
+        "term_dispersion": q_term_dispersion,
+        "tier_consistency": q_tier_consistency,
+        "token_bucket": q_token_bucket,
+        "token_budget": q_token_budget,
+        "topk_other": q_topk_other,
+        "transition_matrix": q_transition_matrix,
+        "trending_terms": q_trending_terms,
+        "trigram_search": q_trigram_search,
+        "trimmed_mean": q_trimmed_mean,
+        "ts_features": q_ts_features,
+        "url_templates": q_url_templates,
+        "vocab_coverage": q_vocab_coverage,
+        "wav_decode": q_wav_decode,
+        "weighted_median": q_weighted_median,
+        "wet_export": q_wet_export,
+        "wow_delta": q_wow_delta,
+        "wow_significance": q_wow_significance,
+        "zipf_slope": q_zipf_slope,
+        "zlib_ratio": q_zlib_ratio,
+        # -- driver-checked r1-r4 (r4 relative order preserved) ------
         "tier_snapshots": q_tier_snapshots,
         "snapshot_upsert_delete": q_snapshot_upsert_delete,
         "warc_ingest": q_warc_ingest,
@@ -10257,12 +10453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_route": q_tier_route,
         "unigram_logprob": q_unigram_logprob,
         "zorder_values": q_zorder_values,
-        # -- (2) implementation changed / NEW this round --------------
         "serving_path_range": q_serving_path_range,
         "minhash_lsh": q_minhash_lsh,
         "pack_sequences": q_pack_sequences,
         "streaming_tier_backfill": q_streaming_tier_backfill,
-        # -- (2b) new operator families this round ---------------------
         "scd2_user_state": q_scd2_user_state,
         "bigram_logprob": q_bigram_logprob,
         "frontier_schedule": q_frontier_schedule,
@@ -10277,86 +10471,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_churn": q_crawl_churn,
         "hybrid_retrieval": q_hybrid_retrieval,
         "slo_burn": q_slo_burn,
-        # dsir_select earned a window slot over tier_consistency (a
-        # self-consistency audit lane): its cross-engine ln() flake was
-        # fixed this round, so a fresh driver pin certifies the fix
         "dsir_select": q_dsir_select,
-        # ---- position 50 ends here ---------------------------------
-        # -- (2c) displaced to the r5 rotation: oracle-green in the
-        # full local sweep (CORRECTNESS_LOCAL_r4s3_full.json: 206/206).
-        # r5 window proposal, ordered by family weight: the never-
-        # driver-checked r4s2/r4s3 additions — streaming_cusum +
-        # streaming_zscore + streaming_scd2 (stateful streaming),
-        # snapshot_diff + late_refresh (store/incremental), bpe_train +
-        # bpe_encode + semdedup + gopher_rules + c4_clean +
-        # perplexity_buckets + dsir twins (LLM curation), embedding_pca
-        # + fuzzy_pairs (similarity/linkage), psi_drift + alert_
-        # hysteresis + rolling_backtest + asap_smooth + ohlc_bars
-        # (timeseries), index_delta_merge + trending_terms +
-        # covisitation + phrase_search_pos + pruning_stats +
-        # data_contract + hampel_filter + scd2_asof_join + readability + hits_scores +
-        # anchor_text + bloom_dedup + tier_consistency ----------------
-        "tier_consistency": q_tier_consistency,
-        "late_refresh": q_late_refresh,
-        "anchor_text": q_anchor_text,
-        "hits_scores": q_hits_scores,
-        "bloom_dedup": q_bloom_dedup,
-        "streaming_zscore": q_streaming_zscore,
-        "gopher_rules": q_gopher_rules,
-        "c4_clean": q_c4_clean,
-        "perplexity_buckets": q_perplexity_buckets,
-        "semdedup": q_semdedup,
-        "bpe_train": q_bpe_train,
-        "bpe_encode": q_bpe_encode,
-        "pmi_collocations": q_pmi_collocations,
-        "ohlc_bars": q_ohlc_bars,
-        "phrase_search_pos": q_phrase_search,
-        "psi_drift": q_psi_drift,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "embedding_pca": q_embedding_pca,
-        "snapshot_diff": q_snapshot_diff,
-        "readability": q_readability,
-        "streaming_cusum": q_streaming_cusum,
-        "trending_terms": q_trending_terms,
-        "pruning_stats": q_pruning_stats,
-        "asap_smooth": q_asap_smooth,
-        "scd2_asof_join": q_scd2_asof_join,
-        "alert_hysteresis": q_alert_hysteresis,
-        "rolling_backtest": q_rolling_backtest,
-        "data_contract": q_data_contract,
-        "covisitation": q_covisitation,
-        "index_delta_merge": q_index_delta_merge,
-        "hampel_filter": q_hampel_filter,
-        "wav_decode": q_wav_decode,
-        "bmp_decode": q_bmp_decode,
-        "jaccard_join": q_jaccard_join,
-        "session_patterns": q_session_patterns,
-        "exp_histogram": q_exp_histogram,
-        "cdc_chunking": q_cdc_chunking,
-        "langid_confusion": q_langid_confusion,
-        # -- (3) r1-green, no row since r1 ---------------------------
-        # (ngram_jaccard/minhash_md5/dedup_exact/doc_fingerprint stay
-        # displaced past 50 — r1-green and the cheapest machinery, with
-        # dup_clusters re-pinning ngram_jaccard's semantics — so the four
-        # new families above get their driver rows this round)
-        # (rollup_hour / rollup_day_cascade / rollup_week_cascade /
-        # rollup_hour_salted / gapfill_hour_linear displaced past 50 by
-        # the five newest families (line_dedup, crawl_delta/churn,
-        # hybrid_retrieval, slo_burn) — all r1-green with their kernels
-        # certified by stronger twins (serving_path_range composes the
-        # full tier cascade, the salted path is plan-asserted,
-        # resample_linear pins interpolation); a new family with zero
-        # driver evidence outranks a re-confirmation)
         "rollup_hour": q_rollup_hour,
         "rollup_day_cascade": q_rollup_day_cascade,
         "rollup_week_cascade": q_rollup_week_cascade,
         "rollup_hour_salted": q_rollup_hour_salted,
         "gapfill_hour_linear": q_gapfill_hour_linear,
-        # (topk_per_type/dayofweek_profile/distinct_users/
-        # streaming_rollup_hour displaced past 50 by the four newest
-        # families — r1-green, and their window/distinct/streaming
-        # machinery is certified by r2/r3-green twins)
-        # -- r2/r3-green (freshest evidence) + rows-only tail --------
         "gorilla_roundtrip_hour": q_gorilla_roundtrip_hour,
         "streaming_rollup_hour": q_streaming_rollup_hour,
         "topk_per_type": q_topk_per_type,
@@ -10483,168 +10603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": q_token_counts_bpe,
         "text_quality": q_text_quality,
         "lang_mix": q_lang_mix,
-        # -- round-4 session-5 additions (next rotation's candidates) --
-        "promql_rate": q_promql_rate,
-        "forecast_reconcile": q_forecast_reconcile,
-        "acf_period": q_acf_period,
-        "curriculum_order": q_curriculum_order,
-        "temporal_split": q_temporal_split,
-        "predict_linear": q_predict_linear,
-        "trustrank": q_trustrank,
-        "decayed_popularity": q_decayed_popularity,
-        "quantile_normalize": q_quantile_normalize,
-        "label_propagation": q_label_propagation,
-        "attribution": q_attribution,
-        "chimp_roundtrip_hour": q_chimp_roundtrip_hour,
-        "simple8b_roundtrip_hour": q_simple8b_roundtrip_hour,
-        "alp_roundtrip_hour": q_alp_roundtrip_hour,
-        "rake_keywords": q_rake_keywords,
-        "motifs_pinned": q_motifs_pinned,
-        "kcore": q_kcore,
-        "trigram_search": q_trigram_search,
-        "html_metadata": q_html_metadata,
-        "ip_range_lookup": q_ip_range_lookup,
-        "transition_matrix": q_transition_matrix,
-        "shuffle_skew_report": q_shuffle_skew_report,
-        "wow_delta": q_wow_delta,
-        "ab_test": q_ab_test,
-        "series_churn": q_series_churn,
-        "histogram_quantile": q_histogram_quantile,
-        "staleness_report": q_staleness_report,
-        "redirect_resolve": q_redirect_resolve,
-        "label_index_select": q_label_index_select,
-        "correlation_matrix": q_correlation_matrix,
-        "quantile_bands": q_quantile_bands,
-        "png_decode": q_png_decode,
-        "content_sniff": q_content_sniff,
-        "sitemap_coverage": q_sitemap_coverage,
-        "promql_resets": q_promql_resets,
-        "lww_compact": q_lww_compact,
-        "ooo_stats": q_ooo_stats,
-        "frontcode_urls": q_frontcode_urls,
-        "exp_hist_quantile": q_exp_hist_quantile,
-        "lww_tier": q_lww_tier,
-        "cdx_captures": q_cdx_captures,
-        "exp_hist_cascade": q_exp_hist_cascade,
-        "topk_rate": q_topk_rate,
-        "mann_kendall": q_mann_kendall,
-        "duration_above": q_duration_above,
-        "url_templates": q_url_templates,
-        "pla_segments": q_pla_segments,
-        "wet_export": q_wet_export,
-        "benford_digits": q_benford_digits,
-        "weighted_median": q_weighted_median,
-        "bot_detect": q_bot_detect,
-        "rendezvous_shard": q_rendezvous_shard,
-        "revisit_schedule": q_revisit_schedule,
-        "link_prediction": q_link_prediction,
-        "kmv_distinct": q_kmv_distinct,
-        "crawl_budget": q_crawl_budget,
-        "label_cardinality": q_label_cardinality,
-        "token_bucket": q_token_bucket,
-        "ivm_join": q_ivm_join,
-        "cache_policy": q_cache_policy,
-        "kmv_intersect": q_kmv_intersect,
-        "bitemporal_asof": q_bitemporal_asof,
-        "clf_parse": q_clf_parse,
-        "schema_evolution": q_schema_evolution,
-        "partitioned_prune": q_partitioned_prune,
-        "cdc_apply": q_cdc_apply,
-        "merkle_tiers": q_merkle_tiers,
-        "token_budget": q_token_budget,
-        "join_size_estimate": q_join_size_estimate,
-        "range_splits": q_range_splits,
-        "link_reciprocity": q_link_reciprocity,
-        "ann_sq8": q_ann_sq8,
-        "watermark_tuning": q_watermark_tuning,
-        "encoding_advisor": q_encoding_advisor,
-        "merkle_refresh": q_merkle_refresh,
-        "kmv_sliding": q_kmv_sliding,
-        "fetch_decision": q_fetch_decision,
-        "interval_join": q_interval_join,
-        "delta_attribution": q_delta_attribution,
-        "log_observability": q_log_observability,
-        "multi_touch": q_multi_touch,
-        "survival_risk": q_survival_risk,
-        "concentration": q_concentration,
-        "ranking_eval": q_ranking_eval,
-        "vocab_coverage": q_vocab_coverage,
-        "term_dispersion": q_term_dispersion,
-        "isotonic": q_isotonic,
-        "heaps_growth": q_heaps_growth,
-        "pref_winrate": q_pref_winrate,
-        "seasonal_strength": q_seasonal_strength,
-        "croston": q_croston,
-        "html_tables": q_html_tables,
-        "funnel_windowed": q_funnel_windowed,
-        "retention_cost": q_retention_cost,
-        "s2g_detection_eval": q_s2g_detection_eval,
-        "bitmap_filter": q_bitmap_filter,
-        "rbo": q_rbo,
-        "zlib_ratio": q_zlib_ratio,
-        "streaming_kmv": q_streaming_kmv,
-        "politeness_audit": q_politeness_audit,
-        "e2e_curation": q_e2e_curation,
-        "k_anonymity": q_k_anonymity,
-        "script_mix": q_script_mix,
-        "counter_repair": q_counter_repair,
-        "salted_join": q_salted_join,
-        "ht_estimate": q_ht_estimate,
-        "chi2_drift": q_chi2_drift,
-        "drag_discords_tiers": q_drag_discords_tiers,
-        # -- round-4 session-9 additions (next rotation's candidates) --
-        "ks_drift": q_ks_drift,
-        "page_hinkley": q_page_hinkley,
-        "ts_features": q_ts_features,
-        "peak_prominence": q_peak_prominence,
-        "degree_assortativity": q_degree_assortativity,
-        "zipf_slope": q_zipf_slope,
-        "rolling_corr": q_rolling_corr,
-        "hurst_rs": q_hurst_rs,
-        "sample_entropy": q_sample_entropy,
-        "dft_daily": q_dft_daily,
-        "perm_entropy": q_perm_entropy,
-        "nonlinearity": q_nonlinearity,
-        "path_rollup": q_path_rollup,
-        "mirror_hosts": q_mirror_hosts,
-        "trimmed_mean": q_trimmed_mean,
-        "markov_entropy": q_markov_entropy,
-        "burstiness": q_burstiness,
-        "blockword_scan": q_blockword_scan,
-        "series_triage": q_series_triage,
-        "modularity": q_modularity,
-        "conformal_interval": q_conformal_interval,
-        "maxmin_fair": q_maxmin_fair,
-        "topk_other": q_topk_other,
-        "doc_triage": q_doc_triage,
-        "multi_seasonal": q_multi_seasonal,
-        "bloom_semijoin": q_bloom_semijoin,
-        "series_health": q_series_health,
-        "seasonal_conformal": q_seasonal_conformal,
-        "wow_significance": q_wow_significance,
-        "mannwhitney_drift": q_mannwhitney,
-        # -- (2e) r4s14 additions ------------------------------------
-        "control_chart": q_control_chart,
-        "bfs_hops": q_bfs_hops,
-        "holt_damped": q_holt_damped,
-        "seasonal_esd": q_seasonal_esd,
-        "quality_classifier": q_quality_classifier,
-        "vopt_histogram": q_vopt_histogram,
-        "streaming_left_join": q_streaming_left_join,
-        "streaming_enrich": q_streaming_enrich,
-        "rle_roundtrip_hour": q_rle_roundtrip_hour,
-        "compaction_plan": q_compaction_plan,
-        "haar_synopsis": q_haar_synopsis,
-        "wasserstein_drift": q_wasserstein_drift,
-        "anomaly_scorecard": q_anomaly_scorecard,
-        "chunk_documents": q_chunk_documents,
-        "mor_deletes": q_mor_deletes,
-        "neyman_allocation": q_neyman_allocation,
-        "spearman_corr": q_spearman_corr,
-        "runs_test": q_runs_test,
-        "polite_schedule": q_polite_schedule,
-        "ams_f2": q_ams_f2,
-        "funnel_exclusion": q_funnel_exclusion,
     }
 
 
@@ -14391,7 +14349,8 @@ def oracle_sql() -> dict[str, str]:
             FROM runs GROUP BY 1)
         SELECT event_type, n_runs, n_above, n_below,
                CASE WHEN n_above > 0 AND n_below > 0
-                     AND n_above + n_below > 1 THEN
+                     AND n_above + n_below > 1
+                     AND 2 * n_above * n_below > n_above + n_below THEN
                    CAST((CASE WHEN CAST(n_runs AS DOUBLE)
                                    - (1 + CAST(2 * n_above * n_below
                                                AS DOUBLE)

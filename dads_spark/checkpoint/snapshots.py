@@ -82,6 +82,19 @@ class SnapshotStore:
         except OSError:
             return []
 
+    def _stray_sidecar_versions(self, table: str) -> list[int]:
+        """MOR-delete sidecar dirs on disk (committed or orphaned by a
+        crash between sidecar write and log append)."""
+        base = os.path.join(self.root, table)
+        try:
+            return [
+                int(e.split("_deletes_v", 1)[1])
+                for e in os.listdir(base)
+                if e.startswith("_deletes_v")
+            ]
+        except (OSError, ValueError):
+            return []
+
     def commit(
         self, table: str, df: DataFrame, note: str = "", audit=None, extra=None
     ) -> int:
@@ -282,7 +295,20 @@ class SnapshotStore:
                 ).distinct()
             )
         floor = -1 if prev is None else prev
-        version = max([floor] + self._stray_versions(table)) + 1
+        # fold orphan SIDECAR dirs into the version floor too: a crash
+        # between the sidecar write below and the log append would
+        # otherwise make the retry recompute the same version (no new
+        # data dir exists for _stray_versions to see) and trip
+        # errorifexists on the orphan — permanently blocking MOR deletes
+        # on this table (same crash-retry numbering contract as commit())
+        version = (
+            max(
+                [floor]
+                + self._stray_versions(table)
+                + self._stray_sidecar_versions(table)
+            )
+            + 1
+        )
         sidecar = os.path.join(self.root, table, f"_deletes_v{version}")
         pending.write.mode("errorifexists").parquet(sidecar)
         base = self.spark.read.parquet(entry["path"])
@@ -371,12 +397,18 @@ class SnapshotStore:
         }
         removed = []
         for s in entries:
-            if s["version"] in kept or s["path"] in kept_paths:
+            if s["version"] in kept:
+                continue
+            # reclaim superseded sidecars BEFORE the shared-base-path
+            # continue: stacked MOR deletes share one base path, so a
+            # kept version retaining that path must not keep every
+            # superseded sidecar alive (only kept_sidecars survive)
+            sc = s.get("delete_path")
+            if sc and sc not in kept_sidecars and os.path.exists(sc):
+                shutil.rmtree(sc)
+            if s["path"] in kept_paths:
                 continue
             if os.path.exists(s["path"]):
                 shutil.rmtree(s["path"])
                 removed.append(s["version"])
-            sc = s.get("delete_path")
-            if sc and sc not in kept_sidecars and os.path.exists(sc):
-                shutil.rmtree(sc)
         return removed

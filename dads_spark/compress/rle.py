@@ -43,8 +43,12 @@ def encode_values(values: np.ndarray) -> bytes:
 
 
 def decode_values(data: bytes, n: int) -> np.ndarray:
-    if n == 0 or not data:
+    if n == 0:
         return np.empty(0, dtype=np.float64)
+    if not data:
+        # a truncated/zero-byte payload must fail like every other length
+        # mismatch (the len(out) != n check below is unreachable here)
+        raise ValueError(f"rle: empty payload, expected {n} points")
     n_runs = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
     lengths = np.frombuffer(data[4: 4 + 4 * n_runs], dtype=np.uint32)
     bits = np.frombuffer(

@@ -213,7 +213,13 @@ def runs_test(
         F.col("n_below").cast("long").alias("n_below"),
         F.when(
             (F.col("n_above") > 0) & (F.col("n_below") > 0)
-            & (F.col("n_above") + F.col("n_below") > 1),
+            & (F.col("n_above") + F.col("n_below") > 1)
+            # variance term must be positive: when 2*n1*n0 == n (e.g. one
+            # point on each side of the median) var is 0 and z would
+            # divide by zero — NULL the statistic like the other
+            # degenerate cases so Spark and DuckDB agree
+            & (2 * F.col("n_above") * F.col("n_below")
+               > F.col("n_above") + F.col("n_below")),
             z_q6,
         ).alias("z_q6"),
     )

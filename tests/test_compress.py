@@ -321,3 +321,18 @@ def test_rle_random_roundtrip_property():
         vals = rng.choice([0.0, 1.5, -3.25, 7.0], size=n)
         out = decode_values(encode_values(vals), n)
         assert np.array_equal(out, vals)
+
+
+def test_rle_empty_payload_with_nonzero_n_raises():
+    # a zero-byte payload claiming n > 0 points is corrupt and must fail
+    # like every other length mismatch (r4 ADVICE item: the old
+    # short-circuit silently returned an empty array)
+    import numpy as np
+    import pytest
+
+    from dads_spark.compress.rle import decode_values
+
+    with pytest.raises(ValueError, match="empty payload"):
+        decode_values(b"", 3)
+    # n == 0 with empty payload stays valid
+    assert len(decode_values(b"", 0)) == 0

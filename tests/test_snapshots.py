@@ -269,3 +269,48 @@ def test_vacuum_reclaims_orphaned_sidecars(spark, tmp_path):
     store.vacuum("t", keep_last=2)
     assert not os.path.exists(sidecar)
     assert store.read("t").count() == 2
+
+
+def test_mor_delete_retry_skips_orphaned_sidecar(spark, tmp_path):
+    # crash-retry numbering contract (r4 ADVICE item): a crash between
+    # the sidecar write and the log append leaves an orphan
+    # _deletes_v{N} dir with NO new data dir; the retry must number past
+    # the orphan instead of tripping errorifexists forever
+    import os
+
+    store = SnapshotStore(spark, str(tmp_path / "s"))
+    store.commit("t", _df(spark, 6, "x"))
+    orphan = os.path.join(str(tmp_path / "s"), "t", "_deletes_v1")
+    spark.createDataFrame([(5,)], "k long").write.parquet(orphan)
+    v = store.delete_keys_mor(
+        "t", spark.createDataFrame([(2,)], "k long"), ["k"]
+    )
+    assert v == 2  # numbered around the orphan
+    assert {r["k"] for r in store.read("t").collect()} == (
+        set(range(6)) - {2}
+    )
+
+
+def test_vacuum_reclaims_superseded_stacked_sidecars(spark, tmp_path):
+    # stacked MOR deletes share one base data path; vacuum with the base
+    # path retained by a kept version must still reclaim the superseded
+    # sidecar (r4 ADVICE item: the kept-path continue ran first and S1
+    # leaked forever)
+    import os
+
+    store = SnapshotStore(spark, str(tmp_path / "s"))
+    store.commit("t", _df(spark, 10, "x"))  # v0 COW
+    store.delete_keys_mor(
+        "t", spark.createDataFrame([(1,)], "k long"), ["k"]
+    )  # v1 MOR(S1)
+    store.delete_keys_mor(
+        "t", spark.createDataFrame([(3,)], "k long"), ["k"]
+    )  # v2 MOR(S2, folded)
+    hist = {h["version"]: h for h in store.history()}
+    s1, s2 = hist[1]["delete_path"], hist[2]["delete_path"]
+    store.vacuum("t", keep_last=1)
+    assert not os.path.exists(s1), "superseded sidecar must be reclaimed"
+    assert os.path.exists(s2), "referenced sidecar must survive"
+    assert {r["k"] for r in store.read("t").collect()} == (
+        set(range(10)) - {1, 3}
+    )

@@ -145,3 +145,14 @@ def test_funnel_exclusion_multiple_as_share_b(spark):
         "click", "purchase", "error", within_sec=3600,
     ).collect()[0]
     assert (out["n_a"], out["n_converted"]) == (2, 2)
+
+
+def test_runs_degenerate_variance_is_null(spark):
+    # exactly one point above and one below the median: 2*n1*n0 == n so
+    # the z variance is 0 — the statistic must be NULL (r4 ADVICE item:
+    # the old guard let this divide by zero and Spark/DuckDB could
+    # disagree on NULL vs inf)
+    vals = [1, 5]
+    r = runs_test(_series(spark, vals), ["key"], "t", "v").collect()[0]
+    assert r["n_above"] == 1 and r["n_below"] == 1
+    assert r["z_q6"] is None
