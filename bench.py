@@ -109,7 +109,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "range_join_clicks",
         "gorilla_roundtrip_hour",
         "neardup_cosine",
-        "dedup_exact",
+        # dedup_exact retired r5 (suite cap, verdict #4): its hash-groupBy
+        # stage runs inside the e2e_web_ingest lane (strictly-stronger
+        # twin) and the gate still checks it every round
         "text_quality",
         "retention_enforce",
         "lttb_downsample",
@@ -131,7 +133,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "time_weighted_avg",
         "mad_outliers",
         "paa_sax",
-        "matrix_profile_discord",
+        # matrix_profile_discord retired r5 (verdict #4 named it): the
+        # rows-only lane beside the driver-pinned twin
+        # (matrix_profile_pinned, gate-checked); its STOMP kernel is the
+        # same applyInPandas shape pattern_search times
         "q9_product_profit",
         # q13/q21 dropped r3s2: TPC-H shape coverage in bench stays with
         # q1/q3/q5/q7/q9/q18; the correctness gate still runs all 22
@@ -184,7 +189,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "hll_distinct_cascade",
         # r3 session 4: context-window packing, distribution drift,
         # blocklist filtering, mixture rebalancing
-        "pack_sequences",
+        # pack_sequences retired r5 (suite cap): the packing stage runs
+        # inside the e2e_curation lane (quality -> dedup -> packing,
+        # strictly-stronger twin); gate coverage unchanged
         # tv_drift retired r4s14: wasserstein_drift (below) times the
         # same audited grid PLUS the cumulative window; ann_pq retired:
         # its encode+ADC machinery is inside ann_ivf_pq. Both stay in
@@ -207,7 +214,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "robots_policy",
         "warc_ingest",
         "e2e_web_ingest",
-        "html_extract",
+        # html_extract retired r5 (suite cap): the regex-tier extraction
+        # stage runs inside both warc_ingest's staging and the
+        # e2e_web_ingest lane (strictly-stronger twin)
         "snapshot_upsert_delete",
         # r4: the serving-path flagship — week/day tiers + Gorilla-decoded
         # hour fringe stitched to raw-exact totals (suite cap: 90 lanes)
